@@ -1,0 +1,98 @@
+"""Table IO: columnar Parquet scans plus a keyed-upsert writer.
+
+Replaces the reference's storage layer wholesale:
+
+- ``SELECT * FROM nonfarm_payrolls`` via ``pd.read_sql``
+  (``dashboard_nfp.py:67-68``, no pushdown of any kind) becomes
+  ``spark.read.parquet`` — columnar, with Catalyst predicate pushdown and
+  column pruning reaching the scan for free.
+- The row-at-a-time ``INSERT ... ON CONFLICT (date) DO UPDATE`` loop
+  (``etl.py:57-73``, one network round-trip per row) becomes a distributed
+  keyed merge: dedup-by-key with ``row_number`` then a single batch write.
+
+At 100 TB the same functions apply unchanged: Parquet scans partition-prune
+on directory layout, and the upsert writer's window shuffle partitions by the
+merge key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan of one star-schema table (SURVEY §2 S2 `scan_table`)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every table; lazy — nothing is read until an action runs."""
+    return {t: read_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all tables as temp views for ``spark.sql`` entry points."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+def upsert_by_key(
+    target: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    order_col: str | None = None,
+) -> DataFrame:
+    """Keyed merge with last-writer-wins semantics (SURVEY §2 S3).
+
+    Semantics of ``INSERT ... ON CONFLICT (key) DO UPDATE`` (``etl.py:68-71``)
+    expressed as one distributed pass: tag each side with a priority, union,
+    keep the highest-priority row per key via a ``row_number`` window. The
+    window shuffles once on the merge key — the scalable shape (vs. the
+    reference's per-row round trips).
+
+    ``order_col`` optionally breaks ties *within* the updates side (e.g. an
+    ingestion timestamp); by default updates beat target rows.
+    """
+    tagged = updates.withColumn("__prio", F.lit(1)).unionByName(
+        target.withColumn("__prio", F.lit(0))
+    )
+    order = [F.col("__prio").desc()]
+    if order_col is not None:
+        order.append(F.col(order_col).desc())
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__prio")
+    )
+
+
+def write_upsert_parquet(
+    target_path: str,
+    merged: DataFrame,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Single batch write of a merged frame (the S3 sink half).
+
+    ``partition_by`` (e.g. year of the date key) enables partition pruning
+    for downstream scans at scale.
+    """
+    writer = merged.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(target_path)
