@@ -36,7 +36,25 @@ TABLES = (
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Columnar scan of one star-schema table (SURVEY §2 S2 `scan_table`)."""
+    """Columnar scan of one star-schema table (SURVEY §2 S2 `scan_table`).
+
+    The ``events`` table stores ``ts`` as a NANOS parquet timestamp, which
+    Spark's vectorized reader rejects (``PARQUET_TYPE_ILLEGAL``). We read
+    nanos as raw longs (dynamic SQL conf, so it also works under a session
+    we didn't build) and convert to a microsecond TIMESTAMP_NTZ with
+    integer division — ``div`` keeps the arithmetic in int64 (ns epochs
+    exceed double's 2^53 exact range) and floors exactly like DuckDB's
+    ns→us conversion.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            )
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -1,0 +1,218 @@
+"""Multi-level and distinct aggregation operators (SURVEY §2.10 X5–X7)
+plus the benchmark's heavy aggregate queries.
+
+The reference computes multi-level roll-ups as separate groupbys per level
+(``dashboard_nfp.py:247,250``); Spark's ``rollup``/``cube`` produce all
+grouping sets in one pass over the fact table (partial aggregation happens
+map-side once, then each grouping set reuses it).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.window import Window
+
+from ..functions.numerics import davg, davg_sql, dsum, dsum_sql
+from ..functions.timeparts import year_of
+from ..io import read_table
+
+
+def agg_grouping_sets_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — CUBE over (status, priority): all four grouping sets in one
+    shuffle (``df.cube``), vs. the reference's one-groupby-per-level."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(dsum("o_totalprice"), 4).alias("total"),
+    )
+
+
+def agg_rollup_year_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5b — ROLLUP (year, quarter): yearly and quarterly levels plus grand
+    total in ONE pass — the reference's two separate groupbys
+    (``dashboard_nfp.py:247,250``) folded into a single operator."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.rollup(
+        year_of("o_orderdate").alias("year"),
+        F.quarter("o_orderdate").cast("int").alias("quarter"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(dsum("o_totalprice"), 4).alias("total"),
+    )
+
+
+def agg_distinct_and_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 (exact half) — COUNT(DISTINCT) per year. Spark expands distinct
+    aggregation into a two-phase shuffle; exact, oracle-checked."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupBy(year_of("o_orderdate").alias("year")).agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 (approx half) — HyperLogLog++ sketch per year. At 100 TB this is
+    the scalable path: fixed-size sketch state, single aggregation pass, no
+    distinct expansion. Not oracle-hashable (sketch error is
+    engine-specific) → rows-only check; the exact twin above is the
+    correctness anchor."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupBy(year_of("o_orderdate").alias("year")).agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_customers_approx"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def window_rank_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 — top-3 orders per customer: rank window partitioned by the group
+    key. One shuffle on the partition key; with AQE the skewed-partition
+    split keeps stragglers bounded. Deterministic tiebreak on o_orderkey."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("o_totalprice"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )
+
+
+def join_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark heavy aggregate (TPC-H Q1 shape) on lineitem: filter →
+    6-measure hash aggregate on 2 keys. Whole-stage-codegen'd, map-side
+    partials; decimal-backed sums keep it deterministic under parallelism."""
+    li = read_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(dsum("l_quantity"), 4).alias("sum_qty"),
+            F.round(dsum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(dsum(disc_price), 4).alias("sum_disc_price"),
+            F.round(davg("l_quantity"), 6).alias("avg_qty"),
+            F.round(davg("l_extendedprice"), 6).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def events_sessionish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark events aggregate: 2-key groupBy + deterministic top-20."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(dsum("value"), 4).alias("sum_value"),
+        )
+        .orderBy(F.col("n_events").desc(), "user_id", "event_type")
+        .limit(20)
+    )
+
+
+def _geomean_udaf():
+    """Grouped-agg pandas UDF (Arrow-vectorized): geometric mean.
+
+    Demonstrates the custom-UDAF surface (SURVEY §2.9 extension). The hot
+    path stays vectorized: one Arrow batch per group, numpy math inside.
+    Built lazily — the ``pandas_udf`` decorator needs an active session.
+    """
+
+    @pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
+        import numpy as np
+
+        x = v.to_numpy()
+        x = x[x > 0]
+        if x.size == 0:
+            return float("nan")
+        return float(np.exp(np.log(x).mean()))
+
+    return geomean
+
+
+def agg_custom_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate via grouped-agg ``pandas_udf``: per-year geometric
+    mean of order value. Oracle twin: exp(avg(ln(x))) — both sides rounded
+    to 6 dp (FP parity here is looser than builtin sums because the UDF
+    computes in numpy; 6 dp on a ~1e5 magnitude is still stable since the
+    log-domain mean is well-conditioned)."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupBy(year_of("o_orderdate").alias("year")).agg(
+        F.round(_geomean_udaf()("o_totalprice"), 4).alias("geomean_price")
+    )
+
+
+QUERIES = {
+    "agg_grouping_sets_cube": agg_grouping_sets_cube,
+    "agg_rollup_year_quarter": agg_rollup_year_quarter,
+    "agg_distinct_and_approx": agg_distinct_and_approx,
+    "agg_approx_count_distinct": agg_approx_count_distinct,
+    "window_rank_topk_per_group": window_rank_topk_per_group,
+    "join_agg_pricing": join_agg_pricing,
+    "events_sessionish": events_sessionish,
+    "agg_custom_udaf_geomean": agg_custom_udaf_geomean,
+}
+
+ORACLE = {
+    "agg_grouping_sets_cube": (
+        "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders, "
+        f"ROUND({dsum_sql('o_totalprice')}, 4) AS total "
+        "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"
+    ),
+    "agg_rollup_year_quarter": (
+        "SELECT CAST(year(o_orderdate) AS INT) AS year, "
+        "CAST(quarter(o_orderdate) AS INT) AS quarter, COUNT(*) AS n_orders, "
+        f"ROUND({dsum_sql('o_totalprice')}, 4) AS total "
+        "FROM orders GROUP BY ROLLUP (year, quarter)"
+    ),
+    "agg_distinct_and_approx": (
+        "SELECT CAST(year(o_orderdate) AS INT) AS year, "
+        "COUNT(DISTINCT o_custkey) AS n_customers, COUNT(*) AS n_orders "
+        "FROM orders GROUP BY 1"
+    ),
+    # agg_approx_count_distinct: rows-only (sketch estimates are
+    # engine-specific; exact twin above is hash-checked).
+    "window_rank_topk_per_group": (
+        "SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice, "
+        "CAST(rn AS INT) AS rn FROM ("
+        "SELECT o_custkey, o_orderkey, o_totalprice, "
+        "ROW_NUMBER() OVER (PARTITION BY o_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) "
+        "WHERE rn <= 3"
+    ),
+    "join_agg_pricing": (
+        "SELECT l_returnflag, l_linestatus, "
+        f"ROUND({dsum_sql('l_quantity')}, 4) AS sum_qty, "
+        f"ROUND({dsum_sql('l_extendedprice')}, 4) AS sum_base_price, "
+        f"ROUND({dsum_sql('l_extendedprice * (1 - l_discount)')}, 4) "
+        "AS sum_disc_price, "
+        f"ROUND({davg_sql('l_quantity')}, 6) AS avg_qty, "
+        f"ROUND({davg_sql('l_extendedprice')}, 6) AS avg_price, "
+        "COUNT(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02' GROUP BY 1, 2"
+    ),
+    "events_sessionish": (
+        "SELECT user_id, event_type, COUNT(*) AS n_events, "
+        f"ROUND({dsum_sql('value')}, 4) AS sum_value "
+        "FROM events GROUP BY 1, 2 "
+        "ORDER BY n_events DESC, user_id, event_type LIMIT 20"
+    ),
+    "agg_custom_udaf_geomean": (
+        "SELECT CAST(year(o_orderdate) AS INT) AS year, "
+        "ROUND(EXP(AVG(LN(o_totalprice))), 4) AS geomean_price "
+        "FROM orders GROUP BY 1"
+    ),
+}

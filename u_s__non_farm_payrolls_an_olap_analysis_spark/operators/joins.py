@@ -1,0 +1,169 @@
+"""Join operators (SURVEY §2.10 X1–X4).
+
+The reference is single-table (SURVEY §2.3) — its only join shapes are the
+implicit self-as-of of the recovery analysis (J1, in ``olap.py``). These
+operators add the explicit join surface a star schema needs, each chosen for
+its 100 TB physical strategy:
+
+- X1: fact x small dim → **broadcast hash join** (no shuffle of the fact).
+- X2: 3-way star join → shuffle join on the fact key with broadcast dims;
+  AQE demotes/promotes strategies at runtime.
+- X3: semi/anti → ``left_semi`` / ``left_anti`` (no payload duplication,
+  no row explosion — unlike an outer-join-and-filter formulation).
+- X4: as-of (nearest prior order per event) → the union-timeline pattern:
+  one shuffle on the join key, a single ordered window, **no range
+  explosion** — the scalable alternative to a non-equi join whose
+  intermediate is |events| x |orders per user|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.numerics import davg_sql, dsum, dsum_sql
+from ..io import read_table
+
+
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 — orders x customer with an explicit broadcast hint: the fact
+    table never shuffles; each task hash-probes the dim in memory."""
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    return (
+        orders.join(
+            F.broadcast(customer),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(dsum("o_totalprice"), 4).alias("total"),
+        )
+    )
+
+
+def join_shuffle_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — orders ⋈ customer ⋈ nation, aggregated per nation. customer is
+    mid-size (shuffle or broadcast per AQE's runtime stats); nation is tiny
+    and always broadcast."""
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(dsum("o_totalprice"), 4).alias("total"),
+        )
+    )
+
+
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — per nation, how many customers have / don't have orders.
+    ``left_semi`` / ``left_anti`` keep only the left side's columns and
+    never duplicate rows — the physical plans stop probing on first match."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").select("o_custkey")
+    nation = read_table(spark, sf_dir, "nation")
+    semi = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_nationkey")
+        .withColumn("has_orders", F.lit(1))
+    )
+    anti = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_nationkey")
+        .withColumn("has_orders", F.lit(0))
+    )
+    return (
+        semi.unionByName(anti)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum("has_orders").alias("n_with_orders"),
+            F.sum(1 - F.col("has_orders")).alias("n_without_orders"),
+        )
+    )
+
+
+def join_range_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — for each event, the most recent order at-or-before the event
+    time for the same user (generalizes the reference's recovery as-of, J1).
+
+    Union-timeline formulation: interleave orders and events into one
+    stream per user, sort by time, and carry the last seen order timestamp
+    forward with ``last_value(ignoreNulls)``. Exactly one shuffle (by
+    user), no quadratic candidate set — at 100 TB the non-equi-join
+    formulation (every event x every earlier order) would explode; this one
+    is linear in |events| + |orders|.
+    """
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderdate").alias("order_ts"),
+    )
+    events = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        F.lit(None).cast("timestamp_ntz").alias("order_ts"),
+    )
+    # Order ties: order rows sort before event rows at equal t (is_event
+    # ascending), and concurrent orders sort by order_ts so the carried
+    # value is the MAX prior order — matching the oracle's MAX().
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_event", "order_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    timeline = orders.unionByName(events).withColumn(
+        "last_order_ts", F.last("order_ts", ignorenulls=True).over(w)
+    )
+    return timeline.filter(F.col("is_event") == 1).select(
+        "event_id", "user_id", "last_order_ts"
+    )
+
+
+QUERIES = {
+    "join_broadcast_dim": join_broadcast_dim,
+    "join_shuffle_3way": join_shuffle_3way,
+    "join_semi_anti": join_semi_anti,
+    "join_range_asof": join_range_asof,
+}
+
+ORACLE = {
+    "join_broadcast_dim": (
+        "SELECT c_mktsegment, COUNT(*) AS n_orders, "
+        f"ROUND({dsum_sql('o_totalprice')}, 4) AS total "
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1"
+    ),
+    "join_shuffle_3way": (
+        "SELECT n_name, COUNT(*) AS n_orders, "
+        f"ROUND({dsum_sql('o_totalprice')}, 4) AS total "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY 1"
+    ),
+    "join_semi_anti": (
+        "SELECT n_name, "
+        "CAST(SUM(CASE WHEN EXISTS "
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey) "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_with_orders, "
+        "CAST(SUM(CASE WHEN NOT EXISTS "
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey) "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_without_orders "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 1"
+    ),
+    "join_range_asof": (
+        "SELECT e.event_id, e.user_id, MAX(o.o_orderdate) AS last_order_ts "
+        "FROM events e LEFT JOIN orders o "
+        "ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts "
+        "GROUP BY 1, 2"
+    ),
+}

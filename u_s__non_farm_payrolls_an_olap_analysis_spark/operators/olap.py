@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.numerics import davg, dsum
 from ..functions.timeparts import (
     decade_label,
     diff,
@@ -60,7 +61,7 @@ def monthly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders(spark, sf_dir)
         .groupBy(month_start("o_orderdate").alias("month_start"))
         .agg(
-            F.round(F.sum("o_totalprice"), 4).alias("total"),
+            F.round(dsum("o_totalprice"), 4).alias("total"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
@@ -84,7 +85,7 @@ def monthly_with_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rounding, so both engines see bitwise-identical series values).
 M_SQL = (
     "SELECT date_trunc('month', o_orderdate) AS month_start, "
-    "ROUND(SUM(o_totalprice), 4) AS total, COUNT(*) AS n_orders "
+    "ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS total, COUNT(*) AS n_orders "
     "FROM orders GROUP BY 1"
 )
 W_SQL = (
@@ -124,7 +125,7 @@ def cache_result(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = monthly_series(spark, sf_dir).cache()
     return m.groupBy(year_of("month_start").alias("year")).agg(
         F.count(F.lit(1)).alias("n_months"),
-        F.round(F.sum("total"), 4).alias("total"),
+        F.round(dsum("total"), 4).alias("total"),
     )
 
 
@@ -230,7 +231,7 @@ def slice_avg_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders(spark, sf_dir)
         .groupBy(year_of("o_orderdate").alias("year"))
-        .agg(F.round(F.avg("o_totalprice"), 4).alias("avg_totalprice"))
+        .agg(F.round(davg("o_totalprice"), 4).alias("avg_totalprice"))
     )
 
 
@@ -242,7 +243,7 @@ def rollup_quarter_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             year_of("o_orderdate").alias("year"),
             quarter_of("o_orderdate").alias("quarter"),
         )
-        .agg(F.round(F.sum("o_totalprice"), 4).alias("total"))
+        .agg(F.round(dsum("o_totalprice"), 4).alias("total"))
     )
 
 
@@ -251,7 +252,7 @@ def rollup_year_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders(spark, sf_dir)
         .groupBy(year_of("o_orderdate").alias("year"))
-        .agg(F.round(F.sum("o_totalprice"), 4).alias("total"))
+        .agg(F.round(dsum("o_totalprice"), 4).alias("total"))
     )
 
 
@@ -262,7 +263,7 @@ def rollup_decade_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders(spark, sf_dir)
         .groupBy(decade_label(year_of("o_orderdate")).alias("decade"))
-        .agg(F.round(F.avg("o_totalprice"), 4).alias("avg_totalprice"))
+        .agg(F.round(davg("o_totalprice"), 4).alias("avg_totalprice"))
     )
 
 
@@ -524,7 +525,7 @@ ORACLE = {
     "cache_result": (
         f"WITH m AS ({M_SQL}) "
         "SELECT CAST(year(month_start) AS INT) AS year, COUNT(*) AS n_months, "
-        "ROUND(SUM(total), 4) AS total FROM m GROUP BY 1"
+        "ROUND(CAST(SUM(CAST(total AS DECIMAL(18,4))) AS DOUBLE), 4) AS total FROM m GROUP BY 1"
     ),
     "project_rename": (
         "SELECT o_orderkey AS order_id, o_orderdate AS order_ts, "
@@ -567,20 +568,20 @@ ORACLE = {
     ),
     "slice_avg_by_year": (
         "SELECT CAST(year(o_orderdate) AS INT) AS year, "
-        "ROUND(AVG(o_totalprice), 4) AS avg_totalprice FROM orders GROUP BY 1"
+        "ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(o_totalprice), 4) AS avg_totalprice FROM orders GROUP BY 1"
     ),
     "rollup_quarter_sum": (
         "SELECT CAST(year(o_orderdate) AS INT) AS year, "
         "CAST(quarter(o_orderdate) AS INT) AS quarter, "
-        "ROUND(SUM(o_totalprice), 4) AS total FROM orders GROUP BY 1, 2"
+        "ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS total FROM orders GROUP BY 1, 2"
     ),
     "rollup_year_sum": (
         "SELECT CAST(year(o_orderdate) AS INT) AS year, "
-        "ROUND(SUM(o_totalprice), 4) AS total FROM orders GROUP BY 1"
+        "ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS total FROM orders GROUP BY 1"
     ),
     "rollup_decade_avg": (
         "SELECT CAST(CAST(FLOOR(year(o_orderdate) / 10) * 10 AS INT) AS VARCHAR) "
-        "|| 's' AS decade, ROUND(AVG(o_totalprice), 4) AS avg_totalprice "
+        "|| 's' AS decade, ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(o_totalprice), 4) AS avg_totalprice "
         "FROM orders GROUP BY 1"
     ),
     "dice_q4_avg_by_month": (
@@ -614,7 +615,7 @@ ORACLE = {
     ),
     "window_diff_on_agg": (
         "WITH y AS (SELECT CAST(year(o_orderdate) AS INT) AS year, "
-        "ROUND(SUM(o_totalprice), 4) AS total FROM orders GROUP BY 1) "
+        "ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS total FROM orders GROUP BY 1) "
         "SELECT year, total, "
         "ROUND(total - LAG(total) OVER (ORDER BY year), 4) AS annual_gain, "
         "ROUND((total - LAG(total) OVER (ORDER BY year)) * 100.0 "
@@ -623,7 +624,7 @@ ORACLE = {
     "rollup_quarter_qoq": (
         "WITH q AS (SELECT CAST(year(o_orderdate) AS INT) AS year, "
         "CAST(quarter(o_orderdate) AS INT) AS quarter, "
-        "ROUND(SUM(o_totalprice), 4) AS total FROM orders GROUP BY 1, 2) "
+        "ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS total FROM orders GROUP BY 1, 2) "
         "SELECT year, quarter, total, "
         "ROUND((total - LAG(total) OVER (ORDER BY year, quarter)) * 100.0 "
         "/ LAG(total) OVER (ORDER BY year, quarter), 6) AS qoq_pct FROM q"
@@ -639,12 +640,12 @@ ORACLE = {
     "limit_head": (
         "WITH q AS (SELECT CAST(year(o_orderdate) AS INT) AS year, "
         "CAST(quarter(o_orderdate) AS INT) AS quarter, "
-        "ROUND(SUM(o_totalprice), 4) AS total FROM orders GROUP BY 1, 2) "
+        "ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS total FROM orders GROUP BY 1, 2) "
         "SELECT year, quarter, total FROM q ORDER BY year, quarter LIMIT 5"
     ),
     "top1_by_metric": (
         "WITH y AS (SELECT CAST(year(o_orderdate) AS INT) AS year, "
-        "ROUND(SUM(o_totalprice), 4) AS total FROM orders GROUP BY 1), "
+        "ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS total FROM orders GROUP BY 1), "
         "g AS (SELECT year, total, "
         "ROUND(total - LAG(total) OVER (ORDER BY year), 4) AS annual_gain FROM y) "
         "SELECT year, total, annual_gain FROM g "

@@ -16,11 +16,11 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import olap
+from .operators import aggregates, joins, json_ops, olap, setops
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-_MODULES = [olap]
+_MODULES = [olap, joins, aggregates, setops, json_ops]
 
 
 def _merge(attr: str) -> dict:
