@@ -1,0 +1,101 @@
+"""Dedup + similarity operator tests: planted duplicates on literal
+frames, plus LSH recall against the exact-Jaccard ground truth on the
+driver fixture (SURVEY §7.1 item 7)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from u_s__non_farm_payrolls_an_olap_analysis_spark.functions.vectors import cosine
+from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import dedup, similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("docs")
+    base = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        (0, base, "en", "s0", 1),
+        (1, base, "en", "s0", 1),                      # exact dup of 0
+        (2, "  " + base.upper() + "  ", "en", "s0", 1),  # dup after normalize
+        (3, base.replace("w20", "zz"), "en", "s0", 1),   # near-dup: 1 word off
+        (4, "totally different words here now forever and ever again", "en", "s0", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return str(d)
+
+
+def test_dedup_exact_keeps_min_id(spark, docs_dir):
+    out = dedup.dedup_exact(spark, docs_dir).collect()
+    groups = {r["keeper_doc_id"]: r["n_copies"] for r in out}
+    # 0,1,2 normalize to the same text → keeper 0 with 3 copies
+    assert groups[0] == 3
+    assert groups[3] == 1 and groups[4] == 1
+
+
+def test_ngram_jaccard_finds_near_dup_only(spark, docs_dir):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.dedup_ngram_jaccard(spark, docs_dir).collect()
+    }
+    # exact dups: jaccard 1.0; near-dup 3 vs 0/1/2 shares most shingles
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 3) in pairs and pairs[(0, 3)] >= 0.8
+    assert all(4 not in p for p in pairs)
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.dedup_ngram_jaccard(spark, SF).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.dedup_minhash_near(spark, SF).collect()
+    }
+    assert lsh <= exact  # verification step guarantees no false positives
+    if exact:  # recall on high-sim pairs should be ~1 with 8x4 bands
+        assert len(lsh) / len(exact) >= 0.9
+
+
+def test_simhash_identical_docs_zero_distance(spark, docs_dir):
+    out = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.dedup_simhash(spark, docs_dir).collect()
+    }
+    assert out[(0, 1)] == 0  # identical docs → identical signature
+    # near-dup doc 3 (1 of 40 tokens changed) lands within the threshold
+    assert (0, 3) in out and out[(0, 3)] <= 6
+
+
+def test_cosine_expression_identities(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [2.0, 0.0, 0.0])],
+        "a array<float>, b array<float>, c array<float>",
+    )
+    row = df.select(
+        cosine(F.col("a"), F.col("a")).alias("self"),
+        cosine(F.col("a"), F.col("b")).alias("orth"),
+        cosine(F.col("a"), F.col("c")).alias("scaled"),
+    ).collect()[0]
+    assert abs(row["self"] - 1.0) < 1e-12
+    assert abs(row["orth"]) < 1e-12
+    assert abs(row["scaled"] - 1.0) < 1e-12
+
+
+def test_ann_ivf_subset_of_exact_candidates(spark):
+    exact = similarity.sim_search_cosine(spark, SF)
+    ann = similarity.sim_search_ann_ivf(spark, SF)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in ann.collect()}
+    # ANN probes 4/16 lists: results are a (possibly partial) approximation;
+    # sanity: same shape, every query answered, recall reported not asserted
+    assert len(a) == len(e) == 50
+    recall = len(a & e) / len(e)
+    assert recall >= 0.2  # loose floor; exact value depends on fixture geometry

@@ -1,0 +1,47 @@
+"""Keyed-upsert writer semantics (SURVEY §2 S3): the distributed
+replacement for the reference's row-at-a-time ON CONFLICT loop
+(`etl.py:57-73`)."""
+
+from __future__ import annotations
+
+from u_s__non_farm_payrolls_an_olap_analysis_spark.io import (
+    upsert_by_key,
+    write_upsert_parquet,
+)
+
+
+def test_upsert_update_and_insert(spark):
+    target = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+    )
+    updates = spark.createDataFrame([(2, 99.0), (4, 40.0)], "k long, v double")
+    out = {
+        r["k"]: r["v"] for r in upsert_by_key(target, updates, ["k"]).collect()
+    }
+    assert out == {1: 10.0, 2: 99.0, 3: 30.0, 4: 40.0}
+
+
+def test_upsert_idempotent(spark):
+    target = spark.createDataFrame([(1, 10.0)], "k long, v double")
+    updates = spark.createDataFrame([(1, 11.0)], "k long, v double")
+    once = upsert_by_key(target, updates, ["k"])
+    twice = upsert_by_key(once, updates, ["k"])
+    assert once.collect() == twice.collect() == [twice.collect()[0]]
+    assert twice.collect()[0]["v"] == 11.0
+
+
+def test_upsert_order_col_tiebreak(spark):
+    target = spark.createDataFrame([], "k long, v double, ts long")
+    updates = spark.createDataFrame(
+        [(1, 1.0, 100), (1, 2.0, 200)], "k long, v double, ts long"
+    )
+    out = upsert_by_key(target, updates, ["k"], order_col="ts").collect()
+    assert len(out) == 1 and out[0]["v"] == 2.0  # latest ts wins
+
+
+def test_write_roundtrip(spark, tmp_path):
+    merged = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    path = str(tmp_path / "out.parquet")
+    write_upsert_parquet(path, merged)
+    back = spark.read.parquet(path)
+    assert sorted(r["k"] for r in back.collect()) == [1, 2]

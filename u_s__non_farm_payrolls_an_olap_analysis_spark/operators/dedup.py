@@ -1,0 +1,293 @@
+"""Deduplication operators for LLM data pipelines (SURVEY §2.10 X10/X11 +
+north-star: exact, n-gram Jaccard, MinHash-LSH, SimHash, embedding-cosine).
+
+Scale design, since dedup is THE shuffle-heavy stage of a 100 TB pipeline:
+
+- **exact** (X10): hash-aggregate on a normalized key — one shuffle, the
+  keeper chosen with ``min`` (no window needed).
+- **n-gram Jaccard**: candidate pairs come from an equi-join on shared
+  shingles (inverted-index blocking) — never an all-pairs cross join. The
+  intersection count falls out of the join's groupBy; union sizes join in
+  from a per-doc aggregate.
+- **MinHash-LSH** (X11): 32 permutations via seeded ``xxhash64`` (JVM
+  expression, no Python), banded 8x4; candidates = equi-join on
+  (band, band-signature) buckets; then exact-Jaccard verification of the
+  candidate set only. This is the sub-quadratic scale path: cost is
+  O(docs x shingles) + O(candidate pairs), not O(docs²).
+- **SimHash**: 64-bit signature from sign-sums of token-hash bits; blocking
+  on 16-bit chunks (any chunk equal → candidate, catches all pairs within
+  Hamming distance 3 by pigeonhole over 4 chunks... within distance 3 at
+  least one chunk is untouched); verify with ``bit_count(xor)``.
+- **embedding-cosine**: exact pairwise over a blocked candidate set;
+  the ANN path for true scale lives in ``similarity.py``.
+
+MinHash/SimHash signatures depend on Spark's xxhash64 — not reproducible in
+DuckDB, so those two are rows-only checks; their *verification* metric
+(exact Jaccard / Hamming) is the oracle-checked quantity in the
+``dedup_ngram_jaccard`` twin, and tests assert LSH recall against it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine, cosine_sql
+from ..io import read_table
+
+JACCARD_THRESHOLD = 0.8
+MINHASH_PERMS = 32
+LSH_BANDS = 8
+LSH_ROWS = 4  # MINHASH_PERMS / LSH_BANDS
+
+
+def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document (pure array expressions).
+
+    The 31-word fixture vocabulary makes single tokens useless for
+    similarity (every doc shares most of them); 3-gram shingles give a
+    ~30k-ary space where sharing implies real overlap.
+    """
+    toks = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    shingle_arr = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at(toks, i + k + 1) for k in range(n)],
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select("doc_id", F.explode(shingle_arr).alias("shingle"))
+
+
+_SHINGLE_SQL = (
+    "SELECT DISTINCT doc_id, tokens[i] || ' ' || tokens[i+1] || ' ' || "
+    "tokens[i+2] AS shingle FROM "
+    "(SELECT doc_id, string_split(text, ' ') AS tokens FROM documents), "
+    "UNNEST(range(1, greatest(len(tokens) - 1, 1))) AS t(i)"
+)
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 — exact dedup on normalized text: one hash aggregate; keeper =
+    min doc_id per group (no window, no sort)."""
+    docs = read_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return (
+        docs.select(F.col("doc_id"), norm.alias("norm_text"))
+        .groupBy("norm_text")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keeper_doc_id", "n_copies")
+    )
+
+
+def _jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """Shared-shingle blocking → exact Jaccard per candidate pair."""
+    sh = _shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — near-dup pairs by exact 3-gram Jaccard ≥ 0.8, candidates
+    from the shared-shingle inverted index (no cross join)."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = _jaccard_pairs(docs)
+    return pairs.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11 — MinHash-LSH near-dedup, fully JVM-side:
+
+    signature: min over shingles of ``xxhash64(shingle, seed_i)`` for 32
+    seeds → banded into 8 signatures of 4 rows → candidates share any band
+    bucket → verified with exact Jaccard. Rows-only check (hash seeds are
+    engine-specific); tests assert recall vs ``dedup_ngram_jaccard``.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            for i in range(MINHASH_PERMS)
+        ]
+    )
+    bands = None
+    for band in range(LSH_BANDS):
+        cols = [F.col(f"h{band * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+        part = sig.select(
+            "doc_id",
+            F.lit(band).alias("band"),
+            F.xxhash64(*cols).alias("band_sig"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    ca, cb = bands.alias("ca"), bands.alias("cb")
+    cands = (
+        ca.join(
+            cb,
+            (F.col("ca.band") == F.col("cb.band"))
+            & (F.col("ca.band_sig") == F.col("cb.band_sig"))
+            & (F.col("ca.doc_id") < F.col("cb.doc_id")),
+        )
+        .select(
+            F.col("ca.doc_id").alias("doc_a"), F.col("cb.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    verified = cands.join(_jaccard_pairs(docs), ["doc_a", "doc_b"])
+    return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — SimHash near-dedup: 64-bit sign-sum signature over
+    token hashes (weighted by term frequency), 16-bit-chunk blocking,
+    Hamming ≤ 6 verification via ``bit_count(xor)``. Rows-only check."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("th", F.xxhash64("token"))
+    )
+    bit_sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftrightunsigned(F.col("th"), i).bitwiseAND(F.lit(1))
+                    == 1,
+                    F.col("cnt"),
+                ).otherwise(-F.col("cnt"))
+            ).alias(f"s{i}")
+            for i in range(64)
+        ]
+    )
+    simhash = None
+    for i in range(64):
+        bit = F.when(F.col(f"s{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        simhash = bit if simhash is None else simhash.bitwiseOR(bit)
+    sigs = bit_sums.select("doc_id", simhash.alias("simhash"))
+    chunks = None
+    for c in range(4):
+        part = sigs.select(
+            "doc_id",
+            "simhash",
+            F.lit(c).alias("chunk"),
+            F.shiftrightunsigned(F.col("simhash"), 16 * c)
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias("chunk_val"),
+        )
+        chunks = part if chunks is None else chunks.unionByName(part)
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= 6)
+        .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+    )
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — near-dup by embedding cosine ≥ 0.45 over candidate
+    pairs. Exact pairwise here (oracle-checkable); the sub-quadratic ANN
+    path is ``similarity.sim_search_ann_ivf``. Threshold filter applies to
+    the ROUNDED value so the oracle's boundary decisions match exactly."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos = F.round(cosine(F.col("ea"), F.col("eb")), 6)
+    return (
+        pairs.select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.45)
+    )
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_near": dedup_minhash_near,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+}
+
+ORACLE = {
+    "dedup_exact": (
+        "SELECT MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies FROM ("
+        "SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') "
+        "AS norm_text FROM documents) GROUP BY norm_text"
+    ),
+    "dedup_ngram_jaccard": (
+        f"WITH sh AS ({_SHINGLE_SQL}), "
+        "sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i "
+        "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+        "GROUP BY 1, 2) "
+        "SELECT doc_a, doc_b, "
+        "ROUND(i / (sa.n + sb.n - i), 6) AS jaccard "
+        "FROM inter JOIN sz sa ON sa.doc_id = doc_a "
+        "JOIN sz sb ON sb.doc_id = doc_b "
+        f"WHERE i / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}"
+    ),
+    # dedup_minhash_near, dedup_simhash: rows-only (engine-specific hashes).
+    "dedup_embedding_cosine": (
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+        f"ROUND({cosine_sql('a.embedding', 'b.embedding')}, 6) AS cosine "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        f"WHERE ROUND({cosine_sql('a.embedding', 'b.embedding')}, 6) >= 0.45"
+    ),
+}

@@ -1,0 +1,117 @@
+"""Multimodal column operators (north-star): media as opaque BINARY columns
+with typed metadata, processed by Arrow-batched ``mapInPandas``.
+
+The Spark-side plumbing is the real deliverable here — schema, batch
+iteration, partition-preserving decode — because at 100 TB the pattern is:
+
+    binary payload column + small typed metadata columns
+    → ``mapInPandas`` (one Arrow batch at a time, bounded memory)
+    → feature columns for downstream relational ops.
+
+The actual codec call is isolated in :func:`decode_media_real`, which
+raises ``NotImplementedError`` (image/audio libraries are not in this
+container); the pipeline runs a deterministic fake decode with the same
+signature so the distributed machinery is fully exercised and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import read_table
+
+DECODE_SCHEMA = (
+    "doc_id long, byte_len long, first_byte int, n_frames long, kind string"
+)
+
+
+def decode_media_real(payload: bytes) -> dict:
+    """Real media decode — requires PIL/ffmpeg, NOT present in this
+    container. The deterministic fake below mirrors this signature; swap it
+    in here when codecs are available."""
+    raise NotImplementedError(
+        "media codecs (PIL/ffmpeg) are not installed in this environment; "
+        "the pipeline uses the deterministic fake decode instead"
+    )
+
+
+def _fake_decode_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Deterministic fake decode: metadata that a real image/audio decoder
+    would emit (byte length, leading byte as a format sniff, frame count at
+    a fixed 'frame' stride). One output row per input row; bounded memory
+    per Arrow batch."""
+    for pdf in batches:
+        lens = pdf["media"].apply(len)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "byte_len": lens.astype("int64"),
+                "first_byte": pdf["media"]
+                .apply(lambda b: b[0] if len(b) else -1)
+                .astype("int32"),
+                "n_frames": (lens // 100).astype("int64"),
+                "kind": pdf["kind"],
+            }
+        )
+
+
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-decode pipeline over a synthesized binary column: documents'
+    text bytes stand in for image payloads (same plumbing, deterministic
+    content). BINARY column + metadata in, feature columns out via
+    ``mapInPandas``; downstream aggregation stays relational."""
+    docs = read_table(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("media"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("image"))
+        .otherwise(F.lit("audio"))
+        .alias("kind"),
+    )
+    return media.mapInPandas(_fake_decode_batches, schema=DECODE_SCHEMA)
+
+
+def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decoded-feature aggregation: relational ops compose on top of the
+    decode stage exactly as they would with real codecs."""
+    decoded = multimodal_decode_meta(spark, sf_dir)
+    return decoded.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("byte_len").alias("total_bytes"),
+        F.sum("n_frames").alias("total_frames"),
+        F.min("first_byte").alias("min_first_byte"),
+        F.max("first_byte").alias("max_first_byte"),
+    )
+
+
+QUERIES = {
+    "multimodal_decode_meta": multimodal_decode_meta,
+    "multimodal_frame_stats": multimodal_frame_stats,
+}
+
+_DECODED_SQL = (
+    "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len, "
+    "CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte, "
+    "octet_length(CAST(text AS BLOB)) // 100 AS n_frames, "
+    "CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind "
+    "FROM documents"
+)
+
+ORACLE = {
+    "multimodal_decode_meta": _DECODED_SQL,
+    "multimodal_frame_stats": (
+        f"WITH d AS ({_DECODED_SQL}) "
+        "SELECT kind, COUNT(*) AS n_docs, "
+        "CAST(SUM(byte_len) AS BIGINT) AS total_bytes, "
+        "CAST(SUM(n_frames) AS BIGINT) AS total_frames, "
+        "MIN(first_byte) AS min_first_byte, MAX(first_byte) AS max_first_byte "
+        "FROM d GROUP BY 1"
+    ),
+}

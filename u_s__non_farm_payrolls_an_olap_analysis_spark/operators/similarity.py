@@ -1,0 +1,178 @@
+"""Similarity search over embedding columns (SURVEY §2.10 X12 + north-star
+ANN path).
+
+- ``sim_search_cosine``: exact top-k — queries are broadcast against the
+  candidate set; cosine is a codegen'd array expression; per-query rank
+  window (partitioned by query id) selects k. The physical shape at scale:
+  ONE pass over the big side, broadcast of the small query set, shuffle
+  only of (candidates x queries) scored rows for the rank — or none when
+  AQE keeps partitions local.
+
+- ``sim_search_ann_ivf``: the sub-quadratic scale path — IVF-style coarse
+  quantization. Fixed deterministic centroids (first K vectors) partition
+  the corpus into inverted lists; a query probes only its P nearest lists.
+  Scoring cost drops from |corpus| to ~P/K x |corpus| per query. Fully
+  deterministic → oracle-checked (both engines compute identical
+  assignments). Recall < 1 by construction; the exact twin above is the
+  ground truth a test compares against.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vectors import cosine, cosine_sql
+from ..io import read_table
+
+TOP_K = 5
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+IVF_K = 16  # coarse centroids: vec_id in [N_QUERIES, N_QUERIES + IVF_K)
+IVF_PROBES = 4
+
+
+def sim_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12 — exact brute-force cosine top-k per query (the correctness
+    baseline every ANN variant is measured against)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+    )
+    scored = c.join(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def sim_search_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star ANN — IVF bucketed search:
+
+    1. centroids = vectors with vec_id in [10, 26) (deterministic stand-in
+       for a k-means codebook; at scale the codebook is trained offline and
+       broadcast identically).
+    2. invert: each candidate vector → its max-cosine centroid (rounded
+       cosine + centroid-id tiebreak, so assignment is total and portable).
+    3. probe: each query scores only candidates in its top-4 centroid lists.
+    4. exact cosine + rank within the probed subset.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + IVF_K)
+    ).select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_e"))
+    cand = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+
+    # invert: candidate -> nearest centroid (one broadcast pass)
+    cand_scored = cand.join(F.broadcast(cent)).select(
+        "neighbor_id",
+        "ce",
+        "cent_id",
+        F.round(cosine(F.col("ce"), F.col("cent_e")), 6).alias("cc"),
+    )
+    w_assign = Window.partitionBy("neighbor_id").orderBy(
+        F.col("cc").desc(), "cent_id"
+    )
+    assigned = (
+        cand_scored.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("neighbor_id", "ce", F.col("cent_id").alias("list_id"))
+    )
+
+    # probe lists per query
+    q_scored = q.join(F.broadcast(cent)).select(
+        "query_id",
+        "qe",
+        "cent_id",
+        F.round(cosine(F.col("qe"), F.col("cent_e")), 6).alias("qc"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.col("qc").desc(), "cent_id")
+    probes = (
+        q_scored.withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= IVF_PROBES)
+        .select("query_id", "qe", F.col("cent_id").alias("list_id"))
+    )
+
+    # search only probed lists
+    scored = probes.join(assigned, "list_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cosine"),
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+QUERIES = {
+    "sim_search_cosine": sim_search_cosine,
+    "sim_search_ann_ivf": sim_search_ann_ivf,
+}
+
+_COS_QC = cosine_sql("q.qe", "c.ce")
+
+ORACLE = {
+    "sim_search_cosine": (
+        f"WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
+        f"FROM embeddings WHERE vec_id < {N_QUERIES}), "
+        f"c AS (SELECT vec_id AS neighbor_id, embedding AS ce "
+        f"FROM embeddings WHERE vec_id >= {N_QUERIES}), "
+        f"s AS (SELECT query_id, neighbor_id, ROUND({_COS_QC}, 6) AS cosine "
+        "FROM q CROSS JOIN c), "
+        "r AS (SELECT query_id, neighbor_id, cosine, ROW_NUMBER() OVER ("
+        "PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank "
+        f"FROM s) SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank "
+        f"FROM r WHERE rank <= {TOP_K}"
+    ),
+    "sim_search_ann_ivf": (
+        "WITH cent AS (SELECT vec_id AS cent_id, embedding AS cent_e "
+        f"FROM embeddings WHERE vec_id >= {N_QUERIES} "
+        f"AND vec_id < {N_QUERIES + IVF_K}), "
+        f"cand AS (SELECT vec_id AS neighbor_id, embedding AS ce "
+        f"FROM embeddings WHERE vec_id >= {N_QUERIES}), "
+        f"q AS (SELECT vec_id AS query_id, embedding AS qe "
+        f"FROM embeddings WHERE vec_id < {N_QUERIES}), "
+        "cs AS (SELECT neighbor_id, ce, cent_id, "
+        f"ROUND({cosine_sql('ce', 'cent_e')}, 6) AS cc, "
+        "ROW_NUMBER() OVER (PARTITION BY neighbor_id ORDER BY "
+        f"ROUND({cosine_sql('ce', 'cent_e')}, 6) DESC, cent_id) AS rn "
+        "FROM cand CROSS JOIN cent), "
+        "assigned AS (SELECT neighbor_id, ce, cent_id AS list_id FROM cs "
+        "WHERE rn = 1), "
+        "qs AS (SELECT query_id, qe, cent_id, "
+        "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY "
+        f"ROUND({cosine_sql('qe', 'cent_e')}, 6) DESC, cent_id) AS rn "
+        "FROM q CROSS JOIN cent), "
+        f"probes AS (SELECT query_id, qe, cent_id AS list_id FROM qs "
+        f"WHERE rn <= {IVF_PROBES}), "
+        "scored AS (SELECT query_id, neighbor_id, "
+        f"ROUND({cosine_sql('p.qe', 'a.ce')}, 6) AS cosine "
+        "FROM probes p JOIN assigned a USING (list_id)), "
+        "r AS (SELECT query_id, neighbor_id, cosine, ROW_NUMBER() OVER ("
+        "PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank "
+        "FROM scored) "
+        "SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank "
+        f"FROM r WHERE rank <= {TOP_K}"
+    ),
+}

@@ -16,11 +16,31 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import aggregates, joins, json_ops, olap, setops
+from .operators import (
+    aggregates,
+    dedup,
+    joins,
+    json_ops,
+    multimodal,
+    olap,
+    setops,
+    similarity,
+    text,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-_MODULES = [olap, joins, aggregates, setops, json_ops]
+_MODULES = [
+    olap,
+    joins,
+    aggregates,
+    setops,
+    json_ops,
+    text,
+    dedup,
+    similarity,
+    multimodal,
+]
 
 
 def _merge(attr: str) -> dict:
