@@ -1,0 +1,60 @@
+"""Physical-plan regression tests: the scale properties SURVEY §4.2 claims
+must stay true — pushdown, pruning, broadcast, top-k without global sort."""
+
+from __future__ import annotations
+
+from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import (
+    aggregates,
+    joins,
+    olap,
+)
+from u_s__non_farm_payrolls_an_olap_analysis_spark.plans.explain import (
+    exchange_count,
+    has_take_ordered,
+    join_kinds,
+    pushed_filters,
+    read_schemas,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_shipdate_filter_pushed_to_scan(spark):
+    df = aggregates.join_agg_pricing(spark, SF)
+    pushed = " ".join(pushed_filters(df))
+    assert "LessThanOrEqual(l_shipdate" in pushed
+
+
+def test_time_slice_range_predicate_pushed(spark):
+    # the sargable companion range of the year()/month() predicates (P3)
+    df = olap.filter_in_and_between(spark, SF)
+    pushed = " ".join(pushed_filters(df))
+    assert "GreaterThanOrEqual(o_orderdate" in pushed
+    assert "LessThan(o_orderdate" in pushed
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = olap.project_rename(spark, SF)
+    schemas = read_schemas(df)
+    # only the 3 projected columns are decoded, not all 6
+    assert all("o_orderstatus" not in s for s in schemas)
+    assert any("o_orderkey" in s for s in schemas)
+
+
+def test_dim_join_broadcasts(spark):
+    df = joins.join_broadcast_dim(spark, SF)
+    kinds = join_kinds(df)
+    assert "BroadcastHashJoin" in kinds
+    assert "SortMergeJoin" not in kinds
+
+
+def test_top1_avoids_global_sort(spark):
+    assert has_take_ordered(olap.top1_by_metric(spark, SF))
+
+
+def test_asof_join_single_shuffle_per_side(spark):
+    # union-timeline as-of: one exchange for the window partitioning
+    # (+ at most one per input side), never a quadratic join
+    df = joins.join_range_asof(spark, SF)
+    assert "CartesianProduct" not in join_kinds(df)
+    assert exchange_count(df) <= 3

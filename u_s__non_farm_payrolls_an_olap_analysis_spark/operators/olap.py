@@ -158,11 +158,20 @@ def project_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def filter_in_and_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3 — conjunctive IN + BETWEEN predicate (``dashboard_nfp.py:112-115``).
-    Both predicates are on derived time parts; Catalyst still pushes the
-    conjunction to the scan where the source supports it."""
+
+    Function-wrapped predicates (``year(ts) IN ...``) cannot reach the
+    Parquet reader, so a redundant RANGE predicate on the raw column is
+    added — semantically implied by the year filter, but sargable: it
+    pushes to the scan for row-group/page skipping and, on
+    year-partitioned layouts, partition pruning. This is the load-bearing
+    100 TB optimization for time-slice queries."""
     df = orders(spark, sf_dir)
+    lo = F.lit("1995-01-01").cast("timestamp_ntz")
+    hi = F.lit("1997-01-01").cast("timestamp_ntz")
     return df.filter(
-        year_of("o_orderdate").isin(1995, 1996)
+        (F.col("o_orderdate") >= lo)
+        & (F.col("o_orderdate") < hi)
+        & year_of("o_orderdate").isin(1995, 1996)
         & month_of("o_orderdate").between(3, 12)
     ).select(
         "o_orderkey",
@@ -539,7 +548,9 @@ ORACLE = {
     "filter_in_and_between": (
         "SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 4) AS o_totalprice, "
         "o_orderdate FROM orders "
-        "WHERE year(o_orderdate) IN (1995, 1996) "
+        "WHERE o_orderdate >= TIMESTAMP '1995-01-01' "
+        "AND o_orderdate < TIMESTAMP '1997-01-01' "
+        "AND year(o_orderdate) IN (1995, 1996) "
         "AND month(o_orderdate) BETWEEN 3 AND 12"
     ),
     "filter_threshold": (

@@ -1,0 +1,122 @@
+"""Source/sink operators (SURVEY §2 S1, S3).
+
+S1 — ``source_api_extract``: the reference pulls the FRED ``PAYEMS`` series
+over HTTPS (``etl.py:22-25``), renames/casts/derives/drops-null
+(``etl.py:34-38``). Here the extract boundary is a pluggable fetch function
+returning (date, value) batches — the deterministic offline client below
+stands in for the HTTPS call (no network in this environment) — and the
+whole transform chain is Catalyst expressions on a ``createDataFrame``
+batch. The series generator is shared with the oracle (inlined as VALUES),
+so even the API path is hash-checked end to end. At real scale this becomes
+a PySpark DataSource; for a monthly ~1k-row API series, a driver-side batch
+is the honest design.
+
+S3 — ``sink_jdbc_upsert``: the merge half of the reference's row-at-a-time
+``INSERT ... ON CONFLICT (date) DO UPDATE`` loop (``etl.py:57-73``),
+expressed as the distributed keyed merge from ``io.upsert_by_key`` (union +
+row_number, one shuffle). The registry query exercises the merge semantics
+pure-functionally (updates beat target, inserts appear); the physical write
+path is covered by ``io.write_upsert_parquet`` tests.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.timeparts import pct_change
+from ..io import read_table, upsert_by_key
+
+N_MONTHS = 72  # 6 years of monthly observations
+
+
+def fake_fred_payems(n_months: int = N_MONTHS) -> list[tuple[dt.date, int]]:
+    """Deterministic offline stand-in for the FRED client (`etl.py:22-24`):
+    a monthly employment-like series with trend, seasonality-ish wiggle and
+    one COVID-shaped crash + recovery. Pure integer arithmetic → identical
+    in the SQL VALUES oracle."""
+    out = []
+    for i in range(n_months):
+        y, m = divmod(i, 12)
+        base = 130_000 + 400 * i + (i * i) % 7 * 50
+        if i == 14:
+            base -= 22_000  # crash month
+        elif 15 <= i <= 20:
+            base -= 22_000 - (i - 14) * 3_500  # staged recovery
+        out.append((dt.date(2019 + y, m + 1, 1), base))
+    return out
+
+
+def source_api_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 — extract → transform, the full `etl.py` pipeline:
+    series→table (`etl.py:25`), rename (`etl.py:34`), int cast
+    (`etl.py:35`), lag pct-change (`etl.py:37`), dropna (`etl.py:38`)."""
+    batch = fake_fred_payems()
+    raw = spark.createDataFrame(batch, "date date, value long")
+    w = Window.orderBy("date")
+    df = raw.select(
+        F.col("date").cast("timestamp").alias("date"),
+        F.col("value").cast("int").alias("total_payroll_employment"),
+    ).withColumn(
+        "mom_pct_change",
+        F.round(pct_change(F.col("total_payroll_employment").cast("double"), w), 6),
+    )
+    return df.na.drop()
+
+
+def _source_oracle_sql() -> str:
+    values = ", ".join(
+        f"(TIMESTAMP '{d.isoformat()}', {v})" for d, v in fake_fred_payems()
+    )
+    return (
+        f"WITH raw(date, value) AS (VALUES {values}), "
+        "t AS (SELECT date, CAST(value AS INT) AS total_payroll_employment "
+        "FROM raw) "
+        "SELECT date, total_payroll_employment, "
+        "ROUND((CAST(total_payroll_employment AS DOUBLE) "
+        "- LAG(CAST(total_payroll_employment AS DOUBLE)) OVER (ORDER BY date)) "
+        "* 100.0 / LAG(CAST(total_payroll_employment AS DOUBLE)) "
+        "OVER (ORDER BY date), 6) AS mom_pct_change "
+        "FROM t QUALIFY mom_pct_change IS NOT NULL"
+    )
+
+
+def sink_jdbc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 — keyed merge semantics: 10% of orders arrive as updates with a
+    bumped price plus two synthetic inserts; updates win per key."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    updates = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", (F.col("o_totalprice") * 1.1).alias("o_totalprice")
+    )
+    inserts = spark.createDataFrame(
+        [(10_000_001, 111.11), (10_000_002, 222.22)],
+        "o_orderkey long, o_totalprice double",
+    )
+    merged = upsert_by_key(orders, updates.unionByName(inserts), ["o_orderkey"])
+    return merged.select(
+        "o_orderkey", F.round("o_totalprice", 4).alias("o_totalprice")
+    )
+
+
+QUERIES = {
+    "source_api_extract": source_api_extract,
+    "sink_jdbc_upsert": sink_jdbc_upsert,
+}
+
+ORACLE = {
+    "source_api_extract": _source_oracle_sql(),
+    "sink_jdbc_upsert": (
+        "WITH u AS (SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice "
+        "FROM orders WHERE o_orderkey % 10 = 0 "
+        "UNION ALL VALUES (10000001, 111.11), (10000002, 222.22)) "
+        "SELECT COALESCE(u.o_orderkey, o.o_orderkey) AS o_orderkey, "
+        "ROUND(COALESCE(u.o_totalprice, o.o_totalprice), 4) AS o_totalprice "
+        "FROM (SELECT o_orderkey, o_totalprice FROM orders) o "
+        "FULL OUTER JOIN u ON o.o_orderkey = u.o_orderkey"
+    ),
+}

@@ -25,8 +25,10 @@ from .operators import (
     olap,
     setops,
     similarity,
+    sources,
     text,
 )
+from .streaming import stream_windows
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -40,6 +42,8 @@ _MODULES = [
     dedup,
     similarity,
     multimodal,
+    sources,
+    stream_windows,
 ]
 
 

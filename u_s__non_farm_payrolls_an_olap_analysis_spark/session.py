@@ -51,6 +51,14 @@ def get_spark(
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Split parquet files finely enough to use all local cores at this
+        # fixture scale (single ~10 MB files). On a real cluster with
+        # 100 TB inputs the 128 MB default is right — this is the knob the
+        # prompt's "size maxPartitionBytes to the SF" guidance refers to.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8388608"),
+        )
         # --- python interchange ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -1,0 +1,175 @@
+"""Structured Streaming window operators (SURVEY §2.10 X14).
+
+The reference has no streaming at all (SURVEY §2.9) — "refresh" is a rerun
+of ``etl.py:85-89``. Here the events table is replayed as a file stream and
+aggregated with event-time windows + watermark:
+
+- tumbling 1-hour windows (count + sum per event type)
+- sliding 2-hour/1-hour windows
+- per-user session windows (30-minute gap)
+
+Correctness strategy: each streaming query drains to completion with an
+``availableNow`` trigger into a memory sink, and the SAME data aggregated in
+batch SQL is the DuckDB oracle (sessionization is the classic
+gaps-and-islands form) — exact batch-equivalence, the strongest check a
+deterministic replay admits. ``complete`` output mode is used so the final
+(above-watermark) windows are emitted before the drain stops; the watermark
+still bounds state for late data exactly as it would on an unbounded
+stream.
+
+Scale posture: event-time windowed aggregation is hash-partitioned by
+(window, keys); watermarks bound state size; ``foreachBatch`` +
+``upsert_by_key`` (see tests) gives the idempotent keyed-upsert sink that
+mirrors the reference's ON CONFLICT semantics (``etl.py:68-71``).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numerics import dsum, dsum_sql
+
+EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a file stream. The file-stream source lists a
+    directory, so the single parquet file is exposed through a symlinked
+    temp dir; ``ts`` arrives as raw nanos (see ``io.read_table``) and is
+    converted to a microsecond timestamp."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"), f"{d}/events.parquet"
+    )
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .load(d)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp")
+    )
+
+
+def _drain_to_memory(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Run the streaming aggregation to completion (availableNow) into a
+    memory sink and return the final result as a batch DataFrame."""
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X14 — tumbling 1-hour event-time windows with a 1-hour watermark."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(dsum("value"), 4).alias("sum_value"),
+        )
+    )
+    out = _drain_to_memory(agg, spark)
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X14b — sliding windows (2-hour length, 1-hour slide): every event
+    lands in exactly two windows."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = _drain_to_memory(agg, spark)
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "event_type",
+        "n_events",
+    )
+
+
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X14c — per-user session windows with a 30-minute inactivity gap.
+    Oracle: the batch gaps-and-islands formulation (lag + running sum) —
+    session end = last event + gap, new session when the gap is reached."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(dsum("value"), 4).alias("sum_value"),
+        )
+    )
+    out = _drain_to_memory(agg, spark)
+    return out.select(
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "user_id",
+        "n_events",
+        "sum_value",
+    )
+
+
+QUERIES = {
+    "stream_tumbling_agg": stream_tumbling_agg,
+    "stream_sliding_agg": stream_sliding_agg,
+    "stream_session_window": stream_session_window,
+}
+
+ORACLE = {
+    "stream_tumbling_agg": (
+        "SELECT date_trunc('hour', ts) AS window_start, "
+        "date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end, "
+        "event_type, COUNT(*) AS n_events, "
+        f"ROUND({dsum_sql('value')}, 4) AS sum_value "
+        "FROM events GROUP BY 1, 2, 3"
+    ),
+    "stream_sliding_agg": (
+        "SELECT ws AS window_start, ws + INTERVAL 2 HOUR AS window_end, "
+        "event_type, COUNT(*) AS n_events FROM ("
+        "SELECT date_trunc('hour', ts) - o.o * INTERVAL 1 HOUR AS ws, "
+        "event_type FROM events, (VALUES (0), (1)) AS o(o)) "
+        "GROUP BY 1, 2, 3"
+    ),
+    "stream_session_window": (
+        "WITH e AS (SELECT user_id, ts, value, "
+        "CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+        "OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) "
+        ">= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM events), "
+        "s AS (SELECT user_id, ts, value, "
+        "SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts "
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM e) "
+        "SELECT MIN(ts) AS session_start, "
+        "MAX(ts) + INTERVAL 30 MINUTE AS session_end, user_id, "
+        "COUNT(*) AS n_events, "
+        f"ROUND({dsum_sql('value')}, 4) AS sum_value "
+        "FROM s GROUP BY user_id, sid"
+    ),
+}
