@@ -1,0 +1,84 @@
+"""Property-based tests (SURVEY §5.2 item 4) for algebraic identities the
+engine relies on. Few examples per property — each example runs Spark jobs.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from u_s__non_farm_payrolls_an_olap_analysis_spark.io import upsert_by_key
+
+_settings = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+kv_lists = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(-1000, 1000)), max_size=12
+)
+
+
+@given(target=kv_lists, updates=kv_lists)
+@_settings
+def test_upsert_idempotent_and_total(spark, target, updates):
+    t = spark.createDataFrame(target, "k long, v long") if target else (
+        spark.createDataFrame([], "k long, v long")
+    )
+    u = spark.createDataFrame(updates, "k long, v long") if updates else (
+        spark.createDataFrame([], "k long, v long")
+    )
+    once = upsert_by_key(t, u, ["k"], order_col="v")
+    rows1 = sorted((r["k"], r["v"]) for r in once.collect())
+    # exactly one row per key, keys = union of inputs
+    assert len({k for k, _ in rows1}) == len(rows1)
+    assert {k for k, _ in rows1} == {k for k, _ in target} | {
+        k for k, _ in updates
+    }
+    # applying the same updates again changes nothing
+    rows2 = sorted(
+        (r["k"], r["v"]) for r in upsert_by_key(once, u, ["k"], order_col="v").collect()
+    )
+    assert rows1 == rows2
+
+
+@given(a=kv_lists, b=kv_lists)
+@_settings
+def test_group_sum_distributes_over_union(spark, a, b):
+    schema = "k long, v long"
+    da = spark.createDataFrame(a, schema) if a else spark.createDataFrame([], schema)
+    db = spark.createDataFrame(b, schema) if b else spark.createDataFrame([], schema)
+    unioned = (
+        da.unionByName(db).groupBy("k").agg(F.sum("v").alias("s")).collect()
+    )
+    sa = {r["k"]: r["s"] for r in da.groupBy("k").agg(F.sum("v").alias("s")).collect()}
+    sb = {r["k"]: r["s"] for r in db.groupBy("k").agg(F.sum("v").alias("s")).collect()}
+    expect = {k: sa.get(k, 0) + sb.get(k, 0) for k in set(sa) | set(sb)}
+    assert {r["k"]: r["s"] for r in unioned} == expect
+
+
+@given(vals=st.lists(st.integers(1, 10**6), min_size=1, max_size=15))
+@_settings
+def test_pct_change_reconstructs_series(spark, vals):
+    """Inverse property: v[i] = v[i-1] * (1 + pct[i]/100)."""
+    import datetime as dt
+    from pyspark.sql.window import Window
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.functions.timeparts import (
+        pct_change,
+    )
+
+    rows = [(dt.datetime(2020, 1, 1) + dt.timedelta(days=i), float(v))
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "d timestamp, v double")
+    out = (
+        df.select("d", "v", pct_change(F.col("v"), Window.orderBy("d")).alias("p"))
+        .orderBy("d")
+        .collect()
+    )
+    for prev, cur in zip(out, out[1:]):
+        assert abs(prev["v"] * (1 + cur["p"] / 100.0) - cur["v"]) < 1e-6 * max(
+            1.0, cur["v"]
+        )

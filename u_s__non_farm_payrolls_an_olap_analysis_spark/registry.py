@@ -23,6 +23,7 @@ from .operators import (
     json_ops,
     multimodal,
     olap,
+    scalars,
     setops,
     similarity,
     sources,
@@ -43,6 +44,7 @@ _MODULES = [
     similarity,
     multimodal,
     sources,
+    scalars,
     stream_windows,
 ]
 
