@@ -1,0 +1,55 @@
+"""Source/sink format breadth: the engine's IO layer is format-agnostic
+Spark — verify CSV and JSON roundtrips preserve the monthly-series
+semantics (the reference only ever had PostgreSQL; Parquet is the engine's
+at-rest default, CSV/JSON are the interchange formats)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def _series_df(spark):
+    rows = [
+        (dt.datetime(2020, m, 1), 100.0 + m) for m in range(1, 13)
+    ]
+    return spark.createDataFrame(rows, "date timestamp, employment double")
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    df = _series_df(spark)
+    path = str(tmp_path / "series_csv")
+    df.write.mode("overwrite").option("header", True).csv(path)
+    back = (
+        spark.read.option("header", True)
+        .schema("date timestamp, employment double")
+        .csv(path)
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_json_roundtrip(spark, tmp_path):
+    df = _series_df(spark)
+    path = str(tmp_path / "series_json")
+    df.write.mode("overwrite").json(path)
+    back = spark.read.schema("date timestamp, employment double").json(path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_partitioned_parquet_prunes(spark, tmp_path):
+    """Year-partitioned layout (SURVEY §2.10 scale note): a year filter
+    reads only that year's directory."""
+    df = _series_df(spark).withColumn("year", F.year("date"))
+    extra = df.withColumn("date", F.expr("date + INTERVAL 1 YEAR")).withColumn(
+        "year", F.year("date")
+    )
+    path = str(tmp_path / "part")
+    df.unionByName(extra).write.mode("overwrite").partitionBy("year").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("year") == 2020)
+    assert back.count() == 12
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.plans.explain import (
+        formatted_plan,
+    )
+    # partition pruning shows in the scan's partition filters
+    assert "PartitionFilters" in formatted_plan(back)

@@ -1,0 +1,98 @@
+"""Scale-pattern tests: the shuffle-avoidance and skew-mitigation machinery
+the 100 TB posture depends on, demonstrated and asserted on real plans.
+
+- Bucketed tables: co-located sort-merge join with NO exchange on either
+  side — the pre-partitioning strategy for repeated big-big joins.
+- Salted join / salted aggregation: correctness equivalence with the
+  unsalted forms (the skew story is a physical rewrite, never a semantic
+  change).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from u_s__non_farm_payrolls_an_olap_analysis_spark.functions.skew import (
+    salted_count_by_key,
+    salted_join,
+)
+from u_s__non_farm_payrolls_an_olap_analysis_spark.io import read_table
+from u_s__non_farm_payrolls_an_olap_analysis_spark.plans.explain import (
+    exchange_count,
+    formatted_plan,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    """Write orders and customer bucketed by the join key."""
+    d = tmp_path_factory.mktemp("wh")
+    orders = read_table(spark, SF, "orders")
+    customer = read_table(spark, SF, "customer")
+    (
+        orders.write.mode("overwrite")
+        .option("path", f"{d}/orders_bucketed")
+        .bucketBy(4, "o_custkey")
+        .sortBy("o_custkey")
+        .saveAsTable("orders_bucketed")
+    )
+    (
+        customer.write.mode("overwrite")
+        .option("path", f"{d}/customer_bucketed")
+        .bucketBy(4, "c_custkey")
+        .sortBy("c_custkey")
+        .saveAsTable("customer_bucketed")
+    )
+    yield d
+    spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+    spark.sql("DROP TABLE IF EXISTS customer_bucketed")
+
+
+def test_bucketed_join_has_no_shuffle(spark, warehouse):
+    o = spark.table("orders_bucketed")
+    c = spark.table("customer_bucketed")
+    # disable broadcast so the join must pick a partitioned strategy
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = o.join(c, o.o_custkey == c.c_custkey).select("o_orderkey", "c_name")
+        plan = formatted_plan(j)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # bucket co-location: zero exchanges anywhere in the join plan
+        assert exchange_count(j) == 0
+        # and it actually runs
+        assert j.count() > 0
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+
+
+def test_salted_join_matches_plain_join(spark):
+    orders = read_table(spark, SF, "orders").select("o_custkey", "o_orderkey")
+    customer = read_table(spark, SF, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    plain = orders.join(customer, "o_custkey").select("o_orderkey", "c_name")
+    salted = salted_join(orders, customer, ["o_custkey"], n_salts=4).select(
+        "o_orderkey", "c_name"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+
+
+def test_salted_aggregation_matches_plain(spark):
+    ev = read_table(spark, SF, "events")
+    plain = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    salted = {
+        r["user_id"]: r["n"]
+        for r in salted_count_by_key(ev, "user_id", n_salts=4).collect()
+    }
+    assert plain == salted

@@ -1,0 +1,65 @@
+"""Skew-mitigation utilities: key salting for hot-key joins/aggregations.
+
+AQE's skew-join splitting handles most skew transparently (enabled in
+``session.py``); explicit salting remains the tool when one side must be
+aggregated first or when a groupBy key is pathologically hot (e.g. the
+``events.user_id`` power users at 100 TB). The pattern:
+
+    fact:  key -> (key, salt = hash(row) % N)
+    dim:   key -> exploded to (key, salt) for all N salts
+    join on (key, salt) — the hot key's rows spread over N tasks.
+
+For aggregation: two-phase — groupBy(key, salt) partial, then groupBy(key)
+final. Associative aggregates only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, n_salts: int, col_name: str = "__salt") -> DataFrame:
+    """Add a uniform salt derived from a whole-row hash (deterministic for
+    a given row, no RNG — keeps retries/replays stable)."""
+    return df.withColumn(
+        col_name, F.pmod(F.xxhash64(*df.columns), F.lit(n_salts)).cast("int")
+    )
+
+
+def explode_salts(df: DataFrame, n_salts: int, col_name: str = "__salt") -> DataFrame:
+    """Replicate the (small) side once per salt value so the salted
+    equi-join covers every (key, salt) bucket."""
+    return df.withColumn(
+        col_name,
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>")),
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the big side salted and the small side replicated:
+    a hot key's probe rows fan out over ``n_salts`` tasks instead of one
+    straggler. Cost: small side x n_salts (bounded, it's the small side)."""
+    b = with_salt(big, n_salts)
+    s = explode_salts(small, n_salts)
+    joined = b.join(s, on=on + ["__salt"], how=how)
+    return joined.drop("__salt")
+
+
+def salted_count_by_key(
+    df: DataFrame, key: str, n_salts: int = 8
+) -> DataFrame:
+    """Two-phase aggregation under a hot groupBy key: partial counts per
+    (key, salt) — spread across tasks — then the cheap final merge per key."""
+    partial = (
+        with_salt(df, n_salts)
+        .groupBy(key, "__salt")
+        .agg(F.count(F.lit(1)).alias("__partial"))
+    )
+    return partial.groupBy(key).agg(F.sum("__partial").alias("n"))

@@ -88,6 +88,36 @@ def window_rank_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7b — the full ranking-window family in one pass: row_number, rank,
+    dense_rank (true ties via a coarse price bucket), ntile, lead/lag.
+    One shuffle on the partition key serves all six functions (same window
+    spec → single WindowExec). Tie handling: rank/dense_rank rank by the
+    bucket alone (ties collapse identically in both engines); positional
+    functions (row_number/ntile/lead/lag) add a unique key tiebreak."""
+    orders = read_table(spark, sf_dir, "orders")
+    w_pos = Window.partitionBy("year").orderBy(F.col("bucket").desc(), "o_orderkey")
+    w_tie = Window.partitionBy("year").orderBy(F.col("bucket").desc())
+    return (
+        orders.select(
+            "o_orderkey",
+            year_of("o_orderdate").alias("year"),
+            F.round(F.col("o_totalprice"), -3).alias("bucket"),
+        )
+        .select(
+            "o_orderkey",
+            "year",
+            "bucket",
+            F.row_number().over(w_pos).cast("int").alias("rn"),
+            F.rank().over(w_tie).cast("int").alias("rnk"),
+            F.dense_rank().over(w_tie).cast("int").alias("drnk"),
+            F.ntile(4).over(w_pos).cast("int").alias("quartile"),
+            F.lead("bucket", 1).over(w_pos).alias("next_bucket"),
+            F.lag("bucket", 1).over(w_pos).alias("prev_bucket"),
+        )
+    )
+
+
 def join_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark heavy aggregate (TPC-H Q1 shape) on lineitem: filter →
     6-measure hash aggregate on 2 keys. Whole-stage-codegen'd, map-side
@@ -161,6 +191,7 @@ QUERIES = {
     "agg_distinct_and_approx": agg_distinct_and_approx,
     "agg_approx_count_distinct": agg_approx_count_distinct,
     "window_rank_topk_per_group": window_rank_topk_per_group,
+    "window_rank_variants": window_rank_variants,
     "join_agg_pricing": join_agg_pricing,
     "events_sessionish": events_sessionish,
     "agg_custom_udaf_geomean": agg_custom_udaf_geomean,
@@ -192,6 +223,23 @@ ORACLE = {
         "ROW_NUMBER() OVER (PARTITION BY o_custkey "
         "ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) "
         "WHERE rn <= 3"
+    ),
+    "window_rank_variants": (
+        "WITH b AS (SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS year, "
+        "ROUND(o_totalprice, -3) AS bucket FROM orders) "
+        "SELECT o_orderkey, year, bucket, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY year "
+        "ORDER BY bucket DESC, o_orderkey) AS INT) AS rn, "
+        "CAST(RANK() OVER (PARTITION BY year ORDER BY bucket DESC) AS INT) "
+        "AS rnk, "
+        "CAST(DENSE_RANK() OVER (PARTITION BY year ORDER BY bucket DESC) AS INT) "
+        "AS drnk, "
+        "CAST(NTILE(4) OVER (PARTITION BY year "
+        "ORDER BY bucket DESC, o_orderkey) AS INT) AS quartile, "
+        "LEAD(bucket, 1) OVER (PARTITION BY year "
+        "ORDER BY bucket DESC, o_orderkey) AS next_bucket, "
+        "LAG(bucket, 1) OVER (PARTITION BY year "
+        "ORDER BY bucket DESC, o_orderkey) AS prev_bucket FROM b"
     ),
     "join_agg_pricing": (
         "SELECT l_returnflag, l_linestatus, "

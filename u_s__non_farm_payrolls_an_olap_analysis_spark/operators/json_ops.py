@@ -51,9 +51,25 @@ def json_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def json_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9c — MapType surface: parse props as MAP<STRING,INT>, explode to
+    (key, value) rows, aggregate per key. At scale this is the schema-free
+    path for heterogeneous property bags (vs the fixed-schema struct)."""
+    ev = read_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    kv = ev.select(F.explode(m).alias("key", "value"))
+    return kv.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
 QUERIES = {
     "json_extract_props": json_extract_props,
     "json_from_json_struct": json_from_json_struct,
+    "json_map_explode": json_map_explode,
 }
 
 ORACLE = {
@@ -68,5 +84,15 @@ ORACLE = {
         "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k, "
         "CASE WHEN json_valid(props) THEN 0 ELSE 1 END AS malformed "
         "FROM events"
+    ),
+    "json_map_explode": (
+        # keys/values via DuckDB's JSON→MAP cast, exploded with UNNEST
+        "WITH kv AS (SELECT u.key, CAST(u.value AS INT) AS value FROM ("
+        "SELECT CAST(props AS JSON) AS j FROM events) e, "
+        "UNNEST(json_keys(e.j)) AS t(key), "
+        "LATERAL (SELECT t.key AS key, "
+        "json_extract_string(e.j, '$.' || t.key) AS value) u) "
+        "SELECT key, COUNT(*) AS n, CAST(SUM(value) AS BIGINT) AS sum_value, "
+        "MIN(value) AS min_value, MAX(value) AS max_value FROM kv GROUP BY 1"
     ),
 }
