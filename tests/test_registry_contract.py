@@ -15,9 +15,8 @@ def test_registry_shape():
     # rows-only ops are the documented engine-specific-hash ones
     rows_only = set(q) - set(o)
     assert rows_only <= {"dedup_minhash_near", "dedup_simhash",
-                         "agg_approx_count_distinct", "source_api_extract",
-                         "stream_tumbling_agg", "stream_sliding_agg",
-                         "stream_session_window", "sink_jdbc_upsert"}
+                         "agg_approx_count_distinct",
+                         "stream_stateful_user_profile"}
 
 
 def test_entry_contract(spark):

@@ -29,7 +29,7 @@ from .operators import (
     sources,
     text,
 )
-from .streaming import stream_windows
+from .streaming import stateful, stream_windows
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -46,6 +46,7 @@ _MODULES = [
     sources,
     scalars,
     stream_windows,
+    stateful,
 ]
 
 

@@ -1,0 +1,89 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``
+(SURVEY §2.9 extension: the escape hatch when built-in windowed aggregation
+can't express the semantics).
+
+Implements a per-user running profile — event count, value sum, last-seen
+timestamp — maintained as explicit group state across micro-batches. The
+state is a fixed-width tuple (bounded memory per key); batches arrive as
+Arrow-backed pandas frames (vectorized update, no per-row Python in the
+driver). Emission: each batch emits the keys it touched with their updated
+totals (Update-mode semantics); the memory sink's last row per key is the
+final profile, which a batch aggregate reproduces exactly — that batch
+equivalence is asserted in tests (no SQL oracle: the operator's surface is
+the stateful API itself).
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from .stream_windows import _events_stream
+
+OUTPUT_SCHEMA = "user_id long, n_events long, sum_value double, last_ts timestamp"
+STATE_SCHEMA = "n long, s double, last long"
+
+
+def _update_profile(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    n, s, last = state.get if state.exists else (0, 0.0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+        last = max(last, int(pdf["ts"].astype("int64").max()))
+    state.update((n, s, last))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "sum_value": [round(s, 4)],
+            "last_ts": [pd.Timestamp(last)],
+        }
+    )
+
+
+def stream_stateful_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the events stream through the stateful profile operator and
+    return the final per-user profiles."""
+    ev = _events_stream(spark, sf_dir).select("user_id", "ts", "value")
+    profiles = ev.groupBy("user_id").applyInPandasWithState(
+        _update_profile,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"stateful_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        profiles.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # last emission per user = final profile (update-mode memory sink keeps
+    # every emission; dedup by max n_events which is monotone per user)
+    out = spark.table(name)
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+QUERIES = {"stream_stateful_user_profile": stream_stateful_user_profile}
+ORACLE: dict[str, str] = {}  # stateful API surface — batch-equivalence in tests
