@@ -23,6 +23,7 @@ from .operators import (
     json_ops,
     multimodal,
     olap,
+    reshape,
     scalars,
     setops,
     similarity,
@@ -45,6 +46,7 @@ _MODULES = [
     multimodal,
     sources,
     scalars,
+    reshape,
     stream_windows,
     stateful,
 ]
