@@ -36,7 +36,7 @@ SURVEY_INVENTORY = {
 # rows-only check is the documented intent (SURVEY §5.2)
 EXPECTED_ROWS_ONLY = {
     "dedup_minhash_near", "dedup_simhash", "agg_approx_count_distinct",
-    "stream_stateful_user_profile",
+    "stream_stateful_user_profile", "agg_approx_percentiles",
 }
 
 

@@ -16,7 +16,8 @@ def test_registry_shape():
     rows_only = set(q) - set(o)
     assert rows_only <= {"dedup_minhash_near", "dedup_simhash",
                          "agg_approx_count_distinct",
-                         "stream_stateful_user_profile"}
+                         "stream_stateful_user_profile",
+                         "agg_approx_percentiles"}
 
 
 def test_entry_contract(spark):

@@ -1,0 +1,202 @@
+"""Analytics-breadth operators: percentiles, histograms, string functions,
+null handling, and time-series gap filling.
+
+These round out what a user of an OLAP engine reaches for weekly. Each is
+a single declarative plan; the gap-fill operator is the one with a real
+distributed design decision (spine generation via ``sequence``/``explode``
+instead of a driver-side date loop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.numerics import dsum
+from ..functions.timeparts import month_start, year_of
+from ..io import read_table
+
+
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median / p90) per year — Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont`` (same linear interpolation
+    over the sorted set, deterministic given identical inputs)."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupBy(year_of("o_orderdate").alias("year")).agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles (``approx_percentile``) — the 100 TB path:
+    bounded-memory KLL-style sketch, single pass, mergeable partials.
+    Rows-only check (sketch error is engine-specific); the exact twin
+    above is the anchor."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupBy(year_of("o_orderdate").alias("year")).agg(
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(1000)).alias(
+            "median_approx"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+HIST_LO, HIST_STEP, HIST_BINS = 0.0, 50_000.0, 12
+
+
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via portable floor-binning (no engine-specific
+    width_bucket): bin = clamp(floor((x - lo)/step), 0, bins-1)."""
+    orders = read_table(spark, sf_dir, "orders")
+    raw_bin = F.floor((F.col("o_totalprice") - HIST_LO) / HIST_STEP)
+    bin_id = F.least(
+        F.greatest(raw_bin, F.lit(0)), F.lit(HIST_BINS - 1)
+    ).cast("int")
+    return (
+        orders.select(bin_id.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            F.round(F.lit(HIST_LO) + F.col("bin") * HIST_STEP, 1).alias("bin_lo"),
+            "n",
+        )
+    )
+
+
+def string_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function family over customer names: case mapping, substring,
+    concatenation, padding, reversal, regexp extraction, replacement —
+    all codegen'd JVM expressions with DuckDB-identical semantics."""
+    customer = read_table(spark, sf_dir, "customer")
+    name = F.col("c_name")
+    return customer.select(
+        "c_custkey",
+        F.upper(name).alias("upper_name"),
+        F.lower(name).alias("lower_name"),
+        F.substring(name, 1, 8).alias("prefix8"),
+        F.length(name).alias("name_len"),
+        F.concat_ws("|", name, F.col("c_mktsegment")).alias("tagged"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.reverse(name).alias("reversed"),
+        F.regexp_extract(name, r"(\d+)", 1).alias("digits"),
+        F.replace(name, F.lit("Customer"), F.lit("Cust")).alias("replaced"),
+    )
+
+
+def null_handling_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling family: NULLIF to inject nulls, COALESCE / fill to
+    repair them, null-aware counting. All per-row deterministic."""
+    ev = read_table(spark, sf_dir, "events")
+    v_null = F.nullif(F.col("event_type"), F.lit("error"))
+    return (
+        ev.select(
+            "event_id",
+            v_null.alias("type_or_null"),
+            F.coalesce(v_null, F.lit("__repaired")).alias("type_repaired"),
+            v_null.isNull().cast("int").alias("was_error"),
+            F.nvl2(v_null, F.lit(0), F.lit(1)).alias("nvl2_flag"),
+        )
+    )
+
+
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled monthly series with forward fill: generate the complete
+    month spine with ``sequence``/``explode`` (distributed, no driver date
+    loop), left-join the observed series, carry the last observation
+    forward with ``last_value(ignoreNulls)``.
+
+    The fixture series has no gaps, so the interesting part is exercised
+    by dropping February observations first — the operator must
+    reconstruct them from January.
+    """
+    m = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(month_start("o_orderdate").alias("ms"))
+        .agg(F.round(dsum("o_totalprice"), 4).alias("total"))
+    )
+    # punch deterministic holes: drop all Februaries
+    observed = m.filter(F.month("ms") != 2)
+    bounds = m.agg(
+        F.min("ms").alias("lo"), F.max("ms").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 MONTH"))
+        ).alias("month_start")
+    )
+    joined = spine.join(
+        observed, spine.month_start == observed.ms, "left"
+    ).select("month_start", "total")
+    w = (
+        Window.orderBy("month_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "month_start",
+        "total",
+        F.last("total", ignorenulls=True).over(w).alias("total_filled"),
+        F.col("total").isNull().cast("int").alias("was_gap"),
+    )
+
+
+QUERIES = {
+    "agg_percentiles": agg_percentiles,
+    "agg_approx_percentiles": agg_approx_percentiles,
+    "agg_histogram": agg_histogram,
+    "string_functions_showcase": string_functions_showcase,
+    "null_handling_showcase": null_handling_showcase,
+    "timeseries_gap_fill": timeseries_gap_fill,
+}
+
+ORACLE = {
+    "agg_percentiles": (
+        "SELECT CAST(year(o_orderdate) AS INT) AS year, "
+        "ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price, "
+        "ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price, "
+        "COUNT(*) AS n_orders FROM orders GROUP BY 1"
+    ),
+    # agg_approx_percentiles: rows-only (sketch).
+    "agg_histogram": (
+        f"SELECT CAST(LEAST(GREATEST(FLOOR((o_totalprice - {HIST_LO}) "
+        f"/ {HIST_STEP}), 0), {HIST_BINS - 1}) AS INT) AS bin, "
+        f"ROUND({HIST_LO} + CAST(LEAST(GREATEST(FLOOR((o_totalprice - {HIST_LO}) "
+        f"/ {HIST_STEP}), 0), {HIST_BINS - 1}) AS INT) * {HIST_STEP}, 1) "
+        "AS bin_lo, COUNT(*) AS n FROM orders GROUP BY 1, 2"
+    ),
+    "string_functions_showcase": (
+        "SELECT c_custkey, upper(c_name) AS upper_name, "
+        "lower(c_name) AS lower_name, substr(c_name, 1, 8) AS prefix8, "
+        "CAST(length(c_name) AS INT) AS name_len, "
+        "concat_ws('|', c_name, c_mktsegment) AS tagged, "
+        "lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key, "
+        "reverse(c_name) AS reversed, "
+        "regexp_extract(c_name, '(\\d+)', 1) AS digits, "
+        "replace(c_name, 'Customer', 'Cust') AS replaced FROM customer"
+    ),
+    "null_handling_showcase": (
+        "SELECT event_id, NULLIF(event_type, 'error') AS type_or_null, "
+        "COALESCE(NULLIF(event_type, 'error'), '__repaired') AS type_repaired, "
+        "CASE WHEN NULLIF(event_type, 'error') IS NULL THEN 1 ELSE 0 END "
+        "AS was_error, "
+        "CASE WHEN NULLIF(event_type, 'error') IS NOT NULL THEN 0 ELSE 1 END "
+        "AS nvl2_flag FROM events"
+    ),
+    "timeseries_gap_fill": (
+        "WITH m AS (SELECT date_trunc('month', o_orderdate) AS ms, "
+        "ROUND((CAST(SUM(CAST(ROUND((o_totalprice) * 10000) AS BIGINT)) "
+        "AS DOUBLE) / 10000.0), 4) AS total FROM orders GROUP BY 1), "
+        "obs AS (SELECT * FROM m WHERE month(ms) != 2), "
+        "b AS (SELECT MIN(ms) AS lo, MAX(ms) AS hi FROM m), "
+        "spine AS (SELECT unnest(generate_series(lo, hi, "
+        "INTERVAL 1 MONTH)) AS month_start FROM b) "
+        "SELECT s.month_start, o.total, "
+        "LAST_VALUE(o.total IGNORE NULLS) OVER (ORDER BY s.month_start "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS total_filled, "
+        "CASE WHEN o.total IS NULL THEN 1 ELSE 0 END AS was_gap "
+        "FROM spine s LEFT JOIN obs o ON s.month_start = o.ms"
+    ),
+}

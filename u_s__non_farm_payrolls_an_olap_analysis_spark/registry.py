@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .operators import (
     aggregates,
+    analytics,
     dedup,
     joins,
     json_ops,
@@ -38,6 +39,7 @@ _MODULES = [
     olap,
     joins,
     aggregates,
+    analytics,
     setops,
     json_ops,
     text,
