@@ -63,14 +63,17 @@ def stream_stateful_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     name = f"stateful_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        profiles.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from .stream_windows import _bounded_state_partitions
+
+    with _bounded_state_partitions(spark):
+        q = (
+            profiles.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # last emission per user = final profile (update-mode memory sink keeps
     # every emission; dedup by max n_events which is monotone per user)
     out = spark.table(name)

@@ -25,6 +25,7 @@ mirrors the reference's ON CONFLICT semantics (``etl.py:68-71``).
 
 from __future__ import annotations
 
+import contextlib
 import os
 import tempfile
 import uuid
@@ -33,6 +34,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.numerics import dsum, dsum_sql
+
+
+@contextlib.contextmanager
+def _bounded_state_partitions(spark: SparkSession, n: int = 8):
+    """Temporarily lower shuffle partitions for a streaming drain.
+
+    Streaming state stores allocate one store per shuffle partition; under
+    a default session (200 partitions) a small drain spends its time in
+    store setup, not data. The shuffle-partition conf is dynamic, so we
+    scope it to the drain and restore the caller's value."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 EVENTS_STREAM_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string, "
@@ -64,14 +81,15 @@ def _drain_to_memory(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
     """Run the streaming aggregation to completion (availableNow) into a
     memory sink and return the final result as a batch DataFrame."""
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _bounded_state_partitions(spark):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
