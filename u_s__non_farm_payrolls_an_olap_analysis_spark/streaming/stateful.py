@@ -15,7 +15,6 @@ the stateful API itself).
 
 from __future__ import annotations
 
-import uuid
 from collections.abc import Iterator
 from typing import Any
 
@@ -24,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from .stream_windows import _events_stream
+from .stream_windows import _drain_to_memory, _events_stream
 
 OUTPUT_SCHEMA = "user_id long, n_events long, sum_value double, last_ts timestamp"
 STATE_SCHEMA = "n long, s double, last long"
@@ -62,21 +61,9 @@ def stream_stateful_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    name = f"stateful_out_{uuid.uuid4().hex[:8]}"
-    from .stream_windows import _bounded_state_partitions
-
-    with _bounded_state_partitions(spark):
-        q = (
-            profiles.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
     # last emission per user = final profile (update-mode memory sink keeps
     # every emission; dedup by max n_events which is monotone per user)
-    out = spark.table(name)
+    out = _drain_to_memory(profiles, spark, output_mode="update")
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 

@@ -38,14 +38,24 @@ from ..functions.numerics import dsum, dsum_sql
 
 @contextlib.contextmanager
 def _bounded_state_partitions(spark: SparkSession, n: int = 8):
-    """Temporarily lower shuffle partitions for a streaming drain.
+    """Temporarily cap shuffle partitions for a streaming drain.
 
     Streaming state stores allocate one store per shuffle partition; under
     a default session (200 partitions) a small drain spends its time in
     store setup, not data. The shuffle-partition conf is dynamic, so we
-    scope it to the drain and restore the caller's value."""
+    scope it to the drain and restore the caller's value. Only ever
+    LOWERS the count (a session already below ``n`` keeps its setting).
+
+    The conf is session-global: drains are sequential by contract (each
+    registry query runs to completion before returning); do not overlap
+    this context with concurrent queries on the same session.
+    """
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        bounded = min(int(prev), n)
+    except ValueError:
+        bounded = n
+    spark.conf.set("spark.sql.shuffle.partitions", str(bounded))
     try:
         yield
     finally:
@@ -77,7 +87,9 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _drain_to_memory(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
+def _drain_to_memory(
+    stream_df: DataFrame, spark: SparkSession, output_mode: str = "complete"
+) -> DataFrame:
     """Run the streaming aggregation to completion (availableNow) into a
     memory sink and return the final result as a batch DataFrame."""
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
@@ -85,7 +97,7 @@ def _drain_to_memory(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
-            .outputMode("complete")
+            .outputMode(output_mode)
             .trigger(availableNow=True)
             .start()
         )
