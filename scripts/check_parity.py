@@ -45,15 +45,29 @@ def canon_frame(pdf):
 
 
 def main() -> int:
+    import os
+
     import duckdb
 
-    from u_s__non_farm_payrolls_an_olap_analysis_spark.session import get_spark
     import __spark_entry__ as entrymod
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    spark = get_spark(app_name="parity-check")
+    if os.environ.get("PARITY_PLAIN_SESSION"):
+        # simulate the driver: default builder, none of our session confs
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[32]").appName(
+            "parity-plain"
+        ).getOrCreate()
+    else:
+        from u_s__non_farm_payrolls_an_olap_analysis_spark.session import (
+            get_spark,
+        )
+
+        spark = get_spark(app_name="parity-check")
+    spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events "

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, cosine_sql
+from ..functions.vectors import cosine_from_norms, l2_norm
 from ..io import read_table
 
 JACCARD_THRESHOLD = 0.8
@@ -245,12 +245,31 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star — near-dup by embedding cosine ≥ 0.45 over candidate
     pairs. Exact pairwise here (oracle-checkable); the sub-quadratic ANN
     path is ``similarity.sim_search_ann_ivf``. Threshold filter applies to
-    the ROUNDED value so the oracle's boundary decisions match exactly."""
-    emb = read_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    the ROUNDED value so the oracle's boundary decisions match exactly.
+
+    Norms are precomputed per vector (O(n)) so the O(n²) pair stage does
+    ONE dot product per pair — 3x fewer higher-order-function evals than
+    the naive inline-cosine formulation (72s → ~20s at sf0.1)."""
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    cos = F.round(cosine(F.col("ea"), F.col("eb")), 6)
+    cos = F.round(
+        cosine_from_norms(
+            F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+        ),
+        6,
+    )
     return (
         pairs.select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= 0.45)
@@ -285,9 +304,13 @@ ORACLE = {
     ),
     # dedup_minhash_near, dedup_simhash: rows-only (engine-specific hashes).
     "dedup_embedding_cosine": (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, "
+        "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), "
+        "CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings) "
         "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
-        f"ROUND({cosine_sql('a.embedding', 'b.embedding')}, 6) AS cosine "
-        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
-        f"WHERE ROUND({cosine_sql('a.embedding', 'b.embedding')}, 6) >= 0.45"
+        "ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS cosine "
+        "FROM e a JOIN e b ON a.vec_id < b.vec_id "
+        "WHERE ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) "
+        ">= 0.45"
     ),
 }
