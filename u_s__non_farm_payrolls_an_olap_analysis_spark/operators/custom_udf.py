@@ -1,0 +1,163 @@
+"""Remaining custom-Python API surfaces (SURVEY §2.9 extensions):
+
+- ``applyInPandas`` grouped-map: per-group table → table transforms where
+  the function needs the whole group in memory (here: min-max
+  normalization within year). Arrow-batched; one shuffle on the group key.
+- Python UDTF (PySpark 4): a table function callable from SQL — the
+  row → table expansion primitive (here: a month spine generator).
+
+Both have exact relational oracles, so even the Python-UDF surfaces stay
+hash-checked.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.timeparts import year_of
+from ..io import read_table
+
+
+def _normalize_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    lo, hi = pdf["o_totalprice"].min(), pdf["o_totalprice"].max()
+    span = hi - lo
+    out = pdf[["o_orderkey", "year"]].copy()
+    out["norm_price"] = (
+        ((pdf["o_totalprice"] - lo) / span) if span > 0 else 0.0
+    ).round(6)
+    return out
+
+
+def grouped_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInPandas``: min-max normalize order value within
+    each year. The whole group arrives as one pandas frame (vectorized);
+    physically a hash shuffle on the key then Arrow batches per group —
+    at scale, group size (one year of orders) bounds task memory, and a
+    salting pre-split applies if a group outgrows it."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", year_of("o_orderdate").alias("year"), "o_totalprice"
+    )
+    return orders.groupBy("year").applyInPandas(
+        _normalize_group, schema="o_orderkey long, year int, norm_price double"
+    )
+
+
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data-quality profile of the fact table: per-column null
+    counts, distinct counts, and range stats — the standard pre-ingest
+    gate of a training-data pipeline. One aggregate, no per-column scans."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_orderkey").isNull().cast("long")).alias("null_keys"),
+        F.sum(F.col("o_orderdate").isNull().cast("long")).alias("null_dates"),
+        F.countDistinct("o_orderkey").alias("distinct_keys"),
+        F.countDistinct("o_orderstatus").alias("distinct_status"),
+        F.round(F.min("o_totalprice"), 4).alias("min_price"),
+        F.round(F.max("o_totalprice"), 4).alias("max_price"),
+        F.min("o_orderdate").alias("min_date"),
+        F.max("o_orderdate").alias("max_date"),
+    )
+
+
+def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): new session when the gap
+    to the previous event reaches 30 minutes; session id = running count
+    of session starts. The batch twin of ``stream_session_window`` —
+    identical session boundaries, pure windows (lag → flag → cumsum →
+    aggregate), two window passes over one shuffle by user."""
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    w_user = Window.partitionBy("user_id").orderBy("ts")
+    # fractional-second precision: epoch seconds as DOUBLE (NTZ must hop
+    # through LTZ; session tz is UTC), matching the oracle's full-precision
+    # interval comparison — a long cast truncates to whole seconds and can
+    # flip boundary gaps
+    secs = F.col("ts").cast("timestamp").cast("double")
+    gap = secs - F.lag(secs).over(w_user)
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(gap.isNull() | (gap >= 30 * 60), F.lit(1)).otherwise(F.lit(0)),
+    )
+    with_sid = flagged.withColumn(
+        "sid",
+        F.sum("new_s").over(
+            w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return with_sid.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).drop("sid")
+
+
+def udtf_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (PySpark 4): a SQL-callable table function generating a
+    month spine — the row → table expansion primitive. Registered and
+    invoked through ``spark.sql`` to exercise the real UDTF surface."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="month_start timestamp, month_index int")
+    class MonthSpine:
+        def eval(self, start_year: int, n_months: int):
+            import datetime as dt
+
+            for i in range(n_months):
+                y, m = divmod(i, 12)
+                yield dt.datetime(start_year + y, m + 1, 1), i
+
+
+    spark.udtf.register("month_spine", MonthSpine)
+    return spark.sql("SELECT * FROM month_spine(1995, 24)")
+
+
+QUERIES = {
+    "grouped_map_normalize": grouped_map_normalize,
+    "dq_checks": dq_checks,
+    "sessionize_batch": sessionize_batch,
+    "udtf_month_spine": udtf_month_spine,
+}
+
+ORACLE = {
+    "grouped_map_normalize": (
+        "WITH b AS (SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS year, "
+        "o_totalprice, MIN(o_totalprice) OVER (PARTITION BY year(o_orderdate)) "
+        "AS lo, MAX(o_totalprice) OVER (PARTITION BY year(o_orderdate)) AS hi "
+        "FROM orders) "
+        "SELECT o_orderkey, year, "
+        "ROUND(CASE WHEN hi > lo THEN (o_totalprice - lo) / (hi - lo) "
+        "ELSE 0.0 END, 6) AS norm_price FROM b"
+    ),
+    "dq_checks": (
+        "SELECT COUNT(*) AS n_rows, "
+        "CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS null_keys, "
+        "CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS null_dates, "
+        "COUNT(DISTINCT o_orderkey) AS distinct_keys, "
+        "COUNT(DISTINCT o_orderstatus) AS distinct_status, "
+        "ROUND(MIN(o_totalprice), 4) AS min_price, "
+        "ROUND(MAX(o_totalprice), 4) AS max_price, "
+        "MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date "
+        "FROM orders"
+    ),
+    "sessionize_batch": (
+        "WITH e AS (SELECT user_id, ts, "
+        "CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+        "OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) "
+        ">= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM events), "
+        "s AS (SELECT user_id, ts, SUM(new_s) OVER (PARTITION BY user_id "
+        "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM e) "
+        "SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end, "
+        "COUNT(*) AS n_events FROM s GROUP BY user_id, sid"
+    ),
+    "udtf_month_spine": (
+        "SELECT TIMESTAMP '1995-01-01' + CAST(range AS INT) * INTERVAL 1 MONTH "
+        "AS month_start, CAST(range AS INT) AS month_index FROM range(24)"
+    ),
+}

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .operators import (
     aggregates,
     analytics,
+    custom_udf,
     dedup,
     joins,
     json_ops,
@@ -40,6 +41,7 @@ _MODULES = [
     joins,
     aggregates,
     analytics,
+    custom_udf,
     setops,
     json_ops,
     text,
