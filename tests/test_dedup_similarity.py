@@ -74,6 +74,18 @@ def test_simhash_identical_docs_zero_distance(spark, docs_dir):
     assert (0, 3) in out and out[(0, 3)] <= 6
 
 
+def test_dedup_clusters_components(spark, docs_dir):
+    """Docs 0,1,3 share ≥0.8 Jaccard pairs (0-1 exact, 0-3/1-3 near) →
+    one component labeled by min id 0; 2 (uppercased) and 4 (different)
+    are singletons in shingle space."""
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters(spark, docs_dir).collect()
+    }
+    assert labels[0] == labels[1] == labels[3] == 0
+    assert labels[2] == 2 and labels[4] == 4
+
+
 def test_cosine_expression_identities(spark):
     df = spark.createDataFrame(
         [([1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [2.0, 0.0, 0.0])],

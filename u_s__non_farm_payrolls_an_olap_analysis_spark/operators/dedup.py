@@ -276,6 +276,59 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — near-dup CLUSTER formation: connected components over
+    the Jaccard pair graph, so each duplicate group keeps exactly one
+    representative (cluster_id = min doc_id in the component).
+
+    Iterative min-label propagation (Pregel-lite): each round every node
+    adopts the minimum label among itself and its neighbors; the driver
+    loops lazy plans until a round changes nothing. Rounds needed = graph
+    diameter (near-dup components are tiny, 1-3 rounds); each round is one
+    distributed join + aggregate — the standard iterative-algorithm shape
+    on Spark (no collect of the graph). Oracle: DuckDB recursive CTE
+    computing the same transitive min label.
+    """
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = _jaccard_pairs(
+        read_table(spark, sf_dir, "documents")
+    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .cache()
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    for _ in range(20):  # bound: diameter of near-dup components is tiny
+        neigh = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("neigh_min"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.doc_id == neigh.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("neigh_min", "cluster_id")
+                ).alias("cluster_id"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 GEMM_BLOCK = 256
 
 
@@ -344,6 +397,7 @@ def dedup_embedding_cosine_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_clusters": dedup_clusters,
     "dedup_embedding_cosine_gemm": dedup_embedding_cosine_gemm,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_near": dedup_minhash_near,
@@ -370,6 +424,23 @@ ORACLE = {
         f"WHERE i / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}"
     ),
     # dedup_minhash_near, dedup_simhash: rows-only (engine-specific hashes).
+    "dedup_clusters": (
+        f"WITH RECURSIVE sh AS ({_SHINGLE_SQL}), "
+        "sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i "
+        "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+        "GROUP BY 1, 2), "
+        "p AS (SELECT doc_a, doc_b FROM inter "
+        "JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b "
+        f"WHERE i / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}), "
+        "e AS (SELECT doc_a AS src, doc_b AS dst FROM p "
+        "UNION ALL SELECT doc_b, doc_a FROM p), "
+        "reach(src, lbl) AS ("
+        "SELECT doc_id, doc_id FROM documents "
+        "UNION "
+        "SELECT e.src, r.lbl FROM e JOIN reach r ON e.dst = r.src) "
+        "SELECT src AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY src"
+    ),
     "dedup_embedding_cosine_gemm": (
         "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, "
         "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), "
