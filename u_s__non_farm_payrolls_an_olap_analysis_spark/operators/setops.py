@@ -41,7 +41,30 @@ def setop_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.select("op", "c_custkey")
 
 
-QUERIES = {"setop_union_except": setop_union_except}
+def setop_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8b — multiset (bag) semantics: ``intersectAll`` / ``exceptAll``
+    preserve duplicate multiplicities (a customer with 3 'F' orders and 1
+    urgent order keeps 2 copies in the except). Distinct-based set ops
+    collapse these; both semantics matter and Spark implements each."""
+    orders = read_table(spark, sf_dir, "orders")
+    finished = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    return (
+        finished.intersectAll(urgent)
+        .withColumn("op", F.lit("intersect_all"))
+        .unionByName(
+            finished.exceptAll(urgent).withColumn("op", F.lit("except_all"))
+        )
+        .select("op", "o_custkey")
+    )
+
+
+QUERIES = {
+    "setop_union_except": setop_union_except,
+    "setop_multiset": setop_multiset,
+}
 
 ORACLE = {
     "setop_union_except": (
@@ -53,5 +76,15 @@ ORACLE = {
         "SELECT 'intersect' AS op, c_custkey FROM (SELECT * FROM b INTERSECT SELECT * FROM r) "
         "UNION ALL "
         "SELECT 'except' AS op, c_custkey FROM (SELECT * FROM b EXCEPT SELECT * FROM r)"
+    ),
+    "setop_multiset": (
+        "WITH f AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'), "
+        "u AS (SELECT o_custkey FROM orders "
+        "WHERE o_orderpriority = '1-URGENT') "
+        "SELECT 'intersect_all' AS op, o_custkey FROM "
+        "(SELECT * FROM f INTERSECT ALL SELECT * FROM u) "
+        "UNION ALL "
+        "SELECT 'except_all' AS op, o_custkey FROM "
+        "(SELECT * FROM f EXCEPT ALL SELECT * FROM u)"
     ),
 }
