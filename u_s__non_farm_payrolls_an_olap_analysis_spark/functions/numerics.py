@@ -34,15 +34,16 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
-def dsum(col: Column | str) -> Column:
-    """Order-independent SUM of a money-like double (scaled-int inside)."""
-    return F.sum(F.round(_c(col) * SCALE).cast("long")) / float(SCALE)
+def dsum(col: Column | str, scale: int = SCALE) -> Column:
+    """Order-independent SUM of a money-like double (scaled-int inside).
+    ``scale`` sets the preserved fractional precision (10^k per digit)."""
+    return F.sum(F.round(_c(col) * scale).cast("long")) / float(scale)
 
 
-def davg(col: Column | str) -> Column:
+def davg(col: Column | str, scale: int = SCALE) -> Column:
     """Order-independent AVG: scaled-int sum / non-null count."""
     c = _c(col)
-    return F.sum(F.round(c * SCALE).cast("long")) / float(SCALE) / F.count(c)
+    return F.sum(F.round(c * scale).cast("long")) / float(scale) / F.count(c)
 
 
 def dsum_decimal(col: Column | str) -> Column:
@@ -50,15 +51,15 @@ def dsum_decimal(col: Column | str) -> Column:
     return F.sum(_c(col).cast("decimal(28,4)")).cast("double")
 
 
-def dsum_sql(expr: str) -> str:
+def dsum_sql(expr: str, scale: int = SCALE) -> str:
     return (
-        f"(CAST(SUM(CAST(ROUND(({expr}) * {SCALE}) AS BIGINT)) AS DOUBLE) "
-        f"/ {SCALE}.0)"
+        f"(CAST(SUM(CAST(ROUND(({expr}) * {scale}) AS BIGINT)) AS DOUBLE) "
+        f"/ {scale}.0)"
     )
 
 
-def davg_sql(expr: str) -> str:
+def davg_sql(expr: str, scale: int = SCALE) -> str:
     return (
-        f"(CAST(SUM(CAST(ROUND(({expr}) * {SCALE}) AS BIGINT)) AS DOUBLE) "
-        f"/ {SCALE}.0 / COUNT({expr}))"
+        f"(CAST(SUM(CAST(ROUND(({expr}) * {scale}) AS BIGINT)) AS DOUBLE) "
+        f"/ {scale}.0 / COUNT({expr}))"
     )

@@ -164,10 +164,12 @@ def _geomean_udaf():
     def geomean(v: pd.Series) -> float:
         import numpy as np
 
+        # non-positive values are excluded (log undefined) — the oracle
+        # mirrors this with FILTER (WHERE x > 0); all-non-positive → NULL
         x = v.to_numpy()
         x = x[x > 0]
         if x.size == 0:
-            return float("nan")
+            return None
         return float(np.exp(np.log(x).mean()))
 
     return geomean
@@ -258,9 +260,13 @@ ORACLE = {
         "FROM events GROUP BY 1, 2 "
         "ORDER BY n_events DESC, user_id, event_type LIMIT 20"
     ),
+    # CASE (not FILTER): DuckDB evaluates LN eagerly per row, so FILTER
+    # still hits LN(0); AVG ignores the CASE's NULLs — matching the UDF's
+    # exclude-non-positive semantics exactly.
     "agg_custom_udaf_geomean": (
         "SELECT CAST(year(o_orderdate) AS INT) AS year, "
-        "ROUND(EXP(AVG(LN(o_totalprice))), 4) AS geomean_price "
+        "ROUND(EXP(AVG(CASE WHEN o_totalprice > 0 "
+        "THEN LN(o_totalprice) END)), 4) AS geomean_price "
         "FROM orders GROUP BY 1"
     ),
 }

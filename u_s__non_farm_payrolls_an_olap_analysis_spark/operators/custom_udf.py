@@ -25,9 +25,13 @@ def _normalize_group(pdf: pd.DataFrame) -> pd.DataFrame:
     lo, hi = pdf["o_totalprice"].min(), pdf["o_totalprice"].max()
     span = hi - lo
     out = pdf[["o_orderkey", "year"]].copy()
-    out["norm_price"] = (
-        ((pdf["o_totalprice"] - lo) / span) if span > 0 else 0.0
-    ).round(6)
+    if span > 0:
+        out["norm_price"] = ((pdf["o_totalprice"] - lo) / span).round(6)
+    else:
+        # constant-price group (e.g. a single-order year): span is 0 and
+        # every value normalizes to 0.0 — keep it a Series, a scalar here
+        # crashes on .round
+        out["norm_price"] = 0.0
     return out
 
 

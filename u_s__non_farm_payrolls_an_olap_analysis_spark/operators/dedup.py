@@ -205,14 +205,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         simhash = bit if simhash is None else simhash.bitwiseOR(bit)
     sigs = bit_sums.select("doc_id", simhash.alias("simhash"))
+    # 8 chunks of 8 bits: by pigeonhole, any pair within Hamming distance 7
+    # leaves at least one chunk untouched, so recall is guaranteed for the
+    # <= 6 verification threshold below (4x16 chunking only guaranteed <= 3).
     chunks = None
-    for c in range(4):
+    for c in range(8):
         part = sigs.select(
             "doc_id",
             "simhash",
             F.lit(c).alias("chunk"),
-            F.shiftrightunsigned(F.col("simhash"), 16 * c)
-            .bitwiseAND(F.lit(0xFFFF))
+            F.shiftrightunsigned(F.col("simhash"), 8 * c)
+            .bitwiseAND(F.lit(0xFF))
             .alias("chunk_val"),
         )
         chunks = part if chunks is None else chunks.unionByName(part)
@@ -301,7 +304,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
-    for _ in range(20):  # bound: diameter of near-dup components is tiny
+    max_rounds = 50  # label propagation needs <= diameter rounds
+    converged = False
+    prev_cached = None
+    for _ in range(max_rounds):
         neigh = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
@@ -323,9 +329,24 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
             .count()
         )
+        # the count() materialized new_labels; the previous generation's
+        # cache is dead now — unpersist so repeated invocations don't leak
+        # executor storage memory
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = new_labels
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    edges.unpersist()
+    if not converged:
+        # silent non-convergence would return labels that disagree with the
+        # oracle's full transitive closure — fail loudly instead
+        raise RuntimeError(
+            f"dedup_clusters: label propagation did not converge within "
+            f"{max_rounds} rounds (pathologically long duplicate chain?)"
+        )
     return labels
 
 

@@ -15,15 +15,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType, StructField, StructType
 
 from ..io import read_table
 
 
 def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X9 — extract ``props.k`` and aggregate it per event type."""
+    """X9 — extract ``props.k`` and aggregate it per event type.
+    ``try_cast`` so a non-integer value yields NULL instead of an ANSI
+    cast error mid-aggregate."""
     ev = read_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    k = F.get_json_object("props", "$.k").try_cast("int")
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")
@@ -37,17 +38,22 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def json_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X9b — schema-full parse via ``from_json``: one parse per row into a
-    typed struct; malformed rows become NULL struct (counted)."""
+    """X9b — schema-full parse with malformed detection.
+
+    ``from_json`` to a STRUCT never yields a NULL struct (PERMISSIVE mode
+    null-fills the fields), so struct-is-null cannot detect malformed rows;
+    parsing to a MAP does return NULL for anything that is not a JSON
+    object — that is the validity signal. Field values extract via
+    ``get_json_object`` + ``try_cast`` (null on bad types, no ANSI throw).
+    """
     ev = read_table(spark, sf_dir, "events")
-    schema = StructType([StructField("k", IntegerType())])
-    parsed = ev.select(
-        "event_id", F.from_json("props", schema).alias("p")
-    )
-    return parsed.select(
+    is_object = F.from_json("props", "map<string,string>").isNotNull()
+    return ev.select(
         "event_id",
-        F.col("p.k").alias("k"),
-        F.col("p").isNull().cast("int").alias("malformed"),
+        F.when(
+            is_object, F.get_json_object("props", "$.k").try_cast("int")
+        ).alias("k"),
+        (~is_object).cast("int").alias("malformed"),
     )
 
 
@@ -56,8 +62,12 @@ def json_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (key, value) rows, aggregate per key. At scale this is the schema-free
     path for heterogeneous property bags (vs the fixed-schema struct)."""
     ev = read_table(spark, sf_dir, "events")
-    m = F.from_json("props", "map<string,int>")
-    kv = ev.select(F.explode(m).alias("key", "value"))
+    # parse to map<string,STRING> (a bad value type would null the whole
+    # map under map<string,int>), then try_cast values per entry
+    m = F.from_json("props", "map<string,string>")
+    kv = ev.select(F.explode(m).alias("key", "raw_value")).select(
+        "key", F.col("raw_value").try_cast("int").alias("value")
+    )
     return kv.groupBy("key").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("value").alias("sum_value"),
@@ -77,18 +87,32 @@ ORACLE = {
         "SELECT event_type, COUNT(k) AS n, CAST(SUM(k) AS BIGINT) AS sum_k, "
         "MIN(k) AS min_k, MAX(k) AS max_k FROM ("
         "SELECT event_type, "
-        "CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events) "
-        "GROUP BY 1"
+        "CASE WHEN json_valid(props) THEN "
+        "TRY_CAST(json_extract_string(props, '$.k') AS INT) END AS k "
+        "FROM events) GROUP BY 1"
     ),
+    # malformed mirrors Spark's from_json semantics: NULL struct for
+    # anything that is not a JSON OBJECT (including valid arrays/scalars).
+    # CASE (not AND) forces json_valid to gate json_* calls — DuckDB's
+    # JSON functions hard-error on invalid input and AND does not
+    # short-circuit; TRY_CAST mirrors null-on-uncastable field values.
     "json_from_json_struct": (
-        "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k, "
-        "CASE WHEN json_valid(props) THEN 0 ELSE 1 END AS malformed "
-        "FROM events"
+        "SELECT event_id, "
+        "CASE WHEN json_valid(props) THEN "
+        "TRY_CAST(json_extract_string(props, '$.k') AS INT) END AS k, "
+        "CASE WHEN NOT json_valid(props) THEN 1 "
+        "WHEN json_type(props) = 'OBJECT' THEN 0 ELSE 1 END "
+        "AS malformed FROM events"
     ),
+    # drop-malformed semantics mirror Spark (explode of a NULL map skips
+    # the row): only valid JSON objects contribute. Staged CTEs keep
+    # json_type/CAST behind the json_valid filter (DuckDB JSON functions
+    # hard-error on invalid input).
     "json_map_explode": (
-        # keys/values via DuckDB's JSON→MAP cast, exploded with UNNEST
-        "WITH kv AS (SELECT u.key, CAST(u.value AS INT) AS value FROM ("
-        "SELECT CAST(props AS JSON) AS j FROM events) e, "
+        "WITH valid AS (SELECT props FROM events WHERE json_valid(props)), "
+        "obj AS (SELECT CAST(props AS JSON) AS j FROM valid "
+        "WHERE json_type(props) = 'OBJECT'), "
+        "kv AS (SELECT u.key, TRY_CAST(u.value AS INT) AS value FROM obj e, "
         "UNNEST(json_keys(e.j)) AS t(key), "
         "LATERAL (SELECT t.key AS key, "
         "json_extract_string(e.j, '$.' || t.key) AS value) u) "

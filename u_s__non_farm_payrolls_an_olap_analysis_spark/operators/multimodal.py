@@ -49,12 +49,16 @@ def _fake_decode_batches(
     per Arrow batch."""
     for pdf in batches:
         lens = pdf["media"].apply(len)
+        # format-sniff byte: first byte when it is ASCII, else -1 — the
+        # ASCII guard keeps the value identical to the oracle's
+        # first-CODEPOINT expression (UTF-8 first byte == codepoint only
+        # below 128; any non-ASCII leader byte is >= 0xC2)
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "byte_len": lens.astype("int64"),
                 "first_byte": pdf["media"]
-                .apply(lambda b: b[0] if len(b) else -1)
+                .apply(lambda b: b[0] if len(b) and b[0] < 128 else -1)
                 .astype("int32"),
                 "n_frames": (lens // 100).astype("int64"),
                 "kind": pdf["kind"],
@@ -97,9 +101,10 @@ QUERIES = {
 }
 
 _DECODED_SQL = (
-    "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len, "
-    "CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte, "
-    "octet_length(CAST(text AS BLOB)) // 100 AS n_frames, "
+    "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, "
+    "CAST(CASE WHEN length(text) > 0 AND unicode(text) BETWEEN 0 AND 127 "
+    "THEN unicode(text) ELSE -1 END AS INT) AS first_byte, "
+    "octet_length(encode(text)) // 100 AS n_frames, "
     "CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind "
     "FROM documents"
 )

@@ -20,6 +20,7 @@ from ..functions.timeparts import (
     quarter_of,
     year_of,
 )
+from ..functions.numerics import davg, davg_sql
 from ..functions.vectors import l2_norm
 from ..io import read_table
 
@@ -68,12 +69,7 @@ def array_stats_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_vecs"),
             F.min("dim").alias("min_dim"),
             F.max("dim").alias("max_dim"),
-            F.round(
-                F.sum(F.round(F.col("norm") * 1000000).cast("long"))
-                / 1000000.0
-                / F.count(F.lit(1)),
-                6,
-            ).alias("avg_norm"),
+            F.round(davg(F.col("norm"), scale=1_000_000), 6).alias("avg_norm"),
             F.round(F.min("first_elem"), 6).alias("min_first"),
             F.round(F.max("first_elem"), 6).alias("max_first"),
         )
@@ -108,8 +104,7 @@ ORACLE = {
     "array_stats_by_label": (
         "SELECT label, COUNT(*) AS n_vecs, "
         "MIN(len(embedding)) AS min_dim, MAX(len(embedding)) AS max_dim, "
-        f"ROUND(CAST(SUM(CAST(ROUND({_NORM} * 1000000) AS BIGINT)) AS DOUBLE) "
-        "/ 1000000.0 / COUNT(*), 6) AS avg_norm, "
+        f"ROUND({davg_sql(_NORM, scale=1_000_000)}, 6) AS avg_norm, "
         "ROUND(MIN(CAST(embedding[1] AS DOUBLE)), 6) AS min_first, "
         "ROUND(MAX(CAST(embedding[1] AS DOUBLE)), 6) AS max_first "
         "FROM embeddings GROUP BY 1"
