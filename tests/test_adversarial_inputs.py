@@ -1,0 +1,106 @@
+"""Adversarial-input parity tests: the inputs that exposed latent
+operator/oracle divergences (commit history: malformed JSON, non-object
+JSON, wrong-typed values, non-ASCII text, zero/constant prices). Each case
+runs BOTH the Spark operator and its DuckDB oracle on the same hostile data
+and asserts exact agreement — the clean driver fixtures can't cover these.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import (
+    aggregates,
+    custom_udf,
+    json_ops,
+    multimodal,
+)
+
+
+@pytest.fixture(scope="module")
+def hostile_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("hostile")
+    orders = [
+        (1, 1, "F", 500.0, dt.datetime(1999, 1, 1), "x"),
+        (2, 1, "F", 500.0, dt.datetime(1999, 2, 1), "x"),  # constant-span year
+        (3, 1, "F", 0.0, dt.datetime(2000, 1, 1), "x"),    # zero price
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    events = [
+        (0, dt.datetime(2024, 1, 1), 1, "view", 1.0, '{"k": 5}'),
+        (1, dt.datetime(2024, 1, 1), 1, "view", 1.0, "not json"),
+        (2, dt.datetime(2024, 1, 1), 1, "view", 1.0, "[1]"),
+        (3, dt.datetime(2024, 1, 1), 1, "view", 1.0, '{"k": "abc"}'),
+        (4, dt.datetime(2024, 1, 1), 1, "click", 1.0, '{"k": 7, "x": 2}'),
+    ]
+    spark.createDataFrame(
+        events,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    docs = [
+        (0, "émodé non ascii", "fr", "s0", 15),
+        (1, "ascii text", "en", "s0", 10),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def duck(hostile_dir):
+    con = duckdb.connect()
+    for t in ("orders", "events", "documents"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{hostile_dir}/{t}.parquet/*.parquet'"
+        )
+    return con
+
+
+def _assert_parity(spark_df, con, name):
+    s = sorted(map(tuple, spark_df.collect()))
+    o = sorted(map(tuple, con.execute(entrymod.oracle_sql()[name]).fetchall()))
+    assert s == o, f"{name}: spark={s} oracle={o}"
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["json_from_json_struct", "json_map_explode", "json_extract_props"],
+)
+def test_hostile_json_parity(spark, hostile_dir, duck, name):
+    _assert_parity(json_ops.QUERIES[name](spark, hostile_dir), duck, name)
+
+
+def test_hostile_geomean_parity(spark, hostile_dir, duck):
+    _assert_parity(
+        aggregates.agg_custom_udaf_geomean(spark, hostile_dir),
+        duck,
+        "agg_custom_udaf_geomean",
+    )
+
+
+def test_hostile_multimodal_parity(spark, hostile_dir, duck):
+    _assert_parity(
+        multimodal.multimodal_decode_meta(spark, hostile_dir),
+        duck,
+        "multimodal_decode_meta",
+    )
+
+
+def test_constant_span_normalize_no_crash(spark, hostile_dir):
+    out = {
+        r["o_orderkey"]: r["norm_price"]
+        for r in custom_udf.grouped_map_normalize(spark, hostile_dir).collect()
+    }
+    assert out[1] == 0.0 and out[2] == 0.0  # constant-span year
+    assert out[3] == 0.0  # single-order year
