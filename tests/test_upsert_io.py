@@ -45,3 +45,24 @@ def test_write_roundtrip(spark, tmp_path):
     write_upsert_parquet(path, merged)
     back = spark.read.parquet(path)
     assert sorted(r["k"] for r in back.collect()) == [1, 2]
+
+
+def test_write_partitioned_layout(spark, tmp_path):
+    """partition_by produces the year=<v> directory layout that enables
+    partition pruning for downstream scans (the S3 scale posture)."""
+    import os
+
+    merged = spark.createDataFrame(
+        [(1, 1999, 10.0), (2, 1999, 20.0), (3, 2000, 30.0)],
+        "k long, year int, v double",
+    )
+    path = str(tmp_path / "part.parquet")
+    write_upsert_parquet(path, merged, partition_by=["year"])
+    subdirs = {d for d in os.listdir(path) if d.startswith("year=")}
+    assert subdirs == {"year=1999", "year=2000"}
+    pruned = spark.read.parquet(path).filter("year = 1999")
+    assert pruned.count() == 2
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.plans.explain import (
+        formatted_plan,
+    )
+    assert "PartitionFilters" in formatted_plan(pruned)
