@@ -36,7 +36,10 @@ RUNS = 3
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = None  # informational only — don't die on unconventional paths
 
     t0 = time.time()
     from u_s__non_farm_payrolls_an_olap_analysis_spark.session import get_spark

@@ -11,10 +11,11 @@ Usage: python scripts/check_parity.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def canon_cell(v):
@@ -23,9 +24,19 @@ def canon_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NULL"
+        if math.isinf(v):
+            return "Infinity" if v > 0 else "-Infinity"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return f"{v:.9g}"
+    if hasattr(v, "tolist") and not hasattr(v, "isoformat"):
+        # numpy arrays / scalars from array-typed columns
+        t = v.tolist()
+        return (
+            "[" + ",".join(canon_cell(x) for x in t) + "]"
+            if isinstance(t, list)
+            else canon_cell(t)
+        )
     if hasattr(v, "isoformat"):
         return v.isoformat()
     if isinstance(v, (list, tuple)):

@@ -36,6 +36,15 @@ def explode_salts(df: DataFrame, n_salts: int, col_name: str = "__salt") -> Data
     )
 
 
+# Join types where replicating the small side cannot duplicate output rows:
+# unmatched SMALL rows are never emitted by these. right/full would emit each
+# unmatched small row once per salt — silently wrong — so they are rejected.
+_SALT_SAFE_JOINS = {
+    "inner", "left", "leftouter", "left_outer",
+    "semi", "leftsemi", "left_semi", "anti", "leftanti", "left_anti",
+}
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -45,7 +54,18 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join with the big side salted and the small side replicated:
     a hot key's probe rows fan out over ``n_salts`` tasks instead of one
-    straggler. Cost: small side x n_salts (bounded, it's the small side)."""
+    straggler. Cost: small side x n_salts (bounded, it's the small side).
+
+    Only join types that never emit unmatched small-side rows are allowed
+    (the replication would duplicate them ``n_salts`` times otherwise)."""
+    if how.lower().replace("_", "") not in {
+        j.replace("_", "") for j in _SALT_SAFE_JOINS
+    }:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the replicated "
+            "small side would duplicate unmatched rows; use inner/left/"
+            "semi/anti, or salt the other side"
+        )
     b = with_salt(big, n_salts)
     s = explode_salts(small, n_salts)
     joined = b.join(s, on=on + ["__salt"], how=how)

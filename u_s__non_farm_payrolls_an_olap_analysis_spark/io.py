@@ -17,6 +17,8 @@ merge key.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -39,8 +41,10 @@ TABLES = (
 # one analyzed relation instead of re-listing files and re-reading footers on
 # every call (100-300 ms per spark.read.parquet — the dominant cost of small
 # warm queries). The test fixtures are read-only; a mutable deployment would
-# call clear_table_cache() after writes.
-_TABLE_MEMO: dict[tuple[int, str, str], DataFrame] = {}
+# call clear_table_cache() after writes. Keyed by applicationId (stable and
+# unique per session) — id(spark) could be reused by a new session after GC
+# and hand back a DataFrame bound to a stopped context.
+_TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def clear_table_cache() -> None:
@@ -58,7 +62,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     exceed double's 2^53 exact range) and floors exactly like DuckDB's
     ns→us conversion.
     """
-    key = (id(spark), sf_dir, name)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
     memo = _TABLE_MEMO.get(key)
     if memo is not None:
         return memo
@@ -102,7 +106,11 @@ def upsert_by_key(
     reference's per-row round trips).
 
     ``order_col`` optionally breaks ties *within* the updates side (e.g. an
-    ingestion timestamp); by default updates beat target rows.
+    ingestion timestamp); by default updates beat target rows. When the
+    updates side carries duplicate keys, the remaining columns break the
+    final tie so the winner is deterministic across runs and partitionings
+    (requires orderable column types; provide ``order_col`` for frames with
+    array/map payloads).
     """
     tagged = updates.withColumn("__prio", F.lit(1)).unionByName(
         target.withColumn("__prio", F.lit(0))
@@ -110,6 +118,12 @@ def upsert_by_key(
     order = [F.col("__prio").desc()]
     if order_col is not None:
         order.append(F.col(order_col).desc())
+    # deterministic final tie-break over the non-key payload columns
+    order.extend(
+        F.col(c).desc()
+        for c in updates.columns
+        if c not in key_cols and c != order_col
+    )
     w = Window.partitionBy(*key_cols).orderBy(*order)
     return (
         tagged.withColumn("__rn", F.row_number().over(w))
@@ -125,10 +139,25 @@ def write_upsert_parquet(
 ) -> None:
     """Single batch write of a merged frame (the S3 sink half).
 
+    The canonical upsert flow reads the target, merges, and writes BACK to
+    the same path — a direct overwrite of a path being read either raises
+    (Spark's self-overwrite check) or destroys input files mid-scan. The
+    write therefore stages to a sibling temp directory and swaps it in:
+    the merged frame is fully materialized before the target is touched.
+    (On object stores the final rename is a copy; a production deployment
+    would use a table format's atomic commit instead.)
+
     ``partition_by`` (e.g. year of the date key) enables partition pruning
     for downstream scans at scale.
     """
+    import shutil
+    import uuid as _uuid
+
+    tmp_path = f"{target_path}__staging_{_uuid.uuid4().hex[:8]}"
     writer = merged.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(target_path)
+    writer.parquet(tmp_path)
+    if os.path.exists(target_path):
+        shutil.rmtree(target_path)
+    os.replace(tmp_path, target_path)

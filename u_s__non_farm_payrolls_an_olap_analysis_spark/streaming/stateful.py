@@ -38,7 +38,10 @@ def _update_profile(
     for pdf in pdfs:
         n += len(pdf)
         s += float(pdf["value"].sum())
-        last = max(last, int(pdf["ts"].astype("int64").max()))
+        # Timestamp.value is ALWAYS epoch nanoseconds regardless of the
+        # frame's datetime64 unit — a raw astype('int64') would store
+        # micros or nanos depending on the Arrow path and corrupt last_ts
+        last = max(last, int(pdf["ts"].max().value))
     state.update((n, s, last))
     yield pd.DataFrame(
         {

@@ -67,16 +67,23 @@ EVENTS_STREAM_SCHEMA = (
 )
 
 
+# one reusable symlink dir per source path — a fresh mkdtemp per call would
+# leak a directory every invocation of every streaming query
+_STREAM_DIR_MEMO: dict[str, str] = {}
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a file stream. The file-stream source lists a
     directory, so the single parquet file is exposed through a symlinked
-    temp dir; ``ts`` arrives as raw nanos (see ``io.read_table``) and is
-    converted to a microsecond timestamp."""
+    temp dir (memoized per source path); ``ts`` arrives as raw nanos (see
+    ``io.read_table``) and is converted to a microsecond timestamp."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    d = tempfile.mkdtemp(prefix="events_stream_")
-    os.symlink(
-        os.path.abspath(f"{sf_dir}/events.parquet"), f"{d}/events.parquet"
-    )
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    d = _STREAM_DIR_MEMO.get(src)
+    if d is None or not os.path.exists(d):
+        d = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(src, f"{d}/events.parquet")
+        _STREAM_DIR_MEMO[src] = d
     raw = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .format("parquet")
