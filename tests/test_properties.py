@@ -60,6 +60,68 @@ def test_group_sum_distributes_over_union(spark, a, b):
     assert {r["k"]: r["s"] for r in unioned} == expect
 
 
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=1, max_size=12), min_size=1, max_size=8
+    )
+)
+@_settings
+def test_dedup_exact_idempotent_and_partitioning(spark, texts):
+    """Dedup is a partition of the input: group sizes sum to the row count,
+    and deduping the keepers again is the identity."""
+    from pyspark.sql import functions as F
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.dedup import (
+        dedup_exact,
+    )
+
+    rows = [(i, t, "en", "s0", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = dedup_exact(spark, d).collect()
+    assert sum(r["n_copies"] for r in out) == len(texts)
+    keepers = {r["keeper_doc_id"] for r in out}
+    assert len(keepers) == len(out)  # one keeper per group
+    # keepers' texts are pairwise distinct after normalization
+    norm = (
+        df.filter(F.col("doc_id").isin(*keepers))
+        .select(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "))
+        .distinct()
+        .count()
+    )
+    assert norm == len(keepers)
+
+
+@given(drop_month=st.integers(2, 11))
+@_settings
+def test_gap_fill_reconstructs_dropped_month(spark, drop_month):
+    """Forward fill restores any single dropped interior month with the
+    previous month's value (direct property of last_value ignoreNulls)."""
+    import datetime as dt
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    rows = [(dt.datetime(2020, m, 1), float(100 + m)) for m in range(1, 13)]
+    df = spark.createDataFrame(rows, "ms timestamp, total double")
+    observed = df.filter(F.month("ms") != drop_month)
+    bounds = df.agg(F.min("ms").alias("lo"), F.max("ms").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 MONTH"))).alias("ms")
+    )
+    w = Window.orderBy("ms").rowsBetween(Window.unboundedPreceding, 0)
+    filled = {
+        r["ms"].month: r["f"]
+        for r in spine.join(observed, "ms", "left")
+        .select("ms", F.last("total", ignorenulls=True).over(w).alias("f"))
+        .collect()
+    }
+    assert filled[drop_month] == 100 + drop_month - 1  # carried from prior
+
+
 @given(vals=st.lists(st.integers(1, 10**6), min_size=1, max_size=15))
 @_settings
 def test_pct_change_reconstructs_series(spark, vals):
