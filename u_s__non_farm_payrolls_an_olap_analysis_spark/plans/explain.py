@@ -42,8 +42,14 @@ def join_kinds(df: DataFrame) -> list[str]:
 
 
 def exchange_count(df: DataFrame) -> int:
-    """Number of shuffle boundaries (excluding AQE shuffle reads)."""
-    return len(re.findall(r"\bExchange\b", formatted_plan(df)))
+    """Number of distinct shuffle boundaries. Formatted explain prints each
+    node twice (tree line 'Exchange (5)' + detail header '(5) Exchange'),
+    so count unique node ids, not text occurrences."""
+    plan = formatted_plan(df)
+    # BroadcastExchange is a broadcast, not a shuffle — exclude it
+    ids = set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", plan))
+    ids |= set(re.findall(r"\((\d+)\) Exchange", plan))
+    return len(ids)
 
 
 def has_take_ordered(df: DataFrame) -> bool:
