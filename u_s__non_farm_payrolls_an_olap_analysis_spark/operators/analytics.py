@@ -143,8 +143,42 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation / covariance of (quantity, discount) per return flag,
+    computed from EXACT scaled-integer moment sums (Sx, Sy, Sxy, Sxx, Syy)
+    so the result is order-independent — builtin ``corr``/``covar_pop``
+    accumulate doubles and drift under parallel partial aggregation, which
+    would break oracle hashing. Same single-pass moment-sketch shape every
+    OLAP engine uses; the determinism comes from integer accumulation."""
+    li = read_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_discount")
+
+    def s(expr, scale):
+        return F.sum(F.round(expr * scale).cast("long")) / float(scale)
+
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        s(x, 100).alias("sx"),
+        s(y, 10_000).alias("sy"),
+        s(x * y, 100_000).alias("sxy"),
+        s(x * x, 100).alias("sxx"),
+        s(y * y, 100_000_000).alias("syy"),
+    )
+    n = F.col("n")
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / n
+    var_x = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / n
+    var_y = (F.col("syy") - F.col("sy") * F.col("sy") / n) / n
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(cov, 8).alias("covar_pop"),
+        F.round(cov / F.sqrt(var_x * var_y), 6).alias("corr"),
+    )
+
+
 QUERIES = {
     "agg_percentiles": agg_percentiles,
+    "agg_corr_covar": agg_corr_covar,
     "agg_approx_percentiles": agg_approx_percentiles,
     "agg_histogram": agg_histogram,
     "string_functions_showcase": string_functions_showcase,
@@ -152,7 +186,30 @@ QUERIES = {
     "timeseries_gap_fill": timeseries_gap_fill,
 }
 
+_MOMENTS = (
+    "SELECT l_returnflag, COUNT(*) AS n, "
+    "CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 "
+    "AS sx, "
+    "CAST(SUM(CAST(ROUND(l_discount * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 "
+    "AS sy, "
+    "CAST(SUM(CAST(ROUND(l_quantity * l_discount * 100000) AS BIGINT)) "
+    "AS DOUBLE) / 100000.0 AS sxy, "
+    "CAST(SUM(CAST(ROUND(l_quantity * l_quantity * 100) AS BIGINT)) "
+    "AS DOUBLE) / 100.0 AS sxx, "
+    "CAST(SUM(CAST(ROUND(l_discount * l_discount * 100000000) AS BIGINT)) "
+    "AS DOUBLE) / 100000000.0 AS syy "
+    "FROM lineitem GROUP BY 1"
+)
+
 ORACLE = {
+    "agg_corr_covar": (
+        f"WITH m AS ({_MOMENTS}) "
+        "SELECT l_returnflag, n, "
+        "ROUND((sxy - sx * sy / n) / n, 8) AS covar_pop, "
+        "ROUND(((sxy - sx * sy / n) / n) / "
+        "sqrt(((sxx - sx * sx / n) / n) * ((syy - sy * sy / n) / n)), 6) "
+        "AS corr FROM m"
+    ),
     "agg_percentiles": (
         "SELECT CAST(year(o_orderdate) AS INT) AS year, "
         "ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price, "
