@@ -176,9 +176,36 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-frame window aggregates over the monthly series: trailing
+    3-month moving average/min/max and first/last of the frame — the
+    explicit ROWS-frame family (the reference only ever uses lag-1 and the
+    running-peak frame). One sort, one WindowExec for all five functions."""
+    m = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(month_start("o_orderdate").alias("ms"))
+        .agg(F.round(dsum("o_totalprice"), 4).alias("total"))
+    )
+    w3 = Window.orderBy("ms").rowsBetween(-2, 0)
+    return m.select(
+        F.col("ms").alias("month_start"),
+        "total",
+        F.round(
+            F.sum(F.round(F.col("total") * 10_000).cast("long")).over(w3)
+            / 10_000.0
+            / F.count(F.lit(1)).over(w3),
+            4,
+        ).alias("ma3"),
+        F.round(F.min("total").over(w3), 4).alias("min3"),
+        F.round(F.max("total").over(w3), 4).alias("max3"),
+        F.round(F.first("total").over(w3), 4).alias("frame_first"),
+    )
+
+
 QUERIES = {
     "agg_percentiles": agg_percentiles,
     "agg_corr_covar": agg_corr_covar,
+    "window_moving_stats": window_moving_stats,
     "agg_approx_percentiles": agg_approx_percentiles,
     "agg_histogram": agg_histogram,
     "string_functions_showcase": string_functions_showcase,
@@ -201,7 +228,24 @@ _MOMENTS = (
     "FROM lineitem GROUP BY 1"
 )
 
+_M3 = (
+    "SELECT date_trunc('month', o_orderdate) AS ms, "
+    "ROUND((CAST(SUM(CAST(ROUND((o_totalprice) * 10000) AS BIGINT)) "
+    "AS DOUBLE) / 10000.0), 4) AS total FROM orders GROUP BY 1"
+)
+
 ORACLE = {
+    "window_moving_stats": (
+        f"WITH m AS ({_M3}) "
+        "SELECT ms AS month_start, total, "
+        "ROUND(CAST(SUM(CAST(ROUND(total * 10000) AS BIGINT)) OVER w "
+        "AS DOUBLE) / 10000.0 / COUNT(*) OVER w, 4) AS ma3, "
+        "ROUND(MIN(total) OVER w, 4) AS min3, "
+        "ROUND(MAX(total) OVER w, 4) AS max3, "
+        "ROUND(FIRST_VALUE(total) OVER w, 4) AS frame_first "
+        "FROM m WINDOW w AS (ORDER BY ms "
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
+    ),
     "agg_corr_covar": (
         f"WITH m AS ({_MOMENTS}) "
         "SELECT l_returnflag, n, "
