@@ -106,24 +106,30 @@ def upsert_by_key(
     reference's per-row round trips).
 
     ``order_col`` optionally breaks ties *within* the updates side (e.g. an
-    ingestion timestamp); by default updates beat target rows. When the
-    updates side carries duplicate keys, the remaining columns break the
-    final tie so the winner is deterministic across runs and partitionings
-    (requires orderable column types; provide ``order_col`` for frames with
-    array/map payloads).
+    ingestion timestamp) and is then trusted as the sole deterministic
+    order. Without it, duplicate update keys are tie-broken by the
+    orderable payload columns (map-typed columns are skipped — Spark maps
+    are not orderable) so the winner is stable across runs/partitionings.
     """
+    from pyspark.sql.types import MapType
+
     tagged = updates.withColumn("__prio", F.lit(1)).unionByName(
         target.withColumn("__prio", F.lit(0))
     )
     order = [F.col("__prio").desc()]
     if order_col is not None:
         order.append(F.col(order_col).desc())
-    # deterministic final tie-break over the non-key payload columns
-    order.extend(
-        F.col(c).desc()
-        for c in updates.columns
-        if c not in key_cols and c != order_col
-    )
+    else:
+        orderable = {
+            f.name
+            for f in updates.schema.fields
+            if not isinstance(f.dataType, MapType)
+        }
+        order.extend(
+            F.col(c).desc()
+            for c in updates.columns
+            if c not in key_cols and c in orderable
+        )
     w = Window.partitionBy(*key_cols).orderBy(*order)
     return (
         tagged.withColumn("__rn", F.row_number().over(w))
@@ -153,11 +159,25 @@ def write_upsert_parquet(
     import shutil
     import uuid as _uuid
 
-    tmp_path = f"{target_path}__staging_{_uuid.uuid4().hex[:8]}"
-    writer = merged.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(tmp_path)
-    if os.path.exists(target_path):
-        shutil.rmtree(target_path)
-    os.replace(tmp_path, target_path)
+    def _write(path: str) -> None:
+        writer = merged.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+
+    if "://" in target_path and not target_path.startswith("file:"):
+        # Remote filesystem: local rename doesn't apply; write directly and
+        # rely on the store's committer (a production deployment would use a
+        # table format's atomic commit for read-modify-write cycles).
+        _write(target_path)
+        return
+    local = target_path.split("://", 1)[-1]
+    tmp_path = f"{local}__staging_{_uuid.uuid4().hex[:8]}"
+    try:
+        _write(tmp_path)
+    except Exception:
+        shutil.rmtree(tmp_path, ignore_errors=True)
+        raise
+    if os.path.exists(local):
+        shutil.rmtree(local)
+    os.replace(tmp_path, local)

@@ -165,7 +165,9 @@ def _geomean_udaf():
         import numpy as np
 
         # non-positive values are excluded (log undefined) — the oracle
-        # mirrors this with FILTER (WHERE x > 0); all-non-positive → NULL
+        # mirrors this with CASE WHEN x > 0 THEN LN(x) END inside AVG
+        # (NOT a FILTER clause: DuckDB evaluates LN eagerly under FILTER
+        # and errors on zero); all-non-positive → NULL
         x = v.to_numpy()
         x = x[x > 0]
         if x.size == 0:

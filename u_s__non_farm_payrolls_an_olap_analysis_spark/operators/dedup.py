@@ -205,17 +205,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         simhash = bit if simhash is None else simhash.bitwiseOR(bit)
     sigs = bit_sums.select("doc_id", simhash.alias("simhash"))
-    # 8 chunks of 8 bits: by pigeonhole, any pair within Hamming distance 7
-    # leaves at least one chunk untouched, so recall is guaranteed for the
-    # <= 6 verification threshold below (4x16 chunking only guaranteed <= 3).
+    # 7 chunks (widths 10,9,9,9,9,9,9 = 64 bits): by pigeonhole, any pair
+    # within Hamming distance 6 leaves at least one chunk untouched →
+    # guaranteed recall for the <= 6 verification below. 7 chunks is the
+    # minimum for that bound, and the >= 9-bit buckets keep the candidate
+    # self-join ~N²/2^9 per band instead of the near-quadratic blowup an
+    # 8-bit-bucket scheme gives at corpus scale.
+    widths = [10, 9, 9, 9, 9, 9, 9]
+    offsets = [sum(widths[:i]) for i in range(len(widths))]
     chunks = None
-    for c in range(8):
+    for c, (off, wd) in enumerate(zip(offsets, widths)):
         part = sigs.select(
             "doc_id",
             "simhash",
             F.lit(c).alias("chunk"),
-            F.shiftrightunsigned(F.col("simhash"), 8 * c)
-            .bitwiseAND(F.lit(0xFF))
+            F.shiftrightunsigned(F.col("simhash"), off)
+            .bitwiseAND(F.lit((1 << wd) - 1))
             .alias("chunk_val"),
         )
         chunks = part if chunks is None else chunks.unionByName(part)
@@ -347,6 +352,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"dedup_clusters: label propagation did not converge within "
             f"{max_rounds} rounds (pathologically long duplicate chain?)"
         )
+    # release the terminal generation's cache too: the caller's single
+    # consumption recomputes one extra pass through lineage, and repeated
+    # invocations no longer pin one cached frame each in executor storage
+    labels.unpersist()
     return labels
 
 

@@ -112,10 +112,11 @@ ORACLE = {
         "WITH valid AS (SELECT props FROM events WHERE json_valid(props)), "
         "obj AS (SELECT CAST(props AS JSON) AS j FROM valid "
         "WHERE json_type(props) = 'OBJECT'), "
-        "kv AS (SELECT u.key, TRY_CAST(u.value AS INT) AS value FROM obj e, "
-        "UNNEST(json_keys(e.j)) AS t(key), "
-        "LATERAL (SELECT t.key AS key, "
-        "json_extract_string(e.j, '$.' || t.key) AS value) u) "
+        # ->> with a string operand is a LITERAL key lookup (not a JSONPath),
+        # so keys containing '.', '[' or quotes extract identically to
+        # Spark's explode(map) — path concatenation would misread them
+        "kv AS (SELECT t.key, TRY_CAST(e.j ->> t.key AS INT) AS value "
+        "FROM obj e, UNNEST(json_keys(e.j)) AS t(key)) "
         "SELECT key, COUNT(*) AS n, CAST(SUM(value) AS BIGINT) AS sum_value, "
         "MIN(value) AS min_value, MAX(value) AS max_value FROM kv GROUP BY 1"
     ),

@@ -33,23 +33,36 @@ def read_schemas(df: DataFrame) -> list[str]:
     return re.findall(r"ReadSchema: (\S+)", formatted_plan(df))
 
 
+def _node_occurrences(plan: str, node: str) -> set[str]:
+    """Unique node ids for a physical node name. Formatted explain prints
+    each node twice (tree line 'Name (5)' + detail header '(5) Name'), and
+    node names embed each other ('ReusedExchange' contains 'Exchange') —
+    match whole names only and dedupe by id."""
+    ids = set(re.findall(rf"(?<![A-Za-z]){node} \((\d+)\)", plan))
+    ids |= set(re.findall(rf"\((\d+)\) {node}(?![A-Za-z])", plan))
+    return ids
+
+
 def join_kinds(df: DataFrame) -> list[str]:
-    return re.findall(
-        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
-        r"BroadcastNestedLoopJoin|CartesianProduct)",
-        formatted_plan(df),
-    )
+    """Join strategy per distinct join node (deduped by node id)."""
+    plan = formatted_plan(df)
+    out: list[str] = []
+    for kind in (
+        "BroadcastHashJoin",
+        "SortMergeJoin",
+        "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+    ):
+        out.extend([kind] * len(_node_occurrences(plan, kind)))
+    return out
 
 
 def exchange_count(df: DataFrame) -> int:
-    """Number of distinct shuffle boundaries. Formatted explain prints each
-    node twice (tree line 'Exchange (5)' + detail header '(5) Exchange'),
-    so count unique node ids, not text occurrences."""
-    plan = formatted_plan(df)
-    # BroadcastExchange is a broadcast, not a shuffle — exclude it
-    ids = set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", plan))
-    ids |= set(re.findall(r"\((\d+)\) Exchange", plan))
-    return len(ids)
+    """Number of distinct shuffle boundaries — bare Exchange nodes only
+    (BroadcastExchange is a broadcast; ReusedExchange reuses an existing
+    exchange output and adds no shuffle)."""
+    return len(_node_occurrences(formatted_plan(df), "Exchange"))
 
 
 def has_take_ordered(df: DataFrame) -> bool:
