@@ -21,3 +21,25 @@ Layout
 """
 
 __version__ = "0.1.0"
+
+
+def get_spark(*args, **kwargs):
+    """Convenience re-export of :func:`session.get_spark` (lazy import so
+    ``import u_s__non_farm_payrolls_an_olap_analysis_spark`` stays cheap)."""
+    from .session import get_spark as _g
+
+    return _g(*args, **kwargs)
+
+
+def queries():
+    """Convenience re-export of :func:`registry.queries`."""
+    from .registry import queries as _q
+
+    return _q()
+
+
+def oracle_sql():
+    """Convenience re-export of :func:`registry.oracle_sql`."""
+    from .registry import oracle_sql as _o
+
+    return _o()
