@@ -96,3 +96,28 @@ def test_salted_aggregation_matches_plain(spark):
         for r in salted_count_by_key(ev, "user_id", n_salts=4).collect()
     }
     assert plain == salted
+
+
+def test_with_salt_skips_map_columns(spark):
+    """with_salt on a frame containing a MapType column must not fail
+    analysis (hash over maps is unsupported) — round-1 advice."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.functions.skew import (
+        with_salt,
+    )
+
+    df = spark.createDataFrame(
+        [(1, {"a": 1}), (2, {"b": 2})], "k long, m map<string,int>"
+    )
+    out = with_salt(df, 4).collect()
+    assert all(0 <= r["__salt"] < 4 for r in out)
+
+
+def test_with_salt_all_map_columns_falls_back(spark):
+    """A frame with no hashable column still salts (monotonic-id basis)."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.functions.skew import (
+        with_salt,
+    )
+
+    df = spark.createDataFrame([({"a": 1},), ({"b": 2},)], "m map<string,int>")
+    out = with_salt(df, 4).collect()
+    assert all(0 <= r["__salt"] < 4 for r in out)

@@ -67,3 +67,24 @@ def test_stream_source_schema(spark):
     df = _events_stream(spark, SF)
     assert df.isStreaming
     assert dict(df.dtypes)["ts"] == "timestamp"
+
+
+def test_drain_leaves_no_memory_sink_views(spark):
+    """_drain_to_memory must drop its memory-sink temp view — repeated
+    streaming invocations in one session must not accumulate catalog
+    entries (round-1 advice)."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.streaming.stream_windows import (
+        stream_tumbling_agg,
+    )
+
+    def sink_views():
+        return [
+            t.name
+            for t in spark.catalog.listTables()
+            if t.name.startswith("stream_out_")
+        ]
+
+    before = sink_views()
+    out = stream_tumbling_agg(spark, SF)
+    assert out.count() > 0
+    assert sink_views() == before

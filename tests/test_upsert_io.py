@@ -66,3 +66,34 @@ def test_write_partitioned_layout(spark, tmp_path):
         formatted_plan,
     )
     assert "PartitionFilters" in formatted_plan(pruned)
+
+
+def test_write_file_uri_forms(spark, tmp_path):
+    """'file:' URIs — including the single-slash form produced by
+    Path.as_uri() manipulation — must resolve to the local path, not be
+    treated as a literal filename (round-1 advice)."""
+    merged = spark.createDataFrame([(1, 10.0)], "k long, v double")
+    base = tmp_path / "uri_out.parquet"
+    for uri in (f"file:{base}", f"file://{base}", f"file:///{str(base).lstrip('/')}"):
+        write_upsert_parquet(uri, merged)
+        assert base.exists(), uri
+        back = spark.read.parquet(str(base))
+        assert back.count() == 1
+        import shutil
+
+        shutil.rmtree(base)
+
+
+def test_write_overwrite_leaves_no_stragglers(spark, tmp_path):
+    """The swap must leave exactly the live table: no __staging or __old
+    residue after a successful overwrite, and the new contents win."""
+    import os
+
+    path = str(tmp_path / "swap.parquet")
+    first = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    second = spark.createDataFrame([(2, 2.0), (3, 3.0)], "k long, v double")
+    write_upsert_parquet(path, first)
+    write_upsert_parquet(path, second)
+    assert sorted(r["k"] for r in spark.read.parquet(path).collect()) == [2, 3]
+    residue = [d for d in os.listdir(tmp_path) if "__staging" in d or "__old" in d]
+    assert residue == []

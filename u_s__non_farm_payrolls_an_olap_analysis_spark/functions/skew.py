@@ -19,12 +19,36 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _hashable(dtype) -> bool:
+    """xxhash64 rejects MapType at any nesting depth — filter those out."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dtype, MapType):
+        return False
+    if isinstance(dtype, ArrayType):
+        return _hashable(dtype.elementType)
+    if isinstance(dtype, StructType):
+        return all(_hashable(f.dataType) for f in dtype.fields)
+    return True
+
+
 def with_salt(df: DataFrame, n_salts: int, col_name: str = "__salt") -> DataFrame:
     """Add a uniform salt derived from a whole-row hash (deterministic for
-    a given row, no RNG — keeps retries/replays stable)."""
-    return df.withColumn(
-        col_name, F.pmod(F.xxhash64(*df.columns), F.lit(n_salts)).cast("int")
-    )
+    a given row, no RNG — keeps retries/replays stable).
+
+    Map-typed columns (at any nesting depth) are excluded from the hash —
+    Spark's hash functions don't support maps. If NO column is hashable,
+    falls back to ``monotonically_increasing_id`` (still spreads rows, but
+    partition-layout-dependent rather than content-deterministic).
+
+    Known limitation (documented, inherent to content hashing): byte-equal
+    duplicate rows collide into one salt bucket, so a hot key consisting of
+    *identical* rows is not spread — dedup first, or salt on
+    ``monotonically_increasing_id`` explicitly for that shape.
+    """
+    cols = [f.name for f in df.schema.fields if _hashable(f.dataType)]
+    basis = F.xxhash64(*cols) if cols else F.monotonically_increasing_id()
+    return df.withColumn(col_name, F.pmod(basis, F.lit(n_salts)).cast("int"))
 
 
 def explode_salts(df: DataFrame, n_salts: int, col_name: str = "__salt") -> DataFrame:

@@ -165,19 +165,46 @@ def write_upsert_parquet(
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
 
-    if "://" in target_path and not target_path.startswith("file:"):
-        # Remote filesystem: local rename doesn't apply; write directly and
-        # rely on the store's committer (a production deployment would use a
-        # table format's atomic commit for read-modify-write cycles).
-        _write(target_path)
-        return
-    local = target_path.split("://", 1)[-1]
-    tmp_path = f"{local}__staging_{_uuid.uuid4().hex[:8]}"
+    from urllib.parse import urlparse
+
+    if target_path.startswith("file:") or "://" in target_path:
+        parsed = urlparse(target_path)
+        if parsed.scheme not in ("", "file") or parsed.netloc not in (
+            "",
+            "localhost",
+        ):
+            # Remote filesystem: local rename doesn't apply; write directly
+            # and rely on the store's committer (a production deployment
+            # would use a table format's atomic commit for
+            # read-modify-write cycles).
+            _write(target_path)
+            return
+        # Covers file:/x, file://x, file:///x — urlparse yields the bare
+        # local path for all three single-host forms.
+        local = parsed.path
+    else:
+        local = target_path
+    token = _uuid.uuid4().hex[:8]
+    tmp_path = f"{local}__staging_{token}"
     try:
         _write(tmp_path)
     except Exception:
         shutil.rmtree(tmp_path, ignore_errors=True)
         raise
+    # Crash-safe swap: move the live table aside (rename, instant), promote
+    # the staging dir, then delete the old copy. A crash between the two
+    # renames leaves the previous table recoverable at __old_<token>; the
+    # no-live-table window is two metadata ops, not an rmtree of the data.
+    old_path = None
     if os.path.exists(local):
-        shutil.rmtree(local)
-    os.replace(tmp_path, local)
+        old_path = f"{local}__old_{token}"
+        os.replace(local, old_path)
+    try:
+        os.replace(tmp_path, local)
+    except Exception:
+        if old_path is not None:
+            os.replace(old_path, local)
+        shutil.rmtree(tmp_path, ignore_errors=True)
+        raise
+    if old_path is not None:
+        shutil.rmtree(old_path, ignore_errors=True)

@@ -77,15 +77,17 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "value")
     w_user = Window.partitionBy("user_id").orderBy("ts")
-    # fractional-second precision: epoch seconds as DOUBLE (NTZ must hop
-    # through LTZ; session tz is UTC), matching the oracle's full-precision
-    # interval comparison — a long cast truncates to whole seconds and can
-    # flip boundary gaps
-    secs = F.col("ts").cast("timestamp").cast("double")
-    gap = secs - F.lag(secs).over(w_user)
+    # exact int64 microseconds (NTZ must hop through LTZ; session tz is
+    # UTC): epoch-seconds-as-DOUBLE carries ~2e-7 s representation error at
+    # current epochs, enough to flip a gap of exactly 30 minutes; unix_micros
+    # matches the µs-floored timestamps Spark actually reads, with no FP.
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = micros - F.lag(micros).over(w_user)
     flagged = ev.withColumn(
         "new_s",
-        F.when(gap.isNull() | (gap >= 30 * 60), F.lit(1)).otherwise(F.lit(0)),
+        F.when(gap.isNull() | (gap >= 30 * 60 * 1_000_000), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
     )
     with_sid = flagged.withColumn(
         "sid",

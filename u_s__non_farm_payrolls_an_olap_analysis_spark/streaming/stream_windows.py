@@ -109,7 +109,14 @@ def _drain_to_memory(
             .start()
         )
         q.awaitTermination()
-    return spark.table(name)
+    # Materialize the sink's rows and drop the temp view immediately:
+    # memory-sink tables otherwise accumulate in the catalog (and driver
+    # memory) for the session's lifetime, one per invocation. Streaming
+    # results here are small aggregates, so a driver-side copy is cheap.
+    sink = spark.table(name)
+    out = spark.createDataFrame(sink.collect(), sink.schema)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
