@@ -1,0 +1,282 @@
+"""TPC-H-shaped multi-join analytics (SURVEY §2.10 extension surface).
+
+The reference is single-table (`dashboard_nfp.py` never joins, SURVEY §2.3);
+these queries extend the engine's join/aggregate surface to the canonical
+decision-support shapes on the driver's star schema — the workload class a
+user of an OLAP engine actually runs at 100 TB. Physical-strategy notes per
+query; the shared posture:
+
+- Dimensions (`region`, `nation`, `supplier`, filtered `customer`, `part`)
+  are broadcast — the fact tables (`orders`, `lineitem`) never shuffle for
+  a dim lookup.
+- Fact-fact joins (`orders` ⋈ `lineitem`) shuffle once on the order key;
+  at scale both sides would be bucketed on it (see
+  `tests/test_scale_patterns.py` for the bucketed zero-exchange variant).
+- Filters sit directly on scan columns (sargable; pushed to parquet), and
+  every money aggregate uses the deterministic scaled-int sum
+  (`functions/numerics.dsum`) so results hash-match at any parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.numerics import dsum, dsum_sql
+from ..io import read_table
+
+_REVENUE_SQL = "l_extendedprice * (1 - l_discount)"
+
+
+def _revenue() -> F.Column:
+    # built lazily — Column construction needs an active SparkSession
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def _ts(lit: str) -> F.Column:
+    return F.lit(lit).cast("timestamp_ntz")
+
+
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape — unshipped-order revenue for one market segment, top 10.
+
+    BUILDING customers are ~1/5 of a dim table → broadcast; orders⋈lineitem
+    shuffles on the order key; the final top-10 is a TakeOrdered (no global
+    sort materialization). Date predicates are sargable on the raw columns.
+    """
+    cust = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < _ts("1999-03-15")
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > _ts("1999-03-15")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(dsum(_revenue()), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape — revenue by nation where supplier and customer share the
+    nation, one region, one year: the full 6-table star join.
+
+    region/nation/supplier broadcast; customer joins orders on the shuffled
+    custkey; lineitem⋈orders is the one big shuffle. The s_nationkey =
+    c_nationkey equality is part of the supplier join condition, not a
+    post-filter — it prunes before the aggregate.
+    """
+    region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = read_table(spark, sf_dir, "nation")
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1997-01-01"))
+        & (F.col("o_orderdate") < _ts("1998-01-01"))
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(dsum(_revenue()), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape — top-20 customers by lost revenue on returned items in
+    one quarter. customer⋈nation broadcast into the fact aggregate."""
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1998-10-01"))
+        & (F.col("o_orderdate") < _ts("1999-01-01"))
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(dsum(_revenue()), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+def tpch_q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape — promo revenue share for one month: conditional aggregate
+    over lineitem⋈part (part broadcast). One output row; the division is a
+    single post-aggregate projection (no second pass)."""
+    part = read_table(spark, sf_dir, "part")
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1998-09-01"))
+        & (F.col("l_shipdate") < _ts("1998-10-01"))
+    )
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    promo = dsum(F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(F.lit(0.0)))
+    total = dsum(_revenue())
+    return joined.agg(
+        F.round(promo * 100.0 / total, 6).alias("promo_revenue_pct"),
+        F.round(total, 4).alias("total_revenue"),
+    )
+
+
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape — supplier(s) achieving max quarterly revenue: aggregate,
+    then a global-max window instead of a correlated MAX subquery. The
+    window is over the 100-row supplier aggregate, not the fact table —
+    negligible at any scale."""
+    supp = read_table(spark, sf_dir, "supplier")
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1998-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-04-01"))
+    )
+    rev = li.groupBy("l_suppkey").agg(F.round(dsum(_revenue()), 4).alias("total_rev"))
+    w = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    top = rev.withColumn("max_rev", F.max("total_rev").over(w)).filter(
+        F.col("total_rev") == F.col("max_rev")
+    )
+    return (
+        top.join(F.broadcast(supp), top.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape — shipping volume between two nation pairs by year: the
+    supplier nation and customer nation resolve through two independent
+    broadcast dim chains, then the pair filter keeps both directions."""
+    n1 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    supp = read_table(spark, sf_dir, "supplier")
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1999-01-01"))
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.round(dsum(_revenue()), 4).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+QUERIES = {
+    "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
+    "tpch_q5_local_supplier_volume": tpch_q5_local_supplier_volume,
+    "tpch_q7_volume_shipping": tpch_q7_volume_shipping,
+    "tpch_q10_returned_items": tpch_q10_returned_items,
+    "tpch_q14_promo_revenue_share": tpch_q14_promo_revenue_share,
+    "tpch_q15_top_supplier": tpch_q15_top_supplier,
+}
+
+_REV_SUM = dsum_sql(_REVENUE_SQL)
+
+ORACLE = {
+    "tpch_q3_shipping_priority": (
+        "SELECT l_orderkey, o_orderdate, o_orderpriority, "
+        f"ROUND({_REV_SUM}, 4) AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "WHERE c_mktsegment = 'BUILDING' "
+        "AND o_orderdate < TIMESTAMP '1999-03-15' "
+        "AND l_shipdate > TIMESTAMP '1999-03-15' "
+        "GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10"
+    ),
+    "tpch_q5_local_supplier_volume": (
+        f"SELECT n_name, ROUND({_REV_SUM}, 4) AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "AND c_nationkey = s_nationkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE r_name = 'ASIA' "
+        "AND o_orderdate >= TIMESTAMP '1997-01-01' "
+        "AND o_orderdate < TIMESTAMP '1998-01-01' "
+        "GROUP BY 1 ORDER BY revenue DESC, n_name"
+    ),
+    "tpch_q7_volume_shipping": (
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+        "CAST(year(l_shipdate) AS INT) AS l_year, "
+        f"ROUND({_REV_SUM}, 4) AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+        "AND l_shipdate < TIMESTAMP '1999-01-01' "
+        "AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
+        "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) "
+        "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+    ),
+    "tpch_q10_returned_items": (
+        "SELECT c_custkey, c_name, c_acctbal, n_name, "
+        f"ROUND({_REV_SUM}, 4) AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "WHERE l_returnflag = 'R' "
+        "AND o_orderdate >= TIMESTAMP '1998-10-01' "
+        "AND o_orderdate < TIMESTAMP '1999-01-01' "
+        "GROUP BY 1, 2, 3, 4 ORDER BY revenue DESC, c_custkey LIMIT 20"
+    ),
+    "tpch_q14_promo_revenue_share": (
+        "SELECT ROUND("
+        + dsum_sql(
+            "CASE WHEN p_type = 'PROMO' THEN " + _REVENUE_SQL + " ELSE 0.0 END"
+        )
+        + f" * 100.0 / {_REV_SUM}, 6) AS promo_revenue_pct, "
+        f"ROUND({_REV_SUM}, 4) AS total_revenue "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE l_shipdate >= TIMESTAMP '1998-09-01' "
+        "AND l_shipdate < TIMESTAMP '1998-10-01'"
+    ),
+    "tpch_q15_top_supplier": (
+        "WITH rev AS (SELECT l_suppkey, "
+        f"ROUND({_REV_SUM}, 4) AS total_rev "
+        "FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1998-01-01' "
+        "AND l_shipdate < TIMESTAMP '1998-04-01' GROUP BY 1) "
+        "SELECT s_suppkey, s_name, total_rev FROM rev "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "WHERE total_rev = (SELECT MAX(total_rev) FROM rev) "
+        "ORDER BY s_suppkey"
+    ),
+}

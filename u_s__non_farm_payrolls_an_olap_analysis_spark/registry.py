@@ -31,6 +31,7 @@ from .operators import (
     similarity,
     sources,
     text,
+    tpch_analytics,
 )
 from .streaming import stateful, stream_windows
 
@@ -39,6 +40,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _MODULES = [
     olap,
     joins,
+    tpch_analytics,
     aggregates,
     analytics,
     custom_udf,
