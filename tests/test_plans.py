@@ -58,3 +58,43 @@ def test_asof_join_single_shuffle_per_side(spark):
     df = joins.join_range_asof(spark, SF)
     assert "CartesianProduct" not in join_kinds(df)
     assert exchange_count(df) <= 3
+
+
+def test_tpch_q3_pushdown_broadcast_topk(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import (
+        tpch_analytics,
+    )
+
+    df = tpch_analytics.tpch_q3_shipping_priority(spark, SF)
+    pushed = " ".join(pushed_filters(df))
+    assert "LessThan(o_orderdate" in pushed
+    assert "GreaterThan(l_shipdate" in pushed
+    assert "EqualTo(c_mktsegment,BUILDING)" in pushed
+    assert "BroadcastHashJoin" in join_kinds(df)
+    assert has_take_ordered(df)  # top-10 without a global sort
+
+
+def test_tpch_q5_six_table_join_no_cartesian(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import (
+        tpch_analytics,
+    )
+
+    df = tpch_analytics.tpch_q5_local_supplier_volume(spark, SF)
+    kinds = join_kinds(df)
+    assert "CartesianProduct" not in kinds
+    assert "BroadcastNestedLoopJoin" not in kinds
+    assert "BroadcastHashJoin" in kinds  # dims broadcast
+
+
+def test_tpch_q14_part_broadcast_and_range_pushdown(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import (
+        tpch_analytics,
+    )
+
+    df = tpch_analytics.tpch_q14_promo_revenue_share(spark, SF)
+    pushed = " ".join(pushed_filters(df))
+    assert "GreaterThanOrEqual(l_shipdate" in pushed
+    assert "LessThan(l_shipdate" in pushed
+    kinds = join_kinds(df)
+    assert "BroadcastHashJoin" in kinds
+    assert "SortMergeJoin" not in kinds
