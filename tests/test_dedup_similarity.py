@@ -111,3 +111,31 @@ def test_ann_ivf_subset_of_exact_candidates(spark):
     assert len(a) == len(e) == 50
     recall = len(a & e) / len(e)
     assert recall >= 0.2  # loose floor; exact value depends on fixture geometry
+
+
+def test_ivf_kmeans_recall_vs_exact(spark):
+    """The trained-codebook IVF must reach >= the fixed-seed IVF's recall
+    against the exact brute-force top-k (same probe budget), and clear an
+    absolute floor."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import (
+        similarity,
+    )
+
+    def topk_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    exact = topk_sets(similarity.sim_search_cosine(spark, SF))
+    fixed = topk_sets(similarity.sim_search_ann_ivf(spark, SF))
+    trained = topk_sets(similarity.sim_search_ann_ivf_kmeans(spark, SF))
+
+    def recall(approx):
+        hits = sum(len(approx.get(q, set()) & exact[q]) for q in exact)
+        total = sum(len(v) for v in exact.values())
+        return hits / total
+
+    r_fixed, r_trained = recall(fixed), recall(trained)
+    assert r_trained >= 0.5, f"trained recall {r_trained}"
+    assert r_trained >= r_fixed - 0.05, (r_trained, r_fixed)

@@ -37,6 +37,9 @@ SURVEY_INVENTORY = {
 EXPECTED_ROWS_ONLY = {
     "dedup_minhash_near", "dedup_simhash", "agg_approx_count_distinct",
     "stream_stateful_user_profile", "agg_approx_percentiles",
+    # cross-engine FP means can flip k-means assignments; correctness is
+    # the recall-vs-exact test in test_dedup_similarity.py
+    "sim_search_ann_ivf_kmeans",
 }
 
 

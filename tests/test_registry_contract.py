@@ -17,7 +17,8 @@ def test_registry_shape():
     assert rows_only <= {"dedup_minhash_near", "dedup_simhash",
                          "agg_approx_count_distinct",
                          "stream_stateful_user_profile",
-                         "agg_approx_percentiles"}
+                         "agg_approx_percentiles",
+                         "sim_search_ann_ivf_kmeans"}
 
 
 def test_entry_contract(spark):
