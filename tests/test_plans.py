@@ -98,3 +98,14 @@ def test_tpch_q14_part_broadcast_and_range_pushdown(spark):
     kinds = join_kinds(df)
     assert "BroadcastHashJoin" in kinds
     assert "SortMergeJoin" not in kinds
+
+
+def test_partitioned_layout_prunes(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import layout
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.plans.explain import (
+        formatted_plan,
+    )
+
+    df = layout.scan_partition_pruned(spark, SF)
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan and "o_year" in plan

@@ -23,6 +23,7 @@ from .operators import (
     dedup,
     joins,
     json_ops,
+    layout,
     multimodal,
     olap,
     reshape,
@@ -41,6 +42,7 @@ _MODULES = [
     olap,
     joins,
     tpch_analytics,
+    layout,
     aggregates,
     analytics,
     custom_udf,
