@@ -109,3 +109,14 @@ def test_partitioned_layout_prunes(spark):
     df = layout.scan_partition_pruned(spark, SF)
     plan = formatted_plan(df)
     assert "PartitionFilters" in plan and "o_year" in plan
+
+
+def test_sql_exists_decorrelates_to_semi_join(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import sql_api
+
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.plans.explain import (
+        formatted_plan,
+    )
+
+    df = sql_api.QUERIES["sql_exists_big_order"](spark, SF)
+    assert "LeftSemi" in formatted_plan(df)  # not a per-row subquery

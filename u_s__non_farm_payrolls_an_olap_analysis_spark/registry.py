@@ -31,6 +31,7 @@ from .operators import (
     setops,
     similarity,
     sources,
+    sql_api,
     text,
     tpch_analytics,
 )
@@ -43,6 +44,7 @@ _MODULES = [
     joins,
     tpch_analytics,
     layout,
+    sql_api,
     aggregates,
     analytics,
     custom_udf,
