@@ -181,10 +181,30 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X14d — streaming deduplication: at most one row per
+    (user, event_type, hour) via ``dropDuplicatesWithinWatermark``; the
+    watermark bounds the dedup state exactly like aggregate state (keys
+    older than the watermark are evicted, so state is O(active window),
+    not O(stream)). Only the key columns are emitted — which physical row
+    "wins" is arrival-order-dependent, the surviving KEY SET is not, and
+    that set is the deterministic, oracle-checkable output (batch
+    ``SELECT DISTINCT`` twin)."""
+    ev = _events_stream(spark, sf_dir)
+    keyed = ev.withWatermark("ts", "1 hour").withColumn(
+        "hr", F.date_trunc("hour", "ts")
+    )
+    dedup = keyed.dropDuplicatesWithinWatermark(["user_id", "event_type", "hr"])
+    out = _drain_to_memory(dedup.select("user_id", "event_type", "hr"), spark,
+                           output_mode="append")
+    return out.select("user_id", "event_type", F.col("hr").alias("hour_start"))
+
+
 QUERIES = {
     "stream_tumbling_agg": stream_tumbling_agg,
     "stream_sliding_agg": stream_sliding_agg,
     "stream_session_window": stream_session_window,
+    "stream_dedup_keys": stream_dedup_keys,
 }
 
 ORACLE = {
@@ -201,6 +221,10 @@ ORACLE = {
         "SELECT date_trunc('hour', ts) - o.o * INTERVAL 1 HOUR AS ws, "
         "event_type FROM events, (VALUES (0), (1)) AS o(o)) "
         "GROUP BY 1, 2, 3"
+    ),
+    "stream_dedup_keys": (
+        "SELECT DISTINCT user_id, event_type, "
+        "date_trunc('hour', ts) AS hour_start FROM events"
     ),
     "stream_session_window": (
         "WITH e AS (SELECT user_id, ts, value, "
