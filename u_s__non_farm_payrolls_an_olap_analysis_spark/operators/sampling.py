@@ -1,0 +1,107 @@
+"""Deterministic sampling & split operators (training-pipeline north star).
+
+A 100 TB training-data pipeline needs samples and train/test splits that
+are (a) reproducible across runs/engines, (b) computable in one scan with
+no shuffle, and (c) key-stable (all rows of a key land on the same side —
+no leakage between train and test). Random `df.sample` gives none of
+these portably; the scalable idiom is **key-modulus (hash) bucketing**: a
+pure per-row projection, embarrassingly parallel, and pushdown-friendly.
+
+Here the bucket function is a plain key modulus so the DuckDB oracle is
+bit-identical; a production pipeline with adversarial key distributions
+would use a salted hash (``xxhash64(key, seed)``) — same structure,
+engine-specific hash, which is why the portable form is canonical here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numerics import dsum, dsum_sql
+from ..io import read_table
+
+
+def sample_by_key_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% deterministic sample of orders by key bucket (o_orderkey % 100
+    < 10): one scan, zero shuffle before the summary aggregate, identical
+    membership on every run and engine."""
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderkey") % 100 < 10)
+        .groupBy(F.year("o_orderdate").alias("year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(dsum("o_totalprice"), 4).alias("sampled_total"),
+        )
+        .orderBy("year")
+    )
+
+
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-stable 80/20 split of documents by doc_id bucket. Every doc_id
+    lands in exactly one side (disjoint + exhaustive by construction —
+    the property random splits must be engineered to guarantee); the
+    output is the per-side profile a pipeline logs before training."""
+    docs = read_table(spark, sf_dir, "documents")
+    split = F.when(F.col("doc_id") % 10 < 8, F.lit("train")).otherwise(
+        F.lit("test")
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text").cast("long")).alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+def sample_stratified_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-stratum rates (order status
+    'F' at 5%, 'O' at 10%, else 20%) via a CASE over the key bucket —
+    the `sampleBy` shape, but reproducible and oracle-checkable. One
+    scan; the rate table would be a broadcast map at 100 TB."""
+    orders = read_table(spark, sf_dir, "orders")
+    bucket = F.col("o_orderkey") % 100
+    rate = (
+        F.when(F.col("o_orderstatus") == "F", F.lit(5))
+        .when(F.col("o_orderstatus") == "O", F.lit(10))
+        .otherwise(F.lit(20))
+    )
+    return (
+        orders.filter(bucket < rate)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("o_orderstatus")
+    )
+
+
+QUERIES = {
+    "sample_by_key_mod": sample_by_key_mod,
+    "split_train_test": split_train_test,
+    "sample_stratified_rates": sample_stratified_rates,
+}
+
+ORACLE = {
+    "sample_by_key_mod": (
+        "SELECT CAST(year(o_orderdate) AS INT) AS year, "
+        "COUNT(*) AS n_sampled, "
+        f"ROUND({dsum_sql('o_totalprice')}, 4) AS sampled_total "
+        "FROM orders WHERE o_orderkey % 100 < 10 "
+        "GROUP BY 1 ORDER BY 1"
+    ),
+    "split_train_test": (
+        "SELECT CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'test' END "
+        "AS split, COUNT(*) AS n_docs, "
+        "CAST(SUM(length(text)) AS BIGINT) AS total_chars "
+        "FROM documents GROUP BY 1 ORDER BY 1"
+    ),
+    "sample_stratified_rates": (
+        "SELECT o_orderstatus, COUNT(*) AS n_sampled FROM orders "
+        "WHERE o_orderkey % 100 < CASE WHEN o_orderstatus = 'F' THEN 5 "
+        "WHEN o_orderstatus = 'O' THEN 10 ELSE 20 END "
+        "GROUP BY 1 ORDER BY 1"
+    ),
+}

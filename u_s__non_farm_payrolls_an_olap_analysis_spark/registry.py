@@ -27,6 +27,7 @@ from .operators import (
     multimodal,
     olap,
     reshape,
+    sampling,
     scalars,
     setops,
     similarity,
@@ -45,6 +46,7 @@ _MODULES = [
     tpch_analytics,
     layout,
     sql_api,
+    sampling,
     aggregates,
     analytics,
     custom_udf,
