@@ -202,7 +202,23 @@ def window_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window family: ``percent_rank`` and ``cume_dist``
+    of each order's value within its year — the relative-standing
+    primitives (tie-stable: both are rank-based, so tied prices get equal
+    values in any engine). One shuffle on the year partition key."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy(F.year("o_orderdate")).orderBy("o_totalprice")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("year"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+    )
+
+
 QUERIES = {
+    "window_distribution_ranks": window_distribution_ranks,
     "agg_percentiles": agg_percentiles,
     "agg_corr_covar": agg_corr_covar,
     "window_moving_stats": window_moving_stats,
@@ -285,6 +301,14 @@ ORACLE = {
         "AS was_error, "
         "CASE WHEN NULLIF(event_type, 'error') IS NOT NULL THEN 0 ELSE 1 END "
         "AS nvl2_flag FROM events"
+    ),
+    "window_distribution_ranks": (
+        "SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS year, "
+        "ROUND(percent_rank() OVER (PARTITION BY year(o_orderdate) "
+        "ORDER BY o_totalprice), 6) AS pct_rank, "
+        "ROUND(cume_dist() OVER (PARTITION BY year(o_orderdate) "
+        "ORDER BY o_totalprice), 6) AS cume_dist "
+        "FROM orders"
     ),
     "timeseries_gap_fill": (
         "WITH m AS (SELECT date_trunc('month', o_orderdate) AS ms, "

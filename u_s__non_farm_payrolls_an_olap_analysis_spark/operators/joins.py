@@ -131,7 +131,51 @@ def join_range_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded interval self-join: for each purchase, how many clicks the
+    same user made in the preceding hour.
+
+    The scalable formulation: the interval length (1 h) bounds the search
+    to the purchase's hour bucket and the one before it, so each click is
+    **exploded to exactly two (user, bucket) keys** and the join is a pure
+    equi-join on (user_id, bucket) followed by the exact range filter —
+    candidate count is O(events in adjacent buckets), never the O(|purchases|
+    x |clicks per user|) of a naive per-user theta join, and each qualifying
+    pair appears exactly once (a click's two bucket copies are distinct).
+    Timestamps compare as exact int64 microseconds (no FP, and it matches
+    the µs-floored values Spark reads — the oracle casts its ns timestamps
+    down identically).
+    """
+    ev = read_table(spark, sf_dir, "events")
+    hour_us = 3600 * 1_000_000
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        micros.alias("p_us"),
+        F.floor(micros / hour_us).cast("long").alias("bucket"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        micros.alias("c_us"),
+        F.floor(micros / hour_us).cast("long").alias("cb"),
+    )
+    cx = c.withColumn(
+        "bucket", F.explode(F.array(F.col("cb"), F.col("cb") + 1))
+    ).drop("cb")
+    return (
+        p.join(cx, ["user_id", "bucket"])
+        .filter(
+            (F.col("c_us") < F.col("p_us"))
+            & (F.col("c_us") >= F.col("p_us") - hour_us)
+        )
+        .groupBy("purchase_id", "user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks_prior_hour"))
+    )
+
+
 QUERIES = {
+    "join_interval_bucketed": join_interval_bucketed,
     "join_broadcast_dim": join_broadcast_dim,
     "join_shuffle_3way": join_shuffle_3way,
     "join_semi_anti": join_semi_anti,
@@ -139,6 +183,17 @@ QUERIES = {
 }
 
 ORACLE = {
+    "join_interval_bucketed": (
+        "SELECT p.event_id AS purchase_id, p.user_id, "
+        "COUNT(*) AS n_clicks_prior_hour "
+        "FROM events p JOIN events c ON c.user_id = p.user_id "
+        "WHERE p.event_type = 'purchase' AND c.event_type = 'click' "
+        "AND epoch_us(CAST(c.ts AS TIMESTAMP)) < "
+        "epoch_us(CAST(p.ts AS TIMESTAMP)) "
+        "AND epoch_us(CAST(c.ts AS TIMESTAMP)) >= "
+        "epoch_us(CAST(p.ts AS TIMESTAMP)) - 3600000000 "
+        "GROUP BY 1, 2"
+    ),
     "join_broadcast_dim": (
         "SELECT c_mktsegment, COUNT(*) AS n_orders, "
         f"ROUND({dsum_sql('o_totalprice')}, 4) AS total "
