@@ -53,3 +53,18 @@ def test_partitioned_parquet_prunes(spark, tmp_path):
     )
     # partition pruning shows in the scan's partition filters
     assert "PartitionFilters" in formatted_plan(back)
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC is the second columnar at-rest format Spark ships natively —
+    same writer/reader surface as parquet (predicate pushdown included)."""
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "k long, s string, v double"
+    )
+    path = str(tmp_path / "t_orc")
+    df.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert sorted((r["k"], r["s"], r["v"]) for r in back.collect()) == [
+        (1, "a", 1.5),
+        (2, "b", 2.5),
+    ]
