@@ -152,6 +152,38 @@ def events_sessionish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over the skewed ``events.user_id`` key:
+    phase 1 groups by (user, salt) so a hot user's rows spread over 8
+    tasks' map-side partials; phase 2 merges the ≤8 partials per user.
+    Associative measures only (count, scaled-int sum) — exactly the
+    restriction ``functions/skew.py`` documents. The oracle is the plain
+    one-phase groupBy: salting must never change results, only physics."""
+    from ..functions.numerics import SCALE
+    from ..functions.skew import with_salt
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "value")
+    partial = (
+        with_salt(ev, 8)
+        .groupBy("user_id", "__salt")
+        .agg(
+            F.count(F.lit(1)).alias("n_part"),
+            F.sum(F.round(F.col("value") * SCALE).cast("long")).alias("sv_part"),
+        )
+    )
+    return (
+        partial.groupBy("user_id")
+        .agg(
+            F.sum("n_part").alias("n_events"),
+            F.round(
+                (F.sum("sv_part").cast("double") / float(SCALE)), 4
+            ).alias("sum_value"),
+        )
+        .orderBy(F.col("n_events").desc(), "user_id")
+        .limit(20)
+    )
+
+
 def _geomean_udaf():
     """Grouped-agg pandas UDF (Arrow-vectorized): geometric mean.
 
@@ -198,6 +230,7 @@ QUERIES = {
     "window_rank_variants": window_rank_variants,
     "join_agg_pricing": join_agg_pricing,
     "events_sessionish": events_sessionish,
+    "agg_salted_two_phase": agg_salted_two_phase,
     "agg_custom_udaf_geomean": agg_custom_udaf_geomean,
 }
 
@@ -255,6 +288,12 @@ ORACLE = {
         f"ROUND({davg_sql('l_extendedprice')}, 6) AS avg_price, "
         "COUNT(*) AS count_order "
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02' GROUP BY 1, 2"
+    ),
+    "agg_salted_two_phase": (
+        "SELECT user_id, COUNT(*) AS n_events, "
+        f"ROUND({dsum_sql('value')}, 4) AS sum_value "
+        "FROM events GROUP BY 1 "
+        "ORDER BY n_events DESC, user_id LIMIT 20"
     ),
     "events_sessionish": (
         "SELECT user_id, event_type, COUNT(*) AS n_events, "
