@@ -425,8 +425,33 @@ def dedup_embedding_cosine_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return block_pairs.mapInPandas(gemm, "vec_a long, vec_b long, cosine double")
 
 
+def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup — the continuous-crawl shape: given an
+    existing corpus and an incoming batch (modeled as even/odd doc_id
+    halves of ``documents``), emit only incoming docs that are (a) not
+    already in the corpus by normalized fingerprint (anti join) and (b)
+    first-of-their-fingerprint within the batch (min-id keeper).
+
+    Physics: fingerprint both sides (md5 of normalized text — cheap,
+    codegen'd), ONE anti join on the 128-bit key, one aggregate for the
+    intra-batch keeper. At 100 TB the corpus side is a bucketed/Bloom
+    fingerprint index; the join key and semantics are unchanged."""
+    docs = read_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    fp = docs.select("doc_id", F.md5(norm).alias("fp"))
+    corpus = fp.filter(F.col("doc_id") % 2 == 0)
+    batch = fp.filter(F.col("doc_id") % 2 == 1)
+    fresh = batch.join(corpus, "fp", "left_anti")
+    return (
+        fresh.groupBy("fp")
+        .agg(F.min("doc_id").alias("new_doc_id"))
+        .select("new_doc_id")
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_incremental_new_docs": dedup_incremental_new_docs,
     "dedup_clusters": dedup_clusters,
     "dedup_embedding_cosine_gemm": dedup_embedding_cosine_gemm,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -436,6 +461,15 @@ QUERIES = {
 }
 
 ORACLE = {
+    "dedup_incremental_new_docs": (
+        "WITH fp AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), "
+        "'\\s+', ' ', 'g')) AS f FROM documents), "
+        "corpus AS (SELECT f FROM fp WHERE doc_id % 2 = 0), "
+        "batch AS (SELECT doc_id, f FROM fp WHERE doc_id % 2 = 1) "
+        "SELECT MIN(doc_id) AS new_doc_id FROM batch b "
+        "WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.f = b.f) "
+        "GROUP BY b.f"
+    ),
     "dedup_exact": (
         "SELECT MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies FROM ("
         "SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') "

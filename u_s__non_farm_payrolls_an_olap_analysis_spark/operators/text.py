@@ -130,7 +130,39 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cleaning filter as a single-pass funnel: per source, how
+    many documents survive the composed keep-predicate (length window,
+    token-count window, bounded mean token length, contains a function
+    word). One conditional aggregate — the filter itself is pure codegen'd
+    string math, so at 100 TB this is one scan, no shuffle beyond the
+    per-source partials."""
+    docs = read_table(spark, sf_dir, "documents")
+    n_tokens = F.size(_tokens())
+    # mean token length from chars minus separators — integer-derived,
+    # bitwise-portable
+    avg_tok = (F.length("text") - (n_tokens - 1)) / n_tokens
+    keep = (
+        F.length("text").between(20, 2000)
+        & n_tokens.between(5, 500)
+        & (avg_tok <= 10.0)
+        & F.array_contains(F.split(F.lower(F.col("text")), " "), "the")
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(keep.cast("long")).alias("n_kept"),
+            F.round(F.sum(keep.cast("long")) / F.count(F.lit(1)), 6).alias(
+                "keep_rate"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
+    "text_clean_funnel": text_clean_funnel,
     "text_tokenize_tf": text_tokenize_tf,
     "text_quality_score": text_quality_score,
     "text_langid": text_langid,
@@ -145,6 +177,20 @@ _TOK_SQL = (
 )
 
 ORACLE = {
+    "text_clean_funnel": (
+        "WITH d AS (SELECT source, length(text) AS n_chars, "
+        "len(string_split(text, ' ')) AS n_tokens, "
+        "list_contains(string_split(lower(text), ' '), 'the') AS has_the "
+        "FROM documents), "
+        "k AS (SELECT source, CASE WHEN n_chars BETWEEN 20 AND 2000 "
+        "AND n_tokens BETWEEN 5 AND 500 "
+        "AND (CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens) <= 10.0 "
+        "AND has_the THEN 1 ELSE 0 END AS keep FROM d) "
+        "SELECT source, COUNT(*) AS n_docs, "
+        "CAST(SUM(keep) AS BIGINT) AS n_kept, "
+        "ROUND(CAST(SUM(keep) AS DOUBLE) / COUNT(*), 6) AS keep_rate "
+        "FROM k GROUP BY 1 ORDER BY 1"
+    ),
     "text_tokenize_tf": (
         f"WITH t AS ({_TOK_SQL}) "
         "SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df "
