@@ -144,3 +144,87 @@ def test_pct_change_reconstructs_series(spark, vals):
         assert abs(prev["v"] * (1 + cur["p"] / 100.0) - cur["v"]) < 1e-6 * max(
             1.0, cur["v"]
         )
+
+
+@given(rows=kv_lists, n_salts=st.integers(2, 8))
+@_settings
+def test_salted_two_phase_agg_equals_plain(spark, rows, n_salts):
+    """Salting must change physics, never results: groupBy(key, salt) then
+    merge == plain groupBy, for any salt count."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.functions.skew import (
+        with_salt,
+    )
+
+    df = (
+        spark.createDataFrame(rows, "k long, v long")
+        if rows
+        else spark.createDataFrame([], "k long, v long")
+    )
+    plain = {
+        (r["k"]): (r["n"], r["s"])
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    partial = (
+        with_salt(df, n_salts)
+        .groupBy("k", "__salt")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+    )
+    merged = {
+        (r["k"]): (r["n"], r["s"])
+        for r in partial.groupBy("k")
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+        .collect()
+    }
+    assert plain == merged
+
+
+event_lists = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 10_000)), min_size=0, max_size=20
+)
+
+
+@given(purchases=event_lists, clicks=event_lists)
+@_settings
+def test_bucketed_interval_join_equals_theta_join(spark, purchases, clicks):
+    """The two-bucket explode equi-join must produce exactly the pairs of
+    the naive theta join (click strictly before, within the window)."""
+    win = 1000  # "1 hour" in abstract time units
+    p = (
+        spark.createDataFrame(
+            [(u, t, i) for i, (u, t) in enumerate(purchases)],
+            "user long, pt long, pid long",
+        )
+        if purchases
+        else spark.createDataFrame([], "user long, pt long, pid long")
+    )
+    c = (
+        spark.createDataFrame(clicks, "user long, ct long")
+        if clicks
+        else spark.createDataFrame([], "user long, ct long")
+    )
+    theta = (
+        p.join(c, "user")
+        .filter((F.col("ct") < F.col("pt")) & (F.col("ct") >= F.col("pt") - win))
+        .groupBy("pid")
+        .count()
+    )
+    cx = c.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.floor(F.col("ct") / win), F.floor(F.col("ct") / win) + 1
+            )
+        ),
+    )
+    px = p.withColumn("bucket", F.floor(F.col("pt") / win))
+    bucketed = (
+        px.join(cx, ["user", "bucket"])
+        .filter((F.col("ct") < F.col("pt")) & (F.col("ct") >= F.col("pt") - win))
+        .groupBy("pid")
+        .count()
+    )
+    assert sorted(map(tuple, theta.collect())) == sorted(
+        map(tuple, bucketed.collect())
+    )
