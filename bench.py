@@ -73,6 +73,18 @@ def main() -> None:
     )
     startup = time.time() - t0
 
+    # measured fixed floor: a no-op single-row query through the same
+    # plan-build + schedule + Arrow-fetch path — the per-query cost that
+    # exists regardless of data (reported so the 2x comparison vs an
+    # in-process engine can be read against it)
+    spark.range(1).toPandas()
+    noop_times = []
+    for _ in range(RUNS):
+        t = time.time()
+        spark.range(1).toPandas()
+        noop_times.append(time.time() - t)
+    noop = round(statistics.median(noop_times), 4)
+
     qs = registry.queries()
     results: dict[str, float] = {}
     for name, key in HEADLINE.items():
@@ -95,6 +107,7 @@ def main() -> None:
                 "queries": results,
                 "sf": sf,
                 "startup_sec": round(startup, 2),
+                "noop_floor_sec": noop,
                 "runs_per_query": RUNS,
             }
         )

@@ -51,6 +51,28 @@ def scalar_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def datetime_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-arithmetic family over orders: month addition with
+    end-of-month clamping (`add_months` — both engines clamp Jan 31 + 1mo
+    to Feb's last day), whole-day difference, last day of month, ISO week,
+    and day-of-week (aligned to DuckDB's Sunday=0 by subtracting 1 from
+    Spark's Sunday=1). All results emitted as TIMESTAMP/INT — pure
+    per-row projection, codegen'd end to end."""
+    df = read_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return df.select(
+        "o_orderkey",
+        F.add_months(d, 3).cast("timestamp_ntz").alias("plus_3_months"),
+        F.datediff(d, F.lit("1995-01-01").cast("timestamp_ntz")).alias(
+            "days_since_1995"
+        ),
+        F.last_day(d).cast("timestamp_ntz").alias("end_of_month"),
+        F.weekofyear(d).cast("int").alias("iso_week"),
+        (F.dayofweek(d) - 1).cast("int").alias("dow_sun0"),
+        F.date_trunc("quarter", d).cast("timestamp_ntz").alias("quarter_start"),
+    )
+
+
 def array_stats_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ARRAY<FLOAT> column ops (SURVEY §2.8 extension): per-label vector
     statistics — element access, L2 norm via zip_with/aggregate, array
@@ -78,6 +100,7 @@ def array_stats_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "scalar_functions_showcase": scalar_functions_showcase,
+    "datetime_functions_showcase": datetime_functions_showcase,
     "array_stats_by_label": array_stats_by_label,
 }
 
@@ -87,6 +110,17 @@ _NORM = (
 )
 
 ORACLE = {
+    "datetime_functions_showcase": (
+        "SELECT o_orderkey, "
+        "o_orderdate + INTERVAL 3 MONTH AS plus_3_months, "
+        "CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) "
+        "AS days_since_1995, "
+        "CAST(last_day(o_orderdate) AS TIMESTAMP) AS end_of_month, "
+        "CAST(weekofyear(o_orderdate) AS INT) AS iso_week, "
+        "CAST(dayofweek(o_orderdate) AS INT) AS dow_sun0, "
+        "date_trunc('quarter', o_orderdate) AS quarter_start "
+        "FROM orders"
+    ),
     "scalar_functions_showcase": (
         "SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS year, "
         "CAST(quarter(o_orderdate) AS INT) AS quarter, "
