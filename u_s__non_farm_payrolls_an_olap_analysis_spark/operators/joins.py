@@ -153,12 +153,15 @@ def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("event_id").alias("purchase_id"),
         micros.alias("p_us"),
-        F.floor(micros / hour_us).cast("long").alias("bucket"),
+        # exact int64 bucket: subtract the modulus before dividing so the
+        # double division is of an exact multiple (floor(x/y) via FP can
+        # round down an exact-boundary quotient)
+        ((micros - micros % hour_us) / hour_us).cast("long").alias("bucket"),
     )
     c = ev.filter(F.col("event_type") == "click").select(
         "user_id",
         micros.alias("c_us"),
-        F.floor(micros / hour_us).cast("long").alias("cb"),
+        ((micros - micros % hour_us) / hour_us).cast("long").alias("cb"),
     )
     cx = c.withColumn(
         "bucket", F.explode(F.array(F.col("cb"), F.col("cb") + 1))
