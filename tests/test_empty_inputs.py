@@ -34,6 +34,22 @@ REPRESENTATIVE = [
     "sessionize_batch",
     "dq_checks",
     "grouped_map_normalize",
+    # round-2 additions
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q14_promo_revenue_share",
+    "tpch_q15_top_supplier",
+    "sql_exists_big_order",
+    "sample_by_key_mod",
+    "split_train_test",
+    "join_interval_bucketed",
+    "window_distribution_ranks",
+    "dedup_incremental_new_docs",
+    "text_clean_funnel",
+    "datetime_functions_showcase",
+    "agg_salted_two_phase",
+    "sim_search_ann_ivf_kmeans",
+    "scan_partition_pruned",
 ]
 
 

@@ -33,18 +33,18 @@ def partitioned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Year-partitioned copy of ``orders`` (directory layout
     ``o_year=<y>/part-*.parquet``), built once per session+sf_dir."""
     key = (spark.sparkContext.applicationId, sf_dir)
+    with_year = read_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
     d = _PART_DIR_MEMO.get(key)
     if d is None or not os.path.exists(d):
         d = tempfile.mkdtemp(prefix="orders_by_year_")
-        (
-            read_table(spark, sf_dir, "orders")
-            .withColumn("o_year", F.year("o_orderdate"))
-            .write.mode("overwrite")
-            .partitionBy("o_year")
-            .parquet(d)
-        )
+        with_year.write.mode("overwrite").partitionBy("o_year").parquet(d)
         _PART_DIR_MEMO[key] = d
-    return spark.read.parquet(d)
+    # explicit schema: an EMPTY source writes only _SUCCESS (no footers), and
+    # schema inference on that raises — a real failure mode for pruned-to-
+    # nothing intermediate tables at scale. The schema is known; state it.
+    return spark.read.schema(with_year.schema).parquet(d)
 
 
 def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
