@@ -152,6 +152,28 @@ def events_sessionish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_boolean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/boolean aggregate family per year: ``count_if``,
+    ``bool_and`` / ``bool_or`` (ANSI EVERY/ANY), and a conditional sum —
+    one hash aggregate, all predicates evaluated inline (the DuckDB twin
+    uses CASE forms since its FILTER clause evaluates eagerly)."""
+    orders = read_table(spark, sf_dir, "orders")
+    big = F.col("o_totalprice") > 300000.0
+    return (
+        orders.groupBy(F.year("o_orderdate").alias("year"))
+        .agg(
+            F.count_if(big).alias("n_big"),
+            F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+            F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+            F.round(
+                dsum(F.when(big, F.col("o_totalprice")).otherwise(F.lit(0.0))),
+                4,
+            ).alias("big_total"),
+        )
+        .orderBy("year")
+    )
+
+
 def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation over the skewed ``events.user_id`` key:
     phase 1 groups by (user, salt) so a hot user's rows spread over 8
@@ -231,6 +253,7 @@ QUERIES = {
     "join_agg_pricing": join_agg_pricing,
     "events_sessionish": events_sessionish,
     "agg_salted_two_phase": agg_salted_two_phase,
+    "agg_boolean_family": agg_boolean_family,
     "agg_custom_udaf_geomean": agg_custom_udaf_geomean,
 }
 
@@ -288,6 +311,19 @@ ORACLE = {
         f"ROUND({davg_sql('l_extendedprice')}, 6) AS avg_price, "
         "COUNT(*) AS count_order "
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02' GROUP BY 1, 2"
+    ),
+    "agg_boolean_family": (
+        "SELECT CAST(year(o_orderdate) AS INT) AS year, "
+        "CAST(SUM(CASE WHEN o_totalprice > 300000.0 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_big, "
+        "bool_or(o_orderstatus = 'F') AS any_finished, "
+        "bool_and(o_totalprice > 0) AS all_positive, "
+        + "ROUND("
+        + dsum_sql(
+            "CASE WHEN o_totalprice > 300000.0 THEN o_totalprice ELSE 0.0 END"
+        )
+        + ", 4) AS big_total "
+        "FROM orders GROUP BY 1 ORDER BY 1"
     ),
     "agg_salted_two_phase": (
         "SELECT user_id, COUNT(*) AS n_events, "
