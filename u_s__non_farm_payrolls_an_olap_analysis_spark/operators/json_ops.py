@@ -76,13 +76,51 @@ def json_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def json_variant_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9d — Spark 4 VARIANT surface: ``try_parse_json`` into a variant
+    column (binary-encoded semi-structured value — fields extract without
+    re-parsing the text, the at-scale answer to repeated
+    ``get_json_object`` calls on the same blob), then typed
+    ``variant_get`` extraction and validity flags, aggregated per type.
+    Oracle: the same extraction via DuckDB's JSON type."""
+    ev = read_table(spark, sf_dir, "events")
+    v = F.try_parse_json("props")
+    extracted = ev.select(
+        "event_type",
+        F.variant_get(v, "$.k", "int").alias("k"),
+        (~F.is_variant_null(v) & v.isNotNull()).alias("valid"),
+    )
+    return (
+        extracted.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("valid").cast("long")).alias("n_valid"),
+            F.count("k").alias("n_k"),
+            F.sum("k").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
+    "json_variant_ops": json_variant_ops,
     "json_extract_props": json_extract_props,
     "json_from_json_struct": json_from_json_struct,
     "json_map_explode": json_map_explode,
 }
 
 ORACLE = {
+    "json_variant_ops": (
+        "SELECT event_type, COUNT(*) AS n_rows, "
+        "CAST(SUM(CASE WHEN json_valid(props) THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_valid, "
+        "COUNT(CASE WHEN json_valid(props) THEN "
+        "TRY_CAST(json_extract_string(props, '$.k') AS INT) END) AS n_k, "
+        "CAST(SUM(CASE WHEN json_valid(props) THEN "
+        "TRY_CAST(json_extract_string(props, '$.k') AS INT) END) AS BIGINT) "
+        "AS sum_k "
+        "FROM events GROUP BY 1 ORDER BY 1"
+    ),
     "json_extract_props": (
         "SELECT event_type, COUNT(k) AS n, CAST(SUM(k) AS BIGINT) AS sum_k, "
         "MIN(k) AS min_k, MAX(k) AS max_k FROM ("
