@@ -53,7 +53,28 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def crosstab_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency table via ``df.stat.crosstab`` (the DataFrameStatFunctions
+    surface): order status x priority counts. crosstab's column order is
+    engine-internal, so the projection pins it explicitly — at any scale
+    this is one pivot-style aggregate over two low-cardinality keys."""
+    orders = read_table(spark, sf_dir, "orders")
+    ct = orders.stat.crosstab("o_orderstatus", "o_orderpriority")
+    cols = [
+        "1-URGENT",
+        "2-HIGH",
+        "3-MEDIUM",
+        "4-NOT SPECIFIED",
+        "5-LOW",
+    ]
+    return ct.select(
+        F.col("o_orderstatus_o_orderpriority").alias("status"),
+        *[F.col(f"`{c}`").alias(f"p{i + 1}") for i, c in enumerate(cols)],
+    ).orderBy("status")
+
+
 QUERIES = {
+    "crosstab_status_priority": crosstab_status_priority,
     "pivot_month_by_year": pivot_month_by_year,
     "unpivot_measures": unpivot_measures,
 }
@@ -71,6 +92,20 @@ _PIVOT_SQL = (
 )
 
 ORACLE = {
+    "crosstab_status_priority": (
+        "SELECT o_orderstatus AS status, "
+        "CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS p1, "
+        "CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS p2, "
+        "CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS p3, "
+        "CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 "
+        "ELSE 0 END) AS BIGINT) AS p4, "
+        "CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS p5 "
+        "FROM orders GROUP BY 1 ORDER BY 1"
+    ),
     "pivot_month_by_year": _PIVOT_SQL,
     "unpivot_measures": (
         f"WITH w AS ({_PIVOT_SQL}) "
