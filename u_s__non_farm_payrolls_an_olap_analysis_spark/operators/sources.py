@@ -103,12 +103,70 @@ def sink_jdbc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd2_history_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history merge without a table format: the MERGE INTO
+    emulation (union + lead window) the engine uses where Delta/Iceberg
+    jars are absent. The reference's upsert (`etl.py:68-71`) is SCD1 —
+    last write wins, history destroyed; SCD2 keeps every version with
+    validity intervals.
+
+    Change batch (deterministic stand-in for a CDC feed): every 10th
+    customer gets a +10% account-balance revision effective 2000-01-01.
+    One shuffle on the dimension key; ``lead`` closes each version at the
+    next version's start. Current rows carry the open-ended 2100-01-01
+    sentinel (NULL would be semantically cleaner but sorts differently
+    across engines)."""
+    cust = read_table(spark, sf_dir, "customer")
+    base = cust.select(
+        "c_custkey",
+        F.round("c_acctbal", 4).alias("acctbal"),
+        F.lit("1995-01-01").cast("timestamp_ntz").alias("valid_from"),
+    )
+    updates = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 1.1, 4).alias("acctbal"),
+        F.lit("2000-01-01").cast("timestamp_ntz").alias("valid_from"),
+    )
+    hist = base.unionByName(updates)
+    w = Window.partitionBy("c_custkey").orderBy("valid_from")
+    closed = hist.withColumn(
+        "valid_to",
+        F.coalesce(
+            F.lead("valid_from").over(w),
+            F.lit("2100-01-01").cast("timestamp_ntz"),
+        ),
+    )
+    return closed.withColumn(
+        "is_current",
+        (F.col("valid_to") == F.lit("2100-01-01").cast("timestamp_ntz")).cast(
+            "int"
+        ),
+    )
+
+
 QUERIES = {
+    "scd2_history_merge": scd2_history_merge,
     "source_api_extract": source_api_extract,
     "sink_jdbc_upsert": sink_jdbc_upsert,
 }
 
 ORACLE = {
+    "scd2_history_merge": (
+        "WITH hist AS ("
+        "SELECT c_custkey, ROUND(c_acctbal, 4) AS acctbal, "
+        "TIMESTAMP '1995-01-01' AS valid_from FROM customer "
+        "UNION ALL "
+        "SELECT c_custkey, ROUND(c_acctbal * 1.1, 4) AS acctbal, "
+        "TIMESTAMP '2000-01-01' AS valid_from FROM customer "
+        "WHERE c_custkey % 10 = 0) "
+        "SELECT c_custkey, acctbal, valid_from, "
+        "COALESCE(LEAD(valid_from) OVER (PARTITION BY c_custkey "
+        "ORDER BY valid_from), TIMESTAMP '2100-01-01') AS valid_to, "
+        "CAST(COALESCE(LEAD(valid_from) OVER (PARTITION BY c_custkey "
+        "ORDER BY valid_from), TIMESTAMP '2100-01-01') = "
+        "TIMESTAMP '2100-01-01' AS INT) AS is_current "
+        "FROM hist"
+    ),
     "source_api_extract": _source_oracle_sql(),
     "sink_jdbc_upsert": (
         "WITH u AS (SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice "
