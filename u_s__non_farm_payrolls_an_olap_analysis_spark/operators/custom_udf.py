@@ -102,6 +102,65 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("sid")
 
 
+def cogroup_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The as-of join a second way: ``cogroup().applyInPandas`` with
+    ``pd.merge_asof`` per user — the remaining Pandas-API surface (two
+    grouped relations co-partitioned into one Arrow-batched function).
+    Same semantics as ``joins.join_range_asof`` (most recent order
+    at-or-before each event), same oracle; different physical path: one
+    co-shuffle of both sides by user, then a sorted merge inside each
+    group instead of a window over the union timeline. The scalable
+    choice between them is data-shape-dependent (cogroup wins when per-key
+    order lists are long and events sparse; the union-timeline window wins
+    when Python batch overhead dominates)."""
+    import pandas as pd
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("order_ts"),
+    )
+
+    def asof(ev_pdf: pd.DataFrame, ord_pdf: pd.DataFrame) -> pd.DataFrame:
+        if ev_pdf.empty:
+            # explicit dtypes: an empty frame defaults every column to
+            # float64, and Arrow refuses double -> timestamp
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "last_order_ts": pd.Series([], dtype="datetime64[us]"),
+                }
+            )
+        ev_s = ev_pdf.sort_values("ts").copy()
+        ev_s["ts"] = ev_s["ts"].astype("datetime64[us]")
+        od = ord_pdf.sort_values("order_ts").copy()
+        od["order_ts"] = od["order_ts"].astype("datetime64[us]")
+        merged = pd.merge_asof(
+            ev_s,
+            od[["order_ts"]],
+            left_on="ts",
+            right_on="order_ts",
+            direction="backward",  # at-or-before, like the window form
+        )
+        return pd.DataFrame(
+            {
+                "event_id": merged["event_id"],
+                "user_id": merged["user_id"],
+                "last_order_ts": merged["order_ts"],
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .cogroup(orders.groupBy("user_id"))
+        .applyInPandas(
+            asof,
+            schema="event_id long, user_id long, last_order_ts timestamp_ntz",
+        )
+    )
+
+
 def udtf_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF (PySpark 4): a SQL-callable table function generating a
     month spine — the row → table expansion primitive. Registered and
@@ -126,10 +185,17 @@ QUERIES = {
     "grouped_map_normalize": grouped_map_normalize,
     "dq_checks": dq_checks,
     "sessionize_batch": sessionize_batch,
+    "cogroup_asof_pandas": cogroup_asof_pandas,
     "udtf_month_spine": udtf_month_spine,
 }
 
 ORACLE = {
+    "cogroup_asof_pandas": (
+        "SELECT e.event_id, e.user_id, MAX(o.o_orderdate) AS last_order_ts "
+        "FROM events e LEFT JOIN orders o "
+        "ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts "
+        "GROUP BY 1, 2"
+    ),
     "grouped_map_normalize": (
         "WITH b AS (SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS year, "
         "o_totalprice, MIN(o_totalprice) OVER (PARTITION BY year(o_orderdate)) "
