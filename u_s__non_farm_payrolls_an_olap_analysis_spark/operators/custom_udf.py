@@ -161,6 +161,27 @@ def cogroup_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def udf_decade_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's one UDF — the decade lambda
+    (``dashboard_nfp.py:300``: ``lambda y: f"{int(y // 10) * 10}s"``) — as
+    a **scalar pandas_udf** (Arrow-vectorized batches, numpy math inside),
+    the surface SURVEY §2.9 commits to demonstrating alongside the
+    preferred builtin-expression form (``olap.rollup_decade_avg``). The
+    oracle is the builtin expression, so this also *proves* the UDF and
+    the Catalyst form agree row-for-row."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def decade_label(year: pd.Series) -> pd.Series:
+        return ((year // 10) * 10).astype("int64").astype("str") + "s"
+
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        decade_label(F.year("o_orderdate")).alias("decade"),
+    )
+
+
 def udtf_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF (PySpark 4): a SQL-callable table function generating a
     month spine — the row → table expansion primitive. Registered and
@@ -186,10 +207,16 @@ QUERIES = {
     "dq_checks": dq_checks,
     "sessionize_batch": sessionize_batch,
     "cogroup_asof_pandas": cogroup_asof_pandas,
+    "udf_decade_scalar_pandas": udf_decade_scalar_pandas,
     "udtf_month_spine": udtf_month_spine,
 }
 
 ORACLE = {
+    "udf_decade_scalar_pandas": (
+        "SELECT o_orderkey, "
+        "CAST(CAST(FLOOR(year(o_orderdate) / 10) * 10 AS BIGINT) AS VARCHAR) "
+        "|| 's' AS decade FROM orders"
+    ),
     "cogroup_asof_pandas": (
         "SELECT e.event_id, e.user_id, MAX(o.o_orderdate) AS last_order_ts "
         "FROM events e LEFT JOIN orders o "
