@@ -139,3 +139,23 @@ def test_ivf_kmeans_recall_vs_exact(spark):
     r_fixed, r_trained = recall(fixed), recall(trained)
     assert r_trained >= 0.5, f"trained recall {r_trained}"
     assert r_trained >= r_fixed - 0.05, (r_trained, r_fixed)
+
+
+def test_hll_sketch_estimates_within_tolerance(spark):
+    """HLL estimates (per-year and union-merged overall) must be within
+    5% of the exact distinct counts computed by the bitmap operator."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import (
+        sketches,
+    )
+
+    exact = {
+        r["year"]: r["n_distinct_customers"]
+        for r in sketches.agg_bitmap_distinct(spark, SF).collect()
+    }
+    approx = {
+        r["year"]: r["approx_distinct"]
+        for r in sketches.agg_hll_sketch_merge(spark, SF).collect()
+    }
+    assert set(exact) == set(approx)
+    for y, n in exact.items():
+        assert abs(approx[y] - n) <= max(2, 0.05 * n), (y, n, approx[y])

@@ -18,7 +18,8 @@ def test_registry_shape():
                          "agg_approx_count_distinct",
                          "stream_stateful_user_profile",
                          "agg_approx_percentiles",
-                         "sim_search_ann_ivf_kmeans"}
+                         "sim_search_ann_ivf_kmeans",
+                         "agg_hll_sketch_merge"}
 
 
 def test_entry_contract(spark):

@@ -31,6 +31,7 @@ from .operators import (
     scalars,
     setops,
     similarity,
+    sketches,
     sources,
     sql_api,
     text,
@@ -47,6 +48,7 @@ _MODULES = [
     layout,
     sql_api,
     sampling,
+    sketches,
     aggregates,
     analytics,
     custom_udf,
