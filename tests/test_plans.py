@@ -120,3 +120,21 @@ def test_sql_exists_decorrelates_to_semi_join(spark):
 
     df = sql_api.QUERIES["sql_exists_big_order"](spark, SF)
     assert "LeftSemi" in formatted_plan(df)  # not a per-row subquery
+
+
+def test_tpch_q6_all_predicates_pushed(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import (
+        tpch_analytics,
+    )
+
+    df = tpch_analytics.tpch_q6_forecast_revenue(spark, SF)
+    pushed = " ".join(pushed_filters(df))
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount",
+        "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity",
+    ):
+        assert frag in pushed, frag
+    assert exchange_count(df) <= 1  # only the final single-row aggregate

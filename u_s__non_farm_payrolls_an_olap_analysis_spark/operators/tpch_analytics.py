@@ -196,7 +196,28 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape — the pure scan-filter-aggregate: one year of shipments,
+    a discount band, a quantity cap, one global sum. Every predicate is
+    sargable and reaches the parquet scan; zero joins, zero shuffles
+    beyond the single-row final aggregate — the query that measures raw
+    scan throughput."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1998-01-01"))
+        & (F.col("l_shipdate") < _ts("1999-01-01"))
+        & F.col("l_discount").between(0.02, 0.04)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")), 4
+        ).alias("revenue_effect"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
 QUERIES = {
+    "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
     "tpch_q5_local_supplier_volume": tpch_q5_local_supplier_volume,
     "tpch_q7_volume_shipping": tpch_q7_volume_shipping,
@@ -208,6 +229,15 @@ QUERIES = {
 _REV_SUM = dsum_sql(_REVENUE_SQL)
 
 ORACLE = {
+    "tpch_q6_forecast_revenue": (
+        "SELECT "
+        + "ROUND("
+        + dsum_sql("l_extendedprice * l_discount")
+        + ", 4) AS revenue_effect, COUNT(*) AS n_lines FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1998-01-01' "
+        "AND l_shipdate < TIMESTAMP '1999-01-01' "
+        "AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24"
+    ),
     "tpch_q3_shipping_priority": (
         "SELECT l_orderkey, o_orderdate, o_orderpriority, "
         f"ROUND({_REV_SUM}, 4) AS revenue "
