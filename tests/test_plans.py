@@ -122,6 +122,23 @@ def test_sql_exists_decorrelates_to_semi_join(spark):
     assert "LeftSemi" in formatted_plan(df)  # not a per-row subquery
 
 
+def test_sql_scalar_subquery_decorrelates_to_aggregate_join(spark):
+    # The truly-correlated per-nation average (c2.c_nationkey =
+    # c.c_nationkey) must compile to one aggregate over customer joined
+    # back on the correlation key — not a per-row subquery re-execution.
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import sql_api
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.plans.explain import (
+        formatted_plan,
+    )
+
+    df = sql_api.QUERIES["sql_scalar_above_nation_avg"](spark, SF)
+    plan = formatted_plan(df)
+    assert "Subquery" not in plan  # decorrelated, not a scalar subquery
+    assert "avg(" in plan  # the per-nation aggregate materialized once
+    # and it actually correlates: the rewritten join is keyed on nationkey
+    assert "c_nationkey" in plan
+
+
 def test_tpch_q6_all_predicates_pushed(spark):
     from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import (
         tpch_analytics,

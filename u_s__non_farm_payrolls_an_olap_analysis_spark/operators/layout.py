@@ -17,6 +17,7 @@ change semantics.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 
@@ -29,6 +30,16 @@ from ..io import read_table
 _PART_DIR_MEMO: dict[tuple[str, str], str] = {}
 
 
+def _stable_layout_dir(sf_dir: str) -> str:
+    """Deterministic materialization path per source dir: every session
+    (and every run) re-uses and overwrites the SAME directory, so at most
+    one partitioned copy per sf_dir ever exists on disk — a fresh
+    ``mkdtemp`` per application would leak a full copy of orders on every
+    run (no cleanup survives the process)."""
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"orders_by_year_{tag}")
+
+
 def partitioned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Year-partitioned copy of ``orders`` (directory layout
     ``o_year=<y>/part-*.parquet``), built once per session+sf_dir."""
@@ -38,7 +49,7 @@ def partitioned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = _PART_DIR_MEMO.get(key)
     if d is None or not os.path.exists(d):
-        d = tempfile.mkdtemp(prefix="orders_by_year_")
+        d = _stable_layout_dir(sf_dir)
         with_year.write.mode("overwrite").partitionBy("o_year").parquet(d)
         _PART_DIR_MEMO[key] = d
     # explicit schema: an EMPTY source writes only _SUCCESS (no footers), and

@@ -29,11 +29,16 @@ SHARED_SQL = {
         "GROUP BY c_mktsegment ORDER BY c_mktsegment"
     ),
     # correlated scalar subquery → aggregate + join on the correlation key.
+    # The outer table is aliased and the correlation fully qualified
+    # (c2.c_nationkey = c.c_nationkey): an unqualified c_nationkey inside
+    # the subquery would resolve to the INNER c2 (innermost scope wins),
+    # silently comparing every customer to the global average instead of
+    # their nation's.
     "sql_scalar_above_nation_avg": (
         "SELECT n_name, COUNT(*) AS n_above "
-        "FROM customer JOIN nation ON c_nationkey = n_nationkey "
-        "WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2 "
-        "WHERE c2.c_nationkey = c_nationkey) "
+        "FROM customer c JOIN nation ON c.c_nationkey = n_nationkey "
+        "WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2 "
+        "WHERE c2.c_nationkey = c.c_nationkey) "
         "GROUP BY n_name ORDER BY n_name"
     ),
     # IN over a subquery → semi join; NOT IN deliberately avoided (its

@@ -148,14 +148,16 @@ def text_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (avg_tok <= 10.0)
         & F.array_contains(F.split(F.lower(F.col("text")), " "), "the")
     )
+    # NULL text makes `keep` NULL, and SUM over an all-NULL group is NULL
+    # while the oracle's CASE ... ELSE 0 yields 0 — coalesce to FALSE so a
+    # source whose documents all have NULL text counts 0 kept, not NULL.
+    kept = F.coalesce(keep, F.lit(False)).cast("long")
     return (
         docs.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(keep.cast("long")).alias("n_kept"),
-            F.round(F.sum(keep.cast("long")) / F.count(F.lit(1)), 6).alias(
-                "keep_rate"
-            ),
+            F.sum(kept).alias("n_kept"),
+            F.round(F.sum(kept) / F.count(F.lit(1)), 6).alias("keep_rate"),
         )
         .orderBy("source")
     )

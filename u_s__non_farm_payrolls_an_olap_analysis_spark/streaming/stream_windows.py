@@ -25,8 +25,10 @@ mirrors the reference's ON CONFLICT semantics (``etl.py:68-71``).
 
 from __future__ import annotations
 
+import atexit
 import contextlib
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -94,11 +96,33 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One session-lifetime spill directory for drained streaming results,
+# removed at interpreter exit; each drain overwrites its own subdir.
+_DRAIN_BASE: str | None = None
+
+
+def _drain_dir(name: str) -> str:
+    global _DRAIN_BASE
+    if _DRAIN_BASE is None or not os.path.exists(_DRAIN_BASE):
+        _DRAIN_BASE = tempfile.mkdtemp(prefix="stream_drain_")
+        atexit.register(shutil.rmtree, _DRAIN_BASE, ignore_errors=True)
+    return os.path.join(_DRAIN_BASE, name)
+
+
 def _drain_to_memory(
     stream_df: DataFrame, spark: SparkSession, output_mode: str = "complete"
 ) -> DataFrame:
     """Run the streaming aggregation to completion (availableNow) into a
-    memory sink and return the final result as a batch DataFrame."""
+    memory sink and return the final result as a batch DataFrame.
+
+    The memory sink is driver-resident by design; to avoid keeping a SECOND
+    driver copy alive for the session (``collect()`` + ``createDataFrame``
+    would be O(result) driver memory per invocation — and ``stream_dedup_keys``
+    emits one row per distinct key, not a bounded aggregate), the sink rows
+    are spilled once to a local parquet temp path, the temp view is dropped,
+    and a LAZY read of that path is returned. Schema is stated explicitly so
+    an empty result (no part files) still reads back with the right columns.
+    """
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
     with _bounded_state_partitions(spark):
         q = (
@@ -109,14 +133,11 @@ def _drain_to_memory(
             .start()
         )
         q.awaitTermination()
-    # Materialize the sink's rows and drop the temp view immediately:
-    # memory-sink tables otherwise accumulate in the catalog (and driver
-    # memory) for the session's lifetime, one per invocation. Streaming
-    # results here are small aggregates, so a driver-side copy is cheap.
     sink = spark.table(name)
-    out = spark.createDataFrame(sink.collect(), sink.schema)
+    path = _drain_dir(name)
+    sink.write.mode("overwrite").parquet(path)
     spark.catalog.dropTempView(name)
-    return out
+    return spark.read.schema(sink.schema).parquet(path)
 
 
 def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
