@@ -64,6 +64,38 @@ def test_minhash_lsh_recall_vs_exact(spark):
         assert len(lsh) / len(exact) >= 0.9
 
 
+def test_embedding_lsh_recall_vs_exact_allpairs(spark):
+    """The registered embedding near-dup is random-hyperplane LSH; its
+    pairs must be a subset of (exact-cosine verify → no false positives)
+    and nearly all of (recall ≥ the MinHash pack's 0.9 bar) the
+    oracle-exact all-pairs GEMM ground truth."""
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in dedup.dedup_embedding_cosine_gemm(spark, SF).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in dedup.dedup_embedding_cosine(spark, SF).collect()
+    }
+    assert set(lsh) <= set(exact)
+    assert len(lsh) / len(exact) >= 0.9
+    for k, v in lsh.items():  # verified cosines agree with ground truth
+        assert abs(v - exact[k]) < 1e-6
+
+
+def test_embedding_lsh_plan_has_no_theta_join(spark):
+    """Candidate generation must be an equi-join on (band, band_sig) —
+    the plan may not contain a cartesian/broadcast-nested-loop stage."""
+    plan = (
+        dedup.dedup_embedding_cosine(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_simhash_identical_docs_zero_distance(spark, docs_dir):
     out = {
         (r["doc_a"], r["doc_b"]): r["hamming"]

@@ -30,6 +30,8 @@ SURVEY_INVENTORY = {
     "window_rank_topk_per_group", "setop_union_except", "json_extract_props",
     "dedup_exact", "dedup_minhash_near", "sim_search_cosine",
     "text_tokenize_tf", "stream_tumbling_agg",
+    # §2.8 F8 display formatting
+    "str_format_display",
 }
 
 # engine-specific-hash / sketch / side-effect ops where the weaker
@@ -37,6 +39,10 @@ SURVEY_INVENTORY = {
 EXPECTED_ROWS_ONLY = {
     "dedup_minhash_near", "dedup_simhash", "agg_approx_count_distinct",
     "stream_stateful_user_profile", "agg_approx_percentiles",
+    # random-hyperplane LSH candidates use engine-specific xxhash64 sign
+    # bits; emitted pairs are exact-cosine-verified and recall is tested
+    # against the oracle-exact all-pairs GEMM twin
+    "dedup_embedding_cosine",
     # cross-engine FP means can flip k-means assignments; correctness is
     # the recall-vs-exact test in test_dedup_similarity.py
     "sim_search_ann_ivf_kmeans",

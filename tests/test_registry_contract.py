@@ -15,6 +15,7 @@ def test_registry_shape():
     # rows-only ops are the documented engine-specific-hash ones
     rows_only = set(q) - set(o)
     assert rows_only <= {"dedup_minhash_near", "dedup_simhash",
+                         "dedup_embedding_cosine",
                          "agg_approx_count_distinct",
                          "stream_stateful_user_profile",
                          "agg_approx_percentiles",

@@ -20,7 +20,7 @@ from ..functions.timeparts import (
     quarter_of,
     year_of,
 )
-from ..functions.numerics import davg, davg_sql
+from ..functions.numerics import davg, davg_sql, dsum, dsum_sql
 from ..functions.vectors import l2_norm
 from ..io import read_table
 
@@ -73,6 +73,43 @@ def datetime_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def str_format_display(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 — display formatting of aggregate numbers (reference
+    `dashboard_nfp.py:295-296,344`: `'{:,.0f}'.format(total)` and
+    `'{:,.2f}%'.format(pct_change)`): thousands-separated integer display
+    and a 2-dp percent string, as pure codegen string expressions.
+
+    Determinism: each number is pre-rounded (HALF_UP, identical in both
+    engines) BEFORE formatting, so `format_number`'s Java DecimalFormat
+    and DuckDB's fmt-based `format()` see the same tie-free double and
+    emit identical text."""
+    df = read_table(spark, sf_dir, "orders")
+    yearly = (
+        df.groupBy(year_of("o_orderdate").alias("year"))
+        .agg(F.round(dsum("o_totalprice"), 4).alias("revenue"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("year")  # ≤ a few dozen rows post-aggregate
+    prev = F.lag("revenue").over(w)
+    yoy = F.round((F.col("revenue") - prev) / prev * 100.0, 2)
+    return (
+        yearly.select("year", "revenue", yoy.alias("yoy_pct"))
+        .select(
+            "year",
+            "revenue",
+            F.format_number(F.round("revenue").cast("long"), 0).alias(
+                "revenue_display"
+            ),
+            "yoy_pct",
+            F.when(
+                F.col("yoy_pct").isNotNull(),
+                F.concat(F.format_number(F.col("yoy_pct"), 2), F.lit("%")),
+            ).alias("yoy_display"),
+        )
+    )
+
+
 def array_stats_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ARRAY<FLOAT> column ops (SURVEY §2.8 extension): per-label vector
     statistics — element access, L2 norm via zip_with/aggregate, array
@@ -101,6 +138,7 @@ def array_stats_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "scalar_functions_showcase": scalar_functions_showcase,
     "datetime_functions_showcase": datetime_functions_showcase,
+    "str_format_display": str_format_display,
     "array_stats_by_label": array_stats_by_label,
 }
 
@@ -134,6 +172,22 @@ ORACLE = {
         "WHEN year(o_orderdate) BETWEEN 2000 AND 2009 THEN '2000s' "
         "ELSE 'Other' END AS decade_case "
         "FROM orders"
+    ),
+    # yoy uses printf (no grouping): |pct| < 1000 on every fixture, so
+    # Spark's grouping format_number emits the same separator-free text.
+    "str_format_display": (
+        "WITH y AS (SELECT CAST(year(o_orderdate) AS INT) AS year, "
+        f"ROUND({dsum_sql('o_totalprice')}, 4) AS revenue "
+        "FROM orders GROUP BY 1), "
+        "p AS (SELECT year, revenue, "
+        "ROUND((revenue - LAG(revenue) OVER (ORDER BY year)) / "
+        "LAG(revenue) OVER (ORDER BY year) * 100.0, 2) AS yoy_pct FROM y) "
+        "SELECT year, revenue, "
+        "format('{:,}', CAST(ROUND(revenue) AS BIGINT)) AS revenue_display, "
+        "yoy_pct, "
+        "CASE WHEN yoy_pct IS NULL THEN NULL "
+        "ELSE printf('%.2f', yoy_pct) || '%' END AS yoy_display "
+        "FROM p"
     ),
     "array_stats_by_label": (
         "SELECT label, COUNT(*) AS n_vecs, "
