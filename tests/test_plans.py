@@ -135,8 +135,12 @@ def test_sql_scalar_subquery_decorrelates_to_aggregate_join(spark):
     plan = formatted_plan(df)
     assert "Subquery" not in plan  # decorrelated, not a scalar subquery
     assert "avg(" in plan  # the per-nation aggregate materialized once
-    # and it actually correlates: the rewritten join is keyed on nationkey
-    assert "c_nationkey" in plan
+    # and it actually correlates: the decorrelated JOIN itself must be
+    # keyed on the correlation column (the scan's ReadSchema containing
+    # c_nationkey would not prove that)
+    import re
+
+    assert re.search(r"Left keys \[\d+\]: \[c_nationkey#\d+", plan), plan
 
 
 def test_tpch_q6_all_predicates_pushed(spark):

@@ -17,8 +17,9 @@ change semantics.
 
 from __future__ import annotations
 
-import hashlib
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -29,15 +30,21 @@ from ..io import read_table
 
 _PART_DIR_MEMO: dict[tuple[str, str], str] = {}
 
+# One private mkdtemp base per process, removed at interpreter exit (same
+# lifecycle as streaming's drain dir). A fixed predictable path in shared
+# /tmp would let concurrent runs on the same sf_dir race each other's
+# overwrite (and is the classic pre-creatable-tempfile pattern); mkdtemp
+# is per-process-private, and atexit bounds the leak to crashed runs.
+_LAYOUT_BASE: str | None = None
 
-def _stable_layout_dir(sf_dir: str) -> str:
-    """Deterministic materialization path per source dir: every session
-    (and every run) re-uses and overwrites the SAME directory, so at most
-    one partitioned copy per sf_dir ever exists on disk — a fresh
-    ``mkdtemp`` per application would leak a full copy of orders on every
-    run (no cleanup survives the process)."""
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"orders_by_year_{tag}")
+
+def _layout_dir(sf_dir: str) -> str:
+    global _LAYOUT_BASE
+    if _LAYOUT_BASE is None or not os.path.exists(_LAYOUT_BASE):
+        _LAYOUT_BASE = tempfile.mkdtemp(prefix="layout_")
+        atexit.register(shutil.rmtree, _LAYOUT_BASE, ignore_errors=True)
+    tag = os.path.basename(os.path.abspath(sf_dir))
+    return os.path.join(_LAYOUT_BASE, f"orders_by_year_{tag}")
 
 
 def partitioned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -49,7 +56,7 @@ def partitioned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = _PART_DIR_MEMO.get(key)
     if d is None or not os.path.exists(d):
-        d = _stable_layout_dir(sf_dir)
+        d = _layout_dir(sf_dir)
         with_year.write.mode("overwrite").partitionBy("o_year").parquet(d)
         _PART_DIR_MEMO[key] = d
     # explicit schema: an EMPTY source writes only _SUCCESS (no footers), and

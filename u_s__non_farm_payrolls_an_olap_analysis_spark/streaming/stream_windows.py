@@ -97,7 +97,10 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # One session-lifetime spill directory for drained streaming results,
-# removed at interpreter exit; each drain overwrites its own subdir.
+# removed (with every accumulated drain subdir) at interpreter exit. Drain
+# names are uuid-unique, so one subdir accumulates per drain for the
+# session — deliberate: reusing a per-query-name subdir would overwrite
+# files a previously returned lazy DataFrame may still be reading.
 _DRAIN_BASE: str | None = None
 
 
