@@ -143,6 +143,79 @@ def test_sql_scalar_subquery_decorrelates_to_aggregate_join(spark):
     assert re.search(r"Left keys \[\d+\]: \[c_nationkey#\d+", plan), plan
 
 
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE's OptimizeSkewedJoin must split the hot event_type partitions
+    of join_skew_aqe at runtime: the executed plan carries
+    SortMergeJoin(skew=true) with an 'AQEShuffleRead skewed' child.
+
+    The skew-size thresholds are lowered for the test ONLY to emulate
+    at-scale partition bytes on fixture-sized data (the 256 MB default is
+    correct in production and would classify nothing at sf0.001); the
+    feature itself and its factor stay at engine defaults.
+    """
+    lowered = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        # the engine default (32); the test session runs 4, where 5 hot
+        # keys land one per partition and no partition exceeds the median
+        "spark.sql.shuffle.partitions": "32",
+    }
+    saved = {k: spark.conf.get(k) for k in lowered}
+    try:
+        for k, v in lowered.items():
+            spark.conf.set(k, v)
+        df = joins.join_skew_aqe(spark, SF)
+        rows = df.collect()
+        assert len(rows) == 1000  # one enriched row per event
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin(skew=true)" in plan, plan
+        assert "AQEShuffleRead skewed" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def test_tpch_q18_having_filters_before_join(spark):
+    # the HAVING aggregate runs once over lineitem; qualifying keys join
+    # orders/customer afterwards — no second lineitem pass, no cartesian
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import (
+        tpch_analytics,
+    )
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.plans.explain import (
+        formatted_plan,
+    )
+
+    df = tpch_analytics.tpch_q18_large_volume(spark, SF)
+    kinds = join_kinds(df)
+    assert "CartesianProduct" not in kinds
+    assert "BroadcastNestedLoopJoin" not in kinds
+    plan = formatted_plan(df)
+    assert plan.count("lineitem.parquet") <= 1  # one fact scan only
+    assert has_take_ordered(df)  # top-20 without a global sort
+
+
+def test_tpch_q21_decorrelates_to_semi_and_anti(spark):
+    # the correlated EXISTS / NOT EXISTS pair must appear as LeftSemi and
+    # LeftAnti hash/merge joins keyed on l_orderkey — not per-row
+    # subqueries, not a nested-loop stage
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import (
+        tpch_analytics,
+    )
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.plans.explain import (
+        formatted_plan,
+    )
+
+    df = tpch_analytics.tpch_q21_suppliers_kept_waiting(spark, SF)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    kinds = join_kinds(df)
+    assert "CartesianProduct" not in kinds
+    assert "BroadcastNestedLoopJoin" not in kinds
+
+
 def test_tpch_q6_all_predicates_pushed(spark):
     from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import (
         tpch_analytics,

@@ -177,12 +177,61 @@ def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-join demonstrator — enrich every event with its type's totals
+    via a deliberately skewed shuffle join on ``event_type`` (5 distinct
+    values → a handful of hot shuffle partitions, most empty: the
+    partition-level skew profile a hot ``user_id`` join has at 100 TB).
+
+    Plan shape (pinned in ``tests/test_plans.py``): both sides are BARE
+    shuffle stages under the sort-merge join, which is exactly what AQE's
+    ``OptimizeSkewedJoin`` needs to split a skewed partition by mapper
+    boundary (``SortMergeJoin(skew=true)`` + ``AQEShuffleRead skewed``).
+    Two locally-load-bearing choices, both no-ops at production scale:
+
+    - ``repartition`` on each input stands in for "many upstream map
+      tasks" — a single-mapper shuffle (one small parquet file) has no
+      mapper boundaries to split on, so AQE provably cannot help;
+    - merge hints force the fact-fact SMJ shape (a 5-row dim would
+      broadcast here; the 100 TB analogue — events x user-profiles — has
+      no broadcastable side).
+
+    The skew-size thresholds themselves stay at engine defaults (256 MB)
+    in registered runs; the plan test lowers them to emulate at-scale
+    partition sizes on fixture data. ``agg_salted_two_phase`` is the
+    complementary manual-mitigation pattern."""
+    ev = read_table(spark, sf_dir, "events")
+    fact = ev.select("event_id", "event_type", "value").repartition(8)
+    totals = (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(dsum("value"), 4).alias("type_total"),
+            F.count(F.lit(1)).alias("n_type"),
+        )
+        .repartition(4)
+    )
+    return (
+        fact.hint("merge")
+        .join(totals.hint("merge"), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "n_type",
+            "type_total",
+            F.round(F.col("value") / F.col("type_total"), 6).alias(
+                "value_share"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "join_interval_bucketed": join_interval_bucketed,
     "join_broadcast_dim": join_broadcast_dim,
     "join_shuffle_3way": join_shuffle_3way,
     "join_semi_anti": join_semi_anti,
     "join_range_asof": join_range_asof,
+    "join_skew_aqe": join_skew_aqe,
 }
 
 ORACLE = {
@@ -223,5 +272,13 @@ ORACLE = {
         "FROM events e LEFT JOIN orders o "
         "ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts "
         "GROUP BY 1, 2"
+    ),
+    "join_skew_aqe": (
+        "WITH t AS (SELECT event_type, "
+        f"ROUND({dsum_sql('value')}, 4) AS type_total, "
+        "COUNT(*) AS n_type FROM events GROUP BY 1) "
+        "SELECT event_id, e.event_type, n_type, type_total, "
+        "ROUND(value / type_total, 6) AS value_share "
+        "FROM events e JOIN t ON e.event_type = t.event_type"
     ),
 }

@@ -216,6 +216,93 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape — large-volume customers: HAVING over a fact aggregate,
+    then the qualifying ≤0.1% of orders re-join customer/orders.
+
+    The per-order quantity aggregate is ONE map-side-combinable hash agg
+    over lineitem (the big scan); the HAVING filter reduces it to a tiny
+    keyset, so the subsequent joins are effectively broadcast-sized at any
+    SF — never a second pass over lineitem. Top-20 via total order with
+    o_orderkey tiebreak."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(dsum("l_quantity"), 4).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 4).alias("o_totalprice"),
+            "sum_qty",
+        )
+        .orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderdate"), "o_orderkey"
+        )
+        .limit(20)
+    )
+
+
+def tpch_q21_suppliers_kept_waiting(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Q21 shape — correlated EXISTS + NOT EXISTS at join scale: suppliers
+    who were the SOLE late supplier on a finalized multi-supplier order.
+
+    Adaptations to the fixture schema: "late" is ``l_shipdate >
+    o_orderdate + 90 days`` (no l_receiptdate/l_commitdate columns), and
+    the single-nation filter is dropped (fixture nations hold ~1 supplier
+    each — it would degenerate the result).
+
+    Physical shape is the decorrelated one: the EXISTS becomes a LEFT SEMI
+    join of late lines against other-supplier lines of the same order, the
+    NOT EXISTS a LEFT ANTI join against other-supplier LATE lines — both
+    equi-keyed on l_orderkey with the supplier inequality as a residual
+    join predicate (asserted in tests/test_plans.py). No per-row subquery
+    re-execution, no cartesian stage."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders_f = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    supp = read_table(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 90 DAYS"
+    )
+    l1 = (
+        li.join(orders_f, li.l_orderkey == orders_f.o_orderkey)
+        .filter(late)
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = l1.select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
+    waited = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")),
+        "left_anti",
+    )
+    return (
+        waited.join(F.broadcast(supp), waited.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
 QUERIES = {
     "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
@@ -224,6 +311,8 @@ QUERIES = {
     "tpch_q10_returned_items": tpch_q10_returned_items,
     "tpch_q14_promo_revenue_share": tpch_q14_promo_revenue_share,
     "tpch_q15_top_supplier": tpch_q15_top_supplier,
+    "tpch_q18_large_volume": tpch_q18_large_volume,
+    "tpch_q21_suppliers_kept_waiting": tpch_q21_suppliers_kept_waiting,
 }
 
 _REV_SUM = dsum_sql(_REVENUE_SQL)
@@ -308,5 +397,31 @@ ORACLE = {
         "JOIN supplier ON l_suppkey = s_suppkey "
         "WHERE total_rev = (SELECT MAX(total_rev) FROM rev) "
         "ORDER BY s_suppkey"
+    ),
+    "tpch_q18_large_volume": (
+        "WITH big AS (SELECT l_orderkey, "
+        f"ROUND({dsum_sql('l_quantity')}, 4) AS sum_qty "
+        "FROM lineitem GROUP BY 1 "
+        f"HAVING ROUND({dsum_sql('l_quantity')}, 4) > 250) "
+        "SELECT c_name, c_custkey, o_orderkey, o_orderdate, "
+        "ROUND(o_totalprice, 4) AS o_totalprice, sum_qty "
+        "FROM big JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 20"
+    ),
+    "tpch_q21_suppliers_kept_waiting": (
+        "WITH l1 AS (SELECT l.l_orderkey, l.l_suppkey "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "WHERE o.o_orderstatus = 'F' "
+        "AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY) "
+        "SELECT s_name, COUNT(*) AS numwait FROM l1 "
+        "JOIN supplier ON l1.l_suppkey = s_suppkey "
+        "WHERE EXISTS (SELECT 1 FROM lineitem l2 "
+        "WHERE l2.l_orderkey = l1.l_orderkey "
+        "AND l2.l_suppkey <> l1.l_suppkey) "
+        "AND NOT EXISTS (SELECT 1 FROM l1 l3 "
+        "WHERE l3.l_orderkey = l1.l_orderkey "
+        "AND l3.l_suppkey <> l1.l_suppkey) "
+        "GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20"
     ),
 }
