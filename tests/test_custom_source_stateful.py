@@ -77,3 +77,21 @@ def test_tws_user_totals_if_available(spark):
         u: (n, sv) for u, n, sv in con.execute(TWS_ORACLE_SQL).fetchall()
     }
     assert got == want
+
+
+def test_tws_probe_matches_env():
+    """The TWS capability gate must agree with the actual environment
+    (pinned evidence: TWS_PROBE.md) — a stale probe would either silently
+    drop a runnable operator or crash the registry on import."""
+    import importlib.util
+
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.streaming.stateful import (
+        tws_available,
+    )
+
+    try:
+        # find_spec raises if the parent "google" namespace is absent
+        present = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        present = False
+    assert tws_available() == present

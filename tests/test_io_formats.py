@@ -68,3 +68,52 @@ def test_orc_roundtrip(spark, tmp_path):
         (1, "a", 1.5),
         (2, "b", 2.5),
     ]
+
+
+def _jdbc_driver_available(spark) -> bool:
+    """Capability probe (same pattern as the TWS protobuf gate): True iff
+    an embedded JDBC driver is loadable in the JVM. Spark bundles Derby
+    for the Hive metastore, so this is expected-present; the skip exists
+    so environments that strip Derby get a pinned, visible gate instead
+    of an error."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+        )
+        return True
+    except Exception:
+        try:
+            spark._jvm.java.lang.Class.forName(
+                "org.apache.derby.jdbc.EmbeddedDriver"
+            )
+            return True
+        except Exception:
+            return False
+
+
+def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    """Real JDBC connector exercise (SURVEY §1.4: `spark.read.jdbc`
+    retained as optional connector; reference storage is PostgreSQL via
+    psycopg2, `etl.py:48-63`): write a keyed series to an embedded Derby
+    database through df.write.jdbc, read it back through spark.read.jdbc,
+    and verify values — the full JDBC write + read path with no external
+    server. Derby's EmbeddedDriver ships in Spark's own classpath."""
+    import pytest
+
+    if not _jdbc_driver_available(spark):
+        pytest.skip("no embedded JDBC driver (Derby) on the JVM classpath")
+    url = f"jdbc:derby:{tmp_path}/nfpdb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    df = _series_df(spark)
+    df.write.jdbc(url, "nonfarm_payrolls", mode="overwrite", properties=props)
+    back = spark.read.jdbc(url, "nonfarm_payrolls", properties=props)
+    assert set(back.columns) == {"date", "employment"}
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    # predicate pushdown reaches the JDBC source (shows as an external
+    # engine filter, not a Spark-side Filter over a full table pull)
+    pushed = spark.read.jdbc(
+        url, "nonfarm_payrolls", properties=props
+    ).filter(F.col("employment") > 106.0)
+    assert pushed.count() == 6
+    plan = pushed._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "employment" in plan
