@@ -34,16 +34,42 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def _nearest_long_away(x: Column) -> Column:
+    """Nearest integer, ties away from zero, as LONG — pure floating-point
+    (``floor`` of a double is a long in Spark), evaluated inside codegen.
+
+    This is DuckDB's ``ROUND(x)``/C ``round()`` convention applied to the
+    SAME binary double both engines computed, so the per-row scaled values
+    are bitwise-identical across engines. It replaces ``F.round``, whose
+    per-value BigDecimal path (shortest-decimal re-parse + setScale) costs
+    ~2x the whole aggregate on a TPC-H-Q1-shape scan (measured 315 ms →
+    159 ms at sf0.1) and rounds ties on the DECIMAL rendering — a
+    different (not safer) edge set than the binary-tie convention."""
+    return F.when(x >= 0, F.floor(x + F.lit(0.5))).otherwise(
+        -F.floor(F.lit(0.5) - x)
+    )
+
+
 def dsum(col: Column | str, scale: int = SCALE) -> Column:
     """Order-independent SUM of a money-like double (scaled-int inside).
     ``scale`` sets the preserved fractional precision (10^k per digit)."""
-    return F.sum(F.round(_c(col) * scale).cast("long")) / float(scale)
+    return F.sum(_nearest_long_away(_c(col) * scale)) / float(scale)
 
 
 def davg(col: Column | str, scale: int = SCALE) -> Column:
     """Order-independent AVG: scaled-int sum / non-null count."""
     c = _c(col)
-    return F.sum(F.round(c * scale).cast("long")) / float(scale) / F.count(c)
+    return F.sum(_nearest_long_away(c * scale)) / float(scale) / F.count(c)
+
+
+def dround(col: Column | str, digits: int) -> Column:
+    """Fast per-row ROUND(x, digits) — ties away from zero on the binary
+    double, identical arithmetic to DuckDB's ``ROUND(x, d)`` (multiply by
+    10^d, nearest-away, divide) but ~2x faster than ``F.round``'s
+    BigDecimal path. For per-ROW rounding in scan-sized projections; the
+    per-GROUP ``F.round`` on aggregate outputs is not worth changing."""
+    s = float(10**digits)
+    return (_nearest_long_away(_c(col) * s) / s).cast("double")
 
 
 def dsum_decimal(col: Column | str) -> Column:

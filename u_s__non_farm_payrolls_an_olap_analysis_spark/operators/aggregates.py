@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
-from ..functions.numerics import davg, davg_sql, dsum, dsum_sql
+from ..functions.numerics import davg, davg_sql, dround, dsum, dsum_sql
 from ..functions.timeparts import year_of
 from ..io import read_table
 
@@ -82,7 +82,7 @@ def window_rank_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_custkey",
             "o_orderkey",
-            F.round("o_totalprice", 4).alias("o_totalprice"),
+            dround("o_totalprice", 4).alias("o_totalprice"),
             F.col("rn").cast("int").alias("rn"),
         )
     )
@@ -102,7 +102,7 @@ def window_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select(
             "o_orderkey",
             year_of("o_orderdate").alias("year"),
-            F.round(F.col("o_totalprice"), -3).alias("bucket"),
+            dround(F.col("o_totalprice"), -3).alias("bucket"),
         )
         .select(
             "o_orderkey",

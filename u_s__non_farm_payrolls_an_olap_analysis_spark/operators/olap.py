@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.numerics import davg, dsum
+from ..functions.numerics import davg, dround, dsum
 from ..functions.timeparts import (
     decade_label,
     diff,
@@ -112,7 +112,7 @@ def scan_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_custkey",
         "o_orderstatus",
-        F.round("o_totalprice", 4).alias("o_totalprice"),
+        dround("o_totalprice", 4).alias("o_totalprice"),
         "o_orderdate",
         "o_orderpriority",
     )
@@ -139,7 +139,7 @@ def project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders(spark, sf_dir).select(
         F.col("o_orderkey").alias("order_id"),
         F.col("o_orderdate").alias("order_ts"),
-        F.round("o_totalprice", 4).alias("amount"),
+        dround("o_totalprice", 4).alias("amount"),
     )
 
 
@@ -176,7 +176,7 @@ def filter_in_and_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "o_orderkey",
         "o_custkey",
-        F.round("o_totalprice", 4).alias("o_totalprice"),
+        dround("o_totalprice", 4).alias("o_totalprice"),
         "o_orderdate",
     )
 
