@@ -50,6 +50,17 @@ REPRESENTATIVE = [
     "agg_salted_two_phase",
     "sim_search_ann_ivf_kmeans",
     "scan_partition_pruned",
+    # round-4 additions
+    "str_format_display",
+    "dedup_embedding_cosine",
+    "join_skew_aqe",
+    "tpch_q18_large_volume",
+    "tpch_q21_suppliers_kept_waiting",
+    "tpch_q4_order_priority",
+    "tpch_q13_custdist",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive_pred",
+    "tpch_q22_global_sales_opportunity",
 ]
 
 

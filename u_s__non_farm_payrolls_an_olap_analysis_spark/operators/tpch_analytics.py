@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.numerics import dsum, dsum_sql
+from ..functions.numerics import davg, davg_sql, dsum, dsum_sql
 from ..io import read_table
 
 _REVENUE_SQL = "l_extendedprice * (1 - l_discount)"
@@ -303,6 +303,145 @@ def tpch_q21_suppliers_kept_waiting(
     )
 
 
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape — order-priority checking: orders of one quarter that have
+    at least one LATE line (fixture adaptation: ``l_shipdate >
+    o_orderdate + 60 days`` — no commit/receipt dates), counted by
+    priority. The EXISTS is a LEFT SEMI join of the quarter's orders
+    against their late lines — the orders side is filtered BEFORE the
+    join, so the semi probe touches ~1/28th of the fact table."""
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1997-07-01"))
+        & (F.col("o_orderdate") < _ts("1997-10-01"))
+    )
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (
+                li.l_shipdate
+                > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")
+            ),
+            "left_semi",
+        )
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape — customer order-count distribution: LEFT OUTER join
+    customer→orders with the filter INSIDE the join condition (customers
+    with zero qualifying orders must appear with c_count 0), then a
+    second aggregate over the per-customer counts. Two shuffles total:
+    the outer join on custkey and the tiny distribution aggregate."""
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    joined = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey)
+        & (orders.o_orderpriority != "1-URGENT"),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape — small-quantity-order revenue: the correlated per-part
+    average-quantity subquery decorrelated into ONE aggregate over
+    lineitem joined back on partkey (never re-executed per row), for one
+    brand / size band. Output is the canonical yearly-average revenue
+    (sum/7)."""
+    part = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#12") & (F.col("p_size") <= 10)
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ak")).agg(
+        (davg("l_quantity") * 0.2).alias("qty_cap")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("ak"))
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(
+            F.round(dsum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def tpch_q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape — discounted revenue under a DISJUNCTION of
+    (brand, size-band, quantity-band) triplets: the optimizer must keep
+    the common join key while the OR-of-ANDs stays a residual filter —
+    no plan explosion, one broadcast join, one aggregate."""
+    part = read_table(spark, sf_dir, "part")
+    li = read_table(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    q = F.col("l_quantity")
+    pred = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 50) & q.between(20, 30))
+    )
+    return j.filter(pred).agg(
+        F.round(dsum(_revenue()), 4).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def tpch_q22_global_sales_opportunity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Q22 shape — wealthy inactive customers: acctbal above the average
+    POSITIVE balance (scalar subquery → one global aggregate, broadcast
+    as a 1-row cross join), restricted to a nation set (fixture
+    adaptation of the phone-prefix filter), minus customers with any
+    RECENT order — ``o_orderdate >= 2000-01-01`` (fixture adaptation:
+    nearly every customer has SOME order, so the canonical
+    no-order-ever anti join is degenerate here; the recency predicate
+    keeps the LEFT ANTI shape non-trivial). Counts + balance sum per
+    nation key."""
+    cust = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(1, 2, 3, 4, 5)
+    )
+    avg_pos = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(davg("c_acctbal").alias("avg_bal"))
+    )
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= _ts("2000-01-01")
+    ).select("o_custkey")
+    rich = (
+        cust.crossJoin(F.broadcast(avg_pos))  # 1-row scalar broadcast
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+    )
+    inactive = rich.join(
+        orders, rich.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return (
+        inactive.groupBy(F.col("c_nationkey").cast("int").alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(dsum("c_acctbal"), 4).alias("totacctbal"),
+        )
+        .orderBy("cntry")
+    )
+
+
 QUERIES = {
     "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
@@ -313,6 +452,11 @@ QUERIES = {
     "tpch_q15_top_supplier": tpch_q15_top_supplier,
     "tpch_q18_large_volume": tpch_q18_large_volume,
     "tpch_q21_suppliers_kept_waiting": tpch_q21_suppliers_kept_waiting,
+    "tpch_q4_order_priority": tpch_q4_order_priority,
+    "tpch_q13_custdist": tpch_q13_custdist,
+    "tpch_q17_small_qty_revenue": tpch_q17_small_qty_revenue,
+    "tpch_q19_disjunctive_pred": tpch_q19_disjunctive_pred,
+    "tpch_q22_global_sales_opportunity": tpch_q22_global_sales_opportunity,
 }
 
 _REV_SUM = dsum_sql(_REVENUE_SQL)
@@ -423,5 +567,56 @@ ORACLE = {
         "WHERE l3.l_orderkey = l1.l_orderkey "
         "AND l3.l_suppkey <> l1.l_suppkey) "
         "GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20"
+    ),
+    "tpch_q4_order_priority": (
+        "SELECT o_orderpriority, COUNT(*) AS order_count FROM orders o "
+        "WHERE o_orderdate >= TIMESTAMP '1997-07-01' "
+        "AND o_orderdate < TIMESTAMP '1997-10-01' "
+        "AND EXISTS (SELECT 1 FROM lineitem l "
+        "WHERE l.l_orderkey = o.o_orderkey "
+        "AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) "
+        "GROUP BY 1 ORDER BY 1"
+    ),
+    "tpch_q13_custdist": (
+        "WITH pc AS (SELECT c_custkey, COUNT(o_orderkey) AS c_count "
+        "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+        "AND o_orderpriority <> '1-URGENT' GROUP BY 1) "
+        "SELECT c_count, COUNT(*) AS custdist FROM pc "
+        "GROUP BY 1 ORDER BY custdist DESC, c_count DESC"
+    ),
+    "tpch_q17_small_qty_revenue": (
+        "WITH a AS (SELECT l_partkey AS ak, "
+        f"{davg_sql('l_quantity')} * 0.2 AS qty_cap "
+        "FROM lineitem GROUP BY 1) "
+        "SELECT "
+        f"ROUND({dsum_sql('l_extendedprice')} / 7.0, 4) AS avg_yearly, "
+        "COUNT(*) AS n_lines "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "JOIN a ON l_partkey = ak "
+        "WHERE p_brand = 'Brand#12' AND p_size <= 10 "
+        "AND l_quantity < qty_cap"
+    ),
+    "tpch_q19_disjunctive_pred": (
+        f"SELECT ROUND({_REV_SUM}, 4) AS revenue, COUNT(*) AS n_lines "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 "
+        "AND l_quantity BETWEEN 1 AND 11) "
+        "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 "
+        "AND l_quantity BETWEEN 10 AND 20) "
+        "OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 50 "
+        "AND l_quantity BETWEEN 20 AND 30)"
+    ),
+    "tpch_q22_global_sales_opportunity": (
+        "WITH c AS (SELECT * FROM customer "
+        "WHERE c_nationkey IN (1, 2, 3, 4, 5)), "
+        "a AS (SELECT "
+        f"{davg_sql('c_acctbal')} AS avg_bal "
+        "FROM c WHERE c_acctbal > 0.0) "
+        "SELECT CAST(c_nationkey AS INT) AS cntry, COUNT(*) AS numcust, "
+        f"ROUND({dsum_sql('c_acctbal')}, 4) AS totacctbal "
+        "FROM c, a WHERE c_acctbal > avg_bal "
+        "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+        "AND o_orderdate >= TIMESTAMP '2000-01-01') "
+        "GROUP BY 1 ORDER BY 1"
     ),
 }

@@ -224,11 +224,54 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_type", F.col("hr").alias("hour_start"))
 
 
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X14e — stream-stream inner join with an event-time range condition:
+    each purchase joins the same user's clicks from the strictly-prior
+    hour. Both sides carry a 1-hour watermark and the join condition
+    bounds event time on both, so the state store holds only ~2 hours of
+    either stream (the canonical bounded-state stream-stream join).
+    Append mode: matched pairs are final once the watermark passes.
+    Oracle: the identical batch self-join on events (µs-cast timestamps,
+    as in ``joins.join_interval_bucketed``)."""
+    ev = _events_stream(spark, sf_dir)
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_uid"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    j = p.join(
+        c,
+        (F.col("user_id") == F.col("c_uid"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") < F.col("p_ts")),
+    )
+    out = _drain_to_memory(
+        j.select("purchase_id", "click_id", "user_id"),
+        spark,
+        output_mode="append",
+    )
+    return out
+
+
 QUERIES = {
     "stream_tumbling_agg": stream_tumbling_agg,
     "stream_sliding_agg": stream_sliding_agg,
     "stream_session_window": stream_session_window,
     "stream_dedup_keys": stream_dedup_keys,
+    "stream_stream_join": stream_stream_join,
 }
 
 ORACLE = {
@@ -249,6 +292,14 @@ ORACLE = {
     "stream_dedup_keys": (
         "SELECT DISTINCT user_id, event_type, "
         "date_trunc('hour', ts) AS hour_start FROM events"
+    ),
+    "stream_stream_join": (
+        "SELECT p.event_id AS purchase_id, c.event_id AS click_id, "
+        "p.user_id FROM events p JOIN events c ON c.user_id = p.user_id "
+        "WHERE p.event_type = 'purchase' AND c.event_type = 'click' "
+        "AND CAST(c.ts AS TIMESTAMP) >= "
+        "CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR "
+        "AND CAST(c.ts AS TIMESTAMP) < CAST(p.ts AS TIMESTAMP)"
     ),
     "stream_session_window": (
         "WITH e AS (SELECT user_id, ts, value, "
