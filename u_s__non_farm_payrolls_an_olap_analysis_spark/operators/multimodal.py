@@ -95,9 +95,63 @@ def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FRAME_STRIDE = 100  # fake-decode frame size in bytes
+SAMPLE_EVERY = 4  # keep every 4th frame
+
+SAMPLE_SCHEMA = (
+    "doc_id long, kind string, frame_idx long, frame_off long, "
+    "remaining_bytes long"
+)
+
+
+def _frame_sample_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Frame sampling: each payload row explodes into one row per SAMPLED
+    frame (every ``SAMPLE_EVERY``-th of its ``len // stride`` frames) with
+    a payload-derived per-frame feature. The 1→N row shape is the part a
+    real video/audio sampler needs from the engine; memory stays bounded
+    per Arrow batch (output rows ≤ rows x frames-per-doc)."""
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "kind", "frame_idx", "frame_off", "remaining_bytes")}
+        for doc_id, media, kind in zip(pdf["doc_id"], pdf["media"], pdf["kind"]):
+            n = len(media)
+            for f in range(0, n // FRAME_STRIDE, SAMPLE_EVERY):
+                out["doc_id"].append(doc_id)
+                out["kind"].append(kind)
+                out["frame_idx"].append(f)
+                out["frame_off"].append(f * FRAME_STRIDE)
+                out["remaining_bytes"].append(n - f * FRAME_STRIDE)
+        yield pd.DataFrame(out).astype(
+            {
+                "doc_id": "int64",
+                "frame_idx": "int64",
+                "frame_off": "int64",
+                "remaining_bytes": "int64",
+            }
+        )
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — frame sampling over binary media: decode boundary →
+    every 4th frame kept → per-frame feature rows for downstream
+    relational ops (the video/audio training-data shape). Same synthetic
+    payload stand-in as :func:`multimodal_decode_meta`."""
+    docs = read_table(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("media"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("image"))
+        .otherwise(F.lit("audio"))
+        .alias("kind"),
+    )
+    return media.mapInPandas(_frame_sample_batches, schema=SAMPLE_SCHEMA)
+
+
 QUERIES = {
     "multimodal_decode_meta": multimodal_decode_meta,
     "multimodal_frame_stats": multimodal_frame_stats,
+    "multimodal_frame_sample": multimodal_frame_sample,
 }
 
 _DECODED_SQL = (
@@ -111,6 +165,15 @@ _DECODED_SQL = (
 
 ORACLE = {
     "multimodal_decode_meta": _DECODED_SQL,
+    "multimodal_frame_sample": (
+        "WITH m AS (SELECT doc_id, "
+        "CAST(octet_length(encode(text)) AS BIGINT) AS n, "
+        "CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind "
+        "FROM documents) "
+        "SELECT doc_id, kind, f AS frame_idx, f * 100 AS frame_off, "
+        "n - f * 100 AS remaining_bytes "
+        "FROM m, UNNEST(range(0, n // 100, 4)) AS t(f)"
+    ),
     "multimodal_frame_stats": (
         f"WITH d AS ({_DECODED_SQL}) "
         "SELECT kind, COUNT(*) AS n_docs, "
