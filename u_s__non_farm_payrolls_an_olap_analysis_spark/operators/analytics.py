@@ -217,8 +217,35 @@ def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional window family the pack lacked: ``first_value``,
+    ``last_value`` and ``nth_value`` over the full partition frame — each
+    month labeled with its year's opening, closing, and second-month
+    totals. The window runs over the ~80-row monthly aggregate (per-year
+    partitions), never the fact table; explicit unbounded ROWS frame so
+    last/nth see the whole partition, not the default running frame."""
+    m = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(month_start("o_orderdate").alias("ms"))
+        .agg(F.round(dsum("o_totalprice"), 4).alias("total"))
+    )
+    w = (
+        Window.partitionBy(F.year("ms"))
+        .orderBy("ms")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return m.select(
+        F.col("ms").alias("month_start"),
+        "total",
+        F.round(F.first("total").over(w), 4).alias("year_open"),
+        F.round(F.last("total").over(w), 4).alias("year_close"),
+        F.round(F.nth_value("total", 2).over(w), 4).alias("year_second"),
+    )
+
+
 QUERIES = {
     "window_distribution_ranks": window_distribution_ranks,
+    "window_first_last_nth": window_first_last_nth,
     "agg_percentiles": agg_percentiles,
     "agg_corr_covar": agg_corr_covar,
     "window_moving_stats": window_moving_stats,
@@ -251,6 +278,15 @@ _M3 = (
 )
 
 ORACLE = {
+    "window_first_last_nth": (
+        f"WITH m AS ({_M3}) "
+        "SELECT ms AS month_start, total, "
+        "ROUND(first_value(total) OVER w, 4) AS year_open, "
+        "ROUND(last_value(total) OVER w, 4) AS year_close, "
+        "ROUND(nth_value(total, 2) OVER w, 4) AS year_second "
+        "FROM m WINDOW w AS (PARTITION BY year(ms) ORDER BY ms "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+    ),
     "window_moving_stats": (
         f"WITH m AS ({_M3}) "
         "SELECT ms AS month_start, total, "

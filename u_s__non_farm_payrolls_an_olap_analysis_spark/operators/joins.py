@@ -225,6 +225,43 @@ def join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer reconciliation — the data-engineering staple the join
+    family otherwise lacks: two overlapping extracts of orders (an early
+    date slice vs a high-value slice) FULL OUTER joined on the key, each
+    key classified both/a_only/b_only, counts and per-side sums per
+    class. One shuffle on the key; the classification is a null-check
+    projection."""
+    o = read_table(spark, sf_dir, "orders")
+    _ts = lambda s: F.lit(s).cast("timestamp_ntz")  # noqa: E731
+    a = o.filter(F.col("o_orderdate") < _ts("1998-01-01")).select(
+        F.col("o_orderkey").alias("ka"), F.col("o_totalprice").alias("amt_a")
+    )
+    b = o.filter(F.col("o_totalprice") > 200000.0).select(
+        F.col("o_orderkey").alias("kb"), F.col("o_totalprice").alias("amt_b")
+    )
+    j = a.join(b, a.ka == b.kb, "full_outer")
+    cls = (
+        F.when(F.col("ka").isNotNull() & F.col("kb").isNotNull(), F.lit("both"))
+        .when(F.col("ka").isNotNull(), F.lit("a_only"))
+        .otherwise(F.lit("b_only"))
+    )
+    return (
+        j.select(
+            cls.alias("cls"),
+            F.coalesce("amt_a", F.lit(0.0)).alias("va"),
+            F.coalesce("amt_b", F.lit(0.0)).alias("vb"),
+        )
+        .groupBy("cls")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.round(dsum("va"), 4).alias("total_a"),
+            F.round(dsum("vb"), 4).alias("total_b"),
+        )
+        .orderBy("cls")
+    )
+
+
 QUERIES = {
     "join_interval_bucketed": join_interval_bucketed,
     "join_broadcast_dim": join_broadcast_dim,
@@ -232,6 +269,7 @@ QUERIES = {
     "join_semi_anti": join_semi_anti,
     "join_range_asof": join_range_asof,
     "join_skew_aqe": join_skew_aqe,
+    "join_full_outer_reconcile": join_full_outer_reconcile,
 }
 
 ORACLE = {
@@ -280,5 +318,17 @@ ORACLE = {
         "SELECT event_id, e.event_type, n_type, type_total, "
         "ROUND(value / type_total, 6) AS value_share "
         "FROM events e JOIN t ON e.event_type = t.event_type"
+    ),
+    "join_full_outer_reconcile": (
+        "WITH a AS (SELECT o_orderkey AS ka, o_totalprice AS amt_a "
+        "FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'), "
+        "b AS (SELECT o_orderkey AS kb, o_totalprice AS amt_b "
+        "FROM orders WHERE o_totalprice > 200000.0) "
+        "SELECT CASE WHEN ka IS NOT NULL AND kb IS NOT NULL THEN 'both' "
+        "WHEN ka IS NOT NULL THEN 'a_only' ELSE 'b_only' END AS cls, "
+        "COUNT(*) AS n_keys, "
+        f"ROUND({dsum_sql('COALESCE(amt_a, 0.0)')}, 4) AS total_a, "
+        f"ROUND({dsum_sql('COALESCE(amt_b, 0.0)')}, 4) AS total_b "
+        "FROM a FULL OUTER JOIN b ON ka = kb GROUP BY 1 ORDER BY 1"
     ),
 }

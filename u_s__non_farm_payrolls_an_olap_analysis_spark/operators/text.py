@@ -163,6 +163,34 @@ def text_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — fuzzy (edit-distance) near-match pairs: block on the
+    20-char text prefix (near-dups share it unless the edit falls in the
+    first 20 chars — the standard prefix-blocking tradeoff), then verify
+    candidates with ``levenshtein`` over the 80-char head. The candidate
+    stage is an equi-join on the block key — never all-pairs — and both
+    engines implement the same Wagner-Fischer distance."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring("text", 1, 20).alias("blk"),
+        F.substring("text", 1, 80).alias("head"),
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.head"), F.col("b.head")).alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 16)
+    )
+
+
 QUERIES = {
     "text_clean_funnel": text_clean_funnel,
     "text_tokenize_tf": text_tokenize_tf,
@@ -170,6 +198,7 @@ QUERIES = {
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
     "text_token_count": text_token_count,
+    "text_fuzzy_match": text_fuzzy_match,
 }
 
 _TOK_SQL = (
@@ -179,6 +208,14 @@ _TOK_SQL = (
 )
 
 ORACLE = {
+    "text_fuzzy_match": (
+        "WITH d AS (SELECT doc_id, substring(text, 1, 20) AS blk, "
+        "substring(text, 1, 80) AS head FROM documents) "
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(levenshtein(a.head, b.head) AS INT) AS edit_dist "
+        "FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id "
+        "WHERE levenshtein(a.head, b.head) <= 16"
+    ),
     "text_clean_funnel": (
         "WITH d AS (SELECT source, length(text) AS n_chars, "
         "len(string_split(text, ' ')) AS n_tokens, "
