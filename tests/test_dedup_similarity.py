@@ -106,6 +106,22 @@ def test_simhash_identical_docs_zero_distance(spark, docs_dir):
     assert (0, 3) in out and out[(0, 3)] <= 6
 
 
+def test_fuzzy_match_finds_planted_near_dup(spark, docs_dir):
+    """Prefix-blocked levenshtein: identical docs 0/1 at distance 0; doc 3
+    (one mid-text token changed, shared 20-char prefix) within threshold;
+    doc 2 (uppercased → different prefix block) and doc 4 (different text)
+    produce no pairs with the originals."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import text
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["edit_dist"]
+        for r in text.text_fuzzy_match(spark, docs_dir).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    assert (0, 3) in pairs and 0 < pairs[(0, 3)] <= 16
+    assert all(2 not in p and 4 not in p for p in pairs)
+
+
 def test_dedup_clusters_components(spark, docs_dir):
     """Docs 0,1,3 share ≥0.8 Jaccard pairs (0-1 exact, 0-3/1-3 near) →
     one component labeled by min id 0; 2 (uppercased) and 4 (different)
