@@ -216,6 +216,54 @@ def test_tpch_q21_decorrelates_to_semi_and_anti(spark):
     assert "BroadcastNestedLoopJoin" not in kinds
 
 
+def test_tpch_q4_semi_join_after_order_filter(spark):
+    # the EXISTS decorrelates to a LeftSemi probe of the ALREADY date-
+    # filtered orders; the quarter predicate reaches the orders scan
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import (
+        tpch_analytics,
+    )
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.plans.explain import (
+        formatted_plan,
+    )
+
+    df = tpch_analytics.tpch_q4_order_priority(spark, SF)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan
+    pushed = " ".join(pushed_filters(df))
+    assert "GreaterThanOrEqual(o_orderdate" in pushed
+    assert "LessThan(o_orderdate" in pushed
+
+
+def test_tpch_q19_single_join_no_plan_explosion(spark):
+    # the OR-of-ANDs must stay a residual filter over ONE equi-join —
+    # not a union of three joins, not a nested loop
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import (
+        tpch_analytics,
+    )
+
+    df = tpch_analytics.tpch_q19_disjunctive_pred(spark, SF)
+    kinds = join_kinds(df)
+    assert "CartesianProduct" not in kinds
+    assert "BroadcastNestedLoopJoin" not in kinds
+    assert sum(kinds.count(k) for k in ("BroadcastHashJoin", "SortMergeJoin",
+                                        "ShuffledHashJoin")) == 1
+
+
+def test_tpch_q22_anti_join_with_broadcast_scalar(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import (
+        tpch_analytics,
+    )
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.plans.explain import (
+        formatted_plan,
+    )
+
+    df = tpch_analytics.tpch_q22_global_sales_opportunity(spark, SF)
+    plan = formatted_plan(df)
+    assert "LeftAnti" in plan
+    # the 1-row average broadcasts; no cartesian blowup beyond it
+    assert "CartesianProduct" not in join_kinds(df)
+
+
 def test_tpch_q6_all_predicates_pushed(spark):
     from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import (
         tpch_analytics,
