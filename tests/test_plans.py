@@ -247,6 +247,8 @@ def test_tpch_q19_single_join_no_plan_explosion(spark):
     assert "BroadcastNestedLoopJoin" not in kinds
     assert sum(kinds.count(k) for k in ("BroadcastHashJoin", "SortMergeJoin",
                                         "ShuffledHashJoin")) == 1
+    # the brand IN-set implied by every disjunct reaches the part scan
+    assert any("In(p_brand" in p for p in pushed_filters(df))
 
 
 def test_tpch_q22_anti_join_with_broadcast_scalar(spark):

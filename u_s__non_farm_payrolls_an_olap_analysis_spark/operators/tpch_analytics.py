@@ -387,8 +387,14 @@ def tpch_q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q19 shape — discounted revenue under a DISJUNCTION of
     (brand, size-band, quantity-band) triplets: the optimizer must keep
     the common join key while the OR-of-ANDs stays a residual filter —
-    no plan explosion, one broadcast join, one aggregate."""
-    part = read_table(spark, sf_dir, "part")
+    no plan explosion, one broadcast join, one aggregate. The brand set
+    implied by every disjunct is stated EXPLICITLY on the part scan
+    (sargable, pushed): at 100 TB the broadcast side must be the three
+    brands' parts, not the whole part table — Catalyst does not reliably
+    extract the common IN-set out of an OR-of-ANDs on its own."""
+    part = read_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+    )
     li = read_table(spark, sf_dir, "lineitem")
     j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
     q = F.col("l_quantity")
