@@ -19,7 +19,61 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..io import register_views
 
+# The reference's fact table as a dialect-shared CTE over orders: the
+# monthly series IS the engine's `nonfarm_payrolls` analogue (column names
+# match the reference DDL, `etl.py:58-63`). Scaled-int sums/avgs keep the
+# doubles bitwise-identical across engines (functions/numerics rationale).
+_NP = (
+    "nonfarm_payrolls AS (SELECT date_trunc('month', o_orderdate) AS date, "
+    "CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS DOUBLE) "
+    "/ 10000.0 AS total_payroll_employment FROM orders GROUP BY 1)"
+)
+_MOM = (
+    "mom_change AS (SELECT date, total_payroll_employment, "
+    "(total_payroll_employment - LAG(total_payroll_employment) "
+    "OVER (ORDER BY date)) * 100.0 / LAG(total_payroll_employment) "
+    "OVER (ORDER BY date) AS mom_pct_change FROM nonfarm_payrolls)"
+)
+
 SHARED_SQL = {
+    # The SQL the reference DISPLAYS for its dice analysis
+    # (`dashboard_nfp.py:205-221`: CTE + LAG window + filtered aggregate),
+    # executed for real through spark.sql. Adaptations, both documented
+    # determinism policy: the AVG is the scaled-int form, and the ORDER BY
+    # carries a month tiebreaker.
+    "sql_dashboard_q4_growth": (
+        f"WITH {_NP}, {_MOM} "
+        "SELECT CAST(EXTRACT(MONTH FROM date) AS INT) AS month, "
+        "ROUND(CAST(SUM(CAST(ROUND(mom_pct_change * 1000000) AS BIGINT)) "
+        "AS DOUBLE) / 1000000.0 / COUNT(mom_pct_change), 6) "
+        "AS avg_q4_growth "
+        "FROM mom_change WHERE EXTRACT(MONTH FROM date) IN (10, 11, 12) "
+        "GROUP BY 1 ORDER BY avg_q4_growth DESC, month"
+    ),
+    # `dashboard_nfp.py:407-415` — the sharpest MoM drop, LIMIT 1.
+    # The first row's NULL pct is filtered explicitly: Spark sorts ASC
+    # NULLS FIRST, DuckDB NULLS LAST — relying on either would flip the
+    # answer between engines.
+    "sql_dashboard_sharpest_drop": (
+        f"WITH {_NP}, {_MOM} "
+        "SELECT date, total_payroll_employment, "
+        "ROUND(mom_pct_change, 6) AS mom_growth "
+        "FROM mom_change WHERE mom_pct_change IS NOT NULL "
+        "ORDER BY mom_growth ASC, date LIMIT 1"
+    ),
+    # `dashboard_nfp.py:305-316` — decade CASE rollup (decades shifted to
+    # the fixture's 1992-2001 span).
+    "sql_dashboard_decade_case": (
+        f"WITH {_NP} "
+        "SELECT CASE "
+        "WHEN EXTRACT(YEAR FROM date) BETWEEN 1990 AND 1999 THEN '1990s' "
+        "WHEN EXTRACT(YEAR FROM date) BETWEEN 2000 AND 2009 THEN '2000s' "
+        "ELSE 'Other' END AS decade, "
+        "ROUND(CAST(SUM(CAST(ROUND(total_payroll_employment * 10000) "
+        "AS BIGINT)) AS DOUBLE) / 10000.0 "
+        "/ COUNT(total_payroll_employment), 4) AS avg_employment "
+        "FROM nonfarm_payrolls GROUP BY 1 ORDER BY 1"
+    ),
     # EXISTS → left-semi join after decorrelation; the inner query is never
     # materialized per-row.
     "sql_exists_big_order": (
