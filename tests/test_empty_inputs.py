@@ -61,6 +61,13 @@ REPRESENTATIVE = [
     "tpch_q17_small_qty_revenue",
     "tpch_q19_disjunctive_pred",
     "tpch_q22_global_sales_opportunity",
+    "text_fuzzy_match",
+    "multimodal_frame_sample",
+    "window_first_last_nth",
+    "join_full_outer_reconcile",
+    "sql_dashboard_q4_growth",
+    "sql_dashboard_sharpest_drop",
+    "sql_dashboard_decade_case",
 ]
 
 
