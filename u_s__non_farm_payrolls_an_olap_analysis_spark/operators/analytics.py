@@ -243,9 +243,63 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_trailing_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window over event time — the frame family ROWS can't
+    express: per day, the trailing-90-DAY order total (days with gaps
+    contribute nothing; a ROWS frame would wrongly span a fixed row
+    count). The range key is exact epoch days (integer), so frame
+    membership is identical in both engines; the window runs over the
+    ~2.4k-row DAILY aggregate, not the fact table."""
+    daily = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.round(dsum("o_totalprice"), 4).alias("total"))
+    )
+    keyed = daily.withColumn(
+        "day_num", (F.unix_micros(F.col("day").cast("timestamp")) / 86_400_000_000).cast("long")
+    )
+    w = Window.orderBy("day_num").rangeBetween(-89, 0)
+    return keyed.select(
+        F.col("day").alias("day_start"),
+        "total",
+        F.round(
+            F.sum(F.round(F.col("total") * 10_000).cast("long")).over(w)
+            / 10_000.0,
+            4,
+        ).alias("trailing_90d_total"),
+        F.count(F.lit(1)).over(w).alias("days_with_orders_90d"),
+    )
+
+
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-year MODE of order priority — built as count + rank with a
+    total tiebreak (most-frequent value, ties to the lexicographically
+    smallest) instead of the engines' ``mode()`` aggregates, whose tie
+    choice is implementation-defined and would flip between engines."""
+    orders = read_table(spark, sf_dir, "orders")
+    counts = orders.groupBy(
+        F.year("o_orderdate").alias("year"), "o_orderpriority"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("year").orderBy(
+        F.col("n").desc(), "o_orderpriority"
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("year").cast("int").alias("year"),
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("mode_count"),
+        )
+        .orderBy("year")
+    )
+
+
 QUERIES = {
     "window_distribution_ranks": window_distribution_ranks,
     "window_first_last_nth": window_first_last_nth,
+    "window_trailing_range_frame": window_trailing_range_frame,
+    "agg_mode_deterministic": agg_mode_deterministic,
     "agg_percentiles": agg_percentiles,
     "agg_corr_covar": agg_corr_covar,
     "window_moving_stats": window_moving_stats,
@@ -278,6 +332,28 @@ _M3 = (
 )
 
 ORACLE = {
+    "window_trailing_range_frame": (
+        "WITH d AS (SELECT date_trunc('day', o_orderdate) AS day, "
+        "ROUND((CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) "
+        "AS DOUBLE) / 10000.0), 4) AS total FROM orders GROUP BY 1), "
+        "k AS (SELECT day, total, "
+        "CAST(epoch(CAST(day AS TIMESTAMP)) // 86400 AS BIGINT) AS day_num "
+        "FROM d) "
+        "SELECT day AS day_start, total, "
+        "ROUND(CAST(SUM(CAST(ROUND(total * 10000) AS BIGINT)) OVER w "
+        "AS DOUBLE) / 10000.0, 4) AS trailing_90d_total, "
+        "COUNT(*) OVER w AS days_with_orders_90d "
+        "FROM k WINDOW w AS (ORDER BY day_num "
+        "RANGE BETWEEN 89 PRECEDING AND CURRENT ROW)"
+    ),
+    "agg_mode_deterministic": (
+        "WITH c AS (SELECT CAST(year(o_orderdate) AS INT) AS year, "
+        "o_orderpriority, COUNT(*) AS n FROM orders GROUP BY 1, 2), "
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY year "
+        "ORDER BY n DESC, o_orderpriority) AS rn FROM c) "
+        "SELECT year, o_orderpriority AS mode_priority, n AS mode_count "
+        "FROM r WHERE rn = 1 ORDER BY year"
+    ),
     "window_first_last_nth": (
         f"WITH m AS ({_M3}) "
         "SELECT ms AS month_start, total, "
