@@ -262,6 +262,32 @@ def join_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of vanishing — the semantics plain ``=``
+    joins silently drop. Demonstrated on a nullable derived key (priority
+    with '1-URGENT' nulled out on both sides): the NULL-NULL bucket pairs
+    up under ``eqNullSafe`` and would be absent under ``=``. Output is the
+    per-key-pair match count."""
+    o = read_table(spark, sf_dir, "orders")
+    a = o.groupBy(
+        F.nullif("o_orderpriority", F.lit("1-URGENT")).alias("ka")
+    ).agg(F.count(F.lit(1)).alias("na"))
+    b = o.groupBy(
+        F.nullif("o_orderpriority", F.lit("1-URGENT")).alias("kb")
+    ).agg(F.count(F.lit(1)).alias("nb"))
+    return (
+        a.join(b, F.col("ka").eqNullSafe(F.col("kb")))
+        .select(
+            F.coalesce("ka", F.lit("<null>")).alias("key"),
+            "na",
+            "nb",
+            (F.col("na") * F.col("nb")).alias("pair_count"),
+        )
+        .orderBy("key")
+    )
+
+
 QUERIES = {
     "join_interval_bucketed": join_interval_bucketed,
     "join_broadcast_dim": join_broadcast_dim,
@@ -270,9 +296,18 @@ QUERIES = {
     "join_range_asof": join_range_asof,
     "join_skew_aqe": join_skew_aqe,
     "join_full_outer_reconcile": join_full_outer_reconcile,
+    "join_null_safe_eq": join_null_safe_eq,
 }
 
 ORACLE = {
+    "join_null_safe_eq": (
+        "WITH a AS (SELECT NULLIF(o_orderpriority, '1-URGENT') AS ka, "
+        "COUNT(*) AS na FROM orders GROUP BY 1), "
+        "b AS (SELECT NULLIF(o_orderpriority, '1-URGENT') AS kb, "
+        "COUNT(*) AS nb FROM orders GROUP BY 1) "
+        "SELECT COALESCE(ka, '<null>') AS key, na, nb, na * nb AS pair_count "
+        "FROM a JOIN b ON ka IS NOT DISTINCT FROM kb ORDER BY 1"
+    ),
     "join_interval_bucketed": (
         "SELECT p.event_id AS purchase_id, p.user_id, "
         "COUNT(*) AS n_clicks_prior_hour "

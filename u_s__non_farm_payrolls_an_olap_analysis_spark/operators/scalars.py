@@ -135,11 +135,30 @@ def array_stats_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def array_explode_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUTER explode semantics — the row-preserving variant plain explode
+    lacks: ``posexplode_outer`` keeps a (NULL pos, NULL token) row for
+    NULL and EMPTY arrays instead of dropping the parent row (exactly the
+    rows a plain explode silently loses in a cleaning pipeline). Array per
+    doc: NULL for doc_id%10=0, empty for %10=1, else the first 3 tokens;
+    positions are 0-based in both engines' emitted column."""
+    docs = read_table(spark, sf_dir, "documents")
+    arr = (
+        F.when(F.col("doc_id") % 10 == 0, F.lit(None).cast("array<string>"))
+        .when(F.col("doc_id") % 10 == 1, F.array().cast("array<string>"))
+        .otherwise(F.slice(F.split(F.col("text"), " "), 1, 3))
+    )
+    return docs.select(
+        "doc_id", F.posexplode_outer(arr).alias("pos", "token")
+    ).select("doc_id", F.col("pos").cast("int").alias("pos"), "token")
+
+
 QUERIES = {
     "scalar_functions_showcase": scalar_functions_showcase,
     "datetime_functions_showcase": datetime_functions_showcase,
     "str_format_display": str_format_display,
     "array_stats_by_label": array_stats_by_label,
+    "array_explode_variants": array_explode_variants,
 }
 
 _NORM = (
@@ -148,6 +167,17 @@ _NORM = (
 )
 
 ORACLE = {
+    "array_explode_variants": (
+        "WITH d AS (SELECT doc_id, CASE "
+        "WHEN doc_id % 10 = 0 THEN NULL "
+        "WHEN doc_id % 10 = 1 THEN CAST([] AS VARCHAR[]) "
+        "ELSE string_split(text, ' ')[1:3] END AS arr FROM documents) "
+        "SELECT doc_id, CAST(i AS INT) AS pos, arr[CAST(i + 1 AS INT)] AS token "
+        "FROM d, UNNEST(range(0, COALESCE(len(arr), 0))) AS t(i) "
+        "UNION ALL "
+        "SELECT doc_id, NULL, NULL FROM d "
+        "WHERE arr IS NULL OR len(arr) = 0"
+    ),
     "datetime_functions_showcase": (
         "SELECT o_orderkey, "
         "o_orderdate + INTERVAL 3 MONTH AS plus_3_months, "
