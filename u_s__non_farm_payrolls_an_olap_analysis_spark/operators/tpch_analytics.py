@@ -364,12 +364,23 @@ def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     average-quantity subquery decorrelated into ONE aggregate over
     lineitem joined back on partkey (never re-executed per row), for one
     brand / size band. Output is the canonical yearly-average revenue
-    (sum/7)."""
+    (sum/7).
+
+    Scale note: the per-part average aggregates only lineitem rows of the
+    SELECTED parts (broadcast semi-join before the groupBy) — aggregating
+    ALL of lineitem by partkey and discarding ~96% of the groups at the
+    join would be the 100 TB mistake; the correlation only ever references
+    the filtered parts' keys, so semantics are unchanged."""
     part = read_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") == "Brand#12") & (F.col("p_size") <= 10)
     )
     li = read_table(spark, sf_dir, "lineitem")
-    avg_qty = li.groupBy(F.col("l_partkey").alias("ak")).agg(
+    li_sel = li.join(
+        F.broadcast(part.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    )
+    avg_qty = li_sel.groupBy(F.col("l_partkey").alias("ak")).agg(
         (davg("l_quantity") * 0.2).alias("qty_cap")
     )
     return (
