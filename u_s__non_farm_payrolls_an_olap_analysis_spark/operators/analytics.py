@@ -295,11 +295,49 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dq_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly months: |total - mean| > 2σ over the monthly
+    series. Two tiny aggregates (mean via scaled-int davg; sample
+    variance from scaled-int sums of squared deviations — deviations are
+    ≤1e8 so the squares stay inside int64 at scale 1), the 1-row stats
+    broadcast back via cross join, and a pure-projection z computed from
+    bitwise-identical doubles in both engines."""
+    m = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(month_start("o_orderdate").alias("ms"))
+        .agg(F.round(dsum("o_totalprice"), 4).alias("total"))
+    )
+    stats0 = m.agg(
+        (F.sum(F.round(F.col("total") * 100).cast("long")) / 100.0 / F.count(F.lit(1))).alias("mu"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    with_mu = m.crossJoin(F.broadcast(stats0))
+    dev2 = (F.col("total") - F.col("mu")) * (F.col("total") - F.col("mu"))
+    stats = with_mu.groupBy("mu", "n").agg(
+        (
+            F.sum(F.when(dev2 >= 0, F.floor(dev2 + 0.5)).otherwise(F.lit(0).cast("long")))
+            / (F.col("n") - 1)
+        ).alias("var")
+    )
+    z = (F.col("total") - F.col("mu")) / F.sqrt(F.col("var"))
+    return (
+        m.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("ms").alias("month_start"),
+            "total",
+            F.round(z, 6).alias("zscore"),
+        )
+        .filter(F.abs(F.col("zscore")) > 2.0)
+        .orderBy("month_start")
+    )
+
+
 QUERIES = {
     "window_distribution_ranks": window_distribution_ranks,
     "window_first_last_nth": window_first_last_nth,
     "window_trailing_range_frame": window_trailing_range_frame,
     "agg_mode_deterministic": agg_mode_deterministic,
+    "dq_anomaly_zscore": dq_anomaly_zscore,
     "agg_percentiles": agg_percentiles,
     "agg_corr_covar": agg_corr_covar,
     "window_moving_stats": window_moving_stats,
@@ -332,6 +370,19 @@ _M3 = (
 )
 
 ORACLE = {
+    "dq_anomaly_zscore": (
+        f"WITH m AS ({_M3.replace(' AS ms', ' AS month_start')}), "
+        "s0 AS (SELECT CAST(SUM(CAST(ROUND(total * 100) AS BIGINT)) "
+        "AS DOUBLE) / 100.0 / COUNT(*) AS mu, COUNT(*) AS n FROM m), "
+        "s AS (SELECT mu, n, "
+        "CAST(SUM(CAST(FLOOR((total - mu) * (total - mu) + 0.5) "
+        "AS BIGINT)) AS DOUBLE) / (n - 1) AS var "
+        "FROM m, s0 GROUP BY mu, n) "
+        "SELECT month_start, total, "
+        "ROUND((total - mu) / sqrt(var), 6) AS zscore "
+        "FROM m, s WHERE ABS(ROUND((total - mu) / sqrt(var), 6)) > 2.0 "
+        "ORDER BY 1"
+    ),
     "window_trailing_range_frame": (
         "WITH d AS (SELECT date_trunc('day', o_orderdate) AS day, "
         "ROUND((CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) "
