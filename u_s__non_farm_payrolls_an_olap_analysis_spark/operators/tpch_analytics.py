@@ -459,6 +459,124 @@ def tpch_q22_global_sales_opportunity(
     )
 
 
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape — market share: of the revenue from ASIA-region customers,
+    the share supplied by NATION_1 suppliers, per order year. One pass:
+    the share is a conditional aggregate ratio (no second join of the
+    filtered numerator); both nation chains broadcast."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    n_c = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cnk"), F.col("n_regionkey").alias("crk")
+    )
+    region = read_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    n_s = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    rev = _revenue()
+    is_target = (F.col("supp_nation") == "NATION_1").cast("double")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_c), cust.c_nationkey == F.col("cnk"))
+        .join(F.broadcast(region), F.col("crk") == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_s), supp.s_nationkey == F.col("snk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                dsum(rev * is_target) / dsum(rev),
+                6,
+            ).alias("mkt_share"),
+            F.round(dsum(rev), 4).alias("total_revenue"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def tpch_q11_important_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape — important inventory: (supplier, part) pairs whose
+    revenue exceeds 3x the average pair value. The scalar subquery (the
+    global average) is ONE 1-row aggregate broadcast back via cross join —
+    never re-evaluated per group (adaptation: no partsupp table in the
+    fixture; lineitem revenue stands in for supply value). Top-100 under
+    a total order."""
+    li = read_table(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.round(dsum(_revenue()), 4).alias("pair_value")
+    )
+    avg_v = pv.agg(
+        (
+            F.sum(F.round(F.col("pair_value") * 100).cast("long"))
+            / 100.0
+            / F.count(F.lit(1))
+        ).alias("avg_value")
+    )
+    return (
+        pv.crossJoin(F.broadcast(avg_v))
+        .filter(F.col("pair_value") > 3.0 * F.col("avg_value"))
+        .select("l_suppkey", "l_partkey", "pair_value")
+        .orderBy(F.col("pair_value").desc(), "l_suppkey", "l_partkey")
+        .limit(100)
+    )
+
+
+def tpch_q12_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape — per lateness class, how many URGENT/HIGH vs other
+    lines (adaptation: lateness buckets of shipdate - orderdate replace
+    l_shipmode, which the fixture lacks). The CASE-sum pair runs in one
+    aggregate over the joined year slice."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1997-01-01"))
+        & (F.col("o_orderdate") < _ts("1998-01-01"))
+    )
+    days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(days <= 30, F.lit("<=30d"))
+        .when(days <= 60, F.lit("31-60d"))
+        .otherwise(F.lit(">60d"))
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(bucket.alias("ship_bucket"))
+        .agg(
+            F.sum(urgent).alias("high_line_count"),
+            F.sum(1 - urgent).alias("low_line_count"),
+        )
+        .orderBy("ship_bucket")
+    )
+
+
+def tpch_q16_supplier_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Q16 shape — supplier counts per (brand, type, size) bucket with a
+    NOT-IN exclusion list: the excluded-supplier subquery (name pattern)
+    is tiny → broadcast anti join; supplier relationships derive from
+    lineitem (no partsupp in the fixture). COUNT DISTINCT per 3-key
+    bucket."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & ~F.col("p_type").startswith("MEDIUM")
+    )
+    excl = read_table(spark, sf_dir, "supplier").filter(
+        F.col("s_name").endswith("7")
+    ).select(F.col("s_suppkey").alias("xk"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(excl), li.l_suppkey == F.col("xk"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
 QUERIES = {
     "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
@@ -474,6 +592,10 @@ QUERIES = {
     "tpch_q17_small_qty_revenue": tpch_q17_small_qty_revenue,
     "tpch_q19_disjunctive_pred": tpch_q19_disjunctive_pred,
     "tpch_q22_global_sales_opportunity": tpch_q22_global_sales_opportunity,
+    "tpch_q8_market_share": tpch_q8_market_share,
+    "tpch_q11_important_pairs": tpch_q11_important_pairs,
+    "tpch_q12_late_priority": tpch_q12_late_priority,
+    "tpch_q16_supplier_distribution": tpch_q16_supplier_distribution,
 }
 
 _REV_SUM = dsum_sql(_REVENUE_SQL)
@@ -635,5 +757,54 @@ ORACLE = {
         "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
         "AND o_orderdate >= TIMESTAMP '2000-01-01') "
         "GROUP BY 1 ORDER BY 1"
+    ),
+    "tpch_q8_market_share": (
+        "SELECT CAST(year(o_orderdate) AS INT) AS o_year, "
+        "ROUND("
+        + dsum_sql(
+            "CASE WHEN n2.n_name = 'NATION_1' THEN "
+            "l_extendedprice * (1 - l_discount) ELSE 0.0 END"
+        )
+        + f" / {_REV_SUM}, 6) AS mkt_share, "
+        f"ROUND({_REV_SUM}, 4) AS total_revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation n1 ON c_nationkey = n1.n_nationkey "
+        "JOIN region ON n1.n_regionkey = r_regionkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation n2 ON s_nationkey = n2.n_nationkey "
+        "WHERE r_name = 'ASIA' GROUP BY 1 ORDER BY 1"
+    ),
+    "tpch_q11_important_pairs": (
+        "WITH pv AS (SELECT l_suppkey, l_partkey, "
+        f"ROUND({_REV_SUM}, 4) AS pair_value FROM lineitem GROUP BY 1, 2), "
+        "a AS (SELECT CAST(SUM(CAST(ROUND(pair_value * 100) AS BIGINT)) "
+        "AS DOUBLE) / 100.0 / COUNT(*) AS avg_value FROM pv) "
+        "SELECT l_suppkey, l_partkey, pair_value FROM pv, a "
+        "WHERE pair_value > 3.0 * avg_value "
+        "ORDER BY pair_value DESC, l_suppkey, l_partkey LIMIT 100"
+    ),
+    "tpch_q12_late_priority": (
+        "SELECT CASE "
+        "WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN '<=30d' "
+        "WHEN date_diff('day', o_orderdate, l_shipdate) <= 60 THEN '31-60d' "
+        "ELSE '>60d' END AS ship_bucket, "
+        "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+        "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE o_orderdate >= TIMESTAMP '1997-01-01' "
+        "AND o_orderdate < TIMESTAMP '1998-01-01' "
+        "GROUP BY 1 ORDER BY 1"
+    ),
+    "tpch_q16_supplier_distribution": (
+        "SELECT p_brand, p_type, p_size, "
+        "COUNT(DISTINCT l_suppkey) AS supplier_cnt "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE p_brand <> 'Brand#45' AND p_type NOT LIKE 'MEDIUM%' "
+        "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier "
+        "WHERE s_name LIKE '%7') "
+        "GROUP BY 1, 2, 3"
     ),
 }
