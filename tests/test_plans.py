@@ -266,6 +266,20 @@ def test_tpch_q22_anti_join_with_broadcast_scalar(spark):
     assert "CartesianProduct" not in join_kinds(df)
 
 
+def test_tpch_q8_six_table_chain_no_cartesian(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import (
+        tpch_analytics,
+    )
+
+    df = tpch_analytics.tpch_q8_market_share(spark, SF)
+    kinds = join_kinds(df)
+    assert "CartesianProduct" not in kinds
+    assert "BroadcastNestedLoopJoin" not in kinds
+    assert "BroadcastHashJoin" in kinds  # both nation chains broadcast
+    pushed = " ".join(pushed_filters(df))
+    assert "EqualTo(r_name,ASIA)" in pushed
+
+
 def test_tpch_q6_all_predicates_pushed(spark):
     from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import (
         tpch_analytics,
