@@ -332,12 +332,14 @@ def dq_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# dq_anomaly_zscore leads: registry merge order puts it at sample slot 50
+# in the round-5 rotation (see registry._MODULES).
 QUERIES = {
+    "dq_anomaly_zscore": dq_anomaly_zscore,
     "window_distribution_ranks": window_distribution_ranks,
     "window_first_last_nth": window_first_last_nth,
     "window_trailing_range_frame": window_trailing_range_frame,
     "agg_mode_deterministic": agg_mode_deterministic,
-    "dq_anomaly_zscore": dq_anomaly_zscore,
     "agg_percentiles": agg_percentiles,
     "agg_corr_covar": agg_corr_covar,
     "window_moving_stats": window_moving_stats,

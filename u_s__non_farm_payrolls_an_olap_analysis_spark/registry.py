@@ -42,11 +42,19 @@ from .streaming import stateful, stream_windows
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Merge order IS the driver's CORRECTNESS sample order (first 50 keys are
-# hashed against their DuckDB oracles each round). The LLM-data-pipeline pack
-# (dedup/similarity/text/multimodal/json/setops/custom-UDF/streaming) leads so
-# those operators get driver-oracle rows; the olap/joins/tpch/layout/sql_api
-# block already has green rows from rounds 1-3 and rotates to the tail.
+# hashed against their DuckDB oracles each round). Round-5 rotation: the
+# tail keys never driver-sampled in rounds 1-4 lead (tpch additions,
+# sources, sql_dashboard, round-3/4 joins/aggregates additions, and
+# analytics' dq_anomaly_zscore — its module dict is ordered to put that
+# key first). The LLM-pipeline pack got its rows in round 4 and rotates to
+# the tail; olap has rows from rounds 1-3.
 _MODULES = [
+    tpch_analytics,
+    sources,
+    sql_api,
+    joins,
+    aggregates,
+    analytics,
     dedup,
     similarity,
     text,
@@ -57,16 +65,10 @@ _MODULES = [
     stream_windows,
     reshape,
     scalars,
-    analytics,
     sampling,
     sketches,
-    sources,
-    aggregates,
     olap,
-    joins,
-    tpch_analytics,
     layout,
-    sql_api,
     stateful,
 ]
 
