@@ -85,16 +85,29 @@ def main() -> None:
     startup = time.time() - t0
 
     # measured fixed floor: a no-op single-row query through the same
-    # plan-build + schedule + Arrow-fetch path — the per-query cost that
-    # exists regardless of data (reported so the 2x comparison vs an
-    # in-process engine can be read against it)
+    # plan-build + schedule + fetch path — the per-query cost that exists
+    # regardless of data (reported so the 2x comparison vs an in-process
+    # engine can be read against it). Measured separately for BOTH client
+    # fetch paths (collect vs Arrow/toPandas) so each query's floor
+    # subtraction matches the path it actually uses, and re-measured at
+    # the start of each timing pass so host-contention waves are
+    # self-evident in the output.
     spark.range(1).toPandas()
-    noop_times = []
-    for _ in range(RUNS):
-        t = time.time()
-        spark.range(1).toPandas()
-        noop_times.append(time.time() - t)
-    noop = round(statistics.median(noop_times), 4)
+    spark.range(1).collect()
+
+    def measure_noop() -> dict[str, float]:
+        floors = {}
+        for kind, run in (
+            ("arrow", lambda: spark.range(1).toPandas()),
+            ("collect", lambda: spark.range(1).collect()),
+        ):
+            times = []
+            for _ in range(RUNS):
+                t = time.time()
+                run()
+                times.append(time.time() - t)
+            floors[kind] = round(statistics.median(times), 4)
+        return floors
 
     qs = registry.queries()
     fetchers = {}
@@ -107,11 +120,11 @@ def main() -> None:
         # the same choice DuckDB's fetchdf/fetchall split makes. Both
         # transfer every row to the driver.
         if n_rows <= 2000:
-            fetch = lambda d: d.collect()  # noqa: E731
+            fetch, kind = (lambda d: d.collect()), "collect"  # noqa: E731
         else:
-            fetch = lambda d: d.toPandas()  # noqa: E731
+            fetch, kind = (lambda d: d.toPandas()), "arrow"  # noqa: E731
         fetch(fn(spark, sf_dir))  # warm the chosen fetch path
-        fetchers[name] = (fn, fetch, warm_df)
+        fetchers[name] = (fn, fetch, warm_df, kind)
 
     # Two full measurement passes, per-query MIN of the two medians: the
     # shared host's contention comes in multi-minute waves (observed:
@@ -120,8 +133,10 @@ def main() -> None:
     # the min-of-medians is the steady-state number the machine can do.
     results: dict[str, float] = {}
     exec_only: dict[str, float] = {}
+    pass_floors: list[dict[str, float]] = []
     for _pass in range(2):
-        for name, (fn, fetch, warm_df) in fetchers.items():
+        pass_floors.append(measure_noop())
+        for name, (fn, fetch, warm_df, _kind) in fetchers.items():
             times = []
             for _ in range(RUNS):
                 t = time.time()
@@ -142,12 +157,18 @@ def main() -> None:
 
     total = round(sum(results.values()), 4)
     # floor-subtracted view: the per-query fixed cost (plan-build +
-    # schedule + Arrow fetch of a no-op, measured above) is structural to
-    # out-of-process Spark; what remains is the attackable data-dependent
-    # part, directly comparable to an in-process engine's query time
-    minus_floor = {
-        k: round(max(0.0, v - noop), 4) for k, v in results.items()
+    # schedule + no-op fetch on the SAME client path the query uses) is
+    # structural to out-of-process Spark; what remains is the attackable
+    # data-dependent part, directly comparable to an in-process engine's
+    # query time. min across passes mirrors the min-of-medians above.
+    floor_by_kind = {
+        k: min(p[k] for p in pass_floors) for k in ("arrow", "collect")
     }
+    minus_floor = {
+        name: round(max(0.0, results[name] - floor_by_kind[kind]), 4)
+        for name, (_fn, _fetch, _wdf, kind) in fetchers.items()
+    }
+    noop = floor_by_kind["arrow"]
     print(
         json.dumps(
             {
@@ -162,6 +183,8 @@ def main() -> None:
                 "sf": sf,
                 "startup_sec": round(startup, 2),
                 "noop_floor_sec": noop,
+                "noop_floor_by_path": floor_by_kind,
+                "noop_floor_per_pass": pass_floors,
                 "runs_per_query": RUNS,
             }
         )

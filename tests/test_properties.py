@@ -228,3 +228,46 @@ def test_bucketed_interval_join_equals_theta_join(spark, purchases, clicks):
     assert sorted(map(tuple, theta.collect())) == sorted(
         map(tuple, bucketed.collect())
     )
+
+
+def test_nearest_long_away_matches_c_round_on_edges(spark):
+    """_nearest_long_away must equal C/DuckDB std::round on every double,
+    including the FP-carry edge the naive floor(x+0.5) gets wrong: for the
+    largest double below n+0.5 the addition rounds UP (0.49999999999999994
+    + 0.5 == 1.0) while std::round gives n. ADVICE r4 item."""
+    import math
+
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.functions.numerics import (
+        _nearest_long_away,
+    )
+
+    def c_round(t: float) -> int:
+        if t < 0:
+            return -c_round(-t)
+        fl = math.floor(t)
+        return fl + (1 if t - fl >= 0.5 else 0)
+
+    vals = [
+        0.49999999999999994,  # nextafter(0.5, 0): the carry edge
+        -0.49999999999999994,
+        1.4999999999999998,  # nextafter(1.5, 0)
+        0.5, -0.5, 1.5, 2.5, -2.5,  # true ties -> away from zero
+        4503599627370494.5,  # largest .5-tie below 2^52
+        1000000000000000.5,
+        4503599627370497.0,  # > 2^52: doubles are integers
+        1234567.89, 2.675, 0.7, -0.7, 0.0, -0.0, 1e11,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    out = df.select("x", _nearest_long_away(F.col("x")).alias("r")).collect()
+    for row in out:
+        assert row.r == c_round(row.x), (repr(row.x), row.r, c_round(row.x))
+
+
+def test_layout_dir_distinct_for_same_basename(tmp_path):
+    """Two sf_dirs sharing a basename must not share a layout directory
+    (ADVICE r4: basename-only tags silently overwrite)."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import layout
+
+    a = tmp_path / "a" / "sf0.01"
+    b = tmp_path / "b" / "sf0.01"
+    assert layout._layout_dir(str(a)) != layout._layout_dir(str(b))

@@ -44,10 +44,23 @@ def _nearest_long_away(x: Column) -> Column:
     per-value BigDecimal path (shortest-decimal re-parse + setScale) costs
     ~2x the whole aggregate on a TPC-H-Q1-shape scan (measured 315 ms →
     159 ms at sf0.1) and rounds ties on the DECIMAL rendering — a
-    different (not safer) edge set than the binary-tie convention."""
-    return F.when(x >= 0, F.floor(x + F.lit(0.5))).otherwise(
-        -F.floor(F.lit(0.5) - x)
-    )
+    different (not safer) edge set than the binary-tie convention.
+
+    The naive ``floor(x + 0.5)`` carries a rare FP edge: for the largest
+    double below ``n + 0.5`` the addition can round UP to ``n + 1``
+    (e.g. ``0.49999999999999994 + 0.5 == 1.0``), where ``std::round``
+    gives ``n``. We mask it by subtracting the carry whenever the floored
+    value overshot: ``y < f - 0.5``. That guard is exact — ``f - 0.5`` is
+    representable for every ``f ≤ 2^52`` (ulp ≤ 0.5 there), and above
+    2^52 doubles are integers so the comparison still picks the right
+    side — unlike the tempting ``f - y > 0.5``, whose subtraction itself
+    rounds (``1.0 - 0.49999999999999994`` → ``0.5``) and misses the very
+    case it guards. Result now matches C ``round()`` on every double in
+    the documented ``|x| < 2^53`` domain (unit-tested on the edges)."""
+    y = F.abs(x)
+    f = F.floor(y + F.lit(0.5))
+    f = F.when(y < f.cast("double") - F.lit(0.5), f - F.lit(1)).otherwise(f)
+    return F.when(x >= 0, f).otherwise(-f)
 
 
 def dsum(col: Column | str, scale: int = SCALE) -> Column:

@@ -255,8 +255,14 @@ def window_trailing_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
         .agg(F.round(dsum("o_totalprice"), 4).alias("total"))
     )
+    # F.floor (not a bare cast-to-long) so negative epochs floor like the
+    # oracle's `epoch // 86400` — a cast truncates toward zero, shifting
+    # frame membership by one day for pre-1970 timestamps.
     keyed = daily.withColumn(
-        "day_num", (F.unix_micros(F.col("day").cast("timestamp")) / 86_400_000_000).cast("long")
+        "day_num",
+        F.floor(
+            F.unix_micros(F.col("day").cast("timestamp")) / 86_400_000_000
+        ).cast("long"),
     )
     w = Window.orderBy("day_num").rangeBetween(-89, 0)
     return keyed.select(

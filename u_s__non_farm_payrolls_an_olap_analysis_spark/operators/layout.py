@@ -18,6 +18,7 @@ change semantics.
 from __future__ import annotations
 
 import atexit
+import hashlib
 import os
 import shutil
 import tempfile
@@ -43,7 +44,11 @@ def _layout_dir(sf_dir: str) -> str:
     if _LAYOUT_BASE is None or not os.path.exists(_LAYOUT_BASE):
         _LAYOUT_BASE = tempfile.mkdtemp(prefix="layout_")
         atexit.register(shutil.rmtree, _LAYOUT_BASE, ignore_errors=True)
-    tag = os.path.basename(os.path.abspath(sf_dir))
+    # basename alone collides when two distinct sf_dirs share a leaf name
+    # (e.g. /a/sf0.01 and /b/sf0.01) — the second write would overwrite the
+    # first while the memo still serves it. Key by basename + abspath hash.
+    ap = os.path.abspath(sf_dir)
+    tag = f"{os.path.basename(ap)}_{hashlib.md5(ap.encode()).hexdigest()[:12]}"
     return os.path.join(_LAYOUT_BASE, f"orders_by_year_{tag}")
 
 
