@@ -296,3 +296,55 @@ def test_tpch_q6_all_predicates_pushed(spark):
     ):
         assert frag in pushed, frag
     assert exchange_count(df) <= 1  # only the final single-row aggregate
+
+
+def test_tpch_q2_decorrelates_to_aggregate_join(spark):
+    """Q2's correlated min-cost subquery must run as one hash aggregate
+    joined back on (partkey, cost) — never a per-row subplan — and the
+    synthesized partsupp derivation must not introduce a real cartesian
+    (the only nested-loop allowed is the 1-row supplier-count scalar)."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import (
+        tpch_partsupp,
+    )
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.plans.explain import (
+        formatted_plan,
+    )
+
+    df = tpch_partsupp.tpch_q2_min_cost_supplier(spark, SF)
+    plan = formatted_plan(df)
+    assert "HashAggregate" in plan  # the decorrelated per-part MIN
+    assert "Subquery" not in plan  # no per-row subplan
+    assert "CartesianProduct" not in join_kinds(df)
+    assert "BroadcastHashJoin" in join_kinds(df)
+    assert has_take_ordered(df)  # LIMIT 100 without a global sort
+
+
+def test_tpch_q9_composite_key_join_pushdown(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import (
+        tpch_partsupp,
+    )
+
+    df = tpch_partsupp.tpch_q9_product_profit(spark, SF)
+    kinds = join_kinds(df)
+    assert "CartesianProduct" not in kinds
+    assert "BroadcastHashJoin" in kinds  # part filter + dims broadcast
+    # the part-family LIKE filter reaches the part scan
+    pushed = " ".join(pushed_filters(df))
+    assert "p_name" in pushed
+
+
+def test_tpch_q20_semi_join_chain(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import (
+        tpch_partsupp,
+    )
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.plans.explain import (
+        formatted_plan,
+    )
+
+    df = tpch_partsupp.tpch_q20_excess_inventory(spark, SF)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan  # supplier filter is a semi join, not IN-subplan
+    assert "CartesianProduct" not in join_kinds(df)
+    pushed = " ".join(pushed_filters(df))
+    assert "GreaterThanOrEqual(l_shipdate" in pushed
+    assert "LessThan(l_shipdate" in pushed

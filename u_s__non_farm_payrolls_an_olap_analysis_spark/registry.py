@@ -36,6 +36,7 @@ from .operators import (
     sql_api,
     text,
     tpch_analytics,
+    tpch_partsupp,
 )
 from .streaming import stateful, stream_windows
 
@@ -46,9 +47,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # tail keys never driver-sampled in rounds 1-4 lead (tpch additions,
 # sources, sql_dashboard, round-3/4 joins/aggregates additions, and
 # analytics' dq_anomaly_zscore — its module dict is ordered to put that
-# key first). The LLM-pipeline pack got its rows in round 4 and rotates to
-# the tail; olap has rows from rounds 1-3.
+# key first). The brand-new Q2/Q9/Q20 partsupp shapes lead outright; the
+# three keys they displace from slot 47-49 (window_distribution_ranks /
+# first_last_nth / trailing_range_frame) all have green r4 rows. The
+# LLM-pipeline pack got its rows in round 4 and rotates to the tail; olap
+# has rows from rounds 1-3.
 _MODULES = [
+    tpch_partsupp,
     tpch_analytics,
     sources,
     sql_api,
