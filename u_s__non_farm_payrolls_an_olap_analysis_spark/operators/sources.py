@@ -2,14 +2,14 @@
 
 S1 — ``source_api_extract``: the reference pulls the FRED ``PAYEMS`` series
 over HTTPS (``etl.py:22-25``), renames/casts/derives/drops-null
-(``etl.py:34-38``). Here the extract boundary is a pluggable fetch function
-returning (date, value) batches — the deterministic offline client below
-stands in for the HTTPS call (no network in this environment) — and the
-whole transform chain is Catalyst expressions on a ``createDataFrame``
-batch. The series generator is shared with the oracle (inlined as VALUES),
-so even the API path is hash-checked end to end. At real scale this becomes
-a PySpark DataSource; for a monthly ~1k-row API series, a driver-side batch
-is the honest design.
+(``etl.py:34-38``). Here the extract runs through the registered PySpark 4
+Python DataSource (``sources/fred_datasource.py``): the engine plans one
+input partition per API page (year) and each executor task fetches its
+page — the at-scale extract design SURVEY §1.4 names. The deterministic
+offline fetch function below stands in for the HTTPS call (no network in
+this environment) and is shared with the oracle (inlined as VALUES), so
+the DataSource path is hash-checked end to end; the transform chain is
+pure Catalyst expressions.
 
 S3 — ``sink_jdbc_upsert``: the merge half of the reference's row-at-a-time
 ``INSERT ... ON CONFLICT (date) DO UPDATE`` loop (``etl.py:57-73``),
@@ -53,9 +53,24 @@ def fake_fred_payems(n_months: int = N_MONTHS) -> list[tuple[dt.date, int]]:
 def source_api_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 — extract → transform, the full `etl.py` pipeline:
     series→table (`etl.py:25`), rename (`etl.py:34`), int cast
-    (`etl.py:35`), lag pct-change (`etl.py:37`), dropna (`etl.py:38`)."""
-    batch = fake_fred_payems()
-    raw = spark.createDataFrame(batch, "date date, value long")
+    (`etl.py:35`), lag pct-change (`etl.py:37`), dropna (`etl.py:38`).
+
+    The extract runs through the registered PySpark 4 Python DataSource
+    (``sources/fred_datasource.py``, SURVEY §1.4's at-scale design): one
+    input partition per API page (year), fetched executor-side — not a
+    driver-built ``createDataFrame`` batch — so a thousand series × fifty
+    years fans out across the cluster. The offline fetch function is the
+    same deterministic series the VALUES oracle inlines, so the DataSource
+    path itself is hash-checked."""
+    from ..sources.fred_datasource import FredSeriesDataSource
+
+    spark.dataSource.register(FredSeriesDataSource)  # idempotent re-register
+    raw = (
+        spark.read.format("fred_series")
+        .option("start_year", 2019)
+        .option("end_year", 2024)
+        .load()
+    )
     w = Window.orderBy("date")
     df = raw.select(
         F.col("date").cast("timestamp").alias("date"),
