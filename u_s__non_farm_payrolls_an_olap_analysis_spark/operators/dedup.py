@@ -39,6 +39,10 @@ from ..io import read_table
 
 JACCARD_THRESHOLD = 0.8
 MINHASH_PERMS = 32
+
+# rounds the most recent dedup_clusters call needed to converge —
+# diagnostic only, read by scripts/measure_dedup_scale.py for SCALE.md
+LAST_CLUSTER_ROUNDS = 0
 LSH_BANDS = 8
 LSH_ROWS = 4  # MINHASH_PERMS / LSH_BANDS
 
@@ -306,7 +310,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the registry; ``tests/test_dedup_similarity.py`` asserts recall
     against the oracle-exact all-pairs twin
     :func:`dedup_embedding_cosine_gemm` (test-only since round 5: the
-    registry carries no quadratic plan)."""
+    registry carries no quadratic plan).
+
+    Candidate VOLUME is set by the banding geometry alone (the verify
+    threshold only filters after): 24x4 collides random pairs with prob
+    ≈ 0.79, the price of recall 1.0 at this deliberately-low demo
+    threshold on uniform fixture vectors. Production near-dup thresholds
+    (cosine ≥ 0.85) take ``RHP_BANDS, RHP_ROWS = 12, 8`` — measured 5.3%
+    candidate fraction vs 77% on the same sf0.1 data
+    (``scripts/measure_dedup_scale.py``; analysis in SCALE.md)."""
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
     )
@@ -391,16 +403,25 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cache()
     )
+    global LAST_CLUSTER_ROUNDS
     labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
     max_rounds = 50  # label propagation needs <= diameter rounds
     converged = False
     prev_cached = None
-    for _ in range(max_rounds):
+    for round_no in range(1, max_rounds + 1):
         neigh = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
             .agg(F.min("cluster_id").alias("neigh_min"))
         )
+        # the changed flag is computed INLINE on the label-update join
+        # (neigh_min improves the label ⇔ the row changed) — round 5
+        # dropped the separate old⋈new diff join the convergence check
+        # used to cost, cutting per-round joins from 3 to 2. The count()
+        # on the flagged filter still scans every partition of
+        # new_labels, which deliberately materializes the cache in full:
+        # an early-exit isEmpty here would leave the cache partial and
+        # let lineage chain across rounds (exponential recompute).
         new_labels = (
             labels.join(neigh, labels.doc_id == neigh.src, "left")
             .select(
@@ -408,22 +429,18 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least(
                     F.col("cluster_id"), F.coalesce("neigh_min", "cluster_id")
                 ).alias("cluster_id"),
+                (
+                    F.coalesce("neigh_min", "cluster_id") < F.col("cluster_id")
+                ).alias("_changed"),
             )
             .cache()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        # the count() materialized new_labels; the previous generation's
-        # cache is dead now — unpersist so repeated invocations don't leak
-        # executor storage memory
+        changed = new_labels.filter(F.col("_changed")).count()
         if prev_cached is not None:
             prev_cached.unpersist()
         prev_cached = new_labels
-        labels = new_labels
+        labels = new_labels.select("doc_id", "cluster_id")
+        LAST_CLUSTER_ROUNDS = round_no  # diagnostic (scripts/measure_dedup_scale.py)
         if changed == 0:
             converged = True
             break
@@ -435,10 +452,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"dedup_clusters: label propagation did not converge within "
             f"{max_rounds} rounds (pathologically long duplicate chain?)"
         )
-    # release the terminal generation's cache too: the caller's single
+    # release the terminal generation's cache too (labels is a projection
+    # over it, so unpersist the cached frame itself): the caller's single
     # consumption recomputes one extra pass through lineage, and repeated
     # invocations no longer pin one cached frame each in executor storage
-    labels.unpersist()
+    if prev_cached is not None:
+        prev_cached.unpersist()
     return labels
 
 
