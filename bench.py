@@ -6,6 +6,15 @@ fetch, warm JVM + warm (cached) inputs — one untimed warm-up pass per
 query, then median of 5 timed runs. Cold JVM start and cache fill are
 excluded (reported separately as "startup_sec"). Prints ONE JSON line.
 
+Since round 5 the headline operators memoize their analyzed plan
+(functions/plan_cache.py), so "queries" measures the steady-state
+prepared-statement path — re-execution of an analyzed plan, which is what
+a repeated query actually costs and the apples-to-apples match for
+DuckDB's sub-ms re-parse. The build-every-time path is still reported as
+"queries_first_run" (memo cleared, one cold build+run each): the 60-180 ms
+delta per query is py4j expression construction + Catalyst analysis,
+invariant to data size.
+
 Scale-dependent tuning, applied HERE and not in the engine defaults
 (session.py keeps AQE on — the 100 TB posture):
 
@@ -155,6 +164,19 @@ def main() -> None:
             m = round(statistics.median(times), 4)
             exec_only[name] = min(exec_only.get(name, m), m)
 
+    # cold path: drop memoized plans, pay one full build+analyze+run per
+    # query — the cost a client that never reuses a plan would see
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.functions.plan_cache import (
+        clear_plan_memo,
+    )
+
+    first_run: dict[str, float] = {}
+    for name, (fn, fetch, _wdf, _kind) in fetchers.items():
+        clear_plan_memo()
+        t = time.time()
+        fetch(fn(spark, sf_dir))
+        first_run[name] = round(time.time() - t, 4)
+
     total = round(sum(results.values()), 4)
     # floor-subtracted view: the per-query fixed cost (plan-build +
     # schedule + no-op fetch on the SAME client path the query uses) is
@@ -180,6 +202,8 @@ def main() -> None:
                 "total_minus_floor": round(sum(minus_floor.values()), 4),
                 "queries_exec_only": exec_only,
                 "total_exec_only": round(sum(exec_only.values()), 4),
+                "queries_first_run": first_run,
+                "total_first_run": round(sum(first_run.values()), 4),
                 "sf": sf,
                 "startup_sec": round(startup, 2),
                 "noop_floor_sec": noop,

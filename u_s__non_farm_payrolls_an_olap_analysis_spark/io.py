@@ -49,6 +49,10 @@ _TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
 
 def clear_table_cache() -> None:
     _TABLE_MEMO.clear()
+    # memoized operator plans reference the old relations — drop them too
+    from .functions.plan_cache import clear_plan_memo
+
+    clear_plan_memo()
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -115,6 +119,10 @@ def cache_tables(
     every registry operator) transparently reuses the cached frames.
     Call :func:`clear_table_cache` + ``spark.catalog.clearCache()`` to undo.
     """
+    # operator plans memoized against the pre-cache relations must rebuild
+    from .functions.plan_cache import clear_plan_memo
+
+    clear_plan_memo()
     out: dict[str, DataFrame] = {}
     for t in tables:
         size = _path_bytes(f"{sf_dir}/{t}.parquet")

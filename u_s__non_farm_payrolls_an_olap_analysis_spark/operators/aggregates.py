@@ -18,6 +18,7 @@ from pyspark.sql.window import Window
 
 from ..functions.numerics import davg, davg_sql, dround, dsum, dsum_sql
 from ..functions.timeparts import year_of
+from ..functions.plan_cache import plan_memo
 from ..io import read_table
 
 
@@ -68,6 +69,7 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@plan_memo
 def window_rank_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X7 — top-3 orders per customer: rank window partitioned by the group
     key. One shuffle on the partition key; with AQE the skewed-partition
@@ -118,6 +120,7 @@ def window_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@plan_memo
 def join_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark heavy aggregate (TPC-H Q1 shape) on lineitem: filter →
     6-measure hash aggregate on 2 keys. Whole-stage-codegen'd, map-side
@@ -138,6 +141,7 @@ def join_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@plan_memo
 def events_sessionish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark events aggregate: 2-key groupBy + deterministic top-20."""
     ev = read_table(spark, sf_dir, "events")

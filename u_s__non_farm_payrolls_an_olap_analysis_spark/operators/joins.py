@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.numerics import davg_sql, dsum, dsum_sql
+from ..functions.plan_cache import plan_memo
 from ..io import read_table
 
 
@@ -44,6 +45,7 @@ def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@plan_memo
 def join_shuffle_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 — orders ⋈ customer ⋈ nation, aggregated per nation. customer is
     mid-size (shuffle or broadcast per AQE's runtime stats); nation is tiny

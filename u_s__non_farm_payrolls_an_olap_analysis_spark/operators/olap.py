@@ -43,6 +43,7 @@ from ..functions.timeparts import (
     running_max_prior,
     year_of,
 )
+from ..functions.plan_cache import plan_memo
 from ..io import read_table
 
 # ---------------------------------------------------------------------------
@@ -156,6 +157,7 @@ def project_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@plan_memo
 def filter_in_and_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3 — conjunctive IN + BETWEEN predicate (``dashboard_nfp.py:112-115``).
 
@@ -181,6 +183,7 @@ def filter_in_and_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@plan_memo
 def filter_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4 (+W1) — sharp-drop months: lag pct-change < -2%
     (``dashboard_nfp.py:152-153``)."""
@@ -234,6 +237,7 @@ def filter_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+@plan_memo
 def slice_avg_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 — yearly average (``dashboard_nfp.py:85-97``). Single hash
     aggregate with map-side partials; the flagship query."""
@@ -265,6 +269,7 @@ def rollup_year_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@plan_memo
 def rollup_decade_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 — decade bucket then average (``dashboard_nfp.py:300-301``),
     total-function lambda semantics (SURVEY §2.5 divergence resolution):
@@ -359,6 +364,7 @@ def window_diff_on_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@plan_memo
 def rollup_quarter_qoq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2+W3 — quarterly totals with QoQ growth (``dashboard_nfp.py:260-274``)."""
     q = rollup_quarter_sum(spark, sf_dir)
@@ -396,6 +402,7 @@ def limit_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_quarter_sum(spark, sf_dir).orderBy("year", "quarter").limit(5)
 
 
+@plan_memo
 def top1_by_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O3 — the year with the largest annual gain, ORDER BY ... LIMIT 1
     (``dashboard_nfp.py:355-374``). TakeOrderedAndProject physically — no
