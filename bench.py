@@ -56,6 +56,133 @@ HEADLINE = {
 
 RUNS = 5
 
+# --- sf1 section: 10x facts, data-dominated regime ---------------------
+# The per-query fixed overhead (floor + plan construction) is invariant to
+# data size, so the honest 2x-bar evidence is a scale where data work
+# dominates it. Facts are replicated 10x with key offsets (orders/lineitem
+# keep referential integrity; each copy's orders join their own lineitem
+# copy); dims are byte-copied. Generated once into .bench_sf1/ (gitignored)
+# and reused; both engines then run the SAME headline queries on the SAME
+# parquet, warm, median of 3.
+SF1_REP = 10
+SF1_SPAN = 1_000_000  # > max o_orderkey/event_id at sf0.1
+SF1_DIRNAME = ".bench_sf1"
+
+
+def _ensure_sf1(spark, base_dir: str, out_dir: str) -> None:
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.io import read_table
+
+    ready = os.path.join(out_dir, "_READY")
+    if os.path.exists(ready):
+        return
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "documents", "embeddings"):
+        shutil.copy(f"{base_dir}/{t}.parquet", f"{out_dir}/{t}.parquet")
+    rep = spark.range(SF1_REP).select(F.col("id").alias("rep"))
+    orders = read_table(spark, base_dir, "orders")
+    (
+        orders.crossJoin(rep)
+        .select(
+            (F.col("o_orderkey") + F.col("rep") * SF1_SPAN).alias("o_orderkey"),
+            "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+            "o_orderpriority",
+        )
+        .write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
+    )
+    li = read_table(spark, base_dir, "lineitem")
+    (
+        li.crossJoin(rep)
+        .select(
+            (F.col("l_orderkey") + F.col("rep") * SF1_SPAN).alias("l_orderkey"),
+            "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+            "l_linestatus", "l_shipdate",
+        )
+        .write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
+    )
+    ev = read_table(spark, base_dir, "events")
+    (
+        ev.crossJoin(rep)
+        .select(
+            (F.col("event_id") + F.col("rep") * SF1_SPAN).alias("event_id"),
+            "ts", "user_id", "event_type", "value", "props",
+        )
+        .write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+    )
+    with open(ready, "w") as f:
+        f.write("ok")
+
+
+def _sf1_section(spark, base_dir: str) -> dict:
+    import statistics
+
+    import duckdb
+
+    from u_s__non_farm_payrolls_an_olap_analysis_spark import registry
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.io import cache_tables
+
+    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           SF1_DIRNAME)
+    t0 = time.time()
+    _ensure_sf1(spark, base_dir, out_dir)
+    cache_tables(
+        spark, out_dir,
+        tables=("orders", "lineitem", "events", "customer", "nation"),
+        max_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    )
+    prep = time.time() - t0
+
+    qs = registry.queries()
+    oracles = registry.oracle_sql()
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        p = f"{out_dir}/{t}.parquet"
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+
+    spark_sec: dict[str, float] = {}
+    duck_sec: dict[str, float] = {}
+    for name, key in HEADLINE.items():
+        fn = qs[key]
+        fn(spark, out_dir).toPandas()  # warm (also builds/memoizes the plan)
+        times = []
+        for _ in range(3):
+            t = time.time()
+            fn(spark, out_dir).toPandas()
+            times.append(time.time() - t)
+        spark_sec[name] = round(statistics.median(times), 4)
+        sql = oracles[key]
+        con.execute(sql).fetchdf()  # warm
+        times = []
+        for _ in range(3):
+            t = time.time()
+            con.execute(sql).fetchdf()
+            times.append(time.time() - t)
+        duck_sec[name] = round(statistics.median(times), 4)
+    con.close()
+    return {
+        "rep": SF1_REP,
+        "prep_sec": round(prep, 2),
+        "spark": spark_sec,
+        "duckdb": duck_sec,
+        "spark_total": round(sum(spark_sec.values()), 4),
+        "duckdb_total": round(sum(duck_sec.values()), 4),
+        "ratio_total": round(
+            sum(spark_sec.values()) / max(1e-9, sum(duck_sec.values())), 2
+        ),
+        "ratio_per_query": {
+            k: round(spark_sec[k] / max(1e-9, duck_sec[k]), 2)
+            for k in spark_sec
+        },
+    }
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -177,6 +304,13 @@ def main() -> None:
         fetch(fn(spark, sf_dir))
         first_run[name] = round(time.time() - t, 4)
 
+    # sf1 (10x facts): the data-dominated regime — failures degrade to
+    # sf1: null rather than killing the headline output
+    try:
+        sf1 = _sf1_section(spark, sf_dir)
+    except Exception as e:  # noqa: BLE001 — report, don't die
+        sf1 = {"error": str(e)[:200]}
+
     total = round(sum(results.values()), 4)
     # floor-subtracted view: the per-query fixed cost (plan-build +
     # schedule + no-op fetch on the SAME client path the query uses) is
@@ -204,6 +338,7 @@ def main() -> None:
                 "total_exec_only": round(sum(exec_only.values()), 4),
                 "queries_first_run": first_run,
                 "total_first_run": round(sum(first_run.values()), 4),
+                "sf1": sf1,
                 "sf": sf,
                 "startup_sec": round(startup, 2),
                 "noop_floor_sec": noop,
