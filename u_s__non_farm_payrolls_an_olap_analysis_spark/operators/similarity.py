@@ -239,10 +239,50 @@ def sim_search_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the memory
+    path for billion-vector ANN (4x smaller than float32, 8x than the
+    double accumulate). Per vector: scale = max|x| / 127, q_d =
+    round(x_d / scale) — one codegen'd array pass, then posexplode to
+    (vec_id, dim, q) rows. Both engines compute the identical double
+    quotient and the same ties-away rounding (``numerics.dround`` ==
+    DuckDB ROUND == C round), so the int8 codes are bitwise-identical —
+    quantization is oracle-checkable, not approximate. Zero vectors get
+    NULL scale (dropped: nothing to quantize)."""
+    from ..functions.numerics import dround
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    scaled = emb.select(
+        "vec_id",
+        "embedding",
+        (
+            F.array_max(
+                F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+            )
+            / 127.0
+        ).alias("scale"),
+    ).filter(F.col("scale") > 0)
+    return scaled.select(
+        "vec_id",
+        "scale",
+        F.posexplode(F.col("embedding")).alias("dim0", "val"),
+    ).select(
+        "vec_id",
+        # display scale is rounded; the quantization divides by the RAW
+        # scale (rounding first would shift codes vs the oracle)
+        F.round("scale", 6).alias("scale"),
+        (F.col("dim0") + 1).cast("int").alias("dim"),  # 1-based like SQL
+        dround(F.col("val").cast("double") / F.col("scale"), 0)
+        .cast("int")
+        .alias("q"),
+    )
+
+
 QUERIES = {
     "sim_search_cosine": sim_search_cosine,
     "sim_search_ann_ivf": sim_search_ann_ivf,
     "sim_search_ann_ivf_kmeans": sim_search_ann_ivf_kmeans,
+    "embedding_quantize_int8": embedding_quantize_int8,
 }
 
 _COS_QC = cosine_sql("q.qe", "c.ce")
@@ -289,5 +329,15 @@ ORACLE = {
         "FROM scored) "
         "SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank "
         f"FROM r WHERE rank <= {TOP_K}"
+    ),
+    "embedding_quantize_int8": (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb "
+        "FROM embeddings), "
+        "s AS (SELECT vec_id, emb, "
+        "list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale "
+        "FROM e WHERE list_max(list_transform(emb, x -> abs(x))) > 0) "
+        "SELECT vec_id, ROUND(scale, 6) AS scale, "
+        "CAST(generate_subscripts(emb, 1) AS INT) AS dim, "
+        "CAST(ROUND(unnest(emb) / scale) AS INT) AS q FROM s"
     ),
 }

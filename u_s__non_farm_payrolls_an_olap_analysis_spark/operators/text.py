@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..io import read_table
 
@@ -191,6 +192,82 @@ def text_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_idf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus IDF table, rarest 20 terms: document frequency per token,
+    smoothed ``ln((N+1)/(df+1))``. N is a 1-row broadcast scalar — the
+    corpus size never collects to a Python value. The shuffle keys are
+    tokens (map-side combined); top-k is a TakeOrdered with a token
+    tiebreak. The output is the weight table a TF-IDF featurizer or a
+    rare-token quality filter joins against."""
+    docs = read_table(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    df_tab = (
+        docs.select("doc_id", F.explode(_tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    return (
+        df_tab.crossJoin(F.broadcast(n))
+        .select(
+            "token",
+            "df",
+            F.round(
+                F.log((F.col("n_docs") + 1) / (F.col("df") + 1)), 6
+            ).alias("idf"),
+        )
+        .orderBy(F.col("idf").desc(), "token")
+        .limit(20)
+    )
+
+
+def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts, top 20 — the n-gram-LM statistics pass.
+    Bigrams are built inside codegen (``transform`` over an index
+    ``sequence``, no Python), exploded, and count-aggregated with map-side
+    partials; the hot path is one scan + one shuffle on the bigram key."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    return (
+        docs.filter(F.size(toks) >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )
+
+
+def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card data-mixture report: per (source, lang) document
+    count, token volume, mean document length, and share of the corpus —
+    the summary every training-data pipeline publishes before a run. One
+    hash aggregate over a scan; the share ratio is a window over the ~10
+    aggregated rows, never over facts."""
+    docs = read_table(spark, sf_dir, "documents")
+    agg = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(_tokens())).alias("n_tokens"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "avg_chars",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias(
+            "doc_share"
+        ),
+    ).orderBy("source", "lang")
+
+
 QUERIES = {
     "text_clean_funnel": text_clean_funnel,
     "text_tokenize_tf": text_tokenize_tf,
@@ -199,6 +276,9 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_token_count": text_token_count,
     "text_fuzzy_match": text_fuzzy_match,
+    "text_idf_topk": text_idf_topk,
+    "text_bigram_topk": text_bigram_topk,
+    "corpus_mix_report": corpus_mix_report,
 }
 
 _TOK_SQL = (
@@ -271,5 +351,30 @@ ORACLE = {
         "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens, "
         "CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS n_re_tokens, "
         "CAST(length(text) AS INT) AS n_chars_computed, n_chars FROM documents"
+    ),
+    "text_idf_topk": (
+        f"WITH t AS ({_TOK_SQL}), "
+        "d AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY 1), "
+        "n AS (SELECT COUNT(*) AS n_docs FROM documents) "
+        "SELECT token, df, "
+        "ROUND(ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)), 6) AS idf "
+        "FROM d, n ORDER BY idf DESC, token LIMIT 20"
+    ),
+    "text_bigram_topk": (
+        "WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents "
+        "WHERE len(string_split(text, ' ')) >= 2) "
+        "SELECT bigram, COUNT(*) AS n FROM ("
+        "SELECT unnest(list_transform(range(1, len(toks)), "
+        "i -> toks[i] || ' ' || toks[i + 1])) AS bigram FROM t) "
+        "GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20"
+    ),
+    "corpus_mix_report": (
+        "WITH a AS (SELECT source, lang, COUNT(*) AS n_docs, "
+        "CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens, "
+        "ROUND(AVG(n_chars), 6) AS avg_chars "
+        "FROM documents GROUP BY 1, 2) "
+        "SELECT source, lang, n_docs, n_tokens, avg_chars, "
+        "ROUND(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (), 6) AS doc_share "
+        "FROM a ORDER BY source, lang"
     ),
 }
