@@ -216,6 +216,35 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 — the full pricing summary report: 8 measures per
+    (returnflag, linestatus) over one scan-filter. The canonical
+    whole-stage-codegen aggregate: map-side partials collapse 600k rows
+    to 4 groups before the shuffle; all money sums are the deterministic
+    scaled-int form. (``join_agg_pricing`` is the bench-tuned 6-measure
+    variant; this is the spec-complete named shape with sum_charge and
+    avg_disc, ordered.)"""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= _ts("2000-09-02")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(dsum("l_quantity"), 4).alias("sum_qty"),
+            F.round(dsum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(dsum(disc_price), 4).alias("sum_disc_price"),
+            F.round(dsum(charge), 4).alias("sum_charge"),
+            F.round(davg("l_quantity"), 6).alias("avg_qty"),
+            F.round(davg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(davg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q18 shape — large-volume customers: HAVING over a fact aggregate,
     then the qualifying ≤0.1% of orders re-join customer/orders.
@@ -578,6 +607,7 @@ def tpch_q16_supplier_distribution(
 
 
 QUERIES = {
+    "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
     "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
     "tpch_q5_local_supplier_volume": tpch_q5_local_supplier_volume,
@@ -601,6 +631,21 @@ QUERIES = {
 _REV_SUM = dsum_sql(_REVENUE_SQL)
 
 ORACLE = {
+    "tpch_q1_pricing_summary": (
+        "SELECT l_returnflag, l_linestatus, "
+        + "ROUND(" + dsum_sql("l_quantity") + ", 4) AS sum_qty, "
+        + "ROUND(" + dsum_sql("l_extendedprice") + ", 4) AS sum_base_price, "
+        + "ROUND(" + dsum_sql(_REVENUE_SQL) + ", 4) AS sum_disc_price, "
+        + "ROUND("
+        + dsum_sql(_REVENUE_SQL + " * (1 + l_tax)")
+        + ", 4) AS sum_charge, "
+        + "ROUND(" + davg_sql("l_quantity") + ", 6) AS avg_qty, "
+        + "ROUND(" + davg_sql("l_extendedprice") + ", 6) AS avg_price, "
+        + "ROUND(" + davg_sql("l_discount") + ", 6) AS avg_disc, "
+        "COUNT(*) AS count_order FROM lineitem "
+        "WHERE l_shipdate <= TIMESTAMP '2000-09-02' "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
     "tpch_q6_forecast_revenue": (
         "SELECT "
         + "ROUND("

@@ -78,6 +78,48 @@ _MODULES = [
 ]
 
 
+# Keys the round-5 driver sample MUST cover: every registry key with no
+# CORRECTNESS row in any round 1-4 (computed against the r1-r4 JSONs),
+# ordered first explicitly so module insertion order can't push one out
+# of the 50-key window. queries() emits these first, then the _MODULES
+# merge order. Guarded by tests/test_registry_contract.py (priority keys
+# must exist) — remove entries as rounds record their rows.
+_SAMPLE_PRIORITY = [
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q20_excess_inventory",
+    "tpch_q1_pricing_summary",
+    "text_idf_topk",
+    "text_bigram_topk",
+    "corpus_mix_report",
+    "embedding_quantize_int8",
+    "dq_anomaly_zscore",
+    "tpch_q18_large_volume",
+    "tpch_q21_suppliers_kept_waiting",
+    "tpch_q4_order_priority",
+    "tpch_q13_custdist",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive_pred",
+    "tpch_q22_global_sales_opportunity",
+    "tpch_q8_market_share",
+    "tpch_q11_important_pairs",
+    "tpch_q12_late_priority",
+    "tpch_q16_supplier_distribution",
+    "scd2_history_merge",
+    "source_api_extract",
+    "sink_jdbc_upsert",
+    "sql_dashboard_q4_growth",
+    "sql_dashboard_sharpest_drop",
+    "sql_dashboard_decade_case",
+    "join_skew_aqe",
+    "join_full_outer_reconcile",
+    "join_null_safe_eq",
+    "agg_salted_two_phase",
+    "agg_boolean_family",
+    "stream_stateful_user_profile",  # rows-only by design: gets its row
+]
+
+
 def _merge(attr: str) -> dict:
     out: dict = {}
     for mod in _MODULES:
@@ -90,7 +132,13 @@ def _merge(attr: str) -> dict:
 
 
 def queries() -> dict[str, QueryFn]:
-    return _merge("QUERIES")
+    merged = _merge("QUERIES")
+    missing = [k for k in _SAMPLE_PRIORITY if k not in merged]
+    if missing:
+        raise ValueError(f"sample-priority keys not in registry: {missing}")
+    out = {k: merged[k] for k in _SAMPLE_PRIORITY}
+    out.update(merged)  # remaining keys keep module merge order
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
