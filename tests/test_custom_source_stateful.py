@@ -34,15 +34,25 @@ def test_fred_datasource_reads_partitioned_series(spark):
 
 
 def test_stateful_profile_matches_batch(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.functions.numerics import (
+        dsum,
+    )
+
     prof = {
-        r["user_id"]: (r["n_events"], r["sum_value"])
+        r["user_id"]: (r["n_events"], r["sum_value"], r["last_ts"])
         for r in stream_stateful_user_profile(spark, SF).collect()
     }
     ev = read_table(spark, SF, "events")
+    # same scaled-int sum the state accumulator uses — exact equality, not
+    # FP-tolerance: the whole point of the int64 state
     batch = {
-        r["user_id"]: (r["n"], round(r["s"], 4))
+        r["user_id"]: (r["n"], round(r["s"], 4), r["last"])
         for r in ev.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("s"),
+            F.max("ts").alias("last"),
+        )
         .collect()
     }
     assert prof == batch

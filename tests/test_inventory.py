@@ -38,7 +38,7 @@ SURVEY_INVENTORY = {
 # rows-only check is the documented intent (SURVEY §5.2)
 EXPECTED_ROWS_ONLY = {
     "dedup_minhash_near", "dedup_simhash", "agg_approx_count_distinct",
-    "stream_stateful_user_profile", "agg_approx_percentiles",
+    "agg_approx_percentiles",
     # random-hyperplane LSH candidates use engine-specific xxhash64 sign
     # bits; emitted pairs are exact-cosine-verified and recall is tested
     # against the oracle-exact all-pairs GEMM twin

@@ -17,7 +17,6 @@ def test_registry_shape():
     assert rows_only <= {"dedup_minhash_near", "dedup_simhash",
                          "dedup_embedding_cosine",
                          "agg_approx_count_distinct",
-                         "stream_stateful_user_profile",
                          "agg_approx_percentiles",
                          "sim_search_ann_ivf_kmeans",
                          "agg_hll_sketch_merge"}

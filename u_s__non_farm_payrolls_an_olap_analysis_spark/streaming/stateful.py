@@ -8,9 +8,14 @@ state is a fixed-width tuple (bounded memory per key); batches arrive as
 Arrow-backed pandas frames (vectorized update, no per-row Python in the
 driver). Emission: each batch emits the keys it touched with their updated
 totals (Update-mode semantics); the memory sink's last row per key is the
-final profile, which a batch aggregate reproduces exactly — that batch
-equivalence is asserted in tests (no SQL oracle: the operator's surface is
-the stateful API itself).
+final profile.
+
+The value sum accumulates as **scaled int64** (4-dp fixed point,
+half-away-from-zero per row) inside the state, so the final profile is
+independent of micro-batch arrival order and exactly equals a batch
+``GROUP BY user_id`` — which is registered as the DuckDB oracle (the same
+scaled-int convention as ``functions/numerics.dsum``). FP accumulation
+would leak batch order into the low bits and admit only a rows-only check.
 """
 
 from __future__ import annotations
@@ -26,7 +31,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from .stream_windows import _drain_to_memory, _events_stream
 
 OUTPUT_SCHEMA = "user_id long, n_events long, sum_value double, last_ts timestamp"
-STATE_SCHEMA = "n long, s double, last long"
+STATE_SCHEMA = "n long, sv long, last long"
 
 
 def _update_profile(
@@ -34,20 +39,27 @@ def _update_profile(
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    n, s, last = state.get if state.exists else (0, 0.0, 0)
+    import numpy as np
+
+    n, sv, last = state.get if state.exists else (0, 0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        s += float(pdf["value"].sum())
+        # scaled-int64 accumulation, half-away-from-zero per row (numpy
+        # .round is banker's — would diverge from Spark/DuckDB ROUND on
+        # exact halves); integer addition commutes, so the total is
+        # batch-order-independent and oracle-exact
+        x = pdf["value"].astype("float64").mul(10000).to_numpy()
+        sv += int(np.sum(np.sign(x) * np.floor(np.abs(x) + 0.5)))
         # Timestamp.value is ALWAYS epoch nanoseconds regardless of the
         # frame's datetime64 unit — a raw astype('int64') would store
         # micros or nanos depending on the Arrow path and corrupt last_ts
         last = max(last, int(pdf["ts"].max().value))
-    state.update((n, s, last))
+    state.update((n, sv, last))
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
             "n_events": [n],
-            "sum_value": [round(s, 4)],
+            "sum_value": [round(sv / 10000.0, 4)],
             "last_ts": [pd.Timestamp(last)],
         }
     )
@@ -170,7 +182,19 @@ def stream_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {"stream_stateful_user_profile": stream_stateful_user_profile}
-ORACLE: dict[str, str] = {}  # stateful API surface — batch-equivalence in tests
+
+# Batch-equivalence oracle: the final stateful profile per user is exactly
+# the batch GROUP BY (scaled-int sum, same half-away-from-zero rounding as
+# the state accumulator; ts is micro-aligned in the fixtures, so MAX(ts)
+# matches the stream's nanos->micros conversion bit-for-bit).
+ORACLE = {
+    "stream_stateful_user_profile": (
+        "SELECT user_id, COUNT(*) AS n_events, "
+        "ROUND(CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS DOUBLE) "
+        "/ 10000.0, 4) AS sum_value, MAX(ts) AS last_ts "
+        "FROM events GROUP BY 1"
+    )
+}
 
 # stream_tws_user_totals is gated on tws_available() (protobuf dependency)
 # and therefore kept out of the driver registry; its batch-equivalence
