@@ -325,6 +325,10 @@ def main() -> None:
         for name, (_fn, _fetch, _wdf, kind) in fetchers.items()
     }
     noop = floor_by_kind["arrow"]
+    # full record line (humans + round archive) — NOT the last line: the
+    # driver parses the final stdout line and captures a bounded tail, so
+    # the big dict has repeatedly arrived truncated (parsed: null in
+    # BENCH_r04–r06). The compact summary below goes last instead.
     print(
         json.dumps(
             {
@@ -346,7 +350,32 @@ def main() -> None:
                 "noop_floor_per_pass": pass_floors,
                 "runs_per_query": RUNS,
             }
-        )
+        ),
+        flush=True,
+    )
+    # compact driver-parseable summary — keep this the FINAL stdout line
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_warm",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": sf,
+                "total_exec_only": round(sum(exec_only.values()), 4),
+                "noop_floor_sec": noop,
+                "sf1_ratio": (
+                    sf1.get("ratio_total") if isinstance(sf1, dict) else None
+                ),
+                "sf1_spark_total": (
+                    sf1.get("spark_total") if isinstance(sf1, dict) else None
+                ),
+                "sf1_duckdb_total": (
+                    sf1.get("duckdb_total") if isinstance(sf1, dict) else None
+                ),
+            }
+        ),
+        flush=True,
     )
 
 

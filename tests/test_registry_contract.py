@@ -29,3 +29,15 @@ def test_entry_contract(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(df.columns) == {"year", "avg_totalprice"}
+
+
+def test_sample_priority_subset_and_dedup():
+    """The driver samples the FIRST 50 registry keys; a stale or mistyped
+    `_SAMPLE_PRIORITY` entry would either crash queries() at driver time
+    or silently waste a sample slot on a duplicate."""
+    q = registry.queries()
+    pri = registry._SAMPLE_PRIORITY
+    assert set(pri) <= set(q), sorted(set(pri) - set(q))
+    assert len(pri) == len(set(pri)), "duplicate keys in _SAMPLE_PRIORITY"
+    # priority keys must actually lead the iteration order
+    assert list(q)[: len(pri)] == pri

@@ -84,39 +84,70 @@ _MODULES = [
 # of the 50-key window. queries() emits these first, then the _MODULES
 # merge order. Guarded by tests/test_registry_contract.py (priority keys
 # must exist) — remove entries as rounds record their rows.
+# Round-7 rotation (CLAUDE.md rule 7): all 31 round-5/6-recorded keys
+# pruned (their green rows live in CORRECTNESS_r05/r06). This round leads
+# with (a) the two streaming paths whose code changed this round (ts-unit
+# fix in _events_stream + the stateful last_ts repair — their previous
+# rows predate both the fix and the testdata's ns→µs switch) and (b) the
+# 47 keys whose latest driver row is r1–r3, i.e. BEFORE the round-4
+# per-row-rounding convention — oldest evidence first. Deferred to round
+# 8: scan_table, cache_result (implicitly exercised by every other
+# query), and the remaining r4-rowed stream windows (sliding, session,
+# dedup_keys — same decode path as tumbling, all green locally).
 _SAMPLE_PRIORITY = [
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_profit",
-    "tpch_q20_excess_inventory",
-    "tpch_q1_pricing_summary",
-    "text_idf_topk",
-    "text_bigram_topk",
-    "corpus_mix_report",
-    "embedding_quantize_int8",
-    "dq_anomaly_zscore",
-    "tpch_q18_large_volume",
-    "tpch_q21_suppliers_kept_waiting",
-    "tpch_q4_order_priority",
-    "tpch_q13_custdist",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q19_disjunctive_pred",
-    "tpch_q22_global_sales_opportunity",
-    "tpch_q8_market_share",
-    "tpch_q11_important_pairs",
-    "tpch_q12_late_priority",
-    "tpch_q16_supplier_distribution",
-    "scd2_history_merge",
-    "source_api_extract",
-    "sink_jdbc_upsert",
-    "sql_dashboard_q4_growth",
-    "sql_dashboard_sharpest_drop",
-    "sql_dashboard_decade_case",
-    "join_skew_aqe",
-    "join_full_outer_reconcile",
-    "join_null_safe_eq",
-    "agg_salted_two_phase",
-    "agg_boolean_family",
-    "stream_stateful_user_profile",  # rows-only by design: gets its row
+    # changed this round — need fresh hash rows
+    "stream_stateful_user_profile",
+    "stream_tumbling_agg",
+    "stream_stream_join",
+    # latest driver row r1
+    "agg_approx_count_distinct",
+    "window_rank_topk_per_group",
+    "window_rank_variants",
+    "join_agg_pricing",
+    "events_sessionish",
+    "agg_custom_udaf_geomean",
+    "agg_percentiles",
+    "agg_corr_covar",
+    "window_moving_stats",
+    "agg_approx_percentiles",
+    "agg_histogram",
+    "string_functions_showcase",
+    "null_handling_showcase",
+    "timeseries_gap_fill",
+    # latest driver row r3
+    "sample_by_key_mod",
+    "split_train_test",
+    "sample_stratified_rates",
+    "agg_bitmap_distinct",
+    "agg_hll_sketch_merge",
+    "project_rename",
+    "project_cast",
+    "filter_in_and_between",
+    "filter_threshold",
+    "filter_month_in",
+    "filter_eq_year",
+    "filter_dropna",
+    "filter_theta_range",
+    "slice_avg_by_year",
+    "rollup_quarter_sum",
+    "rollup_year_sum",
+    "rollup_decade_avg",
+    "dice_q4_avg_by_month",
+    "scalar_max",
+    "scalar_min",
+    "argmax_argmin",
+    "window_pct_change_global",
+    "window_pct_change_partitioned",
+    "window_diff_on_agg",
+    "rollup_quarter_qoq",
+    "window_running_max",
+    "sort_by_time",
+    "limit_head",
+    "top1_by_metric",
+    "drill_sharpest_drop",
+    "dice_recovery_asof",
+    "lookup_scalar",
+    "scan_partition_pruned",
 ]
 
 

@@ -30,7 +30,14 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from .stream_windows import _drain_to_memory, _events_stream
 
-OUTPUT_SCHEMA = "user_id long, n_events long, sum_value double, last_ts timestamp"
+# Timestamps DO NOT cross the applyInPandasWithState Arrow boundary: the
+# stateful serializer (unlike the plain pandas-UDF path) hands the Python
+# worker frames whose timestamp values are unit-corrupted (µs truncated to
+# ms, then relabeled — observed off-by-1000 in this env). The operator
+# therefore carries ``ts`` as epoch-MICROsecond longs end-to-end (into the
+# UDF, through the state tuple, and back out) and only converts to a real
+# timestamp on the Spark side after the drain, where arithmetic is exact.
+OUTPUT_SCHEMA = "user_id long, n_events long, sum_value double, last_us long"
 STATE_SCHEMA = "n long, sv long, last long"
 
 
@@ -50,17 +57,17 @@ def _update_profile(
         # batch-order-independent and oracle-exact
         x = pdf["value"].astype("float64").mul(10000).to_numpy()
         sv += int(np.sum(np.sign(x) * np.floor(np.abs(x) + 0.5)))
-        # Timestamp.value is ALWAYS epoch nanoseconds regardless of the
-        # frame's datetime64 unit — a raw astype('int64') would store
-        # micros or nanos depending on the Arrow path and corrupt last_ts
-        last = max(last, int(pdf["ts"].max().value))
+        # ts_us is a plain int64 (epoch micros) — immune to the stateful
+        # serializer's timestamp unit corruption (see OUTPUT_SCHEMA note)
+        if len(pdf):
+            last = max(last, int(pdf["ts_us"].to_numpy("int64").max()))
     state.update((n, sv, last))
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
             "n_events": [n],
             "sum_value": [round(sv / 10000.0, 4)],
-            "last_ts": [pd.Timestamp(last)],
+            "last_us": [last],
         }
     )
 
@@ -68,7 +75,11 @@ def _update_profile(
 def stream_stateful_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain the events stream through the stateful profile operator and
     return the final per-user profiles."""
-    ev = _events_stream(spark, sf_dir).select("user_id", "ts", "value")
+    from pyspark.sql import functions as F
+
+    ev = _events_stream(spark, sf_dir).select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
     profiles = ev.groupBy("user_id").applyInPandasWithState(
         _update_profile,
         outputStructType=OUTPUT_SCHEMA,
@@ -79,7 +90,6 @@ def stream_stateful_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # last emission per user = final profile (update-mode memory sink keeps
     # every emission; dedup by max n_events which is monotone per user)
     out = _drain_to_memory(profiles, spark, output_mode="update")
-    from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
@@ -87,6 +97,8 @@ def stream_stateful_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn")
+        .withColumn("last_ts", F.timestamp_micros("last_us"))
+        .drop("last_us")
     )
 
 

@@ -63,8 +63,12 @@ def _bounded_state_partitions(spark: SparkSession, n: int = 8):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
-EVENTS_STREAM_SCHEMA = (
+EVENTS_STREAM_SCHEMA_NANOS = (
     "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+EVENTS_STREAM_SCHEMA_MICROS = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
     "value double, props string"
 )
 
@@ -74,26 +78,48 @@ EVENTS_STREAM_SCHEMA = (
 _STREAM_DIR_MEMO: dict[str, str] = {}
 
 
+def _events_ts_unit(src: str) -> str:
+    """Parquet footer probe: the fixture's ``ts`` column has shipped as both
+    ``timestamp[ns]`` and ``timestamp[us]`` across data generations, and a
+    wrong unit assumption corrupts every event-time by 10^3 (observed as
+    1970-dated windows). One footer read per file decides the decode path —
+    the same dual handling ``io.read_table`` applies on the batch side."""
+    import pyarrow.parquet as pa_pq
+
+    return pa_pq.read_schema(src).field("ts").type.unit
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a file stream. The file-stream source lists a
     directory, so the single parquet file is exposed through a symlinked
-    temp dir (memoized per source path); ``ts`` arrives as raw nanos (see
-    ``io.read_table``) and is converted to a microsecond timestamp."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    temp dir (memoized per source path). ``ts`` decodes per the footer's
+    actual unit (see :func:`_events_ts_unit`): nanos arrive as raw longs
+    and are floored to a microsecond timestamp (int64 ``div`` — ns epochs
+    exceed double's exact range); micros read directly as TIMESTAMP_NTZ.
+    Either way the returned ``ts`` is a session-tz TIMESTAMP in epoch
+    micros, matching the batch reader."""
     src = os.path.abspath(f"{sf_dir}/events.parquet")
     d = _STREAM_DIR_MEMO.get(src)
     if d is None or not os.path.exists(d):
         d = tempfile.mkdtemp(prefix="events_stream_")
         os.symlink(src, f"{d}/events.parquet")
         _STREAM_DIR_MEMO[src] = d
+    if _events_ts_unit(src) == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(EVENTS_STREAM_SCHEMA_NANOS)
+            .format("parquet")
+            .load(d)
+        )
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp")
+        )
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA_MICROS)
         .format("parquet")
         .load(d)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp")
-    )
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 # One session-lifetime spill directory for drained streaming results,
