@@ -207,3 +207,64 @@ def test_hll_sketch_estimates_within_tolerance(spark):
     assert set(exact) == set(approx)
     for y, n in exact.items():
         assert abs(approx[y] - n) <= max(2, 0.05 * n), (y, n, approx[y])
+
+
+def test_embedding_prod_geometry_recall_on_planted_neardups(spark):
+    """The production 12x8 geometry targets cosine >= 0.85 where the
+    fixture's uniform vectors have no natural pairs, so recall is
+    measured on PLANTED near-dups: each base vector gets a perturbed
+    copy at cosine ~0.97. Precision stays exact (verify stage), recall
+    must clear 0.95 (theory: 1-(1-p^8)^12 ~ 0.99 at p=1-acos(.97)/pi)."""
+    import math
+    import random
+
+    import numpy as np
+
+    rng = random.Random(7)
+    n, d = 120, 32
+    base = [[rng.gauss(0, 1) for _ in range(d)] for _ in range(n)]
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # perturbed copy: cos ~ 1/sqrt(1+eps^2) with eps*||g||/||v|| ~ 0.25
+        g = np.array([rng.gauss(0, 1) for _ in range(d)])
+        v = np.array(v)
+        w = v + 0.25 * (np.linalg.norm(v) / np.linalg.norm(g)) * g
+        rows.append((i + 100000, [float(x) for x in w]))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).select(
+        "vec_id",
+        "embedding",
+        F.sqrt(
+            F.aggregate(
+                F.transform("embedding", lambda x: x * x),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            )
+        ).alias("nrm"),
+    )
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in dedup.embedding_lsh_pairs(
+            emb, dedup.RHP_BANDS_PROD, dedup.RHP_ROWS_PROD,
+            dedup.COSINE_THRESHOLD_PROD,
+        ).collect()
+    }
+    # ground truth via numpy all-pairs on the same rounded-cosine rule
+    ids = [r[0] for r in rows]
+    M = np.array([r[1] for r in rows])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    C = np.round(Mn @ Mn.T, 6)
+    exact = {
+        (ids[i], ids[j]): C[i, j]
+        for i in range(len(ids))
+        for j in range(len(ids))
+        if ids[i] < ids[j] and C[i, j] >= dedup.COSINE_THRESHOLD_PROD
+    }
+    assert len(exact) >= n * 0.9  # the plant worked: one pair per base vec
+    assert set(got) <= set(exact)  # exact verify => no false positives
+    recall = len(got) / len(exact)
+    assert recall >= 0.95, f"prod-geometry recall {recall}"
+    for k, v in got.items():
+        assert math.isclose(v, exact[k], abs_tol=2e-6)

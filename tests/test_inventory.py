@@ -41,8 +41,10 @@ EXPECTED_ROWS_ONLY = {
     "agg_approx_percentiles",
     # random-hyperplane LSH candidates use engine-specific xxhash64 sign
     # bits; emitted pairs are exact-cosine-verified and recall is tested
-    # against the oracle-exact all-pairs GEMM twin
+    # against the oracle-exact all-pairs GEMM twin (demo geometry) and
+    # planted perturbed near-dups (production geometry)
     "dedup_embedding_cosine",
+    "dedup_embedding_cosine_prod",
     # cross-engine FP means can flip k-means assignments; correctness is
     # the recall-vs-exact test in test_dedup_similarity.py
     "sim_search_ann_ivf_kmeans",

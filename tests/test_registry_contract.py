@@ -16,6 +16,7 @@ def test_registry_shape():
     rows_only = set(q) - set(o)
     assert rows_only <= {"dedup_minhash_near", "dedup_simhash",
                          "dedup_embedding_cosine",
+                         "dedup_embedding_cosine_prod",
                          "agg_approx_count_distinct",
                          "agg_approx_percentiles",
                          "sim_search_ann_ivf_kmeans",

@@ -255,9 +255,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-RHP_PLANES = 96  # sign projections = RHP_BANDS x RHP_ROWS
-RHP_BANDS = 24
+RHP_PLANES = 96  # sign projections; every banding geometry re-slices these
+RHP_BANDS = 24   # demo geometry: recall 1.0 at the low 0.45 threshold
 RHP_ROWS = 4
+RHP_BANDS_PROD = 12  # production geometry: 5.3% candidate fraction at the
+RHP_ROWS_PROD = 8    # SemDeDup-style cosine >= 0.85 regime (SCALE.md)
+COSINE_THRESHOLD = 0.45
+COSINE_THRESHOLD_PROD = 0.85
 
 
 def _rhp_bits(e: Column) -> Column:
@@ -290,53 +294,43 @@ def _rhp_bits(e: Column) -> Column:
     )
 
 
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """North-star — near-dup by embedding cosine ≥ 0.45, sub-quadratic:
+def embedding_lsh_pairs(
+    emb: DataFrame, bands: int, rows: int, threshold: float
+) -> DataFrame:
+    """Banded random-hyperplane LSH near-dup pairs over an embedding frame
+    ``(vec_id, embedding, nrm)`` — the shared core of the demo- and
+    production-geometry operators:
 
     1. per vector, ``RHP_PLANES`` random-hyperplane sign bits (one O(k·d)
        pass, pure codegen — see :func:`_rhp_bits`);
-    2. band the bits ``RHP_BANDS x RHP_ROWS`` → one (band, band_sig) row
-       per band per vector;
+    2. band the bits ``bands x rows`` → one (band, band_sig) row per band
+       per vector;
     3. candidates = self EQUI-join on (band, band_sig) — never an
-       all-pairs theta join; bucket sizes are ~n/2^ROWS per band, so the
+       all-pairs theta join; bucket sizes are ~n/2^rows per band, so the
        candidate stage is O(sum of bucket² per band), not O(n²);
     4. verify candidates with the exact one-dot-product cosine
        (:func:`cosine_from_norms`) on the ROUNDED value.
 
-    Emitted pairs are therefore exactly correct (precision 1.0); banding
-    bounds recall — 24x4 bands give per-pair collision ≥ 1-(1-p^4)^24
-    where p = 1 - θ/π (≈ 0.993 at the 0.45 threshold's θ ≈ 63°, → 1
-    rapidly for truer near-dups; measured 1.0 on both fixtures). Engine-specific hash bits → rows-only
-    in the registry; ``tests/test_dedup_similarity.py`` asserts recall
-    against the oracle-exact all-pairs twin
-    :func:`dedup_embedding_cosine_gemm` (test-only since round 5: the
-    registry carries no quadratic plan).
-
-    Candidate VOLUME is set by the banding geometry alone (the verify
-    threshold only filters after): 24x4 collides random pairs with prob
-    ≈ 0.79, the price of recall 1.0 at this deliberately-low demo
-    threshold on uniform fixture vectors. Production near-dup thresholds
-    (cosine ≥ 0.85) take ``RHP_BANDS, RHP_ROWS = 12, 8`` — measured 5.3%
-    candidate fraction vs 77% on the same sf0.1 data
-    (``scripts/measure_dedup_scale.py``; analysis in SCALE.md)."""
-    emb = read_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
-    )
+    Emitted pairs are exactly correct (precision 1.0); banding bounds
+    recall at 1-(1-p^rows)^bands with p = 1 - θ/π. Candidate VOLUME is
+    set by the geometry alone — the verify threshold only filters after.
+    """
+    assert bands * rows == RHP_PLANES, "banding must re-slice RHP_PLANES"
     bits = emb.select("vec_id", _rhp_bits(F.col("embedding")).alias("bits"))
 
     def band_sig(b: Column) -> Column:
         return F.aggregate(
-            F.sequence(F.lit(0), F.lit(RHP_ROWS - 1)),
+            F.sequence(F.lit(0), F.lit(rows - 1)),
             F.lit(0).cast("long"),
             lambda acc, j: acc * 2
-            + F.element_at(F.col("bits"), b * F.lit(RHP_ROWS) + j + 1),
+            + F.element_at(F.col("bits"), b * F.lit(rows) + j + 1),
         )
 
     sigs = bits.select(
         "vec_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(0), F.lit(RHP_BANDS - 1)),
+                F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"), band_sig(b).alias("band_sig")
                 ),
@@ -375,7 +369,54 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         cands.join(a, "vec_a")
         .join(b, "vec_b")
         .select("vec_a", "vec_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= 0.45)
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def _emb_with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    )
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — near-dup by embedding cosine ≥ 0.45, sub-quadratic
+    (see :func:`embedding_lsh_pairs` for the plan shape).
+
+    24x4 bands give per-pair collision ≥ 1-(1-p^4)^24 ≈ 0.993 at the
+    0.45 threshold's θ ≈ 63° (→ 1 rapidly for truer near-dups; measured
+    recall 1.0 on both fixtures vs the oracle-exact all-pairs twin
+    :func:`dedup_embedding_cosine_gemm`, test-only since round 5).
+    Engine-specific hash bits → rows-only in the registry.
+
+    The 24x4 demo geometry collides random pairs with prob ≈ 0.79 — the
+    price of recall 1.0 at this deliberately-low threshold on uniform
+    fixture vectors; the production-threshold twin
+    :func:`dedup_embedding_cosine_prod` measures 5.3% on the same sf0.1
+    data (``scripts/measure_dedup_scale.py``; analysis in SCALE.md)."""
+    return embedding_lsh_pairs(
+        _emb_with_norm(spark, sf_dir), RHP_BANDS, RHP_ROWS, COSINE_THRESHOLD
+    )
+
+
+def dedup_embedding_cosine_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-geometry embedding near-dup: cosine ≥ 0.85 (the
+    SemDeDup-style semantic-dedup regime) with 12x8 banding.
+
+    Same plan shape as :func:`dedup_embedding_cosine`; the geometry is
+    the scale knob: 8-row bands collide a random pair with prob 0.5^8
+    per band → measured candidate fraction 5.3% of all-pairs at sf0.1
+    (vs 77% for the 24x4 demo geometry — SCALE.md), while a true
+    near-dup at cosine 0.9 (p = 1-θ/π ≈ 0.857) still collides with prob
+    1-(1-0.857^8)^12 ≈ 0.98. Recall is asserted ≥ 0.95 on planted
+    perturbed near-dups in ``tests/test_dedup_similarity.py`` (the
+    fixture's uniform vectors have no natural pairs at 0.85).
+    Engine-specific hash bits → rows-only in the registry."""
+    return embedding_lsh_pairs(
+        _emb_with_norm(spark, sf_dir),
+        RHP_BANDS_PROD,
+        RHP_ROWS_PROD,
+        COSINE_THRESHOLD_PROD,
     )
 
 
@@ -567,6 +608,7 @@ QUERIES = {
     "dedup_minhash_near": dedup_minhash_near,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_embedding_cosine_prod": dedup_embedding_cosine_prod,
 }
 
 ORACLE = {

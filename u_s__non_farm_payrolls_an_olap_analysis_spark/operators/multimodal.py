@@ -111,23 +111,33 @@ def _frame_sample_batches(
     frame (every ``SAMPLE_EVERY``-th of its ``len // stride`` frames) with
     a payload-derived per-frame feature. The 1→N row shape is the part a
     real video/audio sampler needs from the engine; memory stays bounded
-    per Arrow batch (output rows ≤ rows x frames-per-doc)."""
+    per Arrow batch (output rows ≤ rows x frames-per-doc). Vectorized:
+    the explode is np.repeat/np.concatenate index arithmetic — the only
+    Python-level loop is over Arrow batches, never rows."""
+    import numpy as np
+
     for pdf in batches:
-        out = {k: [] for k in ("doc_id", "kind", "frame_idx", "frame_off", "remaining_bytes")}
-        for doc_id, media, kind in zip(pdf["doc_id"], pdf["media"], pdf["kind"]):
-            n = len(media)
-            for f in range(0, n // FRAME_STRIDE, SAMPLE_EVERY):
-                out["doc_id"].append(doc_id)
-                out["kind"].append(kind)
-                out["frame_idx"].append(f)
-                out["frame_off"].append(f * FRAME_STRIDE)
-                out["remaining_bytes"].append(n - f * FRAME_STRIDE)
-        yield pd.DataFrame(out).astype(
+        n_bytes = pdf["media"].map(len).to_numpy("int64")
+        # frames kept per doc = ceil((n // stride) / every)
+        kept = -(-(n_bytes // FRAME_STRIDE) // SAMPLE_EVERY)
+        doc_ids = np.repeat(pdf["doc_id"].to_numpy("int64"), kept)
+        kinds = np.repeat(pdf["kind"].to_numpy(object), kept)
+        # per-doc ragged range 0, EVERY, 2*EVERY, ... via one global arange
+        # offset by each doc's running start
+        starts = np.concatenate(([0], np.cumsum(kept)[:-1]))
+        frame_idx = (
+            np.arange(int(kept.sum()), dtype="int64")
+            - np.repeat(starts, kept)
+        ) * SAMPLE_EVERY
+        frame_off = frame_idx * FRAME_STRIDE
+        remaining = np.repeat(n_bytes, kept) - frame_off
+        yield pd.DataFrame(
             {
-                "doc_id": "int64",
-                "frame_idx": "int64",
-                "frame_off": "int64",
-                "remaining_bytes": "int64",
+                "doc_id": doc_ids,
+                "kind": kinds,
+                "frame_idx": frame_idx,
+                "frame_off": frame_off,
+                "remaining_bytes": remaining,
             }
         )
 

@@ -88,17 +88,19 @@ _MODULES = [
 # pruned (their green rows live in CORRECTNESS_r05/r06). This round leads
 # with (a) the two streaming paths whose code changed this round (ts-unit
 # fix in _events_stream + the stateful last_ts repair — their previous
-# rows predate both the fix and the testdata's ns→µs switch) and (b) the
-# 47 keys whose latest driver row is r1–r3, i.e. BEFORE the round-4
-# per-row-rounding convention — oldest evidence first. Deferred to round
-# 8: scan_table, cache_result (implicitly exercised by every other
+# rows predate both the fix and the testdata's ns→µs switch), (b) the
+# new production-geometry embedding LSH, and (c) the 46 keys whose
+# latest driver row is r1–r3, i.e. BEFORE the round-4 per-row-rounding
+# convention — oldest evidence first. Deferred to round 8: scan_table,
+# cache_result, project_rename (implicitly exercised by every other
 # query), and the remaining r4-rowed stream windows (sliding, session,
 # dedup_keys — same decode path as tumbling, all green locally).
 _SAMPLE_PRIORITY = [
-    # changed this round — need fresh hash rows
+    # changed/new this round — need fresh driver rows
     "stream_stateful_user_profile",
     "stream_tumbling_agg",
     "stream_stream_join",
+    "dedup_embedding_cosine_prod",  # rows-only by design: gets its row
     # latest driver row r1
     "agg_approx_count_distinct",
     "window_rank_topk_per_group",
@@ -120,7 +122,6 @@ _SAMPLE_PRIORITY = [
     "sample_stratified_rates",
     "agg_bitmap_distinct",
     "agg_hll_sketch_merge",
-    "project_rename",
     "project_cast",
     "filter_in_and_between",
     "filter_threshold",
