@@ -8,12 +8,16 @@ excluded (reported separately as "startup_sec"). Prints ONE JSON line.
 
 Since round 5 the headline operators memoize their analyzed plan
 (functions/plan_cache.py), so "queries" measures the steady-state
-prepared-statement path — re-execution of an analyzed plan, which is what
-a repeated query actually costs and the apples-to-apples match for
-DuckDB's sub-ms re-parse. The build-every-time path is still reported as
-"queries_first_run" (memo cleared, one cold build+run each): the 60-180 ms
-delta per query is py4j expression construction + Catalyst analysis,
-invariant to data size.
+prepared-statement path. Round-7 finding: re-collecting a memoized
+DataFrame also reuses its already-materialized SHUFFLE STAGES (DAG
+scheduler stage skipping / AQE stage reuse), so "queries" and
+"queries_exec_only" understate data work — they are the incremental cost
+a plan-and-stage-caching client pays, kept for cross-round continuity.
+The honest full-re-execution comparable to DuckDB re-running SQL is
+"queries_fresh_exec" (fresh DataFrame per run, plan construction
+untimed, first action timed), which is also the protocol of the sf1/sfN
+sections. "queries_first_run" (memo cleared, build+run) adds the
+60-180 ms/query py4j + Catalyst analysis cost, invariant to data size.
 
 Scale-dependent tuning, applied HERE and not in the engine defaults
 (session.py keeps AQE on — the 100 TB posture):
@@ -69,7 +73,7 @@ SF1_SPAN = 1_000_000  # > max o_orderkey/event_id at sf0.1
 SF1_DIRNAME = ".bench_sf1"
 
 
-def _ensure_sf1(spark, base_dir: str, out_dir: str) -> None:
+def _ensure_sf1(spark, base_dir: str, out_dir: str, n_rep: int = SF1_REP) -> None:
     import shutil
 
     from pyspark.sql import functions as F
@@ -84,7 +88,7 @@ def _ensure_sf1(spark, base_dir: str, out_dir: str) -> None:
     for t in ("region", "nation", "customer", "supplier", "part",
               "documents", "embeddings"):
         shutil.copy(f"{base_dir}/{t}.parquet", f"{out_dir}/{t}.parquet")
-    rep = spark.range(SF1_REP).select(F.col("id").alias("rep"))
+    rep = spark.range(n_rep).select(F.col("id").alias("rep"))
     orders = read_table(spark, base_dir, "orders")
     (
         orders.crossJoin(rep)
@@ -129,12 +133,21 @@ def _sf1_section(spark, base_dir: str) -> dict:
 
     out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            SF1_DIRNAME)
+    # at-scale posture for the data-dominated section (scoped; the
+    # headline session's partitions=4 / AQE-off tuning is for MB-scale
+    # sf0.1 shuffles and caps fresh-execution parallelism here — same
+    # rationale as _sfn_section)
+    n_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_cpus))
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
     t0 = time.time()
     _ensure_sf1(spark, base_dir, out_dir)
     cache_tables(
         spark, out_dir,
         tables=("orders", "lineitem", "events", "customer", "nation"),
-        max_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        max_partitions=n_cpus,
     )
     prep = time.time() - t0
 
@@ -147,15 +160,28 @@ def _sf1_section(spark, base_dir: str) -> dict:
         src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
 
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.functions.plan_cache import (
+        clear_plan_memo,
+    )
+
     spark_sec: dict[str, float] = {}
     duck_sec: dict[str, float] = {}
     for name, key in HEADLINE.items():
         fn = qs[key]
-        fn(spark, out_dir).toPandas()  # warm (also builds/memoizes the plan)
+        fn(spark, out_dir).toPandas()  # warm: caches, codegen, code paths
+        # FRESH-plan execution per run: re-collecting a memoized DataFrame
+        # lets Spark reuse already-materialized shuffle stages (stage
+        # skipping / AQE stage reuse), which measures fetch, not data
+        # work — a fresh instance per run forces full re-execution, the
+        # honest comparable to DuckDB re-running the SQL. Plan
+        # construction (py4j + analysis, data-size-invariant) stays
+        # untimed, mirroring DuckDB's sub-ms re-parse.
         times = []
         for _ in range(3):
+            clear_plan_memo()
+            df = fn(spark, out_dir)
             t = time.time()
-            fn(spark, out_dir).toPandas()
+            df.toPandas()
             times.append(time.time() - t)
         spark_sec[name] = round(statistics.median(times), 4)
         sql = oracles[key]
@@ -167,6 +193,8 @@ def _sf1_section(spark, base_dir: str) -> dict:
             times.append(time.time() - t)
         duck_sec[name] = round(statistics.median(times), 4)
     con.close()
+    spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     return {
         "rep": SF1_REP,
         "prep_sec": round(prep, 2),
@@ -180,6 +208,172 @@ def _sf1_section(spark, base_dir: str) -> dict:
         "ratio_per_query": {
             k: round(spark_sec[k] / max(1e-9, duck_sec[k]), 2)
             for k in spark_sec
+        },
+    }
+
+
+# --- sfN stretch section: 30x facts + 3x documents -------------------
+# Closes the extrapolation gap between sf1 (10x) and the 100 TB story:
+# three data-heavy queries at 30x with per-query Spark/DuckDB ratios and
+# the Spark scaling slope vs the 10x run (ideal 3.0 for linear work), and
+# dedup_clusters over a 3x documents corpus whose replicas live in
+# DISJOINT shingle spaces (every token suffixed per replica), so the
+# pair graph scales as independent copies — the clean scaling shape,
+# not an artificial 10-clique blowup from byte-identical replicas.
+SFN_REP = int(os.environ.get("SPARK_GRAFT_SFN_REP", "30"))
+SFN_DIRNAME = ".bench_sf3x"
+DOCS_REP = int(os.environ.get("SPARK_GRAFT_DOCS_REP", "3"))
+DOCS_DIRNAME = ".bench_docs3x"
+SFN_QUERIES = {
+    "join_agg_pricing": "join_agg_pricing",
+    "window_rank": "window_rank_topk_per_group",
+    "tpch_q8_market_share": "tpch_q8_market_share",
+}
+
+
+def _ensure_docs_rep(spark, base_dir: str, out_dir: str) -> None:
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.io import read_table
+
+    ready = os.path.join(out_dir, "_READY")
+    if os.path.exists(ready):
+        return
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    docs = read_table(spark, base_dir, "documents")
+    rep = spark.range(DOCS_REP).select(F.col("id").alias("rep"))
+    (
+        docs.crossJoin(rep)
+        .select(
+            (F.col("doc_id") + F.col("rep") * SF1_SPAN).alias("doc_id"),
+            # suffix every token with the replica id: replicas share no
+            # shingles, so each replica's near-dup structure is intact
+            # but disjoint from the others
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda w: F.concat(w, F.lit("_"), F.col("rep").cast("string")),
+                ),
+                " ",
+            ).alias("text"),
+            "lang", "source", "n_chars",
+        )
+        .write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+    )
+    with open(ready, "w") as f:
+        f.write("ok")
+
+
+def _sfn_section(spark, base_dir: str, sf1: dict) -> dict:
+    import duckdb
+
+    from u_s__non_farm_payrolls_an_olap_analysis_spark import registry
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.io import cache_tables
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import dedup
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    out_dir = os.path.join(here, SFN_DIRNAME)
+    # The headline session is tuned for MB-scale sf0.1 shuffles
+    # (partitions=4, AQE off — see main()); at 30x facts those settings
+    # strangle the multi-way shuffle joins (measured: q8 15 s at 4
+    # partitions vs sub-second at 32 + AQE). The stretch section runs
+    # under the engine's at-scale posture — AQE on, shuffle parallelism =
+    # cores — scoped here and restored after, exactly the conf a real
+    # deployment would carry.
+    n_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_cpus))
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    t0 = time.time()
+    _ensure_sf1(spark, base_dir, out_dir, n_rep=SFN_REP)
+    cache_tables(
+        spark, out_dir,
+        tables=("orders", "lineitem", "customer", "nation"),
+        max_partitions=n_cpus,
+    )
+    prep = time.time() - t0
+
+    qs = registry.queries()
+    oracles = registry.oracle_sql()
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        p = f"{out_dir}/{t}.parquet"
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.functions.plan_cache import (
+        clear_plan_memo,
+    )
+
+    spark_sec: dict[str, float] = {}
+    duck_sec: dict[str, float] = {}
+    for name, key in SFN_QUERIES.items():
+        fn = qs[key]
+        fn(spark, out_dir).toPandas()  # warm: caches, codegen, code paths
+        # fresh plan per run — no shuffle-stage reuse (see _sf1_section)
+        times = []
+        for _ in range(3):
+            clear_plan_memo()
+            df = fn(spark, out_dir)
+            t = time.time()
+            df.toPandas()
+            times.append(time.time() - t)
+        spark_sec[name] = round(statistics.median(times), 4)
+        sql = oracles[key]
+        con.execute(sql).fetchdf()  # warm
+        times = []
+        for _ in range(3):
+            t = time.time()
+            con.execute(sql).fetchdf()
+            times.append(time.time() - t)
+        duck_sec[name] = round(statistics.median(times), 4)
+    con.close()
+
+    # Spark scaling slope vs the 10x section (ideal = SFN_REP/SF1_REP for
+    # work linear in the fact count); sf1 times come from the sf1 section
+    sf1_spark = sf1.get("spark", {}) if isinstance(sf1, dict) else {}
+    slopes = {
+        name: round(spark_sec[name] / sf1_spark[name], 2)
+        for name in spark_sec
+        if sf1_spark.get(name)
+    }
+
+    # dedup_clusters over the replicated-docs corpus (Spark only — the
+    # DuckDB recursive-CTE twin is the correctness oracle at sf0.01, not
+    # a throughput baseline); report the round count so the log-diameter
+    # claim is visible evidence
+    docs_dir = os.path.join(here, DOCS_DIRNAME)
+    t0 = time.time()
+    _ensure_docs_rep(spark, base_dir, docs_dir)
+    docs_prep = time.time() - t0
+    t0 = time.time()
+    n_clusters = dedup.dedup_clusters(spark, docs_dir).count()
+    clusters_sec = round(time.time() - t0, 2)
+    spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+    return {
+        "rep": SFN_REP,
+        "prep_sec": round(prep, 2),
+        "spark": spark_sec,
+        "duckdb": duck_sec,
+        "ratio_per_query": {
+            k: round(spark_sec[k] / max(1e-9, duck_sec[k]), 2)
+            for k in spark_sec
+        },
+        "spark_slope_vs_sf1": slopes,
+        "ideal_slope": round(SFN_REP / SF1_REP, 2),
+        "dedup_clusters": {
+            "docs_rep": DOCS_REP,
+            "prep_sec": round(docs_prep, 2),
+            "sec": clusters_sec,
+            "n_clusters": n_clusters,
+            "rounds": getattr(dedup, "LAST_CLUSTER_ROUNDS", None),
         },
     }
 
@@ -291,12 +485,30 @@ def main() -> None:
             m = round(statistics.median(times), 4)
             exec_only[name] = min(exec_only.get(name, m), m)
 
-    # cold path: drop memoized plans, pay one full build+analyze+run per
-    # query — the cost a client that never reuses a plan would see
     from u_s__non_farm_payrolls_an_olap_analysis_spark.functions.plan_cache import (
         clear_plan_memo,
     )
 
+    # fresh-execution path: a NEW DataFrame instance per run, first action
+    # timed. Re-collecting a memoized plan reuses already-materialized
+    # shuffle stages (stage skipping), so "queries"/"queries_exec_only"
+    # above measure the incremental steady state of a plan-and-stage-
+    # caching client; THIS metric forces full data re-execution (plan
+    # construction untimed) — the honest apples-to-apples against DuckDB
+    # re-running the SQL, and the number the sf1/sfN sections use.
+    fresh_exec: dict[str, float] = {}
+    for name, (fn, fetch, _wdf, _kind) in fetchers.items():
+        times = []
+        for _ in range(RUNS):
+            clear_plan_memo()
+            df = fn(spark, sf_dir)
+            t = time.time()
+            fetch(df)
+            times.append(time.time() - t)
+        fresh_exec[name] = round(statistics.median(times), 4)
+
+    # cold path: drop memoized plans, pay one full build+analyze+run per
+    # query — the cost a client that never reuses a plan would see
     first_run: dict[str, float] = {}
     for name, (fn, fetch, _wdf, _kind) in fetchers.items():
         clear_plan_memo()
@@ -310,6 +522,15 @@ def main() -> None:
         sf1 = _sf1_section(spark, sf_dir)
     except Exception as e:  # noqa: BLE001 — report, don't die
         sf1 = {"error": str(e)[:200]}
+
+    # sfN (30x facts + 3x docs): the scaling-slope stretch section
+    if os.environ.get("SPARK_GRAFT_SKIP_SFN"):
+        sfn = None
+    else:
+        try:
+            sfn = _sfn_section(spark, sf_dir, sf1)
+        except Exception as e:  # noqa: BLE001 — report, don't die
+            sfn = {"error": str(e)[:200]}
 
     total = round(sum(results.values()), 4)
     # floor-subtracted view: the per-query fixed cost (plan-build +
@@ -340,9 +561,12 @@ def main() -> None:
                 "total_minus_floor": round(sum(minus_floor.values()), 4),
                 "queries_exec_only": exec_only,
                 "total_exec_only": round(sum(exec_only.values()), 4),
+                "queries_fresh_exec": fresh_exec,
+                "total_fresh_exec": round(sum(fresh_exec.values()), 4),
                 "queries_first_run": first_run,
                 "total_first_run": round(sum(first_run.values()), 4),
                 "sf1": sf1,
+                "sfn": sfn,
                 "sf": sf,
                 "startup_sec": round(startup, 2),
                 "noop_floor_sec": noop,
@@ -363,6 +587,7 @@ def main() -> None:
                 "queries": results,
                 "sf": sf,
                 "total_exec_only": round(sum(exec_only.values()), 4),
+                "total_fresh_exec": round(sum(fresh_exec.values()), 4),
                 "noop_floor_sec": noop,
                 "sf1_ratio": (
                     sf1.get("ratio_total") if isinstance(sf1, dict) else None
@@ -372,6 +597,17 @@ def main() -> None:
                 ),
                 "sf1_duckdb_total": (
                     sf1.get("duckdb_total") if isinstance(sf1, dict) else None
+                ),
+                "sfn_rep": (
+                    sfn.get("rep") if isinstance(sfn, dict) else None
+                ),
+                "sfn_ratio_per_query": (
+                    sfn.get("ratio_per_query") if isinstance(sfn, dict) else None
+                ),
+                "sfn_slope_vs_sf1": (
+                    sfn.get("spark_slope_vs_sf1")
+                    if isinstance(sfn, dict)
+                    else None
                 ),
             }
         ),

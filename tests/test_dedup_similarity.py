@@ -83,11 +83,15 @@ def test_embedding_lsh_recall_vs_exact_allpairs(spark):
         assert abs(v - exact[k]) < 1e-6
 
 
-def test_embedding_lsh_plan_has_no_theta_join(spark):
+@pytest.mark.parametrize(
+    "op", ["dedup_embedding_cosine", "dedup_embedding_cosine_prod"]
+)
+def test_embedding_lsh_plan_has_no_theta_join(spark, op):
     """Candidate generation must be an equi-join on (band, band_sig) —
-    the plan may not contain a cartesian/broadcast-nested-loop stage."""
+    the plan may not contain a cartesian/broadcast-nested-loop stage —
+    in BOTH banding geometries."""
     plan = (
-        dedup.dedup_embedding_cosine(spark, SF)
+        getattr(dedup, op)(spark, SF)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()

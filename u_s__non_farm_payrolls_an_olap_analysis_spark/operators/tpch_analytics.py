@@ -492,7 +492,20 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q8 shape — market share: of the revenue from ASIA-region customers,
     the share supplied by NATION_1 suppliers, per order year. One pass:
     the share is a conditional aggregate ratio (no second join of the
-    filtered numerator); both nation chains broadcast."""
+    filtered numerator); both nation chains broadcast.
+
+    Join ORDER is the scale posture (Catalyst keeps syntactic inner-join
+    order without CBO): each fact side is reduced by its broadcast dims
+    FIRST — orders down ~5x by the ASIA customer chain and projected to
+    (o_orderkey, o_year); lineitem projected to (l_orderkey, rev,
+    is_target) after the supplier-nation broadcast — so the one
+    fact-fact shuffle join moves 5x fewer orders rows and minimal
+    widths, and AQE can convert it to broadcast when the reduced side
+    measures small (it does at bench scales). Local-mode wall time is
+    within noise of the fact-first order (column pruning already
+    narrowed it; measured ~2s either way at 30x facts, dominated by the
+    18M-row probe+shuffle machinery), but at cluster scale shuffled
+    bytes — which this order cuts — are the cost that matters."""
     li = read_table(spark, sf_dir, "lineitem")
     orders = read_table(spark, sf_dir, "orders")
     cust = read_table(spark, sf_dir, "customer")
@@ -508,20 +521,28 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = _revenue()
     is_target = (F.col("supp_nation") == "NATION_1").cast("double")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
+    asia_orders = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n_c), cust.c_nationkey == F.col("cnk"))
         .join(F.broadcast(region), F.col("crk") == region.r_regionkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select("o_orderkey", F.year("o_orderdate").alias("o_year"))
+    )
+    li_flagged = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n_s), supp.s_nationkey == F.col("snk"))
-        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .select("l_orderkey", rev.alias("rev"), is_target.alias("is_target"))
+    )
+    return (
+        li_flagged.join(
+            asia_orders, li_flagged.l_orderkey == asia_orders.o_orderkey
+        )
+        .groupBy("o_year")
         .agg(
             F.round(
-                dsum(rev * is_target) / dsum(rev),
+                dsum(F.col("rev") * F.col("is_target")) / dsum(F.col("rev")),
                 6,
             ).alias("mkt_share"),
-            F.round(dsum(rev), 4).alias("total_revenue"),
+            F.round(dsum(F.col("rev")), 4).alias("total_revenue"),
         )
         .orderBy("o_year")
     )
