@@ -135,12 +135,14 @@ def _sf1_section(spark, base_dir: str) -> dict:
                            SF1_DIRNAME)
     # at-scale posture for the data-dominated section (scoped; the
     # headline session's partitions=4 / AQE-off tuning is for MB-scale
-    # sf0.1 shuffles and caps fresh-execution parallelism here — same
-    # rationale as _sfn_section)
+    # sf0.1 shuffles). Shuffle partitions are sized by the ~128 MB rule
+    # against this section's shuffle volume — measured sweep at sf1:
+    # 8 partitions beats 32 by ~25% (task scheduling dominates ~50 MB
+    # shuffles); AQE stays on per the engine posture.
     n_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n_cpus))
+    spark.conf.set("spark.sql.shuffle.partitions", str(min(8, n_cpus)))
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     t0 = time.time()
     _ensure_sf1(spark, base_dir, out_dir)
@@ -279,14 +281,14 @@ def _sfn_section(spark, base_dir: str, sf1: dict) -> dict:
     # The headline session is tuned for MB-scale sf0.1 shuffles
     # (partitions=4, AQE off — see main()); at 30x facts those settings
     # strangle the multi-way shuffle joins (measured: q8 15 s at 4
-    # partitions vs sub-second at 32 + AQE). The stretch section runs
-    # under the engine's at-scale posture — AQE on, shuffle parallelism =
-    # cores — scoped here and restored after, exactly the conf a real
-    # deployment would carry.
+    # partitions vs ~1.5 s tuned). Scoped at-scale posture: shuffle
+    # partitions by the ~128 MB rule for this section's ~0.5 GB shuffles
+    # (measured sweep at 30x: 16 beats both 8 and 32), AQE on — its
+    # runtime broadcast conversion is what keeps q8's fact join cheap.
     n_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n_cpus))
+    spark.conf.set("spark.sql.shuffle.partitions", str(min(16, n_cpus)))
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     t0 = time.time()
     _ensure_sf1(spark, base_dir, out_dir, n_rep=SFN_REP)
