@@ -88,3 +88,57 @@ def test_drain_leaves_no_memory_sink_views(spark):
     out = stream_tumbling_agg(spark, SF)
     assert out.count() > 0
     assert sink_views() == before
+
+
+def test_events_stream_decodes_both_ts_units(spark, tmp_path):
+    """The driver's events.parquet has shipped ts as timestamp[ns] AND
+    timestamp[us] across data generations; a wrong unit assumption
+    corrupts every event time by 10^3 (the round-6/7 1970-dated-window
+    bug). Pin: the stream decodes BOTH encodings to identical wall
+    times."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.streaming import (
+        stream_windows as sw,
+    )
+
+    base_us = [1706640381466163, 1706623415462107]  # 2024-01-30, micros
+    rows = {
+        "event_id": [1, 2],
+        "user_id": [10, 20],
+        "event_type": ["click", "view"],
+        "value": [1.5, 2.5],
+        "props": ["{}", "{}"],
+    }
+    dirs = {}
+    for unit in ("us", "ns"):
+        d = tmp_path / unit
+        d.mkdir()
+        mult = 1 if unit == "us" else 1000
+        tbl = pa.table(
+            {**rows, "ts": pa.array([v * mult for v in base_us],
+                                    type=pa.timestamp(unit))}
+        )
+        pq.write_table(tbl, str(d / "events.parquet"))
+        dirs[unit] = str(d)
+
+    got = {}
+    for unit, d in dirs.items():
+        assert sw._events_ts_unit(f"{d}/events.parquet") == unit
+        ev = sw._events_stream(spark, d).select("event_id", "ts", "value")
+        q = (
+            ev.writeStream.format("memory")
+            .queryName(f"unit_{unit}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got[unit] = {
+            r["event_id"]: r["ts"]
+            for r in spark.table(f"unit_{unit}").collect()
+        }
+    assert got["us"] == got["ns"]
+    # and the values are the true 2024 wall times, not 1970 corruptions
+    assert got["us"][1].year == 2024
