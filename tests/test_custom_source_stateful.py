@@ -105,3 +105,89 @@ def test_tws_probe_matches_env():
     except ModuleNotFoundError:
         present = False
     assert tws_available() == present
+
+
+def test_stateful_profile_accumulates_across_microbatches(spark, tmp_path):
+    """The single-file events fixture streams as ONE micro-batch, so the
+    state round-trip (state.get -> update -> next batch) is never hit by
+    the registry query. Split the same rows into 3 files and force
+    maxFilesPerTrigger=1: the final profiles must STILL equal the batch
+    GROUP BY — proving the scaled-int + epoch-micros state accumulates
+    correctly across batches, not just within one."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.streaming.stateful import (
+        OUTPUT_SCHEMA,
+        STATE_SCHEMA,
+        _update_profile,
+    )
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.streaming.stream_windows import (
+        _drain_to_memory,
+    )
+
+    # 3 users x 6 events spread over 3 files (each user present in EVERY
+    # file, so every key's state round-trips at least twice)
+    rows = []
+    for i in range(18):
+        rows.append(
+            {
+                "user_id": i % 3,
+                "ts_us": 1_706_000_000_000_000 + i * 1_000_003,
+                "value": round(0.05 + i * 1.7305, 4),
+            }
+        )
+    d = tmp_path / "ev3"
+    d.mkdir()
+    for f in range(3):
+        part = rows[f::3]
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array([r["user_id"] for r in part], pa.int64()),
+                    "ts_us": pa.array([r["ts_us"] for r in part], pa.int64()),
+                    "value": pa.array([r["value"] for r in part], pa.float64()),
+                }
+            ),
+            str(d / f"part{f}.parquet"),
+        )
+
+    ev = (
+        spark.readStream.schema("user_id long, ts_us long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(d))
+    )
+    profiles = ev.groupBy("user_id").applyInPandasWithState(
+        _update_profile,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    out = _drain_to_memory(profiles, spark, output_mode="update")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    got = {
+        r["user_id"]: (r["n_events"], r["sum_value"], r["last_us"])
+        for r in out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    # batch ground truth with identical scaled-int arithmetic
+    pdf = pd.DataFrame(rows)
+    expect = {}
+    for uid, g in pdf.groupby("user_id"):
+        sv = int(
+            sum(
+                (1 if v >= 0 else -1) * int(abs(v * 10000) + 0.5)
+                for v in g["value"]
+            )
+        )
+        expect[uid] = (len(g), round(sv / 10000.0, 4), int(g["ts_us"].max()))
+    assert got == expect
