@@ -142,8 +142,14 @@ def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     signature: min over shingles of ``xxhash64(shingle, seed_i)`` for 32
     seeds → banded into 8 signatures of 4 rows → candidates share any band
-    bucket → verified with exact Jaccard. Rows-only check (hash seeds are
-    engine-specific); tests assert recall vs ``dedup_ngram_jaccard``.
+    bucket → verified with exact Jaccard computed over the CANDIDATE DOCS
+    ONLY (semi-join restriction of the shingle table before the
+    intersection join). Verifying against the full inverted-index pair
+    table would re-pay the O(shared-shingle-pairs) cost MinHash exists to
+    avoid — with B bands of R rows the candidate set is ~n²·(1-(1-j^R)^B)
+    pairs and the verify stage now scales with THAT, not with the corpus.
+    Rows-only check (hash seeds are engine-specific); tests assert recall
+    vs ``dedup_ngram_jaccard``.
     """
     docs = read_table(spark, sf_dir, "documents")
     sh = _shingles(docs)
@@ -175,7 +181,37 @@ def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    verified = cands.join(_jaccard_pairs(docs), ["doc_a", "doc_b"])
+    # verify ONLY the candidate pairs, and consume `cands` exactly once —
+    # a subtree referenced from two places (e.g. a broadcast doc-filter
+    # plus a semi-join) re-executes the whole MinHash aggregation per
+    # reference (broadcast exchanges don't share with shuffle exchanges;
+    # measured 3x slower). One broadcast of the tiny pair set against the
+    # cheap scan-side shingle table keeps the signature pipeline single-
+    # execution: pairs ⋈ shingles(doc_a) ⋈ shingles(doc_b on shingle) →
+    # intersection counts.
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        sha.join(F.broadcast(cands), "doc_a")
+        .join(shb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    verified = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
     return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
     )
