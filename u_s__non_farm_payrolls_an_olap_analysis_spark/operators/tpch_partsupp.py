@@ -96,13 +96,15 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     offering each part at that region's MINIMUM supply cost.
 
     The spec's correlated scalar subquery (``ps_supplycost = (SELECT
-    MIN(...) WHERE p_partkey = ps_partkey ...)``) is decorrelated into an
-    aggregate + equi-join: build the eligible (part, supplier, cost) set
-    once, GROUP BY part for the per-part min, then join back on
-    (partkey, cost). One hash aggregate + one join instead of a per-row
-    subplan — the only shape that survives at 100 TB (plan-pinned in
-    ``tests/test_plans.py``). Dims broadcast; part filter prunes before
-    the aggregate."""
+    MIN(...) WHERE p_partkey = ps_partkey ...)``) is decorrelated into a
+    per-part MIN WINDOW over the eligible (part, supplier, cost) set:
+    one shuffle by partkey, filter rows at the partition minimum. Round 7
+    replaced the earlier aggregate-then-broadcast-join-back form — that
+    shape executed the whole eligible pipeline TWICE (the broadcast side
+    re-runs its subtree) and broadcasting a per-KEY aggregate grows with
+    the key count, which does not survive 100 TB; the window form is one
+    pass and needs no broadcast. Dims broadcast; part filter prunes
+    before the shuffle."""
     part = (
         read_table(spark, sf_dir, "part")
         .filter((F.col("p_size") < 25) & F.col("p_type").like("%NOMY"))
@@ -138,15 +140,12 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_acctbal", "s_name", "n_name",
         )
     )
-    min_cost = eligible.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
-        F.min("ps_supplycost").alias("mc_cost")
-    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("ps_partkey")
     return (
-        eligible.join(
-            F.broadcast(min_cost),
-            (F.col("ps_partkey") == F.col("mc_partkey"))
-            & (F.col("ps_supplycost") == F.col("mc_cost")),
-        )
+        eligible.withColumn("mc_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("mc_cost"))
         .select(
             F.round("s_acctbal", 4).alias("s_acctbal"),
             "s_name",
