@@ -153,9 +153,14 @@ def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = read_table(spark, sf_dir, "documents")
     sh = _shingles(docs)
-    sig = sh.groupBy("doc_id").agg(
+    # hash the variable-length shingle string ONCE to a long, then derive
+    # the 32 permutations by hashing the fixed 8-byte value — same
+    # min-wise family quality, ~3x less hashing work than 32 string
+    # hashes per shingle (signature build is this operator's hot loop)
+    shh = sh.select("doc_id", F.xxhash64("shingle").alias("sh0"))
+    sig = shh.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            F.min(F.xxhash64(F.col("sh0"), F.lit(i))).alias(f"h{i}")
             for i in range(MINHASH_PERMS)
         ]
     )
