@@ -142,3 +142,91 @@ def test_events_stream_decodes_both_ts_units(spark, tmp_path):
     assert got["us"] == got["ns"]
     # and the values are the true 2024 wall times, not 1970 corruptions
     assert got["us"][1].year == 2024
+
+
+def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
+    """The registry queries declare 1-hour watermarks but drain the
+    single-file fixture in ONE micro-batch, so the watermark never drops
+    anything. Three forced batches (maxFilesPerTrigger=1): batch 1 fills
+    the hour-0 window, batch 2 advances the watermark past it (state
+    evicted, finalized window emitted), batch 3 delivers a too-late row
+    into the evicted window. Structured Streaming semantics: late rows
+    merge while the window STATE still exists and are dropped only after
+    eviction — so the finalized hour-0 count must exclude batch 3's row,
+    and no second emission of that window may appear (append mode)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    H = 3_600_000_000  # one hour in epoch micros
+    base = 1_706_000_000_000_000 - (1_706_000_000_000_000 % H)
+
+    def write(path, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                    "value": pa.array([r[2] for r in rows], pa.float64()),
+                }
+            ),
+            str(path),
+        )
+
+    d = tmp_path / "late"
+    d.mkdir()
+    # batch 1: hour-0 event + an event late enough that the next batch's
+    # watermark (02:30) lands STRICTLY past the hour-0 window end (01:00)
+    # — boundary-equality eviction is version-sensitive
+    write(
+        d / "b1.parquet",
+        [(1, base + 30 * 60_000_000, 1.0), (1, base + 3 * H + 30 * 60_000_000, 1.0)],
+    )
+    # batch 2: hour-3 event; during this batch the watermark (02:30)
+    # passes the hour-0 window -> state evicted, count emitted
+    write(d / "b2.parquet", [(1, base + 3 * H + 45 * 60_000_000, 1.0)])
+    # batch 3: LATE row into the evicted hour-0 window + on-time hour 4
+    write(
+        d / "b3.parquet",
+        [(1, base + 45 * 60_000_000, 1.0), (1, base + 4 * H, 1.0)],
+    )
+    # the file source orders same-mtime files arbitrarily; pin strictly
+    # increasing mtimes so the batches arrive b1 -> b2 -> b3
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    for i, f in enumerate(("b1.parquet", "b2.parquet", "b3.parquet")):
+        _os.utime(d / f, (now + i * 10, now + i * 10))
+    ev = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .format("parquet")
+        .load(str(d))
+    )
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_drop")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("late_drop").collect()
+    got = {int((r["ws"].timestamp() * 1_000_000 - base) // H): r["n"] for r in rows}
+    # the hour-0 window finalized with ONLY the on-time row — the late
+    # row was dropped (a batch aggregate over the same files counts 2) —
+    # and append mode emitted it exactly once
+    assert got[0] == 1, f"late row not dropped: {got}"
+    assert len(rows) == len(got), f"duplicate window emission: {rows}"
+    # hour-3 closes if the final watermark reaches 04:00; hours past the
+    # final watermark were never emitted
+    assert set(got) <= {0, 3}, got
