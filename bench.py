@@ -519,11 +519,20 @@ def main() -> None:
         first_run[name] = round(time.time() - t, 4)
 
     # sf1 (10x facts): the data-dominated regime — failures degrade to
-    # sf1: null rather than killing the headline output
+    # sf1: null rather than killing the headline output. The sections
+    # scope their own conf; the finally re-pins the headline conf even
+    # if a section dies between set and restore.
+    _headline_conf = (
+        spark.conf.get("spark.sql.shuffle.partitions"),
+        spark.conf.get("spark.sql.adaptive.enabled"),
+    )
     try:
         sf1 = _sf1_section(spark, sf_dir)
     except Exception as e:  # noqa: BLE001 — report, don't die
         sf1 = {"error": str(e)[:200]}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", _headline_conf[0])
+        spark.conf.set("spark.sql.adaptive.enabled", _headline_conf[1])
 
     # sfN (30x facts + 3x docs): the scaling-slope stretch section
     if os.environ.get("SPARK_GRAFT_SKIP_SFN"):
@@ -533,6 +542,9 @@ def main() -> None:
             sfn = _sfn_section(spark, sf_dir, sf1)
         except Exception as e:  # noqa: BLE001 — report, don't die
             sfn = {"error": str(e)[:200]}
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", _headline_conf[0])
+            spark.conf.set("spark.sql.adaptive.enabled", _headline_conf[1])
 
     total = round(sum(results.values()), 4)
     # floor-subtracted view: the per-query fixed cost (plan-build +
