@@ -158,10 +158,75 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(_frame_sample_batches, schema=SAMPLE_SCHEMA)
 
 
+RESIZE_TARGET = 256  # target payload bytes after the fake downsample
+
+RESIZE_SCHEMA = (
+    "doc_id long, kind string, orig_bytes long, stride long, "
+    "resized_bytes long, resized_first int"
+)
+
+
+def _resize_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Deterministic fake resize: keep every ``stride``-th byte so the
+    payload lands at ≈``RESIZE_TARGET`` bytes (stride = ceil(n/target)) —
+    the byte-slicing stands in for a real thumbnail/downsample codec
+    call. The RESIZED PAYLOAD is materialized per row (the plumbing a
+    real resize pays: bytes in, new bytes out, bounded per Arrow batch);
+    the emitted columns are its verifiable arithmetic so the DuckDB
+    oracle can hash-check the operator end to end."""
+    for pdf in batches:
+        out = {
+            "doc_id": pdf["doc_id"].to_numpy("int64"),
+            "kind": pdf["kind"].to_numpy(object),
+        }
+        origs, strides, sizes, firsts = [], [], [], []
+        for media in pdf["media"]:
+            n = len(media)
+            stride = max(1, -(-n // RESIZE_TARGET))
+            resized = media[::stride]
+            origs.append(n)
+            strides.append(stride)
+            sizes.append(len(resized))
+            firsts.append(
+                resized[0] if len(resized) and resized[0] < 128 else -1
+            )
+        out["orig_bytes"] = origs
+        out["stride"] = strides
+        out["resized_bytes"] = sizes
+        out["resized_first"] = firsts
+        yield pd.DataFrame(out).astype(
+            {
+                "orig_bytes": "int64",
+                "stride": "int64",
+                "resized_bytes": "int64",
+                "resized_first": "int32",
+            }
+        )
+
+
+def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — media resize/downsample plumbing: binary in, smaller
+    binary out via ``mapInPandas``, deterministic stand-in for the codec
+    (see :func:`_resize_batches`; real decode seam documented at
+    :func:`decode_media_real`)."""
+    docs = read_table(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("media"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("image"))
+        .otherwise(F.lit("audio"))
+        .alias("kind"),
+    )
+    return media.mapInPandas(_resize_batches, schema=RESIZE_SCHEMA)
+
+
 QUERIES = {
     "multimodal_decode_meta": multimodal_decode_meta,
     "multimodal_frame_stats": multimodal_frame_stats,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_resize_stub": multimodal_resize_stub,
 }
 
 _DECODED_SQL = (
@@ -191,5 +256,22 @@ ORACLE = {
         "CAST(SUM(n_frames) AS BIGINT) AS total_frames, "
         "MIN(first_byte) AS min_first_byte, MAX(first_byte) AS max_first_byte "
         "FROM d GROUP BY 1"
+    ),
+    # python bytes[::stride] keeps ceil(n/stride) bytes starting at 0, so
+    # resized_first equals the original first byte under the same ascii
+    # sniff as decode_meta
+    "multimodal_resize_stub": (
+        "WITH m AS (SELECT doc_id, "
+        "CAST(octet_length(encode(text)) AS BIGINT) AS n, "
+        "CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind, "
+        "CAST(CASE WHEN length(text) > 0 AND unicode(text) BETWEEN 0 AND 127 "
+        "THEN unicode(text) ELSE -1 END AS INT) AS fb FROM documents), "
+        "s AS (SELECT doc_id, kind, n, fb, "
+        f"GREATEST(1, (n + {RESIZE_TARGET} - 1) // {RESIZE_TARGET}) AS stride "
+        "FROM m) "
+        "SELECT doc_id, kind, n AS orig_bytes, stride, "
+        "CASE WHEN n = 0 THEN 0 ELSE (n + stride - 1) // stride END "
+        "AS resized_bytes, "
+        "CASE WHEN n = 0 THEN -1 ELSE fb END AS resized_first FROM s"
     ),
 }

@@ -89,18 +89,21 @@ _MODULES = [
 # with (a) the two streaming paths whose code changed this round (ts-unit
 # fix in _events_stream + the stateful last_ts repair — their previous
 # rows predate both the fix and the testdata's ns→µs switch), (b) the
-# new production-geometry embedding LSH, and (c) the 46 keys whose
-# latest driver row is r1–r3, i.e. BEFORE the round-4 per-row-rounding
-# convention — oldest evidence first. Deferred to round 8: scan_table,
-# cache_result, project_rename (implicitly exercised by every other
-# query), and the remaining r4-rowed stream windows (sliding, session,
-# dedup_keys — same decode path as tumbling, all green locally).
+# new operators (production-geometry embedding LSH, multimodal resize),
+# and (c) the 45 keys whose latest driver row is r1–r3, i.e. BEFORE the
+# round-4 per-row-rounding convention — oldest evidence first. Deferred
+# to round 8: scan_table, cache_result, project_rename (implicitly
+# exercised by every other query), scan_partition_pruned (r3, pushed to
+# slot 51 by the round-7 additions), and the remaining r4-rowed stream
+# windows (sliding, session, dedup_keys — same decode path as tumbling,
+# all green locally).
 _SAMPLE_PRIORITY = [
     # changed/new this round — need fresh driver rows
     "stream_stateful_user_profile",
     "stream_tumbling_agg",
     "stream_stream_join",
     "dedup_embedding_cosine_prod",  # rows-only by design: gets its row
+    "multimodal_resize_stub",
     # latest driver row r1
     "agg_approx_count_distinct",
     "window_rank_topk_per_group",
