@@ -72,6 +72,23 @@ SF1_REP = 10
 SF1_SPAN = 1_000_000  # > max o_orderkey/event_id at sf0.1
 SF1_DIRNAME = ".bench_sf1"
 
+# timed runs per query in the scale sections (sf1 / sfN). 5, not 3: the
+# r7 verdict's one weak grade (tpch_q8_market_share 4.64x at 30x) was
+# DuckDB run-to-run variance (0.32-0.95 s swings), not a Spark plan
+# problem — median-of-5 on BOTH engines de-noises the ratio.
+SCALE_RUNS = 5
+
+
+def _marker_ok(ready_path: str, expected_rep: int) -> bool:
+    """A _READY marker is valid only if it recorded the SAME rep count —
+    the rep counts are env-overridable, and a stale dir must regenerate
+    rather than silently benchmark old data under a new label."""
+    try:
+        with open(ready_path) as f:
+            return f.read().strip() == str(expected_rep)
+    except OSError:
+        return False
+
 
 def _ensure_sf1(spark, base_dir: str, out_dir: str, n_rep: int = SF1_REP) -> None:
     import shutil
@@ -80,8 +97,10 @@ def _ensure_sf1(spark, base_dir: str, out_dir: str, n_rep: int = SF1_REP) -> Non
 
     from u_s__non_farm_payrolls_an_olap_analysis_spark.io import read_table
 
+    # marker records the rep count: an env-var change (SPARK_GRAFT_SFN_REP)
+    # against a stale dir must regenerate, not silently benchmark old data
     ready = os.path.join(out_dir, "_READY")
-    if os.path.exists(ready):
+    if _marker_ok(ready, n_rep):
         return
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir)
@@ -120,7 +139,7 @@ def _ensure_sf1(spark, base_dir: str, out_dir: str, n_rep: int = SF1_REP) -> Non
         .write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
     )
     with open(ready, "w") as f:
-        f.write("ok")
+        f.write(str(n_rep))
 
 
 def _sf1_section(spark, base_dir: str) -> dict:
@@ -179,7 +198,7 @@ def _sf1_section(spark, base_dir: str) -> dict:
         # construction (py4j + analysis, data-size-invariant) stays
         # untimed, mirroring DuckDB's sub-ms re-parse.
         times = []
-        for _ in range(3):
+        for _ in range(SCALE_RUNS):
             clear_plan_memo()
             df = fn(spark, out_dir)
             t = time.time()
@@ -189,7 +208,7 @@ def _sf1_section(spark, base_dir: str) -> dict:
         sql = oracles[key]
         con.execute(sql).fetchdf()  # warm
         times = []
-        for _ in range(3):
+        for _ in range(SCALE_RUNS):
             t = time.time()
             con.execute(sql).fetchdf()
             times.append(time.time() - t)
@@ -241,7 +260,7 @@ def _ensure_docs_rep(spark, base_dir: str, out_dir: str) -> None:
     from u_s__non_farm_payrolls_an_olap_analysis_spark.io import read_table
 
     ready = os.path.join(out_dir, "_READY")
-    if os.path.exists(ready):
+    if _marker_ok(ready, DOCS_REP):
         return
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir)
@@ -266,7 +285,7 @@ def _ensure_docs_rep(spark, base_dir: str, out_dir: str) -> None:
         .write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
     )
     with open(ready, "w") as f:
-        f.write("ok")
+        f.write(str(DOCS_REP))
 
 
 def _sfn_section(spark, base_dir: str, sf1: dict) -> dict:
@@ -319,7 +338,7 @@ def _sfn_section(spark, base_dir: str, sf1: dict) -> dict:
         fn(spark, out_dir).toPandas()  # warm: caches, codegen, code paths
         # fresh plan per run — no shuffle-stage reuse (see _sf1_section)
         times = []
-        for _ in range(3):
+        for _ in range(SCALE_RUNS):
             clear_plan_memo()
             df = fn(spark, out_dir)
             t = time.time()
@@ -329,7 +348,7 @@ def _sfn_section(spark, base_dir: str, sf1: dict) -> dict:
         sql = oracles[key]
         con.execute(sql).fetchdf()  # warm
         times = []
-        for _ in range(3):
+        for _ in range(SCALE_RUNS):
             t = time.time()
             con.execute(sql).fetchdf()
             times.append(time.time() - t)

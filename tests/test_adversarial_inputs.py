@@ -104,3 +104,25 @@ def test_constant_span_normalize_no_crash(spark, hostile_dir):
     }
     assert out[1] == 0.0 and out[2] == 0.0  # constant-span year
     assert out[3] == 0.0  # single-order year
+
+
+def test_frame_sample_handles_zero_row_arrow_batch():
+    """A zero-row Arrow batch must not crash the vectorized explode: with
+    empty input, starts = concatenate(([0], cumsum(kept)[:-1])) has length
+    1 while kept has length 0, so np.repeat would raise (round-7 ADVICE).
+    Spark rarely emits empty batches, but a latent crash is still a crash."""
+    import pandas as pd
+
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.multimodal import (
+        _frame_sample_batches,
+    )
+
+    empty = pd.DataFrame({"doc_id": [], "kind": [], "media": []})
+    nonempty = pd.DataFrame(
+        {"doc_id": [1], "kind": ["image"], "media": [b"x" * 500]}
+    )
+    out = list(_frame_sample_batches(iter([empty, nonempty, empty])))
+    assert sum(len(p) for p in out) > 0
+    assert all(set(p.columns) == {
+        "doc_id", "kind", "frame_idx", "frame_off", "remaining_bytes"
+    } for p in out)

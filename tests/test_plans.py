@@ -278,6 +278,19 @@ def test_tpch_q8_six_table_chain_no_cartesian(spark):
     assert "BroadcastHashJoin" in kinds  # both nation chains broadcast
     pushed = " ".join(pushed_filters(df))
     assert "EqualTo(r_name,ASIA)" in pushed
+    # size-gated fact-fact broadcast (round-8): under the gate the reduced
+    # orders side broadcasts FROM THE START, so lineitem is never shuffled
+    # — the only hash exchange left is the 7-group year aggregate. (AQE's
+    # after-the-fact conversion still pays the probe-side shuffle WRITE;
+    # the start-out hint is 2x wall time at 30x facts.)
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.plans.explain import (
+        formatted_plan,
+    )
+
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan
+    n_hash_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_hash_exchanges <= 1, plan[:2000]
 
 
 def test_tpch_q6_all_predicates_pushed(spark):

@@ -88,3 +88,54 @@ def running_max_prior(col: Column, w_order: WindowSpec) -> Column:
     return F.max(col).over(
         w_order.rowsBetween(Window.unboundedPreceding, -1)
     )
+
+
+def ntz_from_epoch_micros(us: Column | str) -> Column:
+    """Epoch-microseconds → TIMESTAMP_NTZ via pure interval arithmetic.
+
+    ``timestamp_micros(us).cast("timestamp_ntz")`` renders the instant's
+    wall clock in ``spark.sql.session.timeZone`` — under a session that
+    does not pin UTC (the driver's plain session) the same fixture would
+    decode to different wall times on different hosts. Adding an exact
+    day-time interval to the NTZ epoch instead keeps the conversion
+    timezone-independent: wall time == the instant's UTC rendering,
+    always, matching DuckDB's naive-timestamp semantics. The decimal
+    division is exact (micros have ≤6 fractional digits), so this is
+    bit-identical to the UTC-session cast path.
+    """
+    us_col = F.col(us) if isinstance(us, str) else us
+    secs = us_col.cast("decimal(26,6)") / F.lit(1_000_000)
+    return F.lit("1970-01-01 00:00:00").cast("timestamp_ntz") + F.make_dt_interval(
+        secs=secs
+    )
+
+
+def ntz_from_instant(ts: Column | str) -> Column:
+    """TIMESTAMP instant → its UTC wall clock as TIMESTAMP_NTZ,
+    independent of the session timezone (``unix_micros`` is pure epoch
+    arithmetic; see :func:`ntz_from_epoch_micros`)."""
+    return ntz_from_epoch_micros(F.unix_micros(ts))
+
+
+def epoch_micros_from_ntz(ts: Column | str) -> Column:
+    """TIMESTAMP_NTZ wall clock → epoch microseconds (wall read as UTC),
+    as pure wall-part arithmetic — the exact inverse of
+    :func:`ntz_from_epoch_micros`.
+
+    ``unix_micros(ntz.cast("timestamp"))`` interprets the wall in the
+    session timezone, so under a non-UTC session the epoch shifts by the
+    zone offset (and gaps computed across a DST transition shift by an
+    hour). date/hour/minute/second parts of an NTZ value involve no
+    timezone at all; ``extract(SECOND)`` is DECIMAL(8,6), so microseconds
+    survive exactly. Negative epochs floor correctly (datediff of a
+    pre-1970 date is negative; the time-of-day parts add back).
+    """
+    ts_col = F.col(ts) if isinstance(ts, str) else ts
+    days = F.datediff(ts_col.cast("date"), F.lit("1970-01-01").cast("date"))
+    whole = (
+        days.cast("long") * 86_400
+        + F.hour(ts_col).cast("long") * 3_600
+        + F.minute(ts_col).cast("long") * 60
+    )
+    frac_us = (F.extract(F.lit("SECOND"), ts_col) * 1_000_000).cast("long")
+    return whole * 1_000_000 + frac_us

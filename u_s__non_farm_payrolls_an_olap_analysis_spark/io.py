@@ -64,7 +64,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     we didn't build) and convert to a microsecond TIMESTAMP_NTZ with
     integer division — ``div`` keeps the arithmetic in int64 (ns epochs
     exceed double's 2^53 exact range) and floors exactly like DuckDB's
-    ns→us conversion.
+    ns→us conversion. The epoch→NTZ step is interval arithmetic
+    (:func:`~.functions.timeparts.ntz_from_epoch_micros`), NOT an
+    instant cast, so the decode is identical under any session timezone
+    (the driver's plain session doesn't pin UTC) — both fixture
+    encodings always yield the same naive walls DuckDB sees.
     """
     key = (spark.sparkContext.applicationId, sf_dir, name)
     memo = _TABLE_MEMO.get(key)
@@ -74,14 +78,23 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn(
-                "ts",
-                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
-            )
+            from .functions.timeparts import ntz_from_epoch_micros
+
+            df = df.withColumn("ts", ntz_from_epoch_micros(F.expr("ts div 1000")))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     _TABLE_MEMO[key] = df
     return df
+
+
+def table_bytes(sf_dir: str, name: str) -> int:
+    """On-disk parquet size of one table — driver-side file stats only
+    (same O(#files) listing Spark itself performs; no footer or data
+    read). The cheap size signal for size-gated plan decisions (a
+    poor-man's CBO): operators may broadcast a *derived* relation only
+    when its base table is provably small, so the hint self-disables at
+    scale. See ``tpch_q8_market_share``."""
+    return _path_bytes(f"{sf_dir}/{name}.parquet")
 
 
 def _path_bytes(path: str) -> int:

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.numerics import dsum
-from ..functions.timeparts import month_start, year_of
+from ..functions.timeparts import epoch_micros_from_ntz, month_start, year_of
 from ..io import read_table
 
 
@@ -261,7 +261,7 @@ def window_trailing_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = daily.withColumn(
         "day_num",
         F.floor(
-            F.unix_micros(F.col("day").cast("timestamp")) / 86_400_000_000
+            epoch_micros_from_ntz(F.col("day")) / 86_400_000_000
         ).cast("long"),
     )
     w = Window.orderBy("day_num").rangeBetween(-89, 0)

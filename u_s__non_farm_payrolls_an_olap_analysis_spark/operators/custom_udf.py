@@ -17,7 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.timeparts import year_of
+from ..functions.timeparts import epoch_micros_from_ntz, year_of
 from ..io import read_table
 
 
@@ -77,11 +77,12 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "value")
     w_user = Window.partitionBy("user_id").orderBy("ts")
-    # exact int64 microseconds (NTZ must hop through LTZ; session tz is
-    # UTC): epoch-seconds-as-DOUBLE carries ~2e-7 s representation error at
-    # current epochs, enough to flip a gap of exactly 30 minutes; unix_micros
-    # matches the µs-floored timestamps Spark actually reads, with no FP.
-    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    # exact int64 microseconds, straight from the NTZ wall parts (no
+    # session-tz hop, no DST edge): epoch-seconds-as-DOUBLE carries ~2e-7 s
+    # representation error at current epochs, enough to flip a gap of
+    # exactly 30 minutes; wall-part arithmetic matches the µs-floored
+    # timestamps Spark actually reads, with no FP.
+    micros = epoch_micros_from_ntz(F.col("ts"))
     gap = micros - F.lag(micros).over(w_user)
     flagged = ev.withColumn(
         "new_s",

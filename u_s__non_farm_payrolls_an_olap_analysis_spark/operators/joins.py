@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.numerics import davg_sql, dsum, dsum_sql
+from ..functions.timeparts import epoch_micros_from_ntz
 from ..functions.plan_cache import plan_memo
 from ..io import read_table
 
@@ -150,7 +151,7 @@ def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = read_table(spark, sf_dir, "events")
     hour_us = 3600 * 1_000_000
-    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    micros = epoch_micros_from_ntz(F.col("ts"))
     p = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
         F.col("event_id").alias("purchase_id"),

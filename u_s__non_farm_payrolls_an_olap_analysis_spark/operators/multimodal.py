@@ -117,6 +117,10 @@ def _frame_sample_batches(
     import numpy as np
 
     for pdf in batches:
+        if not len(pdf):
+            # zero-row Arrow batch: the starts/kept concatenate below would
+            # broadcast-fail (len 1 vs len 0) — nothing to emit
+            continue
         n_bytes = pdf["media"].map(len).to_numpy("int64")
         # frames kept per doc = ceil((n // stride) / every)
         kept = -(-(n_bytes // FRAME_STRIDE) // SAMPLE_EVERY)

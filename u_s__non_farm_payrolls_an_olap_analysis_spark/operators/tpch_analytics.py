@@ -23,8 +23,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.numerics import davg, davg_sql, dsum, dsum_sql
-from ..io import read_table
+from ..functions.numerics import (
+    _nearest_long_away,
+    davg,
+    davg_sql,
+    dsum,
+    dsum_sql,
+)
+from ..io import read_table, table_bytes
 
 _REVENUE_SQL = "l_extendedprice * (1 - l_discount)"
 
@@ -492,20 +498,32 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q8 shape — market share: of the revenue from ASIA-region customers,
     the share supplied by NATION_1 suppliers, per order year. One pass:
     the share is a conditional aggregate ratio (no second join of the
-    filtered numerator); both nation chains broadcast.
+    filtered numerator).
 
-    Join ORDER is the scale posture (Catalyst keeps syntactic inner-join
-    order without CBO): each fact side is reduced by its broadcast dims
-    FIRST — orders down ~5x by the ASIA customer chain and projected to
-    (o_orderkey, o_year); lineitem projected to (l_orderkey, rev,
-    is_target) after the supplier-nation broadcast — so the one
-    fact-fact shuffle join moves 5x fewer orders rows and minimal
-    widths, and AQE can convert it to broadcast when the reduced side
-    measures small (it does at bench scales). Local-mode wall time is
-    within noise of the fact-first order (column pruning already
-    narrowed it; measured ~2s either way at 30x facts, dominated by the
-    18M-row probe+shuffle machinery), but at cluster scale shuffled
-    bytes — which this order cuts — are the cost that matters."""
+    Scale design (round-8 tuning, each step measured at 30x facts):
+
+    - **Reduce before the fact-fact join** (Catalyst keeps syntactic
+      inner-join order without CBO): orders shrinks ~5x through the ASIA
+      customer chain and projects to (o_orderkey, o_year); lineitem
+      projects to (l_orderkey, scaled-rev, is-target).
+    - **Dim chains collapse into single broadcast lookups**: supplier ⋈
+      nation pre-joins into one (s_suppkey → is-target-nation) broadcast,
+      so the 18M-row lineitem side pays ONE probe + a precomputed boolean
+      instead of two probes + a string compare per row.
+    - **Round once per row**: the scaled-int64 money value is computed
+      once and the numerator is a conditional sum of it — identical
+      arithmetic to ``dsum`` of the masked value (mask ∈ {0,1}, round(0)
+      = 0), half the ties-away rounding work in the hot loop.
+    - **Size-gated broadcast of the reduced orders side** (a poor-man's
+      CBO via ``io.table_bytes`` file stats): the static planner can't
+      see the 5x dim-chain reduction (join cardinality estimates without
+      CBO stats explode, so no autoBroadcastJoinThreshold catches it),
+      and AQE's runtime conversion only fires AFTER the probe side's
+      shuffle WRITE is materialized — at 30x facts that's an 18M-row
+      exchange written then read "locally", 2x the query's wall time
+      (measured 1.9 s → 0.9 s with the start-out broadcast). Past the
+      gate the hint vanishes and the plan degrades gracefully to the
+      shuffle join with AQE — the correct 100 TB shape."""
     li = read_table(spark, sf_dir, "lineitem")
     orders = read_table(spark, sf_dir, "orders")
     cust = read_table(spark, sf_dir, "customer")
@@ -519,8 +537,9 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_s = read_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
     )
-    rev = _revenue()
-    is_target = (F.col("supp_nation") == "NATION_1").cast("double")
+    supp_flag = supp.join(n_s, supp.s_nationkey == F.col("snk")).select(
+        "s_suppkey", (F.col("supp_nation") == "NATION_1").alias("tgt")
+    )
     asia_orders = (
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n_c), cust.c_nationkey == F.col("cnk"))
@@ -528,21 +547,32 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", F.year("o_orderdate").alias("o_year"))
     )
     li_flagged = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(n_s), supp.s_nationkey == F.col("snk"))
-        .select("l_orderkey", rev.alias("rev"), is_target.alias("is_target"))
+        li.join(F.broadcast(supp_flag), li.l_suppkey == F.col("s_suppkey"))
+        .select(
+            "l_orderkey",
+            _nearest_long_away(_revenue() * 10_000).alias("r"),
+            "tgt",
+        )
     )
+    # size gate: the reduced (o_orderkey, o_year) relation is ≤ ~2/5 of
+    # the base table's rows at ~12 bytes each, so a ≤256 MB compressed
+    # orders file bounds the broadcast comfortably under executor memory;
+    # beyond the gate the hint disappears (shuffle join + AQE take over)
+    if table_bytes(sf_dir, "orders") <= 256 << 20:
+        asia_orders = F.broadcast(asia_orders)
+    num = (
+        F.sum(F.when(F.col("tgt"), F.col("r")).otherwise(F.lit(0).cast("long")))
+        / 10_000.0
+    )
+    den = F.sum("r") / 10_000.0
     return (
         li_flagged.join(
             asia_orders, li_flagged.l_orderkey == asia_orders.o_orderkey
         )
         .groupBy("o_year")
         .agg(
-            F.round(
-                dsum(F.col("rev") * F.col("is_target")) / dsum(F.col("rev")),
-                6,
-            ).alias("mkt_share"),
-            F.round(dsum(F.col("rev")), 4).alias("total_revenue"),
+            F.round(num / den, 6).alias("mkt_share"),
+            F.round(den, 4).alias("total_revenue"),
         )
         .orderBy("o_year")
     )

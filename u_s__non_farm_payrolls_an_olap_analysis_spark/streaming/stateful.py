@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..functions.timeparts import ntz_from_epoch_micros
 from .stream_windows import _drain_to_memory, _events_stream
 
 # Timestamps DO NOT cross the applyInPandasWithState Arrow boundary: the
@@ -97,7 +98,7 @@ def stream_stateful_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn")
-        .withColumn("last_ts", F.timestamp_micros("last_us"))
+        .withColumn("last_ts", ntz_from_epoch_micros("last_us"))
         .drop("last_us")
     )
 

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.numerics import dsum, dsum_sql
+from ..functions.timeparts import ntz_from_epoch_micros, ntz_from_instant
 
 
 @contextlib.contextmanager
@@ -68,7 +69,7 @@ EVENTS_STREAM_SCHEMA_NANOS = (
     "value double, props string"
 )
 EVENTS_STREAM_SCHEMA_MICROS = (
-    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+    "event_id long, ts timestamp, user_id long, event_type string, "
     "value double, props string"
 )
 
@@ -94,10 +95,16 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     directory, so the single parquet file is exposed through a symlinked
     temp dir (memoized per source path). ``ts`` decodes per the footer's
     actual unit (see :func:`_events_ts_unit`): nanos arrive as raw longs
-    and are floored to a microsecond timestamp (int64 ``div`` — ns epochs
-    exceed double's exact range); micros read directly as TIMESTAMP_NTZ.
-    Either way the returned ``ts`` is a session-tz TIMESTAMP in epoch
-    micros, matching the batch reader."""
+    and are floored to microsecond instants (int64 ``div`` — ns epochs
+    exceed double's exact range); micros load VERBATIM into TimestampType
+    (the parquet int64 becomes the instant's epoch micros — no timezone
+    math at read time). Either way the returned ``ts`` is a TIMESTAMP
+    instant whose epoch equals the fixture's naive wall read as UTC,
+    independent of ``spark.sql.session.timeZone`` (watermarks require
+    TIMESTAMP, so streaming can't carry NTZ like ``io.read_table``; the
+    drained outputs convert back to NTZ walls via
+    :func:`~..functions.timeparts.ntz_from_instant`, which is likewise
+    timezone-independent — batch and stream always agree)."""
     src = os.path.abspath(f"{sf_dir}/events.parquet")
     d = _STREAM_DIR_MEMO.get(src)
     if d is None or not os.path.exists(d):
@@ -112,14 +119,13 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .load(d)
         )
         return raw.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp")
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
-    raw = (
+    return (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA_MICROS)
         .format("parquet")
         .load(d)
     )
-    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 # One session-lifetime spill directory for drained streaming results,
@@ -182,8 +188,8 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _drain_to_memory(agg, spark)
     return out.select(
-        F.col("w.start").alias("window_start"),
-        F.col("w.end").alias("window_end"),
+        ntz_from_instant(F.col("w.start")).alias("window_start"),
+        ntz_from_instant(F.col("w.end")).alias("window_end"),
         "event_type",
         "n_events",
         "sum_value",
@@ -201,8 +207,8 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _drain_to_memory(agg, spark)
     return out.select(
-        F.col("w.start").alias("window_start"),
-        F.col("w.end").alias("window_end"),
+        ntz_from_instant(F.col("w.start")).alias("window_start"),
+        ntz_from_instant(F.col("w.end")).alias("window_end"),
         "event_type",
         "n_events",
     )
@@ -223,8 +229,8 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _drain_to_memory(agg, spark)
     return out.select(
-        F.col("w.start").alias("session_start"),
-        F.col("w.end").alias("session_end"),
+        ntz_from_instant(F.col("w.start")).alias("session_start"),
+        ntz_from_instant(F.col("w.end")).alias("session_end"),
         "user_id",
         "n_events",
         "sum_value",
@@ -241,13 +247,25 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     that set is the deterministic, oracle-checkable output (batch
     ``SELECT DISTINCT`` twin)."""
     ev = _events_stream(spark, sf_dir)
+    # epoch-hour truncation (pure int64 arithmetic), not date_trunc: the
+    # latter truncates the instant's wall clock in the session timezone —
+    # a half-hour-offset zone would shift the bucket. Epoch truncation ==
+    # DuckDB's date_trunc over the naive walls, under any session tz.
     keyed = ev.withWatermark("ts", "1 hour").withColumn(
-        "hr", F.date_trunc("hour", "ts")
+        "hr_us", F.expr("(unix_micros(ts) div 3600000000) * 3600000000")
     )
-    dedup = keyed.dropDuplicatesWithinWatermark(["user_id", "event_type", "hr"])
-    out = _drain_to_memory(dedup.select("user_id", "event_type", "hr"), spark,
-                           output_mode="append")
-    return out.select("user_id", "event_type", F.col("hr").alias("hour_start"))
+    dedup = keyed.dropDuplicatesWithinWatermark(
+        ["user_id", "event_type", "hr_us"]
+    )
+    out = _drain_to_memory(
+        dedup.select("user_id", "event_type", "hr_us"), spark,
+        output_mode="append",
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        ntz_from_epoch_micros("hr_us").alias("hour_start"),
+    )
 
 
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
