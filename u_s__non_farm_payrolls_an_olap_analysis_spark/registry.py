@@ -98,60 +98,64 @@ _MODULES = [
 # windows (sliding, session, dedup_keys — same decode path as tumbling,
 # all green locally).
 _SAMPLE_PRIORITY = [
-    # changed/new this round — need fresh driver rows
-    "stream_stateful_user_profile",
-    "stream_tumbling_agg",
-    "stream_stream_join",
-    "dedup_embedding_cosine_prod",  # rows-only by design: gets its row
-    "multimodal_resize_stub",
-    # latest driver row r1
-    "agg_approx_count_distinct",
-    "window_rank_topk_per_group",
-    "window_rank_variants",
-    "join_agg_pricing",
-    "events_sessionish",
-    "agg_custom_udaf_geomean",
-    "agg_percentiles",
-    "agg_corr_covar",
-    "window_moving_stats",
-    "agg_approx_percentiles",
-    "agg_histogram",
-    "string_functions_showcase",
-    "null_handling_showcase",
-    "timeseries_gap_fill",
-    # latest driver row r3
-    "sample_by_key_mod",
-    "split_train_test",
-    "sample_stratified_rates",
-    "agg_bitmap_distinct",
-    "agg_hll_sketch_merge",
-    "project_cast",
-    "filter_in_and_between",
-    "filter_threshold",
-    "filter_month_in",
-    "filter_eq_year",
-    "filter_dropna",
-    "filter_theta_range",
-    "slice_avg_by_year",
-    "rollup_quarter_sum",
-    "rollup_year_sum",
-    "rollup_decade_avg",
-    "dice_q4_avg_by_month",
-    "scalar_max",
-    "scalar_min",
-    "argmax_argmin",
-    "window_pct_change_global",
-    "window_pct_change_partitioned",
-    "window_diff_on_agg",
-    "rollup_quarter_qoq",
-    "window_running_max",
-    "sort_by_time",
-    "limit_head",
-    "top1_by_metric",
-    "drill_sharpest_drop",
-    "dice_recovery_asof",
-    "lookup_scalar",
+    # changed in round 8 (tz-independent decode / q8 replan) — need fresh
+    # driver rows first
+    "tpch_q8_market_share",
+    "join_interval_bucketed",
+    "stream_sliding_agg",
+    "stream_session_window",
+    "stream_dedup_keys",
+    "sessionize_batch",
+    "window_trailing_range_frame",
+    "multimodal_frame_sample",
+    # latest driver row r3 (oldest remaining)
+    "cache_result",
+    "project_rename",
     "scan_partition_pruned",
+    "scan_table",
+    # latest driver row r4 — pre-rounding-convention rows; the driver takes
+    # the first 50 keys, so the tail of this list rolls into round 10
+    "agg_mode_deterministic",
+    "array_explode_variants",
+    "array_stats_by_label",
+    "cogroup_asof_pandas",
+    "crosstab_status_priority",
+    "datetime_functions_showcase",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_incremental_new_docs",
+    "dedup_minhash_near",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dq_checks",
+    "grouped_map_normalize",
+    "json_extract_props",
+    "json_from_json_struct",
+    "json_map_explode",
+    "json_variant_ops",
+    "multimodal_decode_meta",
+    "multimodal_frame_stats",
+    "pivot_month_by_year",
+    "scalar_functions_showcase",
+    "setop_multiset",
+    "setop_union_except",
+    "sim_search_ann_ivf",
+    "sim_search_ann_ivf_kmeans",
+    "sim_search_cosine",
+    "str_format_display",
+    "text_clean_funnel",
+    "text_fingerprint",
+    "text_fuzzy_match",
+    "text_langid",
+    "text_quality_score",
+    "text_token_count",
+    "text_tokenize_tf",
+    "udf_decade_scalar_pandas",
+    "udtf_month_spine",
+    "unpivot_measures",
+    "window_distribution_ranks",
+    "window_first_last_nth",
 ]
 
 
