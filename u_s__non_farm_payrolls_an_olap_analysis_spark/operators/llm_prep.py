@@ -1,0 +1,312 @@
+"""LLM training-data preparation operators beyond dedup/text basics:
+PII detection + redaction, benchmark decontamination, and repetition
+(boilerplate) quality signals over the ``documents`` table.
+
+These are the remaining standard stages of a pre-training data pipeline
+(alongside ``dedup.py``'s near-dup family and ``text.py``'s quality/langid
+pack). All are builtin string/array/regex expressions — no Python UDFs, so
+at 100 TB they run inside whole-stage codegen on the scan.
+
+The fixture corpus has no natural PII, so the PII operators INJECT
+deterministic synthetic spans (doc_id-derived emails / phone numbers /
+IPv4s on a fixed modulus schedule) before detecting them — the same
+fixture-synthesis device the multimodal pack uses for binary payloads
+(``multimodal.py``). Both engines apply the identical injection, so the
+detect/redact logic is oracle-checked end to end, with a guaranteed mix
+of clean and PII-bearing rows.
+
+Regex dialect note: patterns stay within the intersection of Java regex
+(Spark) and RE2/PCRE (DuckDB) — explicit character classes, no
+shorthand ``\\d``/``\\w``, no backreferences. DuckDB ``regexp_replace``
+needs the ``'g'`` flag to match Spark's replace-all default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import read_table
+
+EMAIL_RE = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
+PHONE_RE = "[0-9]{3}-[0-9]{4}"
+IP_RE = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+
+def _with_pii(docs: DataFrame) -> DataFrame:
+    """Deterministic PII injection: every 7th doc gains an email, every
+    11th a phone number, every 13th an IPv4 — all derived from doc_id, so
+    the corpus mixes clean rows, single-kind rows, and multi-kind rows."""
+    d = F.col("doc_id")
+    email = F.when(
+        d % 7 == 0,
+        F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        d % 11 == 0,
+        F.concat(F.lit(" call 555-"), F.lpad((d % 10000).cast("string"), 4, "0")),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        d % 13 == 0,
+        F.concat(
+            F.lit(" host 10.0."),
+            (d % 256).cast("string"),
+            F.lit("."),
+            ((d * 7) % 256).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    return docs.select(
+        "doc_id",
+        F.concat(F.col("text"), email, phone, ip).alias("text"),
+        "source",
+    )
+
+
+# the same injection as ANSI SQL, shared by every PII oracle
+_PII_SQL = (
+    "SELECT doc_id, text || "
+    "CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com' ELSE '' END || "
+    "CASE WHEN doc_id % 11 = 0 THEN ' call 555-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END || "
+    "CASE WHEN doc_id % 13 = 0 THEN ' host 10.0.' || "
+    "CAST(doc_id % 256 AS VARCHAR) || '.' || "
+    "CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END AS text, "
+    "source FROM documents"
+)
+
+
+def pii_detect_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — per-document PII span counts (emails / phones / IPv4)
+    plus a corpus-level flag, the audit pass run before redaction. Pure
+    ``regexp_count`` expressions over the scan — one stage, no shuffle
+    until the (tiny) nothing: the per-doc output IS the result."""
+    docs = _with_pii(read_table(spark, sf_dir, "documents"))
+    n_email = F.regexp_count("text", F.lit(EMAIL_RE))
+    n_phone = F.regexp_count("text", F.lit(PHONE_RE))
+    n_ip = F.regexp_count("text", F.lit(IP_RE))
+    return docs.select(
+        "doc_id",
+        n_email.cast("int").alias("n_emails"),
+        n_phone.cast("int").alias("n_phones"),
+        n_ip.cast("int").alias("n_ips"),
+        ((n_email + n_phone + n_ip) > 0).cast("int").alias("has_pii"),
+    )
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — PII redaction: replace every detected span with a
+    typed placeholder and emit the scrubbed text plus an audit count.
+    Order matters: IPs redact BEFORE phones (an IPv4 octet pair like
+    ``555-0042`` can't occur, but a phone pattern could half-match inside
+    an IP if phones ran first with a different schedule) — the ordering
+    is part of the checked contract. Single-stage scan, codegen'd."""
+    docs = _with_pii(read_table(spark, sf_dir, "documents"))
+    n_spans = (
+        F.regexp_count("text", F.lit(EMAIL_RE))
+        + F.regexp_count("text", F.lit(IP_RE))
+        + F.regexp_count("text", F.lit(PHONE_RE))
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", EMAIL_RE, "<EMAIL>"),
+            IP_RE,
+            "<IP>",
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        redacted.alias("clean_text"),
+        n_spans.cast("int").alias("n_redacted"),
+        F.length(redacted).cast("int").alias("clean_len"),
+    )
+
+
+DECONTAM_NGRAM = 5
+DECONTAM_BENCH_MOD = 97  # doc_id % 97 == 0 -> held-out "benchmark" doc
+
+
+def _ngrams(col: Column, n: int) -> Column:
+    toks = F.split(col, " ")
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — benchmark decontamination: find training documents
+    sharing ≥1 distinct 5-gram with any held-out benchmark document
+    (the standard n-gram-overlap test-set leak check). Report each
+    contaminated (train, benchmark) pair with the shared-shingle count
+    and the containment ratio (shared / train-doc shingles).
+
+    Scale shape: the benchmark side is SMALL by construction (a test set,
+    not a corpus) — its distinct shingles BROADCAST, so the corpus side
+    is scan + broadcast-probe + one aggregate on the (hit) pairs; the
+    full corpus never shuffles and no pair explosion beyond actual hits
+    can occur. The equivalent of dedup's inverted-index trick with the
+    index inverted onto the tiny side."""
+    docs = read_table(spark, sf_dir, "documents")
+    with_sh = docs.select(
+        "doc_id", F.explode(_ngrams(F.col("text"), DECONTAM_NGRAM)).alias("sh")
+    )
+    bench = with_sh.filter(
+        F.col("doc_id") % DECONTAM_BENCH_MOD == 0
+    ).select(F.col("doc_id").alias("bench_id"), "sh")
+    train = with_sh.filter(F.col("doc_id") % DECONTAM_BENCH_MOD != 0)
+    train_sizes = train.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh")
+    )
+    hits = (
+        train.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        hits.join(train_sizes, "doc_id")
+        .select(
+            "doc_id",
+            "bench_id",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("n_sh"), 6).alias("containment"),
+        )
+    )
+
+
+def quality_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — repetition/boilerplate signals per document (the
+    Gopher-rules family): duplicate-trigram fraction, top-bigram mass
+    fraction, and a composite repetitive flag. Built from one n-gram
+    explode per signal with map-side-combined aggregates; the groupBy
+    keys are (doc_id[, gram]) so partial aggregation collapses nearly
+    everything before the shuffle. Docs shorter than 3 tokens are
+    excluded (no trigram signal exists for them)."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = docs.filter(F.size(toks) >= 3).select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ).alias("bigrams"),
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        ).alias("trigrams"),
+    )
+    tri = base.select("doc_id", F.explode("trigrams").alias("g")).groupBy(
+        "doc_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n_tri"),
+        F.countDistinct("g").alias("n_tri_distinct"),
+    )
+    big_counts = (
+        base.select("doc_id", F.explode("bigrams").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    big = big_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_big"), F.max("c").alias("top_big")
+    )
+    dup_tri = 1.0 - F.col("n_tri_distinct") / F.col("n_tri")
+    top_big_frac = F.col("top_big") / F.col("n_big")
+    return (
+        tri.join(big, "doc_id")
+        .select(
+            "doc_id",
+            F.round(dup_tri, 6).alias("dup_trigram_frac"),
+            F.round(top_big_frac, 6).alias("top_bigram_frac"),
+            ((dup_tri > 0.2) | (top_big_frac > 0.18))
+            .cast("int")
+            .alias("repetitive"),
+        )
+    )
+
+
+QUERIES = {
+    "pii_detect_stats": pii_detect_stats,
+    "pii_redact": pii_redact,
+    "decontam_overlap": decontam_overlap,
+    "quality_repetition_signals": quality_repetition_signals,
+}
+
+ORACLE = {
+    "pii_detect_stats": (
+        f"WITH p AS ({_PII_SQL}) "
+        f"SELECT doc_id, "
+        f"CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS INT) AS n_emails, "
+        f"CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS INT) AS n_phones, "
+        f"CAST(len(regexp_extract_all(text, '{IP_RE}')) AS INT) AS n_ips, "
+        f"CASE WHEN len(regexp_extract_all(text, '{EMAIL_RE}')) + "
+        f"len(regexp_extract_all(text, '{PHONE_RE}')) + "
+        f"len(regexp_extract_all(text, '{IP_RE}')) > 0 THEN 1 ELSE 0 END "
+        "AS has_pii FROM p"
+    ),
+    "pii_redact": (
+        f"WITH p AS ({_PII_SQL}) "
+        "SELECT doc_id, "
+        f"regexp_replace(regexp_replace(regexp_replace(text, "
+        f"'{EMAIL_RE}', '<EMAIL>', 'g'), '{IP_RE}', '<IP>', 'g'), "
+        f"'{PHONE_RE}', '<PHONE>', 'g') AS clean_text, "
+        f"CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) + "
+        f"len(regexp_extract_all(text, '{IP_RE}')) + "
+        f"len(regexp_extract_all(text, '{PHONE_RE}')) AS INT) AS n_redacted, "
+        f"CAST(length(regexp_replace(regexp_replace(regexp_replace(text, "
+        f"'{EMAIL_RE}', '<EMAIL>', 'g'), '{IP_RE}', '<IP>', 'g'), "
+        f"'{PHONE_RE}', '<PHONE>', 'g')) AS INT) AS clean_len FROM p"
+    ),
+    "decontam_overlap": (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+        f"FROM documents WHERE len(string_split(text, ' ')) >= {DECONTAM_NGRAM}), "
+        "sh AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id, "
+        "unnest(list_transform("
+        f"range(1, len(toks) - {DECONTAM_NGRAM} + 2), "
+        f"i -> array_to_string(toks[i : i + {DECONTAM_NGRAM} - 1], ' '))) AS g "
+        "FROM t)), "
+        f"b AS (SELECT doc_id AS bench_id, g FROM sh "
+        f"WHERE doc_id % {DECONTAM_BENCH_MOD} = 0), "
+        f"tr AS (SELECT * FROM sh WHERE doc_id % {DECONTAM_BENCH_MOD} <> 0), "
+        "sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM tr GROUP BY 1), "
+        "h AS (SELECT tr.doc_id, b.bench_id, COUNT(*) AS n_shared "
+        "FROM tr JOIN b ON tr.g = b.g GROUP BY 1, 2) "
+        "SELECT h.doc_id, h.bench_id, h.n_shared, "
+        "ROUND(CAST(h.n_shared AS DOUBLE) / sz.n_sh, 6) AS containment "
+        "FROM h JOIN sz ON h.doc_id = sz.doc_id"
+    ),
+    "quality_repetition_signals": (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+        "FROM documents WHERE len(string_split(text, ' ')) >= 3), "
+        "tri AS (SELECT doc_id, COUNT(*) AS n_tri, "
+        "COUNT(DISTINCT g) AS n_tri_distinct FROM ("
+        "SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1), "
+        "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS g "
+        "FROM t) GROUP BY 1), "
+        "bc AS (SELECT doc_id, g, COUNT(*) AS c FROM ("
+        "SELECT doc_id, unnest(list_transform(range(1, len(toks)), "
+        "i -> toks[i] || ' ' || toks[i + 1])) AS g FROM t) GROUP BY 1, 2), "
+        "big AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_big, "
+        "CAST(MAX(c) AS BIGINT) AS top_big FROM bc GROUP BY 1) "
+        "SELECT tri.doc_id, "
+        "ROUND(1.0 - CAST(n_tri_distinct AS DOUBLE) / n_tri, 6) "
+        "AS dup_trigram_frac, "
+        "ROUND(CAST(top_big AS DOUBLE) / n_big, 6) AS top_bigram_frac, "
+        "CASE WHEN 1.0 - CAST(n_tri_distinct AS DOUBLE) / n_tri > 0.2 "
+        "OR CAST(top_big AS DOUBLE) / n_big > 0.18 THEN 1 ELSE 0 END "
+        "AS repetitive FROM tri JOIN big ON tri.doc_id = big.doc_id"
+    ),
+}

@@ -24,6 +24,7 @@ from .operators import (
     joins,
     json_ops,
     layout,
+    llm_prep,
     multimodal,
     olap,
     reshape,
@@ -63,6 +64,7 @@ _MODULES = [
     dedup,
     similarity,
     text,
+    llm_prep,
     multimodal,
     json_ops,
     setops,
@@ -98,6 +100,11 @@ _MODULES = [
 # windows (sliding, session, dedup_keys — same decode path as tumbling,
 # all green locally).
 _SAMPLE_PRIORITY = [
+    # new in round 8 — no driver row exists yet
+    "pii_detect_stats",
+    "pii_redact",
+    "decontam_overlap",
+    "quality_repetition_signals",
     # changed in round 8 (tz-independent decode / q8 replan) — need fresh
     # driver rows first
     "tpch_q8_market_share",
