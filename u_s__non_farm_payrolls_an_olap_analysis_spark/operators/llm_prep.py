@@ -310,3 +310,106 @@ ORACLE = {
         "AS repetitive FROM tri JOIN big ON tri.doc_id = big.doc_id"
     ),
 }
+
+
+CHUNK_TOKENS = 32  # context-window budget per training sample (fixture-scale)
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — context-window chunking: split every document into
+    consecutive ≤``CHUNK_TOKENS``-token chunks, one output row per chunk
+    (the doc → training-sample explosion every pre-training pipeline runs
+    after cleaning). Pure array arithmetic: ``sequence`` over the chunk
+    count, ``slice`` + ``array_join`` per chunk — a codegen'd 1-to-N
+    explode with no Python and no shuffle at all (the scan partitions
+    carry straight through; memory is bounded by rows x chunks-per-doc
+    per batch)."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(CHUNK_TOKENS)).cast("int")
+    chunked = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        toks.alias("toks"),
+    )
+    chunk = F.slice(
+        F.col("toks"), F.col("chunk_id") * CHUNK_TOKENS + 1, CHUNK_TOKENS
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_id",
+        F.size(chunk).cast("int").alias("chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+VOCAB_TOPK = 24  # of the 31-word fixture vocabulary -> real OOV mass
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — tokenizer vocabulary coverage: derive the
+    top-``VOCAB_TOPK`` corpus vocabulary (by term frequency, token
+    tiebreak), then score every document's out-of-vocabulary token rate
+    against it — the cheap proxy for tokenizer fit / fertility run
+    before committing a tokenizer to a corpus.
+
+    Scale shape: the vocabulary is an aggregate over the token stream
+    (map-side combined, tiny key space) that BROADCASTS back; the
+    per-document pass is scan → explode → broadcast-probe → one groupBy
+    doc_id. The corpus token stream shuffles once (the doc aggregate),
+    never pairwise."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.col("tf").desc(), "token")
+        .limit(VOCAB_TOPK)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    flagged = tok.join(F.broadcast(vocab), "token", "left")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce("in_vocab", F.lit(0))).alias("n_in_vocab"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                1.0 - F.col("n_in_vocab") / F.col("n_tokens"), 6
+            ).alias("oov_rate"),
+        )
+    )
+
+
+QUERIES["chunk_documents"] = chunk_documents
+QUERIES["vocab_coverage"] = vocab_coverage
+
+ORACLE["chunk_documents"] = (
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+    "FROM documents), "
+    "c AS (SELECT doc_id, toks, len(toks) AS n_tokens, "
+    f"unnest(range(0, CAST(ceil(len(toks) / {CHUNK_TOKENS}.0) AS BIGINT))) "
+    "AS chunk_id FROM t) "
+    "SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id, "
+    f"CAST(len(toks[chunk_id * {CHUNK_TOKENS} + 1 : "
+    f"chunk_id * {CHUNK_TOKENS} + {CHUNK_TOKENS}]) AS INT) AS chunk_tokens, "
+    f"array_to_string(toks[chunk_id * {CHUNK_TOKENS} + 1 : "
+    f"chunk_id * {CHUNK_TOKENS} + {CHUNK_TOKENS}], ' ') AS chunk_text "
+    "FROM c"
+)
+
+ORACLE["vocab_coverage"] = (
+    "WITH tok AS (SELECT doc_id, t.tok AS token FROM "
+    "(SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+    "UNNEST(toks) AS t(tok)), "
+    "v AS (SELECT token FROM (SELECT token, COUNT(*) AS tf FROM tok "
+    f"GROUP BY 1) ORDER BY tf DESC, token LIMIT {VOCAB_TOPK}) "
+    "SELECT doc_id, COUNT(*) AS n_tokens, "
+    "ROUND(1.0 - CAST(SUM(CASE WHEN token IN (SELECT token FROM v) "
+    "THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS oov_rate "
+    "FROM tok GROUP BY 1"
+)

@@ -105,6 +105,8 @@ _SAMPLE_PRIORITY = [
     "pii_redact",
     "decontam_overlap",
     "quality_repetition_signals",
+    "chunk_documents",
+    "vocab_coverage",
     # changed in round 8 (tz-independent decode / q8 replan) — need fresh
     # driver rows first
     "tpch_q8_market_share",
