@@ -67,7 +67,7 @@ RUNS = 5
 # keep referential integrity; each copy's orders join their own lineitem
 # copy); dims are byte-copied. Generated once into .bench_sf1/ (gitignored)
 # and reused; both engines then run the SAME headline queries on the SAME
-# parquet, warm, median of 3.
+# parquet, warm, median of SCALE_RUNS.
 SF1_REP = 10
 SF1_SPAN = 1_000_000  # > max o_orderkey/event_id at sf0.1
 SF1_DIRNAME = ".bench_sf1"
