@@ -49,6 +49,13 @@ def hostile_dir(spark, tmp_path_factory):
     docs = [
         (0, "émodé non ascii", "fr", "s0", 15),
         (1, "ascii text", "en", "s0", 10),
+        # llm_prep hostiles: empty text, single token, sub-n-gram lengths,
+        # heavy repetition, and NATURAL PII alongside the injected spans
+        (2, "", "en", "s1", 0),
+        (3, "one", "en", "s1", 3),
+        (4, "spam spam spam spam spam spam", "en", "s1", 29),
+        (5, "reach bob123@mail.com or 555-1234 at 10.0.0.1 now ok", "en",
+         "s1", 52),
     ]
     spark.createDataFrame(
         docs, "doc_id long, text string, lang string, source string, n_chars long"
@@ -126,3 +133,26 @@ def test_frame_sample_handles_zero_row_arrow_batch():
     assert all(set(p.columns) == {
         "doc_id", "kind", "frame_idx", "frame_off", "remaining_bytes"
     } for p in out)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "pii_detect_stats",
+        "pii_redact",
+        "decontam_overlap",
+        "quality_repetition_signals",
+        "chunk_documents",
+        "vocab_coverage",
+    ],
+)
+def test_hostile_llm_prep_parity(spark, hostile_dir, duck, name):
+    """Empty/1-token/sub-n-gram docs, pure repetition, and natural PII
+    spans must produce IDENTICAL results from the operator and its
+    oracle — the regex/dialect and n-gram-guard edge cases the clean
+    fixture never exercises."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import (
+        llm_prep,
+    )
+
+    _assert_parity(llm_prep.QUERIES[name](spark, hostile_dir), duck, name)

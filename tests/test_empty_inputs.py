@@ -68,6 +68,13 @@ REPRESENTATIVE = [
     "sql_dashboard_q4_growth",
     "sql_dashboard_sharpest_drop",
     "sql_dashboard_decade_case",
+    # round-8 additions
+    "pii_detect_stats",
+    "pii_redact",
+    "decontam_overlap",
+    "quality_repetition_signals",
+    "chunk_documents",
+    "vocab_coverage",
 ]
 
 

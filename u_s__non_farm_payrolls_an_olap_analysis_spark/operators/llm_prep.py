@@ -191,23 +191,33 @@ def quality_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluded (no trigram signal exists for them)."""
     docs = read_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
+    # guard EVERY transform with a when(), not just the row filter:
+    # Catalyst may evaluate the projection expressions before/inside the
+    # size filter (subexpression reordering), and Spark ``sequence(1, 0)``
+    # counts DOWN ([1, 0]) rather than returning empty — under ANSI the
+    # resulting out-of-range element_at is a hard error on a 2-token doc
+    empty = F.array().cast("array<string>")
+    bigrams_raw = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    trigrams_raw = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
     base = docs.filter(F.size(toks) >= 3).select(
         "doc_id",
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        ).alias("bigrams"),
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-            ),
-        ).alias("trigrams"),
+        F.when(F.size(toks) >= 2, bigrams_raw).otherwise(empty).alias("bigrams"),
+        F.when(F.size(toks) >= 3, trigrams_raw)
+        .otherwise(empty)
+        .alias("trigrams"),
     )
     tri = base.select("doc_id", F.explode("trigrams").alias("g")).groupBy(
         "doc_id"
