@@ -361,3 +361,36 @@ def test_tpch_q20_semi_join_chain(spark):
     pushed = " ".join(pushed_filters(df))
     assert "GreaterThanOrEqual(l_shipdate" in pushed
     assert "LessThan(l_shipdate" in pushed
+
+
+def test_decontam_broadcasts_benchmark_side(spark):
+    """decontam_overlap: the held-out benchmark shingles must BROADCAST —
+    the training corpus side joins without shuffling (the full-corpus
+    shuffle is exactly what the operator exists to avoid)."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import llm_prep
+
+    df = llm_prep.decontam_overlap(spark, SF)
+    kinds = join_kinds(df)
+    assert "BroadcastHashJoin" in kinds
+    assert "CartesianProduct" not in kinds
+
+
+def test_chunk_documents_no_shuffle(spark):
+    """chunk_documents is a pure 1-to-N explode: scan partitions carry
+    through with ZERO exchanges — any shuffle here would be plan
+    regression (the operator has no keyed operation at all)."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import llm_prep
+
+    df = llm_prep.chunk_documents(spark, SF)
+    assert exchange_count(df) == 0
+
+
+def test_vocab_coverage_broadcasts_vocab(spark):
+    """vocab_coverage: the derived top-K vocabulary broadcasts back; the
+    token stream shuffles only for its aggregates, never pairwise."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import llm_prep
+
+    df = llm_prep.vocab_coverage(spark, SF)
+    kinds = join_kinds(df)
+    assert "BroadcastHashJoin" in kinds
+    assert "SortMergeJoin" not in kinds
