@@ -10,6 +10,8 @@ the 100 TB posture depends on, demonstrated and asserted on real plans.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -121,3 +123,86 @@ def test_with_salt_all_map_columns_falls_back(spark):
     df = spark.createDataFrame([({"a": 1},), ({"b": 2},)], "m map<string,int>")
     out = with_salt(df, 4).collect()
     assert all(0 <= r["__salt"] < 4 for r in out)
+
+
+def test_zorder_clustering_skips_files_on_2d_predicate(spark, tmp_path):
+    """Z-order clustering must deliver MEASURED multi-dimensional data
+    skipping: write the same orders rows (a) range-partitioned + sorted
+    by the Morton key and (b) in natural o_orderkey order, then evaluate
+    a 2-D box predicate (customer range x date range) against the actual
+    parquet footer min/max stats of both layouts. The z-ordered layout
+    must let the box skip a strict majority of files that the natural
+    layout has to read — file-level stats pruning is exactly what Spark's
+    parquet reader does at scan time, so footer overlap IS the skip
+    rate."""
+    import pyarrow.parquet as pq
+
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.layout import (
+        zorder_keyed_orders,
+    )
+
+    n_files = 16
+    keyed = zorder_keyed_orders(spark, SF)
+    zdir, ndir = str(tmp_path / "z"), str(tmp_path / "n")
+    (
+        keyed.repartitionByRange(n_files, "zkey")
+        .sortWithinPartitions("zkey")
+        .write.mode("overwrite")
+        .parquet(zdir)
+    )
+    (
+        keyed.repartitionByRange(n_files, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .parquet(ndir)
+    )
+
+    # the 2-D box: one sixteenth of each dimension's domain
+    stats = keyed.agg(
+        F.max("o_custkey").alias("ck"), F.max("day_num").alias("dn")
+    ).collect()[0]
+    ck_lo, ck_hi = 0, max(1, stats.ck // 16)
+    dn_lo, dn_hi = 0, max(1, stats.dn // 16)
+
+    def overlapping_files(d: str) -> tuple[int, int]:
+        total, overlap = 0, 0
+        for f in sorted(os.listdir(d)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(d, f))
+            cols = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }
+            ck_min = min(
+                md.row_group(g).column(cols["o_custkey"]).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            ck_max = max(
+                md.row_group(g).column(cols["o_custkey"]).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            dn_min = min(
+                md.row_group(g).column(cols["day_num"]).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            dn_max = max(
+                md.row_group(g).column(cols["day_num"]).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            total += 1
+            if ck_max >= ck_lo and ck_min <= ck_hi and dn_max >= dn_lo \
+                    and dn_min <= dn_hi:
+                overlap += 1
+        return total, overlap
+
+    z_total, z_overlap = overlapping_files(zdir)
+    n_total, n_overlap = overlapping_files(ndir)
+    assert z_total >= 8 and n_total >= 8  # the layouts actually split
+    # natural order clusters on o_orderkey: custkey/date spread through
+    # every file, so (almost) all files overlap the box
+    assert n_overlap >= n_total - 2
+    # z-order: the box touches only the files covering its Z-range
+    assert z_overlap <= z_total // 2, (
+        f"z-order skipped too little: {z_overlap}/{z_total} files overlap "
+        f"vs natural {n_overlap}/{n_total}"
+    )

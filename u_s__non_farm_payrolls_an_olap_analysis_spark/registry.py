@@ -107,6 +107,7 @@ _SAMPLE_PRIORITY = [
     "quality_repetition_signals",
     "chunk_documents",
     "vocab_coverage",
+    "layout_zorder_key",
     # changed in round 8 (tz-independent decode / q8 replan) — need fresh
     # driver rows first
     "tpch_q8_market_share",
