@@ -206,3 +206,55 @@ def test_zorder_clustering_skips_files_on_2d_predicate(spark, tmp_path):
         f"z-order skipped too little: {z_overlap}/{z_total} files overlap "
         f"vs natural {n_overlap}/{n_total}"
     )
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Runtime bloom-filter injection (InjectRuntimeFilter): when a
+    selective dim filter feeds a SHUFFLE join, Spark builds a bloom
+    filter from the dim side and applies it to the fact scan — rows that
+    can't join are dropped BEFORE the shuffle, the at-scale complement
+    to broadcast joins (which sidestep the problem entirely and are the
+    engine's first choice; broadcast is disabled here to exercise the
+    shuffle path). Thresholds are lowered only to make the fixture-sized
+    fact side qualify — the feature and its bloom parameters stay at
+    engine defaults."""
+    lowered = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "1KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in lowered}
+    expected = None
+    try:
+        orders = read_table(spark, SF, "orders")
+        cust = read_table(spark, SF, "customer").filter(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+        expected = (
+            orders.join(
+                F.broadcast(cust), orders.o_custkey == cust.c_custkey
+            )
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        for k, v in lowered.items():
+            spark.conf.set(k, v)
+        j = (
+            orders.join(cust, orders.o_custkey == cust.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        rows = j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan.lower(), plan[:1500]
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, expected))
+    finally:
+        # a key may have been UNSET before the test (conf.get -> None);
+        # restoring must unset it again, not set(None)
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
