@@ -271,3 +271,42 @@ def test_layout_dir_distinct_for_same_basename(tmp_path):
     a = tmp_path / "a" / "sf0.01"
     b = tmp_path / "b" / "sf0.01"
     assert layout._layout_dir(str(a)) != layout._layout_dir(str(b))
+
+
+# micros epochs covering 1900-2100 wall range plus the negative-epoch edge
+_epochs = st.lists(
+    st.integers(min_value=-2_208_988_800_000_000, max_value=4_102_444_800_000_000),
+    min_size=1,
+    max_size=24,
+)
+
+
+@given(us=_epochs, tz=st.sampled_from(
+    ["UTC", "America/New_York", "Asia/Kolkata", "Pacific/Kiritimati"]
+))
+@_settings
+def test_epoch_ntz_roundtrip_is_exact_under_any_session_tz(spark, us, tz):
+    """ntz_from_epoch_micros / epoch_micros_from_ntz must be exact
+    inverses at microsecond precision for ANY epoch and ANY session
+    timezone — including half-hour-offset (Kolkata) and UTC+14
+    (Kiritimati) zones and pre-1970 epochs. This is the foundation the
+    tz-independent event-time decode rests on (CLAUDE.md rule 6a)."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.functions.timeparts import (
+        epoch_micros_from_ntz,
+        ntz_from_epoch_micros,
+    )
+    from pyspark.sql import functions as F
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        df = spark.createDataFrame([(v,) for v in us], "us long")
+        rows = df.select(
+            "us",
+            epoch_micros_from_ntz(ntz_from_epoch_micros("us")).alias("back"),
+        ).collect()
+        assert all(r.back == r.us for r in rows), [
+            (r.us, r.back) for r in rows if r.back != r.us
+        ]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
