@@ -80,25 +80,22 @@ _MODULES = [
 ]
 
 
-# Keys the round-5 driver sample MUST cover: every registry key with no
-# CORRECTNESS row in any round 1-4 (computed against the r1-r4 JSONs),
-# ordered first explicitly so module insertion order can't push one out
-# of the 50-key window. queries() emits these first, then the _MODULES
-# merge order. Guarded by tests/test_registry_contract.py (priority keys
-# must exist) — remove entries as rounds record their rows.
-# Round-7 rotation (CLAUDE.md rule 7): all 31 round-5/6-recorded keys
-# pruned (their green rows live in CORRECTNESS_r05/r06). This round leads
-# with (a) the two streaming paths whose code changed this round (ts-unit
-# fix in _events_stream + the stateful last_ts repair — their previous
-# rows predate both the fix and the testdata's ns→µs switch), (b) the
-# new operators (production-geometry embedding LSH, multimodal resize),
-# and (c) the 45 keys whose latest driver row is r1–r3, i.e. BEFORE the
-# round-4 per-row-rounding convention — oldest evidence first. Deferred
-# to round 8: scan_table, cache_result, project_rename (implicitly
-# exercised by every other query), scan_partition_pruned (r3, pushed to
-# slot 51 by the round-7 additions), and the remaining r4-rowed stream
-# windows (sliding, session, dedup_keys — same decode path as tumbling,
-# all green locally).
+# The driver samples the FIRST 50 keys of queries() each round; this
+# list leads the iteration so module insertion order can't push a key
+# that needs a fresh CORRECTNESS row out of the window. Guarded by
+# tests/test_registry_contract.py (subset, duplicate-free, leads
+# iteration) — prune entries once their round's JSON records them
+# (CLAUDE.md rule 7).
+# Round-8 rotation: all round-7-recorded keys pruned (green rows in
+# CORRECTNESS_r07). Leads with (a) the 7 operators NEW this round
+# (llm_prep pack + layout_zorder_key), (b) the 8 keys whose decode or
+# plan changed this round (tz-independent event-time work: streaming
+# sliding/session/dedup, sessionize_batch, join_interval_bucketed,
+# window_trailing_range_frame, multimodal_frame_sample's batch guard;
+# the q8 replan), then (c) oldest evidence first: the r3 keys and the
+# r4 keys that predate the round-4 per-row-rounding convention. The
+# list is 60 long — the 10 past slot 50 roll into the round-9/10
+# samples; prune recorded keys next round.
 _SAMPLE_PRIORITY = [
     # new in round 8 — no driver row exists yet
     "pii_detect_stats",
