@@ -105,6 +105,7 @@ _SAMPLE_PRIORITY = [
     "chunk_documents",
     "vocab_coverage",
     "layout_zorder_key",
+    "stream_docs_dedup_fingerprint",
     # changed in round 8 (tz-independent decode / q8 replan) — need fresh
     # driver rows first
     "tpch_q8_market_share",

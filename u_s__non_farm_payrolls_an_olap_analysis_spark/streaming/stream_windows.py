@@ -319,6 +319,10 @@ QUERIES = {
 }
 
 ORACLE = {
+    "stream_docs_dedup_fingerprint": (
+        "SELECT DISTINCT md5(regexp_replace(lower(trim(text)), "
+        "'\\s+', ' ', 'g')) AS fp FROM documents"
+    ),
     "stream_tumbling_agg": (
         "SELECT date_trunc('hour', ts) AS window_start, "
         "date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end, "
@@ -360,3 +364,52 @@ ORACLE = {
         "FROM s GROUP BY user_id, sid"
     ),
 }
+
+
+DOCS_STREAM_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def _docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet as a file stream, via the same memoized symlink
+    device as :func:`_events_stream` (no timestamp decode — the docs
+    schema is timestamp-free)."""
+    src = os.path.abspath(f"{sf_dir}/documents.parquet")
+    d = _STREAM_DIR_MEMO.get(src)
+    if d is None or not os.path.exists(d):
+        d = tempfile.mkdtemp(prefix="docs_stream_")
+        os.symlink(src, f"{d}/documents.parquet")
+        _STREAM_DIR_MEMO[src] = d
+    return (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .format("parquet")
+        .load(d)
+    )
+
+
+def stream_docs_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — streaming ingestion dedup for a crawl pipeline: the
+    documents stream is fingerprinted (md5 over normalized text, the same
+    normalization as the batch ``text_fingerprint``) and exact-deduped
+    with ``dropDuplicates`` on the fingerprint, so each distinct content
+    hash survives exactly once no matter how many crawl batches re-ship
+    it. Which PHYSICAL row survives is arrival-order-dependent; the
+    surviving FINGERPRINT SET is not — that set is the deterministic,
+    oracle-checkable output (batch ``SELECT DISTINCT md5(...)`` twin,
+    exactly like ``stream_dedup_keys``'s key-set contract).
+
+    State note: content dedup state is O(distinct fingerprints) — the
+    same as any global exact dedup. A production crawl stream bounds it
+    with an ingest-time watermark (``dropDuplicatesWithinWatermark``,
+    demonstrated on the events stream); the docs fixture carries no
+    event time, so the unbounded variant is the honest shape here.
+    """
+    docs = _docs_stream(spark, sf_dir)
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    keyed = docs.select(F.md5(norm).alias("fp"))
+    dedup = keyed.dropDuplicates(["fp"])
+    return _drain_to_memory(dedup, spark, output_mode="append")
+
+
+QUERIES["stream_docs_dedup_fingerprint"] = stream_docs_dedup_fingerprint
