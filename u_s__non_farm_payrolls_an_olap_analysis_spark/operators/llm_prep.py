@@ -23,10 +23,10 @@ needs the ``'g'`` flag to match Spark's replace-all default.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import read_table
+from ..io import read_table, table_bytes
 
 EMAIL_RE = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
 PHONE_RE = "[0-9]{3}-[0-9]{4}"
@@ -80,7 +80,7 @@ def pii_detect_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star — per-document PII span counts (emails / phones / IPv4)
     plus a corpus-level flag, the audit pass run before redaction. Pure
     ``regexp_count`` expressions over the scan — one stage, no shuffle
-    until the (tiny) nothing: the per-doc output IS the result."""
+    at all: the per-doc output IS the result."""
     docs = _with_pii(read_table(spark, sf_dir, "documents"))
     n_email = F.regexp_count("text", F.lit(EMAIL_RE))
     n_phone = F.regexp_count("text", F.lit(PHONE_RE))
@@ -128,19 +128,6 @@ DECONTAM_NGRAM = 5
 DECONTAM_BENCH_MOD = 97  # doc_id % 97 == 0 -> held-out "benchmark" doc
 
 
-def _ngrams(col: Column, n: int) -> Column:
-    toks = F.split(col, " ")
-    return F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-
-
 def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star — benchmark decontamination: find training documents
     sharing ≥1 distinct 5-gram with any held-out benchmark document
@@ -148,25 +135,35 @@ def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     contaminated (train, benchmark) pair with the shared-shingle count
     and the containment ratio (shared / train-doc shingles).
 
-    Scale shape: the benchmark side is SMALL by construction (a test set,
-    not a corpus) — its distinct shingles BROADCAST, so the corpus side
-    is scan + broadcast-probe + one aggregate on the (hit) pairs; the
-    full corpus never shuffles and no pair explosion beyond actual hits
-    can occur. The equivalent of dedup's inverted-index trick with the
-    index inverted onto the tiny side."""
+    Scale shape: the benchmark side comes from its own pre-filtered scan
+    (1/97 of doc_ids — the corpus-sized shingle pipeline is never
+    executed to build it) and BROADCASTS while the base documents table
+    is small enough to bound it (same ``io.table_bytes`` gate as
+    ``tpch_q8_market_share``; past the gate the join degrades to the
+    shuffle equi-join, still inverted-index-shaped). The training corpus
+    pays exactly two scans — the broadcast probe and the per-doc size
+    aggregate — and never shuffles its shingle stream for the probe; no
+    pair explosion beyond actual hits can occur. Shingling reuses
+    ``dedup._shingles`` (one implementation of the guarded n-gram
+    construction to keep correct)."""
+    from .dedup import _shingles
+
     docs = read_table(spark, sf_dir, "documents")
-    with_sh = docs.select(
-        "doc_id", F.explode(_ngrams(F.col("text"), DECONTAM_NGRAM)).alias("sh")
-    )
-    bench = with_sh.filter(
-        F.col("doc_id") % DECONTAM_BENCH_MOD == 0
-    ).select(F.col("doc_id").alias("bench_id"), "sh")
-    train = with_sh.filter(F.col("doc_id") % DECONTAM_BENCH_MOD != 0)
+    bench = _shingles(
+        docs.filter(F.col("doc_id") % DECONTAM_BENCH_MOD == 0),
+        n=DECONTAM_NGRAM,
+    ).select(F.col("doc_id").alias("bench_id"), F.col("shingle").alias("sh"))
+    if table_bytes(sf_dir, "documents") <= 256 << 20:
+        bench = F.broadcast(bench)
+    train = _shingles(
+        docs.filter(F.col("doc_id") % DECONTAM_BENCH_MOD != 0),
+        n=DECONTAM_NGRAM,
+    ).select("doc_id", F.col("shingle").alias("sh"))
     train_sizes = train.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_sh")
     )
     hits = (
-        train.join(F.broadcast(bench), "sh")
+        train.join(bench, "sh")
         .groupBy("doc_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )

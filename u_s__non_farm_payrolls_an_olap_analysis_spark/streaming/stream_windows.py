@@ -79,6 +79,18 @@ EVENTS_STREAM_SCHEMA_MICROS = (
 _STREAM_DIR_MEMO: dict[str, str] = {}
 
 
+def _stream_src_dir(src: str, prefix: str) -> str:
+    """The file-stream source lists a DIRECTORY; a single fixture parquet
+    file is exposed through a symlinked temp dir, memoized per source
+    path (shared by the events and documents streams)."""
+    d = _STREAM_DIR_MEMO.get(src)
+    if d is None or not os.path.exists(d):
+        d = tempfile.mkdtemp(prefix=prefix)
+        os.symlink(src, f"{d}/{os.path.basename(src)}")
+        _STREAM_DIR_MEMO[src] = d
+    return d
+
+
 def _events_ts_unit(src: str) -> str:
     """Parquet footer probe: the fixture's ``ts`` column has shipped as both
     ``timestamp[ns]`` and ``timestamp[us]`` across data generations, and a
@@ -106,11 +118,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`~..functions.timeparts.ntz_from_instant`, which is likewise
     timezone-independent — batch and stream always agree)."""
     src = os.path.abspath(f"{sf_dir}/events.parquet")
-    d = _STREAM_DIR_MEMO.get(src)
-    if d is None or not os.path.exists(d):
-        d = tempfile.mkdtemp(prefix="events_stream_")
-        os.symlink(src, f"{d}/events.parquet")
-        _STREAM_DIR_MEMO[src] = d
+    d = _stream_src_dir(src, "events_stream_")
     if _events_ts_unit(src) == "ns":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = (
@@ -251,8 +259,12 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     # latter truncates the instant's wall clock in the session timezone —
     # a half-hour-offset zone would shift the bucket. Epoch truncation ==
     # DuckDB's date_trunc over the naive walls, under any session tz.
+    # pmod, not `div`: div truncates toward zero, which would round a
+    # pre-1970 timestamp UP to the next hour while date_trunc floors —
+    # us - pmod(us, hour) floors exactly for either sign in int64.
     keyed = ev.withWatermark("ts", "1 hour").withColumn(
-        "hr_us", F.expr("(unix_micros(ts) div 3600000000) * 3600000000")
+        "hr_us",
+        F.expr("unix_micros(ts) - pmod(unix_micros(ts), 3600000000)"),
     )
     dedup = keyed.dropDuplicatesWithinWatermark(
         ["user_id", "event_type", "hr_us"]
@@ -375,12 +387,9 @@ def _docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.parquet as a file stream, via the same memoized symlink
     device as :func:`_events_stream` (no timestamp decode — the docs
     schema is timestamp-free)."""
-    src = os.path.abspath(f"{sf_dir}/documents.parquet")
-    d = _STREAM_DIR_MEMO.get(src)
-    if d is None or not os.path.exists(d):
-        d = tempfile.mkdtemp(prefix="docs_stream_")
-        os.symlink(src, f"{d}/documents.parquet")
-        _STREAM_DIR_MEMO[src] = d
+    d = _stream_src_dir(
+        os.path.abspath(f"{sf_dir}/documents.parquet"), "docs_stream_"
+    )
     return (
         spark.readStream.schema(DOCS_STREAM_SCHEMA)
         .format("parquet")
