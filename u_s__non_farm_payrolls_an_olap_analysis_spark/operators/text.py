@@ -378,3 +378,89 @@ ORACLE = {
         "FROM a ORDER BY source, lang"
     ),
 }
+
+
+PMI_MIN_COUNT = 5  # bigrams rarer than this are noise, not collocations
+
+
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocations by pointwise mutual information:
+    ``pmi(a,b) = ln( (c_ab/B) / ((c_a/U)(c_b/U)) )`` over corpus bigram
+    (B) and unigram (U) totals — the standard statistic for extracting
+    multi-word expressions from a pre-training corpus.
+
+    Selection and ordering are INTEGER-deterministic (bigram count desc,
+    bigram tiebreak, count ≥ ``PMI_MIN_COUNT``): ln() may differ from
+    DuckDB's in the last ulp, so the float pmi is a reported metric
+    (rounded 6 dp) and never decides which rows survive the LIMIT.
+    Shapes: two explode→count aggregates (map-side combined), the
+    unigram table re-joined twice via BROADCAST (a vocabulary is small
+    by construction), totals as 1-row broadcast scalars."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    uni = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    bi = (
+        docs.filter(F.size(toks) >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= PMI_MIN_COUNT)
+    )
+    totals = uni.agg(F.sum("c_w").alias("u_total")).crossJoin(
+        bi.agg(F.sum("c_ab").alias("b_total"))
+    )
+    ua = uni.select(F.col("w").alias("wa"), F.col("c_w").alias("c_a"))
+    ub = uni.select(F.col("w").alias("wb"), F.col("c_w").alias("c_b"))
+    parts = F.split(F.col("bigram"), " ")
+    keyed = bi.select(
+        "bigram",
+        "c_ab",
+        F.element_at(parts, 1).alias("wa"),
+        F.element_at(parts, 2).alias("wb"),
+    )
+    pmi = F.log(
+        (F.col("c_ab") / F.col("b_total"))
+        / ((F.col("c_a") / F.col("u_total")) * (F.col("c_b") / F.col("u_total")))
+    )
+    return (
+        keyed.join(F.broadcast(ua), "wa")
+        .join(F.broadcast(ub), "wb")
+        .crossJoin(F.broadcast(totals))
+        .select("bigram", "c_ab", F.round(pmi, 6).alias("pmi"))
+        .orderBy(F.col("c_ab").desc(), "bigram")
+        .limit(20)
+    )
+
+
+QUERIES["text_pmi_collocations"] = text_pmi_collocations
+
+ORACLE["text_pmi_collocations"] = (
+    "WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents), "
+    "uni AS (SELECT w, COUNT(*) AS c_w FROM "
+    "(SELECT unnest(toks) AS w FROM t) GROUP BY 1), "
+    "bi AS (SELECT bigram, COUNT(*) AS c_ab FROM ("
+    "SELECT unnest(list_transform(range(1, len(toks)), "
+    "i -> toks[i] || ' ' || toks[i + 1])) AS bigram "
+    "FROM t WHERE len(toks) >= 2) GROUP BY 1 "
+    f"HAVING COUNT(*) >= {PMI_MIN_COUNT}), "
+    "tot AS (SELECT (SELECT SUM(c_w) FROM uni) AS u_total, "
+    "(SELECT SUM(c_ab) FROM bi) AS b_total) "
+    "SELECT bigram, c_ab, "
+    "ROUND(ln((CAST(c_ab AS DOUBLE) / b_total) / "
+    "((CAST(a.c_w AS DOUBLE) / u_total) * "
+    "(CAST(b.c_w AS DOUBLE) / u_total))), 6) AS pmi "
+    "FROM bi, tot "
+    "JOIN uni a ON a.w = string_split(bigram, ' ')[1] "
+    "JOIN uni b ON b.w = string_split(bigram, ' ')[2] "
+    "ORDER BY c_ab DESC, bigram LIMIT 20"
+)

@@ -106,6 +106,7 @@ _SAMPLE_PRIORITY = [
     "vocab_coverage",
     "layout_zorder_key",
     "stream_docs_dedup_fingerprint",
+    "text_pmi_collocations",
     # changed in round 8 (tz-independent decode / q8 replan) — need fresh
     # driver rows first
     "tpch_q8_market_share",
