@@ -98,9 +98,34 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _spread_if_narrow(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition a NARROW input up to the session's parallelism — the
+    small-file mitigation for the shingle pipeline.
+
+    The fixture tables are single-row-group parquet files, so their scans
+    are 1 task regardless of input splits, and AQE then coalesces the
+    small downstream shuffles back to 1 partition — the whole
+    shingle-explode + inverted-index join runs single-threaded (measured
+    3x slower than spread at 3x docs). The partition-count probe is
+    metadata-only (no job); at production scale inputs arrive in many
+    partitions and this is a no-op, so no extra shuffle is ever added to
+    a big pipeline. An explicit repartition also resists AQE's
+    small-shuffle coalescing for the stage it feeds."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 < target:
+        return df.repartition(target, *cols) if cols else df.repartition(target)
+    return df
+
+
 def _jaccard_pairs(docs: DataFrame) -> DataFrame:
-    """Shared-shingle blocking → exact Jaccard per candidate pair."""
-    sh = _shingles(docs)
+    """Shared-shingle blocking → exact Jaccard per candidate pair.
+
+    Both spreads matter on narrow inputs: the docs spread parallelizes
+    the shingle EXPLODE itself (the expensive array work), the
+    by-shingle spread parallelizes the inverted-index self-join stage
+    that AQE would otherwise coalesce to one partition."""
+    sh = _spread_if_narrow(_shingles(_spread_if_narrow(docs)), "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -156,7 +181,9 @@ def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs ``dedup_ngram_jaccard``.
     """
     docs = read_table(spark, sf_dir, "documents")
-    sh = _shingles(docs)
+    # spread the narrow fixture scan so the shingle explode + signature
+    # build parallelize (see _spread_if_narrow; no-op on wide inputs)
+    sh = _shingles(_spread_if_narrow(docs))
     # hash the variable-length shingle string ONCE to a long, then derive
     # the 32 permutations by hashing the fixed 8-byte value — same
     # min-wise family quality, ~3x less hashing work than 32 string

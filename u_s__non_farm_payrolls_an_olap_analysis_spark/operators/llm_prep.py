@@ -155,8 +155,10 @@ def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("doc_id").alias("bench_id"), F.col("shingle").alias("sh"))
     if table_bytes(sf_dir, "documents") <= 256 << 20:
         bench = F.broadcast(bench)
+    from .dedup import _spread_if_narrow
+
     train = _shingles(
-        docs.filter(F.col("doc_id") % DECONTAM_BENCH_MOD != 0),
+        _spread_if_narrow(docs.filter(F.col("doc_id") % DECONTAM_BENCH_MOD != 0)),
         n=DECONTAM_NGRAM,
     ).select("doc_id", F.col("shingle").alias("sh"))
     train_sizes = train.groupBy("doc_id").agg(
