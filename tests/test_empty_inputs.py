@@ -75,6 +75,9 @@ REPRESENTATIVE = [
     "quality_repetition_signals",
     "chunk_documents",
     "vocab_coverage",
+    "layout_zorder_key",
+    "text_pmi_collocations",
+    "stream_docs_dedup_fingerprint",
 ]
 
 
