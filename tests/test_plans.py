@@ -111,6 +111,37 @@ def test_partitioned_layout_prunes(spark):
     assert "PartitionFilters" in plan and "o_year" in plan
 
 
+def test_dpp_dim_filter_injects_dynamic_pruning(spark):
+    """The dim-filtered star join must prune fact partitions at RUNTIME:
+    the fact scan's PartitionFilters carries a dynamicpruningexpression
+    fed by the dim side's broadcast result (the years never appear as
+    literals in the query)."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import layout
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.plans.explain import (
+        formatted_plan,
+    )
+
+    df = layout.scan_dpp_dim_filter(spark, SF)
+    plan = formatted_plan(df)
+    assert "dynamicpruningexpression" in plan, plan[:1500]
+    # and the pruned query still computes the right thing
+    years = [r["year"] for r in df.collect()]
+    assert years == sorted(years)
+    assert all(y % 4 == 0 for y in years)
+
+
+def test_bucketed_registry_join_zero_exchange(spark):
+    """join_bucketed_zero_shuffle's join + per-key aggregate must contain
+    ZERO Exchange nodes: both sides are bucketed by the key at rest, and
+    the aggregate reuses the join's clustering."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import layout
+
+    core = layout._bucketed_join_frame(spark, SF)
+    assert "SortMergeJoin" in join_kinds(core)
+    assert exchange_count(core) == 0
+    assert core.count() > 0
+
+
 def test_sql_exists_decorrelates_to_semi_join(spark):
     from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import sql_api
 

@@ -39,17 +39,24 @@ _PART_DIR_MEMO: dict[tuple[str, str], str] = {}
 _LAYOUT_BASE: str | None = None
 
 
-def _layout_dir(sf_dir: str) -> str:
-    global _LAYOUT_BASE
-    if _LAYOUT_BASE is None or not os.path.exists(_LAYOUT_BASE):
-        _LAYOUT_BASE = tempfile.mkdtemp(prefix="layout_")
-        atexit.register(shutil.rmtree, _LAYOUT_BASE, ignore_errors=True)
+def _sf_tag(sf_dir: str) -> str:
     # basename alone collides when two distinct sf_dirs share a leaf name
     # (e.g. /a/sf0.01 and /b/sf0.01) — the second write would overwrite the
     # first while the memo still serves it. Key by basename + abspath hash.
     ap = os.path.abspath(sf_dir)
-    tag = f"{os.path.basename(ap)}_{hashlib.md5(ap.encode()).hexdigest()[:12]}"
-    return os.path.join(_LAYOUT_BASE, f"orders_by_year_{tag}")
+    return f"{os.path.basename(ap)}_{hashlib.md5(ap.encode()).hexdigest()[:12]}"
+
+
+def _derived_path(sf_dir: str, kind: str) -> str:
+    global _LAYOUT_BASE
+    if _LAYOUT_BASE is None or not os.path.exists(_LAYOUT_BASE):
+        _LAYOUT_BASE = tempfile.mkdtemp(prefix="layout_")
+        atexit.register(shutil.rmtree, _LAYOUT_BASE, ignore_errors=True)
+    return os.path.join(_LAYOUT_BASE, f"{kind}_{_sf_tag(sf_dir)}")
+
+
+def _layout_dir(sf_dir: str) -> str:
+    return _derived_path(sf_dir, "orders_by_year")
 
 
 def partitioned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,6 +107,158 @@ ORACLE = {
         "GROUP BY 1 ORDER BY 1"
     ),
 }
+
+
+# --- Dynamic partition pruning: dim-filter -> pruned fact partitions ----
+#
+# Static pruning (above) needs the year literal IN the query. The
+# star-schema-at-scale shape is a filter on a DIM attribute that only
+# implies the fact partitions at runtime: Catalyst's DPP rule executes
+# the (broadcast) dim side first and injects its join keys as a
+# `dynamicpruningexpression` partition filter on the fact scan — whole
+# fact directories are skipped without the query naming a single year.
+# tests/test_plans.py pins the dynamicpruningexpression in the scan.
+
+def _year_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiny year dimension derived from orders (one row per distinct
+    order year, with a selective boolean attribute), materialized once to
+    parquet so the DPP filter side is a clean scan+filter relation."""
+    d = _derived_path(sf_dir, "year_dim")
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        (
+            read_table(spark, sf_dir, "orders")
+            .select(F.year("o_orderdate").alias("d_year"))
+            .distinct()
+            # a STRING attribute filtered by equality: Catalyst's DPP
+            # insertion requires a likely-selective predicate on the dim
+            # side, and a bare boolean attribute fails that heuristic
+            # (BooleanSimplification folds `x = true` back to `x`)
+            .withColumn(
+                "d_era",
+                F.when(F.col("d_year") % 4 == 0, F.lit("leap")).otherwise(
+                    F.lit("common")
+                ),
+            )
+            .coalesce(1)
+            .write.mode("overwrite").parquet(d)
+        )
+    return spark.read.parquet(d)
+
+
+def scan_dpp_dim_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — yearly totals for leap years, where "leap" lives only
+    on the year DIM: the fact side is the year-partitioned orders layout
+    and the years to scan are discovered at runtime via dynamic partition
+    pruning (the dim's broadcast result doubles as the fact's partition
+    filter). Non-matching year directories are never opened, exactly the
+    dim-filtered star-join shape that dominates 100 TB fact scans."""
+    po = partitioned_orders(spark, sf_dir)
+    dim = _year_dim(spark, sf_dir)
+    return (
+        po.join(F.broadcast(dim), po.o_year == dim.d_year)
+        .filter(F.col("d_era") == "leap")
+        .groupBy(F.col("o_year").cast("int").alias("year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(dsum("o_totalprice"), 4).alias("total"),
+        )
+        .orderBy("year")
+    )
+
+
+QUERIES["scan_dpp_dim_filter"] = scan_dpp_dim_filter
+
+ORACLE["scan_dpp_dim_filter"] = (
+    "SELECT CAST(year(o_orderdate) AS INT) AS year, "
+    "COUNT(*) AS n_orders, "
+    f"ROUND({dsum_sql('o_totalprice')}, 4) AS total "
+    "FROM orders WHERE (year(o_orderdate) % 4) = 0 "
+    "GROUP BY 1 ORDER BY 1"
+)
+
+
+# --- Bucketed layout: the zero-exchange repeated-join posture -----------
+#
+# Partitioning prunes; BUCKETING pre-shuffles. A fact and dim bucketed by
+# the same join key into the same bucket count are co-located at rest:
+# every subsequent join on that key is exchange-free (the per-query
+# shuffle that dominates repeated big-big joins is paid ONCE, at write
+# time). tests/test_plans.py asserts the join + per-key aggregate plan
+# contains ZERO Exchange nodes.
+
+N_BUCKETS = 8
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write orders + customer bucketed by custkey as external tables
+    (once per session+sf_dir); returns the two catalog table names."""
+    tag = "".join(c if c.isalnum() else "_" for c in _sf_tag(sf_dir))
+    names = (f"orders_bkt_{tag}", f"customer_bkt_{tag}")
+    paths = (
+        _derived_path(sf_dir, "bkt_orders"),
+        _derived_path(sf_dir, "bkt_customer"),
+    )
+    for name, path, table, key in (
+        (names[0], paths[0], "orders", "o_custkey"),
+        (names[1], paths[1], "customer", "c_custkey"),
+    ):
+        # the catalog entry is session-scoped but the files live in the
+        # process-scoped layout dir — rebuild when either half is missing
+        if spark.catalog.tableExists(name) and os.path.exists(path):
+            continue
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            read_table(spark, sf_dir, table)
+            .write.mode("overwrite")
+            .option("path", path)
+            .bucketBy(N_BUCKETS, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    return names
+
+
+def _bucketed_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + per-customer aggregate over the bucketed layout, unordered
+    (the plan-test subject: zero Exchange nodes end to end — the join
+    reads co-located buckets and the aggregate reuses the join's hash
+    partitioning)."""
+    o_name, c_name = _bucketed_tables(spark, sf_dir)
+    o = spark.table(o_name)
+    c = spark.table(c_name)
+    # hint("merge") pins the co-located sort-merge strategy: a broadcast
+    # of the sf0.01 dim would ALSO be exchange-free here but proves
+    # nothing about bucketing, and at 100 TB neither side broadcasts
+    return (
+        o.hint("merge")
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_custkey").alias("custkey"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(dsum("o_totalprice"), 4).alias("total_spent"),
+        )
+    )
+
+
+def join_bucketed_zero_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — per-customer order totals off bucketed-at-rest orders
+    and customer: both sides pre-bucketed by custkey so the fact-dim join
+    AND the per-key aggregate run without a single shuffle (the write-once
+    pre-shuffle strategy for repeated joins; reference joins eagerly in
+    pandas, `dashboard_nfp.py` has no layout notion). Results are
+    byte-identical to the plain join — the oracle reads the flat tables."""
+    return _bucketed_join_frame(spark, sf_dir).orderBy("custkey")
+
+
+QUERIES["join_bucketed_zero_shuffle"] = join_bucketed_zero_shuffle
+
+ORACLE["join_bucketed_zero_shuffle"] = (
+    "SELECT c_custkey AS custkey, c_mktsegment, "
+    "COUNT(*) AS n_orders, "
+    f"ROUND({dsum_sql('o_totalprice')}, 4) AS total_spent "
+    "FROM orders JOIN customer ON o_custkey = c_custkey "
+    "GROUP BY 1, 2 ORDER BY 1"
+)
 
 
 # --- Z-order (Morton) clustering: multi-dimensional data skipping --------

@@ -107,6 +107,8 @@ _SAMPLE_PRIORITY = [
     "layout_zorder_key",
     "stream_docs_dedup_fingerprint",
     "text_pmi_collocations",
+    "scan_dpp_dim_filter",
+    "join_bucketed_zero_shuffle",
     # changed in round 8 (tz-independent decode / q8 replan) — need fresh
     # driver rows first
     "tpch_q8_market_share",
