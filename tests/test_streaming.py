@@ -230,3 +230,55 @@ def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
     # hour-3 closes if the final watermark reaches 04:00; hours past the
     # final watermark were never emitted
     assert set(got) <= {0, 3}, got
+
+
+def test_foreachbatch_upsert_merges_across_micro_batches(spark, tmp_path):
+    """stream_upsert_foreach_batch with the events split across 3 files and
+    maxFilesPerTrigger=1: users spanning files are merged across MULTIPLE
+    micro-batches (counts add, scaled sums add, last-ts maxes) and the
+    final state equals the one-shot batch aggregate exactly."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.functions.numerics import (
+        SCALE,
+        dsum,
+    )
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.functions.timeparts import (
+        epoch_micros_from_ntz,
+        ntz_from_epoch_micros,
+    )
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.streaming import (
+        stream_windows as sw,
+    )
+
+    base = spark.read.parquet(f"{SF}/events.parquet").select(
+        "user_id", "value", epoch_micros_from_ntz("ts").alias("ts_us")
+    )
+    d = str(tmp_path / "ev3")
+    base.repartition(3).write.parquet(d)
+    stream = (
+        spark.readStream.schema("user_id long, value double, ts_us long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    out = sw.stream_upsert_foreach_batch(spark, SF, _source=stream)
+    got = [tuple(r) for r in out.collect()]
+    assert sw.LAST_UPSERT_BATCHES and sw.LAST_UPSERT_BATCHES >= 3, (
+        f"expected one micro-batch per file, got {sw.LAST_UPSERT_BATCHES}"
+    )
+    expected = [
+        tuple(r)
+        for r in base.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(dsum("value"), 4).alias("sum_value"),
+            F.max("ts_us").alias("mx"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "sum_value",
+            ntz_from_epoch_micros("mx").alias("last_ts"),
+        )
+        .orderBy("user_id")
+        .collect()
+    ]
+    assert got == expected

@@ -69,6 +69,13 @@ def dsum(col: Column | str, scale: int = SCALE) -> Column:
     return F.sum(_nearest_long_away(_c(col) * scale)) / float(scale)
 
 
+def dsum_scaled(col: Column | str, scale: int = SCALE) -> Column:
+    """Scaled-int64 partial SUM, NOT descaled: for multi-stage merges
+    (e.g. a foreachBatch upsert state) where partials are re-aggregated
+    exactly as longs across batches and descaled once at the end."""
+    return F.sum(_nearest_long_away(_c(col) * scale))
+
+
 def davg(col: Column | str, scale: int = SCALE) -> Column:
     """Order-independent AVG: scaled-int sum / non-null count."""
     c = _c(col)

@@ -109,6 +109,7 @@ _SAMPLE_PRIORITY = [
     "text_pmi_collocations",
     "scan_dpp_dim_filter",
     "join_bucketed_zero_shuffle",
+    "stream_upsert_foreach_batch",
     # changed in round 8 (tz-independent decode / q8 replan) — need fresh
     # driver rows first
     "tpch_q8_market_share",

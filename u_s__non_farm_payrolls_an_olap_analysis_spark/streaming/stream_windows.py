@@ -35,7 +35,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.numerics import dsum, dsum_sql
+from ..functions.numerics import dsum, dsum_scaled, dsum_sql
 from ..functions.timeparts import ntz_from_epoch_micros, ntz_from_instant
 
 
@@ -422,3 +422,105 @@ def stream_docs_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 QUERIES["stream_docs_dedup_fingerprint"] = stream_docs_dedup_fingerprint
+
+
+# batches processed by the last stream_upsert_foreach_batch drain —
+# observability for the multi-batch merge test (same device as
+# dedup.LAST_CLUSTER_ROUNDS)
+LAST_UPSERT_BATCHES: int | None = None
+
+
+def stream_upsert_foreach_batch(
+    spark: SparkSession, sf_dir: str, _source: DataFrame | None = None
+) -> DataFrame:
+    """S3-streaming — keyed-merge (upsert) sink via ``foreachBatch``: each
+    micro-batch's per-user partial aggregate is MERGED into a parquet
+    target by key (matched keys updated, new keys inserted) — the
+    streaming mirror of the reference's idempotent ``ON CONFLICT`` upsert
+    loop (``etl.py:57-73``), as one distributed merge per batch instead of
+    per-row round trips.
+
+    The merged measures form a commutative monoid (count-add, scaled-int
+    sum-add, max), so the final state is independent of how the stream is
+    sliced into micro-batches — deterministic and exactly the batch GROUP
+    BY (the DuckDB oracle). Partials stay scaled int64 across batches
+    (``dsum_scaled``) and descale once at the end; event times cross the
+    state as epoch-micros longs per CLAUDE.md rule 6/6a and convert to
+    NTZ walls only in the final projection.
+
+    Scale posture: state is one row per key (bounded by key cardinality,
+    not stream length); each batch costs one keyed shuffle of the batch
+    plus a rewrite of the target — on a cluster the target would be a
+    MERGE-capable table format (the parquet overwrite is the sandbox
+    stand-in with identical semantics).
+    """
+    if _source is None:  # tests inject a multi-file stream to force >1 batch
+        ev = _events_stream(spark, sf_dir).select(
+            "user_id", "value", F.unix_micros("ts").alias("ts_us")
+        )
+    else:
+        ev = _source
+    global LAST_UPSERT_BATCHES
+    LAST_UPSERT_BATCHES = 0
+    target = _drain_dir(f"upsert_{uuid.uuid4().hex[:8]}")
+    state_schema = (
+        "user_id long, n_events long, sum_scaled long, last_micros long"
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        global LAST_UPSERT_BATCHES
+        LAST_UPSERT_BATCHES = (LAST_UPSERT_BATCHES or 0) + 1
+        s = batch_df.sparkSession
+        updates = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum_scaled("value").alias("sum_scaled"),
+            F.max("ts_us").alias("last_micros"),
+        )
+        try:
+            current = s.read.schema(state_schema).parquet(target)
+            current.head(1)  # force the existence check eagerly
+        except Exception:  # first batch: no state yet
+            current = s.createDataFrame([], state_schema)
+        merged = (
+            current.unionByName(updates)
+            .groupBy("user_id")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_scaled").alias("sum_scaled"),
+                F.max("last_micros").alias("last_micros"),
+            )
+        )
+        # stage-then-swap: the merge plan lazily READS the target it is
+        # about to overwrite, so materialize to a stage dir first
+        merged.write.mode("overwrite").parquet(target + "_stage")
+        s.read.schema(state_schema).parquet(target + "_stage").write.mode(
+            "overwrite"
+        ).parquet(target)
+
+    with _bounded_state_partitions(spark):
+        q = (
+            ev.writeStream.foreachBatch(merge_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", target + "_ckpt")
+            .start()
+        )
+        q.awaitTermination()
+
+    state = spark.read.schema(state_schema).parquet(target)
+    from ..functions.numerics import SCALE
+
+    return state.select(
+        "user_id",
+        "n_events",
+        F.round(F.col("sum_scaled") / float(SCALE), 4).alias("sum_value"),
+        ntz_from_epoch_micros("last_micros").alias("last_ts"),
+    ).orderBy("user_id")
+
+
+QUERIES["stream_upsert_foreach_batch"] = stream_upsert_foreach_batch
+
+ORACLE["stream_upsert_foreach_batch"] = (
+    "SELECT user_id, COUNT(*) AS n_events, "
+    f"ROUND({dsum_sql('value')}, 4) AS sum_value, "
+    "MAX(ts) AS last_ts FROM events GROUP BY 1 ORDER BY 1"
+)
