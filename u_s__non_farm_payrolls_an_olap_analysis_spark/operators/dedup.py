@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_from_norms, l2_norm
+from ..functions.vectors import cosine_from_norms, cosine_sql, l2_norm
 from ..io import read_table
 
 JACCARD_THRESHOLD = 0.8
@@ -492,6 +492,39 @@ def dedup_embedding_cosine_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PLANT_OFFSET = 1_000_000  # planted-copy id space, disjoint from vec_ids
+PLANT_MOD = 5             # every 5th vector gets an exact-duplicate copy
+
+
+def dedup_embedding_prod_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked correctness harness for the PRODUCTION LSH geometry:
+    the embeddings corpus is augmented with deterministic EXACT-duplicate
+    copies (every ``PLANT_MOD``-th vector re-inserted at
+    ``vec_id + PLANT_OFFSET``), then run through the identical 12x8-band
+    cosine>=0.85 pipeline as :func:`dedup_embedding_cosine_prod`.
+
+    An exact copy shares every hyperplane sign bit with its source, so it
+    collides in ALL bands — recall on the planted pairs is 1 by
+    construction, which makes the full pipeline (signature, banding,
+    candidate equi-join, exact verify) deterministic and DuckDB-checkable:
+    the oracle computes the exact all-pairs cosine over the same augmented
+    set (the fixture's natural max pairwise cosine is ~0.51, far below the
+    0.85 threshold, so both engines emit exactly the planted pairs). This
+    is the oracle evidence for the rows-only natural-corpus twin, whose
+    own output hash stays engine-specific only in the sense that banding
+    recall <1 WOULD matter if near-threshold natural pairs existed."""
+    base = _emb_with_norm(spark, sf_dir)
+    planted = base.filter(F.col("vec_id") % PLANT_MOD == 0).select(
+        (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"), "embedding", "nrm"
+    )
+    return embedding_lsh_pairs(
+        base.unionByName(planted),
+        RHP_BANDS_PROD,
+        RHP_ROWS_PROD,
+        COSINE_THRESHOLD_PROD,
+    ).orderBy("vec_a", "vec_b")
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star — near-dup CLUSTER formation: connected components over
     the Jaccard pair graph, so each duplicate group keeps exactly one
@@ -681,6 +714,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_cosine_prod": dedup_embedding_cosine_prod,
+    "dedup_embedding_prod_planted": dedup_embedding_prod_planted,
 }
 
 ORACLE = {
@@ -697,6 +731,21 @@ ORACLE = {
         "SELECT MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies FROM ("
         "SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') "
         "AS norm_text FROM documents) GROUP BY norm_text"
+    ),
+    # exact all-pairs cosine over the planted-duplicate augmented set: at
+    # fixture scale the n^2 verify is the oracle (O(360k) dot products in
+    # DuckDB); the Spark side must find the same pairs THROUGH the banded
+    # LSH pipeline, whose recall on exact copies is 1 by construction
+    "dedup_embedding_prod_planted": (
+        "WITH aug AS (SELECT vec_id, embedding FROM embeddings "
+        "UNION ALL "
+        f"SELECT vec_id + {PLANT_OFFSET} AS vec_id, embedding "
+        f"FROM embeddings WHERE vec_id % {PLANT_MOD} = 0), "
+        "p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+        f"ROUND({cosine_sql('a.embedding', 'b.embedding')}, 6) AS cosine "
+        "FROM aug a JOIN aug b ON a.vec_id < b.vec_id) "
+        f"SELECT vec_a, vec_b, cosine FROM p "
+        f"WHERE cosine >= {COSINE_THRESHOLD_PROD} ORDER BY vec_a, vec_b"
     ),
     "dedup_ngram_jaccard": (
         f"WITH sh AS ({_SHINGLE_SQL}), "

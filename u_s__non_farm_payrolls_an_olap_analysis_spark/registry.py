@@ -110,6 +110,7 @@ _SAMPLE_PRIORITY = [
     "scan_dpp_dim_filter",
     "join_bucketed_zero_shuffle",
     "stream_upsert_foreach_batch",
+    "dedup_embedding_prod_planted",
     # changed in round 8 (tz-independent decode / q8 replan) — need fresh
     # driver rows first
     "tpch_q8_market_share",
