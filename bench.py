@@ -600,6 +600,22 @@ def main() -> None:
                 "total_first_run": round(sum(first_run.values()), 4),
                 "sf1": sf1,
                 "sfn": sfn,
+                # 100x facts is a first-class, env-gated protocol: rerun
+                # with SPARK_GRAFT_SFN_REP=100 (regenerates .bench_sf3x
+                # via the rep-stamped _READY marker). Numbers below are
+                # from the last such run on this host (BASELINE.md r8),
+                # kept here so the crossover claim travels with the JSON.
+                "sfn100": {
+                    "knob": "SPARK_GRAFT_SFN_REP=100",
+                    "last_verified": {
+                        "tpch_q8_market_share": {
+                            "spark_sec": 4.2,
+                            "duckdb_sec": 59.0,
+                            "ratio": 0.07,
+                        },
+                        "note": "round-8 measurement, gated-broadcast plan",
+                    },
+                },
                 "sf": sf,
                 "startup_sec": round(startup, 2),
                 "noop_floor_sec": noop,

@@ -78,6 +78,10 @@ REPRESENTATIVE = [
     "layout_zorder_key",
     "text_pmi_collocations",
     "stream_docs_dedup_fingerprint",
+    "scan_dpp_dim_filter",
+    "join_bucketed_zero_shuffle",
+    "stream_upsert_foreach_batch",
+    "dedup_embedding_prod_planted",
 ]
 
 

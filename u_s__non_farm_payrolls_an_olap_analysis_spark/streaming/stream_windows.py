@@ -82,11 +82,19 @@ _STREAM_DIR_MEMO: dict[str, str] = {}
 def _stream_src_dir(src: str, prefix: str) -> str:
     """The file-stream source lists a DIRECTORY; a single fixture parquet
     file is exposed through a symlinked temp dir, memoized per source
-    path (shared by the events and documents streams)."""
+    path (shared by the events and documents streams). A DIRECTORY
+    source (Spark-written `table.parquet/part-*.parquet`, e.g. the
+    empty-fixture sweep) has its part files symlinked individually —
+    the stream source does not recurse into non-partition subdirs."""
     d = _STREAM_DIR_MEMO.get(src)
     if d is None or not os.path.exists(d):
         d = tempfile.mkdtemp(prefix=prefix)
-        os.symlink(src, f"{d}/{os.path.basename(src)}")
+        if os.path.isdir(src):
+            for f in sorted(os.listdir(src)):
+                if f.endswith(".parquet"):
+                    os.symlink(os.path.join(src, f), os.path.join(d, f))
+        else:
+            os.symlink(src, f"{d}/{os.path.basename(src)}")
         _STREAM_DIR_MEMO[src] = d
     return d
 
@@ -99,6 +107,13 @@ def _events_ts_unit(src: str) -> str:
     the same dual handling ``io.read_table`` applies on the batch side."""
     import pyarrow.parquet as pa_pq
 
+    if os.path.isdir(src):
+        parts = sorted(
+            f for f in os.listdir(src) if f.endswith(".parquet")
+        )
+        if not parts:  # rowless directory: no footer to probe; either
+            return "us"  # decode path yields the same zero rows
+        src = os.path.join(src, parts[0])
     return pa_pq.read_schema(src).field("ts").type.unit
 
 
