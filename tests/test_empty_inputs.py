@@ -82,6 +82,7 @@ REPRESENTATIVE = [
     "join_bucketed_zero_shuffle",
     "stream_upsert_foreach_batch",
     "dedup_embedding_prod_planted",
+    "pack_training_sequences",
 ]
 
 

@@ -422,3 +422,87 @@ ORACLE["vocab_coverage"] = (
     "THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS oov_rate "
     "FROM tok GROUP BY 1"
 )
+
+
+PACK_SEQ_TOKENS = 64    # training-block length (fixture-scale)
+PACK_BUCKET_SPAN = 256  # doc_ids per prefix-sum bucket
+
+
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — concat-and-split sequence packing: lay every document's
+    tokens end to end in doc_id order and cut the stream into fixed
+    ``PACK_SEQ_TOKENS``-token training blocks; emit each doc's global
+    token offset and the block range it lands in (the GPT-style packing
+    map every pre-training pipeline computes after cleaning; chunking
+    (:func:`chunk_documents`) splits WITHIN docs, packing places docs
+    within a GLOBAL stream).
+
+    The global running offset is a distributed TWO-LEVEL PREFIX SUM, not
+    a single-partition window: per-doc lengths aggregate into
+    ``doc_id div PACK_BUCKET_SPAN`` buckets, the tiny bucket table takes
+    the only global cumsum (rows = docs/span — at 100 TB repeat the
+    reduction for another /span factor), and each doc adds its
+    within-bucket cumsum (window partitioned by bucket, bounded rows) to
+    its broadcast bucket offset. An ``ORDER BY doc_id ROWS UNBOUNDED
+    PRECEDING`` window over the full corpus — the tempting one-liner —
+    serializes the entire table through one task at scale.
+    """
+    from pyspark.sql.window import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    lens = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.expr(f"doc_id div {PACK_BUCKET_SPAN}").alias("bucket"),
+    )
+    bucket_tot = lens.groupBy("bucket").agg(
+        F.sum("n_tokens").alias("bucket_tokens")
+    )
+    w_buckets = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bucket_off = bucket_tot.select(
+        "bucket",
+        F.coalesce(F.sum("bucket_tokens").over(w_buckets), F.lit(0)).alias(
+            "bucket_offset"
+        ),
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = lens.join(F.broadcast(bucket_off), "bucket").select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.col("bucket_offset")
+            + F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+        ).alias("start_offset"),
+    )
+    return placed.select(
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        F.expr(f"start_offset div {PACK_SEQ_TOKENS}").alias("first_seq"),
+        F.expr(
+            f"(start_offset + n_tokens - 1) div {PACK_SEQ_TOKENS}"
+        ).alias("last_seq"),
+    ).orderBy("doc_id")
+
+
+QUERIES["pack_training_sequences"] = pack_training_sequences
+
+ORACLE["pack_training_sequences"] = (
+    "WITH t AS (SELECT doc_id, "
+    "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens "
+    "FROM documents), "
+    "c AS (SELECT doc_id, n_tokens, "
+    "CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) "
+    "AS start_offset FROM t) "
+    "SELECT doc_id, n_tokens, start_offset, "
+    f"CAST(start_offset // {PACK_SEQ_TOKENS} AS BIGINT) AS first_seq, "
+    f"CAST((start_offset + n_tokens - 1) // {PACK_SEQ_TOKENS} AS BIGINT) "
+    "AS last_seq FROM c ORDER BY doc_id"
+)

@@ -111,6 +111,7 @@ _SAMPLE_PRIORITY = [
     "join_bucketed_zero_shuffle",
     "stream_upsert_foreach_batch",
     "dedup_embedding_prod_planted",
+    "pack_training_sequences",
     # changed in round 8 (tz-independent decode / q8 replan) — need fresh
     # driver rows first
     "tpch_q8_market_share",
