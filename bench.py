@@ -187,6 +187,8 @@ def _sf1_section(spark, base_dir: str) -> dict:
 
     spark_sec: dict[str, float] = {}
     duck_sec: dict[str, float] = {}
+    spark_spread: dict[str, list[float]] = {}
+    duck_spread: dict[str, list[float]] = {}
     for name, key in HEADLINE.items():
         fn = qs[key]
         fn(spark, out_dir).toPandas()  # warm: caches, codegen, code paths
@@ -205,6 +207,7 @@ def _sf1_section(spark, base_dir: str) -> dict:
             df.toPandas()
             times.append(time.time() - t)
         spark_sec[name] = round(statistics.median(times), 4)
+        spark_spread[name] = [round(min(times), 4), round(max(times), 4)]
         sql = oracles[key]
         con.execute(sql).fetchdf()  # warm
         times = []
@@ -213,6 +216,7 @@ def _sf1_section(spark, base_dir: str) -> dict:
             con.execute(sql).fetchdf()
             times.append(time.time() - t)
         duck_sec[name] = round(statistics.median(times), 4)
+        duck_spread[name] = [round(min(times), 4), round(max(times), 4)]
     con.close()
     spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
@@ -221,6 +225,11 @@ def _sf1_section(spark, base_dir: str) -> dict:
         "prep_sec": round(prep, 2),
         "spark": spark_sec,
         "duckdb": duck_sec,
+        # [min, max] across the SCALE_RUNS timed runs: the judged ratio is
+        # median/median, and the spread makes engine-variance-inflated
+        # ratios (DuckDB's q8 band has swung 3x run-to-run) self-evident
+        "spark_spread": spark_spread,
+        "duckdb_spread": duck_spread,
         "spark_total": round(sum(spark_sec.values()), 4),
         "duckdb_total": round(sum(duck_sec.values()), 4),
         "ratio_total": round(
@@ -333,6 +342,8 @@ def _sfn_section(spark, base_dir: str, sf1: dict) -> dict:
 
     spark_sec: dict[str, float] = {}
     duck_sec: dict[str, float] = {}
+    spark_spread: dict[str, list[float]] = {}
+    duck_spread: dict[str, list[float]] = {}
     for name, key in SFN_QUERIES.items():
         fn = qs[key]
         fn(spark, out_dir).toPandas()  # warm: caches, codegen, code paths
@@ -345,6 +356,7 @@ def _sfn_section(spark, base_dir: str, sf1: dict) -> dict:
             df.toPandas()
             times.append(time.time() - t)
         spark_sec[name] = round(statistics.median(times), 4)
+        spark_spread[name] = [round(min(times), 4), round(max(times), 4)]
         sql = oracles[key]
         con.execute(sql).fetchdf()  # warm
         times = []
@@ -353,6 +365,7 @@ def _sfn_section(spark, base_dir: str, sf1: dict) -> dict:
             con.execute(sql).fetchdf()
             times.append(time.time() - t)
         duck_sec[name] = round(statistics.median(times), 4)
+        duck_spread[name] = [round(min(times), 4), round(max(times), 4)]
     con.close()
 
     # Spark scaling slope vs the 10x section (ideal = SFN_REP/SF1_REP for
@@ -383,6 +396,9 @@ def _sfn_section(spark, base_dir: str, sf1: dict) -> dict:
         "prep_sec": round(prep, 2),
         "spark": spark_sec,
         "duckdb": duck_sec,
+        # [min, max] per engine — see _sf1_section
+        "spark_spread": spark_spread,
+        "duckdb_spread": duck_spread,
         "ratio_per_query": {
             k: round(spark_sec[k] / max(1e-9, duck_sec[k]), 2)
             for k in spark_sec
@@ -652,6 +668,12 @@ def main() -> None:
                 ),
                 "sfn_ratio_per_query": (
                     sfn.get("ratio_per_query") if isinstance(sfn, dict) else None
+                ),
+                "sfn_spark_spread": (
+                    sfn.get("spark_spread") if isinstance(sfn, dict) else None
+                ),
+                "sfn_duckdb_spread": (
+                    sfn.get("duckdb_spread") if isinstance(sfn, dict) else None
                 ),
                 "sfn_slope_vs_sf1": (
                     sfn.get("spark_slope_vs_sf1")

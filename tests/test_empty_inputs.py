@@ -83,6 +83,8 @@ REPRESENTATIVE = [
     "stream_upsert_foreach_batch",
     "dedup_embedding_prod_planted",
     "pack_training_sequences",
+    "join_bitmap_prefiltered",
+    "dedup_cluster_size_histogram",
 ]
 
 

@@ -142,6 +142,19 @@ def test_bucketed_registry_join_zero_exchange(spark):
     assert core.count() > 0
 
 
+def test_bitmap_prefilter_broadcasts_and_never_shuffle_joins(spark):
+    """join_bitmap_prefiltered: the fact side must meet the dim-key
+    bitmap via a broadcast join only — any SortMergeJoin/ShuffledHashJoin
+    would mean the fact shuffled for the semi-filter, defeating it."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import joins
+
+    df = joins.join_bitmap_prefiltered(spark, SF)
+    kinds = join_kinds(df)
+    assert "BroadcastHashJoin" in kinds, kinds
+    assert "SortMergeJoin" not in kinds and "ShuffledHashJoin" not in kinds
+    assert df.count() > 0
+
+
 def test_sql_exists_decorrelates_to_semi_join(spark):
     from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import sql_api
 

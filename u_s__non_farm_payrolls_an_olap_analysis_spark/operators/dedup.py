@@ -607,6 +607,28 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels
 
 
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution: for each cluster size, how
+    many clusters and how many documents it accounts for — the corpus
+    health report read off :func:`dedup_clusters` output (a 10-doc
+    cluster deflating to 1 keeper is a very different corpus than five
+    2-doc clusters). Two tiny re-aggregations over the label frame; the
+    heavy lifting (pair graph + components) is shared with
+    ``dedup_clusters`` unchanged."""
+    labels = dedup_clusters(spark, sf_dir)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            (F.count(F.lit(1)) * F.col("cluster_size")).alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
 GEMM_BLOCK = 256
 
 
@@ -709,6 +731,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_incremental_new_docs": dedup_incremental_new_docs,
     "dedup_clusters": dedup_clusters,
+    "dedup_cluster_size_histogram": dedup_cluster_size_histogram,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_near": dedup_minhash_near,
     "dedup_simhash": dedup_simhash,
@@ -778,5 +801,28 @@ ORACLE = {
         "UNION "
         "SELECT e.src, r.lbl FROM e JOIN reach r ON e.dst = r.src) "
         "SELECT src AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY src"
+    ),
+    "dedup_cluster_size_histogram": (
+        f"WITH RECURSIVE sh AS ({_SHINGLE_SQL}), "
+        "sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i "
+        "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+        "GROUP BY 1, 2), "
+        "p AS (SELECT doc_a, doc_b FROM inter "
+        "JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b "
+        f"WHERE i / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}), "
+        "e AS (SELECT doc_a AS src, doc_b AS dst FROM p "
+        "UNION ALL SELECT doc_b, doc_a FROM p), "
+        "reach(src, lbl) AS ("
+        "SELECT doc_id, doc_id FROM documents "
+        "UNION "
+        "SELECT e.src, r.lbl FROM e JOIN reach r ON e.dst = r.src), "
+        "lab AS (SELECT src AS doc_id, MIN(lbl) AS cluster_id "
+        "FROM reach GROUP BY src), "
+        "s AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab "
+        "GROUP BY 1) "
+        "SELECT cluster_size, COUNT(*) AS n_clusters, "
+        "COUNT(*) * cluster_size AS n_docs "
+        "FROM s GROUP BY 1 ORDER BY 1"
     ),
 }

@@ -93,6 +93,59 @@ def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_bitmap_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — broadcast BITMAP semi-join: yearly order volume for
+    one market segment's customers, with the fact side filtered by an
+    exact key bitmap instead of a join hash relation. The filtered dim's
+    keys fold into a (word -> 64-bit mask) table via ``bit_or`` (8 bytes
+    per 64 keys of key DOMAIN — a 1e9-key dense id space is ~125 MB,
+    broadcastable when the dim's hash relation with payload is not);
+    each fact row probes its word with one shift-and-mask. The bitmap is
+    EXACT over integer keys, so the probe IS the semi-join — no fact
+    shuffle, no per-row hash table, and the dim payload is never
+    shipped. For SPARSE key domains the same shape degrades gracefully
+    to a lossy bloom (hash the key into k positions, verify with the
+    real join) — Catalyst's own InjectRuntimeFilter form of that is
+    demonstrated at engine defaults in tests/test_scale_patterns.py;
+    this operator keeps the always-on exact variant under engine
+    control."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    bits = (
+        read_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(
+            F.expr("c_custkey div 64").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(c_custkey % 64 AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    pre = (
+        orders.withColumn("word", F.expr("o_custkey div 64"))
+        # inner join: a fact word with NO dim keys has no bitmap row and
+        # is dropped outright — the coarse first level of the filter
+        .join(F.broadcast(bits), "word")
+        .filter(
+            F.expr(
+                "shiftright(bits, CAST(o_custkey % 64 AS INT)) & 1"
+            )
+            == 1
+        )
+    )
+    return (
+        pre.groupBy(F.year("o_orderdate").cast("int").alias("year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(dsum("o_totalprice"), 4).alias("total"),
+        )
+        .orderBy("year")
+    )
+
+
 def join_range_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 — for each event, the most recent order at-or-before the event
     time for the same user (generalizes the reference's recovery as-of, J1).
@@ -300,9 +353,18 @@ QUERIES = {
     "join_skew_aqe": join_skew_aqe,
     "join_full_outer_reconcile": join_full_outer_reconcile,
     "join_null_safe_eq": join_null_safe_eq,
+    "join_bitmap_prefiltered": join_bitmap_prefiltered,
 }
 
 ORACLE = {
+    "join_bitmap_prefiltered": (
+        "SELECT CAST(year(o_orderdate) AS INT) AS year, "
+        "COUNT(*) AS n_orders, "
+        f"ROUND({dsum_sql('o_totalprice')}, 4) AS total "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "WHERE c_mktsegment = 'BUILDING' "
+        "GROUP BY 1 ORDER BY 1"
+    ),
     "join_null_safe_eq": (
         "WITH a AS (SELECT NULLIF(o_orderpriority, '1-URGENT') AS ka, "
         "COUNT(*) AS na FROM orders GROUP BY 1), "

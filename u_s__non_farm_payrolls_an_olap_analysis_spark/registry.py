@@ -112,6 +112,8 @@ _SAMPLE_PRIORITY = [
     "stream_upsert_foreach_batch",
     "dedup_embedding_prod_planted",
     "pack_training_sequences",
+    "join_bitmap_prefiltered",
+    "dedup_cluster_size_histogram",
     # changed in round 8 (tz-independent decode / q8 replan) — need fresh
     # driver rows first
     "tpch_q8_market_share",
