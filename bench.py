@@ -618,19 +618,15 @@ def main() -> None:
                 "sfn": sfn,
                 # 100x facts is a first-class, env-gated protocol: rerun
                 # with SPARK_GRAFT_SFN_REP=100 (regenerates .bench_sf3x
-                # via the rep-stamped _READY marker). Numbers below are
-                # from the last such run on this host (BASELINE.md r8),
-                # kept here so the crossover claim travels with the JSON.
+                # via the rep-stamped _READY marker). This run did NOT
+                # execute it unless sfn.rep says so — the pointer names
+                # where the last measured numbers live rather than baking
+                # stale literals into fresh output.
                 "sfn100": {
                     "knob": "SPARK_GRAFT_SFN_REP=100",
-                    "last_verified": {
-                        "tpch_q8_market_share": {
-                            "spark_sec": 4.2,
-                            "duckdb_sec": 59.0,
-                            "ratio": 0.07,
-                        },
-                        "note": "round-8 measurement, gated-broadcast plan",
-                    },
+                    "ran_in_this_run": SFN_REP >= 100,
+                    "last_verified_in": "BASELINE.md round-8 section "
+                    "(q8 crossover, gated-broadcast plan)",
                 },
                 "sf": sf,
                 "startup_sec": round(startup, 2),

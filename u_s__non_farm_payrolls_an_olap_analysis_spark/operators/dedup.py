@@ -81,6 +81,29 @@ _SHINGLE_SQL = (
     "UNNEST(range(1, greatest(len(tokens) - 1, 1))) AS t(i)"
 )
 
+# shared oracle prefix for the cluster-label queries: shingles → Jaccard
+# pair graph → recursive transitive closure → min label per doc. Both
+# dedup_clusters and dedup_cluster_size_histogram compose on `lab` so the
+# threshold/shingle/label rules live in exactly one place.
+_CLUSTER_LABELS_SQL = (
+    f"WITH RECURSIVE sh AS ({_SHINGLE_SQL}), "
+    "sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1), "
+    "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i "
+    "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+    "GROUP BY 1, 2), "
+    "p AS (SELECT doc_a, doc_b FROM inter "
+    "JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b "
+    f"WHERE i / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}), "
+    "e AS (SELECT doc_a AS src, doc_b AS dst FROM p "
+    "UNION ALL SELECT doc_b, doc_a FROM p), "
+    "reach(src, lbl) AS ("
+    "SELECT doc_id, doc_id FROM documents "
+    "UNION "
+    "SELECT e.src, r.lbl FROM e JOIN reach r ON e.dst = r.src), "
+    "lab AS (SELECT src AS doc_id, MIN(lbl) AS cluster_id "
+    "FROM reach GROUP BY src)"
+)
+
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X10 — exact dedup on normalized text: one hash aggregate; keeper =
@@ -786,39 +809,10 @@ ORACLE = {
     # (engine-specific hash bits drive candidate generation); each is
     # recall-tested against its oracle-exact twin.
     "dedup_clusters": (
-        f"WITH RECURSIVE sh AS ({_SHINGLE_SQL}), "
-        "sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1), "
-        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i "
-        "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
-        "GROUP BY 1, 2), "
-        "p AS (SELECT doc_a, doc_b FROM inter "
-        "JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b "
-        f"WHERE i / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}), "
-        "e AS (SELECT doc_a AS src, doc_b AS dst FROM p "
-        "UNION ALL SELECT doc_b, doc_a FROM p), "
-        "reach(src, lbl) AS ("
-        "SELECT doc_id, doc_id FROM documents "
-        "UNION "
-        "SELECT e.src, r.lbl FROM e JOIN reach r ON e.dst = r.src) "
-        "SELECT src AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY src"
+        f"{_CLUSTER_LABELS_SQL} SELECT doc_id, cluster_id FROM lab"
     ),
     "dedup_cluster_size_histogram": (
-        f"WITH RECURSIVE sh AS ({_SHINGLE_SQL}), "
-        "sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1), "
-        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i "
-        "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
-        "GROUP BY 1, 2), "
-        "p AS (SELECT doc_a, doc_b FROM inter "
-        "JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b "
-        f"WHERE i / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}), "
-        "e AS (SELECT doc_a AS src, doc_b AS dst FROM p "
-        "UNION ALL SELECT doc_b, doc_a FROM p), "
-        "reach(src, lbl) AS ("
-        "SELECT doc_id, doc_id FROM documents "
-        "UNION "
-        "SELECT e.src, r.lbl FROM e JOIN reach r ON e.dst = r.src), "
-        "lab AS (SELECT src AS doc_id, MIN(lbl) AS cluster_id "
-        "FROM reach GROUP BY src), "
+        f"{_CLUSTER_LABELS_SQL}, "
         "s AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab "
         "GROUP BY 1) "
         "SELECT cluster_size, COUNT(*) AS n_clusters, "

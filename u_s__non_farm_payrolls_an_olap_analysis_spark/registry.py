@@ -87,14 +87,17 @@ _MODULES = [
 # iteration) — prune entries once their round's JSON records them
 # (CLAUDE.md rule 7).
 # Round-8 rotation: all round-7-recorded keys pruned (green rows in
-# CORRECTNESS_r07). Leads with (a) the 7 operators NEW this round
-# (llm_prep pack + layout_zorder_key), (b) the 8 keys whose decode or
-# plan changed this round (tz-independent event-time work: streaming
+# CORRECTNESS_r07). Leads with (a) the 16 operators NEW this round
+# (llm_prep pack incl. pack_training_sequences, layout_zorder_key,
+# text_pmi_collocations, the streaming crawl-dedup and foreachBatch
+# upsert, DPP + bucketed + bitmap join demonstrators, the planted-LSH
+# oracle twin, the cluster-size histogram), (b) the 8 keys whose decode
+# or plan changed this round (tz-independent event-time work: streaming
 # sliding/session/dedup, sessionize_batch, join_interval_bucketed,
 # window_trailing_range_frame, multimodal_frame_sample's batch guard;
 # the q8 replan), then (c) oldest evidence first: the r3 keys and the
 # r4 keys that predate the round-4 per-row-rounding convention. The
-# list is 60 long — the 10 past slot 50 roll into the round-9/10
+# list is 69 long — the 19 past slot 50 roll into the round-9/10
 # samples; prune recorded keys next round.
 _SAMPLE_PRIORITY = [
     # new in round 8 — no driver row exists yet

@@ -87,6 +87,14 @@ def _stream_src_dir(src: str, prefix: str) -> str:
     empty-fixture sweep) has its part files symlinked individually —
     the stream source does not recurse into non-partition subdirs."""
     d = _STREAM_DIR_MEMO.get(src)
+    if d is not None and os.path.exists(d) and os.path.isdir(src):
+        # a rewritten source dir (mode("overwrite") → new part-file uuids)
+        # leaves the memoized snapshot full of dangling symlinks — compare
+        # the link set against the live listing and rebuild on drift
+        want = {f for f in os.listdir(src) if f.endswith(".parquet")}
+        if set(os.listdir(d)) != want:
+            shutil.rmtree(d, ignore_errors=True)
+            d = None
     if d is None or not os.path.exists(d):
         d = tempfile.mkdtemp(prefix=prefix)
         if os.path.isdir(src):
@@ -466,8 +474,12 @@ def stream_upsert_foreach_batch(
     Scale posture: state is one row per key (bounded by key cardinality,
     not stream length); each batch costs one keyed shuffle of the batch
     plus a rewrite of the target — on a cluster the target would be a
-    MERGE-capable table format (the parquet overwrite is the sandbox
-    stand-in with identical semantics).
+    MERGE-capable table format (the parquet stage-write + directory
+    rename is the sandbox stand-in with the same semantics). Batch
+    REPLAY (checkpoint recovery redelivering a batch whose merge already
+    committed) is guarded by a batch-id watermark swapped in atomically
+    with the state: additive merges are not naturally idempotent, so a
+    replayed batch_id at or below the watermark is skipped.
     """
     if _source is None:  # tests inject a multi-file stream to force >1 batch
         ev = _events_stream(spark, sf_dir).select(
@@ -481,20 +493,26 @@ def stream_upsert_foreach_batch(
     state_schema = (
         "user_id long, n_events long, sum_scaled long, last_micros long"
     )
+    batch_marker = os.path.join(target, "_LAST_BATCH")
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         global LAST_UPSERT_BATCHES
         LAST_UPSERT_BATCHES = (LAST_UPSERT_BATCHES or 0) + 1
         s = batch_df.sparkSession
+        # replay guard: the marker travels inside the state dir, so state
+        # and watermark swap together — a redelivered batch is a no-op
+        if os.path.exists(batch_marker):
+            with open(batch_marker) as f:
+                if batch_id <= int(f.read().strip()):
+                    return
         updates = batch_df.groupBy("user_id").agg(
             F.count(F.lit(1)).alias("n_events"),
             dsum_scaled("value").alias("sum_scaled"),
             F.max("ts_us").alias("last_micros"),
         )
-        try:
+        if os.path.exists(target):  # no state yet before the first commit
             current = s.read.schema(state_schema).parquet(target)
-            current.head(1)  # force the existence check eagerly
-        except Exception:  # first batch: no state yet
+        else:
             current = s.createDataFrame([], state_schema)
         merged = (
             current.unionByName(updates)
@@ -505,12 +523,16 @@ def stream_upsert_foreach_batch(
                 F.max("last_micros").alias("last_micros"),
             )
         )
-        # stage-then-swap: the merge plan lazily READS the target it is
-        # about to overwrite, so materialize to a stage dir first
-        merged.write.mode("overwrite").parquet(target + "_stage")
-        s.read.schema(state_schema).parquet(target + "_stage").write.mode(
-            "overwrite"
-        ).parquet(target)
+        # stage-then-rename: the merge plan lazily READS the target it
+        # replaces, so materialize to a stage dir, then swap with one
+        # directory rename (no second Spark job; the non-atomic window
+        # is the rename, not a full rewrite)
+        stage = target + "_stage"
+        merged.write.mode("overwrite").parquet(stage)
+        with open(os.path.join(stage, "_LAST_BATCH"), "w") as f:
+            f.write(str(batch_id))
+        shutil.rmtree(target, ignore_errors=True)
+        os.replace(stage, target)
 
     with _bounded_state_partitions(spark):
         q = (
@@ -521,7 +543,10 @@ def stream_upsert_foreach_batch(
         )
         q.awaitTermination()
 
-    state = spark.read.schema(state_schema).parquet(target)
+    if os.path.exists(target):
+        state = spark.read.schema(state_schema).parquet(target)
+    else:  # zero micro-batches (empty/rowless source): empty state
+        state = spark.createDataFrame([], state_schema)
     from ..functions.numerics import SCALE
 
     return state.select(
