@@ -85,6 +85,8 @@ REPRESENTATIVE = [
     "pack_training_sequences",
     "join_bitmap_prefiltered",
     "dedup_cluster_size_histogram",
+    "sample_corpus_mixture",
+    "dedup_keep_best",
 ]
 
 

@@ -630,6 +630,35 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels
 
 
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware representative selection: within each near-dup
+    cluster keep the LONGEST document (``n_chars`` desc, doc_id tiebreak)
+    instead of the arbitrary min-id — the policy real pipelines use so
+    dedup doesn't systematically keep truncated variants. One broadcast
+    of nothing new: the labels frame joins the documents scan and a
+    bounded per-cluster rank window picks the keeper (cluster sizes are
+    tiny, so the window partition never skews)."""
+    from pyspark.sql.window import Window
+
+    labels = dedup_clusters(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        labels.join(docs, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias(
+                "keeper_doc_id"
+            ),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster size distribution: for each cluster size, how
     many clusters and how many documents it accounts for — the corpus
@@ -755,6 +784,7 @@ QUERIES = {
     "dedup_incremental_new_docs": dedup_incremental_new_docs,
     "dedup_clusters": dedup_clusters,
     "dedup_cluster_size_histogram": dedup_cluster_size_histogram,
+    "dedup_keep_best": dedup_keep_best,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_near": dedup_minhash_near,
     "dedup_simhash": dedup_simhash,
@@ -810,6 +840,17 @@ ORACLE = {
     # recall-tested against its oracle-exact twin.
     "dedup_clusters": (
         f"{_CLUSTER_LABELS_SQL} SELECT doc_id, cluster_id FROM lab"
+    ),
+    "dedup_keep_best": (
+        f"{_CLUSTER_LABELS_SQL}, "
+        "m AS (SELECT l.cluster_id, d.doc_id, d.n_chars, "
+        "ROW_NUMBER() OVER (PARTITION BY l.cluster_id "
+        "ORDER BY d.n_chars DESC, d.doc_id) AS rn "
+        "FROM lab l JOIN documents d ON l.doc_id = d.doc_id) "
+        "SELECT cluster_id, "
+        "MAX(CASE WHEN rn = 1 THEN doc_id END) AS keeper_doc_id, "
+        "COUNT(*) AS n_members "
+        "FROM m GROUP BY 1 ORDER BY 1"
     ),
     "dedup_cluster_size_histogram": (
         f"{_CLUSTER_LABELS_SQL}, "

@@ -506,3 +506,102 @@ ORACLE["pack_training_sequences"] = (
     f"CAST((start_offset + n_tokens - 1) // {PACK_SEQ_TOKENS} AS BIGINT) "
     "AS last_seq FROM c ORDER BY doc_id"
 )
+
+
+# target language mixture (percent) and overall sampling budget (percent
+# of the corpus) — the "data mixing" step that turns a raw crawl into a
+# training distribution (weights are config; integers keep the
+# per-language thresholds exact in both engines)
+MIX_WEIGHTS = {"en": 50, "de": 15, "es": 15, "fr": 10, "zh": 10}
+MIX_BUDGET_PCT = 60
+MIX_MOD = 10_000  # key-space granularity of the deterministic sampler
+
+
+def sample_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — corpus mixture sampling: resample the corpus toward a
+    target LANGUAGE distribution under an overall token budget, with
+    deterministic key-modulus membership (same doc kept on every run and
+    engine — no train/test churn across pipeline reruns).
+
+    Per language: quota = budget x weight; keep threshold =
+    quota/n_docs of the key space, all in INTEGER arithmetic (floats
+    would round differently across engines); a doc survives iff
+    ``doc_id % MIX_MOD < threshold``. Languages scarcer than their quota
+    cap at keep-everything (threshold = MIX_MOD) — the standard
+    upsample-by-epochs decision is left to the trainer.
+
+    Scale shape: one tiny per-language count aggregate broadcasts back
+    over the scan; membership is a per-row modulus — no shuffle of the
+    corpus, no sort, no RNG state."""
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull()
+    )
+    n = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = n.agg(F.sum("n_docs").alias("total"))
+    w = F.coalesce(
+        F.element_at(
+            F.create_map(
+                *[x for k, v in MIX_WEIGHTS.items() for x in (F.lit(k), F.lit(v))]
+            ),
+            F.col("lang"),
+        ),
+        F.lit(0),
+    )
+    quotas = (
+        n.crossJoin(F.broadcast(total))
+        .withColumn("w", w)
+        .withColumn(
+            "sample_threshold",
+            F.least(
+                F.lit(MIX_MOD),
+                F.expr(
+                    f"((total * {MIX_BUDGET_PCT}) div 100 * w) div 100 "
+                    f"* {MIX_MOD} div n_docs"
+                ),
+            ),
+        )
+        .select("lang", "n_docs", "sample_threshold")
+    )
+    kept = (
+        docs.join(F.broadcast(quotas), "lang")
+        .filter(F.col("doc_id") % MIX_MOD < F.col("sample_threshold"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_selected"))
+    )
+    return (
+        quotas.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "sample_threshold",
+            F.coalesce("n_selected", F.lit(0)).alias("n_selected"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _mix_weight_case() -> str:
+    return (
+        "CASE lang "
+        + " ".join(f"WHEN '{k}' THEN {v}" for k, v in MIX_WEIGHTS.items())
+        + " ELSE 0 END"
+    )
+
+
+QUERIES["sample_corpus_mixture"] = sample_corpus_mixture
+
+ORACLE["sample_corpus_mixture"] = (
+    "WITH n AS (SELECT lang, COUNT(*) AS n_docs FROM documents "
+    "WHERE lang IS NOT NULL GROUP BY 1), "
+    "tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM n), "
+    "q AS (SELECT lang, n_docs, "
+    f"LEAST({MIX_MOD}, ((total * {MIX_BUDGET_PCT}) // 100 "
+    f"* ({_mix_weight_case()})) // 100 * {MIX_MOD} // n_docs) "
+    "AS sample_threshold FROM n CROSS JOIN tot), "
+    "sel AS (SELECT d.lang, COUNT(*) AS n_selected FROM documents d "
+    "JOIN q USING (lang) "
+    f"WHERE d.doc_id % {MIX_MOD} < q.sample_threshold GROUP BY 1) "
+    "SELECT q.lang, q.n_docs, q.sample_threshold, "
+    "CAST(COALESCE(sel.n_selected, 0) AS BIGINT) AS n_selected "
+    "FROM q LEFT JOIN sel ON q.lang = sel.lang ORDER BY q.lang"
+)

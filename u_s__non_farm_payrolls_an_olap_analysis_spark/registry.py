@@ -117,6 +117,8 @@ _SAMPLE_PRIORITY = [
     "pack_training_sequences",
     "join_bitmap_prefiltered",
     "dedup_cluster_size_histogram",
+    "sample_corpus_mixture",
+    "dedup_keep_best",
     # changed in round 8 (tz-independent decode / q8 replan) — need fresh
     # driver rows first
     "tpch_q8_market_share",
