@@ -191,3 +191,46 @@ def test_stateful_profile_accumulates_across_microbatches(spark, tmp_path):
         )
         expect[uid] = (len(g), round(sv / 10000.0, 4), int(g["ts_us"].max()))
     assert got == expect
+
+
+def test_stream_source_resumes_from_checkpoint(spark, tmp_path):
+    """The Python streaming source must resume AFTER its last committed
+    page on restart: a first query ingests 2019-2021, a second query over
+    the extended 2019-2024 range reuses the SAME checkpoint and sink and
+    must append only 2022-2024 — every year exactly once, no refetch of
+    committed pages."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.sources.fred_datasource import (
+        FredSeriesDataSource,
+    )
+
+    spark.dataSource.register(FredSeriesDataSource)
+    sink = str(tmp_path / "series_sink")
+    ckpt = str(tmp_path / "series_ckpt")
+
+    def run(end_year: int) -> None:
+        q = (
+            spark.readStream.format("fred_series")
+            .option("start_year", 2019)
+            .option("end_year", end_year)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+    run(2021)
+    first = spark.read.parquet(sink).collect()
+    assert sorted({r.date.year for r in first}) == [2019, 2020, 2021]
+    assert len(first) == 36
+
+    run(2024)
+    rows = spark.read.parquet(sink).collect()
+    per_year = {}
+    for r in rows:
+        per_year[r.date.year] = per_year.get(r.date.year, 0) + 1
+    assert per_year == {y: 12 for y in range(2019, 2025)}, per_year

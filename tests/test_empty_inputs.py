@@ -87,6 +87,7 @@ REPRESENTATIVE = [
     "dedup_cluster_size_histogram",
     "sample_corpus_mixture",
     "dedup_keep_best",
+    "source_api_stream",
 ]
 
 

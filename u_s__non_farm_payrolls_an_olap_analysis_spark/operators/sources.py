@@ -22,6 +22,7 @@ path is covered by ``io.write_upsert_parquet`` tests.
 from __future__ import annotations
 
 import datetime as dt
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -99,6 +100,49 @@ def _source_oracle_sql() -> str:
     )
 
 
+def source_api_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1-streaming — the API series as a LIVE FEED through the Python
+    DataSource's STREAM reader (``fred_datasource.FredSeriesStreamReader``):
+    one API page (year) per micro-batch, offsets owned by the streaming
+    checkpoint, so a production poller restarted mid-series resumes after
+    its last committed page instead of refetching (the reference's
+    "refresh" is a full rerun of ``etl.py:85-89``). The drain runs the
+    query until the source reports caught-up (``processAllAvailable`` —
+    the feed has no end, unlike the file streams' ``availableNow``),
+    then returns the accumulated series; exactly-once per page comes
+    from offset tracking, checked by the resume test in
+    tests/test_custom_source_stateful.py."""
+    import tempfile
+
+    from ..sources.fred_datasource import FredSeriesDataSource
+    from ..streaming.stream_windows import _drain_dir
+
+    spark.dataSource.register(FredSeriesDataSource)  # idempotent re-register
+    name = f"fred_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("fred_series")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="fred_stream_ckpt_")
+        )
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    sink = spark.table(name)
+    path = _drain_dir(name)
+    sink.write.mode("overwrite").parquet(path)
+    spark.catalog.dropTempView(name)
+    out = spark.read.schema(sink.schema).parquet(path)
+    return out.select(
+        F.col("date").cast("timestamp").alias("date"), "value"
+    ).orderBy("date")
+
+
 def sink_jdbc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 — keyed merge semantics: 10% of orders arrive as updates with a
     bumped price plus two synthetic inserts; updates win per key."""
@@ -163,6 +207,7 @@ QUERIES = {
     "scd2_history_merge": scd2_history_merge,
     "source_api_extract": source_api_extract,
     "sink_jdbc_upsert": sink_jdbc_upsert,
+    "source_api_stream": source_api_stream,
 }
 
 ORACLE = {
@@ -183,6 +228,17 @@ ORACLE = {
         "FROM hist"
     ),
     "source_api_extract": _source_oracle_sql(),
+    # the stream drains the SAME deterministic series the VALUES inline —
+    # the hash check covers the stream-reader path end to end
+    "source_api_stream": (
+        "WITH raw(date, value) AS (VALUES "
+        + ", ".join(
+            f"(TIMESTAMP '{d.isoformat()}', {v})"
+            for d, v in fake_fred_payems()
+        )
+        + ") SELECT date, CAST(value AS BIGINT) AS value FROM raw "
+        "ORDER BY date"
+    ),
     "sink_jdbc_upsert": (
         "WITH u AS (SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice "
         "FROM orders WHERE o_orderkey % 10 = 0 "

@@ -119,6 +119,7 @@ _SAMPLE_PRIORITY = [
     "dedup_cluster_size_histogram",
     "sample_corpus_mixture",
     "dedup_keep_best",
+    "source_api_stream",
     # changed in round 8 (tz-independent decode / q8 replan) — need fresh
     # driver rows first
     "tpch_q8_market_share",

@@ -18,7 +18,12 @@ from __future__ import annotations
 
 import datetime as dt
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import (
     DateType,
     LongType,
@@ -83,3 +88,37 @@ class FredSeriesDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return FredSeriesReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType):
+        return FredSeriesStreamReader(self.options)
+
+
+class FredSeriesStreamReader(SimpleDataSourceStreamReader):
+    """Streaming side of the same source: the series arrives as a LIVE
+    FEED, one API page (year) per micro-batch — the shape of a production
+    poller that wakes, fetches whatever the API has past its offset, and
+    commits. Offsets are plain ``{"year": y}`` dicts; Spark's checkpoint
+    owns them, so a restarted query resumes mid-series without re-reading
+    committed pages (``readBetweenOffsets`` replays a committed range for
+    recovery). Validation mirrors the batch reader's."""
+
+    def __init__(self, options: dict):
+        # same validation rules as the batch FredSeriesReader
+        FredSeriesReader(options)
+        self.start_year = int(options.get("start_year", 2019))
+        self.end_year = int(options.get("end_year", 2024))
+
+    def initialOffset(self) -> dict:
+        return {"year": self.start_year}
+
+    def read(self, start: dict):
+        y = int(start["year"])
+        if y > self.end_year:  # caught up: no new pages, offset unchanged
+            return iter([]), start
+        return iter(_fetch_page(y)), {"year": y + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        rows: list[tuple[dt.date, int]] = []
+        for y in range(int(start["year"]), int(end["year"])):
+            rows.extend(_fetch_page(y))
+        return iter(rows)
