@@ -88,6 +88,7 @@ REPRESENTATIVE = [
     "sample_corpus_mixture",
     "dedup_keep_best",
     "source_api_stream",
+    "layout_compact_small_files",
 ]
 
 

@@ -258,3 +258,32 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_compaction_collapses_file_count(spark):
+    """layout_compact_small_files: the fragmented copy (64 files) must
+    compact to ceil(bytes / COMPACT_TARGET_BYTES) files with identical
+    rows — compaction is a physical rewrite only."""
+    import os
+
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import layout
+
+    layout.layout_compact_small_files(spark, SF).collect()  # build layouts
+    frag = layout._derived_path(SF, "orders_fragmented")
+    comp = layout._derived_path(SF, "orders_compacted")
+
+    def parts(d):
+        return [f for f in os.listdir(d) if f.endswith(".parquet")]
+
+    n_frag, n_comp = len(parts(frag)), len(parts(comp))
+    assert n_frag == layout._FRAGMENT_FILES
+    total = sum(
+        os.path.getsize(os.path.join(frag, f)) for f in parts(frag)
+    )
+    expected = max(1, -(-total // layout.COMPACT_TARGET_BYTES))
+    assert n_comp == expected, (n_comp, expected)
+    assert n_comp < n_frag
+    assert (
+        spark.read.parquet(comp).count()
+        == spark.read.parquet(frag).count()
+    )

@@ -350,3 +350,83 @@ ORACLE["layout_zorder_key"] = (
     "SELECT o_orderkey, cust_bucket, day_bucket, "
     f"CAST({_zorder_morton_sql()} AS INT) AS zkey FROM b"
 )
+
+
+# --- Small-file compaction: the OPTIMIZE-style maintenance rewrite ------
+#
+# Streaming ingest and fine-grained partitioning leave facts as thousands
+# of KB-sized files; at 100 TB the scan cost is then dominated by file
+# OPEN overhead (footer reads, scheduling one task per tiny split), not
+# bytes. Compaction bin-packs them back to ~TARGET-byte files: read,
+# range-repartition on the layout's sort key (keeps clustering, so footer
+# min/max stay tight), write. tests/test_scale_patterns.py measures the
+# file-count collapse on a deliberately fragmented copy.
+
+COMPACT_TARGET_BYTES = 128 << 20  # the usual scan-optimal parquet size
+_FRAGMENT_FILES = 64              # fixture-scale "ingest damage"
+
+
+def _fragmented_orders(spark: SparkSession, sf_dir: str) -> str:
+    d = _derived_path(sf_dir, "orders_fragmented")
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        (
+            read_table(spark, sf_dir, "orders")
+            .repartition(_FRAGMENT_FILES)
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+    return d
+
+
+def compact_parquet_dir(
+    spark: SparkSession, src: str, dst: str, sort_col: str
+) -> str:
+    """Bin-pack ``src`` into ~COMPACT_TARGET_BYTES files at ``dst``,
+    range-clustered by ``sort_col`` (one shuffle; footer stats on the
+    sort key stay tight for data skipping)."""
+    total = sum(
+        os.path.getsize(os.path.join(src, f))
+        for f in os.listdir(src)
+        if f.endswith(".parquet")
+    )
+    n_out = max(1, -(-total // COMPACT_TARGET_BYTES))  # ceil-div
+    df = spark.read.parquet(src)
+    (
+        df.repartitionByRange(n_out, F.col(sort_col))
+        .sortWithinPartitions(sort_col)
+        .write.mode("overwrite")
+        .parquet(dst)
+    )
+    return dst
+
+
+def layout_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — yearly totals off a COMPACTED copy of a deliberately
+    fragmented orders layout: results are identical to the flat table by
+    construction (the oracle reads the original parquet), which is the
+    whole point — compaction is a physical rewrite, never a semantic
+    change. The measured benefit (64 files -> ceil(bytes/128 MB)) lives
+    in tests/test_scale_patterns.py."""
+    frag = _fragmented_orders(spark, sf_dir)
+    dst = _derived_path(sf_dir, "orders_compacted")
+    if not os.path.exists(os.path.join(dst, "_SUCCESS")):
+        compact_parquet_dir(spark, frag, dst, "o_orderkey")
+    orders = spark.read.parquet(dst)
+    return (
+        orders.groupBy(F.year("o_orderdate").cast("int").alias("year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(dsum("o_totalprice"), 4).alias("total"),
+        )
+        .orderBy("year")
+    )
+
+
+QUERIES["layout_compact_small_files"] = layout_compact_small_files
+
+ORACLE["layout_compact_small_files"] = (
+    "SELECT CAST(year(o_orderdate) AS INT) AS year, "
+    "COUNT(*) AS n_orders, "
+    f"ROUND({dsum_sql('o_totalprice')}, 4) AS total "
+    "FROM orders GROUP BY 1 ORDER BY 1"
+)

@@ -120,6 +120,7 @@ _SAMPLE_PRIORITY = [
     "sample_corpus_mixture",
     "dedup_keep_best",
     "source_api_stream",
+    "layout_compact_small_files",
     # changed in round 8 (tz-independent decode / q8 replan) — need fresh
     # driver rows first
     "tpch_q8_market_share",
