@@ -89,6 +89,7 @@ REPRESENTATIVE = [
     "dedup_keep_best",
     "source_api_stream",
     "layout_compact_small_files",
+    "cdc_apply_changes",
 ]
 
 

@@ -162,6 +162,50 @@ def sink_jdbc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply: fold an insert/update/delete change log into final
+    table state — the ``APPLY CHANGES INTO`` shape of Delta-class
+    pipelines, and the general form of the reference's upsert (which has
+    no deletes). Deterministic change feed synthesized from orders:
+    every order arrives as an INSERT at seq 0, every 10th key gets a
+    +10% price UPDATE at seq 1, every 97th a DELETE tombstone at seq 2.
+
+    Apply = one shuffle on the key: rank by sequence number descending,
+    keep the latest row per key, drop keys whose latest op is the
+    tombstone. Exactly the scalable MERGE shape — per-row ON CONFLICT
+    loops (the reference) or per-op table rewrites would be O(ops)
+    passes; this is one."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    inserts = orders.select(
+        "o_orderkey",
+        F.round("o_totalprice", 4).alias("price"),
+        F.lit("I").alias("op"),
+        F.lit(0).alias("seq"),
+    )
+    updates = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 1.1, 4).alias("price"),
+        F.lit("U").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    deletes = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey",
+        F.lit(None).cast("double").alias("price"),
+        F.lit("D").alias("op"),
+        F.lit(2).alias("seq"),
+    )
+    log = inserts.unionByName(updates).unionByName(deletes)
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("seq").desc())
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("o_orderkey", F.col("price").alias("o_totalprice"))
+        .orderBy("o_orderkey")
+    )
+
+
 def scd2_history_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 history merge without a table format: the MERGE INTO
     emulation (union + lead window) the engine uses where Delta/Iceberg
@@ -205,12 +249,29 @@ def scd2_history_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "scd2_history_merge": scd2_history_merge,
+    "cdc_apply_changes": cdc_apply_changes,
     "source_api_extract": source_api_extract,
     "sink_jdbc_upsert": sink_jdbc_upsert,
     "source_api_stream": source_api_stream,
 }
 
 ORACLE = {
+    "cdc_apply_changes": (
+        "WITH log AS ("
+        "SELECT o_orderkey, ROUND(o_totalprice, 4) AS price, "
+        "'I' AS op, 0 AS seq FROM orders "
+        "UNION ALL "
+        "SELECT o_orderkey, ROUND(o_totalprice * 1.1, 4), 'U', 1 "
+        "FROM orders WHERE o_orderkey % 10 = 0 "
+        "UNION ALL "
+        "SELECT o_orderkey, CAST(NULL AS DOUBLE), 'D', 2 "
+        "FROM orders WHERE o_orderkey % 97 = 0), "
+        "r AS (SELECT o_orderkey, price, op, "
+        "ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) "
+        "AS rn FROM log) "
+        "SELECT o_orderkey, price AS o_totalprice FROM r "
+        "WHERE rn = 1 AND op <> 'D' ORDER BY o_orderkey"
+    ),
     "scd2_history_merge": (
         "WITH hist AS ("
         "SELECT c_custkey, ROUND(c_acctbal, 4) AS acctbal, "

@@ -121,6 +121,7 @@ _SAMPLE_PRIORITY = [
     "dedup_keep_best",
     "source_api_stream",
     "layout_compact_small_files",
+    "cdc_apply_changes",
     # changed in round 8 (tz-independent decode / q8 replan) — need fresh
     # driver rows first
     "tpch_q8_market_share",
