@@ -310,3 +310,61 @@ def test_epoch_ntz_roundtrip_is_exact_under_any_session_tz(spark, us, tz):
         ]
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_pack_offsets_contiguous_and_total(spark):
+    """pack_training_sequences invariants: offsets start at 0, are
+    contiguous in doc_id order (start[i+1] = start[i] + len[i] — the
+    two-level prefix sum reconstructs the sequential scan exactly), and
+    the block range per doc covers exactly its token span."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.llm_prep import (
+        PACK_SEQ_TOKENS,
+        pack_training_sequences,
+    )
+
+    rows = pack_training_sequences(spark, "/root/testdata/sf0.001").collect()
+    assert rows[0]["start_offset"] == 0
+    run = 0
+    for r in rows:
+        assert r["start_offset"] == run, (r, run)
+        assert r["first_seq"] == r["start_offset"] // PACK_SEQ_TOKENS
+        assert (
+            r["last_seq"]
+            == (r["start_offset"] + r["n_tokens"] - 1) // PACK_SEQ_TOKENS
+        )
+        run += r["n_tokens"]
+
+
+def test_bitmap_prefilter_equals_plain_semi_join(spark):
+    """The word->mask bitmap filter is EXACT: the operator's per-year
+    aggregate must equal the same aggregate over a plain semi-join."""
+    from pyspark.sql import functions as F
+
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.functions.numerics import (
+        dsum,
+    )
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.io import read_table
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.joins import (
+        join_bitmap_prefiltered,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = [tuple(r) for r in join_bitmap_prefiltered(spark, sf).collect()]
+    orders = read_table(spark, sf, "orders")
+    cust = (
+        read_table(spark, sf, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    expected = [
+        tuple(r)
+        for r in orders.join(cust, "o_custkey", "left_semi")
+        .groupBy(F.year("o_orderdate").cast("int").alias("year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(dsum("o_totalprice"), 4).alias("total"),
+        )
+        .orderBy("year")
+        .collect()
+    ]
+    assert got == expected
