@@ -144,6 +144,11 @@ def test_frame_sample_handles_zero_row_arrow_batch():
         "quality_repetition_signals",
         "chunk_documents",
         "vocab_coverage",
+        # round-8 late: packing treats the empty doc as its 1-token split
+        # artifact identically in both engines; mixture thresholds stay
+        # integer-exact on tiny per-language counts
+        "pack_training_sequences",
+        "sample_corpus_mixture",
     ],
 )
 def test_hostile_llm_prep_parity(spark, hostile_dir, duck, name):

@@ -90,6 +90,7 @@ REPRESENTATIVE = [
     "source_api_stream",
     "layout_compact_small_files",
     "cdc_apply_changes",
+    "dedup_cross_corpus_jaccard",
 ]
 
 

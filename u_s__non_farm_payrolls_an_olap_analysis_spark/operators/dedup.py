@@ -630,6 +630,48 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels
 
 
+def dedup_cross_corpus_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus NEAR-dup: for each new-crawl document (odd doc_id),
+    its near-duplicates in the existing corpus (even doc_id) by exact
+    n-gram Jaccard — the fuzzy companion of
+    :func:`dedup_incremental_new_docs` (which only catches byte-identical
+    recrawls). The inverted-index join runs strictly ACROSS sides, so
+    within-corpus and within-batch pairs are never generated — candidate
+    volume is O(shared shingles across sides), and at 100 TB the corpus
+    side's shingle index is the thing you keep materialized between
+    crawls instead of recomputing (its construction cost amortizes over
+    every incoming batch)."""
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = _spread_if_narrow(docs.filter(F.col("doc_id") % 2 == 0))
+    batch = _spread_if_narrow(docs.filter(F.col("doc_id") % 2 == 1))
+    sh_c = _spread_if_narrow(_shingles(corpus), "shingle").select(
+        F.col("doc_id").alias("corpus_id"), "shingle"
+    )
+    sh_b = _spread_if_narrow(_shingles(batch), "shingle").select(
+        F.col("doc_id").alias("new_id"), "shingle"
+    )
+    sz_c = sh_c.groupBy("corpus_id").agg(F.count(F.lit(1)).alias("nc"))
+    sz_b = sh_b.groupBy("new_id").agg(F.count(F.lit(1)).alias("nb"))
+    inter = (
+        sh_b.join(sh_c, "shingle")
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.join(sz_b, "new_id")
+        .join(sz_c, "corpus_id")
+        .select(
+            F.col("new_id").alias("new_doc_id"),
+            F.col("corpus_id").alias("dup_of_doc_id"),
+            F.round(
+                F.col("i") / (F.col("nb") + F.col("nc") - F.col("i")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("new_doc_id", "dup_of_doc_id")
+    )
+
+
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware representative selection: within each near-dup
     cluster keep the LONGEST document (``n_chars`` desc, doc_id tiebreak)
@@ -785,6 +827,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_cluster_size_histogram": dedup_cluster_size_histogram,
     "dedup_keep_best": dedup_keep_best,
+    "dedup_cross_corpus_jaccard": dedup_cross_corpus_jaccard,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_near": dedup_minhash_near,
     "dedup_simhash": dedup_simhash,
@@ -840,6 +883,22 @@ ORACLE = {
     # recall-tested against its oracle-exact twin.
     "dedup_clusters": (
         f"{_CLUSTER_LABELS_SQL} SELECT doc_id, cluster_id FROM lab"
+    ),
+    "dedup_cross_corpus_jaccard": (
+        f"WITH sh AS ({_SHINGLE_SQL}), "
+        "c AS (SELECT doc_id AS corpus_id, shingle FROM sh "
+        "WHERE doc_id % 2 = 0), "
+        "b AS (SELECT doc_id AS new_id, shingle FROM sh "
+        "WHERE doc_id % 2 = 1), "
+        "szc AS (SELECT corpus_id, COUNT(*) AS nc FROM c GROUP BY 1), "
+        "szb AS (SELECT new_id, COUNT(*) AS nb FROM b GROUP BY 1), "
+        "inter AS (SELECT b.new_id, c.corpus_id, COUNT(*) AS i "
+        "FROM b JOIN c USING (shingle) GROUP BY 1, 2), "
+        "j AS (SELECT new_id AS new_doc_id, corpus_id AS dup_of_doc_id, "
+        "ROUND(i / (nb + nc - i), 6) AS jaccard "
+        "FROM inter JOIN szb USING (new_id) JOIN szc USING (corpus_id)) "
+        f"SELECT * FROM j WHERE jaccard >= {JACCARD_THRESHOLD} "
+        "ORDER BY new_doc_id, dup_of_doc_id"
     ),
     "dedup_keep_best": (
         f"{_CLUSTER_LABELS_SQL}, "

@@ -122,6 +122,7 @@ _SAMPLE_PRIORITY = [
     "source_api_stream",
     "layout_compact_small_files",
     "cdc_apply_changes",
+    "dedup_cross_corpus_jaccard",
     # changed in round 8 (tz-independent decode / q8 replan) — need fresh
     # driver rows first
     "tpch_q8_market_share",
