@@ -87,7 +87,7 @@ _MODULES = [
 # iteration) — prune entries once their round's JSON records them
 # (CLAUDE.md rule 7).
 # Round-8 rotation: all round-7-recorded keys pruned (green rows in
-# CORRECTNESS_r07). Leads with (a) the 16 operators NEW this round
+# CORRECTNESS_r07). Leads with (a) the operators NEW this round
 # (llm_prep pack incl. pack_training_sequences, layout_zorder_key,
 # text_pmi_collocations, the streaming crawl-dedup and foreachBatch
 # upsert, DPP + bucketed + bitmap join demonstrators, the planted-LSH
@@ -97,7 +97,8 @@ _MODULES = [
 # window_trailing_range_frame, multimodal_frame_sample's batch guard;
 # the q8 replan), then (c) oldest evidence first: the r3 keys and the
 # r4 keys that predate the round-4 per-row-rounding convention. The
-# list is 69 long — the 19 past slot 50 roll into the round-9/10
+# list outgrew the 50-key window as late-round operators landed — the
+# keys past slot 50 (a tail of the r4 block) roll into the round-9/10
 # samples; prune recorded keys next round.
 _SAMPLE_PRIORITY = [
     # new in round 8 — no driver row exists yet
