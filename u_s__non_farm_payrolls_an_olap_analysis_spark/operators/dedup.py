@@ -657,17 +657,18 @@ def dedup_cross_corpus_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("new_id", "corpus_id")
         .agg(F.count(F.lit(1)).alias("i"))
     )
+    jac = F.col("i") / (F.col("nb") + F.col("nc") - F.col("i"))
     return (
         inter.join(sz_b, "new_id")
         .join(sz_c, "corpus_id")
+        # threshold on the UNROUNDED ratio, like every sibling dedup op —
+        # rounding first would admit pairs up to 5e-7 below the contract
+        .filter(jac >= JACCARD_THRESHOLD)
         .select(
             F.col("new_id").alias("new_doc_id"),
             F.col("corpus_id").alias("dup_of_doc_id"),
-            F.round(
-                F.col("i") / (F.col("nb") + F.col("nc") - F.col("i")), 6
-            ).alias("jaccard"),
+            F.round(jac, 6).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .orderBy("new_doc_id", "dup_of_doc_id")
     )
 
@@ -896,9 +897,9 @@ ORACLE = {
         "FROM b JOIN c USING (shingle) GROUP BY 1, 2), "
         "j AS (SELECT new_id AS new_doc_id, corpus_id AS dup_of_doc_id, "
         "ROUND(i / (nb + nc - i), 6) AS jaccard "
-        "FROM inter JOIN szb USING (new_id) JOIN szc USING (corpus_id)) "
-        f"SELECT * FROM j WHERE jaccard >= {JACCARD_THRESHOLD} "
-        "ORDER BY new_doc_id, dup_of_doc_id"
+        "FROM inter JOIN szb USING (new_id) JOIN szc USING (corpus_id) "
+        f"WHERE i / (nb + nc - i) >= {JACCARD_THRESHOLD}) "
+        "SELECT * FROM j ORDER BY new_doc_id, dup_of_doc_id"
     ),
     "dedup_keep_best": (
         f"{_CLUSTER_LABELS_SQL}, "

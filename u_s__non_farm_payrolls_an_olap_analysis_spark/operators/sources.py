@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.numerics import dround
 from ..functions.timeparts import pct_change
 from ..io import read_table, upsert_by_key
 
@@ -112,32 +113,19 @@ def source_api_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     then returns the accumulated series; exactly-once per page comes
     from offset tracking, checked by the resume test in
     tests/test_custom_source_stateful.py."""
-    import tempfile
-
     from ..sources.fred_datasource import FredSeriesDataSource
-    from ..streaming.stream_windows import _drain_dir
+    from ..streaming.stream_windows import _drain_dir, _drain_to_memory
 
     spark.dataSource.register(FredSeriesDataSource)  # idempotent re-register
-    name = f"fred_stream_{uuid.uuid4().hex[:8]}"
-    q = (
-        spark.readStream.format("fred_series")
-        .load()
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="fred_stream_ckpt_")
-        )
-        .start()
+    out = _drain_to_memory(
+        spark.readStream.format("fred_series").load(),
+        spark,
+        output_mode="append",
+        drain="process_all",
+        # under the session-lifetime drain base (atexit-cleaned) — a bare
+        # mkdtemp would leak one checkpoint WAL per invocation
+        checkpoint=_drain_dir(f"fred_ckpt_{uuid.uuid4().hex[:8]}"),
     )
-    q.processAllAvailable()
-    q.stop()
-    q.awaitTermination()
-    sink = spark.table(name)
-    path = _drain_dir(name)
-    sink.write.mode("overwrite").parquet(path)
-    spark.catalog.dropTempView(name)
-    out = spark.read.schema(sink.schema).parquet(path)
     return out.select(
         F.col("date").cast("timestamp").alias("date"), "value"
     ).orderBy("date")
@@ -178,15 +166,18 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
     )
+    # per-ROW rounding over a scan-sized projection -> dround (rule 2):
+    # FP ties-away matches DuckDB ROUND bitwise where F.round's
+    # BigDecimal path can diverge on rendered 4-dp ties
     inserts = orders.select(
         "o_orderkey",
-        F.round("o_totalprice", 4).alias("price"),
+        dround("o_totalprice", 4).alias("price"),
         F.lit("I").alias("op"),
         F.lit(0).alias("seq"),
     )
     updates = orders.filter(F.col("o_orderkey") % 10 == 0).select(
         "o_orderkey",
-        F.round(F.col("o_totalprice") * 1.1, 4).alias("price"),
+        dround(F.col("o_totalprice") * 1.1, 4).alias("price"),
         F.lit("U").alias("op"),
         F.lit(1).alias("seq"),
     )

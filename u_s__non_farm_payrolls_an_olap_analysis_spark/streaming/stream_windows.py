@@ -176,10 +176,19 @@ def _drain_dir(name: str) -> str:
 
 
 def _drain_to_memory(
-    stream_df: DataFrame, spark: SparkSession, output_mode: str = "complete"
+    stream_df: DataFrame,
+    spark: SparkSession,
+    output_mode: str = "complete",
+    drain: str = "available_now",
+    checkpoint: str | None = None,
 ) -> DataFrame:
-    """Run the streaming aggregation to completion (availableNow) into a
-    memory sink and return the final result as a batch DataFrame.
+    """Run a streaming query to completion into a memory sink and return
+    the final result as a batch DataFrame. ``drain`` picks how "to
+    completion" is decided: ``available_now`` (file-shaped sources with a
+    defined end) or ``process_all`` (endless feeds — run until the source
+    reports caught-up via ``processAllAvailable``, then stop; pairs with
+    an explicit ``checkpoint`` when the source's offsets should be
+    resumable).
 
     The memory sink is driver-resident by design; to avoid keeping a SECOND
     driver copy alive for the session (``collect()`` + ``createDataFrame``
@@ -191,13 +200,19 @@ def _drain_to_memory(
     """
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
     with _bounded_state_partitions(spark):
-        q = (
+        w = (
             stream_df.writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
         )
+        if checkpoint is not None:
+            w = w.option("checkpointLocation", checkpoint)
+        if drain == "process_all":
+            q = w.start()
+            q.processAllAvailable()
+            q.stop()
+        else:
+            q = w.trigger(availableNow=True).start()
         q.awaitTermination()
     sink = spark.table(name)
     path = _drain_dir(name)
