@@ -91,6 +91,13 @@ REPRESENTATIVE = [
     "layout_compact_small_files",
     "cdc_apply_changes",
     "dedup_cross_corpus_jaccard",
+    "mv_incremental_refresh",
+    "timeseries_interpolate_linear",
+    "sample_domain_cap",
+    "table_stats_collect",
+    "cdc_read_asof",
+    "dq_referential_integrity",
+    "agg_weighted_percentile",
 ]
 
 

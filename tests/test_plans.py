@@ -480,3 +480,16 @@ def test_size_gated_broadcasts_degrade_past_the_gate(spark, monkeypatch):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_mv_refresh_scans_delta_only(spark):
+    # incremental MV maintenance: the only predicate-bearing scan of the
+    # base table is the DELTA slice — the cutoff range predicate must
+    # reach the parquet scan so at scale only new partitions are read
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import (
+        incremental,
+    )
+
+    df = incremental.mv_incremental_refresh(spark, SF)
+    pushed = " ".join(pushed_filters(df))
+    assert "GreaterThanOrEqual(o_orderdate" in pushed

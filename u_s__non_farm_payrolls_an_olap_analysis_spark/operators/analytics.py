@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.numerics import dsum
+from ..functions.numerics import dround, dsum
 from ..functions.timeparts import epoch_micros_from_ntz, month_start, year_of
 from ..io import read_table
 
@@ -141,6 +141,67 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("total", ignorenulls=True).over(w).alias("total_filled"),
         F.col("total").isNull().cast("int").alias("was_gap"),
     )
+
+
+def timeseries_interpolate_linear(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Linear interpolation across series gaps — the forward-fill twin's
+    smarter sibling: each missing month gets
+    ``prev + (next - prev) * k / n`` where ``k``/``n`` are month offsets
+    to the neighboring observations (one pass, two complementary
+    unbounded window frames carrying the last/next observed value AND its
+    timestamp; no self-join, no driver loop). Gaps are punched
+    deterministically (drop Februaries, as in ``timeseries_gap_fill``)
+    so there is something to reconstruct.
+
+    Rounding is ``dround`` (binary ties-away, DuckDB-identical) — an
+    interpolated midpoint of two 4-dp values is EXACTLY the half-way tie
+    ``F.round``'s decimal rendering would resolve differently."""
+    m = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(month_start("o_orderdate").alias("ms"))
+        .agg(F.round(dsum("o_totalprice"), 4).alias("total"))
+    )
+    observed = m.filter(F.month("ms") != 2)
+    bounds = m.agg(F.min("ms").alias("lo"), F.max("ms").alias("hi"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 MONTH"))
+        ).alias("month_start")
+    )
+    j = spine.join(
+        observed, spine.month_start == observed.ms, "left"
+    ).select("month_start", "total")
+    wp = Window.orderBy("month_start").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wn = Window.orderBy("month_start").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    obs_ms = F.when(F.col("total").isNotNull(), F.col("month_start"))
+    j2 = j.select(
+        "month_start",
+        "total",
+        F.last("total", ignorenulls=True).over(wp).alias("pv"),
+        F.first("total", ignorenulls=True).over(wn).alias("nv"),
+        F.last(obs_ms, ignorenulls=True).over(wp).alias("pm"),
+        F.first(obs_ms, ignorenulls=True).over(wn).alias("nm"),
+    )
+    k = F.months_between(F.col("month_start"), F.col("pm"))
+    n = F.months_between(F.col("nm"), F.col("pm"))
+    filled = (
+        F.when(F.col("total").isNotNull(), F.col("total"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * k / n)
+    )
+    return j2.select(
+        "month_start",
+        F.col("total").alias("observed"),
+        dround(filled, 4).alias("filled_total"),
+        F.col("total").isNull().cast("int").alias("was_gap"),
+    ).orderBy("month_start")
 
 
 def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -338,6 +399,86 @@ def dq_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit — the DQ check every warehouse load gates
+    on: count fact rows whose dimension key is missing. Violations are
+    planted deterministically by trimming each dim side (drop every 7th
+    customer / every 11th order) so the check has something to find.
+    Each check is ONE left join + conditional count (never a per-row
+    lookup); at 100 TB the missing-key probe rides the same broadcast /
+    bitmap prefilter machinery as the semi-joins
+    (joins.join_bitmap_prefiltered)."""
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    cust_ok = (
+        read_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 7 != 0)
+        .select("c_custkey")
+    )
+    orders_ok = orders.filter(F.col("o_orderkey") % 11 != 0).select(
+        F.col("o_orderkey").alias("ok_orderkey")
+    )
+
+    def check(fact, fk, dim, dk, name):
+        j = fact.join(dim, F.col(fk) == F.col(dk), "left")
+        viol = F.sum(F.col(dk).isNull().cast("long"))
+        return j.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).alias("n_checked"),
+            viol.alias("n_violations"),
+            F.round(
+                viol.cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("violation_rate"),
+        )
+
+    return (
+        check(orders, "o_custkey", cust_ok, "c_custkey", "orders_customer_fk")
+        .unionByName(
+            check(li, "l_orderkey", orders_ok, "ok_orderkey", "lineitem_orders_fk")
+        )
+        .orderBy("check_name")
+    )
+
+
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (lower) median per year: smallest price whose cumulative
+    weight reaches half the year's total — the weighted-quantile
+    primitive built-in ``percentile`` lacks a portable weighted form of.
+    Weights are a deterministic integer projection (``1 + key % 5``) so
+    every comparison is integer-exact. One shuffle: both windows (running
+    weight and per-year total) share the year partition key, so Catalyst
+    plans a single exchange + sort; the threshold pick is then a plain
+    filter + min — no second pass over the data."""
+    orders = read_table(spark, sf_dir, "orders")
+    d = orders.select(
+        year_of("o_orderdate").alias("year"),
+        F.col("o_totalprice").alias("price"),
+        "o_orderkey",
+        (F.lit(1) + F.col("o_orderkey") % 5).alias("wgt"),
+    )
+    wcum = (
+        Window.partitionBy("year")
+        .orderBy("price", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("year")
+    c = d.select(
+        "year",
+        "price",
+        F.sum("wgt").over(wcum).alias("cw"),
+        F.sum("wgt").over(wtot).alias("tw"),
+    )
+    return (
+        c.filter(F.lit(2) * F.col("cw") >= F.col("tw"))
+        .groupBy("year")
+        .agg(
+            F.max("tw").alias("total_weight"),
+            F.round(F.min("price"), 4).alias("weighted_median"),
+        )
+        .orderBy("year")
+    )
+
+
 # dq_anomaly_zscore leads: registry merge order puts it at sample slot 50
 # in the round-5 rotation (see registry._MODULES).
 QUERIES = {
@@ -354,6 +495,9 @@ QUERIES = {
     "string_functions_showcase": string_functions_showcase,
     "null_handling_showcase": null_handling_showcase,
     "timeseries_gap_fill": timeseries_gap_fill,
+    "timeseries_interpolate_linear": timeseries_interpolate_linear,
+    "dq_referential_integrity": dq_referential_integrity,
+    "agg_weighted_percentile": agg_weighted_percentile,
 }
 
 _MOMENTS = (
@@ -494,5 +638,68 @@ ORACLE = {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS total_filled, "
         "CASE WHEN o.total IS NULL THEN 1 ELSE 0 END AS was_gap "
         "FROM spine s LEFT JOIN obs o ON s.month_start = o.ms"
+    ),
+    "timeseries_interpolate_linear": (
+        "WITH m AS (SELECT date_trunc('month', o_orderdate) AS ms, "
+        "ROUND((CAST(SUM(CAST(ROUND((o_totalprice) * 10000) AS BIGINT)) "
+        "AS DOUBLE) / 10000.0), 4) AS total FROM orders GROUP BY 1), "
+        "obs AS (SELECT * FROM m WHERE month(ms) != 2), "
+        "b AS (SELECT MIN(ms) AS lo, MAX(ms) AS hi FROM m), "
+        "spine AS (SELECT unnest(generate_series(lo, hi, "
+        "INTERVAL 1 MONTH)) AS month_start FROM b), "
+        "j AS (SELECT s.month_start, o.total "
+        "FROM spine s LEFT JOIN obs o ON s.month_start = o.ms), "
+        "w AS (SELECT month_start, total, "
+        "LAST_VALUE(total IGNORE NULLS) OVER wp AS pv, "
+        "FIRST_VALUE(total IGNORE NULLS) OVER wn AS nv, "
+        "LAST_VALUE(CASE WHEN total IS NOT NULL THEN month_start END "
+        "IGNORE NULLS) OVER wp AS pm, "
+        "FIRST_VALUE(CASE WHEN total IS NOT NULL THEN month_start END "
+        "IGNORE NULLS) OVER wn AS nm FROM j "
+        "WINDOW wp AS (ORDER BY month_start ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW), "
+        "wn AS (ORDER BY month_start ROWS BETWEEN CURRENT ROW AND "
+        "UNBOUNDED FOLLOWING)) "
+        "SELECT month_start, total AS observed, "
+        "ROUND(CASE WHEN total IS NOT NULL THEN total "
+        "WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv "
+        "ELSE pv + (nv - pv) * "
+        "CAST(date_diff('month', pm, month_start) AS DOUBLE) / "
+        "CAST(date_diff('month', pm, nm) AS DOUBLE) END, 4) "
+        "AS filled_total, "
+        "CASE WHEN total IS NULL THEN 1 ELSE 0 END AS was_gap "
+        "FROM w ORDER BY month_start"
+    ),
+    "dq_referential_integrity": (
+        "SELECT 'orders_customer_fk' AS check_name, "
+        "COUNT(*) AS n_checked, "
+        "CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_violations, "
+        "ROUND(CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) "
+        "AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS violation_rate "
+        "FROM orders o LEFT JOIN (SELECT c_custkey FROM customer "
+        "WHERE c_custkey % 7 <> 0) c ON o.o_custkey = c.c_custkey "
+        "UNION ALL "
+        "SELECT 'lineitem_orders_fk', COUNT(*), "
+        "CAST(SUM(CASE WHEN k.ok_orderkey IS NULL THEN 1 ELSE 0 END) "
+        "AS BIGINT), "
+        "ROUND(CAST(SUM(CASE WHEN k.ok_orderkey IS NULL THEN 1 ELSE 0 END) "
+        "AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) "
+        "FROM lineitem l LEFT JOIN (SELECT o_orderkey AS ok_orderkey "
+        "FROM orders WHERE o_orderkey % 11 <> 0) k "
+        "ON l.l_orderkey = k.ok_orderkey "
+        "ORDER BY check_name"
+    ),
+    "agg_weighted_percentile": (
+        "WITH d AS (SELECT CAST(year(o_orderdate) AS INT) AS year, "
+        "o_totalprice AS price, o_orderkey, "
+        "1 + o_orderkey % 5 AS wgt FROM orders), "
+        "c AS (SELECT year, price, "
+        "SUM(wgt) OVER (PARTITION BY year ORDER BY price, o_orderkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw, "
+        "SUM(wgt) OVER (PARTITION BY year) AS tw FROM d) "
+        "SELECT year, CAST(MAX(tw) AS BIGINT) AS total_weight, "
+        "ROUND(MIN(price), 4) AS weighted_median "
+        "FROM c WHERE 2 * cw >= tw GROUP BY 1 ORDER BY 1"
     ),
 }

@@ -422,6 +422,67 @@ def layout_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- ANALYZE-style column statistics: the CBO's food ---------------------
+#
+# The size-gated broadcast in tpch_q8 is a poor-man's CBO fed by file
+# sizes; the real thing is fed by COLUMN stats — row count, null count,
+# NDV, min/max — collected by ANALYZE TABLE ... COMPUTE STATISTICS FOR
+# COLUMNS and stored in the catalog for join-strategy and cardinality
+# estimates. This operator computes that stats profile as a query (one
+# multi-distinct aggregate pass; at 100 TB you would swap the exact NDV
+# for approx_count_distinct's mergeable HLL — the engine carries both,
+# see agg_approx_count_distinct).
+
+_STATS_COLS = ("o_orderkey", "o_custkey", "o_totalprice")
+
+
+def table_stats_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column stats profile of ``orders`` (n_rows / n_nulls / exact
+    NDV / min / max as DOUBLE) in long form, one row per column — the
+    ANALYZE output an optimizer consumes. Exact NDV keeps the oracle
+    hash-comparable; the documented scale path is the HLL sketch."""
+    orders = read_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _STATS_COLS:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"ndv_{c}"),
+            F.min(c).cast("double").alias(f"min_{c}"),
+            F.max(c).cast("double").alias(f"max_{c}"),
+        ]
+    a = orders.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("n_rows").alias("n_rows"),
+                (F.col("n_rows") - F.col(f"nn_{c}")).alias("n_nulls"),
+                F.col(f"ndv_{c}").alias("ndv"),
+                F.col(f"min_{c}").alias("min_val"),
+                F.col(f"max_{c}").alias("max_val"),
+            )
+            for c in _STATS_COLS
+        ]
+    )
+    return (
+        a.select(F.explode(rows).alias("s"))
+        .select("s.*")
+        .orderBy("col_name")
+    )
+
+
+QUERIES["table_stats_collect"] = table_stats_collect
+
+ORACLE["table_stats_collect"] = " UNION ALL ".join(
+    f"(SELECT '{c}' AS col_name, COUNT(*) AS n_rows, "
+    f"COUNT(*) - COUNT({c}) AS n_nulls, "
+    f"COUNT(DISTINCT {c}) AS ndv, "
+    f"CAST(MIN({c}) AS DOUBLE) AS min_val, "
+    f"CAST(MAX({c}) AS DOUBLE) AS max_val FROM orders)"
+    for c in _STATS_COLS
+) + " ORDER BY col_name"
+
+
 QUERIES["layout_compact_small_files"] = layout_compact_small_files
 
 ORACLE["layout_compact_small_files"] = (

@@ -78,10 +78,42 @@ def sample_stratified_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DOMAIN_CAP = 18  # fixture sources carry 25 docs each — the cap bites
+
+
+def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap — the anti-domination sampler every crawl
+    pipeline runs (no single domain may contribute more than CAP docs).
+    Selection priority is a pure-arithmetic Lehmer permutation of doc_id
+    (``doc_id * 48271 % 2147483647``) so the kept set is a uniform,
+    engine-reproducible sample rather than a head-of-file bias;
+    ``row_number`` per domain then applies the cap. One shuffle on the
+    domain key; a skewed mega-domain would be pre-thinned with the
+    salted two-phase top-k (functions/skew.py) since only CAP winners
+    per domain ever matter."""
+    docs = read_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    pri = (F.col("doc_id") * F.lit(48271)) % F.lit(2147483647)
+    w = Window.partitionBy("source").orderBy(pri.asc(), F.col("doc_id").asc())
+    ranked = docs.withColumn("rn", F.row_number().over(w))
+    kept = F.col("rn") <= DOMAIN_CAP
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_chars"))).alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "sample_by_key_mod": sample_by_key_mod,
     "split_train_test": split_train_test,
     "sample_stratified_rates": sample_stratified_rates,
+    "sample_domain_cap": sample_domain_cap,
 }
 
 ORACLE = {
@@ -103,5 +135,17 @@ ORACLE = {
         "WHERE o_orderkey % 100 < CASE WHEN o_orderstatus = 'F' THEN 5 "
         "WHEN o_orderstatus = 'O' THEN 10 ELSE 20 END "
         "GROUP BY 1 ORDER BY 1"
+    ),
+    "sample_domain_cap": (
+        "WITH r AS (SELECT source, n_chars, "
+        "ROW_NUMBER() OVER (PARTITION BY source "
+        "ORDER BY (doc_id * 48271) % 2147483647, doc_id) AS rn "
+        "FROM documents) "
+        "SELECT source, COUNT(*) AS n_total, "
+        f"CAST(SUM(CASE WHEN rn <= {DOMAIN_CAP} THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_kept, "
+        f"CAST(SUM(CASE WHEN rn <= {DOMAIN_CAP} THEN n_chars END) "
+        "AS BIGINT) AS kept_chars "
+        "FROM r GROUP BY 1 ORDER BY 1"
     ),
 }

@@ -163,6 +163,13 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     tombstone. Exactly the scalable MERGE shape — per-row ON CONFLICT
     loops (the reference) or per-op table rewrites would be O(ops)
     passes; this is one."""
+    log = _orders_change_log(spark, sf_dir)
+    return _fold_change_log(log)
+
+
+def _orders_change_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic synthetic CDC feed shared by ``cdc_apply_changes``
+    and ``cdc_read_asof`` (columns: key, price, op, seq)."""
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
     )
@@ -187,7 +194,11 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("D").alias("op"),
         F.lit(2).alias("seq"),
     )
-    log = inserts.unionByName(updates).unionByName(deletes)
+    return inserts.unionByName(updates).unionByName(deletes)
+
+
+def _fold_change_log(log: DataFrame) -> DataFrame:
+    """Latest-per-key fold with tombstone drop: one shuffle on the key."""
     w = Window.partitionBy("o_orderkey").orderBy(F.col("seq").desc())
     return (
         log.withColumn("rn", F.row_number().over(w))
@@ -195,6 +206,26 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", F.col("price").alias("o_totalprice"))
         .orderBy("o_orderkey")
     )
+
+
+CDC_ASOF_SEQ = 1  # updates applied, deletes not yet
+
+
+def cdc_read_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the change log: table state AS OF sequence
+    number ``CDC_ASOF_SEQ`` — the ``VERSION AS OF`` read of Delta-class
+    formats, expressed as the general log-structured identity
+    ``state(v) = fold(log WHERE seq <= v)``. Same one-shuffle fold as
+    ``cdc_apply_changes``; the version predicate is a sargable filter
+    that at scale prunes whole log segments before the fold. Here
+    ``asof = 1`` means the price updates are visible but the seq-2
+    delete tombstones have not happened yet — the deleted-at-seq-2 keys
+    are still present, which is exactly what distinguishes the
+    time-travel read from the current-state read."""
+    log = _orders_change_log(spark, sf_dir).filter(
+        F.col("seq") <= CDC_ASOF_SEQ
+    )
+    return _fold_change_log(log)
 
 
 def scd2_history_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -244,6 +275,7 @@ QUERIES = {
     "source_api_extract": source_api_extract,
     "sink_jdbc_upsert": sink_jdbc_upsert,
     "source_api_stream": source_api_stream,
+    "cdc_read_asof": cdc_read_asof,
 }
 
 ORACLE = {
@@ -260,6 +292,24 @@ ORACLE = {
         "r AS (SELECT o_orderkey, price, op, "
         "ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) "
         "AS rn FROM log) "
+        "SELECT o_orderkey, price AS o_totalprice FROM r "
+        "WHERE rn = 1 AND op <> 'D' ORDER BY o_orderkey"
+    ),
+    "cdc_read_asof": (
+        "WITH log AS ("
+        "SELECT o_orderkey, ROUND(o_totalprice, 4) AS price, "
+        "'I' AS op, 0 AS seq FROM orders "
+        "UNION ALL "
+        "SELECT o_orderkey, ROUND(o_totalprice * 1.1, 4), 'U', 1 "
+        "FROM orders WHERE o_orderkey % 10 = 0 "
+        "UNION ALL "
+        "SELECT o_orderkey, CAST(NULL AS DOUBLE), 'D', 2 "
+        "FROM orders WHERE o_orderkey % 97 = 0), "
+        # "asof" is a DuckDB reserved word (ASOF JOIN) — name the CTE upto
+        f"upto AS (SELECT * FROM log WHERE seq <= {CDC_ASOF_SEQ}), "
+        "r AS (SELECT o_orderkey, price, op, "
+        "ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) "
+        "AS rn FROM upto) "
         "SELECT o_orderkey, price AS o_totalprice FROM r "
         "WHERE rn = 1 AND op <> 'D' ORDER BY o_orderkey"
     ),

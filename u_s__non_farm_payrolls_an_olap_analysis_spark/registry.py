@@ -21,6 +21,7 @@ from .operators import (
     analytics,
     custom_udf,
     dedup,
+    incremental,
     joins,
     json_ops,
     layout,
@@ -76,6 +77,7 @@ _MODULES = [
     sketches,
     olap,
     layout,
+    incremental,
     stateful,
 ]
 
@@ -102,6 +104,13 @@ _MODULES = [
 # samples; prune recorded keys next round.
 _SAMPLE_PRIORITY = [
     # new in round 8 — no driver row exists yet
+    "mv_incremental_refresh",
+    "timeseries_interpolate_linear",
+    "sample_domain_cap",
+    "table_stats_collect",
+    "cdc_read_asof",
+    "dq_referential_integrity",
+    "agg_weighted_percentile",
     "pii_detect_stats",
     "pii_redact",
     "decontam_overlap",
