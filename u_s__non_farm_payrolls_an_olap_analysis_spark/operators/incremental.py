@@ -56,29 +56,38 @@ def _monthly_partials(orders: DataFrame) -> DataFrame:
     )
 
 
-def _mv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _mv_state(
+    spark: SparkSession, sf_dir: str, cutoff: str = MV_CUTOFF
+) -> DataFrame:
     """The stored MV: monthly partials over the pre-cutoff base, written
-    once per session+sf_dir. Read back with an explicit schema — an empty
-    base writes no parquet footers (layout.py has the same guard)."""
-    d = _derived_path(sf_dir, "mv_monthly_state")
+    once per session+sf_dir+cutoff (the path carries the cutoff so the
+    invariance test can build states at several cutoffs side by side).
+    Read back with an explicit schema — an empty base writes no parquet
+    footers (layout.py has the same guard)."""
+    d = _derived_path(sf_dir, f"mv_monthly_state_{cutoff.replace('-', '')}")
     if not os.path.exists(os.path.join(d, "_SUCCESS")):
         base = read_table(spark, sf_dir, "orders").filter(
-            F.col("o_orderdate") < F.lit(MV_CUTOFF).cast("timestamp")
+            F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")
         )
         _monthly_partials(base).write.mode("overwrite").parquet(d)
     return spark.read.schema(_STATE_SCHEMA).parquet(d)
 
 
-def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mv_incremental_refresh(
+    spark: SparkSession, sf_dir: str, cutoff: str = MV_CUTOFF
+) -> DataFrame:
     """North-star — monthly revenue after folding the post-cutoff delta
     into the stored MV partials: one delta scan (sargable ``>= cutoff``),
     one union + keyed re-aggregate over MV-sized data, one descale at the
     end. The oracle recomputes from the FULL table — hash equality is the
-    proof that incremental maintenance changes cost, not semantics."""
-    state = _mv_state(spark, sf_dir)
+    proof that incremental maintenance changes cost, not semantics (and
+    tests/test_incremental.py proves the answer is invariant to WHERE the
+    base/delta split falls, the defining property of a correct
+    incremental fold)."""
+    state = _mv_state(spark, sf_dir, cutoff)
     delta = _monthly_partials(
         read_table(spark, sf_dir, "orders").filter(
-            F.col("o_orderdate") >= F.lit(MV_CUTOFF).cast("timestamp")
+            F.col("o_orderdate") >= F.lit(cutoff).cast("timestamp")
         )
     )
     merged = (
