@@ -149,6 +149,9 @@ def test_frame_sample_handles_zero_row_arrow_batch():
         # integer-exact on tiny per-language counts
         "pack_training_sequences",
         "sample_corpus_mixture",
+        # unigram LM over hostile docs: ''-tokens from empty docs are
+        # legitimate vocabulary entries and ln stays finite (cnt >= 1)
+        "quality_unigram_surprisal",
     ],
 )
 def test_hostile_llm_prep_parity(spark, hostile_dir, duck, name):

@@ -98,6 +98,7 @@ REPRESENTATIVE = [
     "cdc_read_asof",
     "dq_referential_integrity",
     "agg_weighted_percentile",
+    "quality_unigram_surprisal",
 ]
 
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.numerics import davg, davg_sql
 from ..io import read_table, table_bytes
 
 EMAIL_RE = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
@@ -394,8 +395,48 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# surprisal values are ~O(10) nats; 1e-8 granularity keeps the scaled-int
+# per-token values exact in int64 up to trillion-token corpora
+SURPRISAL_SCALE = 100_000_000
+
+
+def quality_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — CCNet-style language-model quality scoring: each
+    document's mean unigram surprisal ``-ln(count(tok)/T)`` under the
+    corpus's own unigram LM (rare-token-heavy docs score high — the
+    perplexity-bucket filter pipelines run before training).
+
+    Scale shape: the LM is one token-count aggregate (map-side combined)
+    joined back as a BROADCAST probe; per-doc scoring is scan → explode
+    → probe → one groupBy doc_id — two corpus shuffles total, never
+    pairwise. A trillion-token corpus would cap the LM at top-K tokens
+    plus an OOV floor bucket (the ``vocab_coverage`` shape); the fixture
+    LM is exact. Per-token surprisals are summed as scaled int64
+    (``davg``) so the doc mean is order-independent — a raw double sum
+    would differ across engines' accumulation orders; ``ln`` itself is
+    cross-engine stable at 6 dp (the ``text_idf_topk`` / PMI precedent)."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("t_total"))
+    lm = counts.crossJoin(F.broadcast(total))
+    s = -F.log(F.col("cnt").cast("double") / F.col("t_total").cast("double"))
+    return (
+        tok.join(F.broadcast(lm), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(davg(s, SURPRISAL_SCALE), 6).alias("avg_surprisal"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES["chunk_documents"] = chunk_documents
 QUERIES["vocab_coverage"] = vocab_coverage
+QUERIES["quality_unigram_surprisal"] = quality_unigram_surprisal
 
 ORACLE["chunk_documents"] = (
     "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
@@ -421,6 +462,20 @@ ORACLE["vocab_coverage"] = (
     "ROUND(1.0 - CAST(SUM(CASE WHEN token IN (SELECT token FROM v) "
     "THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS oov_rate "
     "FROM tok GROUP BY 1"
+)
+
+ORACLE["quality_unigram_surprisal"] = (
+    "WITH tok AS (SELECT doc_id, t.tok AS token FROM "
+    "(SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+    "UNNEST(toks) AS t(tok)), "
+    "c AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1), "
+    "tt AS (SELECT SUM(cnt) AS t_total FROM c), "
+    "lm AS (SELECT token, "
+    "-ln(CAST(cnt AS DOUBLE) / CAST(t_total AS DOUBLE)) AS s "
+    "FROM c, tt) "
+    "SELECT doc_id, COUNT(*) AS n_tokens, "
+    f"ROUND({davg_sql('s', SURPRISAL_SCALE)}, 6) AS avg_surprisal "
+    "FROM tok JOIN lm USING (token) GROUP BY 1 ORDER BY 1"
 )
 
 

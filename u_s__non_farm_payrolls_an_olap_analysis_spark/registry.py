@@ -111,6 +111,7 @@ _SAMPLE_PRIORITY = [
     "cdc_read_asof",
     "dq_referential_integrity",
     "agg_weighted_percentile",
+    "quality_unigram_surprisal",
     "pii_detect_stats",
     "pii_redact",
     "decontam_overlap",
