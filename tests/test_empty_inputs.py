@@ -99,6 +99,7 @@ REPRESENTATIVE = [
     "dq_referential_integrity",
     "agg_weighted_percentile",
     "quality_unigram_surprisal",
+    "join_asof_nearest",
 ]
 
 

@@ -187,6 +187,94 @@ def join_range_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ASOF_NEAREST_TOL_US = 86_400 * 1_000_000  # 24-hour match tolerance
+
+
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, direction=NEAREST with tolerance (the pandas
+    ``merge_asof(direction='nearest')`` / kdb ``wj`` shape): for each
+    purchase, the closest same-user CLICK timestamp within 24 hours, in
+    either direction — ties broken toward the past. (The fixture's
+    median purchase→nearest-click gap is ~18 h, so the tolerance drops
+    a real tail rather than matching everything.)
+
+    Same union-timeline trick as ``join_range_asof`` run in BOTH
+    directions: one shuffle on user, two complementary unbounded window
+    frames carry the last click at-or-before and the first click after,
+    then the nearest pick is a per-row comparison of exact int64
+    microsecond gaps (pure-arithmetic epoch math, rule 6a — no
+    tz-dependent casts). Linear in |events|; the naive formulation
+    (every purchase x every candidate click within tolerance) is what
+    the DuckDB oracle runs, which this must equal."""
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(0).alias("is_probe"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_probe"),
+        "event_id",
+        F.lit(None).cast("timestamp_ntz").alias("click_ts"),
+    )
+    # click rows sort before purchase rows at equal t, so an equal-t
+    # click lands in the BACKWARD frame (gap 0), matching the oracle's
+    # `click_ts <= purchase_ts -> backward` convention
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_probe", "click_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_probe", "click_ts")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    en = (
+        clicks.unionByName(purchases)
+        .select(
+            "user_id",
+            "t",
+            "is_probe",
+            "event_id",
+            F.last("click_ts", ignorenulls=True).over(wb).alias("prev_ts"),
+            F.first("click_ts", ignorenulls=True).over(wf).alias("next_ts"),
+        )
+        .filter(F.col("is_probe") == 1)
+    )
+    tol = F.lit(ASOF_NEAREST_TOL_US)
+    db = epoch_micros_from_ntz("t") - epoch_micros_from_ntz("prev_ts")
+    df_ = epoch_micros_from_ntz("next_ts") - epoch_micros_from_ntz("t")
+    # backward wins when in tolerance and no strictly-closer forward hit;
+    # null gaps (missing neighbor) fail every comparison and fall through
+    pick_back = (db <= tol) & (
+        F.col("next_ts").isNull() | (df_ > tol) | (db <= df_)
+    )
+    nearest = F.when(pick_back, F.col("prev_ts")).when(
+        df_ <= tol, F.col("next_ts")
+    )
+    direction = F.when(pick_back, F.lit("backward")).when(
+        df_ <= tol, F.lit("forward")
+    )
+    gap = F.when(pick_back, db).when(df_ <= tol, df_)
+    return (
+        en.select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("t").alias("purchase_ts"),
+            nearest.alias("nearest_click_ts"),
+            direction.alias("direction"),
+            gap.alias("gap_us"),
+        )
+        .filter(F.col("nearest_click_ts").isNotNull())
+        .orderBy("purchase_id")
+    )
+
+
 def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded interval self-join: for each purchase, how many clicks the
     same user made in the preceding hour.
@@ -354,9 +442,29 @@ QUERIES = {
     "join_full_outer_reconcile": join_full_outer_reconcile,
     "join_null_safe_eq": join_null_safe_eq,
     "join_bitmap_prefiltered": join_bitmap_prefiltered,
+    "join_asof_nearest": join_asof_nearest,
 }
 
 ORACLE = {
+    "join_asof_nearest": (
+        "WITH cand AS (SELECT p.event_id AS purchase_id, p.user_id, "
+        "CAST(p.ts AS TIMESTAMP) AS purchase_ts, "
+        "CAST(c.ts AS TIMESTAMP) AS cts, "
+        "abs(epoch_us(CAST(p.ts AS TIMESTAMP)) - "
+        "epoch_us(CAST(c.ts AS TIMESTAMP))) AS gap_us, "
+        "CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END AS dir "
+        "FROM events p JOIN events c ON p.user_id = c.user_id "
+        "WHERE p.event_type = 'purchase' AND c.event_type = 'click' "
+        "AND abs(epoch_us(CAST(p.ts AS TIMESTAMP)) - "
+        "epoch_us(CAST(c.ts AS TIMESTAMP))) <= "
+        f"{ASOF_NEAREST_TOL_US}), "
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY purchase_id "
+        "ORDER BY gap_us, dir) AS rn FROM cand) "
+        "SELECT purchase_id, user_id, purchase_ts, "
+        "cts AS nearest_click_ts, "
+        "CASE WHEN dir = 0 THEN 'backward' ELSE 'forward' END "
+        "AS direction, gap_us FROM r WHERE rn = 1 ORDER BY purchase_id"
+    ),
     "join_bitmap_prefiltered": (
         "SELECT CAST(year(o_orderdate) AS INT) AS year, "
         "COUNT(*) AS n_orders, "

@@ -112,6 +112,7 @@ _SAMPLE_PRIORITY = [
     "dq_referential_integrity",
     "agg_weighted_percentile",
     "quality_unigram_surprisal",
+    "join_asof_nearest",
     "pii_detect_stats",
     "pii_redact",
     "decontam_overlap",
