@@ -493,3 +493,14 @@ def test_mv_refresh_scans_delta_only(spark):
     df = incremental.mv_incremental_refresh(spark, SF)
     pushed = " ".join(pushed_filters(df))
     assert "GreaterThanOrEqual(o_orderdate" in pushed
+
+
+def test_asof_nearest_is_join_free(spark):
+    # direction=nearest as-of: the union-timeline formulation must plan
+    # as windows over ONE user shuffle (plus the output sort's range
+    # exchange) with NO join operator at all — the naive within-tolerance
+    # candidate join the oracle runs would show a join node and a
+    # per-user quadratic intermediate
+    df = joins.join_asof_nearest(spark, SF)
+    assert join_kinds(df) == []
+    assert exchange_count(df) <= 2
