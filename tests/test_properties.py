@@ -368,3 +368,41 @@ def test_bitmap_prefilter_equals_plain_semi_join(spark):
         .collect()
     ]
     assert got == expected
+
+
+def test_corpus_shuffle_shards_invariants(spark):
+    """Seeded shuffle: deterministic across runs, every doc placed exactly
+    once, positions contiguous 1..n within each shard, and the shard key
+    actually derived from the md5 shuffle key's first hex digit."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.llm_prep import (
+        corpus_shuffle_shards,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = corpus_shuffle_shards(spark, sf).collect()
+    again = corpus_shuffle_shards(spark, sf).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    docs = {r["doc_id"] for r in rows}
+    assert len(docs) == len(rows)  # one placement per doc
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        assert r["shard_id"] == ord(r["shuffle_key"][0])
+        by_shard.setdefault(r["shard_id"], []).append(r["pos_in_shard"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+def test_winsorize_clip_bounds(spark):
+    """Winsorized mean lies within the clip bounds and the clip counts
+    equal k on both tails (rank-based winsorization clamps exactly k rows
+    per side by construction)."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        norm_winsorize_clip,
+    )
+
+    rows = norm_winsorize_clip(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["clip_lo"] <= r["winsorized_mean"] <= r["clip_hi"]
+        assert r["n_clipped_low"] == r["k_clip"]
+        assert r["n_clipped_high"] == r["k_clip"]

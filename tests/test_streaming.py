@@ -282,3 +282,25 @@ def test_foreachbatch_upsert_merges_across_micro_batches(spark, tmp_path):
         .collect()
     ]
     assert got == expected
+
+
+def test_stream_left_outer_null_extension(spark):
+    """The watermarked left-outer join must emit BOTH matched pairs and
+    null-extended (no-prior-click) purchases, and exactly one row per
+    unmatched purchase — completeness is what the horizon sentinels buy
+    (without them the tail of the stream would never flush from state)."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.streaming.stream_windows import (
+        stream_left_outer_join,
+    )
+
+    out = stream_left_outer_join(spark, SF).collect()
+    purchases = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    unmatched = [r for r in out if r["click_id"] == -1]
+    assert len(unmatched) > 0  # null-extension actually happened
+    # every purchase appears; unmatched ones exactly once
+    assert len({r["purchase_id"] for r in out}) == purchases
+    assert len({r["purchase_id"] for r in unmatched}) == len(unmatched)

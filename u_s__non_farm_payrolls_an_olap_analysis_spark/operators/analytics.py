@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.numerics import dround, dsum
+from ..functions.numerics import davg, davg_sql, dround, dsum
 from ..functions.timeparts import epoch_micros_from_ntz, month_start, year_of
 from ..io import read_table
 
@@ -703,3 +703,88 @@ ORACLE = {
         "FROM c WHERE 2 * cw >= tw GROUP BY 1 ORDER BY 1"
     ),
 }
+
+
+def norm_winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (clipped) normalization per event type — the standard
+    outlier-robust preprocessing before feeding a measure to a model:
+    the bottom/top 5% of values are clamped to the 5th/95th order
+    statistic and the clipped mean reported alongside the clip bounds
+    and clip counts.
+
+    Thresholds are ORDER STATISTICS (the value at integer rank
+    ``k + 1`` / ``n - k`` with ``k = n*5 div 100``), not interpolated
+    percentiles: rank arithmetic is integer-exact, so the clip bounds
+    are actual data values and every downstream comparison is
+    bitwise-portable across engines (an interpolated threshold's last
+    ulp could flip a comparison for a value sitting exactly on the
+    boundary). All three windows (rank, count, threshold-pick) share the
+    ``event_type`` partition key → Catalyst plans ONE exchange + sort.
+    At 100 TB the same clip semantics run off ``approx_percentile``
+    sketch thresholds (see ``agg_approx_percentiles``) instead of the
+    per-group sort; groups here are event types, so the sort
+    parallelizes across groups."""
+    ev = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number()
+        .over(w.orderBy("value", "event_id"))
+        .cast("long")
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    ).withColumn("k", F.expr("(n * 5) div 100"))
+    # project rn/n/k BEFORE the threshold windows (analyzer trap: window
+    # expressions over window outputs need an intermediate projection)
+    thr = ranked.select(
+        "event_type",
+        "value",
+        "rn",
+        "n",
+        "k",
+        F.max(F.when(F.col("rn") == F.col("k") + 1, F.col("value"))).over(w).alias("lo"),
+        F.max(F.when(F.col("rn") == F.col("n") - F.col("k"), F.col("value"))).over(w).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        thr.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_values"),
+            F.max("k").alias("k_clip"),
+            F.round(F.max("lo"), 4).alias("clip_lo"),
+            F.round(F.max("hi"), 4).alias("clip_hi"),
+            F.sum((F.col("rn") <= F.col("k")).cast("long")).alias("n_clipped_low"),
+            F.sum((F.col("rn") > F.col("n") - F.col("k")).cast("long")).alias(
+                "n_clipped_high"
+            ),
+            F.round(davg(clipped), 4).alias("winsorized_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["norm_winsorize_clip"] = norm_winsorize_clip
+
+ORACLE["norm_winsorize_clip"] = (
+    "WITH r AS (SELECT event_type, value, "
+    "CAST(ROW_NUMBER() OVER (PARTITION BY event_type "
+    "ORDER BY value, event_id) AS BIGINT) AS rn, "
+    "COUNT(*) OVER (PARTITION BY event_type) AS n "
+    "FROM events WHERE value IS NOT NULL), "
+    "kk AS (SELECT *, (n * 5) // 100 AS k FROM r), "
+    "t AS (SELECT *, "
+    "MAX(CASE WHEN rn = k + 1 THEN value END) "
+    "OVER (PARTITION BY event_type) AS lo, "
+    "MAX(CASE WHEN rn = n - k THEN value END) "
+    "OVER (PARTITION BY event_type) AS hi FROM kk) "
+    "SELECT event_type, MAX(n) AS n_values, MAX(k) AS k_clip, "
+    "ROUND(MAX(lo), 4) AS clip_lo, ROUND(MAX(hi), 4) AS clip_hi, "
+    "CAST(SUM(CASE WHEN rn <= k THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_clipped_low, "
+    "CAST(SUM(CASE WHEN rn > n - k THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_clipped_high, "
+    f"ROUND({davg_sql('LEAST(GREATEST(value, lo), hi)')}, 4) "
+    "AS winsorized_mean "
+    "FROM t GROUP BY event_type ORDER BY event_type"
+)

@@ -660,3 +660,106 @@ ORACLE["sample_corpus_mixture"] = (
     "CAST(COALESCE(sel.n_selected, 0) AS BIGINT) AS n_selected "
     "FROM q LEFT JOIN sel ON q.lang = sel.lang ORDER BY q.lang"
 )
+
+
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — seeded global corpus shuffle + sharding for training:
+    every document gets a deterministic pseudo-random position, expressed
+    as (shard_id, pos_in_shard). The shuffle key is ``md5(seed || doc_id)``
+    (portable: identical bytes in Spark and DuckDB, so the whole ordering
+    is oracle-checked, unlike ``rand()``); the shard is the key's first
+    hex digit (16 shards here), and the position is the rank of the key
+    within its shard.
+
+    Scale shape: this IS the production pattern for writing shuffled
+    training shards — ``repartition(N, shard) + sortWithinPartitions``,
+    which Catalyst produces from the rank window below (one hash exchange
+    on ``shard_id``, one in-partition sort, one output file per shard).
+    There is deliberately NO global row number: a single total order would
+    serialize into one task (see ``pack_training_sequences`` for the
+    two-level prefix-sum alternative when one global order is truly
+    required). Shard count scales with the cluster (16 here; 10k+ at
+    100 TB keeps each sort task at one output shard's size).
+    """
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat(F.lit("shuf42:"), F.col("doc_id").cast("string"))
+        ).alias("shuffle_key"),
+    ).withColumn(
+        "shard_id", F.ascii(F.substring("shuffle_key", 1, 1)).cast("long")
+    )
+    w = Window.partitionBy("shard_id").orderBy("shuffle_key", "doc_id")
+    return keyed.select(
+        "shard_id",
+        F.row_number().over(w).cast("long").alias("pos_in_shard"),
+        "doc_id",
+        "shuffle_key",
+    )
+
+
+def vocab_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — tokenizer training, first BPE iteration: corpus-wide
+    counts of adjacent character pairs inside alphabetic words (each word
+    OCCURRENCE counts, as in real BPE corpus statistics), top 50 pairs.
+    The full merge loop re-runs this count after each merge; one
+    distributed iteration is the engine-side primitive (the loop itself
+    is a driver-side for-loop over ~30k vocab steps in production
+    trainers, each a scan + count like this one).
+
+    Plan shape: two codegen'd explodes (words, then pairs via
+    ``transform(sequence(...))`` — both JVM expressions, no Python), one
+    count aggregate (map-side partials), top-k via TakeOrdered. The
+    ``sequence(1, length-1)`` is guarded by its own ``length >= 2`` CASE
+    (not just the row filter): Catalyst may evaluate the projection
+    around the filter, and an unguarded ``sequence(1, 0)`` counts DOWN
+    (CLAUDE.md round-8 analyzer trap).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    ).filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2))
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN length(w) >= 2 THEN "
+                "transform(sequence(1, length(w) - 1), "
+                "i -> substring(w, i, 2)) "
+                "ELSE array() END"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .orderBy(F.col("n_pair").desc(), "pair")
+        .limit(50)
+    )
+
+
+QUERIES["corpus_shuffle_shards"] = corpus_shuffle_shards
+QUERIES["vocab_bpe_pair_counts"] = vocab_bpe_pair_counts
+
+ORACLE["corpus_shuffle_shards"] = (
+    "WITH keyed AS (SELECT doc_id, "
+    "md5('shuf42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key "
+    "FROM documents) "
+    "SELECT CAST(ascii(substr(shuffle_key, 1, 1)) AS BIGINT) AS shard_id, "
+    "CAST(ROW_NUMBER() OVER ("
+    "PARTITION BY substr(shuffle_key, 1, 1) "
+    "ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos_in_shard, "
+    "doc_id, shuffle_key FROM keyed"
+)
+
+ORACLE["vocab_bpe_pair_counts"] = (
+    "WITH words AS (SELECT w FROM documents, "
+    "unnest(string_split(lower(text), ' ')) AS t(w) "
+    "WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 2), "
+    "pairs AS (SELECT substr(w, CAST(i AS INT), 2) AS pair "
+    "FROM words, unnest(generate_series(1, length(w) - 1)) AS s(i)) "
+    "SELECT pair, COUNT(*) AS n_pair FROM pairs "
+    "GROUP BY pair ORDER BY n_pair DESC, pair LIMIT 50"
+)

@@ -104,6 +104,10 @@ _MODULES = [
 # samples; prune recorded keys next round.
 _SAMPLE_PRIORITY = [
     # new in round 8 — no driver row exists yet
+    "stream_left_outer_join",
+    "corpus_shuffle_shards",
+    "vocab_bpe_pair_counts",
+    "norm_winsorize_clip",
     "mv_incremental_refresh",
     "timeseries_interpolate_linear",
     "sample_domain_cap",

@@ -579,3 +579,145 @@ ORACLE["stream_upsert_foreach_batch"] = (
     f"ROUND({dsum_sql('value')}, 4) AS sum_value, "
     "MAX(ts) AS last_ts FROM events GROUP BY 1 ORDER BY 1"
 )
+
+
+# horizon-augmented events source dirs, memoized per fixture path
+_HORIZON_DIR_MEMO: dict[str, str] = {}
+
+
+def _events_horizon_dir(sf_dir: str) -> str:
+    """Events fixture re-staged as a THREE-batch stream whose tail is two
+    sentinel files 4 h / 8 h past the last real event. Outer stream-stream
+    joins only null-extend a row once the watermark passes it, and the
+    watermark only advances at batch boundaries from data actually seen —
+    with a single availableNow batch the final rows would sit in state
+    forever and the outer results would be silently incomplete. The
+    sentinels are the stream-world end-of-input marker (in production the
+    feed keeps flowing, so the watermark advances for free; a bounded
+    replay needs an explicit horizon exactly like this).
+
+    Files are written with ascending mtimes so the file-stream source
+    (ordered by mtime, then path) delivers real → +4 h → +8 h under
+    ``maxFilesPerTrigger=1``: the +4 h batch moves the watermark past
+    every real event, the +8 h batch triggers the flush of their state.
+    ``ts`` is normalized to microseconds (int64 floor-div for a nanos
+    fixture — the same decode ``io.read_table`` applies), so the reader
+    uses the plain MICROS schema regardless of fixture generation.
+    Sentinel rows carry negative ``event_id``/``user_id`` and are dropped
+    from the drained output."""
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    d = _HORIZON_DIR_MEMO.get(src)
+    if d is not None and os.path.exists(d):
+        return d
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pa_pq
+
+    t = pa_pq.read_table(src)
+    ts = t.column("ts")
+    if ts.type == pa.timestamp("ns"):
+        us = pc.divide(ts.cast(pa.int64()), 1000)  # int64 floor for >=1970
+        ts = us.cast(pa.timestamp("us"))
+    else:
+        ts = ts.cast(pa.timestamp("us"))
+    t = t.set_column(t.schema.get_field_index("ts"), "ts", ts)
+    max_us = pc.max(ts.cast(pa.int64())).as_py()
+    d = tempfile.mkdtemp(prefix="events_horizon_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    pa_pq.write_table(t, os.path.join(d, "part-00000.parquet"))
+
+    def sentinel(us_epoch: int, eid: int) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": pa.array([eid, eid - 1], pa.int64()),
+                "ts": pa.array([us_epoch, us_epoch], pa.timestamp("us")),
+                "user_id": pa.array([-1, -1], pa.int64()),
+                "event_type": pa.array(["purchase", "click"]),
+                "value": pa.array([0.0, 0.0], pa.float64()),
+                "props": pa.array([None, None], pa.string()),
+            }
+        ).select(t.schema.names)
+
+    hour = 3_600_000_000
+    for i, (off, eid) in enumerate([(4 * hour, -1), (8 * hour, -3)], 1):
+        p = os.path.join(d, f"part-0000{i}.parquet")
+        pa_pq.write_table(sentinel(max_us + off, eid), p)
+    now = os.path.getmtime(os.path.join(d, "part-00000.parquet"))
+    for i in (1, 2):
+        os.utime(os.path.join(d, f"part-0000{i}.parquet"), (now + i, now + i))
+    _HORIZON_DIR_MEMO[src] = d
+    return d
+
+
+def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X14f — stream-stream LEFT OUTER join with watermarked
+    null-extension: every purchase emits once per same-user click in the
+    strictly-prior hour, or exactly once with a null click once the
+    watermark proves no such click can still arrive. The inner variant
+    (:func:`stream_stream_join`) emits matches eagerly; the outer
+    variant is the one that exercises state eviction — a purchase's
+    null row is only final when BOTH sides' watermarks pass its window,
+    which the horizon sentinels guarantee for every real row (see
+    :func:`_events_horizon_dir`). State stays bounded to ~2 h of either
+    stream by the event-time bounds in the join condition.
+
+    Oracle: the identical batch LEFT JOIN — the sentinel protocol makes
+    the streaming output COMPLETE, so no watermark-cutoff modeling leaks
+    into the oracle. ``click_id`` is coalesced to -1 on both sides
+    (engines disagree on NULL ordering, and the driver sorts values)."""
+    d = _events_horizon_dir(sf_dir)
+    ev = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA_MICROS)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(d)
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_uid"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    j = p.join(
+        c,
+        (F.col("user_id") == F.col("c_uid"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "left_outer",
+    )
+    out = _drain_to_memory(
+        j.select("purchase_id", "user_id", "click_id"),
+        spark,
+        output_mode="append",
+    )
+    return out.filter(F.col("purchase_id") >= 0).select(
+        "purchase_id",
+        "user_id",
+        F.coalesce("click_id", F.lit(-1)).alias("click_id"),
+    )
+
+
+QUERIES["stream_left_outer_join"] = stream_left_outer_join
+
+ORACLE["stream_left_outer_join"] = (
+    "SELECT p.event_id AS purchase_id, p.user_id, "
+    "COALESCE(c.event_id, -1) AS click_id "
+    "FROM events p LEFT JOIN events c ON c.user_id = p.user_id "
+    "AND c.event_type = 'click' "
+    "AND CAST(c.ts AS TIMESTAMP) >= "
+    "CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR "
+    "AND CAST(c.ts AS TIMESTAMP) < CAST(p.ts AS TIMESTAMP) "
+    "WHERE p.event_type = 'purchase'"
+)
