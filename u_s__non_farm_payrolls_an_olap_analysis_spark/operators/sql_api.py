@@ -107,6 +107,40 @@ SHARED_SQL = {
         "WHERE r_name = 'EUROPE') "
         "GROUP BY 1 ORDER BY 1"
     ),
+    # LATERAL correlated subquery with per-row ORDER BY + LIMIT — the
+    # SQL-standard top-k-per-group form. Catalyst decorrelates the lateral
+    # into a join + rank-filter (the same physical shape as
+    # window_rank_topk_per_group), NOT row-at-a-time re-execution, so the
+    # lateral surface scales like the window formulation. Tiebreak:
+    # (bal DESC, c_name) is total within a nation (c_name is unique).
+    "sql_lateral_topk_per_group": (
+        "SELECT n.n_name AS nation, t.c_name, t.bal "
+        "FROM nation n, LATERAL ("
+        "SELECT c_name, ROUND(c_acctbal, 4) AS bal "
+        "FROM customer WHERE c_nationkey = n.n_nationkey "
+        "ORDER BY c_acctbal DESC, c_name LIMIT 3) t "
+        "ORDER BY nation, bal DESC, c_name"
+    ),
+    # WITH RECURSIVE (Spark 4 / SQL:1999) — a month spine from the data's
+    # own min/max bounds, LEFT JOINed back so empty months surface as 0
+    # (the recursive-SQL twin of udtf_month_spine / timeseries_gap_fill).
+    # Recursion depth = month span of the data (~bounded, ~100 iterations
+    # max by engine default) — the spine is O(months), never O(rows), so
+    # the recursion is driver-cheap while the join stays distributed.
+    "sql_recursive_month_spine": (
+        "WITH RECURSIVE bounds AS ("
+        "SELECT date_trunc('month', MIN(o_orderdate)) AS lo, "
+        "date_trunc('month', MAX(o_orderdate)) AS hi FROM orders), "
+        "spine(m) AS ("
+        "SELECT lo FROM bounds "
+        "UNION ALL "
+        "SELECT m + INTERVAL 1 MONTH FROM spine "
+        "WHERE m < (SELECT hi FROM bounds)) "
+        "SELECT s.m AS month_start, COUNT(o.o_orderkey) AS n_orders "
+        "FROM spine s LEFT JOIN orders o "
+        "ON date_trunc('month', o.o_orderdate) = s.m "
+        "GROUP BY s.m ORDER BY s.m"
+    ),
 }
 
 

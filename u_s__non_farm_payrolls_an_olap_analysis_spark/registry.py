@@ -105,6 +105,8 @@ _MODULES = [
 _SAMPLE_PRIORITY = [
     # new in round 8 — no driver row exists yet
     "stream_left_outer_join",
+    "sql_lateral_topk_per_group",
+    "sql_recursive_month_spine",
     "corpus_shuffle_shards",
     "vocab_bpe_pair_counts",
     "norm_winsorize_clip",
