@@ -100,6 +100,12 @@ REPRESENTATIVE = [
     "agg_weighted_percentile",
     "quality_unigram_surprisal",
     "join_asof_nearest",
+    "corpus_shuffle_shards",
+    "vocab_bpe_pair_counts",
+    "norm_winsorize_clip",
+    "stream_left_outer_join",
+    "sql_lateral_topk_per_group",
+    "sql_recursive_month_spine",
 ]
 
 

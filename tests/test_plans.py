@@ -504,3 +504,34 @@ def test_asof_nearest_is_join_free(spark):
     df = joins.join_asof_nearest(spark, SF)
     assert join_kinds(df) == []
     assert exchange_count(df) <= 2
+
+
+def test_lateral_topk_decorrelates_to_rank_filter(spark):
+    # LATERAL (ORDER BY ... LIMIT 3) must decorrelate into a row_number
+    # window + rank filter + broadcast join — never a nested-loop
+    # re-execution of the subquery per outer row
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import sql_api
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.plans.explain import (
+        formatted_plan,
+    )
+
+    df = sql_api.QUERIES["sql_lateral_topk_per_group"](spark, SF)
+    plan = formatted_plan(df)
+    assert "row_number" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_corpus_shuffle_single_exchange(spark):
+    # the seeded shuffle is repartition-by-shard + in-partition rank:
+    # exactly ONE hash exchange, no global sort of the corpus
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import llm_prep
+
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.plans.explain import (
+        formatted_plan,
+    )
+
+    df = llm_prep.corpus_shuffle_shards(spark, SF)
+    assert exchange_count(df) == 1
+    assert "rangepartitioning" not in formatted_plan(df)

@@ -109,10 +109,13 @@ SHARED_SQL = {
     ),
     # LATERAL correlated subquery with per-row ORDER BY + LIMIT — the
     # SQL-standard top-k-per-group form. Catalyst decorrelates the lateral
-    # into a join + rank-filter (the same physical shape as
-    # window_rank_topk_per_group), NOT row-at-a-time re-execution, so the
-    # lateral surface scales like the window formulation. Tiebreak:
-    # (bal DESC, c_name) is total within a nation (c_name is unique).
+    # into a row_number window + rank filter + broadcast join (pinned in
+    # tests/test_plans.py), NOT row-at-a-time re-execution. One artifact:
+    # the correlated ORDER BY also plans a global range sort the window
+    # re-does per-partition — the hand-written window formulation
+    # (window_rank_topk_per_group) avoids it and stays the tuned scale
+    # path; this entry proves the SQL surface. Tiebreak: (bal DESC,
+    # c_name) is total within a nation (c_name is unique).
     "sql_lateral_topk_per_group": (
         "SELECT n.n_name AS nation, t.c_name, t.bal "
         "FROM nation n, LATERAL ("
