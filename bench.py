@@ -625,8 +625,10 @@ def main() -> None:
                 "sfn100": {
                     "knob": "SPARK_GRAFT_SFN_REP=100",
                     "ran_in_this_run": SFN_REP >= 100,
-                    "last_verified_in": "BASELINE.md round-8 section "
-                    "(q8 crossover, gated-broadcast plan)",
+                    "last_verified_in": "BASELINE.md '100x record corrected' "
+                    "section (join_agg_pricing/window_rank cross over; q8 "
+                    "does not on one node — earlier DuckDB q8@100x outliers "
+                    "retracted as unreproducible)",
                 },
                 "sf": sf,
                 "startup_sec": round(startup, 2),
