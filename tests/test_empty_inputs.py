@@ -106,6 +106,8 @@ REPRESENTATIVE = [
     "stream_left_outer_join",
     "sql_lateral_topk_per_group",
     "sql_recursive_month_spine",
+    "agg_funnel_conversion",
+    "retention_cohorts",
 ]
 
 

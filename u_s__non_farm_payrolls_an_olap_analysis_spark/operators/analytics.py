@@ -788,3 +788,129 @@ ORACLE["norm_winsorize_clip"] = (
     "AS winsorized_mean "
     "FROM t GROUP BY event_type ORDER BY event_type"
 )
+
+
+def agg_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-funnel conversion (view → click → purchase, time-ordered per
+    user): the product-analytics staple the aggregate family otherwise
+    lacks. Stage timestamps are chained conditional window minimums —
+    first view, first click AT OR AFTER that view, first purchase at or
+    after that click — so a user converts only by traversing the stages
+    in order. All three windows partition on ``user_id`` → ONE exchange
+    (the per-user rollup reuses the same partitioning); comparisons are
+    raw NTZ timestamps, no epoch arithmetic (CLAUDE.md 6a). Counts
+    divide as conditional aggregates with zero-guards so the operator is
+    total on an empty fixture."""
+    ev = read_table(spark, sf_dir, "events")
+    u = Window.partitionBy("user_id")
+    a = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(u).alias("mv"),
+    )
+    b = a.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "mv",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") >= F.col("mv")),
+                F.col("ts"),
+            )
+        ).over(u).alias("mc"),
+    )
+    c = b.select(
+        "user_id",
+        "mv",
+        "mc",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("mc")),
+                F.col("ts"),
+            )
+        ).over(u).alias("mp"),
+    )
+    per_user = c.groupBy("user_id").agg(
+        F.max("mv").alias("mv"), F.max("mc").alias("mc"), F.max("mp").alias("mp")
+    )
+    rate = lambda num, den: F.when(  # noqa: E731
+        F.count(den) > 0, F.round(F.count(num) / F.count(den), 6)
+    ).otherwise(F.lit(0.0))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("mv").alias("n_view"),
+        F.count("mc").alias("n_click"),
+        F.count("mp").alias("n_purchase"),
+        rate("mc", "mv").alias("view_to_click"),
+        rate("mp", "mc").alias("click_to_purchase"),
+        rate("mp", "mv").alias("view_to_purchase"),
+    )
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity DAY,
+    counted on each subsequent day they return (daily granularity —
+    the events fixture spans ~30 days, so monthly cohorts would be
+    degenerate; the shape is granularity-agnostic). Day math is calendar
+    arithmetic on naive walls (``date_trunc``/``datediff``) — no
+    epoch↔instant conversion, no timezone exposure (CLAUDE.md 6a).
+    Shape: per-user first day via one user-partitioned window, distinct
+    (user, day) pairs, then the (cohort, offset) count-distinct — the
+    cohort matrix is O(days²) rows regardless of corpus size, and the
+    heavy stages share the user shuffle key."""
+    ev = read_table(spark, sf_dir, "events")
+    d = ev.select("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+    u = Window.partitionBy("user_id")
+    k = d.select(
+        "user_id", "day", F.min("day").over(u).alias("cohort_day")
+    ).distinct()
+    return (
+        k.groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active_users"))
+        .select(
+            "cohort_day",
+            F.col("day_offset").cast("int").alias("day_offset"),
+            "n_active_users",
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+QUERIES["agg_funnel_conversion"] = agg_funnel_conversion
+QUERIES["retention_cohorts"] = retention_cohorts
+
+ORACLE["agg_funnel_conversion"] = (
+    "WITH a AS (SELECT user_id, event_type, ts, "
+    "MIN(CASE WHEN event_type = 'view' THEN ts END) "
+    "OVER (PARTITION BY user_id) AS mv FROM events), "
+    "b AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND ts >= mv "
+    "THEN ts END) OVER (PARTITION BY user_id) AS mc FROM a), "
+    "c AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts >= mc "
+    "THEN ts END) OVER (PARTITION BY user_id) AS mp FROM b), "
+    "pu AS (SELECT user_id, MAX(mv) AS mv, MAX(mc) AS mc, MAX(mp) AS mp "
+    "FROM c GROUP BY user_id) "
+    "SELECT COUNT(*) AS n_users, COUNT(mv) AS n_view, "
+    "COUNT(mc) AS n_click, COUNT(mp) AS n_purchase, "
+    "CASE WHEN COUNT(mv) > 0 THEN ROUND(COUNT(mc) * 1.0 / COUNT(mv), 6) "
+    "ELSE 0.0 END AS view_to_click, "
+    "CASE WHEN COUNT(mc) > 0 THEN ROUND(COUNT(mp) * 1.0 / COUNT(mc), 6) "
+    "ELSE 0.0 END AS click_to_purchase, "
+    "CASE WHEN COUNT(mv) > 0 THEN ROUND(COUNT(mp) * 1.0 / COUNT(mv), 6) "
+    "ELSE 0.0 END AS view_to_purchase FROM pu"
+)
+
+ORACLE["retention_cohorts"] = (
+    "WITH d AS (SELECT user_id, date_trunc('day', ts) AS day FROM events), "
+    "k AS (SELECT DISTINCT user_id, day, "
+    "MIN(day) OVER (PARTITION BY user_id) AS cohort_day FROM d) "
+    "SELECT cohort_day, "
+    "CAST(date_diff('day', cohort_day, day) AS INT) AS day_offset, "
+    "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active_users "
+    "FROM k GROUP BY cohort_day, date_diff('day', cohort_day, day) "
+    "ORDER BY cohort_day, day_offset"
+)

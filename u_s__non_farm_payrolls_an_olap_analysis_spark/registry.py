@@ -110,6 +110,8 @@ _SAMPLE_PRIORITY = [
     "corpus_shuffle_shards",
     "vocab_bpe_pair_counts",
     "norm_winsorize_clip",
+    "agg_funnel_conversion",
+    "retention_cohorts",
     "mv_incremental_refresh",
     "timeseries_interpolate_linear",
     "sample_domain_cap",
