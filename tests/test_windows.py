@@ -85,3 +85,41 @@ def test_months_between_int_exact(spark):
     )
     out = df.select(months_between_int(F.col("b"), F.col("a")).alias("m")).collect()
     assert out[0]["m"] == 10
+
+
+def test_funnel_requires_stage_order(spark, tmp_path):
+    """agg_funnel_conversion must only credit stages reached IN ORDER:
+    a click before any view is not a conversion, a purchase before the
+    first ordered click is not a purchase-conversion."""
+    import datetime as dt
+
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        agg_funnel_conversion,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # u1: full ordered chain
+        (1, t0, 1, "view", 1.0, None),
+        (2, t0 + dt.timedelta(hours=1), 1, "click", 1.0, None),
+        (3, t0 + dt.timedelta(hours=2), 1, "purchase", 1.0, None),
+        # u2: click BEFORE its only view -> no click conversion
+        (4, t0, 2, "click", 1.0, None),
+        (5, t0 + dt.timedelta(hours=1), 2, "view", 1.0, None),
+        # u3: purchase before the ordered click -> view+click only
+        (6, t0, 3, "view", 1.0, None),
+        (7, t0 + dt.timedelta(hours=1), 3, "purchase", 1.0, None),
+        (8, t0 + dt.timedelta(hours=2), 3, "click", 1.0, None),
+        # u4: never viewed
+        (9, t0, 4, "purchase", 1.0, None),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    r = agg_funnel_conversion(spark, str(tmp_path)).collect()[0]
+    assert r["n_users"] == 4
+    assert r["n_view"] == 3      # u1, u2, u3
+    assert r["n_click"] == 2     # u1, u3 (u2's click precedes its view)
+    assert r["n_purchase"] == 1  # u1 only
