@@ -234,3 +234,57 @@ def test_stream_source_resumes_from_checkpoint(spark, tmp_path):
     for r in rows:
         per_year[r.date.year] = per_year.get(r.date.year, 0) + 1
     assert per_year == {y: 12 for y in range(2019, 2025)}, per_year
+
+
+def test_json_dir_sink_manifest_protocol(spark, tmp_path):
+    """The python-datasource sink's two-phase commit: readers trust only
+    the manifest (planted stray + staged files stay invisible), append
+    extends it, and a failed job publishes nothing."""
+    import json
+    import os
+
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.sources.table_sink import (
+        MANIFEST,
+        JsonDirSinkDataSource,
+        committed_files,
+    )
+
+    spark.dataSource.register(JsonDirSinkDataSource)
+    path = str(tmp_path / "sink")
+    df = spark.range(10).select(F.col("id").cast("long").alias("k"))
+    df.write.format("json_dir_sink").mode("overwrite").option(
+        "path", path
+    ).save()
+    # plant files the manifest does not know about
+    with open(os.path.join(path, "part-stray.jsonl"), "w") as f:
+        f.write('{"k": 999}\n')
+    with open(os.path.join(path, "_staged_part-orphan.jsonl"), "w") as f:
+        f.write('{"k": 888}\n')
+    files = committed_files(path)
+    assert all("stray" not in p and "orphan" not in p for p in files)
+    got = spark.read.schema("k long").json(files)
+    assert sorted(r["k"] for r in got.collect()) == list(range(10))
+    # append extends the manifest rather than replacing it
+    spark.range(10, 15).select(F.col("id").alias("k")).write.format(
+        "json_dir_sink"
+    ).mode("append").option("path", path).save()
+    got2 = spark.read.schema("k long").json(committed_files(path))
+    assert sorted(r["k"] for r in got2.collect()) == list(range(15))
+    # a failing job must not publish a manifest
+    path2 = str(tmp_path / "sink_fail")
+    bad = spark.range(4).select(
+        F.when(F.col("id") < 3, F.col("id"))
+        .otherwise(F.raise_error("boom"))
+        .alias("k")
+    )
+    try:
+        bad.write.format("json_dir_sink").mode("overwrite").option(
+            "path", path2
+        ).save()
+        raised = False
+    except Exception:
+        raised = True
+    assert raised
+    assert not os.path.exists(os.path.join(path2, MANIFEST))
+    if os.path.exists(path2):
+        assert not [f for f in os.listdir(path2) if f.startswith("part-")]

@@ -108,6 +108,7 @@ REPRESENTATIVE = [
     "sql_recursive_month_spine",
     "agg_funnel_conversion",
     "retention_cohorts",
+    "sink_python_datasource",
 ]
 
 

@@ -351,3 +351,72 @@ ORACLE = {
         "FULL OUTER JOIN u ON o.o_orderkey = u.o_orderkey"
     ),
 }
+
+
+# session-lifetime root for python-datasource sink outputs (one uuid subdir
+# per invocation; removed at interpreter exit)
+_SINK_BASE: str | None = None
+
+
+def _sink_dir() -> str:
+    global _SINK_BASE
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    if _SINK_BASE is None or not os.path.exists(_SINK_BASE):
+        _SINK_BASE = tempfile.mkdtemp(prefix="pyds_sink_")
+        atexit.register(shutil.rmtree, _SINK_BASE, ignore_errors=True)
+    d = os.path.join(_SINK_BASE, uuid.uuid4().hex[:8])
+    os.makedirs(d)
+    return d
+
+
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 via the PySpark 4 DataSource WRITER API — the monthly payroll
+    table (the reference's final load target, ``etl.py:48-73``) written
+    through the registered ``json_dir_sink`` with a real two-phase
+    commit: tasks stage their partition files and return commit
+    messages, the driver promotes them and atomically publishes a
+    manifest, and the read-back trusts ONLY the manifest (see
+    ``sources/table_sink.py``). Completes the custom-connector family:
+    batch read (``source_api_extract``), streaming read
+    (``source_api_stream``), batch write (this), JDBC upsert write
+    (``sink_jdbc_upsert``).
+
+    The returned DataFrame is the ROUND-TRIPPED table — written through
+    the sink, read back from the committed parts — so the oracle check
+    proves write-path fidelity end to end, not just the aggregate."""
+    from ..functions.numerics import dsum
+    from ..sources.table_sink import JsonDirSinkDataSource, committed_files
+
+    spark.dataSource.register(JsonDirSinkDataSource)  # idempotent
+    orders = read_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.year("o_orderdate").cast("int").alias("year"),
+        F.month("o_orderdate").cast("int").alias("month"),
+    ).agg(F.round(dsum("o_totalprice"), 4).alias("total_payroll"))
+    path = _sink_dir()
+    (
+        monthly.write.format("json_dir_sink")
+        .mode("overwrite")
+        .option("path", path)
+        .save()
+    )
+    schema = "year int, month int, total_payroll double"
+    files = committed_files(path)
+    if not files:  # empty fixture: nothing committed, empty typed frame
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(files).orderBy("year", "month")
+
+
+QUERIES["sink_python_datasource"] = sink_python_datasource
+
+ORACLE["sink_python_datasource"] = (
+    "SELECT CAST(year(o_orderdate) AS INT) AS year, "
+    "CAST(month(o_orderdate) AS INT) AS month, "
+    "ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS DOUBLE) "
+    "/ 10000.0, 4) AS total_payroll "
+    "FROM orders GROUP BY 1, 2 ORDER BY 1, 2"
+)

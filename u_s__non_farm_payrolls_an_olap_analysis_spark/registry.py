@@ -112,6 +112,7 @@ _SAMPLE_PRIORITY = [
     "norm_winsorize_clip",
     "agg_funnel_conversion",
     "retention_cohorts",
+    "sink_python_datasource",
     "mv_incremental_refresh",
     "timeseries_interpolate_linear",
     "sample_domain_cap",
