@@ -152,6 +152,12 @@ def test_frame_sample_handles_zero_row_arrow_batch():
         # unigram LM over hostile docs: ''-tokens from empty docs are
         # legitimate vocabulary entries and ln stays finite (cnt >= 1)
         "quality_unigram_surprisal",
+        # round-8 final: the md5 shuffle key is defined for every doc_id
+        # (no text dependence); BPE pairs must agree on the empty doc,
+        # the 1-char-word filter, and non-ASCII words (regex class
+        # [a-z] excludes é identically in Java regex and RE2)
+        "corpus_shuffle_shards",
+        "vocab_bpe_pair_counts",
     ],
 )
 def test_hostile_llm_prep_parity(spark, hostile_dir, duck, name):
@@ -164,3 +170,23 @@ def test_hostile_llm_prep_parity(spark, hostile_dir, duck, name):
     )
 
     _assert_parity(llm_prep.QUERIES[name](spark, hostile_dir), duck, name)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # funnel: click/purchase at the EXACT same timestamp as the view
+        # (ties satisfy >= identically in both engines); winsorize: tiny
+        # single-value groups (k=0, thresholds = the value itself);
+        # retention: one user, one day (offset-0 cell only)
+        "agg_funnel_conversion",
+        "norm_winsorize_clip",
+        "retention_cohorts",
+    ],
+)
+def test_hostile_events_analytics_parity(spark, hostile_dir, duck, name):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import (
+        analytics,
+    )
+
+    _assert_parity(analytics.QUERIES[name](spark, hostile_dir), duck, name)

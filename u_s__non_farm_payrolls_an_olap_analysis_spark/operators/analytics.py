@@ -908,7 +908,7 @@ ORACLE["retention_cohorts"] = (
     "WITH d AS (SELECT user_id, date_trunc('day', ts) AS day FROM events), "
     "k AS (SELECT DISTINCT user_id, day, "
     "MIN(day) OVER (PARTITION BY user_id) AS cohort_day FROM d) "
-    "SELECT cohort_day, "
+    "SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day, "
     "CAST(date_diff('day', cohort_day, day) AS INT) AS day_offset, "
     "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active_users "
     "FROM k GROUP BY cohort_day, date_diff('day', cohort_day, day) "
