@@ -167,3 +167,44 @@ def test_events_stream_instants_are_tz_independent(spark, tmp_path):
             }
             spark.catalog.dropTempView(f"tzi_{unit}")
     assert got["us"] == got["ns"] == {1: base[0], 2: base[1]}
+
+
+def test_events_horizon_staging_is_unit_and_tz_independent(spark, tmp_path):
+    """The left-outer join's horizon staging must normalize ns and us
+    fixtures to the SAME microsecond values (pure int64 arithmetic — no
+    session involvement at all), and its sentinels must sit strictly
+    past the real horizon in both cases."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.streaming import (
+        stream_windows as sw,
+    )
+
+    base = [1706640381466163, 1721999999999999]
+    staged = {}
+    for unit in ("us", "ns"):
+        mult = 1 if unit == "us" else 1000
+        d = tmp_path / unit
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": [1, 2],
+                    "ts": pa.array(
+                        [v * mult for v in base], type=pa.timestamp(unit)
+                    ),
+                    "user_id": [1, 2],
+                    "event_type": ["purchase", "click"],
+                    "value": [1.0, 2.0],
+                    "props": ["{}", "{}"],
+                }
+            ),
+            str(d / "events.parquet"),
+        )
+        h = sw._events_horizon_dir(str(d))
+        real = pq.read_table(f"{h}/part-00000.parquet")
+        assert real.column("ts").type == pa.timestamp("us")
+        staged[unit] = sorted(
+            real.column("ts").cast(pa.int64()).to_pylist()
+        )
+        s1 = pq.read_table(f"{h}/part-00001.parquet")
+        assert min(s1.column("ts").cast(pa.int64()).to_pylist()) > max(base)
+    assert staged["us"] == staged["ns"] == sorted(base)
