@@ -109,6 +109,8 @@ REPRESENTATIVE = [
     "agg_funnel_conversion",
     "retention_cohorts",
     "sink_python_datasource",
+    "scan_schema_evolution",
+    "layout_partition_overwrite_dynamic",
 ]
 
 

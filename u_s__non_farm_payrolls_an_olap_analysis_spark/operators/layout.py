@@ -491,3 +491,122 @@ ORACLE["layout_compact_small_files"] = (
     f"ROUND({dsum_sql('o_totalprice')}, 4) AS total "
     "FROM orders GROUP BY 1 ORDER BY 1"
 )
+
+
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read (``mergeSchema``): a table directory whose
+    older files LACK a column the newer files carry — the standard
+    lakehouse situation after an additive schema change. Built once per
+    session+sf_dir: pre-1996 order files without ``o_priority_flag``,
+    1996+ files with it. The merged scan surfaces the missing column as
+    NULL for old files, and the per-year aggregate proves exactly which
+    rows carried it. Scale note: schema merging reads FOOTERS only
+    (one reconciliation pass over file metadata), the data path is the
+    ordinary columnar scan — the cost is per-file, not per-row.
+
+    Oracle: the evolved column derives deterministically from the base
+    table (flag = high-value order, 1996+ only), so DuckDB reproduces
+    the merged result straight from ``orders`` — no derived files leak
+    into the oracle."""
+    d = _derived_path(sf_dir, "orders_evolved")
+    key = (spark.sparkContext.applicationId, sf_dir, "evolved")
+    built = _PART_DIR_MEMO.get(key)
+    if built is None or not os.path.exists(built):
+        orders = read_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", F.year("o_orderdate").alias("o_year")
+        )
+        old = orders.filter(F.col("o_year") < 1996)
+        new = orders.filter(F.col("o_year") >= 1996).withColumn(
+            "o_priority_flag", (F.col("o_totalprice") > 200_000.0).cast("int")
+        )
+        old.write.mode("overwrite").parquet(os.path.join(d, "v1"))
+        new.write.mode("overwrite").parquet(os.path.join(d, "v2"))
+        _PART_DIR_MEMO[key] = d
+    has_footers = any(
+        f.endswith(".parquet")
+        for sub in ("v1", "v2")
+        for f in os.listdir(os.path.join(d, sub))
+    )
+    if has_footers:
+        merged = spark.read.option("mergeSchema", "true").parquet(
+            os.path.join(d, "v1"), os.path.join(d, "v2")
+        )
+    else:  # empty source wrote only _SUCCESS markers: no footers to merge
+        merged = spark.createDataFrame(
+            [], "o_orderkey long, o_totalprice double, o_year int, "
+            "o_priority_flag int"
+        )
+    return (
+        merged.groupBy(F.col("o_year").cast("int").alias("year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("o_priority_flag").alias("n_with_flag"),
+            F.sum("o_priority_flag").alias("n_flagged"),
+        )
+        .orderBy("year")
+    )
+
+
+def layout_partition_overwrite_dynamic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dynamic partition overwrite — the idempotent-backfill primitive: a
+    year-partitioned table gets ONE year's partition replaced by a
+    revised slice, and only that directory is touched (static overwrite
+    mode would drop every other partition). Each invocation stages its
+    own copy (uuid dir), writes the initial layout, then overwrites
+    1997 with the high-value subset under
+    ``partitionOverwriteMode=dynamic``; the final per-year aggregate
+    proves 1997 shrank while every other year is bit-identical. At
+    scale this is the nightly-restatement pattern: the write plans one
+    task set for the NEW data only, never rewrites the table."""
+    import uuid as _uuid
+
+    base = _derived_path(sf_dir, "overwrite_demo")
+    d = os.path.join(base, _uuid.uuid4().hex[:8])
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", F.year("o_orderdate").alias("o_year")
+    )
+    orders.write.partitionBy("o_year").mode("overwrite").parquet(d)
+    revised = orders.filter(
+        (F.col("o_year") == 1997) & (F.col("o_totalprice") > 150_000.0)
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        revised.write.partitionBy("o_year").mode("overwrite").parquet(d)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # explicit schema: an empty source writes only _SUCCESS (no footers)
+    # and inference on that raises — same failure mode partitioned_orders
+    # documents
+    return (
+        spark.read.schema("o_orderkey long, o_totalprice double, o_year int")
+        .parquet(d)
+        .groupBy(F.col("o_year").cast("int").alias("year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(dsum("o_totalprice"), 4).alias("total"),
+        )
+        .orderBy("year")
+    )
+
+
+QUERIES["scan_schema_evolution"] = scan_schema_evolution
+QUERIES["layout_partition_overwrite_dynamic"] = layout_partition_overwrite_dynamic
+
+ORACLE["scan_schema_evolution"] = (
+    "SELECT CAST(year(o_orderdate) AS INT) AS year, COUNT(*) AS n_rows, "
+    "CAST(SUM(CASE WHEN year(o_orderdate) >= 1996 THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_with_flag, "
+    "CAST(SUM(CASE WHEN year(o_orderdate) >= 1996 "
+    "AND o_totalprice > 200000.0 THEN 1 END) AS BIGINT) AS n_flagged "
+    "FROM orders GROUP BY 1 ORDER BY 1"
+)
+
+ORACLE["layout_partition_overwrite_dynamic"] = (
+    "SELECT CAST(year(o_orderdate) AS INT) AS year, COUNT(*) AS n_rows, "
+    f"ROUND({dsum_sql('o_totalprice')}, 4) AS total FROM orders "
+    "WHERE year(o_orderdate) <> 1997 OR o_totalprice > 150000.0 "
+    "GROUP BY 1 ORDER BY 1"
+)

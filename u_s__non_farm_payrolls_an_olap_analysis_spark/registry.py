@@ -113,6 +113,8 @@ _SAMPLE_PRIORITY = [
     "agg_funnel_conversion",
     "retention_cohorts",
     "sink_python_datasource",
+    "scan_schema_evolution",
+    "layout_partition_overwrite_dynamic",
     "mv_incremental_refresh",
     "timeseries_interpolate_linear",
     "sample_domain_cap",
