@@ -111,6 +111,8 @@ REPRESENTATIVE = [
     "sink_python_datasource",
     "scan_schema_evolution",
     "layout_partition_overwrite_dynamic",
+    "scalar_try_functions",
+    "array_higher_order_funcs",
 ]
 
 

@@ -228,3 +228,74 @@ ORACLE = {
         "FROM embeddings GROUP BY 1"
     ),
 }
+
+
+def scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-safe scalar family (Spark 4 ships with ANSI ON, so
+    the ``try_*`` forms are the survival kit for dirty data): ``try_cast``
+    on uncastable prefixes, ``try_divide`` on zero denominators,
+    ``try_element_at`` past the end of an array — each yields NULL where
+    the plain form would ABORT THE JOB at 100 TB scan scale. Oracle:
+    DuckDB ``TRY_CAST`` / guarded CASE division / out-of-range list index
+    (NULL by definition there)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.substring("text", 1, 4).try_cast("int").alias("try_int"),
+        F.try_divide(
+            F.col("n_chars").cast("double"),
+            (F.col("doc_id") % 3).cast("double"),
+        ).alias("safe_ratio"),
+        F.try_element_at(F.split(F.col("text"), " "), F.lit(1000)).alias(
+            "token_1000"
+        ),
+    )
+
+
+def array_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions — lambda expressions evaluated INSIDE
+    codegen, the idiomatic alternative to exploding + re-aggregating
+    (zero shuffle, zero row-count blowup; the explode formulation of the
+    same stats shuffles corpus x tokens rows): ``filter`` (long-token
+    count), ``transform`` + ``aggregate`` (total token length),
+    ``transform`` + ``array_max``. Oracle: DuckDB's list lambda family
+    (``list_filter`` / ``list_transform`` / ``list_aggregate`` /
+    ``list_max``) — same semantics, shared lambda arrow syntax."""
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = F.split(F.col("text"), " ")
+    lens = F.transform(toks, lambda w: F.length(w))
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda w: F.length(w) > 3))
+        .cast("long")
+        .alias("n_long_tokens"),
+        F.aggregate(lens, F.lit(0), lambda a, x: a + x)
+        .cast("long")
+        .alias("sum_token_len"),
+        F.array_max(lens).cast("long").alias("max_token_len"),
+    )
+
+
+QUERIES["scalar_try_functions"] = scalar_try_functions
+QUERIES["array_higher_order_funcs"] = array_higher_order_funcs
+
+ORACLE["scalar_try_functions"] = (
+    "SELECT doc_id, TRY_CAST(substr(text, 1, 4) AS INT) AS try_int, "
+    "CASE WHEN CAST(doc_id % 3 AS DOUBLE) = 0 THEN NULL "
+    "ELSE CAST(n_chars AS DOUBLE) / CAST(doc_id % 3 AS DOUBLE) END "
+    "AS safe_ratio, "
+    "string_split(text, ' ')[1000] AS token_1000 FROM documents"
+)
+
+ORACLE["array_higher_order_funcs"] = (
+    "SELECT doc_id, "
+    "CAST(length(list_filter(string_split(text, ' '), "
+    "w -> length(w) > 3)) AS BIGINT) AS n_long_tokens, "
+    "CAST(list_aggregate(list_transform(string_split(text, ' '), "
+    "w -> length(w)), 'sum') AS BIGINT) AS sum_token_len, "
+    "CAST(list_max(list_transform(string_split(text, ' '), "
+    "w -> length(w))) AS BIGINT) AS max_token_len "
+    "FROM documents WHERE text IS NOT NULL"
+)

@@ -115,6 +115,8 @@ _SAMPLE_PRIORITY = [
     "sink_python_datasource",
     "scan_schema_evolution",
     "layout_partition_overwrite_dynamic",
+    "scalar_try_functions",
+    "array_higher_order_funcs",
     "mv_incremental_refresh",
     "timeseries_interpolate_linear",
     "sample_domain_cap",
