@@ -43,7 +43,16 @@ wh = spark.conf.get("spark.sql.warehouse.dir")
 print(f"data={D} buckets={BUCKETS} warehouse={wh}")
 
 
+import hashlib  # noqa: E402
+
+_TAG = hashlib.md5(f"{os.path.abspath(D)}|{BUCKETS}".encode()).hexdigest()[:8]
+
+
 def ensure_bucketed(name: str, df, key: str) -> None:
+    # the table name carries (data_dir, bucket count): re-running with a
+    # different replication or bucket knob must not silently reuse a
+    # stale layout
+    name = f"{name}_{_TAG}"
     if not spark.catalog.tableExists(name):
         (df.write.bucketBy(BUCKETS, key).sortBy(key)
          .option("path", os.path.join(wh.removeprefix("file:"), name))
@@ -63,8 +72,8 @@ print(f"layout_prep_sec={round(time.time() - t0, 1)} (once per layout)")
 
 
 def q8_bucketed():
-    li = spark.table("bq8_lineitem")
-    orders = spark.table("bq8_orders")
+    li = spark.table(f"bq8_lineitem_{_TAG}")
+    orders = spark.table(f"bq8_orders_{_TAG}")
     cust = read_table(spark, D, "customer")
     supp = read_table(spark, D, "supplier")
     n_c = read_table(spark, D, "nation").select(

@@ -100,7 +100,6 @@ def best_of(fn, n=3):
     return round(best, 3)
 
 
-asia, lif = pieces()
 print(f"component_floor lineitem_flag_agg_sec="
       f"{best_of(lambda: pieces()[1].agg(F.sum('r'), F.count(F.lit(1))))}")
 print(f"component_floor asia_chain_agg_sec="

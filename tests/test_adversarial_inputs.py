@@ -28,6 +28,10 @@ def hostile_dir(spark, tmp_path_factory):
         (1, 1, "F", 500.0, dt.datetime(1999, 1, 1), "x"),
         (2, 1, "F", 500.0, dt.datetime(1999, 2, 1), "x"),  # constant-span year
         (3, 1, "F", 0.0, dt.datetime(2000, 1, 1), "x"),    # zero price
+        # layout hostiles: a pre-1996 year (one-sided schema evolution),
+        # and a 1997 with NO high-value rows (dynamic-overwrite no-op)
+        (4, 1, "F", 400.0, dt.datetime(1995, 6, 1), "x"),
+        (5, 1, "F", 400.0, dt.datetime(1997, 3, 1), "x"),
     ]
     spark.createDataFrame(
         orders,
@@ -56,6 +60,15 @@ def hostile_dir(spark, tmp_path_factory):
         (4, "spam spam spam spam spam spam", "en", "s1", 29),
         (5, "reach bob123@mail.com or 555-1234 at 10.0.0.1 now ok", "en",
          "s1", 52),
+        # try-cast grammar hostiles: the prefixes where the engines'
+        # native try-cast string grammars DIVERGE (decimal, exponent,
+        # hex) plus the shared-domain forms (digits, sign, overflow)
+        (6, "12.5 likes this", "en", "s2", 15),
+        (7, "1e+4 items counted", "en", "s2", 18),
+        (8, "1234 numeric start", "en", "s2", 18),
+        (9, "0x1f hex prefix", "en", "s2", 15),
+        (10, "+42 signed", "en", "s2", 10),
+        (11, "99999999999 overflowing int32", "en", "s2", 29),
     ]
     spark.createDataFrame(
         docs, "doc_id long, text string, lang string, source string, n_chars long"
@@ -190,3 +203,26 @@ def test_hostile_events_analytics_parity(spark, hostile_dir, duck, name):
     )
 
     _assert_parity(analytics.QUERIES[name](spark, hostile_dir), duck, name)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # try-cast on the grammar-divergence prefixes (guarded shared
+        # domain); schema evolution with a one-sided (tiny v1) split and
+        # an all-unflagged 1996+ year (0-vs-NULL sum); dynamic overwrite
+        # where NO 1997 row qualifies (write is a no-op, old partition
+        # must survive in BOTH engines' view)
+        "scalar_try_functions",
+        "scan_schema_evolution",
+        "layout_partition_overwrite_dynamic",
+    ],
+)
+def test_hostile_layout_scalar_parity(spark, hostile_dir, duck, name):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import (
+        layout,
+        scalars,
+    )
+
+    q = {**scalars.QUERIES, **layout.QUERIES}[name]
+    _assert_parity(q(spark, hostile_dir), duck, name)

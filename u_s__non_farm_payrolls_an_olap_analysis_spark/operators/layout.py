@@ -522,16 +522,24 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         old.write.mode("overwrite").parquet(os.path.join(d, "v1"))
         new.write.mode("overwrite").parquet(os.path.join(d, "v2"))
         _PART_DIR_MEMO[key] = d
-    has_footers = any(
-        f.endswith(".parquet")
+    # per-side footer check: an empty slice writes only _SUCCESS, and a
+    # v2-empty source would otherwise merge to a schema WITHOUT the
+    # evolved column (count/sum on it fails analysis)
+    srcs = [
+        os.path.join(d, sub)
         for sub in ("v1", "v2")
-        for f in os.listdir(os.path.join(d, sub))
-    )
-    if has_footers:
-        merged = spark.read.option("mergeSchema", "true").parquet(
-            os.path.join(d, "v1"), os.path.join(d, "v2")
+        if any(
+            f.endswith(".parquet")
+            for f in os.listdir(os.path.join(d, sub))
         )
-    else:  # empty source wrote only _SUCCESS markers: no footers to merge
+    ]
+    if srcs:
+        merged = spark.read.option("mergeSchema", "true").parquet(*srcs)
+        if "o_priority_flag" not in merged.columns:
+            merged = merged.withColumn(
+                "o_priority_flag", F.lit(None).cast("int")
+            )
+    else:  # fully empty source: no footers to merge at all
         merged = spark.createDataFrame(
             [], "o_orderkey long, o_totalprice double, o_year int, "
             "o_priority_flag int"
@@ -596,17 +604,25 @@ QUERIES["scan_schema_evolution"] = scan_schema_evolution
 QUERIES["layout_partition_overwrite_dynamic"] = layout_partition_overwrite_dynamic
 
 ORACLE["scan_schema_evolution"] = (
+    # inner CASE carries an ELSE 0 so an all-unflagged 1996+ year sums
+    # to 0 (as Spark's int column does), while pre-1996 years stay NULL
     "SELECT CAST(year(o_orderdate) AS INT) AS year, COUNT(*) AS n_rows, "
     "CAST(SUM(CASE WHEN year(o_orderdate) >= 1996 THEN 1 ELSE 0 END) "
     "AS BIGINT) AS n_with_flag, "
-    "CAST(SUM(CASE WHEN year(o_orderdate) >= 1996 "
-    "AND o_totalprice > 200000.0 THEN 1 END) AS BIGINT) AS n_flagged "
+    "CAST(SUM(CASE WHEN year(o_orderdate) >= 1996 THEN "
+    "CASE WHEN o_totalprice > 200000.0 THEN 1 ELSE 0 END END) "
+    "AS BIGINT) AS n_flagged "
     "FROM orders GROUP BY 1 ORDER BY 1"
 )
 
 ORACLE["layout_partition_overwrite_dynamic"] = (
+    # dynamic overwrite only rewrites partitions PRESENT in the new
+    # data: if no 1997 row qualifies, the write is a no-op and the old
+    # partition survives — the NOT EXISTS arm mirrors that semantic
     "SELECT CAST(year(o_orderdate) AS INT) AS year, COUNT(*) AS n_rows, "
     f"ROUND({dsum_sql('o_totalprice')}, 4) AS total FROM orders "
     "WHERE year(o_orderdate) <> 1997 OR o_totalprice > 150000.0 "
+    "OR NOT EXISTS (SELECT 1 FROM orders "
+    "WHERE year(o_orderdate) = 1997 AND o_totalprice > 150000.0) "
     "GROUP BY 1 ORDER BY 1"
 )

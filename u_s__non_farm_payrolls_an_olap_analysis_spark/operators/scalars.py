@@ -239,9 +239,17 @@ def scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB ``TRY_CAST`` / guarded CASE division / out-of-range list index
     (NULL by definition there)."""
     docs = read_table(spark, sf_dir, "documents")
+    # the STRING-to-INT grammars of the two engines' try-casts differ
+    # (DuckDB TRY_CAST accepts '12.5'/'1e+4'/'0x1f' and rounds, Spark
+    # rejects all three) — an integer-literal regexp guard on BOTH sides
+    # pins the shared domain, where parse and int32-overflow behavior
+    # are identical
+    sub = F.substring("text", 1, 4)
     return docs.select(
         "doc_id",
-        F.substring("text", 1, 4).try_cast("int").alias("try_int"),
+        F.when(sub.rlike("^[+-]?[0-9]+$"), sub.try_cast("int")).alias(
+            "try_int"
+        ),
         F.try_divide(
             F.col("n_chars").cast("double"),
             (F.col("doc_id") % 3).cast("double"),
@@ -282,7 +290,9 @@ QUERIES["scalar_try_functions"] = scalar_try_functions
 QUERIES["array_higher_order_funcs"] = array_higher_order_funcs
 
 ORACLE["scalar_try_functions"] = (
-    "SELECT doc_id, TRY_CAST(substr(text, 1, 4) AS INT) AS try_int, "
+    "SELECT doc_id, CASE WHEN regexp_matches(substr(text, 1, 4), "
+    "'^[+-]?[0-9]+$') THEN TRY_CAST(substr(text, 1, 4) AS INT) END "
+    "AS try_int, "
     "CASE WHEN CAST(doc_id % 3 AS DOUBLE) = 0 THEN NULL "
     "ELSE CAST(n_chars AS DOUBLE) / CAST(doc_id % 3 AS DOUBLE) END "
     "AS safe_ratio, "

@@ -413,10 +413,11 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sink_python_datasource"] = sink_python_datasource
 
+from ..functions.numerics import dsum_sql as _dsum_sql  # noqa: E402
+
 ORACLE["sink_python_datasource"] = (
     "SELECT CAST(year(o_orderdate) AS INT) AS year, "
     "CAST(month(o_orderdate) AS INT) AS month, "
-    "ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS DOUBLE) "
-    "/ 10000.0, 4) AS total_payroll "
+    f"ROUND({_dsum_sql('o_totalprice')}, 4) AS total_payroll "
     "FROM orders GROUP BY 1, 2 ORDER BY 1, 2"
 )

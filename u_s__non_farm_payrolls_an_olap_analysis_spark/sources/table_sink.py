@@ -96,7 +96,12 @@ class JsonDirSinkWriter(DataSourceWriter):
         os.replace(tmp, manifest_path)  # atomic publish
 
     def abort(self, messages) -> None:
+        # a FAILED task's entry is None (no commit message, and its own
+        # partial staging file path is unknowable here) — clean the
+        # successful tasks' staged files and skip the None slots
         for m in messages:
+            if m is None:
+                continue
             try:
                 os.remove(m.staged)
             except OSError:
