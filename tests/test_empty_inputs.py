@@ -113,6 +113,7 @@ REPRESENTATIVE = [
     "layout_partition_overwrite_dynamic",
     "scalar_try_functions",
     "array_higher_order_funcs",
+    "agg_linear_trend",
 ]
 
 

@@ -914,3 +914,76 @@ ORACLE["retention_cohorts"] = (
     "FROM k GROUP BY cohort_day, date_diff('day', cohort_day, day) "
     "ORDER BY cohort_day, day_offset"
 )
+
+
+def agg_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment OLS trend of monthly order totals — the reference
+    dashboard's "is employment trending up?" question as a closed-form
+    aggregate. x is the month INDEX (year*12+month, exact integers), y
+    the monthly scaled-int total; all four OLS sums (Sx, Sy, Sxy, Sxx)
+    stay INTEGER until the single final division, so the slope is
+    bitwise-portable with no accumulation-order exposure (the naive
+    double Σxy differs per partition schedule at scale). x is CENTERED
+    on a fixed base month (Jan 1995) before any product — uncentered,
+    ``n*Sxy`` overflows int64 already at sf0.01 (x ~ 24k multiplies
+    every money term by 2e4 for nothing; centering is the standard OLS
+    conditioning trick and here it is exactness, not just conditioning).
+    Bounds with centering: |x| ≤ a few hundred months, monthly scaled
+    y ≤ ~5e13 at sf100 → n*Sxy ≤ ~1e18, inside int64; past that, bump
+    to DECIMAL sums. Two shuffles total: the month rollup, then one
+    tiny per-segment aggregate of O(months) rows. The intercept is
+    reported AT THE BASE MONTH (x = 0 ⇔ Jan 1995)."""
+    orders = read_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            "o_orderpriority",
+            (
+                F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+                - F.lit(1995 * 12)
+            ).alias("x"),
+        )
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(ROUND(o_totalprice * 10000) AS BIGINT)"
+                )
+            ).alias("y")
+        )
+    )
+    n = F.count(F.lit(1))
+    sx = F.sum("x")
+    sy = F.sum("y")
+    sxy = F.sum(F.col("x") * F.col("y"))
+    sxx = F.sum(F.col("x") * F.col("x"))
+    # slope in money-units per month: descale y's 1e4 at the end
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx) / 10_000.0
+    intercept = (sy.cast("double") / 10_000.0 - slope * sx.cast("double")) / n
+    return (
+        monthly.groupBy("o_orderpriority")
+        .agg(
+            n.alias("n_months"),
+            F.round(slope, 4).alias("slope_per_month"),
+            F.round(intercept, 4).alias("intercept_at_base"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+QUERIES["agg_linear_trend"] = agg_linear_trend
+
+ORACLE["agg_linear_trend"] = (
+    "WITH m AS (SELECT o_orderpriority, "
+    "CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 "
+    f"- {1995 * 12} AS BIGINT) AS x, "
+    "CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS BIGINT) AS y "
+    "FROM orders GROUP BY 1, 2) "
+    "SELECT o_orderpriority, COUNT(*) AS n_months, "
+    "ROUND(CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE) "
+    "/ CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE) "
+    "/ 10000.0, 4) AS slope_per_month, "
+    "ROUND((CAST(SUM(y) AS DOUBLE) / 10000.0 "
+    "- (CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE) "
+    "/ CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE) / 10000.0) "
+    "* CAST(SUM(x) AS DOUBLE)) / COUNT(*), 4) AS intercept_at_base "
+    "FROM m GROUP BY 1 ORDER BY 1"
+)

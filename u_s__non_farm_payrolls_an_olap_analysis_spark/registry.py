@@ -125,6 +125,7 @@ _SAMPLE_PRIORITY = [
     "layout_partition_overwrite_dynamic",
     "scalar_try_functions",
     "array_higher_order_funcs",
+    "agg_linear_trend",
     "mv_incremental_refresh",
     "timeseries_interpolate_linear",
     "sample_domain_cap",
