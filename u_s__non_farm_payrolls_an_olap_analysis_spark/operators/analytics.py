@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.numerics import davg, davg_sql, dround, dsum
+from ..functions.numerics import davg, davg_sql, dround, dsum, dsum_scaled
 from ..functions.timeparts import epoch_micros_from_ntz, month_start, year_of
 from ..io import read_table
 
@@ -928,11 +928,15 @@ def agg_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``n*Sxy`` overflows int64 already at sf0.01 (x ~ 24k multiplies
     every money term by 2e4 for nothing; centering is the standard OLS
     conditioning trick and here it is exactness, not just conditioning).
-    Bounds with centering: |x| ≤ a few hundred months, monthly scaled
-    y ≤ ~5e13 at sf100 → n*Sxy ≤ ~1e18, inside int64; past that, bump
-    to DECIMAL sums. Two shuffles total: the month rollup, then one
-    tiny per-segment aggregate of O(months) rows. The intercept is
-    reported AT THE BASE MONTH (x = 0 ⇔ Jan 1995)."""
+    The per-month money rollup is the scaled-int64 ``dsum_scaled``
+    (bounded per month — ~5.6e14 at sf100, comfortably int64); the
+    FOUR OLS SUMS run as DECIMAL(38,0) — still exact integers, matching
+    DuckDB's HUGEINT sums, and immune to the int64 ceiling the cross
+    products would hit around sf70 (Sy·Sx ~ 1e19). Decimal cost is nil:
+    the outer aggregate sees only O(months x segments) rows. Two
+    shuffles total: the month rollup, then that tiny per-segment
+    aggregate. The intercept is reported AT THE BASE MONTH
+    (x = 0 ⇔ Jan 1995)."""
     orders = read_table(spark, sf_dir, "orders")
     monthly = (
         orders.groupBy(
@@ -942,26 +946,27 @@ def agg_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.lit(1995 * 12)
             ).alias("x"),
         )
-        .agg(
-            F.sum(
-                F.expr(
-                    "CAST(ROUND(o_totalprice * 10000) AS BIGINT)"
-                )
-            ).alias("y")
-        )
+        .agg(dsum_scaled("o_totalprice").alias("y"))
     )
-    n = F.count(F.lit(1))
-    sx = F.sum("x")
-    sy = F.sum("y")
-    sxy = F.sum(F.col("x") * F.col("y"))
-    sxx = F.sum(F.col("x") * F.col("x"))
-    # slope in money-units per month: descale y's 1e4 at the end
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx) / 10_000.0
-    intercept = (sy.cast("double") / 10_000.0 - slope * sx.cast("double")) / n
+    dec = "decimal(38,0)"
+    n = F.count(F.lit(1)).cast(dec)
+    sx = F.sum(F.col("x").cast(dec))
+    sy = F.sum(F.col("y").cast(dec))
+    sxy = F.sum(F.col("x").cast(dec) * F.col("y").cast(dec))
+    sxx = F.sum(F.col("x").cast(dec) * F.col("x").cast(dec))
+    # exact integer differences, ONE double division, then descale 1e4
+    slope = (
+        (n * sxy - sx * sy).cast("double")
+        / (n * sxx - sx * sx).cast("double")
+        / 10_000.0
+    )
+    intercept = (
+        sy.cast("double") / 10_000.0 - slope * sx.cast("double")
+    ) / n.cast("double")
     return (
         monthly.groupBy("o_orderpriority")
         .agg(
-            n.alias("n_months"),
+            F.count(F.lit(1)).alias("n_months"),
             F.round(slope, 4).alias("slope_per_month"),
             F.round(intercept, 4).alias("intercept_at_base"),
         )

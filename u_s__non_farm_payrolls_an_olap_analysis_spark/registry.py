@@ -102,14 +102,15 @@ _MODULES = [
 # list outgrew the 50-key window as late-round operators landed — the
 # keys past slot 50 (a tail of the r4 block) roll into the round-9/10
 # samples; prune recorded keys next round.
-# Round-9 rotation TODO (written end of round 8): the window is at
-# EXACT capacity — 44 keys with no driver row ever (every r8 addition)
-# fill slots 1-44, the 6 r8-changed keys fill 45-50, and
-# window_trailing_range_frame / multimodal_frame_sample were displaced
-# past slot 50 (both have green r7 rows AND passed this round's full
-# 194-key parity and plain-session runs). Once CORRECTNESS_r08 lands:
-# prune every recorded key, lead with those two displaced keys, then
-# continue the r4-block rotation.
+# Round-9 rotation TODO (written end of round 8): the window is over
+# capacity — 45 keys with no driver row ever (every r8 addition) fill
+# slots 1-45, five of the six r8-changed keys fill 46-50, and THREE
+# keys were displaced past slot 50: window_trailing_range_frame,
+# multimodal_frame_sample, and sessionize_batch (all have green r7
+# rows AND passed this round's full-registry parity in BOTH session
+# flavors, including the plain-session driver sim). Once
+# CORRECTNESS_r08 lands: prune every recorded key, lead with those
+# three displaced keys, then continue the r4-block rotation.
 _SAMPLE_PRIORITY = [
     # new in round 8 — no driver row exists yet
     "stream_left_outer_join",
