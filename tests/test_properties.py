@@ -406,3 +406,39 @@ def test_winsorize_clip_bounds(spark):
         assert r["clip_lo"] <= r["winsorized_mean"] <= r["clip_hi"]
         assert r["n_clipped_low"] == r["k_clip"]
         assert r["n_clipped_high"] == r["k_clip"]
+
+
+def test_linear_trend_exact_on_crafted_series(spark, tmp_path):
+    """agg_linear_trend must recover an exactly-linear series' slope and
+    base-month intercept to the rounding digit (closed-form OLS on a
+    noiseless line is exact), including a flat segment (slope 0)."""
+    import datetime as dt
+
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        agg_linear_trend,
+    )
+
+    rows = []
+    k = 0
+    for i in range(24):  # Jan 1995 .. Dec 1996, x = 0..23
+        y, m = divmod(i, 12)
+        d = dt.datetime(1995 + y, m + 1, 1)
+        # 'LIN': one order/month, total = 1000 + 2.5 * x (exact line)
+        rows.append((k := k + 1, 1, "F", 1000.0 + 2.5 * i, d, "LIN"))
+        # 'FLAT': two orders/month summing to a constant 500
+        rows.append((k := k + 1, 1, "F", 200.0, d, "FLAT"))
+        rows.append((k := k + 1, 1, "F", 300.0, d, "FLAT"))
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, "
+        "o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    got = {
+        r["o_orderpriority"]: r
+        for r in agg_linear_trend(spark, str(tmp_path)).collect()
+    }
+    assert got["LIN"]["slope_per_month"] == 2.5
+    assert got["LIN"]["intercept_at_base"] == 1000.0
+    assert got["FLAT"]["slope_per_month"] == 0.0
+    assert got["FLAT"]["intercept_at_base"] == 500.0
