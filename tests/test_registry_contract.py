@@ -42,3 +42,32 @@ def test_sample_priority_subset_and_dedup():
     assert len(pri) == len(set(pri)), "duplicate keys in _SAMPLE_PRIORITY"
     # priority keys must actually lead the iteration order
     assert list(q)[: len(pri)] == pri
+
+
+def test_every_oracle_sql_executes_in_duckdb():
+    """Cheap pytest-level twin of the parity script's DuckDB half: every
+    oracle string must EXECUTE against the sf0.001 views (syntax errors,
+    renamed columns, dialect slips surface from `pytest` alone, without
+    waiting for scripts/check_parity.py). Values are checked by the
+    parity gate; here only executability and non-None cursor result."""
+    import duckdb
+
+    from u_s__non_farm_payrolls_an_olap_analysis_spark import registry
+
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * "
+            f"FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    failures = []
+    for name, sql in registry.oracle_sql().items():
+        try:
+            con.execute(sql).fetchall()
+        except Exception as e:  # noqa: BLE001 - collect every breakage
+            failures.append(f"{name}: {str(e)[:150]}")
+    assert not failures, "\n".join(failures)
