@@ -114,6 +114,7 @@ REPRESENTATIVE = [
     "scalar_try_functions",
     "array_higher_order_funcs",
     "agg_linear_trend",
+    "stream_full_outer_join",
 ]
 
 

@@ -103,17 +103,18 @@ _MODULES = [
 # keys past slot 50 (a tail of the r4 block) roll into the round-9/10
 # samples; prune recorded keys next round.
 # Round-9 rotation TODO (written end of round 8): the window is over
-# capacity — 45 keys with no driver row ever (every r8 addition) fill
-# slots 1-45, five of the six r8-changed keys fill 46-50, and THREE
+# capacity — 46 keys with no driver row ever (every r8 addition) fill
+# slots 1-46, four of the six r8-changed keys fill 47-50, and FOUR
 # keys were displaced past slot 50: window_trailing_range_frame,
-# multimodal_frame_sample, and sessionize_batch (all have green r7
-# rows AND passed this round's full-registry parity in BOTH session
-# flavors, including the plain-session driver sim). Once
-# CORRECTNESS_r08 lands: prune every recorded key, lead with those
-# three displaced keys, then continue the r4-block rotation.
+# multimodal_frame_sample, sessionize_batch, and stream_dedup_keys
+# (all have green r7 rows AND passed this round's full-registry parity
+# in BOTH session flavors, including the plain-session driver sim).
+# Once CORRECTNESS_r08 lands: prune every recorded key, lead with
+# those four displaced keys, then continue the r4-block rotation.
 _SAMPLE_PRIORITY = [
     # new in round 8 — no driver row exists yet
     "stream_left_outer_join",
+    "stream_full_outer_join",
     "sql_lateral_topk_per_group",
     "sql_recursive_month_spine",
     "corpus_shuffle_shards",

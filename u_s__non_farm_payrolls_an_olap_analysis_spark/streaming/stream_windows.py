@@ -748,3 +748,73 @@ ORACLE["stream_left_outer_join"] = (
     "AND CAST(c.ts AS TIMESTAMP) < CAST(p.ts AS TIMESTAMP) "
     "WHERE p.event_type = 'purchase'"
 )
+
+
+def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X14g — stream-stream FULL OUTER join, completing the family
+    (inner :func:`stream_stream_join`, left :func:`stream_left_outer_join`):
+    unmatched rows on BOTH sides null-extend once the watermark proves
+    their window closed — purchases with no prior-hour click AND clicks
+    that no purchase followed within the hour. Same horizon-sentinel
+    protocol (:func:`_events_horizon_dir`) makes the bounded replay
+    COMPLETE on both sides, so the oracle stays the plain batch FULL
+    JOIN. Both null-extended directions are exercised by the fixture
+    (most clicks precede no purchase; most purchases follow no click).
+    IDs are coalesced to -1 (engines disagree on NULL ordering)."""
+    d = _events_horizon_dir(sf_dir)
+    ev = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA_MICROS)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(d)
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_uid"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_uid"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    j = p.join(
+        c,
+        (F.col("p_uid") == F.col("c_uid"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "full_outer",
+    )
+    out = _drain_to_memory(
+        j.select("purchase_id", "click_id"), spark, output_mode="append"
+    )
+    # sentinels carry negative ids on whichever side they surfaced
+    return out.filter(
+        (F.coalesce("purchase_id", F.lit(0)) >= 0)
+        & (F.coalesce("click_id", F.lit(0)) >= 0)
+    ).select(
+        F.coalesce("purchase_id", F.lit(-1)).alias("purchase_id"),
+        F.coalesce("click_id", F.lit(-1)).alias("click_id"),
+    )
+
+
+QUERIES["stream_full_outer_join"] = stream_full_outer_join
+
+ORACLE["stream_full_outer_join"] = (
+    "SELECT COALESCE(p.event_id, -1) AS purchase_id, "
+    "COALESCE(c.event_id, -1) AS click_id "
+    "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+    "FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c "
+    "ON c.user_id = p.user_id "
+    "AND CAST(c.ts AS TIMESTAMP) >= "
+    "CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR "
+    "AND CAST(c.ts AS TIMESTAMP) < CAST(p.ts AS TIMESTAMP)"
+)
