@@ -335,3 +335,25 @@ def test_horizon_memo_restages_on_source_rewrite(spark, tmp_path):
     ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
     second = stream_left_outer_join(spark, str(tmp_path)).collect()
     assert {r["purchase_id"] for r in second} == {2, 3}
+
+
+def test_stream_full_outer_extends_both_sides(spark):
+    """The full-outer variant must null-extend BOTH directions: purchases
+    with no prior-hour click (click_id = -1) AND clicks no purchase
+    followed within the hour (purchase_id = -1), with every real event
+    of either type represented."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.streaming.stream_windows import (
+        stream_full_outer_join,
+    )
+
+    out = stream_full_outer_join(spark, SF).collect()
+    batch = spark.read.parquet(f"{SF}/events.parquet")
+    n_purchases = batch.filter(F.col("event_type") == "purchase").count()
+    n_clicks = batch.filter(F.col("event_type") == "click").count()
+    assert any(r["click_id"] == -1 for r in out)     # purchase-side nulls
+    assert any(r["purchase_id"] == -1 for r in out)  # click-side nulls
+    assert (
+        len({r["purchase_id"] for r in out if r["purchase_id"] >= 0})
+        == n_purchases
+    )
+    assert len({r["click_id"] for r in out if r["click_id"] >= 0}) == n_clicks

@@ -676,6 +676,45 @@ def _events_horizon_dir(sf_dir: str) -> str:
     return d
 
 
+def _purchase_click_horizon_streams(spark: SparkSession, sf_dir: str):
+    """Shared construction for the OUTER stream-stream joins: the
+    horizon-staged events stream split into watermarked purchase/click
+    sides plus the prior-hour join condition. One definition, so the
+    protocol (watermark delay, window bounds, per-file batching) cannot
+    drift between the left- and full-outer family members."""
+    d = _events_horizon_dir(sf_dir)
+    ev = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA_MICROS)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(d)
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_uid"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_uid"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    cond = (
+        (F.col("p_uid") == F.col("c_uid"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") < F.col("p_ts"))
+    )
+    return p, c, cond
+
+
 def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X14f — stream-stream LEFT OUTER join with watermarked
     null-extension: every purchase emits once per same-user click in the
@@ -692,40 +731,10 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the streaming output COMPLETE, so no watermark-cutoff modeling leaks
     into the oracle. ``click_id`` is coalesced to -1 on both sides
     (engines disagree on NULL ordering, and the driver sorts values)."""
-    d = _events_horizon_dir(sf_dir)
-    ev = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA_MICROS)
-        .format("parquet")
-        .option("maxFilesPerTrigger", 1)
-        .load(d)
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            "user_id",
-            F.col("ts").alias("p_ts"),
-        )
-        .withWatermark("p_ts", "1 hour")
-    )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_uid"),
-            F.col("ts").alias("c_ts"),
-        )
-        .withWatermark("c_ts", "1 hour")
-    )
-    j = p.join(
-        c,
-        (F.col("user_id") == F.col("c_uid"))
-        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
-        & (F.col("c_ts") < F.col("p_ts")),
-        "left_outer",
-    )
+    p, c, cond = _purchase_click_horizon_streams(spark, sf_dir)
+    j = p.join(c, cond, "left_outer")
     out = _drain_to_memory(
-        j.select("purchase_id", "user_id", "click_id"),
+        j.select("purchase_id", F.col("p_uid").alias("user_id"), "click_id"),
         spark,
         output_mode="append",
     )
@@ -761,38 +770,8 @@ def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN. Both null-extended directions are exercised by the fixture
     (most clicks precede no purchase; most purchases follow no click).
     IDs are coalesced to -1 (engines disagree on NULL ordering)."""
-    d = _events_horizon_dir(sf_dir)
-    ev = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA_MICROS)
-        .format("parquet")
-        .option("maxFilesPerTrigger", 1)
-        .load(d)
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_uid"),
-            F.col("ts").alias("p_ts"),
-        )
-        .withWatermark("p_ts", "1 hour")
-    )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_uid"),
-            F.col("ts").alias("c_ts"),
-        )
-        .withWatermark("c_ts", "1 hour")
-    )
-    j = p.join(
-        c,
-        (F.col("p_uid") == F.col("c_uid"))
-        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
-        & (F.col("c_ts") < F.col("p_ts")),
-        "full_outer",
-    )
+    p, c, cond = _purchase_click_horizon_streams(spark, sf_dir)
+    j = p.join(c, cond, "full_outer")
     out = _drain_to_memory(
         j.select("purchase_id", "click_id"), spark, output_mode="append"
     )
