@@ -226,3 +226,21 @@ def test_hostile_layout_scalar_parity(spark, hostile_dir, duck, name):
 
     q = {**scalars.QUERIES, **layout.QUERIES}[name]
     _assert_parity(q(spark, hostile_dir), duck, name)
+
+
+@pytest.mark.parametrize(
+    "name", ["stream_left_outer_join", "stream_full_outer_join"]
+)
+def test_hostile_stream_outer_join_parity(spark, hostile_dir, duck, name):
+    """The hostile events fixture has NO purchases at all: the left-outer
+    output must be empty (no left rows exist) and the full-outer must
+    null-extend EVERY click — the all-one-side edge the clean fixture
+    never hits, run through the real streaming drain + horizon
+    sentinels against the batch oracle."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.streaming import (
+        stream_windows,
+    )
+
+    _assert_parity(
+        stream_windows.QUERIES[name](spark, hostile_dir), duck, name
+    )
