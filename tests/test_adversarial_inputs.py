@@ -195,6 +195,9 @@ def test_hostile_llm_prep_parity(spark, hostile_dir, duck, name):
         "agg_funnel_conversion",
         "norm_winsorize_clip",
         "retention_cohorts",
+        # single-month priority segments: slope/intercept guard to NULL
+        # (0/0 would be NaN, which compares unequal across engines)
+        "agg_linear_trend",
     ],
 )
 def test_hostile_events_analytics_parity(spark, hostile_dir, duck, name):

@@ -963,12 +963,16 @@ def agg_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     intercept = (
         sy.cast("double") / 10_000.0 - slope * sx.cast("double")
     ) / n.cast("double")
+    # a single-month segment has no slope (0/0 → NaN, and NaN compares
+    # unequal to itself across engines) — guard to NULL; x is the group
+    # key so n >= 2 implies distinct x and a nonzero denominator
+    enough = F.count(F.lit(1)) >= 2
     return (
         monthly.groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_months"),
-            F.round(slope, 4).alias("slope_per_month"),
-            F.round(intercept, 4).alias("intercept_at_base"),
+            F.when(enough, F.round(slope, 4)).alias("slope_per_month"),
+            F.when(enough, F.round(intercept, 4)).alias("intercept_at_base"),
         )
         .orderBy("o_orderpriority")
     )
@@ -983,12 +987,14 @@ ORACLE["agg_linear_trend"] = (
     "CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS BIGINT) AS y "
     "FROM orders GROUP BY 1, 2) "
     "SELECT o_orderpriority, COUNT(*) AS n_months, "
+    "CASE WHEN COUNT(*) >= 2 THEN "
     "ROUND(CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE) "
     "/ CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE) "
-    "/ 10000.0, 4) AS slope_per_month, "
+    "/ 10000.0, 4) END AS slope_per_month, "
+    "CASE WHEN COUNT(*) >= 2 THEN "
     "ROUND((CAST(SUM(y) AS DOUBLE) / 10000.0 "
     "- (CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE) "
     "/ CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE) / 10000.0) "
-    "* CAST(SUM(x) AS DOUBLE)) / COUNT(*), 4) AS intercept_at_base "
+    "* CAST(SUM(x) AS DOUBLE)) / COUNT(*), 4) END AS intercept_at_base "
     "FROM m GROUP BY 1 ORDER BY 1"
 )
