@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.numerics import davg_sql, dsum, dsum_sql
+from ..functions.numerics import dsum, dsum_sql
 from ..functions.timeparts import epoch_micros_from_ntz
 from ..functions.plan_cache import plan_memo
 from ..io import read_table

@@ -13,7 +13,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.timeparts import (
-    decade_label,
     month_name,
     month_of,
     months_between_int,
