@@ -79,15 +79,21 @@ SF1_DIRNAME = ".bench_sf1"
 SCALE_RUNS = 5
 
 
-def _marker_ok(ready_path: str, expected_rep: int) -> bool:
-    """A _READY marker is valid only if it recorded the SAME rep count —
-    the rep counts are env-overridable, and a stale dir must regenerate
-    rather than silently benchmark old data under a new label."""
+def _marker_ok(ready_path: str, expected: str) -> bool:
+    """A _READY marker is valid only if it recorded the SAME generation
+    stamp (rep count + source dir) — both are env-overridable, and a
+    stale dir must regenerate rather than silently benchmark old data
+    under a new label (round-9 ADVICE class: rep-only stamps miss a
+    SPARK_GRAFT_SF_DIR change)."""
     try:
         with open(ready_path) as f:
-            return f.read().strip() == str(expected_rep)
+            return f.read().strip() == expected
     except OSError:
         return False
+
+
+def _gen_stamp(n_rep: int, base_dir: str) -> str:
+    return f"{n_rep}|{os.path.abspath(base_dir)}"
 
 
 def _ensure_sf1(spark, base_dir: str, out_dir: str, n_rep: int = SF1_REP) -> None:
@@ -97,10 +103,11 @@ def _ensure_sf1(spark, base_dir: str, out_dir: str, n_rep: int = SF1_REP) -> Non
 
     from u_s__non_farm_payrolls_an_olap_analysis_spark.io import read_table
 
-    # marker records the rep count: an env-var change (SPARK_GRAFT_SFN_REP)
-    # against a stale dir must regenerate, not silently benchmark old data
+    # marker records rep count + source dir: an env-var change against a
+    # stale dir must regenerate, not silently benchmark old data
     ready = os.path.join(out_dir, "_READY")
-    if _marker_ok(ready, n_rep):
+    stamp = _gen_stamp(n_rep, base_dir)
+    if _marker_ok(ready, stamp):
         return
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir)
@@ -139,7 +146,7 @@ def _ensure_sf1(spark, base_dir: str, out_dir: str, n_rep: int = SF1_REP) -> Non
         .write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
     )
     with open(ready, "w") as f:
-        f.write(str(n_rep))
+        f.write(stamp)
 
 
 def _sf1_section(spark, base_dir: str) -> dict:
@@ -258,7 +265,19 @@ SFN_QUERIES = {
     "join_agg_pricing": "join_agg_pricing",
     "window_rank": "window_rank_topk_per_group",
     "tpch_q8_market_share": "tpch_q8_market_share",
+    # the at-rest answer to q8's fact-fact shuffle: same oracle SQL, the
+    # orderkey-bucketed layout (write-once cost reported separately as
+    # q8_bucket_prep_sec, excluded from the per-run timings like every
+    # other warm-input cost)
+    "tpch_q8_bucketed": "tpch_q8_bucketed",
 }
+
+# --- sf100 section: the extrapolation anchor, run EVERY round ----------
+# 100x facts used to be an env-gated pointer at stale prose; after the r8
+# retraction episode the crossover claim gets one clean in-protocol
+# measurement per round instead. Same protocol as sfN, no docs corpus.
+SFN100_REP = int(os.environ.get("SPARK_GRAFT_SFN100_REP", "100"))
+SFN100_DIRNAME = ".bench_sf100x"
 
 
 def _ensure_docs_rep(spark, base_dir: str, out_dir: str) -> None:
@@ -269,7 +288,8 @@ def _ensure_docs_rep(spark, base_dir: str, out_dir: str) -> None:
     from u_s__non_farm_payrolls_an_olap_analysis_spark.io import read_table
 
     ready = os.path.join(out_dir, "_READY")
-    if _marker_ok(ready, DOCS_REP):
+    stamp = _gen_stamp(DOCS_REP, base_dir)
+    if _marker_ok(ready, stamp):
         return
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir)
@@ -294,10 +314,18 @@ def _ensure_docs_rep(spark, base_dir: str, out_dir: str) -> None:
         .write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
     )
     with open(ready, "w") as f:
-        f.write(str(DOCS_REP))
+        f.write(stamp)
 
 
-def _sfn_section(spark, base_dir: str, sf1: dict) -> dict:
+def _sfn_section(
+    spark,
+    base_dir: str,
+    sf1: dict,
+    rep: int = SFN_REP,
+    dirname: str = SFN_DIRNAME,
+    include_docs: bool = True,
+    clear_cache_first: bool = False,
+) -> dict:
     import duckdb
 
     from u_s__non_farm_payrolls_an_olap_analysis_spark import registry
@@ -305,7 +333,18 @@ def _sfn_section(spark, base_dir: str, sf1: dict) -> dict:
     from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import dedup
 
     here = os.path.dirname(os.path.abspath(__file__))
-    out_dir = os.path.join(here, SFN_DIRNAME)
+    out_dir = os.path.join(here, dirname)
+    if clear_cache_first:
+        # the 100x section's working set stacked on sf0.1+sf1+sfN caches
+        # would press the 8g local heap; everything timed after this point
+        # re-caches its own inputs, and the headline numbers are already
+        # collected
+        from u_s__non_farm_payrolls_an_olap_analysis_spark.io import (
+            clear_table_cache,
+        )
+
+        spark.catalog.clearCache()
+        clear_table_cache()
     # The headline session is tuned for MB-scale sf0.1 shuffles
     # (partitions=4, AQE off — see main()); at 30x facts those settings
     # strangle the multi-way shuffle joins (measured: q8 15 s at 4
@@ -319,13 +358,22 @@ def _sfn_section(spark, base_dir: str, sf1: dict) -> dict:
     spark.conf.set("spark.sql.shuffle.partitions", str(min(16, n_cpus)))
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     t0 = time.time()
-    _ensure_sf1(spark, base_dir, out_dir, n_rep=SFN_REP)
+    _ensure_sf1(spark, base_dir, out_dir, n_rep=rep)
     cache_tables(
         spark, out_dir,
         tables=("orders", "lineitem", "customer", "nation"),
         max_partitions=n_cpus,
     )
     prep = time.time() - t0
+
+    # the bucketed q8's write-once layout cost, paid here so the timed
+    # runs measure the recurring query, not the one-time pre-shuffle —
+    # reported, never hidden (SCALE.md: layout amortizes over reruns)
+    t0 = time.time()
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import layout
+
+    layout._q8_bucketed_tables(spark, out_dir)
+    bucket_prep = time.time() - t0
 
     qs = registry.queries()
     oracles = registry.oracle_sql()
@@ -377,23 +425,10 @@ def _sfn_section(spark, base_dir: str, sf1: dict) -> dict:
         if sf1_spark.get(name)
     }
 
-    # dedup_clusters over the replicated-docs corpus (Spark only — the
-    # DuckDB recursive-CTE twin is the correctness oracle at sf0.01, not
-    # a throughput baseline); report the round count so the log-diameter
-    # claim is visible evidence
-    docs_dir = os.path.join(here, DOCS_DIRNAME)
-    t0 = time.time()
-    _ensure_docs_rep(spark, base_dir, docs_dir)
-    docs_prep = time.time() - t0
-    t0 = time.time()
-    n_clusters = dedup.dedup_clusters(spark, docs_dir).count()
-    clusters_sec = round(time.time() - t0, 2)
-    spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
-
-    return {
-        "rep": SFN_REP,
+    out = {
+        "rep": rep,
         "prep_sec": round(prep, 2),
+        "q8_bucket_prep_sec": round(bucket_prep, 2),
         "spark": spark_sec,
         "duckdb": duck_sec,
         # [min, max] per engine — see _sf1_section
@@ -404,15 +439,30 @@ def _sfn_section(spark, base_dir: str, sf1: dict) -> dict:
             for k in spark_sec
         },
         "spark_slope_vs_sf1": slopes,
-        "ideal_slope": round(SFN_REP / SF1_REP, 2),
-        "dedup_clusters": {
+        "ideal_slope": round(rep / SF1_REP, 2),
+    }
+
+    if include_docs:
+        # dedup_clusters over the replicated-docs corpus (Spark only — the
+        # DuckDB recursive-CTE twin is the correctness oracle at sf0.01,
+        # not a throughput baseline); report the round count so the
+        # log-diameter claim is visible evidence
+        docs_dir = os.path.join(here, DOCS_DIRNAME)
+        t0 = time.time()
+        _ensure_docs_rep(spark, base_dir, docs_dir)
+        docs_prep = time.time() - t0
+        t0 = time.time()
+        n_clusters = dedup.dedup_clusters(spark, docs_dir).count()
+        out["dedup_clusters"] = {
             "docs_rep": DOCS_REP,
             "prep_sec": round(docs_prep, 2),
-            "sec": clusters_sec,
+            "sec": round(time.time() - t0, 2),
             "n_clusters": n_clusters,
             "rounds": getattr(dedup, "LAST_CLUSTER_ROUNDS", None),
-        },
-    }
+        }
+    spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    return out
 
 
 def main() -> None:
@@ -581,6 +631,26 @@ def main() -> None:
             spark.conf.set("spark.sql.shuffle.partitions", _headline_conf[0])
             spark.conf.set("spark.sql.adaptive.enabled", _headline_conf[1])
 
+    # sf100 (100x facts): the extrapolation anchor, measured in-protocol
+    # every round (no docs corpus; caches cleared first to keep the 100x
+    # working set inside the local heap)
+    if os.environ.get("SPARK_GRAFT_SKIP_SFN") or os.environ.get(
+        "SPARK_GRAFT_SKIP_SFN100"
+    ):
+        sfn100 = None
+    else:
+        try:
+            sfn100 = _sfn_section(
+                spark, sf_dir, sf1,
+                rep=SFN100_REP, dirname=SFN100_DIRNAME,
+                include_docs=False, clear_cache_first=True,
+            )
+        except Exception as e:  # noqa: BLE001 — report, don't die
+            sfn100 = {"error": str(e)[:200]}
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", _headline_conf[0])
+            spark.conf.set("spark.sql.adaptive.enabled", _headline_conf[1])
+
     total = round(sum(results.values()), 4)
     # floor-subtracted view: the per-query fixed cost (plan-build +
     # schedule + no-op fetch on the SAME client path the query uses) is
@@ -616,19 +686,14 @@ def main() -> None:
                 "total_first_run": round(sum(first_run.values()), 4),
                 "sf1": sf1,
                 "sfn": sfn,
-                # 100x facts is a first-class, env-gated protocol: rerun
-                # with SPARK_GRAFT_SFN_REP=100 (regenerates .bench_sf3x
-                # via the rep-stamped _READY marker). This run did NOT
-                # execute it unless sfn.rep says so — the pointer names
-                # where the last measured numbers live rather than baking
-                # stale literals into fresh output.
+                # 100x facts, measured IN THIS RUN (round-9 change: the
+                # old env-gated pointer at prose is retired — after the r8
+                # retraction episode the crossover claim gets one clean
+                # in-protocol measurement per round)
                 "sfn100": {
-                    "knob": "SPARK_GRAFT_SFN_REP=100",
-                    "ran_in_this_run": SFN_REP >= 100,
-                    "last_verified_in": "BASELINE.md '100x record corrected' "
-                    "section (join_agg_pricing/window_rank cross over; q8 "
-                    "does not on one node — earlier DuckDB q8@100x outliers "
-                    "retracted as unreproducible)",
+                    "ran_in_this_run": isinstance(sfn100, dict)
+                    and "error" not in sfn100,
+                    **(sfn100 or {}),
                 },
                 "sf": sf,
                 "startup_sec": round(startup, 2),
@@ -676,6 +741,24 @@ def main() -> None:
                 "sfn_slope_vs_sf1": (
                     sfn.get("spark_slope_vs_sf1")
                     if isinstance(sfn, dict)
+                    else None
+                ),
+                "sfn100_rep": (
+                    sfn100.get("rep") if isinstance(sfn100, dict) else None
+                ),
+                "sfn100_ratio_per_query": (
+                    sfn100.get("ratio_per_query")
+                    if isinstance(sfn100, dict)
+                    else None
+                ),
+                "sfn100_spark_spread": (
+                    sfn100.get("spark_spread")
+                    if isinstance(sfn100, dict)
+                    else None
+                ),
+                "sfn100_duckdb_spread": (
+                    sfn100.get("duckdb_spread")
+                    if isinstance(sfn100, dict)
                     else None
                 ),
             }

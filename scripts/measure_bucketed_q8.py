@@ -45,13 +45,26 @@ print(f"data={D} buckets={BUCKETS} warehouse={wh}")
 
 import hashlib  # noqa: E402
 
-_TAG = hashlib.md5(f"{os.path.abspath(D)}|{BUCKETS}".encode()).hexdigest()[:8]
+from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.layout import (  # noqa: E402
+    _table_sig,
+)
+
+# the tag carries (data_dir, bucket count, SOURCE CONTENT signature):
+# bench.py regenerates .bench_sf3x IN PLACE when SPARK_GRAFT_SFN_REP
+# changes, so a path-only tag would silently reuse a stale bucketed
+# layout against fresh flat data (round-9 ADVICE) — the (name, size,
+# mtime_ns) signature of the source parquet forces a re-bucket
+_TAG = hashlib.md5(
+    repr((
+        os.path.abspath(D),
+        BUCKETS,
+        _table_sig(os.path.join(D, "orders.parquet")),
+        _table_sig(os.path.join(D, "lineitem.parquet")),
+    )).encode()
+).hexdigest()[:8]
 
 
 def ensure_bucketed(name: str, df, key: str) -> None:
-    # the table name carries (data_dir, bucket count): re-running with a
-    # different replication or bucket knob must not silently reuse a
-    # stale layout
     name = f"{name}_{_TAG}"
     if not spark.catalog.tableExists(name):
         (df.write.bucketBy(BUCKETS, key).sortBy(key)

@@ -270,6 +270,21 @@ def test_json_dir_sink_manifest_protocol(spark, tmp_path):
     ).mode("append").option("path", path).save()
     got2 = spark.read.schema("k long").json(committed_files(path))
     assert sorted(r["k"] for r in got2.collect()) == list(range(15))
+    # overwrite GC (round-9 ADVICE): a new generation physically removes
+    # every part file the fresh manifest doesn't name — prior generations
+    # AND the planted stray — and empty partitions are never promoted, so
+    # the raw directory converges to exactly the manifest's parts
+    spark.range(3).repartition(8).select(F.col("id").alias("k")).write.format(
+        "json_dir_sink"
+    ).mode("overwrite").option("path", path).save()
+    named = {os.path.basename(p) for p in committed_files(path)}
+    on_disk = {
+        f for f in os.listdir(path)
+        if f.startswith("part-") and f.endswith(".jsonl")
+    }
+    assert on_disk == named
+    got3 = spark.read.schema("k long").json(committed_files(path))
+    assert sorted(r["k"] for r in got3.collect()) == [0, 1, 2]
     # a failing job must not publish a manifest
     path2 = str(tmp_path / "sink_fail")
     bad = spark.range(4).select(

@@ -142,6 +142,23 @@ def test_bucketed_registry_join_zero_exchange(spark):
     assert core.count() > 0
 
 
+def test_tpch_q8_bucketed_zero_fact_fact_exchange(spark):
+    """tpch_q8_bucketed: the orders⋈lineitem join must run on the at-rest
+    bucket layout — co-located SortMergeJoin, ZERO Exchange on the order
+    key; the only shuffles left feed the 7-row year aggregate + sort."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import layout
+
+    df = layout.tpch_q8_bucketed(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Bucketed: true") == 2, plan  # both fact scans
+    assert "hashpartitioning(l_orderkey" not in plan, plan
+    assert "hashpartitioning(o_orderkey" not in plan, plan
+    # year aggregate + output sort are the only shuffle boundaries
+    assert exchange_count(df) == 2, plan
+    assert df.count() > 0
+
+
 def test_bitmap_prefilter_broadcasts_and_never_shuffle_joins(spark):
     """join_bitmap_prefiltered: the fact side must meet the dim-key
     bitmap via a broadcast join only — any SortMergeJoin/ShuffledHashJoin

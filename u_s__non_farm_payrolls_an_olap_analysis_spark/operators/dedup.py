@@ -278,9 +278,17 @@ def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star — SimHash near-dedup: 64-bit sign-sum signature over
-    token hashes (weighted by term frequency), 16-bit-chunk blocking,
-    Hamming ≤ 6 verification via ``bit_count(xor)``. Rows-only check."""
-    docs = read_table(spark, sf_dir, "documents")
+    token hashes (weighted by term frequency), banded-chunk blocking,
+    Hamming ≤ 6 verification via ``bit_count(xor)``. Rows-only check
+    (which natural pairs land within Hamming 6 depends on the engine's
+    hash bits); the pipeline's hash-checked harness is
+    :func:`dedup_simhash_planted`."""
+    return _simhash_pairs(read_table(spark, sf_dir, "documents"))
+
+
+def _simhash_pairs(docs: DataFrame) -> DataFrame:
+    """The full SimHash pipeline (signature → pigeonhole banding →
+    candidate equi-join → Hamming verify) over any documents frame."""
     tok = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .groupBy("doc_id", "token")
@@ -348,6 +356,33 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 6)
         .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
     )
+
+
+def dedup_simhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked harness for the PRODUCTION SimHash pipeline (round-9
+    companion to the embeddings' :func:`dedup_embedding_prod_planted`):
+    the corpus is augmented with deterministic EXACT text copies (every
+    ``PLANT_MOD``-th doc re-inserted at ``doc_id + PLANT_OFFSET``) and run
+    through the identical signature → 7-chunk pigeonhole banding →
+    Hamming ≤ 6 verify pipeline. An exact copy has a bit-identical
+    signature (token multiset equality), so it collides in EVERY chunk
+    and lands at Hamming 0 — recall on the planted pairs is 1 by
+    construction. The output is restricted to the (source, copy) pairs
+    because the natural corpus DOES contain near-dups whose Hamming
+    distances depend on the engine's hash bits (that is exactly why
+    :func:`dedup_simhash` is rows-only); a planted pair the pipeline
+    missed would be ABSENT here and fail the hash check, so the
+    restriction hides engine-specific extras, never a recall failure."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % PLANT_MOD == 0).select(
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"), "text"
+    )
+    pairs = _simhash_pairs(docs.unionByName(planted))
+    return pairs.filter(
+        (F.col("doc_b") == F.col("doc_a") + PLANT_OFFSET)
+        & (F.col("doc_a") % PLANT_MOD == 0)
+        & (F.col("doc_a") < PLANT_OFFSET)
+    ).orderBy("doc_a")
 
 
 RHP_PLANES = 96  # sign projections; every banding geometry re-slices these
@@ -832,6 +867,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_near": dedup_minhash_near,
     "dedup_simhash": dedup_simhash,
+    "dedup_simhash_planted": dedup_simhash_planted,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_cosine_prod": dedup_embedding_cosine_prod,
     "dedup_embedding_prod_planted": dedup_embedding_prod_planted,
@@ -882,6 +918,16 @@ ORACLE = {
     # dedup_minhash_near, dedup_simhash, dedup_embedding_cosine: rows-only
     # (engine-specific hash bits drive candidate generation); each is
     # recall-tested against its oracle-exact twin.
+    # exact-copy planting makes the SimHash pipeline deterministic: a copy
+    # collides in every chunk at Hamming 0, so both engines must emit
+    # exactly the planted (source, copy) pairs for non-null texts
+    "dedup_simhash_planted": (
+        "SELECT doc_id AS doc_a, "
+        f"doc_id + {PLANT_OFFSET} AS doc_b, "
+        "CAST(0 AS INT) AS hamming FROM documents "
+        f"WHERE doc_id % {PLANT_MOD} = 0 AND text IS NOT NULL "
+        "ORDER BY doc_a"
+    ),
     "dedup_clusters": (
         f"{_CLUSTER_LABELS_SQL} SELECT doc_id, cluster_id FROM lab"
     ),

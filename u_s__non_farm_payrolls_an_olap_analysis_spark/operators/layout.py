@@ -261,6 +261,109 @@ ORACLE["join_bucketed_zero_shuffle"] = (
 )
 
 
+# --- Bucketed-at-rest TPC-H q8: retiring the fact-fact shuffle ----------
+#
+# `tpch_q8_market_share` (tpch_analytics.py:497) pays the orders⋈lineitem
+# exchange every run — the one structural cost a single-node in-process
+# engine never shows. The recurring-join answer is the same write-once
+# pre-shuffle as join_bucketed_zero_shuffle, applied to the ORDER KEY:
+# both facts bucketed+sorted by orderkey at rest, so the q8 join is a
+# co-located sort-merge with ZERO Exchange on the fact-fact key (the only
+# shuffles left feed the 7-row year aggregate). Same arithmetic, same
+# oracle SQL as q8 — layout is physical, never semantic.
+
+Q8_N_BUCKETS = 16
+
+
+def _table_sig(path: str) -> tuple:
+    """Cheap change signature of a parquet table (file or directory):
+    sorted (name, size, mtime_ns). Folded into the bucketed table tag so
+    a source dir regenerated IN PLACE (bench.py rewrites .bench_sf3x when
+    SPARK_GRAFT_SFN_REP changes) re-buckets instead of silently reusing a
+    stale layout (round-9 ADVICE)."""
+    if os.path.isdir(path):
+        names = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+        return tuple(
+            (f, os.path.getsize(os.path.join(path, f)),
+             os.stat(os.path.join(path, f)).st_mtime_ns)
+            for f in names
+        )
+    try:
+        return (os.path.getsize(path), os.stat(path).st_mtime_ns)
+    except OSError:
+        return ()
+
+
+def _q8_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write orders + lineitem bucketed/sorted by orderkey as external
+    tables (once per session + source content); returns catalog names.
+
+    Columns are projected to q8's working set before the write — at rest
+    you would bucket the FULL table once and let parquet column pruning
+    serve every query; the projection only bounds fixture write cost."""
+    sig = hashlib.md5(
+        repr((
+            _table_sig(os.path.join(sf_dir, "orders.parquet")),
+            _table_sig(os.path.join(sf_dir, "lineitem.parquet")),
+            Q8_N_BUCKETS,
+        )).encode()
+    ).hexdigest()[:10]
+    tag = "".join(c if c.isalnum() else "_" for c in _sf_tag(sf_dir))
+    names = (f"orders_q8bkt_{tag}_{sig}", f"lineitem_q8bkt_{tag}_{sig}")
+    specs = (
+        (names[0], _derived_path(sf_dir, f"q8bkt_orders_{sig}"), "orders",
+         "o_orderkey", ("o_orderkey", "o_custkey", "o_orderdate")),
+        (names[1], _derived_path(sf_dir, f"q8bkt_lineitem_{sig}"), "lineitem",
+         "l_orderkey",
+         ("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")),
+    )
+    for name, path, table, key, cols in specs:
+        if spark.catalog.tableExists(name) and os.path.exists(path):
+            continue
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            read_table(spark, sf_dir, table)
+            .select(*cols)
+            .write.mode("overwrite")
+            .option("path", path)
+            .bucketBy(Q8_N_BUCKETS, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    return names
+
+
+def tpch_q8_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — TPC-H q8 market share off orderkey-bucketed facts:
+    the orders⋈lineitem join runs exchange-free on the at-rest layout
+    (hint("merge") pins the co-located SMJ; broadcast dim probes preserve
+    the scan's bucket distribution), retiring the fact-fact shuffle that
+    dominates the ad-hoc plan at scale. Reference semantics:
+    `dashboard_nfp.py` has no layout notion; q8 parity target is
+    tpch_analytics.tpch_q8_market_share — identical arithmetic, same
+    oracle SQL, hash-identical output."""
+    from .tpch_analytics import _q8_aggregate, _q8_sides
+
+    o_name, li_name = _q8_bucketed_tables(spark, sf_dir)
+    li = spark.table(li_name)
+    orders = spark.table(o_name)
+    li_flagged, asia_orders = _q8_sides(spark, sf_dir, li, orders)
+    return _q8_aggregate(
+        li_flagged.hint("merge").join(
+            asia_orders, li_flagged.l_orderkey == asia_orders.o_orderkey
+        )
+    )
+
+
+QUERIES["tpch_q8_bucketed"] = tpch_q8_bucketed
+
+# byte-identical contract with the flat-plan q8: ONE oracle SQL serves
+# both (layout is physical, never semantic)
+from .tpch_analytics import ORACLE as _TPCH_ORACLE  # noqa: E402
+
+ORACLE["tpch_q8_bucketed"] = _TPCH_ORACLE["tpch_q8_market_share"]
+
+
 # --- Z-order (Morton) clustering: multi-dimensional data skipping --------
 #
 # Directory partitioning prunes on ONE dimension. When queries slice on

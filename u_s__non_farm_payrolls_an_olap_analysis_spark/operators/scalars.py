@@ -242,8 +242,11 @@ def scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (DuckDB TRY_CAST accepts '12.5'/'1e+4'/'0x1f' and rounds, Spark
     # rejects all three) — an integer-literal regexp guard on BOTH sides
     # pins the shared domain, where parse and int32-overflow behavior
-    # are identical
-    sub = F.substring("text", 1, 4)
+    # are identical. The guarded value is the FIRST TOKEN (not a fixed
+    # 4-char prefix) so the hostile fixture's 11-digit row actually
+    # reaches try_cast and overflows int32 → NULL in both engines
+    # (round-9 ADVICE: at width 4 the overflow claim was unreachable)
+    sub = F.substring_index("text", " ", 1)
     return docs.select(
         "doc_id",
         F.when(sub.rlike("^[+-]?[0-9]+$"), sub.try_cast("int")).alias(
@@ -289,8 +292,8 @@ QUERIES["scalar_try_functions"] = scalar_try_functions
 QUERIES["array_higher_order_funcs"] = array_higher_order_funcs
 
 ORACLE["scalar_try_functions"] = (
-    "SELECT doc_id, CASE WHEN regexp_matches(substr(text, 1, 4), "
-    "'^[+-]?[0-9]+$') THEN TRY_CAST(substr(text, 1, 4) AS INT) END "
+    "SELECT doc_id, CASE WHEN regexp_matches(split_part(text, ' ', 1), "
+    "'^[+-]?[0-9]+$') THEN TRY_CAST(split_part(text, ' ', 1) AS INT) END "
     "AS try_int, "
     "CASE WHEN CAST(doc_id % 3 AS DOUBLE) = 0 THEN NULL "
     "ELSE CAST(n_chars AS DOUBLE) / CAST(doc_id % 3 AS DOUBLE) END "

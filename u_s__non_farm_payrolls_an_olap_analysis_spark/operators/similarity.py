@@ -79,6 +79,13 @@ def sim_search_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
 
+    return _ivf_search(q, cand, cent)
+
+
+def _ivf_search(q: DataFrame, cand: DataFrame, cent: DataFrame) -> DataFrame:
+    """Shared IVF tail (invert → probe → score → rank) over any codebook:
+    identical expressions for every variant, so a DETERMINISTIC codebook
+    makes the whole search oracle-checkable."""
     # invert: candidate -> nearest centroid (one broadcast pass)
     cand_scored = cand.join(F.broadcast(cent)).select(
         "neighbor_id",
@@ -190,53 +197,94 @@ def sim_search_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
     cent = _train_kmeans_codebook(cand, IVF_K, KMEANS_ITERS)
+    return _ivf_search(q, cand, cent)
 
-    w_assign = Window.partitionBy("neighbor_id").orderBy(
-        F.col("cc").desc(), "cent_id"
+
+# micro-unit scale for the deterministic Lloyd's update: member components
+# are summed as scaled int64 (exact, order-independent), so the centroid
+# means are bit-identical across engines and partitionings
+KMEANS_SCALE = 1_000_000.0
+
+
+def _train_kmeans_codebook_exact(
+    cand: DataFrame, k: int, iters: int
+) -> DataFrame:
+    """Lloyd's iterations with a DETERMINISTIC update: per-(centroid, dim)
+    means accumulate as scaled int64 (``dround`` to micro-units — exact,
+    commutative, partition-order-independent) and divide back once, so
+    the trained codebook is bit-identical across engines — the FP-mean
+    variant (:func:`_train_kmeans_codebook`) differs in the last bits per
+    summation order, which is why its operator is rows-only. Structure
+    (init / assign / update) is otherwise identical."""
+    from ..functions.numerics import dround
+
+    cent = cand.orderBy("neighbor_id").limit(k).select(
+        F.col("neighbor_id").alias("cent_id"),
+        F.transform(F.col("ce"), lambda x: x.cast("double")).alias("cent_e"),
     )
-    assigned = (
-        cand.join(F.broadcast(cent))
-        .select(
+    for _ in range(iters):
+        scored = cand.join(F.broadcast(cent)).select(
             "neighbor_id",
             "ce",
             "cent_id",
             F.round(cosine(F.col("ce"), F.col("cent_e")), 6).alias("cc"),
         )
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("neighbor_id", "ce", F.col("cent_id").alias("list_id"))
-    )
-    w_probe = Window.partitionBy("query_id").orderBy(F.col("qc").desc(), "cent_id")
-    probes = (
-        q.join(F.broadcast(cent))
-        .select(
-            "query_id",
-            "qe",
-            "cent_id",
-            F.round(cosine(F.col("qe"), F.col("cent_e")), 6).alias("qc"),
+        w = Window.partitionBy("neighbor_id").orderBy(F.col("cc").desc(), "cent_id")
+        members = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("neighbor_id", "ce", "cent_id")
         )
-        .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= IVF_PROBES)
-        .select("query_id", "qe", F.col("cent_id").alias("list_id"))
-    )
-    scored = probes.join(assigned, "list_id").select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cosine"),
-    )
-    w_rank = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), "neighbor_id"
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w_rank))
-        .filter(F.col("rank") <= TOP_K)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "cosine",
-            F.col("rank").cast("int").alias("rank"),
+        cent = (
+            members.select(
+                "cent_id", F.posexplode("ce").alias("pos", "val")
+            )
+            .groupBy("cent_id", "pos")
+            .agg(
+                F.sum(
+                    dround(F.col("val").cast("double") * KMEANS_SCALE, 0)
+                    .cast("long")
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                "cent_id",
+                "pos",
+                (F.col("s").cast("double") / F.col("n") / KMEANS_SCALE)
+                .alias("m"),
+            )
+            .groupBy("cent_id")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cent_e")
+            )
         )
+    return cent
+
+
+def sim_search_ann_ivf_kmeans_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hash-checked harness for the k-means IVF geometry (round-9
+    companion to the rows-only :func:`sim_search_ann_ivf_kmeans`): the
+    same Lloyd's-trained-codebook search, but with the deterministic
+    scaled-int64 centroid update, so the ENTIRE pipeline — init, three
+    assign/update rounds, invert, probe, rank — is reproducible bit for
+    bit and DuckDB-checkable (the oracle unrolls the same three Lloyd's
+    iterations as CTE stages). This is the oracle evidence that the
+    trained-codebook pipeline shape is correct; the FP-mean twin remains
+    the documented rows-only variant (recall-tested instead)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    cand = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
     )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    cent = _train_kmeans_codebook_exact(cand, IVF_K, KMEANS_ITERS)
+    return _ivf_search(q, cand, cent)
 
 
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -282,8 +330,73 @@ QUERIES = {
     "sim_search_cosine": sim_search_cosine,
     "sim_search_ann_ivf": sim_search_ann_ivf,
     "sim_search_ann_ivf_kmeans": sim_search_ann_ivf_kmeans,
+    "sim_search_ann_ivf_kmeans_exact": sim_search_ann_ivf_kmeans_exact,
     "embedding_quantize_int8": embedding_quantize_int8,
 }
+
+
+def _kmeans_exact_oracle_sql() -> str:
+    """DuckDB twin of the deterministic-k-means IVF search: the three
+    Lloyd's iterations unroll into CTE stages (assign = cross join +
+    rank-1 window; update = per-(centroid, dim) scaled-int64 mean
+    rebuilt into an ordered list), then the shared IVF tail."""
+    cos_cc = cosine_sql("ce", "cent_e")
+    cos_qc = cosine_sql("qe", "cent_e")
+    parts = [
+        f"cand AS (SELECT vec_id AS neighbor_id, embedding AS ce "
+        f"FROM embeddings WHERE vec_id >= {N_QUERIES})",
+        f"q AS (SELECT vec_id AS query_id, embedding AS qe "
+        f"FROM embeddings WHERE vec_id < {N_QUERIES})",
+        "cent0 AS (SELECT neighbor_id AS cent_id, "
+        "CAST(ce AS DOUBLE[]) AS cent_e FROM cand "
+        f"ORDER BY neighbor_id LIMIT {IVF_K})",
+    ]
+    prev = "cent0"
+    for i in range(1, KMEANS_ITERS + 1):
+        parts.append(
+            f"a{i} AS (SELECT neighbor_id, ce, cent_id, "
+            "ROW_NUMBER() OVER (PARTITION BY neighbor_id "
+            f"ORDER BY ROUND({cos_cc}, 6) DESC, cent_id) AS rn "
+            f"FROM cand CROSS JOIN {prev})"
+        )
+        parts.append(
+            f"e{i} AS (SELECT cent_id, "
+            "generate_subscripts(CAST(ce AS DOUBLE[]), 1) AS pos, "
+            f"unnest(CAST(ce AS DOUBLE[])) AS val FROM a{i} WHERE rn = 1)"
+        )
+        parts.append(
+            f"cent{i} AS (SELECT cent_id, list(m ORDER BY pos) AS cent_e "
+            "FROM (SELECT cent_id, pos, "
+            "CAST(SUM(CAST(ROUND(val * 1000000.0, 0) AS BIGINT)) AS DOUBLE)"
+            " / COUNT(*) / 1000000.0 AS m "
+            f"FROM e{i} GROUP BY cent_id, pos) GROUP BY cent_id)"
+        )
+        prev = f"cent{i}"
+    parts += [
+        "cs AS (SELECT neighbor_id, ce, cent_id, "
+        "ROW_NUMBER() OVER (PARTITION BY neighbor_id "
+        f"ORDER BY ROUND({cos_cc}, 6) DESC, cent_id) AS rn "
+        f"FROM cand CROSS JOIN {prev})",
+        "assigned AS (SELECT neighbor_id, ce, cent_id AS list_id FROM cs "
+        "WHERE rn = 1)",
+        "qs AS (SELECT query_id, qe, cent_id, "
+        "ROW_NUMBER() OVER (PARTITION BY query_id "
+        f"ORDER BY ROUND({cos_qc}, 6) DESC, cent_id) AS rn "
+        f"FROM q CROSS JOIN {prev})",
+        "probes AS (SELECT query_id, qe, cent_id AS list_id FROM qs "
+        f"WHERE rn <= {IVF_PROBES})",
+        "scored AS (SELECT query_id, neighbor_id, "
+        f"ROUND({cosine_sql('p.qe', 'a.ce')}, 6) AS cosine "
+        "FROM probes p JOIN assigned a USING (list_id))",
+        "r AS (SELECT query_id, neighbor_id, cosine, ROW_NUMBER() OVER ("
+        "PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank "
+        "FROM scored)",
+    ]
+    return (
+        "WITH " + ", ".join(parts)
+        + " SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank "
+        f"FROM r WHERE rank <= {TOP_K}"
+    )
 
 _COS_QC = cosine_sql("q.qe", "c.ce")
 
@@ -330,6 +443,7 @@ ORACLE = {
         "SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank "
         f"FROM r WHERE rank <= {TOP_K}"
     ),
+    "sim_search_ann_ivf_kmeans_exact": _kmeans_exact_oracle_sql(),
     "embedding_quantize_int8": (
         "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb "
         "FROM embeddings), "

@@ -526,6 +526,39 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
       shuffle join with AQE — the correct 100 TB shape."""
     li = read_table(spark, sf_dir, "lineitem")
     orders = read_table(spark, sf_dir, "orders")
+    li_flagged, asia_orders = _q8_sides(spark, sf_dir, li, orders)
+    # size gate: the reduced (o_orderkey, o_year) relation is ≤ ~2/5 of
+    # the base table's rows at ~12 bytes each, so a ≤256 MB compressed
+    # orders file bounds the broadcast comfortably under executor memory.
+    # Past the gate the degrade is an EXPLICIT shuffled-hash with the
+    # reduced orders side as build (scripts/measure_q8_variants.py:
+    # 1.53 s vs sort-merge 2.2 s at 30x, 3.6 s vs 5.1 s at 100x — SMJ
+    # pays a 60M-row sort the hash build avoids; per-partition builds
+    # stay bounded because the build side is the 5x-reduced relation and
+    # AQE splits skewed partitions). Recurring q8 at rest skips all of
+    # this via the bucketed layout (SCALE.md, measure_bucketed_q8.py).
+    if table_bytes(sf_dir, "orders") <= 256 << 20:
+        asia_orders = F.broadcast(asia_orders)
+    else:
+        asia_orders = asia_orders.hint("SHUFFLE_HASH")
+    return _q8_aggregate(
+        li_flagged.join(
+            asia_orders, li_flagged.l_orderkey == asia_orders.o_orderkey
+        )
+    )
+
+
+def _q8_sides(
+    spark: SparkSession, sf_dir: str, li: DataFrame, orders: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Shared q8 construction off the given fact frames: returns
+    ``(li_flagged, asia_orders)`` — lineitem reduced to (l_orderkey,
+    scaled-rev, is-target-supplier) via one broadcast supplier-flag
+    probe, orders reduced ~5x through the ASIA customer dim chain to
+    (o_orderkey, o_year). The fact-fact join strategy (broadcast gate /
+    shuffled-hash / bucketed SMJ) is the variants' only difference, so
+    it stays with the callers (`tpch_q8_market_share`,
+    `layout.tpch_q8_bucketed`)."""
     cust = read_table(spark, sf_dir, "customer")
     supp = read_table(spark, sf_dir, "supplier")
     n_c = read_table(spark, sf_dir, "nation").select(
@@ -554,30 +587,20 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tgt",
         )
     )
-    # size gate: the reduced (o_orderkey, o_year) relation is ≤ ~2/5 of
-    # the base table's rows at ~12 bytes each, so a ≤256 MB compressed
-    # orders file bounds the broadcast comfortably under executor memory.
-    # Past the gate the degrade is an EXPLICIT shuffled-hash with the
-    # reduced orders side as build (scripts/measure_q8_variants.py:
-    # 1.53 s vs sort-merge 2.2 s at 30x, 3.6 s vs 5.1 s at 100x — SMJ
-    # pays a 60M-row sort the hash build avoids; per-partition builds
-    # stay bounded because the build side is the 5x-reduced relation and
-    # AQE splits skewed partitions). Recurring q8 at rest skips all of
-    # this via the bucketed layout (SCALE.md, measure_bucketed_q8.py).
-    if table_bytes(sf_dir, "orders") <= 256 << 20:
-        asia_orders = F.broadcast(asia_orders)
-    else:
-        asia_orders = asia_orders.hint("SHUFFLE_HASH")
+    return li_flagged, asia_orders
+
+
+def _q8_aggregate(joined: DataFrame) -> DataFrame:
+    """Per-year market-share aggregate over the joined q8 facts (shared
+    by every fact-join variant; arithmetic identical so all variants
+    hash-match the one oracle)."""
     num = (
         F.sum(F.when(F.col("tgt"), F.col("r")).otherwise(F.lit(0).cast("long")))
         / 10_000.0
     )
     den = F.sum("r") / 10_000.0
     return (
-        li_flagged.join(
-            asia_orders, li_flagged.l_orderkey == asia_orders.o_orderkey
-        )
-        .groupBy("o_year")
+        joined.groupBy("o_year")
         .agg(
             F.round(num / den, 6).alias("mkt_share"),
             F.round(den, 4).alias("total_revenue"),

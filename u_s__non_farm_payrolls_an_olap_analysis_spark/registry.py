@@ -88,87 +88,27 @@ _MODULES = [
 # tests/test_registry_contract.py (subset, duplicate-free, leads
 # iteration) — prune entries once their round's JSON records them
 # (CLAUDE.md rule 7).
-# Round-8 rotation: all round-7-recorded keys pruned (green rows in
-# CORRECTNESS_r07). Leads with (a) the operators NEW this round
-# (llm_prep pack incl. pack_training_sequences, layout_zorder_key,
-# text_pmi_collocations, the streaming crawl-dedup and foreachBatch
-# upsert, DPP + bucketed + bitmap join demonstrators, the planted-LSH
-# oracle twin, the cluster-size histogram), (b) the 8 keys whose decode
-# or plan changed this round (tz-independent event-time work: streaming
-# sliding/session/dedup, sessionize_batch, join_interval_bucketed,
-# window_trailing_range_frame, multimodal_frame_sample's batch guard;
-# the q8 replan), then (c) oldest evidence first: the r3 keys and the
-# r4 keys that predate the round-4 per-row-rounding convention. The
-# list outgrew the 50-key window as late-round operators landed — the
-# keys past slot 50 (a tail of the r4 block) roll into the round-9/10
-# samples; prune recorded keys next round.
-# Round-9 rotation TODO (written end of round 8): the window is over
-# capacity — 46 keys with no driver row ever (every r8 addition) fill
-# slots 1-46, four of the six r8-changed keys fill 47-50, and FOUR
-# keys were displaced past slot 50: window_trailing_range_frame,
-# multimodal_frame_sample, sessionize_batch, and stream_dedup_keys
-# (all have green r7 rows AND passed this round's full-registry parity
-# in BOTH session flavors, including the plain-session driver sim).
-# Once CORRECTNESS_r08 lands: prune every recorded key, lead with
-# those four displaced keys, then continue the r4-block rotation.
+# Round-9 rotation: every r8-recorded key pruned (50/50 green rows in
+# CORRECTNESS_r08). Leads with (a) the FOUR keys the over-capacity r8
+# list displaced past slot 50 (green r7 rows, but skipped a round),
+# (b) the operators NEW or semantically changed this round (the
+# bucketed-at-rest q8 variant; scalar_try_functions' widened try_cast
+# prefix actually exercises int32 overflow now — output changed, needs
+# a fresh row), then (c) oldest evidence first: the r3 keys and the
+# r4 block that predates the round-4 per-row-rounding convention. The
+# r4 tail past slot 50 rolls into round 10; prune recorded keys then.
 _SAMPLE_PRIORITY = [
-    # new in round 8 — no driver row exists yet
-    "stream_left_outer_join",
-    "stream_full_outer_join",
-    "sql_lateral_topk_per_group",
-    "sql_recursive_month_spine",
-    "corpus_shuffle_shards",
-    "vocab_bpe_pair_counts",
-    "norm_winsorize_clip",
-    "agg_funnel_conversion",
-    "retention_cohorts",
-    "sink_python_datasource",
-    "scan_schema_evolution",
-    "layout_partition_overwrite_dynamic",
-    "scalar_try_functions",
-    "array_higher_order_funcs",
-    "agg_linear_trend",
-    "mv_incremental_refresh",
-    "timeseries_interpolate_linear",
-    "sample_domain_cap",
-    "table_stats_collect",
-    "cdc_read_asof",
-    "dq_referential_integrity",
-    "agg_weighted_percentile",
-    "quality_unigram_surprisal",
-    "join_asof_nearest",
-    "pii_detect_stats",
-    "pii_redact",
-    "decontam_overlap",
-    "quality_repetition_signals",
-    "chunk_documents",
-    "vocab_coverage",
-    "layout_zorder_key",
-    "stream_docs_dedup_fingerprint",
-    "text_pmi_collocations",
-    "scan_dpp_dim_filter",
-    "join_bucketed_zero_shuffle",
-    "stream_upsert_foreach_batch",
-    "dedup_embedding_prod_planted",
-    "pack_training_sequences",
-    "join_bitmap_prefiltered",
-    "dedup_cluster_size_histogram",
-    "sample_corpus_mixture",
-    "dedup_keep_best",
-    "source_api_stream",
-    "layout_compact_small_files",
-    "cdc_apply_changes",
-    "dedup_cross_corpus_jaccard",
-    # changed in round 8 (tz-independent decode / q8 replan) — need fresh
-    # driver rows first
-    "tpch_q8_market_share",
-    "join_interval_bucketed",
-    "stream_sliding_agg",
-    "stream_session_window",
-    "stream_dedup_keys",
-    "sessionize_batch",
+    # displaced past slot 50 by the r8 rotation — green r7 rows, oldest
+    # debt first
     "window_trailing_range_frame",
     "multimodal_frame_sample",
+    "sessionize_batch",
+    "stream_dedup_keys",
+    # new or output-changed in round 9 — no current driver row
+    "tpch_q8_bucketed",
+    "scalar_try_functions",
+    "sim_search_ann_ivf_kmeans_exact",
+    "dedup_simhash_planted",
     # latest driver row r3 (oldest remaining)
     "cache_result",
     "project_rename",

@@ -17,7 +17,12 @@ distributed sinks need:
   becomes visible;
 - readers trust ONLY the manifest: stray or orphaned staging files in
   the directory are invisible (tests/test_custom_source_stateful.py
-  plants both and asserts the read-back ignores them).
+  plants both and asserts the read-back ignores them). Raw directory
+  reads (``spark.read.json(path)``) are UNSUPPORTED — use
+  :func:`committed_files`. Overwrite commits additionally garbage-
+  collect part files the new manifest doesn't name (after the atomic
+  manifest swap), so repeated overwrites don't accumulate orphans;
+  empty partitions are never promoted.
 
 Local-mode note: tasks and driver share one filesystem here, which is
 what makes file promotion in ``commit()`` work; on a cluster the same
@@ -76,9 +81,14 @@ class JsonDirSinkWriter(DataSourceWriter):
     def commit(self, messages) -> None:
         parts: list[dict] = []
         for m in messages:
-            os.replace(m.staged, os.path.join(self.path, m.final))
-            if m.n_rows:  # empty partitions stage+promote but aren't listed
+            if m.n_rows:  # empty partitions: drop the stage, never promote
+                os.replace(m.staged, os.path.join(self.path, m.final))
                 parts.append({"file": m.final, "n_rows": m.n_rows})
+            else:
+                try:
+                    os.remove(m.staged)
+                except OSError:
+                    pass
         manifest_path = os.path.join(self.path, MANIFEST)
         prior: list[dict] = []
         if not self.overwrite and os.path.exists(manifest_path):
@@ -94,6 +104,24 @@ class JsonDirSinkWriter(DataSourceWriter):
                 f,
             )
         os.replace(tmp, manifest_path)  # atomic publish
+        if self.overwrite:
+            # physical GC after the logical swap: earlier generations'
+            # part files are no longer reachable from the manifest —
+            # removing them keeps repeated overwrites from accumulating
+            # orphans a raw-directory read (unsupported, but the obvious
+            # mistake) would double-count. Manifest-first ordering means
+            # a crash here leaks files but never publishes wrong data.
+            keep = {p["file"] for p in parts}
+            for f in os.listdir(self.path):
+                if (
+                    f.startswith("part-")
+                    and f.endswith(".jsonl")
+                    and f not in keep
+                ):
+                    try:
+                        os.remove(os.path.join(self.path, f))
+                    except OSError:
+                        pass
 
     def abort(self, messages) -> None:
         # a FAILED task's entry is None (no commit message, and its own
