@@ -142,6 +142,43 @@ def test_bucketed_registry_join_zero_exchange(spark):
     assert core.count() > 0
 
 
+def test_cbo_stats_flip_join_to_broadcast(spark):
+    """ANALYZE-fed CBO: the IDENTICAL query at the IDENTICAL broadcast
+    threshold picks SortMergeJoin without CBO and BroadcastHashJoin with
+    spark.sql.cbo.enabled + column stats (the filter-cardinality estimate
+    shrinks the dim below the threshold) — the real mechanism behind the
+    q8 file-stat gate's poor-man's CBO. Stats exist in both runs (the
+    tables are ANALYZE'd at build), so the flip isolates the CBO conf."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import layout
+
+    _, c_name = layout._cbo_tables(spark, SF)  # build + ANALYZE once
+    # the stats-driven difference itself: CBO's filter-cardinality
+    # estimate must undercut the size-only estimate of the SAME subtree
+    est_cbo = layout._filtered_dim_estimate(spark, c_name, cbo=True)
+    est_off = layout._filtered_dim_estimate(spark, c_name, cbo=False)
+    assert est_cbo < est_off, (est_cbo, est_off)
+    prev_cbo = spark.conf.get("spark.sql.cbo.enabled")
+    prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    thr = layout.cbo_broadcast_threshold(spark, SF)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(thr))
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        no_cbo = join_kinds(layout._cbo_join_frame(spark, SF))
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        with_cbo = join_kinds(layout._cbo_join_frame(spark, SF))
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", prev_cbo)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
+    assert "SortMergeJoin" in no_cbo and "BroadcastHashJoin" not in no_cbo, (
+        no_cbo
+    )
+    assert "BroadcastHashJoin" in with_cbo, with_cbo
+    # the registry operator runs the stats-driven plan end to end
+    df = layout.join_cbo_stats_broadcast(spark, SF)
+    assert "BroadcastHashJoin" in join_kinds(df)
+    assert df.count() == 1
+
+
 def test_tpch_q8_bucketed_zero_fact_fact_exchange(spark):
     """tpch_q8_bucketed: the orders⋈lineitem join must run on the at-rest
     bucket layout — co-located SortMergeJoin, ZERO Exchange on the order

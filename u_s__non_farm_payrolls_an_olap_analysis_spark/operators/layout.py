@@ -586,6 +586,130 @@ ORACLE["table_stats_collect"] = " UNION ALL ".join(
 ) + " ORDER BY col_name"
 
 
+# --- CBO: ANALYZE-fed cost-based join decisions --------------------------
+#
+# table_stats_collect (above) computes the stats profile as a QUERY; this
+# pair feeds the same stats to the OPTIMIZER through the real mechanism:
+# ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS stores row count, NDV
+# and min/max in the catalog, and with spark.sql.cbo.enabled the filter-
+# cardinality estimate shrinks the dim side below the broadcast threshold
+# — the decision the q8 file-stat gate approximates from the outside.
+# tests/test_plans.py pins the flip: identical query + threshold, no
+# stats → SortMergeJoin, ANALYZE'd stats + CBO → BroadcastHashJoin.
+
+def _cbo_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Catalog copies of orders + customer with ANALYZE'd column stats
+    (once per session + source content); returns the table names."""
+    sig = hashlib.md5(
+        repr((
+            _table_sig(os.path.join(sf_dir, "orders.parquet")),
+            _table_sig(os.path.join(sf_dir, "customer.parquet")),
+        )).encode()
+    ).hexdigest()[:10]
+    tag = "".join(c if c.isalnum() else "_" for c in _sf_tag(sf_dir))
+    names = (f"orders_cbo_{tag}_{sig}", f"customer_cbo_{tag}_{sig}")
+    for name, table in zip(names, ("orders", "customer")):
+        path = _derived_path(sf_dir, f"cbo_{table}_{sig}")
+        if spark.catalog.tableExists(name) and os.path.exists(path):
+            continue
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            read_table(spark, sf_dir, table)
+            .write.mode("overwrite")
+            .option("path", path)
+            .saveAsTable(name)
+        )
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+    spark.sql(
+        f"ANALYZE TABLE {names[1]} COMPUTE STATISTICS "
+        "FOR COLUMNS c_mktsegment, c_custkey"
+    )
+    return names
+
+
+def _cbo_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The demonstrator join: orders ⋈ (customer filtered to one market
+    segment), per-segment totals — NO broadcast() hint anywhere; the
+    plan decision belongs to the optimizer + stats."""
+    o_name, c_name = _cbo_tables(spark, sf_dir)
+    o = spark.table(o_name)
+    c = spark.table(c_name).filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(dsum("o_totalprice"), 4).alias("total"),
+        )
+    )
+
+
+def _filtered_dim_estimate(spark: SparkSession, c_name: str, cbo: bool) -> int:
+    """The optimizer's OWN size estimate of the join's build side (the
+    filtered + pruned customer subtree) under cbo on/off — exactly the
+    number JoinSelection compares against the broadcast threshold."""
+    prev = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true" if cbo else "false")
+    try:
+        side = (
+            spark.table(c_name)
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey", "c_mktsegment")
+        )
+        return int(
+            side._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", prev)
+
+
+def cbo_broadcast_threshold(spark: SparkSession, sf_dir: str) -> int:
+    """The demonstration threshold: the midpoint of the optimizer's two
+    estimates of the same build side — without CBO (size-only: file
+    bytes scaled by projected column width, filter ignored) and with CBO
+    (column-stats filter cardinality, ~1/5 for one market segment). Any
+    threshold between them separates the regimes at any sf; deriving it
+    from the estimates themselves avoids hardcoding either engine's
+    width/compression arithmetic."""
+    _, c_name = _cbo_tables(spark, sf_dir)
+    lo = _filtered_dim_estimate(spark, c_name, cbo=True)
+    hi = _filtered_dim_estimate(spark, c_name, cbo=False)
+    return max(1, (lo + hi) // 2)
+
+
+def join_cbo_stats_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — the stats-fed optimizer decision as a registry
+    operator: under ``spark.sql.cbo.enabled`` with ANALYZE'd column
+    stats, the filtered dim's estimated size drops below the (scoped,
+    deliberately tight) broadcast threshold and the optimizer picks the
+    broadcast join ON ITS OWN — no hint, no file-stat gate. The plan is
+    materialized inside the conf scope (QueryExecution memoizes), so the
+    later driver action runs the stats-driven plan; results are
+    plan-independent and oracle-checked against the flat tables."""
+    prev_cbo = spark.conf.get("spark.sql.cbo.enabled")
+    prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    thr = cbo_broadcast_threshold(spark, sf_dir)  # before the conf scope
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(thr))
+    try:
+        df = _cbo_join_frame(spark, sf_dir)
+        df._jdf.queryExecution().executedPlan()  # pin the plan in scope
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", prev_cbo)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
+    return df
+
+
+QUERIES["join_cbo_stats_broadcast"] = join_cbo_stats_broadcast
+
+ORACLE["join_cbo_stats_broadcast"] = (
+    "SELECT c_mktsegment, COUNT(*) AS n_orders, "
+    f"ROUND({dsum_sql('o_totalprice')}, 4) AS total "
+    "FROM orders JOIN customer ON o_custkey = c_custkey "
+    "WHERE c_mktsegment = 'BUILDING' GROUP BY 1"
+)
+
+
 QUERIES["layout_compact_small_files"] = layout_compact_small_files
 
 ORACLE["layout_compact_small_files"] = (

@@ -109,6 +109,7 @@ _SAMPLE_PRIORITY = [
     "scalar_try_functions",
     "sim_search_ann_ivf_kmeans_exact",
     "dedup_simhash_planted",
+    "join_cbo_stats_broadcast",
     # latest driver row r3 (oldest remaining)
     "cache_result",
     "project_rename",
