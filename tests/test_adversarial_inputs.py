@@ -219,15 +219,20 @@ def test_hostile_events_analytics_parity(spark, hostile_dir, duck, name):
         "scalar_try_functions",
         "scan_schema_evolution",
         "layout_partition_overwrite_dynamic",
+        # planted-SimHash harness over the hostile docs (empty text,
+        # 1-token, repetition, PII rows): exact copies must surface at
+        # Hamming 0 for every planted doc_id regardless of content
+        "dedup_simhash_planted",
     ],
 )
 def test_hostile_layout_scalar_parity(spark, hostile_dir, duck, name):
     from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import (
+        dedup,
         layout,
         scalars,
     )
 
-    q = {**scalars.QUERIES, **layout.QUERIES}[name]
+    q = {**scalars.QUERIES, **layout.QUERIES, **dedup.QUERIES}[name]
     _assert_parity(q(spark, hostile_dir), duck, name)
 
 

@@ -272,7 +272,7 @@ ORACLE["join_bucketed_zero_shuffle"] = (
 # shuffles left feed the 7-row year aggregate). Same arithmetic, same
 # oracle SQL as q8 — layout is physical, never semantic.
 
-Q8_N_BUCKETS = 16
+Q8_N_BUCKETS = 32
 
 
 def _table_sig(path: str) -> tuple:
@@ -324,6 +324,12 @@ def _q8_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         (
             read_table(spark, sf_dir, table)
             .select(*cols)
+            # pre-route rows by the SAME hash the bucket writer uses so
+            # each task holds exactly one bucket → ONE sorted file per
+            # bucket. With multiple files per bucket Spark discards the
+            # at-rest sort order and re-sorts before every merge join;
+            # one file per bucket keeps reads truly sort-free.
+            .repartition(Q8_N_BUCKETS, F.col(key))
             .write.mode("overwrite")
             .option("path", path)
             .bucketBy(Q8_N_BUCKETS, key)
