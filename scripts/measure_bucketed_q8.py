@@ -53,7 +53,8 @@ from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.layout import (  # 
 # bench.py regenerates .bench_sf3x IN PLACE when SPARK_GRAFT_SFN_REP
 # changes, so a path-only tag would silently reuse a stale bucketed
 # layout against fresh flat data (round-9 ADVICE) — the (name, size,
-# mtime_ns) signature of the source parquet forces a re-bucket
+# footer-hash) content signature of the source parquet forces a
+# re-bucket on real changes while surviving clones/copies (round 10)
 _TAG = hashlib.md5(
     repr((
         os.path.abspath(D),

@@ -69,6 +69,10 @@ def hostile_dir(spark, tmp_path_factory):
         (9, "0x1f hex prefix", "en", "s2", 15),
         (10, "+42 signed", "en", "s2", 10),
         (11, "99999999999 overflowing int32", "en", "s2", 29),
+        # trailing-newline token: Java-regex '$' matches BEFORE a final
+        # newline, RE2 '$' does not — the \A..\z anchors must reject
+        # '123\n' in BOTH engines (round-10 ADVICE)
+        (12, "123\n trailing newline token", "en", "s2", 26),
     ]
     spark.createDataFrame(
         docs, "doc_id long, text string, lang string, source string, n_chars long"

@@ -275,21 +275,36 @@ ORACLE["join_bucketed_zero_shuffle"] = (
 Q8_N_BUCKETS = 32
 
 
+def _file_content_sig(path: str) -> str:
+    """md5 of the parquet footer region (last <=64 KiB). The footer holds
+    the row-group metadata + column statistics, so any regeneration with
+    different contents changes it even at identical byte size; unlike
+    mtime it survives git checkouts / copies, which do NOT preserve
+    timestamps (round-10 ADVICE: the mtime signature forced a silent
+    re-bucket on every fresh clone)."""
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        f.seek(max(0, size - 65536))
+        return hashlib.md5(f.read()).hexdigest()[:12]
+
+
 def _table_sig(path: str) -> tuple:
-    """Cheap change signature of a parquet table (file or directory):
-    sorted (name, size, mtime_ns). Folded into the bucketed table tag so
-    a source dir regenerated IN PLACE (bench.py rewrites .bench_sf3x when
-    SPARK_GRAFT_SFN_REP changes) re-buckets instead of silently reusing a
-    stale layout (round-9 ADVICE)."""
+    """Content-derived change signature of a parquet table (file or
+    directory): sorted (name, size, footer-hash). Folded into the
+    bucketed table tag so a source dir regenerated IN PLACE (bench.py
+    rewrites .bench_sf3x when SPARK_GRAFT_SFN_REP changes) re-buckets
+    instead of silently reusing a stale layout (round-9 ADVICE), while
+    byte-identical data keeps its signature across clones/copies
+    (round-10 ADVICE)."""
     if os.path.isdir(path):
         names = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
         return tuple(
             (f, os.path.getsize(os.path.join(path, f)),
-             os.stat(os.path.join(path, f)).st_mtime_ns)
+             _file_content_sig(os.path.join(path, f)))
             for f in names
         )
     try:
-        return (os.path.getsize(path), os.stat(path).st_mtime_ns)
+        return (os.path.getsize(path), _file_content_sig(path))
     except OSError:
         return ()
 

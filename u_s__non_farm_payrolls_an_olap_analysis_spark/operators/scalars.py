@@ -245,11 +245,15 @@ def scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # are identical. The guarded value is the FIRST TOKEN (not a fixed
     # 4-char prefix) so the hostile fixture's 11-digit row actually
     # reaches try_cast and overflows int32 → NULL in both engines
-    # (round-9 ADVICE: at width 4 the overflow claim was unreachable)
+    # (round-9 ADVICE: at width 4 the overflow claim was unreachable).
+    # Anchors are \\A..\\z, NOT ^..$: Java-regex '$' matches BEFORE a
+    # final newline while RE2 (DuckDB) '$' is end-of-text only, so a
+    # token like '123\\n' would pass the Spark guard but fail the DuckDB
+    # one (round-10 ADVICE); \\A/\\z mean end-of-text in BOTH engines.
     sub = F.substring_index("text", " ", 1)
     return docs.select(
         "doc_id",
-        F.when(sub.rlike("^[+-]?[0-9]+$"), sub.try_cast("int")).alias(
+        F.when(sub.rlike(r"\A[+-]?[0-9]+\z"), sub.try_cast("int")).alias(
             "try_int"
         ),
         F.try_divide(
@@ -293,7 +297,7 @@ QUERIES["array_higher_order_funcs"] = array_higher_order_funcs
 
 ORACLE["scalar_try_functions"] = (
     "SELECT doc_id, CASE WHEN regexp_matches(split_part(text, ' ', 1), "
-    "'^[+-]?[0-9]+$') THEN TRY_CAST(split_part(text, ' ', 1) AS INT) END "
+    r"'\A[+-]?[0-9]+\z') THEN TRY_CAST(split_part(text, ' ', 1) AS INT) END "
     "AS try_int, "
     "CASE WHEN CAST(doc_id % 3 AS DOUBLE) = 0 THEN NULL "
     "ELSE CAST(n_chars AS DOUBLE) / CAST(doc_id % 3 AS DOUBLE) END "

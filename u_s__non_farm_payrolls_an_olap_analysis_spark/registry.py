@@ -88,76 +88,71 @@ _MODULES = [
 # tests/test_registry_contract.py (subset, duplicate-free, leads
 # iteration) — prune entries once their round's JSON records them
 # (CLAUDE.md rule 7).
-# Round-9 rotation: every r8-recorded key pruned (50/50 green rows in
-# CORRECTNESS_r08). Leads with (a) the FOUR keys the over-capacity r8
-# list displaced past slot 50 (green r7 rows, but skipped a round),
-# (b) the operators NEW or semantically changed this round (the
-# bucketed-at-rest q8 variant; scalar_try_functions' widened try_cast
-# prefix actually exercises int32 overflow now — output changed, needs
-# a fresh row), then (c) oldest evidence first: the r3 keys and the
-# r4 block that predates the round-4 per-row-rounding convention. The
-# r4 tail past slot 50 rolls into round 10; prune recorded keys then.
+# Round-10 rotation: every r9-recorded key pruned (46 green + 4
+# documented rows-only rows in CORRECTNESS_r09). Leads with (a) the
+# FOUR r4-evidence keys the round-9 list pushed past slot 50, (b)
+# scalar_try_functions — its try_cast guard anchors changed ^..$ →
+# \\A..\\z this round (round-10 ADVICE), needs a fresh row — then
+# (c) oldest evidence first: all 47 keys whose latest driver row is
+# round 6 (the entire TPC-H Q1-Q22 block, sql_dashboard, sources,
+# r3-era joins/aggregates). 52 keys total: the last two roll into
+# round 11; prune recorded keys then.
 _SAMPLE_PRIORITY = [
-    # displaced past slot 50 by the r8 rotation — green r7 rows, oldest
-    # debt first
-    "window_trailing_range_frame",
-    "multimodal_frame_sample",
-    "sessionize_batch",
-    "stream_dedup_keys",
-    # new or output-changed in round 9 — no current driver row
-    "tpch_q8_bucketed",
-    "scalar_try_functions",
-    "sim_search_ann_ivf_kmeans_exact",
-    "dedup_simhash_planted",
-    "join_cbo_stats_broadcast",
-    # latest driver row r3 (oldest remaining)
-    "cache_result",
-    "project_rename",
-    "scan_partition_pruned",
-    "scan_table",
-    # latest driver row r4 — pre-rounding-convention rows; the driver takes
-    # the first 50 keys, so the tail of this list rolls into round 10
-    "agg_mode_deterministic",
-    "array_explode_variants",
-    "array_stats_by_label",
-    "cogroup_asof_pandas",
-    "crosstab_status_priority",
-    "datetime_functions_showcase",
-    "dedup_clusters",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_incremental_new_docs",
-    "dedup_minhash_near",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dq_checks",
-    "grouped_map_normalize",
-    "json_extract_props",
-    "json_from_json_struct",
-    "json_map_explode",
-    "json_variant_ops",
-    "multimodal_decode_meta",
-    "multimodal_frame_stats",
-    "pivot_month_by_year",
-    "scalar_functions_showcase",
-    "setop_multiset",
-    "setop_union_except",
-    "sim_search_ann_ivf",
-    "sim_search_ann_ivf_kmeans",
-    "sim_search_cosine",
-    "str_format_display",
-    "text_clean_funnel",
-    "text_fingerprint",
-    "text_fuzzy_match",
-    "text_langid",
-    "text_quality_score",
-    "text_token_count",
-    "text_tokenize_tf",
-    "udf_decade_scalar_pandas",
+    # latest driver row r4 — rolled past slot 50 by the r9 rotation
     "udtf_month_spine",
     "unpivot_measures",
     "window_distribution_ranks",
     "window_first_last_nth",
+    # guard-anchor change this round (round-10 ADVICE) — fresh row
+    "scalar_try_functions",
+    # latest driver row r6 — oldest remaining evidence; tail rolls
+    "agg_boolean_family",
+    "agg_distinct_and_approx",
+    "agg_grouping_sets_cube",
+    "agg_rollup_year_quarter",
+    "agg_salted_two_phase",
+    "corpus_mix_report",
+    "dq_anomaly_zscore",
+    "embedding_quantize_int8",
+    "join_broadcast_dim",
+    "join_full_outer_reconcile",
+    "join_null_safe_eq",
+    "join_range_asof",
+    "join_semi_anti",
+    "join_shuffle_3way",
+    "join_skew_aqe",
+    "scd2_history_merge",
+    "sink_jdbc_upsert",
+    "source_api_extract",
+    "sql_dashboard_decade_case",
+    "sql_dashboard_q4_growth",
+    "sql_dashboard_sharpest_drop",
+    "sql_exists_big_order",
+    "sql_in_subquery_region_orders",
+    "sql_scalar_above_nation_avg",
+    "text_bigram_topk",
+    "text_idf_topk",
+    "tpch_q1_pricing_summary",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_pairs",
+    "tpch_q12_late_priority",
+    "tpch_q13_custdist",
+    "tpch_q14_promo_revenue_share",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_distribution",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume",
+    "tpch_q19_disjunctive_pred",
+    "tpch_q20_excess_inventory",
+    "tpch_q21_suppliers_kept_waiting",
+    "tpch_q22_global_sales_opportunity",
 ]
 
 
