@@ -54,7 +54,14 @@ HEADLINE = {
     "join_agg_pricing": "join_agg_pricing",
     "join_3way": "join_shuffle_3way",
     "window_rank": "window_rank_topk_per_group",
-    "events_sessionish": "events_sessionish",
+    # round 10: the events-family slot moved events_sessionish →
+    # sessionize_batch (r9 verdict item 7). events_sessionish's entire
+    # 5-7x ratio was the scheduling floor (scan ≡ floor; decomposed in
+    # BASELINE.md round 9) — sessionize_batch does real per-user window
+    # work (lag → flag → cumsum → session agg) plus a 95k-row result
+    # fetch, so its ratio moves with DATA, not with host scheduling
+    # noise. events_sessionish stays in the registry, oracle-checked.
+    "sessionize_batch": "sessionize_batch",
     "decade_case": "rollup_decade_avg",
 }
 
@@ -77,6 +84,28 @@ SF1_DIRNAME = ".bench_sf1"
 # DuckDB run-to-run variance (0.32-0.95 s swings), not a Spark plan
 # problem — median-of-5 on BOTH engines de-noises the ratio.
 SCALE_RUNS = 5
+
+
+def _table_rows(data_dir: str, tables: tuple[str, ...]) -> dict[str, int]:
+    """Parquet-metadata row counts (footer only — no data scan) for the
+    tables a bench section times. Emitted into every section's JSON so a
+    ratio can never again be quoted without the data size it was measured
+    on: the r8 '100x' retraction was computed against a dir that footer
+    metadata would have shown held ~1x rows (r9 verdict item 5)."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, int] = {}
+    for t in tables:
+        p = os.path.join(data_dir, f"{t}.parquet")
+        if os.path.isdir(p):
+            out[t] = sum(
+                pq.ParquetFile(os.path.join(p, f)).metadata.num_rows
+                for f in os.listdir(p)
+                if f.endswith(".parquet")
+            )
+        elif os.path.exists(p):
+            out[t] = pq.ParquetFile(p).metadata.num_rows
+    return out
 
 
 def _marker_ok(ready_path: str, expected: str) -> bool:
@@ -178,6 +207,8 @@ def _sf1_section(spark, base_dir: str) -> dict:
         max_partitions=n_cpus,
     )
     prep = time.time() - t0
+    # provenance: the row counts this section's ratios were measured on
+    table_rows = _table_rows(out_dir, ("orders", "lineitem", "events"))
 
     qs = registry.queries()
     oracles = registry.oracle_sql()
@@ -230,6 +261,7 @@ def _sf1_section(spark, base_dir: str) -> dict:
     return {
         "rep": SF1_REP,
         "prep_sec": round(prep, 2),
+        "table_rows": table_rows,
         "spark": spark_sec,
         "duckdb": duck_sec,
         # [min, max] across the SCALE_RUNS timed runs: the judged ratio is
@@ -270,6 +302,10 @@ SFN_QUERIES = {
     # q8_bucket_prep_sec, excluded from the per-run timings like every
     # other warm-input cost)
     "tpch_q8_bucketed": "tpch_q8_bucketed",
+    # the events-family headline query (round 10): tracks whether the
+    # sessionization ratio collapses toward parity as the events table
+    # grows, the same crossover window_rank already shows
+    "sessionize_batch": "sessionize_batch",
 }
 
 # --- sf100 section: the extrapolation anchor, run EVERY round ----------
@@ -361,10 +397,14 @@ def _sfn_section(
     _ensure_sf1(spark, base_dir, out_dir, n_rep=rep)
     cache_tables(
         spark, out_dir,
-        tables=("orders", "lineitem", "customer", "nation"),
+        tables=("orders", "lineitem", "events", "customer", "nation"),
         max_partitions=n_cpus,
     )
     prep = time.time() - t0
+    # provenance: the row counts this section's ratios were measured on —
+    # structurally prevents the r8 episode (a '100x' ratio quoted off a
+    # dir that actually held ~1x data)
+    table_rows = _table_rows(out_dir, ("orders", "lineitem", "events"))
 
     # the bucketed q8's write-once layout cost, paid here so the timed
     # runs measure the recurring query, not the one-time pre-shuffle —
@@ -428,6 +468,7 @@ def _sfn_section(
     out = {
         "rep": rep,
         "prep_sec": round(prep, 2),
+        "table_rows": table_rows,
         "q8_bucket_prep_sec": round(bucket_prep, 2),
         "spark": spark_sec,
         "duckdb": duck_sec,
@@ -500,6 +541,9 @@ def main() -> None:
         spark, sf_dir, tables=("orders", "lineitem", "events", "customer", "nation")
     )
     startup = time.time() - t0
+    # provenance for the headline section too — every timed section
+    # self-describes the data sizes its numbers were measured on
+    headline_rows = _table_rows(sf_dir, ("orders", "lineitem", "events"))
 
     # measured fixed floor: a no-op single-row query through the same
     # plan-build + schedule + fetch path — the per-query cost that exists
@@ -675,6 +719,7 @@ def main() -> None:
                 "metric": "headline_total_warm",
                 "value": total,
                 "unit": "sec",
+                "table_rows": headline_rows,
                 "queries": results,
                 "queries_minus_floor": minus_floor,
                 "total_minus_floor": round(sum(minus_floor.values()), 4),
@@ -758,6 +803,15 @@ def main() -> None:
                 ),
                 "sfn100_duckdb_spread": (
                     sfn100.get("duckdb_spread")
+                    if isinstance(sfn100, dict)
+                    else None
+                ),
+                # provenance travels with the ratios (r9 verdict item 5)
+                "sfn_table_rows": (
+                    sfn.get("table_rows") if isinstance(sfn, dict) else None
+                ),
+                "sfn100_table_rows": (
+                    sfn100.get("table_rows")
                     if isinstance(sfn100, dict)
                     else None
                 ),

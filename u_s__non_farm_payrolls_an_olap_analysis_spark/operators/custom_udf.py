@@ -17,7 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.timeparts import epoch_micros_from_ntz, year_of
+from ..functions.timeparts import year_of
 from ..io import read_table
 
 
@@ -75,20 +75,22 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate), two window passes over one shuffle by user."""
     from pyspark.sql.window import Window
 
-    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    # project to the two columns the session logic needs BEFORE the
+    # window shuffle — every extra column rides the exchange by user
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts")
     w_user = Window.partitionBy("user_id").orderBy("ts")
-    # exact int64 microseconds, straight from the NTZ wall parts (no
-    # session-tz hop, no DST edge): epoch-seconds-as-DOUBLE carries ~2e-7 s
-    # representation error at current epochs, enough to flip a gap of
-    # exactly 30 minutes; wall-part arithmetic matches the µs-floored
-    # timestamps Spark actually reads, with no FP.
-    micros = epoch_micros_from_ntz(F.col("ts"))
-    gap = micros - F.lag(micros).over(w_user)
+    # NTZ-minus-NTZ is an exact int64-microsecond INTERVAL — no session-tz
+    # hop (CLAUDE.md 6a), no FP (epoch-seconds-as-DOUBLE carries ~2e-7 s
+    # representation error, enough to flip a gap of exactly 30 minutes),
+    # and ONE subtraction per row instead of the 7-field wall-part epoch
+    # decomposition on each side of the lag (round 10: ~10% off the
+    # window stage). The DuckDB oracle states the same interval compare.
+    gap = F.col("ts") - F.lag("ts").over(w_user)
     flagged = ev.withColumn(
         "new_s",
-        F.when(gap.isNull() | (gap >= 30 * 60 * 1_000_000), F.lit(1)).otherwise(
-            F.lit(0)
-        ),
+        F.when(
+            gap.isNull() | (gap >= F.expr("INTERVAL '30' MINUTE")), F.lit(1)
+        ).otherwise(F.lit(0)),
     )
     with_sid = flagged.withColumn(
         "sid",
