@@ -108,6 +108,64 @@ def _table_rows(data_dir: str, tables: tuple[str, ...]) -> dict[str, int]:
     return out
 
 
+# child source for _duck_time_subprocess: times the oracle SQL in a
+# FRESH python process (own allocator, own GIL, no py4j) — the scale
+# sections used to time DuckDB inside the bench process while the Spark
+# JVM held GBs of cached tables, which CLAUDE.md 6b forbids for any
+# Spark-vs-DuckDB comparison (r9 verdict: "violated by design"). The JVM
+# still RESIDES in memory while the child runs (stopping it would cold
+# the Spark caches mid-bench), so scripts/measure_100x_isolated.py —
+# Spark fully exited before DuckDB starts — remains the gold standard;
+# this closes the in-process contention part in-protocol.
+_DUCK_TIMER_CHILD = r"""
+import json, os, statistics, sys, time
+import duckdb
+payload = json.load(sys.stdin)
+out_dir, runs, queries = payload["out_dir"], payload["runs"], payload["queries"]
+con = duckdb.connect()
+for t in ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"):
+    p = f"{out_dir}/{t}.parquet"
+    if not os.path.exists(p):
+        continue
+    src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+med, spread = {}, {}
+for name, sql in queries.items():
+    con.execute(sql).fetchdf()  # warm
+    times = []
+    for _ in range(runs):
+        t0 = time.time()
+        con.execute(sql).fetchdf()
+        times.append(time.time() - t0)
+    med[name] = round(statistics.median(times), 4)
+    spread[name] = [round(min(times), 4), round(max(times), 4)]
+print(json.dumps({"duckdb": med, "duckdb_spread": spread}))
+"""
+
+
+def _duck_time_subprocess(
+    out_dir: str, queries: dict[str, str], runs: int
+) -> tuple[dict[str, float], dict[str, list[float]]]:
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, "-c", _DUCK_TIMER_CHILD],
+        input=json.dumps(
+            {"out_dir": out_dir, "runs": runs, "queries": queries}
+        ),
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"duck timer child failed: {proc.stderr[-500:]}"
+        )
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    return out["duckdb"], out["duckdb_spread"]
+
+
 def _marker_ok(ready_path: str, expected: str) -> bool:
     """A _READY marker is valid only if it recorded the SAME generation
     stamp (rep count + source dir) — both are env-overridable, and a
@@ -362,8 +420,6 @@ def _sfn_section(
     include_docs: bool = True,
     clear_cache_first: bool = False,
 ) -> dict:
-    import duckdb
-
     from u_s__non_farm_payrolls_an_olap_analysis_spark import registry
     from u_s__non_farm_payrolls_an_olap_analysis_spark.io import cache_tables
     from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import dedup
@@ -417,21 +473,13 @@ def _sfn_section(
 
     qs = registry.queries()
     oracles = registry.oracle_sql()
-    con = duckdb.connect()
-    for t in ("region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "documents", "embeddings"):
-        p = f"{out_dir}/{t}.parquet"
-        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
 
     from u_s__non_farm_payrolls_an_olap_analysis_spark.functions.plan_cache import (
         clear_plan_memo,
     )
 
     spark_sec: dict[str, float] = {}
-    duck_sec: dict[str, float] = {}
     spark_spread: dict[str, list[float]] = {}
-    duck_spread: dict[str, list[float]] = {}
     for name, key in SFN_QUERIES.items():
         fn = qs[key]
         fn(spark, out_dir).toPandas()  # warm: caches, codegen, code paths
@@ -445,16 +493,14 @@ def _sfn_section(
             times.append(time.time() - t)
         spark_sec[name] = round(statistics.median(times), 4)
         spark_spread[name] = [round(min(times), 4), round(max(times), 4)]
-        sql = oracles[key]
-        con.execute(sql).fetchdf()  # warm
-        times = []
-        for _ in range(SCALE_RUNS):
-            t = time.time()
-            con.execute(sql).fetchdf()
-            times.append(time.time() - t)
-        duck_sec[name] = round(statistics.median(times), 4)
-        duck_spread[name] = [round(min(times), 4), round(max(times), 4)]
-    con.close()
+    # DuckDB timed AFTER all Spark runs, in a fresh subprocess — no
+    # in-process contention with the live JVM (see _DUCK_TIMER_CHILD);
+    # the OS page cache over the parquet stays warm across processes
+    duck_sec, duck_spread = _duck_time_subprocess(
+        out_dir,
+        {name: oracles[key] for name, key in SFN_QUERIES.items()},
+        SCALE_RUNS,
+    )
 
     # Spark scaling slope vs the 10x section (ideal = SFN_REP/SF1_REP for
     # work linear in the fact count); sf1 times come from the sf1 section

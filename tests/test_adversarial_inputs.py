@@ -227,6 +227,10 @@ def test_hostile_events_analytics_parity(spark, hostile_dir, duck, name):
         # 1-token, repetition, PII rows): exact copies must surface at
         # Hamming 0 for every planted doc_id regardless of content
         "dedup_simhash_planted",
+        # planted-MinHash harness (round 10): exact copies must verify at
+        # Jaccard exactly 1.0 for every planted doc that has >=1 shingle
+        # (sub-3-token and empty texts drop out in BOTH engines)
+        "dedup_minhash_planted",
     ],
 )
 def test_hostile_layout_scalar_parity(spark, hostile_dir, duck, name):

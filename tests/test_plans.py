@@ -589,3 +589,23 @@ def test_corpus_shuffle_single_exchange(spark):
     df = llm_prep.corpus_shuffle_shards(spark, SF)
     assert exchange_count(df) == 1
     assert "rangepartitioning" not in formatted_plan(df)
+
+
+def test_sessionize_batch_single_exchange(spark):
+    # the round-10 headline events query: lag -> flag -> cumsum -> session
+    # agg must all ride ONE hash exchange by user (both window frames and
+    # the (user_id, sid) groupBy are satisfied by hashpartitioning on
+    # user_id — a second exchange would mean Catalyst stopped reusing the
+    # window's distribution for the aggregate), and the final stats must
+    # not introduce a global sort of the events table
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import (
+        custom_udf,
+    )
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.plans.explain import (
+        formatted_plan,
+    )
+
+    df = custom_udf.sessionize_batch(spark, SF)
+    plan = formatted_plan(df)
+    assert exchange_count(df) == 1, plan
+    assert "rangepartitioning" not in plan.lower(), plan

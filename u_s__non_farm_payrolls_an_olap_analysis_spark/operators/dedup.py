@@ -188,22 +188,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X11 — MinHash-LSH near-dedup, fully JVM-side:
-
-    signature: each shingle hashed once to ``sh0 = xxhash64(shingle)``,
-    then min over shingles of ``xxhash64(sh0, seed_i)`` for 32 seeds →
-    banded into 8 signatures of 4 rows → candidates share any band
-    bucket → verified with exact Jaccard computed over the CANDIDATE DOCS
-    ONLY (semi-join restriction of the shingle table before the
-    intersection join). Verifying against the full inverted-index pair
-    table would re-pay the O(shared-shingle-pairs) cost MinHash exists to
-    avoid — with B bands of R rows the candidate set is ~n²·(1-(1-j^R)^B)
-    pairs and the verify stage now scales with THAT, not with the corpus.
-    Rows-only check (hash seeds are engine-specific); tests assert recall
-    vs ``dedup_ngram_jaccard``.
-    """
-    docs = read_table(spark, sf_dir, "documents")
+def _minhash_pairs(docs: DataFrame) -> DataFrame:
+    """Shared production MinHash-LSH pipeline (signature → banding →
+    candidate join → exact-Jaccard verify → threshold), parameterized on
+    the input corpus so :func:`dedup_minhash_near` (natural corpus,
+    rows-only) and :func:`dedup_minhash_planted` (deterministic planted
+    copies, hash-checked) drive the IDENTICAL code path."""
     # spread the narrow fixture scan so the shingle explode + signature
     # build parallelize (see _spread_if_narrow; no-op on wide inputs)
     sh = _shingles(_spread_if_narrow(docs))
@@ -274,6 +264,53 @@ def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
     )
+
+
+def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11 — MinHash-LSH near-dedup, fully JVM-side:
+
+    signature: each shingle hashed once to ``sh0 = xxhash64(shingle)``,
+    then min over shingles of ``xxhash64(sh0, seed_i)`` for 32 seeds →
+    banded into 8 signatures of 4 rows → candidates share any band
+    bucket → verified with exact Jaccard computed over the CANDIDATE DOCS
+    ONLY (semi-join restriction of the shingle table before the
+    intersection join). Verifying against the full inverted-index pair
+    table would re-pay the O(shared-shingle-pairs) cost MinHash exists to
+    avoid — with B bands of R rows the candidate set is ~n²·(1-(1-j^R)^B)
+    pairs and the verify stage now scales with THAT, not with the corpus.
+    Rows-only check (hash seeds are engine-specific); tests assert recall
+    vs ``dedup_ngram_jaccard``, and :func:`dedup_minhash_planted` is the
+    hash-checked harness for this exact pipeline.
+    """
+    return _minhash_pairs(read_table(spark, sf_dir, "documents"))
+
+
+def dedup_minhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked harness for the PRODUCTION MinHash pipeline (round-10
+    completion of the planted-harness family: embeddings got theirs in
+    round 8, SimHash in round 9): the corpus is augmented with
+    deterministic EXACT text copies (every ``PLANT_MOD``-th doc
+    re-inserted at ``doc_id + PLANT_OFFSET``) and run through the
+    identical shingle → 32-perm signature → 8×4 banding → exact-Jaccard
+    verify pipeline. An exact copy has an identical distinct-shingle set,
+    hence a bit-identical MinHash signature — it collides in EVERY band
+    and verifies at Jaccard exactly 1.0, so recall on the planted pairs
+    is 1 by construction and the DuckDB oracle can state the expected
+    output in closed form (every planted doc that has ≥1 shingle). The
+    output is restricted to the (source, copy) pairs because natural
+    near-dup candidates depend on the engine's hash bits (why
+    :func:`dedup_minhash_near` is rows-only); a planted pair the pipeline
+    dropped would be ABSENT here and fail the hash check."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % PLANT_MOD == 0).select(
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"), "text"
+    )
+    pairs = _minhash_pairs(docs.unionByName(planted))
+    return pairs.filter(
+        (F.col("doc_b") == F.col("doc_a") + PLANT_OFFSET)
+        & (F.col("doc_a") % PLANT_MOD == 0)
+        & (F.col("doc_a") < PLANT_OFFSET)
+    ).orderBy("doc_a")
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -866,6 +903,7 @@ QUERIES = {
     "dedup_cross_corpus_jaccard": dedup_cross_corpus_jaccard,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_near": dedup_minhash_near,
+    "dedup_minhash_planted": dedup_minhash_planted,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_planted": dedup_simhash_planted,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -927,6 +965,19 @@ ORACLE = {
         "CAST(0 AS INT) AS hamming FROM documents "
         f"WHERE doc_id % {PLANT_MOD} = 0 AND text IS NOT NULL "
         "ORDER BY doc_a"
+    ),
+    # exact-copy planting makes the MinHash pipeline deterministic the
+    # same way: identical distinct-shingle sets → bit-identical 32-perm
+    # signatures → collision in every band → exact-Jaccard verify at
+    # precisely 1.0. Eligibility = the doc has ≥1 shingle (< 3 tokens or
+    # NULL text produce no signature in either engine)
+    "dedup_minhash_planted": (
+        f"WITH sh AS ({_SHINGLE_SQL}) "
+        "SELECT doc_id AS doc_a, "
+        f"doc_id + {PLANT_OFFSET} AS doc_b, "
+        "CAST(1.0 AS DOUBLE) AS jaccard "
+        "FROM (SELECT DISTINCT doc_id FROM sh) "
+        f"WHERE doc_id % {PLANT_MOD} = 0 ORDER BY doc_a"
     ),
     "dedup_clusters": (
         f"{_CLUSTER_LABELS_SQL} SELECT doc_id, cluster_id FROM lab"

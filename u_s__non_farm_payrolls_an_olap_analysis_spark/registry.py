@@ -95,7 +95,7 @@ _MODULES = [
 # \\A..\\z this round (round-10 ADVICE), needs a fresh row — then
 # (c) oldest evidence first: all 47 keys whose latest driver row is
 # round 6 (the entire TPC-H Q1-Q22 block, sql_dashboard, sources,
-# r3-era joins/aggregates). 53 keys total: the last three roll into
+# r3-era joins/aggregates). 54 keys total: the last four roll into
 # round 11; prune recorded keys then.
 _SAMPLE_PRIORITY = [
     # latest driver row r4 — rolled past slot 50 by the r9 rotation
@@ -108,6 +108,9 @@ _SAMPLE_PRIORITY = [
     # gap arithmetic rewritten epoch-decomposition → interval compare in
     # round 10 (same sessions, now a headline query) — fresh row
     "sessionize_batch",
+    # NEW in round 10 (completes the planted-harness family for the
+    # rows-only LSH keys) — needs its first driver row
+    "dedup_minhash_planted",
     # latest driver row r6 — oldest remaining evidence; tail rolls
     "agg_boolean_family",
     "agg_distinct_and_approx",
