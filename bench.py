@@ -123,6 +123,9 @@ import duckdb
 payload = json.load(sys.stdin)
 out_dir, runs, queries = payload["out_dir"], payload["runs"], payload["queries"]
 con = duckdb.connect()
+# duckdb >= 1.x prints a PROGRESS BAR to stdout for queries over ~2 s
+# (the 100x q8 runs) — it would interleave with the result JSON
+con.execute("SET enable_progress_bar = false")
 for t in ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"):
     p = f"{out_dir}/{t}.parquet"
@@ -162,8 +165,15 @@ def _duck_time_subprocess(
         raise RuntimeError(
             f"duck timer child failed: {proc.stderr[-500:]}"
         )
-    out = json.loads(proc.stdout.strip().splitlines()[-1])
-    return out["duckdb"], out["duckdb_spread"]
+    # scan from the end for the result line — defensive against any
+    # residual non-JSON stdout (progress bars, warnings)
+    for line in reversed(proc.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            out = json.loads(line)
+            return out["duckdb"], out["duckdb_spread"]
+    raise RuntimeError(
+        f"duck timer child produced no JSON line: {proc.stdout[-500:]}"
+    )
 
 
 def _marker_ok(ready_path: str, expected: str) -> bool:
