@@ -98,6 +98,9 @@ from u_s__non_farm_payrolls_an_olap_analysis_spark import registry
 
 out_dir, runs = {out_dir!r}, {runs}
 con = duckdb.connect()
+# long queries trip duckdb's stdout progress bar, which would interleave
+# with the DUCK_RESULT line (prefix-scan tolerates it; keep stdout clean)
+con.execute("SET enable_progress_bar = false")
 table_rows = {{}}
 for t in ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"):
