@@ -442,3 +442,62 @@ def test_linear_trend_exact_on_crafted_series(spark, tmp_path):
     assert got["LIN"]["intercept_at_base"] == 1000.0
     assert got["FLAT"]["slope_per_month"] == 0.0
     assert got["FLAT"]["intercept_at_base"] == 500.0
+
+
+@given(
+    events=st.lists(
+        # (user, offset-steps): offsets are multiples of 600 s so gaps of
+        # EXACTLY 30 minutes (3 steps) occur often — the >= boundary is
+        # the bug-prone edge of the gaps-and-islands rule
+        st.tuples(st.integers(1, 3), st.integers(0, 300)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@_settings
+def test_sessionize_batch_matches_python_reference(spark, events):
+    """The round-10 headline events operator against a from-scratch
+    reference: per-user sessions split on gap >= 30 min, session stats
+    (start, end, count) must match exactly — including duplicate
+    timestamps (gap 0) and the exact-1800 s boundary (new session)."""
+    import datetime as dt
+    import tempfile
+
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.custom_udf import (
+        sessionize_batch,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=600 * s), u, "view", 1.0, "{}")
+        for i, (u, s) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    # pure-python reference: sort per user, split on gap >= 1800 s
+    ref = []
+    by_user: dict[int, list[dt.datetime]] = {}
+    for _i, ts, u, *_ in rows:
+        by_user.setdefault(u, []).append(ts)
+    for u, tss in by_user.items():
+        tss.sort()
+        cur = [tss[0]]
+        for prev, nxt in zip(tss, tss[1:]):
+            if (nxt - prev).total_seconds() >= 1800:
+                ref.append((u, cur[0], cur[-1], len(cur)))
+                cur = [nxt]
+            else:
+                cur.append(nxt)
+        ref.append((u, cur[0], cur[-1], len(cur)))
+
+    got = [
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize_batch(spark, d).collect()
+    ]
+    assert sorted(got) == sorted(ref)
