@@ -115,6 +115,9 @@ REPRESENTATIVE = [
     "array_higher_order_funcs",
     "agg_linear_trend",
     "stream_full_outer_join",
+    # round-10 additions
+    "dedup_minhash_planted",
+    "embedding_matryoshka_truncate",
 ]
 
 

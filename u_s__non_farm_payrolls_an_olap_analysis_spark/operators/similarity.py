@@ -326,12 +326,56 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MRL_DIM = 16  # truncation prefix length (Matryoshka nesting level)
+
+
+def embedding_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style prefix truncation + L2 renormalization — the
+    standard dimensionality/cost ladder for MRL-trained embeddings: keep
+    the first ``MRL_DIM`` coordinates, renormalize to unit length, and
+    report how much of the original norm the prefix retains (the quality
+    diagnostic that decides whether the cheap tier is usable). One
+    codegen'd array pass per vector (slice → fold → divide), zero
+    shuffle until the explode; at billion-vector scale this runs as a
+    map-only rewrite of the embedding column. Exploded to (vec_id, dim,
+    v) rows with 6-dp rounding so the DuckDB oracle hash-matches (same
+    left-fold double accumulation as every cosine operator here). Zero
+    prefixes (norm 0) are dropped: nothing to renormalize."""
+    from ..functions.vectors import l2_norm
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    normed = emb.select(
+        "vec_id",
+        F.slice("embedding", 1, MRL_DIM).alias("prefix"),
+        l2_norm(F.col("embedding")).alias("full_nrm"),
+    ).select(
+        "vec_id",
+        "prefix",
+        "full_nrm",
+        l2_norm(F.col("prefix")).alias("nrm"),
+    ).filter(F.col("nrm") > 0)
+    ex = normed.select(
+        "vec_id",
+        "nrm",
+        (F.col("nrm") / F.col("full_nrm")).alias("retained"),
+        F.posexplode("prefix").alias("dim0", "val"),
+    )
+    return ex.select(
+        "vec_id",
+        F.round("nrm", 6).alias("prefix_norm"),
+        F.round("retained", 6).alias("norm_retained"),
+        (F.col("dim0") + 1).cast("int").alias("dim"),
+        F.round(F.col("val").cast("double") / F.col("nrm"), 6).alias("v"),
+    )
+
+
 QUERIES = {
     "sim_search_cosine": sim_search_cosine,
     "sim_search_ann_ivf": sim_search_ann_ivf,
     "sim_search_ann_ivf_kmeans": sim_search_ann_ivf_kmeans,
     "sim_search_ann_ivf_kmeans_exact": sim_search_ann_ivf_kmeans_exact,
     "embedding_quantize_int8": embedding_quantize_int8,
+    "embedding_matryoshka_truncate": embedding_matryoshka_truncate,
 }
 
 
@@ -453,5 +497,23 @@ ORACLE = {
         "SELECT vec_id, ROUND(scale, 6) AS scale, "
         "CAST(generate_subscripts(emb, 1) AS INT) AS dim, "
         "CAST(ROUND(unnest(emb) / scale) AS INT) AS q FROM s"
+    ),
+    # prefix truncation + renormalize: list_slice is 1-based inclusive
+    # (== F.slice(col, 1, MRL_DIM)); norms via list_dot_product over
+    # DOUBLE[] — the same accumulation the Spark left-fold performs
+    "embedding_matryoshka_truncate": (
+        "WITH p AS (SELECT vec_id, "
+        "CAST(embedding AS DOUBLE[]) AS full_e, "
+        f"CAST(list_slice(embedding, 1, {MRL_DIM}) AS DOUBLE[]) AS prefix "
+        "FROM embeddings), "
+        "n AS (SELECT vec_id, prefix, "
+        "sqrt(list_dot_product(full_e, full_e)) AS full_nrm, "
+        "sqrt(list_dot_product(prefix, prefix)) AS nrm "
+        "FROM p) "
+        "SELECT vec_id, ROUND(nrm, 6) AS prefix_norm, "
+        "ROUND(nrm / full_nrm, 6) AS norm_retained, "
+        "CAST(generate_subscripts(prefix, 1) AS INT) AS dim, "
+        "ROUND(unnest(prefix) / nrm, 6) AS v "
+        "FROM n WHERE nrm > 0"
     ),
 }
