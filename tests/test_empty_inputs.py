@@ -118,6 +118,7 @@ REPRESENTATIVE = [
     # round-10 additions
     "dedup_minhash_planted",
     "embedding_matryoshka_truncate",
+    "sim_search_int8_mips",
 ]
 
 

@@ -369,8 +369,81 @@ def embedding_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def sim_search_int8_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized maximum-inner-product search — the search tier that
+    makes :func:`embedding_quantize_int8`'s memory ladder usable: both
+    sides are symmetric-int8 quantized (scale = max|x|/127, ties-away
+    rounding), scored with an EXACT integer dot product (|code| ≤ 127,
+    dim-bounded → sums far inside int64), then rescaled by the two
+    per-vector scales. Everything up to the rank window is codegen'd
+    array math over a broadcast of the 10 query codes — one pass over
+    the candidate side, identical physical shape to
+    :func:`sim_search_cosine`. Because quantization and the integer dot
+    are bit-deterministic in both engines (unlike float cosine ORDER,
+    which is still deterministic here only via the rounding convention),
+    the whole top-k is oracle-checked, scores included. Zero vectors
+    (scale 0) are dropped on both sides."""
+    from ..functions.numerics import dround
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    scaled = emb.select(
+        "vec_id",
+        "embedding",
+        (
+            F.array_max(
+                F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+            )
+            / 127.0
+        ).alias("scale"),
+    ).filter(F.col("scale") > 0)
+    codes = scaled.select(
+        "vec_id",
+        "scale",
+        F.transform(
+            F.col("embedding"),
+            lambda x: dround(x.cast("double") / F.col("scale"), 0).cast("long"),
+        ).alias("code"),
+    )
+    q = codes.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("scale").alias("qs"),
+        F.col("code").alias("qc"),
+    )
+    c = codes.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("scale").alias("cs"),
+        F.col("code").alias("cc"),
+    )
+    int_dot = F.aggregate(
+        F.zip_with(F.col("qc"), F.col("cc"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = c.join(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            int_dot.cast("double") * F.col("qs") * F.col("cs"), 6
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "score",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 QUERIES = {
     "sim_search_cosine": sim_search_cosine,
+    "sim_search_int8_mips": sim_search_int8_mips,
     "sim_search_ann_ivf": sim_search_ann_ivf,
     "sim_search_ann_ivf_kmeans": sim_search_ann_ivf_kmeans,
     "sim_search_ann_ivf_kmeans_exact": sim_search_ann_ivf_kmeans_exact,
@@ -497,6 +570,31 @@ ORACLE = {
         "SELECT vec_id, ROUND(scale, 6) AS scale, "
         "CAST(generate_subscripts(emb, 1) AS INT) AS dim, "
         "CAST(ROUND(unnest(emb) / scale) AS INT) AS q FROM s"
+    ),
+    # int8 MIPS: the integer dot is exact in both engines (|code| <= 127,
+    # 32 dims → |dot| <= 520k); ROUND(x/scale) == dround ties-away; the
+    # double rescale multiplies in the same order (dot * qs * cs)
+    "sim_search_int8_mips": (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb "
+        "FROM embeddings), "
+        "s AS (SELECT vec_id, emb, "
+        "list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale "
+        "FROM e WHERE list_max(list_transform(emb, x -> abs(x))) > 0), "
+        "codes AS (SELECT vec_id, scale, "
+        "list_transform(emb, x -> CAST(ROUND(x / scale) AS BIGINT)) AS code "
+        "FROM s), "
+        f"q AS (SELECT vec_id AS query_id, scale AS qs, code AS qc "
+        f"FROM codes WHERE vec_id < {N_QUERIES}), "
+        f"c AS (SELECT vec_id AS neighbor_id, scale AS cs, code AS cc "
+        f"FROM codes WHERE vec_id >= {N_QUERIES}), "
+        "sc AS (SELECT query_id, neighbor_id, "
+        "ROUND(list_dot_product(qc, cc) * qs * cs, 6) AS score "
+        "FROM q CROSS JOIN c), "
+        "r AS (SELECT query_id, neighbor_id, score, ROW_NUMBER() OVER ("
+        "PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank "
+        "FROM sc) "
+        "SELECT query_id, neighbor_id, score, CAST(rank AS INT) AS rank "
+        f"FROM r WHERE rank <= {TOP_K}"
     ),
     # prefix truncation + renormalize: list_slice is 1-based inclusive
     # (== F.slice(col, 1, MRL_DIM)); norms via list_dot_product over

@@ -95,7 +95,7 @@ _MODULES = [
 # \\A..\\z this round (round-10 ADVICE), needs a fresh row — then
 # (c) oldest evidence first: all 47 keys whose latest driver row is
 # round 6 (the entire TPC-H Q1-Q22 block, sql_dashboard, sources,
-# r3-era joins/aggregates). 55 keys total: the last five roll into
+# r3-era joins/aggregates). 56 keys total: the last six roll into
 # round 11; prune recorded keys then.
 _SAMPLE_PRIORITY = [
     # latest driver row r4 — rolled past slot 50 by the r9 rotation
@@ -113,6 +113,8 @@ _SAMPLE_PRIORITY = [
     "dedup_minhash_planted",
     # NEW in round 10 — MRL prefix truncation + renormalize
     "embedding_matryoshka_truncate",
+    # NEW in round 10 — int8-quantized MIPS search (exact integer dot)
+    "sim_search_int8_mips",
     # latest driver row r6 — oldest remaining evidence; tail rolls
     "agg_boolean_family",
     "agg_distinct_and_approx",
