@@ -175,6 +175,10 @@ def test_frame_sample_handles_zero_row_arrow_batch():
         # [a-z] excludes é identically in Java regex and RE2)
         "corpus_shuffle_shards",
         "vocab_bpe_pair_counts",
+        # round-10: Gopher rule gates over the hostile docs — empty text
+        # (n=0 → NULL ratios, all-false rules), 1-token, repetition and
+        # symbol-bearing rows must gate identically in both engines
+        "quality_gopher_rules",
     ],
 )
 def test_hostile_llm_prep_parity(spark, hostile_dir, duck, name):

@@ -119,6 +119,7 @@ REPRESENTATIVE = [
     "dedup_minhash_planted",
     "embedding_matryoshka_truncate",
     "sim_search_int8_mips",
+    "quality_gopher_rules",
 ]
 
 

@@ -763,3 +763,137 @@ ORACLE["vocab_bpe_pair_counts"] = (
     "SELECT pair, COUNT(*) AS n_pair FROM pairs "
     "GROUP BY pair ORDER BY n_pair DESC, pair LIMIT 50"
 )
+
+
+# Gopher quality-rule thresholds (Rae et al. 2021, "Scaling Language
+# Models: Methods, Analysis & Insights from Training Gopher", App. A1.1):
+# word count in [50, 100k], mean word length in [3, 10], symbol-to-word
+# ratio (# or ...) <= 0.1, >= 80% of words contain an alphabetic char,
+# and >= 2 of a small required-stopword set must appear.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_RATIO = 0.8
+GOPHER_REQUIRED_STOPS = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+GOPHER_MIN_REQUIRED_STOPS = 2
+
+
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher document-quality ruleset as per-rule boolean
+    gates plus the conjunctive pass flag — the canonical cheap filter a
+    pre-training pipeline runs before any model-based scoring (distinct
+    from ``text.text_quality_score``'s composite: these are the
+    REJECTION rules with the paper's thresholds). Every statistic is
+    computed from the token ARRAY with higher-order functions — filter /
+    transform / aggregate / array_intersect inside whole-stage codegen —
+    so the operator is map-only: zero explode, zero shuffle, one pass
+    over the scan at any corpus size. NULL text is normalized to '' (no
+    NULL-propagation divergence between the engines' size/len of NULL)."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+        lambda t: t != "",
+    )
+    stats = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, b: a + b,
+        ).alias("sum_len"),
+        F.size(
+            F.filter(toks, lambda t: t.contains("#") | t.contains("..."))
+        ).cast("long").alias("n_sym"),
+        F.size(
+            F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
+        ).cast("long").alias("n_alpha"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(toks),
+                F.array(*[F.lit(w) for w in GOPHER_REQUIRED_STOPS]),
+            )
+        ).cast("long").alias("n_req"),
+    )
+    n = F.col("n")
+    # the threshold rules compare in INTEGER space (multiply through by
+    # n: mean in [3,10] ⟺ 3n ≤ sum_len ≤ 10n; sym ≤ 0.1 ⟺ 10·n_sym ≤ n;
+    # alpha ≥ 0.8 ⟺ 5·n_alpha ≥ 4n) — exact, no FP boundary, and no
+    # division that ANSI could abort on: a when()-guarded x/n is NOT
+    # safe here, Catalyst's common-subexpression elimination hoists the
+    # shared quotient OUT of the guard and evaluates it for n=0 rows
+    # (observed on the hostile empty-text doc; CLAUDE.md rule 3). The
+    # display ratios use try_divide (NULL at n=0, matching the oracle's
+    # CASE).
+    mean_len = F.try_divide(F.col("sum_len").cast("double"), n.cast("double"))
+    sym_ratio = F.try_divide(F.col("n_sym").cast("double"), n.cast("double"))
+    alpha_ratio = F.try_divide(
+        F.col("n_alpha").cast("double"), n.cast("double")
+    )
+    r_words = (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
+    r_mean = (
+        (n > 0)
+        & (F.col("sum_len") >= 3 * n)
+        & (F.col("sum_len") <= 10 * n)
+    )
+    r_sym = (n > 0) & (10 * F.col("n_sym") <= n)
+    r_alpha = (n > 0) & (5 * F.col("n_alpha") >= 4 * n)
+    r_stops = F.col("n_req") >= GOPHER_MIN_REQUIRED_STOPS
+    return stats.select(
+        "doc_id",
+        F.col("n").alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(sym_ratio, 6).alias("symbol_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_word_ratio"),
+        F.col("n_req").alias("n_required_stops"),
+        r_words.alias("r_word_count"),
+        r_mean.alias("r_mean_word_len"),
+        r_sym.alias("r_symbol_ratio"),
+        r_alpha.alias("r_alpha_words"),
+        r_stops.alias("r_required_stops"),
+        (r_words & r_mean & r_sym & r_alpha & r_stops).alias(
+            "passes_gopher"
+        ),
+    )
+
+
+QUERIES["quality_gopher_rules"] = quality_gopher_rules
+
+ORACLE["quality_gopher_rules"] = (
+    "WITH t AS (SELECT doc_id, "
+    "list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') "
+    "AS toks FROM documents), "
+    "s AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n, "
+    "CAST(coalesce(list_aggregate(list_transform(toks, "
+    "x -> length(x)), 'sum'), 0) AS BIGINT) AS sum_len, "
+    "CAST(len(list_filter(toks, x -> contains(x, '#') "
+    "OR contains(x, '...'))) AS BIGINT) AS n_sym, "
+    "CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) "
+    "AS BIGINT) AS n_alpha, "
+    "CAST(len(list_intersect(list_distinct(toks), "
+    "['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) "
+    "AS BIGINT) AS n_req FROM t) "
+    "SELECT doc_id, n AS n_words, "
+    "CASE WHEN n > 0 THEN ROUND(CAST(sum_len AS DOUBLE) / n, 6) END "
+    "AS mean_word_len, "
+    "CASE WHEN n > 0 THEN ROUND(CAST(n_sym AS DOUBLE) / n, 6) END "
+    "AS symbol_ratio, "
+    "CASE WHEN n > 0 THEN ROUND(CAST(n_alpha AS DOUBLE) / n, 6) END "
+    "AS alpha_word_ratio, "
+    "n_req AS n_required_stops, "
+    "(n >= 50 AND n <= 100000) AS r_word_count, "
+    "(n > 0 AND sum_len >= 3 * n AND sum_len <= 10 * n) "
+    "AS r_mean_word_len, "
+    "(n > 0 AND 10 * n_sym <= n) AS r_symbol_ratio, "
+    "(n > 0 AND 5 * n_alpha >= 4 * n) AS r_alpha_words, "
+    "(n_req >= 2) AS r_required_stops, "
+    "((n >= 50 AND n <= 100000) AND "
+    "(n > 0 AND sum_len >= 3 * n AND sum_len <= 10 * n) AND "
+    "(n > 0 AND 10 * n_sym <= n) AND "
+    "(n > 0 AND 5 * n_alpha >= 4 * n) AND "
+    "(n_req >= 2)) AS passes_gopher FROM s"
+)

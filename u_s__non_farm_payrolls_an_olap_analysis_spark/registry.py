@@ -95,7 +95,7 @@ _MODULES = [
 # \\A..\\z this round (round-10 ADVICE), needs a fresh row — then
 # (c) oldest evidence first: all 47 keys whose latest driver row is
 # round 6 (the entire TPC-H Q1-Q22 block, sql_dashboard, sources,
-# r3-era joins/aggregates). 56 keys total: the last six roll into
+# r3-era joins/aggregates). 57 keys total: the last seven roll into
 # round 11; prune recorded keys then.
 _SAMPLE_PRIORITY = [
     # latest driver row r4 — rolled past slot 50 by the r9 rotation
@@ -115,6 +115,8 @@ _SAMPLE_PRIORITY = [
     "embedding_matryoshka_truncate",
     # NEW in round 10 — int8-quantized MIPS search (exact integer dot)
     "sim_search_int8_mips",
+    # NEW in round 10 — published Gopher rejection-rule gates
+    "quality_gopher_rules",
     # latest driver row r6 — oldest remaining evidence; tail rolls
     "agg_boolean_family",
     "agg_distinct_and_approx",
