@@ -501,3 +501,49 @@ def test_sessionize_batch_matches_python_reference(spark, events):
         for r in sessionize_batch(spark, d).collect()
     ]
     assert sorted(got) == sorted(ref)
+
+
+def test_bm25_matches_python_reference(spark):
+    """text_bm25_topk vs a from-scratch pure-python BM25 over the same
+    fixture corpus: same candidates, same scores to 6 dp, same top-k
+    order (rounded-score desc, doc_id tiebreak)."""
+    import math
+
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.text import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERY_TERMS,
+        BM25_TOPK,
+        text_bm25_topk,
+    )
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.io import read_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = [
+        (r["doc_id"], r["text"].split(" "))
+        for r in read_table(spark, sf, "documents").collect()
+    ]
+    n_docs = len(docs)
+    avgdl = sum(len(t) for _, t in docs) / n_docs
+    cand = {
+        did: (len(toks), {t: toks.count(t) for t in BM25_QUERY_TERMS})
+        for did, toks in docs
+        if any(t in toks for t in BM25_QUERY_TERMS)
+    }
+    df = {
+        t: sum(1 for _, (_, tf) in cand.items() if tf[t] > 0)
+        for t in BM25_QUERY_TERMS
+    }
+    expect = []
+    for did, (dl, tf) in cand.items():
+        norm = BM25_K1 * (1.0 - BM25_B + BM25_B * (dl / avgdl))
+        s = 0.0
+        for t in BM25_QUERY_TERMS:
+            idf = math.log(1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * (tf[t] * (BM25_K1 + 1.0)) / (tf[t] + norm)
+        expect.append((did, round(s, 6)))
+    expect.sort(key=lambda r: (-r[1], r[0]))
+    got = [
+        (r["doc_id"], r["bm25"]) for r in text_bm25_topk(spark, sf).collect()
+    ]
+    assert got == expect[:BM25_TOPK]

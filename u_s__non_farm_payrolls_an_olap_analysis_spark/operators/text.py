@@ -464,3 +464,154 @@ ORACLE["text_pmi_collocations"] = (
     "JOIN uni b ON b.w = string_split(bigram, ' ')[2] "
     "ORDER BY c_ab DESC, bigram LIMIT 20"
 )
+
+
+# --- BM25 retrieval -------------------------------------------------------
+
+# Fixed query for the demonstrator: mid-frequency fixture terms. In a
+# serving system the terms arrive as a broadcast side table; fixing them
+# keeps the oracle a closed-form SQL twin.
+BM25_QUERY_TERMS = ("spark", "vector", "stream")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scored BM25 candidate set (no top-k cut) — shared by
+    :func:`text_bm25_topk` and the hybrid RRF fusion
+    (``similarity.sim_search_hybrid_rrf``). Columns: doc_id, dl,
+    tf_<term>..., bm25 (rounded 6 dp).
+
+    Scale shape — inverted-index, NOT score-everything: tokens are
+    filtered to the query terms *before* the shuffle, so only candidate
+    postings (docs containing ≥1 query term) ever leave the scan; the
+    single hash aggregate on ``doc_id`` carries the per-term conditional
+    ``tf`` counts AND the document length (constant per doc, ``min``).
+    Corpus stats (N, avgdl) and per-term document frequencies are 1-row
+    broadcast scalars — nothing collects. Top-k is a TakeOrdered.
+
+    Determinism: tf/df/dl are integers; ``avgdl`` is one division; the
+    per-term BM25 weights are summed in the FIXED query-term order as an
+    explicit expression (no FP-reduction reordering), rounded 6 dp with
+    ``dround``, and the rounded score (doc_id tiebreak) decides the
+    LIMIT in both engines identically.
+
+    vs reference: the reference has no text retrieval at all; this is
+    the north-star LLM-pipeline extension (BASELINE.json) built from the
+    explode/groupBy statistics machinery of ``text_tokenize_tf``.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).alias("sum_dl"),
+    )
+    cand = (
+        docs.select("doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("token"))
+        .filter(F.col("token").isin(*BM25_QUERY_TERMS))
+        .groupBy("doc_id")
+        .agg(
+            F.min("dl").alias("dl"),
+            *[
+                F.sum((F.col("token") == t).cast("long")).alias(f"tf_{t}")
+                for t in BM25_QUERY_TERMS
+            ],
+        )
+    )
+    dfs = cand.agg(
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+            for t in BM25_QUERY_TERMS
+        ]
+    )
+    scored = cand.crossJoin(F.broadcast(stats)).crossJoin(F.broadcast(dfs))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    norm = BM25_K1 * (1.0 - BM25_B + BM25_B * (F.col("dl") / avgdl))
+
+    def term_weight(t: str) -> Column:
+        idf = F.log(
+            1.0
+            + (F.col("n_docs") - F.col(f"df_{t}") + 0.5) / (F.col(f"df_{t}") + 0.5)
+        )
+        tf = F.col(f"tf_{t}").cast("double")
+        return idf * (tf * (BM25_K1 + 1.0)) / (tf + norm)
+
+    score = term_weight(BM25_QUERY_TERMS[0])
+    for t in BM25_QUERY_TERMS[1:]:
+        score = score + term_weight(t)
+    from ..functions.numerics import dround
+
+    return scored.select(
+        "doc_id",
+        "dl",
+        *[F.col(f"tf_{t}") for t in BM25_QUERY_TERMS],
+        dround(score, 6).alias("bm25"),
+    )
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval (Robertson/Okapi, the lexical half of every
+    RAG / training-data retrieval stack) for a fixed term query over the
+    ``documents`` corpus — :func:`bm25_scores` (see its docstring for the
+    scale shape and determinism argument) cut to the top
+    ``BM25_TOPK`` by (rounded score desc, doc_id): a TakeOrdered, never
+    a global sort."""
+    return (
+        bm25_scores(spark, sf_dir)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+QUERIES["text_bm25_topk"] = text_bm25_topk
+
+
+def bm25_oracle_parts() -> tuple[list[str], str]:
+    """DuckDB CTE parts mirroring :func:`bm25_scores`; returns
+    (with_parts, scored_select_sql). Shared with the hybrid-RRF oracle
+    (``similarity``)."""
+    terms = BM25_QUERY_TERMS
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    tf_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN token = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS tf_{t}"
+        for t in terms
+    )
+    df_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
+        for t in terms
+    )
+    k1, b, k1p1 = BM25_K1, BM25_B, BM25_K1 + 1.0
+    norm = f"{k1} * (1.0 - {b} + {b} * (dl / (CAST(sum_dl AS DOUBLE) / n_docs)))"
+    weights = " + ".join(
+        f"(ln(1.0 + (n_docs - df_{t} + 0.5) / (df_{t} + 0.5)) "
+        f"* (CAST(tf_{t} AS DOUBLE) * {k1p1}) / (CAST(tf_{t} AS DOUBLE) + {norm}))"
+        for t in terms
+    )
+    tf_out = ", ".join(f"tf_{t}" for t in terms)
+    parts = [
+        "t AS (SELECT doc_id, CAST(len(toks) AS INT) AS dl, u.tok AS token "
+        "FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+        f"UNNEST(toks) AS u(tok) WHERE u.tok IN ({in_list}))",
+        f"g AS (SELECT doc_id, MIN(dl) AS dl, {tf_cols} FROM t GROUP BY 1)",
+        "st AS (SELECT COUNT(*) AS n_docs, "
+        "CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_dl "
+        "FROM documents)",
+        f"dfs AS (SELECT {df_cols} FROM g)",
+    ]
+    scored = (
+        f"SELECT doc_id, dl, {tf_out}, ROUND({weights}, 6) AS bm25 "
+        "FROM g, st, dfs"
+    )
+    return parts, scored
+
+
+def _bm25_oracle() -> str:
+    parts, scored = bm25_oracle_parts()
+    return (
+        "WITH " + ", ".join(parts) + " " + scored
+        + f" ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOPK}"
+    )
+
+
+ORACLE["text_bm25_topk"] = _bm25_oracle()
