@@ -272,3 +272,53 @@ def test_embedding_prod_geometry_recall_on_planted_neardups(spark):
     assert recall >= 0.95, f"prod-geometry recall {recall}"
     for k, v in got.items():
         assert math.isclose(v, exact[k], abs_tol=2e-6)
+
+
+def test_semdedup_planted_recall_and_policy(spark):
+    """SemDeDup: every planted exact copy must be dropped with its source
+    as the strongest witness (cosine 1.0 after rounding), and every
+    reported pair must share a cluster with keep < drop and
+    cosine >= SEMDEDUP_TAU."""
+    out = dedup.dedup_semantic_kmeans(spark, SF).collect()
+    planted = {
+        r["drop_vec"]: r for r in out if r["drop_vec"] >= dedup.PLANT_OFFSET
+    }
+    n_src = (
+        similarity.read_table(spark, SF, "embeddings")
+        .filter(F.col("vec_id") % dedup.PLANT_MOD == 0)
+        .count()
+    )
+    assert len(planted) == n_src  # recall 1 on planted copies
+    for drop, r in planted.items():
+        assert r["witness_vec"] == drop - dedup.PLANT_OFFSET
+        assert r["cosine"] == 1.0
+    for r in out:
+        assert r["witness_vec"] < r["drop_vec"]
+        assert r["cosine"] >= dedup.SEMDEDUP_TAU
+
+
+def test_semdedup_pairs_are_within_cluster_only(spark):
+    """The pair join must be cluster-partitioned: re-derive the
+    assignment and check each reported (witness, drop) pair shares it.
+    (The n^2/k cost bound rests on exactly this.)"""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.similarity import (
+        IVF_K,
+        KMEANS_ITERS,
+        _train_kmeans_codebook_exact,
+        assign_to_codebook,
+    )
+
+    emb = similarity.read_table(spark, SF, "embeddings").select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+    )
+    planted = emb.filter(F.col("neighbor_id") % dedup.PLANT_MOD == 0).select(
+        (F.col("neighbor_id") + dedup.PLANT_OFFSET).alias("neighbor_id"), "ce"
+    )
+    corpus = emb.unionByName(planted)
+    cent = _train_kmeans_codebook_exact(corpus, IVF_K, KMEANS_ITERS)
+    cluster = {
+        r["neighbor_id"]: r["list_id"]
+        for r in assign_to_codebook(corpus, cent).collect()
+    }
+    for r in dedup.dedup_semantic_kmeans(spark, SF).collect():
+        assert cluster[r["witness_vec"]] == cluster[r["drop_vec"]] == r["list_id"]

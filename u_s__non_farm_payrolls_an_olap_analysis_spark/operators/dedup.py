@@ -894,8 +894,136 @@ def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so no invocable plan degrades quadratically at 100 TB. (Driver-hashed
 # green in CORRECTNESS_r04 while it was registered, so its arithmetic is
 # oracle-verified evidence, not just test code.)
+# SemDeDup within-cluster cosine threshold. The fixture's natural max
+# pairwise cosine is ~0.48 (uniform vectors), so the published 1-eps
+# regime (~0.95+) would only ever see the planted pairs; 0.35 keeps a
+# band of NATURAL near-neighbors in the output too, exercising the
+# witness-selection window on real (non-degenerate) similarities. The
+# threshold compares ROUNDED cosines, so membership is engine-portable.
+SEMDEDUP_TAU = 0.35
+
+
+def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **SemDeDup** (Abbas et al. 2023, arXiv:2303.09540):
+    semantic deduplication by clustering embeddings with k-means and
+    comparing pairs only WITHIN each cluster. This is the published
+    recipe for trillion-token corpora: all-pairs cosine is O(n²), but
+    k-means partitioning bounds it to Σ|cluster|² ≈ n²/k — pick
+    k ∝ n / (target cluster size) and per-cluster work stays constant
+    as the corpus grows, with each cluster's pairwise join co-located
+    on one shuffle key (no cross-cluster data movement at all).
+
+    Pipeline, all deterministic and hash-checked end to end:
+    1. corpus = embeddings + planted exact copies (every ``PLANT_MOD``-th
+       vector at ``vec_id + PLANT_OFFSET`` — same device as the other
+       planted harnesses: identical vectors MUST share a cluster and
+       score cosine 1.0, so recall on them is 1 by construction);
+    2. codebook = the deterministic scaled-int64 Lloyd's k-means
+       (``similarity._train_kmeans_codebook_exact``, bit-identical
+       across engines and partitionings);
+    3. cluster assignment = shared rounded-argmax
+       (``similarity.assign_to_codebook``);
+    4. within-cluster pairs with rounded cosine ≥ ``SEMDEDUP_TAU``;
+    5. keep-lowest policy: drop ``b`` iff a lower-id witness ``a`` is
+       similar; report the strongest witness (cosine desc, id asc).
+
+    The DuckDB oracle unrolls the identical three Lloyd's iterations
+    (``similarity.kmeans_unroll_parts``) and replays steps 3-5 in SQL.
+
+    vs reference: no analogue (the reference has no documents at all) —
+    this is the BASELINE.json LLM-pipeline north star; the LSH-banded
+    sibling is :func:`dedup_embedding_cosine_prod`."""
+    from pyspark.sql.window import Window
+
+    from ..functions.vectors import cosine
+    from .similarity import (
+        IVF_K,
+        KMEANS_ITERS,
+        _train_kmeans_codebook_exact,
+        assign_to_codebook,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+    )
+    planted = emb.filter(F.col("neighbor_id") % PLANT_MOD == 0).select(
+        (F.col("neighbor_id") + PLANT_OFFSET).alias("neighbor_id"), "ce"
+    )
+    corpus = emb.unionByName(planted)
+    cent = _train_kmeans_codebook_exact(corpus, IVF_K, KMEANS_ITERS)
+    assigned = assign_to_codebook(corpus, cent)
+    a = assigned.select(
+        F.col("neighbor_id").alias("keep_vec"), F.col("ce").alias("ae"), "list_id"
+    )
+    b = assigned.select(
+        F.col("neighbor_id").alias("drop_vec"), F.col("ce").alias("be"), "list_id"
+    )
+    pairs = (
+        a.join(b, "list_id")
+        .filter(F.col("keep_vec") < F.col("drop_vec"))
+        .select(
+            "list_id",
+            "keep_vec",
+            "drop_vec",
+            F.round(cosine(F.col("ae"), F.col("be")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= SEMDEDUP_TAU)
+    )
+    w = Window.partitionBy("drop_vec").orderBy(F.col("cosine").desc(), "keep_vec")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "drop_vec",
+            F.col("keep_vec").alias("witness_vec"),
+            "list_id",
+            "cosine",
+        )
+        .orderBy("drop_vec")
+    )
+
+
+def _semdedup_oracle_sql() -> str:
+    """DuckDB twin of :func:`dedup_semantic_kmeans`: augmented corpus →
+    unrolled deterministic k-means → rounded-argmax assignment →
+    within-cluster pair join → witness window."""
+    from .similarity import IVF_K, KMEANS_ITERS, kmeans_unroll_parts
+
+    cos_cc = cosine_sql("ce", "cent_e")
+    cos_ab = cosine_sql("a.ce", "b.ce")
+    parts = [
+        "cand AS (SELECT vec_id AS neighbor_id, embedding AS ce "
+        "FROM embeddings "
+        f"UNION ALL SELECT vec_id + {PLANT_OFFSET}, embedding "
+        f"FROM embeddings WHERE vec_id % {PLANT_MOD} = 0)",
+    ]
+    unroll, prev = kmeans_unroll_parts(IVF_K, KMEANS_ITERS)
+    parts += unroll
+    parts += [
+        "cs AS (SELECT neighbor_id, ce, cent_id, ROW_NUMBER() OVER ("
+        f"PARTITION BY neighbor_id ORDER BY ROUND({cos_cc}, 6) DESC, "
+        f"cent_id) AS rn FROM cand CROSS JOIN {prev})",
+        "assigned AS (SELECT neighbor_id, ce, cent_id AS list_id FROM cs "
+        "WHERE rn = 1)",
+        "pairs AS (SELECT a.list_id, a.neighbor_id AS keep_vec, "
+        f"b.neighbor_id AS drop_vec, ROUND({cos_ab}, 6) AS cosine "
+        "FROM assigned a JOIN assigned b ON a.list_id = b.list_id "
+        "AND a.neighbor_id < b.neighbor_id "
+        f"WHERE ROUND({cos_ab}, 6) >= {SEMDEDUP_TAU})",
+        "r AS (SELECT drop_vec, keep_vec, list_id, cosine, "
+        "ROW_NUMBER() OVER (PARTITION BY drop_vec "
+        "ORDER BY cosine DESC, keep_vec) AS rn FROM pairs)",
+    ]
+    return (
+        "WITH " + ", ".join(parts)
+        + " SELECT drop_vec, keep_vec AS witness_vec, list_id, cosine "
+        "FROM r WHERE rn = 1 ORDER BY drop_vec"
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_semantic_kmeans": dedup_semantic_kmeans,
     "dedup_incremental_new_docs": dedup_incremental_new_docs,
     "dedup_clusters": dedup_clusters,
     "dedup_cluster_size_histogram": dedup_cluster_size_histogram,
@@ -912,6 +1040,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "dedup_semantic_kmeans": _semdedup_oracle_sql(),
     "dedup_incremental_new_docs": (
         "WITH fp AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), "
         "'\\s+', ' ', 'g')) AS f FROM documents), "

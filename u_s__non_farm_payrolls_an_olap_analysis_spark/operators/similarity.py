@@ -82,12 +82,12 @@ def sim_search_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_search(q, cand, cent)
 
 
-def _ivf_search(q: DataFrame, cand: DataFrame, cent: DataFrame) -> DataFrame:
-    """Shared IVF tail (invert → probe → score → rank) over any codebook:
-    identical expressions for every variant, so a DETERMINISTIC codebook
-    makes the whole search oracle-checkable."""
-    # invert: candidate -> nearest centroid (one broadcast pass)
-    cand_scored = cand.join(F.broadcast(cent)).select(
+def assign_to_codebook(cand: DataFrame, cent: DataFrame) -> DataFrame:
+    """Candidate → nearest codebook entry (rounded-cosine argmax with
+    cent_id tiebreak, so the assignment is total and engine-portable):
+    one broadcast pass over the corpus + a rank-1 window. Shared by the
+    IVF inverted-list build and the SemDeDup cluster partitioning."""
+    scored = cand.join(F.broadcast(cent)).select(
         "neighbor_id",
         "ce",
         "cent_id",
@@ -96,11 +96,19 @@ def _ivf_search(q: DataFrame, cand: DataFrame, cent: DataFrame) -> DataFrame:
     w_assign = Window.partitionBy("neighbor_id").orderBy(
         F.col("cc").desc(), "cent_id"
     )
-    assigned = (
-        cand_scored.withColumn("rn", F.row_number().over(w_assign))
+    return (
+        scored.withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
         .select("neighbor_id", "ce", F.col("cent_id").alias("list_id"))
     )
+
+
+def _ivf_search(q: DataFrame, cand: DataFrame, cent: DataFrame) -> DataFrame:
+    """Shared IVF tail (invert → probe → score → rank) over any codebook:
+    identical expressions for every variant, so a DETERMINISTIC codebook
+    makes the whole search oracle-checkable."""
+    # invert: candidate -> nearest centroid (one broadcast pass)
+    assigned = assign_to_codebook(cand, cent)
 
     # probe lists per query
     q_scored = q.join(F.broadcast(cent)).select(
@@ -452,24 +460,21 @@ QUERIES = {
 }
 
 
-def _kmeans_exact_oracle_sql() -> str:
-    """DuckDB twin of the deterministic-k-means IVF search: the three
-    Lloyd's iterations unroll into CTE stages (assign = cross join +
-    rank-1 window; update = per-(centroid, dim) scaled-int64 mean
-    rebuilt into an ordered list), then the shared IVF tail."""
+def kmeans_unroll_parts(k: int, iters: int) -> tuple[list[str], str]:
+    """SQL CTE parts for the deterministic Lloyd's unroll over a CTE
+    named ``cand(neighbor_id, ce)``: init = first-k ids, then per
+    iteration assign (cross join + rank-1 window) and update
+    (per-(centroid, dim) scaled-int64 mean rebuilt into an ordered
+    list). Returns (parts, name-of-final-centroid-CTE). Shared by the
+    IVF-k-means oracle and the SemDeDup oracle (operators/dedup.py)."""
     cos_cc = cosine_sql("ce", "cent_e")
-    cos_qc = cosine_sql("qe", "cent_e")
     parts = [
-        f"cand AS (SELECT vec_id AS neighbor_id, embedding AS ce "
-        f"FROM embeddings WHERE vec_id >= {N_QUERIES})",
-        f"q AS (SELECT vec_id AS query_id, embedding AS qe "
-        f"FROM embeddings WHERE vec_id < {N_QUERIES})",
         "cent0 AS (SELECT neighbor_id AS cent_id, "
         "CAST(ce AS DOUBLE[]) AS cent_e FROM cand "
-        f"ORDER BY neighbor_id LIMIT {IVF_K})",
+        f"ORDER BY neighbor_id LIMIT {k})",
     ]
     prev = "cent0"
-    for i in range(1, KMEANS_ITERS + 1):
+    for i in range(1, iters + 1):
         parts.append(
             f"a{i} AS (SELECT neighbor_id, ce, cent_id, "
             "ROW_NUMBER() OVER (PARTITION BY neighbor_id "
@@ -489,6 +494,24 @@ def _kmeans_exact_oracle_sql() -> str:
             f"FROM e{i} GROUP BY cent_id, pos) GROUP BY cent_id)"
         )
         prev = f"cent{i}"
+    return parts, prev
+
+
+def _kmeans_exact_oracle_sql() -> str:
+    """DuckDB twin of the deterministic-k-means IVF search: the three
+    Lloyd's iterations unroll into CTE stages (assign = cross join +
+    rank-1 window; update = per-(centroid, dim) scaled-int64 mean
+    rebuilt into an ordered list), then the shared IVF tail."""
+    cos_cc = cosine_sql("ce", "cent_e")
+    cos_qc = cosine_sql("qe", "cent_e")
+    parts = [
+        f"cand AS (SELECT vec_id AS neighbor_id, embedding AS ce "
+        f"FROM embeddings WHERE vec_id >= {N_QUERIES})",
+        f"q AS (SELECT vec_id AS query_id, embedding AS qe "
+        f"FROM embeddings WHERE vec_id < {N_QUERIES})",
+    ]
+    unroll, prev = kmeans_unroll_parts(IVF_K, KMEANS_ITERS)
+    parts += unroll
     parts += [
         "cs AS (SELECT neighbor_id, ce, cent_id, "
         "ROW_NUMBER() OVER (PARTITION BY neighbor_id "
@@ -615,3 +638,118 @@ ORACLE = {
         "FROM n WHERE nrm > 0"
     ),
 }
+
+
+# --- Hybrid retrieval: reciprocal-rank fusion ------------------------------
+
+RRF_K = 60        # the standard RRF damping constant (Cormack et al. 2009)
+RRF_POOL = 50     # per-modality candidate pool fed into the fusion
+RRF_TOPK = 20
+RRF_QUERY_VEC = 0  # the semantic query: vec_id 0 (doc_ids == vec_ids)
+
+
+def sim_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+semantic retrieval with **reciprocal-rank fusion**
+    (Cormack et al. 2009) — the standard way a RAG stack combines a BM25
+    list and a vector-search list without score calibration:
+    ``rrf(d) = Σ_lists 1/(60 + rank_list(d))``.
+
+    - lexical list: the shared BM25 scored set (``text.bm25_scores``,
+      same inverted-index shape) cut to ``RRF_POOL`` by a TakeOrdered;
+    - semantic list: exact cosine of every other vector against the
+      broadcast query vector (vec_id 0), same TakeOrdered cut;
+    - fusion: FULL OUTER equi-join of two 50-row lists (trivially
+      broadcastable at any corpus size — the pools are constant-sized),
+      missing membership contributes 0 exactly as published.
+
+    Ranks are positions in (rounded score desc, id) order — total and
+    engine-portable — so the fused output is hash-checked end to end.
+    The per-modality pool ranking happens AFTER the TakeOrdered cut:
+    a 50-row window, never a global corpus sort."""
+    from pyspark.sql import Window as W
+
+    from ..functions.numerics import dround
+    from .text import bm25_scores
+
+    lex_pool = (
+        bm25_scores(spark, sf_dir)
+        .select("doc_id", "bm25")
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(RRF_POOL)
+    )
+    w_lex = W.orderBy(F.col("bm25").desc(), "doc_id")
+    lex = lex_pool.select(
+        "doc_id", F.row_number().over(w_lex).alias("lex_rank")
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
+        F.col("embedding").alias("qe")
+    )
+    sem_pool = (
+        emb.filter(F.col("vec_id") != RRF_QUERY_VEC)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("qe"), F.col("embedding")), 6).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), "doc_id")
+        .limit(RRF_POOL)
+    )
+    w_sem = W.orderBy(F.col("cos").desc(), "doc_id")
+    sem = sem_pool.select(
+        "doc_id", F.row_number().over(w_sem).alias("sem_rank")
+    )
+
+    fused = lex.join(sem, "doc_id", "full_outer")
+    rrf = F.coalesce(
+        1.0 / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("sem_rank")), F.lit(0.0))
+    return (
+        fused.select(
+            "doc_id",
+            F.col("lex_rank").cast("int").alias("lex_rank"),
+            F.col("sem_rank").cast("int").alias("sem_rank"),
+            dround(rrf, 6).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(RRF_TOPK)
+    )
+
+
+QUERIES["sim_search_hybrid_rrf"] = sim_search_hybrid_rrf
+
+
+def _hybrid_rrf_oracle_sql() -> str:
+    from .text import bm25_oracle_parts
+
+    parts, bm25_scored = bm25_oracle_parts()
+    cos = cosine_sql("c.embedding", "q.qe")
+    parts += [
+        f"bscored AS ({bm25_scored})",
+        "lexpool AS (SELECT doc_id, bm25 FROM bscored "
+        f"ORDER BY bm25 DESC, doc_id LIMIT {RRF_POOL})",
+        "lex AS (SELECT doc_id, ROW_NUMBER() OVER "
+        "(ORDER BY bm25 DESC, doc_id) AS lex_rank FROM lexpool)",
+        "qv AS (SELECT embedding AS qe FROM embeddings "
+        f"WHERE vec_id = {RRF_QUERY_VEC})",
+        "sempool AS (SELECT c.vec_id AS doc_id, "
+        f"ROUND({cos}, 6) AS cos FROM embeddings c CROSS JOIN qv q "
+        f"WHERE c.vec_id <> {RRF_QUERY_VEC} "
+        f"ORDER BY cos DESC, doc_id LIMIT {RRF_POOL})",
+        "sem AS (SELECT doc_id, ROW_NUMBER() OVER "
+        "(ORDER BY cos DESC, doc_id) AS sem_rank FROM sempool)",
+        "fused AS (SELECT doc_id, lex_rank, sem_rank FROM lex "
+        "FULL JOIN sem USING (doc_id))",
+    ]
+    return (
+        "WITH " + ", ".join(parts)
+        + " SELECT doc_id, CAST(lex_rank AS INT) AS lex_rank, "
+        "CAST(sem_rank AS INT) AS sem_rank, "
+        f"ROUND(COALESCE(1.0 / ({RRF_K} + lex_rank), 0.0) "
+        f"+ COALESCE(1.0 / ({RRF_K} + sem_rank), 0.0), 6) AS rrf "
+        f"FROM fused ORDER BY rrf DESC, doc_id LIMIT {RRF_TOPK}"
+    )
+
+
+ORACLE["sim_search_hybrid_rrf"] = _hybrid_rrf_oracle_sql()
