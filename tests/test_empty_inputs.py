@@ -120,6 +120,13 @@ REPRESENTATIVE = [
     "embedding_matryoshka_truncate",
     "sim_search_int8_mips",
     "quality_gopher_rules",
+    "text_bm25_topk",
+    "dedup_semantic_kmeans",
+    "arrow_map_doc_stats",
+    "arrow_grouped_source_stats",
+    "sql_pipe_syntax_rollup",
+    "sim_search_hybrid_rrf",
+    "quality_ccnet_buckets",
 ]
 
 

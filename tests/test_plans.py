@@ -609,3 +609,26 @@ def test_sessionize_batch_single_exchange(spark):
     plan = formatted_plan(df)
     assert exchange_count(df) == 1, plan
     assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_arrow_map_stays_narrow_and_prunes(spark):
+    """mapInArrow is a per-partition map: its plan must contain no
+    Exchange at all, and column pruning must reach the scan (only
+    doc_id/text read, not the full documents schema)."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import custom_udf
+
+    df = custom_udf.arrow_map_doc_stats(spark, SF)
+    assert exchange_count(df) == 0
+    schemas = " ".join(read_schemas(df))
+    assert "text" in schemas and "lang" not in schemas and "source" not in schemas
+
+
+def test_semdedup_joins_only_on_cluster_key(spark):
+    """SemDeDup's pair stage must be an equi-join on list_id (the
+    co-located within-cluster join the n^2/k bound rests on), never a
+    cartesian/theta join over the corpus."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import dedup
+
+    df = dedup.dedup_semantic_kmeans(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

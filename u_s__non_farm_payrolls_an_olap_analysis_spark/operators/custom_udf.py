@@ -205,8 +205,84 @@ def udtf_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql("SELECT * FROM month_spine(1995, 24)")
 
 
+def arrow_map_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the zero-conversion Python batch path: the task
+    hands each Arrow ``RecordBatch`` straight to Python and takes Arrow
+    back, skipping the pandas materialization ``mapInPandas`` pays. For
+    string/binary-heavy batches (this documents scan; the multimodal
+    binary path) that conversion is the dominant Python-side cost, so
+    this is the right surface for high-throughput byte-level transforms.
+    All statistics here are ``pyarrow.compute`` kernels (C++,
+    vectorized); the op stays a narrow map — no shuffle at any scale —
+    and column pruning still reaches the scan (only doc_id/text are
+    read). Exact relational oracle, so the Arrow path is hash-checked
+    like every builtin operator.
+
+    vs reference: the reference's only batch transform is driver-side
+    pandas (`etl.py:31-41`); this is the engine-side equivalent with
+    per-partition Arrow batches."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def stats(batches):
+        for b in batches:
+            text = b.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("doc_id"),
+                    pc.cast(pc.utf8_length(text), pa.int32()),
+                    pc.cast(
+                        pc.add(pc.count_substring(text, " "), 1), pa.int32()
+                    ),
+                    pc.utf8_slice_codeunits(text, 0, 8),
+                ],
+                ["doc_id", "n_chars_arrow", "n_ws_tokens", "head8"],
+            )
+
+    return docs.mapInArrow(
+        stats, "doc_id long, n_chars_arrow int, n_ws_tokens int, head8 string"
+    )
+
+
+def arrow_grouped_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``applyInArrow`` grouped-map (PySpark 4): the whole group arrives
+    as ONE Arrow table — the Arrow-native sibling of
+    :func:`grouped_map_normalize`'s pandas path. Physically a hash
+    shuffle on the group key, then per-group C++ compute kernels with no
+    pandas detour. Group size (docs per source, ~corpus/n_sources)
+    bounds task memory at scale; a salting pre-split applies beyond
+    that. Exact GROUP BY oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = read_table(spark, sf_dir, "documents").select("source", "n_chars")
+
+    def per_source(table):
+        return pa.table(
+            {
+                "source": [table.column("source")[0].as_py()],
+                "n_docs": pa.array([table.num_rows], pa.int64()),
+                "total_chars": pa.array(
+                    [pc.sum(table.column("n_chars")).as_py()], pa.int64()
+                ),
+                "max_chars": pa.array(
+                    [pc.max(table.column("n_chars")).as_py()], pa.int64()
+                ),
+            }
+        )
+
+    return docs.groupBy("source").applyInArrow(
+        per_source,
+        schema="source string, n_docs long, total_chars long, max_chars long",
+    )
+
+
 QUERIES = {
     "grouped_map_normalize": grouped_map_normalize,
+    "arrow_map_doc_stats": arrow_map_doc_stats,
+    "arrow_grouped_source_stats": arrow_grouped_source_stats,
     "dq_checks": dq_checks,
     "sessionize_batch": sessionize_batch,
     "cogroup_asof_pandas": cogroup_asof_pandas,
@@ -215,6 +291,18 @@ QUERIES = {
 }
 
 ORACLE = {
+    "arrow_map_doc_stats": (
+        "SELECT doc_id, CAST(length(text) AS INT) AS n_chars_arrow, "
+        "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT) "
+        "AS n_ws_tokens, "
+        "substring(text, 1, 8) AS head8 FROM documents"
+    ),
+    "arrow_grouped_source_stats": (
+        "SELECT source, COUNT(*) AS n_docs, "
+        "CAST(SUM(n_chars) AS BIGINT) AS total_chars, "
+        "CAST(MAX(n_chars) AS BIGINT) AS max_chars "
+        "FROM documents GROUP BY 1"
+    ),
     "udf_decade_scalar_pandas": (
         "SELECT o_orderkey, "
         "CAST(CAST(FLOOR(year(o_orderdate) / 10) * 10 AS BIGINT) AS VARCHAR) "

@@ -479,6 +479,54 @@ ORACLE["quality_unigram_surprisal"] = (
 )
 
 
+def quality_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — the CCNet **perplexity-bucket split** (Wenzek et al.
+    2020): order documents by LM score and cut the corpus into equal
+    thirds — ``head`` (most fluent), ``middle``, ``tail`` — the standard
+    coarse quality tiers a pre-training mixture samples from. The LM
+    score is :func:`quality_unigram_surprisal` (lower = more fluent), so
+    the whole pipeline stays deterministic: rounded scores + doc_id
+    tiebreak give a TOTAL order, and ``ntile(3)`` has identical
+    semantics in both engines.
+
+    Scale note: the tercile window runs over PER-DOCUMENT scores (one
+    row per doc, after the token-level aggregation collapses), not over
+    tokens. At 100 TB the same split uses two broadcast approx-quantile
+    thresholds instead of a global ntile sort; the exact equal-thirds
+    semantics here is the published recipe and stays oracle-checkable.
+    """
+    from pyspark.sql.window import Window
+
+    s = quality_unigram_surprisal(spark, sf_dir).select(
+        "doc_id", "avg_surprisal"
+    )
+    w = Window.orderBy("avg_surprisal", "doc_id")
+    return (
+        s.select("doc_id", "avg_surprisal", F.ntile(3).over(w).alias("t"))
+        .select(
+            "doc_id",
+            "avg_surprisal",
+            F.when(F.col("t") == 1, "head")
+            .when(F.col("t") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["quality_ccnet_buckets"] = quality_ccnet_buckets
+
+ORACLE["quality_ccnet_buckets"] = (
+    f"WITH s AS ({ORACLE['quality_unigram_surprisal']}) "
+    "SELECT doc_id, avg_surprisal, "
+    "CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END "
+    "AS bucket FROM (SELECT doc_id, avg_surprisal, "
+    "NTILE(3) OVER (ORDER BY avg_surprisal, doc_id) AS t FROM s) "
+    "ORDER BY doc_id"
+)
+
+
 PACK_SEQ_TOKENS = 64    # training-block length (fixture-scale)
 PACK_BUCKET_SPAN = 256  # doc_ids per prefix-sum bucket
 

@@ -166,3 +166,46 @@ def _run(name: str):
 QUERIES = {name: _run(name) for name in SHARED_SQL}
 
 ORACLE = dict(SHARED_SQL)
+
+
+# --- SQL pipe syntax (Spark 4, SPARK-49555) -------------------------------
+
+# The same finished-orders yearly rollup, written in Spark 4's pipe
+# dialect: each |> stage is one logical operator applied to the previous
+# result, in execution order. Catalyst parses this into the IDENTICAL
+# logical plan as the ANSI form (the DuckDB oracle below), so the parity
+# hash also proves dialect equivalence. The money sum is the scaled-int64
+# convention (functions/numerics) stated inline.
+PIPE_SQL = (
+    "FROM orders "
+    "|> WHERE o_orderstatus = 'F' "
+    "|> EXTEND year(o_orderdate) AS yr "
+    "|> AGGREGATE COUNT(*) AS n_orders, "
+    "CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS DOUBLE) "
+    "/ 10000.0 AS total_price GROUP BY yr "
+    "|> ORDER BY yr"
+)
+
+
+def sql_pipe_syntax_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL **pipe syntax** front-end (``|>`` stages, SPARK-49555):
+    scan → filter → derived column → grouped aggregate → sort, written in
+    dataflow order. The feature is front-end only — the optimized plan is
+    the same pushdown + partial-agg shape as the ANSI text — which the
+    DuckDB oracle (plain ANSI) verifies by value hash.
+
+    vs reference: the reference displays SQL it never executes
+    (``dashboard_nfp.py:90-97``); here even the alternate dialect runs.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(PIPE_SQL)
+
+
+QUERIES["sql_pipe_syntax_rollup"] = sql_pipe_syntax_rollup
+
+ORACLE["sql_pipe_syntax_rollup"] = (
+    "SELECT CAST(year(o_orderdate) AS INT) AS yr, COUNT(*) AS n_orders, "
+    "CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS DOUBLE) "
+    "/ 10000.0 AS total_price "
+    "FROM orders WHERE o_orderstatus = 'F' GROUP BY 1 ORDER BY 1"
+)

@@ -95,8 +95,10 @@ _MODULES = [
 # \\A..\\z this round (round-10 ADVICE), needs a fresh row — then
 # (c) oldest evidence first: all 47 keys whose latest driver row is
 # round 6 (the entire TPC-H Q1-Q22 block, sql_dashboard, sources,
-# r3-era joins/aggregates). 57 keys total: the last seven roll into
-# round 11; prune recorded keys then.
+# r3-era joins/aggregates). With the seven mid-round additions (BM25,
+# SemDeDup, Arrow map/grouped-map, pipe syntax, RRF, CCNet buckets):
+# 64 keys total — the last 14 (text_bigram_topk onward through the
+# TPC-H tail) roll into round 11; prune recorded keys then.
 _SAMPLE_PRIORITY = [
     # latest driver row r4 — rolled past slot 50 by the r9 rotation
     "udtf_month_spine",
@@ -117,6 +119,19 @@ _SAMPLE_PRIORITY = [
     "sim_search_int8_mips",
     # NEW in round 10 — published Gopher rejection-rule gates
     "quality_gopher_rules",
+    # NEW in round 10 — BM25 top-k retrieval (inverted-index candidates)
+    "text_bm25_topk",
+    # NEW in round 10 — SemDeDup: k-means-partitioned semantic dedup
+    "dedup_semantic_kmeans",
+    # NEW in round 10 — Arrow-native map / grouped-map surfaces
+    "arrow_map_doc_stats",
+    "arrow_grouped_source_stats",
+    # NEW in round 10 — Spark 4 SQL pipe-syntax front-end
+    "sql_pipe_syntax_rollup",
+    # NEW in round 10 — hybrid BM25+vector retrieval via RRF
+    "sim_search_hybrid_rrf",
+    # NEW in round 10 — CCNet perplexity-bucket corpus split
+    "quality_ccnet_buckets",
     # latest driver row r6 — oldest remaining evidence; tail rolls
     "agg_boolean_family",
     "agg_distinct_and_approx",
