@@ -127,6 +127,10 @@ REPRESENTATIVE = [
     "sql_pipe_syntax_rollup",
     "sim_search_hybrid_rrf",
     "quality_ccnet_buckets",
+    "agg_count_min_sketch",
+    "udtf_table_arg_year_profile",
+    "string_collation_compare",
+    "sql_parameterized_args",
 ]
 
 

@@ -547,3 +547,20 @@ def test_bm25_matches_python_reference(spark):
         (r["doc_id"], r["bm25"]) for r in text_bm25_topk(spark, sf).collect()
     ]
     assert got == expect[:BM25_TOPK]
+
+
+def test_cms_overestimates_and_is_deterministic(spark):
+    """Count-min guarantees est >= exact for every key (collisions only
+    add); the portable-md5 construction must also be run-to-run
+    deterministic (same buckets, same counters)."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.sketches import (
+        agg_count_min_sketch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = [tuple(r) for r in agg_count_min_sketch(spark, sf).collect()]
+    b = [tuple(r) for r in agg_count_min_sketch(spark, sf).collect()]
+    assert a == b
+    assert len(a) == 20
+    for _, exact_n, cms_est in a:
+        assert cms_est >= exact_n

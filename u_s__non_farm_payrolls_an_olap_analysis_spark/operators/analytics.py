@@ -998,3 +998,49 @@ ORACLE["agg_linear_trend"] = (
     "* CAST(SUM(x) AS DOUBLE)) / COUNT(*), 4) END AS intercept_at_base "
     "FROM m GROUP BY 1 ORDER BY 1"
 )
+
+
+def string_collation_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 **string collations** (`collate(s, 'UTF8_LCASE')`):
+    comparison/grouping semantics attached to the string TYPE rather
+    than wrapped in `lower()` calls at every use site. The demo derives
+    a mixed-case label from `c_mktsegment` (odd custkeys initcap'd),
+    then counts distinct labels and equality matches under binary vs
+    case-insensitive collation — semantics a `lower()`-twin oracle
+    replays exactly, so the collation path is hash-checked.
+
+    At scale collation-aware grouping hashes the collation KEY (one
+    pass, same shuffle as any groupBy); the win is correctness-by-type:
+    a case-insensitive join can't be forgotten at one of nine call
+    sites. (ICU locale collations exist too; UTF8_LCASE is the
+    deterministic engine-portable one, which is why it is the
+    oracle-checkable choice.)"""
+    customer = read_table(spark, sf_dir, "customer")
+    mixed = F.when(
+        F.col("c_custkey") % 2 == 1, F.initcap("c_mktsegment")
+    ).otherwise(F.col("c_mktsegment"))
+    lab = customer.select(F.col("c_custkey"), mixed.alias("label"))
+    ci = F.collate(F.col("label"), "UTF8_LCASE")
+    return lab.agg(
+        F.countDistinct("label").alias("distinct_binary"),
+        F.countDistinct(ci).alias("distinct_lcase"),
+        F.sum((ci == F.lit("BUILDING")).cast("long")).alias("ci_eq_building"),
+        F.sum((F.col("label") == F.lit("BUILDING")).cast("long")).alias(
+            "bin_eq_building"
+        ),
+    )
+
+
+QUERIES["string_collation_compare"] = string_collation_compare
+
+ORACLE["string_collation_compare"] = (
+    "WITH lab AS (SELECT c_custkey, CASE WHEN c_custkey % 2 = 1 "
+    "THEN upper(substr(c_mktsegment, 1, 1)) || lower(substr(c_mktsegment, 2)) "
+    "ELSE c_mktsegment END AS label FROM customer) "
+    "SELECT COUNT(DISTINCT label) AS distinct_binary, "
+    "COUNT(DISTINCT lower(label)) AS distinct_lcase, "
+    "CAST(SUM(CASE WHEN lower(label) = lower('BUILDING') THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS ci_eq_building, "
+    "CAST(SUM(CASE WHEN label = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS bin_eq_building FROM lab"
+)

@@ -291,6 +291,13 @@ QUERIES = {
 }
 
 ORACLE = {
+    "udtf_table_arg_year_profile": (
+        "SELECT CAST(year(o_orderdate) AS INT) AS year, "
+        "COUNT(*) AS n_orders, MIN(o_orderkey) AS min_key, "
+        "MAX(o_orderkey) AS max_key, "
+        "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+        "AS total_cents FROM orders GROUP BY 1 ORDER BY 1"
+    ),
     "arrow_map_doc_stats": (
         "SELECT doc_id, CAST(length(text) AS INT) AS n_chars_arrow, "
         "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT) "
@@ -351,3 +358,56 @@ ORACLE = {
         "AS month_start, CAST(range AS INT) AS month_index FROM range(24)"
     ),
 }
+
+
+def udtf_table_arg_year_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF with a **TABLE argument** (polymorphic table function,
+    PySpark 4): ``year_profile(TABLE(...) PARTITION BY year)`` — the
+    engine hash-partitions the input and streams each partition's rows
+    through one UDTF instance (``eval`` per row, ``terminate`` emits the
+    partition's result). This is the API for custom per-group streaming
+    logic that needs neither pandas frames (``applyInPandas``) nor
+    whole-group materialization — state is O(1) per partition here.
+
+    The profile itself (count / key span / scaled-int total) is chosen
+    to be an exact GROUP BY twin, so the TABLE-arg plumbing —
+    partitioning, per-partition instantiation, terminate emission — is
+    what the oracle hash-checks.
+
+    vs reference: the reference's per-group logic is pandas
+    ``groupby().agg`` on the driver (``dashboard_nfp.py:246-257``)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="year int, n_orders bigint, min_key bigint, "
+                     "max_key bigint, total_cents bigint")
+    class YearProfile:
+        def __init__(self):
+            self._year = None
+            self._n = 0
+            self._min = None
+            self._max = None
+            self._cents = 0
+
+        def eval(self, row):
+            self._year = row["year"]
+            self._n += 1
+            k = row["o_orderkey"]
+            self._min = k if self._min is None else min(self._min, k)
+            self._max = k if self._max is None else max(self._max, k)
+            self._cents += row["cents"]
+
+        def terminate(self):
+            if self._n:
+                yield self._year, self._n, self._min, self._max, self._cents
+
+    spark.udtf.register("year_profile", YearProfile)
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_udtf_in")
+    return spark.sql(
+        "SELECT * FROM year_profile(TABLE(SELECT "
+        "CAST(year(o_orderdate) AS INT) AS year, o_orderkey, "
+        "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents "
+        "FROM orders_udtf_in) PARTITION BY year) ORDER BY year"
+    )
+
+
+QUERIES["udtf_table_arg_year_profile"] = udtf_table_arg_year_profile

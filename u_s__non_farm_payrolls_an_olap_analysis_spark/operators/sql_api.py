@@ -209,3 +209,40 @@ ORACLE["sql_pipe_syntax_rollup"] = (
     "/ 10000.0 AS total_price "
     "FROM orders WHERE o_orderstatus = 'F' GROUP BY 1 ORDER BY 1"
 )
+
+
+# --- Parameterized SQL (named-parameter binding) ---------------------------
+
+_PARAM_SQL = (
+    "SELECT o_orderpriority, COUNT(*) AS n_orders, "
+    "CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS DOUBLE) "
+    "/ 10000.0 AS total_price "
+    "FROM orders WHERE o_totalprice >= :min_price "
+    "AND year(o_orderdate) = :yr "
+    "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+)
+_PARAMS = {"min_price": 150000.0, "yr": 1996}
+
+
+def sql_parameterized_args(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL binding (``spark.sql(sql, args={...})``,
+    Spark 3.4+): values bound as TYPED LITERALS by the parser — no
+    string interpolation, no injection surface, and Catalyst still
+    constant-folds/pushes them down exactly like inline literals (the
+    parity hash against the constant-inlined oracle proves plan-level
+    equivalence). This is the integration surface every dashboard/API
+    layer uses to template the reference's date/threshold inputs
+    (``dashboard_nfp.py`` re-renders pandas filters per widget value).
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_PARAM_SQL, args=_PARAMS)
+
+
+QUERIES["sql_parameterized_args"] = sql_parameterized_args
+
+ORACLE["sql_parameterized_args"] = (
+    _PARAM_SQL.replace(":min_price", repr(_PARAMS["min_price"]))
+    .replace(":yr", str(_PARAMS["yr"]))
+    .replace("year(o_orderdate) = 1996",
+             "CAST(year(o_orderdate) AS INT) = 1996")
+)

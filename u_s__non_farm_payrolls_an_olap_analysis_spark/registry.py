@@ -95,9 +95,10 @@ _MODULES = [
 # \\A..\\z this round (round-10 ADVICE), needs a fresh row — then
 # (c) oldest evidence first: all 47 keys whose latest driver row is
 # round 6 (the entire TPC-H Q1-Q22 block, sql_dashboard, sources,
-# r3-era joins/aggregates). With the seven mid-round additions (BM25,
-# SemDeDup, Arrow map/grouped-map, pipe syntax, RRF, CCNet buckets):
-# 64 keys total — the last 14 (text_bigram_topk onward through the
+# r3-era joins/aggregates). With the ELEVEN mid-round additions (BM25,
+# SemDeDup, Arrow map/grouped-map, pipe syntax, RRF, CCNet buckets,
+# portable CMS, TABLE-arg UDTF, collation, parameterized SQL): 68 keys
+# total — the last 18 (sql_scalar_above_nation_avg onward through the
 # TPC-H tail) roll into round 11; prune recorded keys then.
 _SAMPLE_PRIORITY = [
     # latest driver row r4 — rolled past slot 50 by the r9 rotation
@@ -132,6 +133,14 @@ _SAMPLE_PRIORITY = [
     "sim_search_hybrid_rrf",
     # NEW in round 10 — CCNet perplexity-bucket corpus split
     "quality_ccnet_buckets",
+    # NEW in round 10 — portable md5 CMS, sketch content oracle-checked
+    "agg_count_min_sketch",
+    # NEW in round 10 — UDTF with TABLE argument (PARTITION BY)
+    "udtf_table_arg_year_profile",
+    # NEW in round 10 — Spark 4 collation semantics vs lower() twin
+    "string_collation_compare",
+    # NEW in round 10 — named-parameter SQL binding
+    "sql_parameterized_args",
     # latest driver row r6 — oldest remaining evidence; tail rolls
     "agg_boolean_family",
     "agg_distinct_and_approx",
