@@ -131,6 +131,7 @@ REPRESENTATIVE = [
     "udtf_table_arg_year_profile",
     "string_collation_compare",
     "sql_parameterized_args",
+    "text_langid_ngram_profile",
 ]
 
 

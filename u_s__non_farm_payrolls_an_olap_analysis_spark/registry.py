@@ -95,10 +95,10 @@ _MODULES = [
 # \\A..\\z this round (round-10 ADVICE), needs a fresh row — then
 # (c) oldest evidence first: all 47 keys whose latest driver row is
 # round 6 (the entire TPC-H Q1-Q22 block, sql_dashboard, sources,
-# r3-era joins/aggregates). With the ELEVEN mid-round additions (BM25,
+# r3-era joins/aggregates). With the TWELVE mid-round additions (BM25,
 # SemDeDup, Arrow map/grouped-map, pipe syntax, RRF, CCNet buckets,
-# portable CMS, TABLE-arg UDTF, collation, parameterized SQL): 68 keys
-# total — the last 18 (sql_scalar_above_nation_avg onward through the
+# portable CMS, TABLE-arg UDTF, collation, parameterized SQL,
+# n-gram langid): 69 keys total — the last 19 (sql_scalar_above_nation_avg onward through the
 # TPC-H tail) roll into round 11; prune recorded keys then.
 _SAMPLE_PRIORITY = [
     # latest driver row r4 — rolled past slot 50 by the r9 rotation
@@ -141,6 +141,8 @@ _SAMPLE_PRIORITY = [
     "string_collation_compare",
     # NEW in round 10 — named-parameter SQL binding
     "sql_parameterized_args",
+    # NEW in round 10 — Cavnar-Trenkle n-gram rank-profile language ID
+    "text_langid_ngram_profile",
     # latest driver row r6 — oldest remaining evidence; tail rolls
     "agg_boolean_family",
     "agg_distinct_and_approx",
