@@ -132,6 +132,8 @@ REPRESENTATIVE = [
     "string_collation_compare",
     "sql_parameterized_args",
     "text_langid_ngram_profile",
+    "graph_pagerank_tokens",
+    "sample_temperature_mixture",
 ]
 
 

@@ -357,3 +357,53 @@ def test_stream_full_outer_extends_both_sides(spark):
         == n_purchases
     )
     assert len({r["click_id"] for r in out if r["click_id"] >= 0}) == n_clicks
+
+
+def test_checkpoint_resume_processes_only_new_data(spark, tmp_path):
+    """Crash/restart recovery: a second run of the SAME query against the
+    SAME checkpoint must pick up exactly the files that arrived after the
+    first run — no reprocessing of committed offsets, no gaps. This is
+    the exactly-once contract the reference's cron-style re-extract
+    (etl.py re-running the full FRED pull) does NOT have."""
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    seen = tmp_path / "seen"
+
+    spark.createDataFrame(
+        [(1, 10), (2, 20)], "user_id long, v long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "a.parquet"))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("user_id long, v long")
+            .option("recursiveFileLookup", True)
+            .parquet(str(src))
+        )
+
+        def record(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(str(seen))
+
+        q = (
+            stream.writeStream.foreachBatch(record)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    first = sorted(
+        (r["user_id"], r["v"]) for r in spark.read.parquet(str(seen)).collect()
+    )
+    assert first == [(1, 10), (2, 20)]
+
+    spark.createDataFrame(
+        [(3, 30)], "user_id long, v long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "b.parquet"))
+
+    run_once()  # same checkpoint: must process ONLY b.parquet
+    both = sorted(
+        (r["user_id"], r["v"]) for r in spark.read.parquet(str(seen)).collect()
+    )
+    assert both == [(1, 10), (2, 20), (3, 30)]  # a.parquet not re-emitted

@@ -1,0 +1,162 @@
+"""Graph analytics over relational edge lists (north-star extension —
+the remaining distributed-algorithm family after the iterative
+connected-components in ``dedup.dedup_clusters``).
+
+The graph is DERIVED from the corpus: distinct token bigrams form a
+directed word-graph (nodes = tokens, edge u→v iff "u v" occurs). The
+operator family is edge-partitioned **power iteration** — the standard
+Spark alternative to a Pregel runtime: each PageRank step is one join
+(rank/outdegree per source) + one groupBy (sum contributions per
+target), both shuffling on node keys only. Iterations are a fixed
+unrolled count, so the whole computation is a static DAG Catalyst can
+plan (and an oracle can replay as CTE stages).
+
+Determinism: per-target contribution sums accumulate as scaled int64
+(``round(contrib * 1e9)`` — exact, commutative, partition-order
+independent; the ``KMEANS_SCALE`` rationale), so ranks are bit-identical
+across engines and the result is fully hash-checked.
+
+Scale: nodes/edges partition by key; each iteration's shuffle volume is
+O(|E|). Dangling nodes (no out-edges) leak rank mass — the textbook
+simplification, identical in both engines; production adds the global
+dangling-mass redistribution term (one 1-row broadcast scalar per
+iteration, same shape as the corpus stats in ``text.bm25_scores``).
+
+vs reference: no analogue — the reference has no graph surface at all
+(`dashboard_nfp.py` is flat time-series slicing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import read_table
+
+PR_DAMPING = 0.85
+PR_ITERS = 3
+PR_SCALE = 1_000_000_000.0  # nano-units for exact contribution sums
+
+
+def _token_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct directed token-bigram edges (src, dst) from documents."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("src"),
+                F.element_at(toks, i + 1).alias("dst"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<src:string,dst:string>>"))
+    return (
+        docs.select(F.explode(bigrams).alias("e"))
+        .select("e.src", "e.dst")
+        .distinct()
+    )
+
+
+def graph_pagerank_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the token word-graph: ``PR_ITERS`` unrolled power
+    iterations, ``pr' = (1-d)/N + d * Σ_in pr(u)/outdeg(u)`` with
+    scaled-int64 contribution sums (see module docstring). Output: every
+    node's rank (rounded 6 dp) with a rank position ordered by
+    (rounded pr desc, token)."""
+    from pyspark.sql.window import Window
+
+    from ..functions.numerics import dround
+
+    edges = _token_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("token"))
+        .unionByName(edges.select(F.col("dst").alias("token")))
+        .distinct()
+    )
+    n = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+
+    pr = nodes.crossJoin(F.broadcast(n)).select(
+        "token", (F.lit(1.0) / F.col("n_nodes")).alias("pr")
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(pr.withColumnRenamed("token", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("token"),
+                (F.col("pr") / F.col("outdeg")).alias("c"),
+            )
+        )
+        summed = contrib.groupBy("token").agg(
+            (
+                F.sum(dround(F.col("c") * PR_SCALE, 0).cast("long"))
+                .cast("double")
+                / PR_SCALE
+            ).alias("in_mass")
+        )
+        pr = (
+            nodes.join(summed, "token", "left")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "token",
+                (
+                    (1.0 - PR_DAMPING) / F.col("n_nodes")
+                    + PR_DAMPING * F.coalesce(F.col("in_mass"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    w = Window.orderBy(F.col("pr_r").desc(), "token")
+    return (
+        pr.select("token", dround(F.col("pr"), 6).alias("pr_r"))
+        .select(
+            "token",
+            F.col("pr_r").alias("pagerank"),
+            F.row_number().over(w).cast("int").alias("pos"),
+        )
+        .orderBy("pos")
+    )
+
+
+QUERIES = {"graph_pagerank_tokens": graph_pagerank_tokens}
+
+
+def _pagerank_oracle_sql() -> str:
+    d = PR_DAMPING
+    parts = [
+        "e AS (SELECT DISTINCT toks[i] AS src, toks[i + 1] AS dst FROM ("
+        "SELECT string_split(text, ' ') AS toks FROM documents), "
+        "UNNEST(CASE WHEN len(toks) >= 2 THEN range(1, len(toks)) "
+        "ELSE [] END) AS u(i))",
+        "nodes AS (SELECT src AS token FROM e "
+        "UNION SELECT dst FROM e)",
+        "n AS (SELECT COUNT(*) AS n_nodes FROM nodes)",
+        "deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1)",
+        "pr0 AS (SELECT token, 1.0 / n_nodes AS pr FROM nodes, n)",
+    ]
+    prev = "pr0"
+    for i in range(1, PR_ITERS + 1):
+        parts.append(
+            f"m{i} AS (SELECT e.dst AS token, "
+            "CAST(SUM(CAST(ROUND(p.pr / deg.outdeg * "
+            f"{PR_SCALE}, 0) AS BIGINT)) AS DOUBLE) / {PR_SCALE} "
+            f"AS in_mass FROM e JOIN {prev} p ON p.token = e.src "
+            "JOIN deg ON deg.src = e.src GROUP BY 1)"
+        )
+        parts.append(
+            f"pr{i} AS (SELECT nodes.token, "
+            f"(1.0 - {d}) / n_nodes + {d} * COALESCE(m{i}.in_mass, 0.0) "
+            f"AS pr FROM nodes LEFT JOIN m{i} ON m{i}.token = nodes.token, n)"
+        )
+        prev = f"pr{i}"
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT token, ROUND(pr, 6) AS pagerank, "
+        "CAST(ROW_NUMBER() OVER (ORDER BY ROUND(pr, 6) DESC, token) AS INT) "
+        f"AS pos FROM {prev} ORDER BY pos"
+    )
+
+
+ORACLE = {"graph_pagerank_tokens": _pagerank_oracle_sql()}

@@ -149,3 +149,63 @@ ORACLE = {
         "FROM r GROUP BY 1 ORDER BY 1"
     ),
 }
+
+
+# --- Temperature-scaled mixture weights ------------------------------------
+
+MIX_TEMPERATURE = 0.5   # alpha: 1 = proportional, 0 = uniform (T5 uses 0.5)
+MIX_TOKEN_BUDGET = 100_000
+
+
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled data mixing (the T5 / UniMax recipe): sampling
+    weight ``w_i ∝ n_i^α`` over per-source token counts, α < 1 boosting
+    low-resource sources relative to proportional sampling. Output per
+    source: token count, natural share, temperature share, and the token
+    budget allocated under each — the table a mixture-aware loader
+    consumes (cf. the fixed-quota sibling ``sample_corpus_mixture``).
+
+    One aggregate over the corpus; shares are windows over the ~20
+    aggregated source rows, never over documents. ``pow(n, 0.5)`` is
+    IEEE-correctly-rounded sqrt in both engines; shares round at 6 dp
+    and budgets allocate by ``floor`` so everything stays
+    deterministic."""
+    from pyspark.sql.window import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens")
+    )
+    w = Window.partitionBy()
+    nat = F.col("n_tokens") / F.sum("n_tokens").over(w)
+    temp_w = F.pow(F.col("n_tokens").cast("double"), MIX_TEMPERATURE)
+    temp = temp_w / F.sum(temp_w).over(w)
+    return per_src.select(
+        "source",
+        "n_tokens",
+        F.round(nat, 6).alias("natural_share"),
+        F.round(temp, 6).alias("temp_share"),
+        F.floor(nat * MIX_TOKEN_BUDGET).cast("long").alias("natural_budget"),
+        F.floor(temp * MIX_TOKEN_BUDGET).cast("long").alias("temp_budget"),
+    ).orderBy("source")
+
+
+QUERIES["sample_temperature_mixture"] = sample_temperature_mixture
+
+ORACLE["sample_temperature_mixture"] = (
+    "WITH s AS (SELECT source, "
+    "CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens "
+    "FROM documents GROUP BY 1) "
+    "SELECT source, n_tokens, "
+    "ROUND(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER (), 6) "
+    "AS natural_share, "
+    f"ROUND(pow(CAST(n_tokens AS DOUBLE), {MIX_TEMPERATURE}) / "
+    f"SUM(pow(CAST(n_tokens AS DOUBLE), {MIX_TEMPERATURE})) OVER (), 6) "
+    "AS temp_share, "
+    "CAST(FLOOR(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () "
+    f"* {MIX_TOKEN_BUDGET}) AS BIGINT) AS natural_budget, "
+    f"CAST(FLOOR(pow(CAST(n_tokens AS DOUBLE), {MIX_TEMPERATURE}) / "
+    f"SUM(pow(CAST(n_tokens AS DOUBLE), {MIX_TEMPERATURE})) OVER () "
+    f"* {MIX_TOKEN_BUDGET}) AS BIGINT) AS temp_budget "
+    "FROM s ORDER BY source"
+)

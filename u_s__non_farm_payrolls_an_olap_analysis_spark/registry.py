@@ -21,6 +21,7 @@ from .operators import (
     analytics,
     custom_udf,
     dedup,
+    graph,
     incremental,
     joins,
     json_ops,
@@ -64,6 +65,7 @@ _MODULES = [
     analytics,
     dedup,
     similarity,
+    graph,
     text,
     llm_prep,
     multimodal,
@@ -98,7 +100,7 @@ _MODULES = [
 # r3-era joins/aggregates). With the TWELVE mid-round additions (BM25,
 # SemDeDup, Arrow map/grouped-map, pipe syntax, RRF, CCNet buckets,
 # portable CMS, TABLE-arg UDTF, collation, parameterized SQL,
-# n-gram langid): 69 keys total — the last 19 (sql_scalar_above_nation_avg onward through the
+# n-gram langid, PageRank, temperature mixing): 71 keys total — the last 21 (sql_exists_big_order onward through the
 # TPC-H tail) roll into round 11; prune recorded keys then.
 _SAMPLE_PRIORITY = [
     # latest driver row r4 — rolled past slot 50 by the r9 rotation
@@ -143,6 +145,10 @@ _SAMPLE_PRIORITY = [
     "sql_parameterized_args",
     # NEW in round 10 — Cavnar-Trenkle n-gram rank-profile language ID
     "text_langid_ngram_profile",
+    # NEW in round 10 — edge-partitioned PageRank power iteration
+    "graph_pagerank_tokens",
+    # NEW in round 10 — T5/UniMax temperature-scaled mixture weights
+    "sample_temperature_mixture",
     # latest driver row r6 — oldest remaining evidence; tail rolls
     "agg_boolean_family",
     "agg_distinct_and_approx",
