@@ -264,3 +264,48 @@ def test_hostile_stream_outer_join_parity(spark, hostile_dir, duck, name):
     _assert_parity(
         stream_windows.QUERIES[name](spark, hostile_dir), duck, name
     )
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # BM25: no hostile doc contains a query term -> both engines must
+        # agree on the EMPTY candidate set (1-row NULL df aggregates never
+        # reach the output); empty text contributes dl=1 ('' token) to
+        # avgdl identically (split('', ' ') = [''] in both engines)
+        "text_bm25_topk",
+        # CCNet terciles over 13 docs incl. ''-token vocabulary entries;
+        # NTILE(3) semantics must agree on a non-divisible count
+        "quality_ccnet_buckets",
+        # rank-profile langid: sub-trigram docs ('', 'one') produce no doc
+        # profile and must be DROPPED by both engines, not scored; the
+        # sequence()/range() trigram guards fire on them
+        "text_langid_ngram_profile",
+        # word-graph PageRank: sub-bigram docs contribute no edges; the
+        # '123\n' token is a node whose md5/equality must agree
+        "graph_pagerank_tokens",
+        # temperature mixing over 3 tiny sources; pow/floor determinism
+        "sample_temperature_mixture",
+    ],
+)
+def test_hostile_docs_ops_parity(spark, hostile_dir, duck, name):
+    """Round-10 doc-table operators over the hostile corpus: empty text,
+    sub-n-gram lengths, non-ASCII, trailing-newline tokens."""
+    q = entrymod.queries()[name]
+    _assert_parity(q(spark, hostile_dir), duck, name)
+
+
+def test_hostile_arrow_map_parity(spark, hostile_dir, duck):
+    """mapInArrow doc stats on hostile docs — pyarrow's utf8_length /
+    utf8_slice_codeunits must agree with DuckDB's codepoint-based
+    length()/substring() on non-ASCII text, and '' must stat cleanly."""
+    q = entrymod.queries()["arrow_map_doc_stats"]
+    _assert_parity(q(spark, hostile_dir), duck, "arrow_map_doc_stats")
+
+
+def test_hostile_cms_parity(spark, hostile_dir, duck):
+    """CMS over the 5-row hostile orders: single hot key, probe keys
+    mostly absent (estimate 0 vs collision floor) — md5 bucket math must
+    agree exactly."""
+    q = entrymod.queries()["agg_count_min_sketch"]
+    _assert_parity(q(spark, hostile_dir), duck, "agg_count_min_sketch")
