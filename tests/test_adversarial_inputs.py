@@ -179,6 +179,11 @@ def test_frame_sample_handles_zero_row_arrow_batch():
         # (n=0 → NULL ratios, all-false rules), 1-token, repetition and
         # symbol-bearing rows must gate identically in both engines
         "quality_gopher_rules",
+        # round-10: linear hashed-feature classifier — the empty doc's
+        # ''-token hashes to a deterministic bucket (n_tokens=1, never
+        # 0, so the score division is always defined) and scaled-int64
+        # contributions must agree on non-ASCII tokens
+        "quality_linear_classifier",
     ],
 )
 def test_hostile_llm_prep_parity(spark, hostile_dir, duck, name):

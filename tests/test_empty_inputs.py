@@ -134,6 +134,7 @@ REPRESENTATIVE = [
     "text_langid_ngram_profile",
     "graph_pagerank_tokens",
     "sample_temperature_mixture",
+    "quality_linear_classifier",
 ]
 
 

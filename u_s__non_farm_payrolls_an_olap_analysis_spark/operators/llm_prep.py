@@ -945,3 +945,103 @@ ORACLE["quality_gopher_rules"] = (
     "(n > 0 AND 5 * n_alpha >= 4 * n) AND "
     "(n_req >= 2)) AS passes_gopher FROM s"
 )
+
+
+# --- Model-based quality classifier (linear, hashed features) --------------
+
+QC_DIM = 64  # hashed feature buckets (the fastText hashing-trick size knob)
+
+
+def quality_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering — the fastText-classifier shape
+    CCNet/FineWeb-style pipelines run after the rule gates: a LINEAR
+    model over hashed bag-of-words features, applied corpus-wide.
+
+    Distributed apply shape (the part that matters at 100 TB): the
+    weight vector is a ``QC_DIM``-row table BROADCAST to every task;
+    per-doc features are one explode → (doc, bucket) count aggregate;
+    scoring is a broadcast join + one more doc aggregate — the corpus
+    shuffles only on (doc_id, bucket) and doc_id, never on model state.
+    Swapping in real trained weights changes ONE table, no plan change.
+
+    Determinism: buckets AND weights derive from portable md5 (weights
+    here are a deterministic stand-in for a trained vector, mapped into
+    [-1, 1); documented, not hidden), per-token contributions sum as
+    scaled int64, and the score/round/label arithmetic is stated
+    identically in the oracle — fully hash-checked."""
+    from ..functions.numerics import dround
+
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("qc:"), F.col("token"))), 1, 8), 16, 10)
+        .cast("long")
+        % QC_DIM
+    )
+    feats = (
+        tok.select("doc_id", bucket.alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    weights = spark.range(QC_DIM).select(
+        F.col("id").alias("b"),
+        (
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("w:"), F.col("id").cast("string"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2001
+                - 1000
+            )
+            / 1000.0
+        ).alias("w"),
+    )
+    contrib = F.col("cnt") * F.col("w")
+    scored = (
+        feats.join(F.broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            (
+                F.sum(dround(contrib * 1000000.0, 0).cast("long"))
+                .cast("double")
+                / 1000000.0
+            ).alias("raw"),
+        )
+    )
+    score = F.col("raw") / F.col("n_tokens")
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.round(score, 6).alias("score"),
+        (score >= 0).cast("int").alias("keep"),
+    ).orderBy("doc_id")
+
+
+QUERIES["quality_linear_classifier"] = quality_linear_classifier
+
+ORACLE["quality_linear_classifier"] = (
+    "WITH tok AS (SELECT doc_id, t.tok AS token FROM "
+    "(SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+    "UNNEST(toks) AS t(tok)), "
+    "feats AS (SELECT doc_id, "
+    "CAST(('0x' || substr(md5('qc:' || token), 1, 8)) AS BIGINT) "
+    f"% {QC_DIM} AS b, COUNT(*) AS cnt FROM tok GROUP BY 1, 2), "
+    f"weights AS (SELECT b, (CAST(('0x' || substr(md5('w:' || "
+    "CAST(b AS VARCHAR)), 1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0 AS w "
+    f"FROM (SELECT unnest(range(0, {QC_DIM})) AS b)), "
+    "scored AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens, "
+    "CAST(SUM(CAST(ROUND(cnt * w * 1000000.0, 0) AS BIGINT)) AS DOUBLE) "
+    "/ 1000000.0 AS raw "
+    "FROM feats JOIN weights USING (b) GROUP BY 1) "
+    "SELECT doc_id, n_tokens, ROUND(raw / n_tokens, 6) AS score, "
+    "CAST(raw / n_tokens >= 0 AS INT) AS keep FROM scored ORDER BY doc_id"
+)

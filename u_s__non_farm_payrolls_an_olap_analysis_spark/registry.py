@@ -149,6 +149,8 @@ _SAMPLE_PRIORITY = [
     "graph_pagerank_tokens",
     # NEW in round 10 — T5/UniMax temperature-scaled mixture weights
     "sample_temperature_mixture",
+    # NEW in round 10 — linear hashed-feature quality classifier apply
+    "quality_linear_classifier",
     # latest driver row r6 — oldest remaining evidence; tail rolls
     "agg_boolean_family",
     "agg_distinct_and_approx",
