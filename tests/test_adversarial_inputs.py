@@ -291,6 +291,16 @@ def test_hostile_stream_outer_join_parity(spark, hostile_dir, duck, name):
         "graph_pagerank_tokens",
         # temperature mixing over 3 tiny sources; pow/floor determinism
         "sample_temperature_mixture",
+        # ExactSubstr spans: all but one hostile doc are shorter than
+        # SUBSTR_N tokens (the sequence()/range() gram guards fire on
+        # them); the single exactly-8-token doc must emit one
+        # zero-duplicated gram row in BOTH engines
+        "dedup_exact_substring_spans",
+        # DSIR: the lone non-'en' doc carries the non-ASCII tokens, so
+        # target/raw bucket hashing must agree on them; ''-token and
+        # sub-bigram docs contribute unigram-only feature streams;
+        # NTILE(4) on a tiny non-divisible doc count
+        "sample_dsir_importance",
     ],
 )
 def test_hostile_docs_ops_parity(spark, hostile_dir, duck, name):

@@ -135,6 +135,8 @@ REPRESENTATIVE = [
     "graph_pagerank_tokens",
     "sample_temperature_mixture",
     "quality_linear_classifier",
+    "dedup_exact_substring_spans",
+    "sample_dsir_importance",
 ]
 
 

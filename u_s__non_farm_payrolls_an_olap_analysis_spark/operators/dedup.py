@@ -1147,3 +1147,112 @@ ORACLE = {
         "FROM s GROUP BY 1 ORDER BY 1"
     ),
 }
+
+
+# --- Exact-substring duplicated spans (Lee et al. 2021) --------------------
+
+SUBSTR_N = 8  # tokens per positional gram (the ExactSubstr length knob)
+
+
+def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **ExactSubstr** duplicated-span detection (Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models
+    Better"): flag every position whose ``SUBSTR_N``-token gram recurs
+    in ANOTHER document, and report per-doc dup coverage plus the
+    longest contiguous duplicated run (the span the paper cuts out).
+
+    Spark-first shape instead of the paper's suffix array: positional
+    grams from one array ``transform`` (no Python), cross-doc gram
+    incidence from one (gram, doc) distinct + gram aggregate — the
+    inverted-index device — a LEFT SEMI join back to flag positions,
+    and gaps-and-islands (``pos - row_number``) for contiguous runs.
+    Every shuffle is keyed (gram / doc_id); nothing is pairwise, so
+    cost is O(positions) + O(duplicated positions), the same bound the
+    suffix-array build pays, and each stage map-side combines.
+
+    Determinism: all-integer counts; the single exposed ratio divides
+    by ``n_grams >= 1`` (docs shorter than ``SUBSTR_N`` tokens have no
+    gram row in either engine and are excluded identically).
+    """
+    from pyspark.sql.window import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    gram_arr = F.when(
+        F.size(toks) >= SUBSTR_N,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - SUBSTR_N),
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at(toks, i + k + 1) for k in range(SUBSTR_N)],
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = _spread_if_narrow(docs).select(
+        "doc_id", F.posexplode(gram_arr).alias("pos", "gram")
+    )
+    dup = (
+        g.select("gram", "doc_id")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    flagged = g.join(dup, "gram", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = flagged.select(
+        "doc_id", "pos", (F.col("pos") - F.row_number().over(w)).alias("grp")
+    )
+    runs = isl.groupBy("doc_id", "grp").agg(F.count(F.lit(1)).alias("run"))
+    dupagg = runs.groupBy("doc_id").agg(
+        F.sum("run").alias("n_dup"), F.max("run").alias("longest")
+    )
+    totals = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        totals.join(dupagg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_dup"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_grams"),
+            F.round(
+                F.coalesce(F.col("n_dup"), F.lit(0)) / F.col("n_grams"), 6
+            ).alias("dup_ratio"),
+            F.coalesce(F.col("longest"), F.lit(0))
+            .cast("long")
+            .alias("longest_dup_run"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["dedup_exact_substring_spans"] = dedup_exact_substring_spans
+
+_SUBSTR_GRAM_CONCAT = " || ' ' || ".join(
+    f"toks[i + {k + 1}]" for k in range(SUBSTR_N)
+)
+
+ORACLE["dedup_exact_substring_spans"] = (
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+    "FROM documents), "
+    "g AS (SELECT doc_id, CAST(i AS INT) AS pos, "
+    f"{_SUBSTR_GRAM_CONCAT} AS gram "
+    f"FROM t, UNNEST(range(0, greatest(len(toks) - {SUBSTR_N - 1}, 0))) "
+    "AS u(i)), "
+    "dup AS (SELECT gram FROM (SELECT gram, COUNT(DISTINCT doc_id) AS nd "
+    "FROM g GROUP BY 1) WHERE nd >= 2), "
+    "f AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)), "
+    "isl AS (SELECT doc_id, pos, pos - ROW_NUMBER() OVER ("
+    "PARTITION BY doc_id ORDER BY pos) AS grp FROM f), "
+    "runs AS (SELECT doc_id, grp, COUNT(*) AS run FROM isl GROUP BY 1, 2), "
+    "da AS (SELECT doc_id, CAST(SUM(run) AS BIGINT) AS n_dup, "
+    "CAST(MAX(run) AS BIGINT) AS longest FROM runs GROUP BY 1), "
+    "tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY 1) "
+    "SELECT t.doc_id, t.n_grams, "
+    "COALESCE(d.n_dup, 0) AS n_dup_grams, "
+    "ROUND(COALESCE(d.n_dup, 0) * 1.0 / t.n_grams, 6) AS dup_ratio, "
+    "COALESCE(d.longest, 0) AS longest_dup_run "
+    "FROM tot t LEFT JOIN da d USING (doc_id) ORDER BY doc_id"
+)

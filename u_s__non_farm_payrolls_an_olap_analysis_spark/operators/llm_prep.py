@@ -1045,3 +1045,137 @@ ORACLE["quality_linear_classifier"] = (
     "SELECT doc_id, n_tokens, ROUND(raw / n_tokens, 6) AS score, "
     "CAST(raw / n_tokens >= 0 AS INT) AS keep FROM scored ORDER BY doc_id"
 )
+
+
+# --- DSIR importance resampling (Xie et al. 2023) --------------------------
+
+DSIR_BUCKETS = 128  # hashed n-gram feature buckets
+DSIR_TARGET_LANG = "en"  # the "target distribution" slice of the corpus
+
+
+def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **DSIR** data selection via importance resampling
+    (Xie et al. 2023): score every raw document by the log importance
+    weight ``Σ_features ln p_target(b) − ln p_raw(b)`` under two hashed
+    n-gram bag-of-words models (unigrams + bigrams hashed into
+    ``DSIR_BUCKETS`` buckets, add-1 smoothing), then keep the top
+    quartile — the published recipe for tilting a web crawl toward a
+    target domain (here: the ``lang = 'en'`` slice as the target).
+
+    Distributed shape: BOTH feature distributions come from ONE
+    conditional aggregate over the exploded feature stream (target
+    counts as a filtered sum — no second corpus pass); totals are a
+    1-row broadcast scalar; the 128-row per-bucket log-ratio table
+    broadcasts back onto the same stream, and the per-doc score is one
+    doc_id aggregate. The corpus shuffles only on (bucket) and
+    (doc_id); model state never shuffles. The quartile cut is a window
+    over PER-DOC rows (the ``quality_ccnet_buckets`` device — at 100 TB
+    the cut becomes one broadcast approx-quantile threshold).
+
+    Determinism: buckets via portable md5; ``ln`` is cross-engine
+    stable at 6 dp (surprisal/IDF/PMI precedent); per-feature log
+    ratios sum as scaled int64 (``dsum``); ntile runs on the ROUNDED
+    score with a doc_id tiebreak — a total order.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.numerics import dsum
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    f = docs.select(
+        "doc_id", "lang", F.explode(F.concat(toks, bigrams)).alias("feat")
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dsir:"), F.col("feat"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % DSIR_BUCKETS
+    )
+    fb = f.select("doc_id", "lang", bucket.alias("b"))
+    counts = fb.groupBy("b").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("c_tgt"),
+    )
+    tot = counts.agg(
+        F.sum("c_raw").alias("n_raw"), F.sum("c_tgt").alias("n_tgt")
+    )
+    lam = counts.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log(
+                (F.col("c_tgt") + 1).cast("double")
+                / (F.col("n_tgt") + DSIR_BUCKETS).cast("double")
+            )
+            - F.log(
+                (F.col("c_raw") + 1).cast("double")
+                / (F.col("n_raw") + DSIR_BUCKETS).cast("double")
+            )
+        ).alias("lw"),
+    )
+    scored = (
+        fb.join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(dsum("lw", SURPRISAL_SCALE), 6).alias("log_weight"),
+        )
+    )
+    wsel = Window.orderBy(F.col("log_weight").desc(), "doc_id")
+    return (
+        scored.select(
+            "doc_id",
+            "n_feats",
+            "log_weight",
+            (F.ntile(4).over(wsel) == 1).cast("int").alias("selected"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["sample_dsir_importance"] = sample_dsir_importance
+
+_DSIR_SCALE = 100_000_000
+
+ORACLE["sample_dsir_importance"] = (
+    "WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks "
+    "FROM documents), "
+    "uni AS (SELECT doc_id, lang, u.tok AS feat FROM t, "
+    "UNNEST(toks) AS u(tok)), "
+    "bi AS (SELECT doc_id, lang, toks[i + 1] || ' ' || toks[i + 2] AS feat "
+    "FROM t, UNNEST(range(0, greatest(len(toks) - 1, 0))) AS u(i)), "
+    "f AS (SELECT * FROM uni UNION ALL SELECT * FROM bi), "
+    "fb AS (SELECT doc_id, lang, "
+    "CAST(('0x' || substr(md5('dsir:' || feat), 1, 8)) AS BIGINT) "
+    f"% {DSIR_BUCKETS} AS b FROM f), "
+    "counts AS (SELECT b, COUNT(*) AS c_raw, "
+    "CAST(SUM(CASE WHEN lang = "
+    f"'{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS BIGINT) AS c_tgt "
+    "FROM fb GROUP BY 1), "
+    "tot AS (SELECT CAST(SUM(c_raw) AS BIGINT) AS n_raw, "
+    "CAST(SUM(c_tgt) AS BIGINT) AS n_tgt FROM counts), "
+    "lam AS (SELECT b, "
+    f"ln(CAST(c_tgt + 1 AS DOUBLE) / (n_tgt + {DSIR_BUCKETS})) - "
+    f"ln(CAST(c_raw + 1 AS DOUBLE) / (n_raw + {DSIR_BUCKETS})) AS lw "
+    "FROM counts CROSS JOIN tot), "
+    "scored AS (SELECT doc_id, COUNT(*) AS n_feats, "
+    f"ROUND(CAST(SUM(CAST(ROUND(lw * {_DSIR_SCALE}) AS BIGINT)) AS DOUBLE) "
+    f"/ {_DSIR_SCALE}.0, 6) AS log_weight "
+    "FROM fb JOIN lam USING (b) GROUP BY 1) "
+    "SELECT doc_id, n_feats, log_weight, "
+    "CAST(NTILE(4) OVER (ORDER BY log_weight DESC, doc_id) = 1 AS INT) "
+    "AS selected FROM scored ORDER BY doc_id"
+)

@@ -151,6 +151,10 @@ _SAMPLE_PRIORITY = [
     "sample_temperature_mixture",
     # NEW in round 10 — linear hashed-feature quality classifier apply
     "quality_linear_classifier",
+    # NEW in round 10 — ExactSubstr duplicated-span detection
+    "dedup_exact_substring_spans",
+    # NEW in round 10 — DSIR hashed-n-gram importance resampling
+    "sample_dsir_importance",
     # latest driver row r6 — oldest remaining evidence; tail rolls
     "agg_boolean_family",
     "agg_distinct_and_approx",
