@@ -301,6 +301,10 @@ def test_hostile_stream_outer_join_parity(spark, hostile_dir, duck, name):
         # sub-bigram docs contribute unigram-only feature streams;
         # NTILE(4) on a tiny non-divisible doc count
         "sample_dsir_importance",
+        # containment: the repetition doc collapses to ONE distinct
+        # shingle under array_distinct/DISTINCT in both engines; no
+        # hostile doc shares a shingle, so both must emit empty
+        "dedup_containment_ngram",
     ],
 )
 def test_hostile_docs_ops_parity(spark, hostile_dir, duck, name):

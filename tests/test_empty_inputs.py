@@ -137,6 +137,7 @@ REPRESENTATIVE = [
     "quality_linear_classifier",
     "dedup_exact_substring_spans",
     "sample_dsir_importance",
+    "dedup_containment_ngram",
 ]
 
 

@@ -564,3 +564,68 @@ def test_cms_overestimates_and_is_deterministic(spark):
     assert len(a) == 20
     for _, exact_n, cms_est in a:
         assert cms_est >= exact_n
+
+
+def test_exact_substring_spans_match_python_reference(spark):
+    """dedup_exact_substring_spans vs a from-scratch pure-python
+    positional-gram scan over the sf0.001 corpus: identical totals, dup
+    counts, ratios, and longest contiguous duplicated run per doc."""
+    from collections import defaultdict
+
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.io import read_table
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.dedup import (
+        SUBSTR_N,
+        dedup_exact_substring_spans,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = [
+        (r["doc_id"], r["text"].split(" "))
+        for r in read_table(spark, sf, "documents").collect()
+    ]
+    grams = {
+        did: [
+            " ".join(toks[i : i + SUBSTR_N])
+            for i in range(len(toks) - SUBSTR_N + 1)
+        ]
+        for did, toks in docs
+        if len(toks) >= SUBSTR_N
+    }
+    owners = defaultdict(set)
+    for did, gs in grams.items():
+        for g in gs:
+            owners[g].add(did)
+    expect = []
+    for did in sorted(grams):
+        flags = [len(owners[g]) >= 2 for g in grams[did]]
+        longest = run = 0
+        for fl in flags:
+            run = run + 1 if fl else 0
+            longest = max(longest, run)
+        n_dup = sum(flags)
+        expect.append(
+            (did, len(flags), n_dup, round(n_dup / len(flags), 6), longest)
+        )
+    got = [tuple(r) for r in dedup_exact_substring_spans(spark, sf).collect()]
+    assert got == expect
+
+
+def test_containment_vs_jaccard_relation(spark):
+    """Containment dominates Jaccard for every candidate pair
+    (|A∩B|/|S_small| >= |A∩B|/|A∪B|), and every symmetric near-dup pair
+    found by dedup_ngram_jaccard must appear (both directions' max) at
+    containment >= its jaccard."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.dedup import (
+        dedup_containment_ngram,
+        dedup_ngram_jaccard,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cont = {
+        (r["contained_doc"], r["container_doc"]): r["containment"]
+        for r in dedup_containment_ngram(spark, sf).collect()
+    }
+    for r in dedup_ngram_jaccard(spark, sf).collect():
+        a, b, j = r["doc_a"], r["doc_b"], r["jaccard"]
+        best = max(cont.get((a, b), 0.0), cont.get((b, a), 0.0))
+        assert best >= j - 1e-9, (a, b, j, best)

@@ -1256,3 +1256,91 @@ ORACLE["dedup_exact_substring_spans"] = (
     "COALESCE(d.longest, 0) AS longest_dup_run "
     "FROM tot t LEFT JOIN da d USING (doc_id) ORDER BY doc_id"
 )
+
+
+# --- Asymmetric shingle containment (Broder 1997) --------------------------
+
+CONTAINMENT_THRESHOLD = 0.9
+
+
+def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — asymmetric **containment** dedup (Broder 1997,
+    "On the resemblance and containment of documents"):
+    ``c(A→B) = |S(A) ∩ S(B)| / |S(A)|`` over distinct 3-gram shingles.
+    Near-1 containment with low Jaccard is the subset-duplicate case —
+    a doc embedded inside a larger one (quoting, concatenated crawls) —
+    which symmetric-Jaccard dedup (``dedup_ngram_jaccard``) structurally
+    misses. Emits every ordered pair at containment ≥ 0.9, labelling
+    which side is contained.
+
+    Scale shape: identical to the Jaccard pipeline — candidates from
+    the shared-shingle inverted-index equi-join (never all-pairs), the
+    intersection count from the join's groupBy, per-doc sizes joined
+    in. One extra projection turns each unordered candidate pair into
+    the two directed containments; no extra shuffle.
+
+    Determinism: integer counts; the ratio rounds at 6 dp with the
+    threshold applied to the UNROUNDED value in both engines; ties
+    impossible in ordering (doc_a, doc_b unique per direction).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    sh = _spread_if_narrow(_shingles(_spread_if_narrow(docs)), "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    j = inter.join(sa, "doc_a").join(sb, "doc_b")
+    fwd = j.select(
+        F.col("doc_a").alias("contained_doc"),
+        F.col("doc_b").alias("container_doc"),
+        (F.col("n_inter") / F.col("n_a")).alias("containment"),
+    )
+    rev = j.select(
+        F.col("doc_b").alias("contained_doc"),
+        F.col("doc_a").alias("container_doc"),
+        (F.col("n_inter") / F.col("n_b")).alias("containment"),
+    )
+    return (
+        fwd.unionByName(rev)
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .select(
+            "contained_doc",
+            "container_doc",
+            F.round("containment", 6).alias("containment"),
+        )
+        .orderBy("contained_doc", "container_doc")
+    )
+
+
+QUERIES["dedup_containment_ngram"] = dedup_containment_ngram
+
+ORACLE["dedup_containment_ngram"] = (
+    f"WITH sh AS ({_SHINGLE_SQL}), "
+    "sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1), "
+    "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i "
+    "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+    "GROUP BY 1, 2), "
+    "j AS (SELECT doc_a, doc_b, i, sa.n AS n_a, sb.n AS n_b "
+    "FROM inter JOIN sz sa ON sa.doc_id = doc_a "
+    "JOIN sz sb ON sb.doc_id = doc_b), "
+    "d AS (SELECT doc_a AS contained_doc, doc_b AS container_doc, "
+    "i * 1.0 / n_a AS containment FROM j "
+    "UNION ALL "
+    "SELECT doc_b AS contained_doc, doc_a AS container_doc, "
+    "i * 1.0 / n_b AS containment FROM j) "
+    "SELECT contained_doc, container_doc, "
+    "ROUND(containment, 6) AS containment FROM d "
+    f"WHERE containment >= {CONTAINMENT_THRESHOLD} "
+    "ORDER BY contained_doc, container_doc"
+)

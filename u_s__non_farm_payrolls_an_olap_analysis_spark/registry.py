@@ -155,6 +155,8 @@ _SAMPLE_PRIORITY = [
     "dedup_exact_substring_spans",
     # NEW in round 10 — DSIR hashed-n-gram importance resampling
     "sample_dsir_importance",
+    # NEW in round 10 — Broder asymmetric shingle containment
+    "dedup_containment_ngram",
     # latest driver row r6 — oldest remaining evidence; tail rolls
     "agg_boolean_family",
     "agg_distinct_and_approx",
