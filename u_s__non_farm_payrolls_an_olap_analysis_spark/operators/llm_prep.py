@@ -970,8 +970,9 @@ def quality_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled int64, and the score/round/label arithmetic is stated
     identically in the oracle — fully hash-checked."""
     from ..functions.numerics import dround
+    from .dedup import _spread_if_narrow
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _spread_if_narrow(read_table(spark, sf_dir, "documents"))
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     )
@@ -1079,7 +1080,6 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    from ..functions.numerics import dsum
 
     docs = read_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
@@ -1092,7 +1092,9 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    f = docs.select(
+    from .dedup import _spread_if_narrow
+
+    f = _spread_if_narrow(docs).select(
         "doc_id", "lang", F.explode(F.concat(toks, bigrams)).alias("feat")
     )
     bucket = (
@@ -1103,11 +1105,23 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         % DSIR_BUCKETS
     )
-    fb = f.select("doc_id", "lang", bucket.alias("b"))
-    counts = fb.groupBy("b").agg(
-        F.count(F.lit(1)).alias("c_raw"),
+    # collapse the feature stream to per-(doc, bucket) counts ONCE: every
+    # downstream consumer (bucket model AND per-doc scoring) derives from
+    # this ~docs x 128 table, so the corpus-sized explode+hash subtree is
+    # re-executed at most twice (Spark shares no subtrees across the
+    # broadcast/shuffle boundary), not once per reference — and all
+    # feature multiplicity becomes exact integer cnt arithmetic
+    db = (
+        f.select("doc_id", "lang", bucket.alias("b"))
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    counts = db.groupBy("b").agg(
+        F.sum("cnt").alias("c_raw"),
         F.sum(
-            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+            F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("cnt")).otherwise(
+                F.lit(0)
+            )
         ).alias("c_tgt"),
     )
     tot = counts.agg(
@@ -1126,12 +1140,23 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("lw"),
     )
+    # per-feature scaled-int rounding commutes with the count: every
+    # feature in a bucket carries the same lw, so Σ_features round(lw*S)
+    # == Σ_buckets cnt * round(lw*S) EXACTLY (integer arithmetic) — the
+    # oracle states the per-feature form, this states the grouped form
+    from ..functions.numerics import dround
+
+    contrib = F.col("cnt") * dround(
+        F.col("lw") * SURPRISAL_SCALE, 0
+    ).cast("long")
     scored = (
-        fb.join(F.broadcast(lam), "b")
+        db.join(F.broadcast(lam), "b")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_feats"),
-            F.round(dsum("lw", SURPRISAL_SCALE), 6).alias("log_weight"),
+            F.sum("cnt").alias("n_feats"),
+            F.round(
+                F.sum(contrib).cast("double") / SURPRISAL_SCALE, 6
+            ).alias("log_weight"),
         )
     )
     wsel = Window.orderBy(F.col("log_weight").desc(), "doc_id")
