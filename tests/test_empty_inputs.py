@@ -138,6 +138,7 @@ REPRESENTATIVE = [
     "dedup_exact_substring_spans",
     "sample_dsir_importance",
     "dedup_containment_ngram",
+    "stream_static_enrich_join",
 ]
 
 

@@ -407,3 +407,50 @@ def test_checkpoint_resume_processes_only_new_data(spark, tmp_path):
         (r["user_id"], r["v"]) for r in spark.read.parquet(str(seen)).collect()
     )
     assert both == [(1, 10), (2, 20), (3, 30)]  # a.parquet not re-emitted
+
+
+def test_stream_static_join_matches_spark_batch(spark):
+    """The stream-static enrichment must equal the SAME join+aggregate
+    computed in plain batch Spark (the stream-static join is stateless,
+    so a bounded replay commutes with it exactly) — an in-engine twin of
+    the DuckDB oracle check."""
+    from pyspark.sql import functions as F
+
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.functions.numerics import (
+        dsum,
+    )
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.streaming import (
+        stream_windows,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        map(
+            tuple,
+            stream_windows.QUERIES["stream_static_enrich_join"](
+                spark, sf
+            ).collect(),
+        )
+    )
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.io import read_table
+
+    ev = read_table(spark, sf, "events").select(
+        "user_id", "event_type", "value"
+    )
+    dim = spark.read.parquet(f"{sf}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    want = sorted(
+        map(
+            tuple,
+            ev.join(dim, "user_id")
+            .groupBy("event_type", "segment")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(dsum("value"), 4).alias("sum_value"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want

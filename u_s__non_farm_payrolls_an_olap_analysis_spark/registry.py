@@ -157,6 +157,8 @@ _SAMPLE_PRIORITY = [
     "sample_dsir_importance",
     # NEW in round 10 — Broder asymmetric shingle containment
     "dedup_containment_ngram",
+    # NEW in round 10 — stream-static broadcast dimension enrichment
+    "stream_static_enrich_join",
     # latest driver row r6 — oldest remaining evidence; tail rolls
     "agg_boolean_family",
     "agg_distinct_and_approx",

@@ -797,3 +797,54 @@ ORACLE["stream_full_outer_join"] = (
     "CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR "
     "AND CAST(c.ts AS TIMESTAMP) < CAST(p.ts AS TIMESTAMP)"
 )
+
+
+def stream_static_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment — the most common production
+    streaming shape, previously undemonstrated here: the micro-batched
+    event stream joined to a STATIC dimension table (customer market
+    segment keyed by ``user_id``), then aggregated per (event_type,
+    segment).
+
+    Semantics worth pinning: a stream-static equi-join is STATELESS —
+    no watermark is required for it (the watermark here only bounds the
+    downstream aggregation state) and the static side is re-planned per
+    micro-batch, so dimension updates between batches are picked up.
+    The dim is explicitly broadcast: at production scale the stream side
+    never shuffles for the join (map-side hash probe per batch); events
+    whose user has no dim row are dropped by the inner join in both
+    engines identically.
+
+    Oracle: the identical batch join+aggregate — stream-static joins
+    commute with bounded replay.
+    """
+    ev = _events_stream(spark, sf_dir)
+    dim = (
+        spark.read.parquet(os.path.abspath(f"{sf_dir}/customer.parquet"))
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .join(F.broadcast(dim), "user_id")
+        .groupBy("event_type", "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(dsum("value"), 4).alias("sum_value"),
+        )
+    )
+    out = _drain_to_memory(agg, spark)
+    return out.select("event_type", "segment", "n_events", "sum_value")
+
+
+QUERIES["stream_static_enrich_join"] = stream_static_enrich_join
+
+ORACLE["stream_static_enrich_join"] = (
+    "SELECT e.event_type, c.c_mktsegment AS segment, "
+    "COUNT(*) AS n_events, "
+    f"ROUND({dsum_sql('e.value')}, 4) AS sum_value "
+    "FROM events e JOIN customer c ON c.c_custkey = e.user_id "
+    "GROUP BY 1, 2"
+)
