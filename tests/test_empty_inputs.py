@@ -139,6 +139,7 @@ REPRESENTATIVE = [
     "sample_dsir_importance",
     "dedup_containment_ngram",
     "stream_static_enrich_join",
+    "sample_quantile_threshold_cut",
 ]
 
 

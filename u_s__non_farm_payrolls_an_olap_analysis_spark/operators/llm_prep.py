@@ -1204,3 +1204,59 @@ ORACLE["sample_dsir_importance"] = (
     "CAST(NTILE(4) OVER (ORDER BY log_weight DESC, doc_id) = 1 AS INT) "
     "AS selected FROM scored ORDER BY doc_id"
 )
+
+
+# --- Broadcast quantile-threshold selection (the 100 TB cut) ---------------
+
+QT_CUT_P = 0.25  # keep the most-fluent quartile (lowest LM surprisal)
+
+
+def sample_quantile_threshold_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — the **broadcast-threshold selection** shape that
+    `quality_ccnet_buckets` / `sample_dsir_importance` docstrings cite
+    as the 100 TB replacement for a global ntile sort: compute ONE
+    scalar quantile of the per-doc LM score (exact interpolated
+    ``percentile`` ≡ DuckDB ``quantile_cont`` — the ``agg_percentiles``
+    parity device), broadcast it, and flag each doc against it. No
+    global sort, no single-partition window: the cut costs one scalar
+    aggregate + a 1-row broadcast join at any corpus size (swap the
+    exact percentile for ``approx_percentile`` when the score stream
+    itself is too hot — plan shape unchanged).
+
+    Ties at the threshold are INCLUDED (``<=``) in both engines on the
+    identically-rounded 6 dp score, so the kept set can exceed p*N —
+    the documented, deterministic semantics (ntile splits ties by
+    doc_id instead; both are valid cut contracts, this one is the
+    shuffle-free one)."""
+    s = quality_unigram_surprisal(spark, sf_dir).select(
+        "doc_id", "avg_surprisal"
+    )
+    thr = s.agg(
+        F.round(
+            F.percentile("avg_surprisal", F.lit(QT_CUT_P)), 6
+        ).alias("threshold")
+    )
+    return (
+        s.crossJoin(F.broadcast(thr))
+        .select(
+            "doc_id",
+            "avg_surprisal",
+            "threshold",
+            (F.col("avg_surprisal") <= F.col("threshold"))
+            .cast("int")
+            .alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["sample_quantile_threshold_cut"] = sample_quantile_threshold_cut
+
+ORACLE["sample_quantile_threshold_cut"] = (
+    f"WITH s AS ({ORACLE['quality_unigram_surprisal']}), "
+    f"thr AS (SELECT ROUND(quantile_cont(avg_surprisal, {QT_CUT_P}), 6) "
+    "AS threshold FROM s) "
+    "SELECT doc_id, avg_surprisal, threshold, "
+    "CAST(avg_surprisal <= threshold AS INT) AS keep "
+    "FROM s CROSS JOIN thr ORDER BY doc_id"
+)

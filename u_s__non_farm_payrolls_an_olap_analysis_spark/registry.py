@@ -159,6 +159,8 @@ _SAMPLE_PRIORITY = [
     "dedup_containment_ngram",
     # NEW in round 10 — stream-static broadcast dimension enrichment
     "stream_static_enrich_join",
+    # NEW in round 10 — broadcast quantile-threshold corpus cut
+    "sample_quantile_threshold_cut",
     # latest driver row r6 — oldest remaining evidence; tail rolls
     "agg_boolean_family",
     "agg_distinct_and_approx",
