@@ -140,6 +140,7 @@ REPRESENTATIVE = [
     "dedup_containment_ngram",
     "stream_static_enrich_join",
     "sample_quantile_threshold_cut",
+    "quality_stupid_backoff_logprob",
 ]
 
 

@@ -1260,3 +1260,127 @@ ORACLE["sample_quantile_threshold_cut"] = (
     "CAST(avg_surprisal <= threshold AS INT) AS keep "
     "FROM s CROSS JOIN thr ORDER BY doc_id"
 )
+
+
+# --- Stupid Backoff bigram LM scoring (Brants et al. 2007) -----------------
+
+SB_ALPHA = 0.4  # the paper's fixed backoff weight
+
+
+def quality_stupid_backoff_logprob(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """North-star — bigram LM scoring with **Stupid Backoff** (Brants et
+    al. 2007, "Large Language Models in Machine Translation"): score
+    S(w_i|w_{i-1}) = c(w_{i-1} w_i)/c(w_{i-1}) when the bigram was seen,
+    else ``SB_ALPHA * c(w_i)/N`` — the smoothing the paper introduced
+    BECAUSE it needs no held-out normalization pass and so distributes
+    trivially; the published recipe for corpus-scale LM quality scoring
+    (upgrades the unigram `quality_unigram_surprisal`).
+
+    Scale shape: bigram and unigram count tables are map-side-combined
+    aggregates over the corpus (at web scale they'd be count-thresholded
+    like the paper's; the fixture LM is exact); both join back onto the
+    per-position bigram stream as BROADCASTs (the fixture vocabulary
+    makes them tiny; a production LM probe shards by first token — the
+    same keyed equi-join, shuffled instead of broadcast). The corpus
+    pays one positional-pair explode and one doc_id aggregate.
+
+    The LM trains on the EVEN-doc_id half and scores EVERY document, so
+    all three regimes actually fire on the fixture: seen bigram, backoff
+    to a seen unigram, and the OOV floor (an unseen token scores as
+    count 1 — the standard floor, documented here because Stupid Backoff
+    itself leaves OOV policy to the implementation).
+
+    Determinism: per-position log-scores sum as scaled int64 (``davg``);
+    ``ln`` is 6 dp cross-engine stable (surprisal precedent); the
+    backoff branch is written ``ln((0.4 * c)/N)`` with identical
+    association in both engines. Docs with < 2 tokens have no bigram
+    and drop in both engines.
+    """
+    from .dedup import _spread_if_narrow
+
+    docs = read_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    toks = F.split(F.col("text"), " ")
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.struct(
+                F.element_at(toks, i + 1).alias("prev"),
+                F.element_at(toks, i + 2).alias("cur"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    bg = (
+        _spread_if_narrow(docs)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+    )
+    uni = train.select(F.explode(toks).alias("tok"))
+    cu = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c_uni"))
+    total = cu.agg(F.sum("c_uni").alias("n_total"))
+    cb = (
+        _spread_if_narrow(train)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+        .agg(F.count(F.lit(1)).alias("c_big"))
+    )
+    cprev = cu.select(
+        F.col("tok").alias("prev"), F.col("c_uni").alias("c_prev")
+    )
+    ccur = cu.select(
+        F.col("tok").alias("cur"), F.col("c_uni").alias("c_cur")
+    )
+    s = F.when(
+        F.col("c_big").isNotNull(),
+        F.log(F.col("c_big").cast("double") / F.col("c_prev").cast("double")),
+    ).otherwise(
+        F.log(
+            (
+                F.lit(SB_ALPHA)
+                * F.coalesce(F.col("c_cur"), F.lit(1)).cast("double")
+            )
+            / F.col("n_total").cast("double")
+        )
+    )
+    return (
+        bg.join(F.broadcast(cb), ["prev", "cur"], "left")
+        .join(F.broadcast(cprev), "prev", "left")
+        .join(F.broadcast(ccur), "cur", "left")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(davg(s, SURPRISAL_SCALE), 6).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["quality_stupid_backoff_logprob"] = quality_stupid_backoff_logprob
+
+ORACLE["quality_stupid_backoff_logprob"] = (
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+    "FROM documents), "
+    "bg AS (SELECT doc_id, toks[i] AS prev, toks[i + 1] AS cur "
+    "FROM t, UNNEST(range(1, greatest(len(toks), 1))) AS u(i)), "
+    "uni AS (SELECT u.tok FROM t, UNNEST(toks) AS u(tok) "
+    "WHERE doc_id % 2 = 0), "
+    "cu AS (SELECT tok, COUNT(*) AS c_uni FROM uni GROUP BY 1), "
+    "tot AS (SELECT CAST(SUM(c_uni) AS BIGINT) AS n_total FROM cu), "
+    "cb AS (SELECT prev, cur, COUNT(*) AS c_big FROM bg "
+    "WHERE doc_id % 2 = 0 GROUP BY 1, 2), "
+    "scored AS (SELECT bg.doc_id, "
+    "CASE WHEN cb.c_big IS NOT NULL "
+    "THEN ln(CAST(cb.c_big AS DOUBLE) / CAST(cp.c_uni AS DOUBLE)) "
+    f"ELSE ln(({SB_ALPHA} * CAST(COALESCE(cc.c_uni, 1) AS DOUBLE)) / "
+    "CAST(tot.n_total AS DOUBLE)) END AS s "
+    "FROM bg LEFT JOIN cb ON cb.prev = bg.prev AND cb.cur = bg.cur "
+    "LEFT JOIN cu cp ON cp.tok = bg.prev "
+    "LEFT JOIN cu cc ON cc.tok = bg.cur CROSS JOIN tot) "
+    "SELECT doc_id, COUNT(*) AS n_bigrams, "
+    f"ROUND({davg_sql('s', SURPRISAL_SCALE)}, 6) AS avg_logprob "
+    "FROM scored GROUP BY 1 ORDER BY 1"
+)

@@ -161,6 +161,8 @@ _SAMPLE_PRIORITY = [
     "stream_static_enrich_join",
     # NEW in round 10 — broadcast quantile-threshold corpus cut
     "sample_quantile_threshold_cut",
+    # NEW in round 10 — Stupid Backoff bigram LM scoring
+    "quality_stupid_backoff_logprob",
     # latest driver row r6 — oldest remaining evidence; tail rolls
     "agg_boolean_family",
     "agg_distinct_and_approx",
