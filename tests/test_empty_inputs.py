@@ -141,6 +141,7 @@ REPRESENTATIVE = [
     "stream_static_enrich_join",
     "sample_quantile_threshold_cut",
     "quality_stupid_backoff_logprob",
+    "sim_search_hard_negatives",
 ]
 
 

@@ -753,3 +753,77 @@ def _hybrid_rrf_oracle_sql() -> str:
 
 
 ORACLE["sim_search_hybrid_rrf"] = _hybrid_rrf_oracle_sql()
+
+
+# --- Hard-negative mining (DPR / ANCE) -------------------------------------
+
+HN_LO = 0.2  # band floor: below this, negatives are trivially easy
+HN_HI = 0.35  # band ceiling: above this, treat as positive/near-dup
+HN_K = 5
+
+
+def sim_search_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **hard-negative mining** for retrieval/embedding
+    training (DPR, Karpukhin et al. 2020; ANCE, Xiong et al. 2021): for
+    each query, the top-k candidates whose cosine falls in the
+    [``HN_LO``, ``HN_HI``) band — similar enough to be confusable,
+    below the positive/near-dup ceiling — the pairs that actually move
+    a contrastive loss. The band constants are calibrated to the
+    fixture's near-random cosine geometry (p90 ≈ 0.16, max ≈ 0.49; a
+    production embedding space would sit near the usual 0.5/0.9): the
+    band holds the top few percent of each query's candidates without
+    touching the trivially-easy bulk.
+
+    Shares `sim_search_cosine`'s exact scored stream (broadcast query
+    block over the candidate scan, JVM-codegen array math); the band
+    filter applies to the ROUNDED 6 dp cosine so the boundary is
+    engine-portable, then one per-query rank window cuts the top-k. At
+    production scale the scored stream swaps to the IVF candidate lists
+    (`sim_search_ann_ivf`) with the band+rank stages unchanged — the
+    mining pass is a filter over whatever scorer feeds it.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+    )
+    scored = c.join(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cosine"),
+    )
+    band = scored.filter(
+        (F.col("cosine") >= HN_LO) & (F.col("cosine") < HN_HI)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    return (
+        band.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HN_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+QUERIES["sim_search_hard_negatives"] = sim_search_hard_negatives
+
+ORACLE["sim_search_hard_negatives"] = (
+    f"WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
+    f"FROM embeddings WHERE vec_id < {N_QUERIES}), "
+    f"c AS (SELECT vec_id AS neighbor_id, embedding AS ce "
+    f"FROM embeddings WHERE vec_id >= {N_QUERIES}), "
+    f"s AS (SELECT query_id, neighbor_id, ROUND({_COS_QC}, 6) "
+    "AS cosine FROM q CROSS JOIN c), "
+    f"b AS (SELECT * FROM s WHERE cosine >= {HN_LO} AND cosine < {HN_HI}), "
+    "r AS (SELECT query_id, neighbor_id, cosine, ROW_NUMBER() OVER ("
+    "PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank "
+    "FROM b) SELECT query_id, neighbor_id, cosine, "
+    f"CAST(rank AS INT) AS rank FROM r WHERE rank <= {HN_K}"
+)

@@ -163,6 +163,8 @@ _SAMPLE_PRIORITY = [
     "sample_quantile_threshold_cut",
     # NEW in round 10 — Stupid Backoff bigram LM scoring
     "quality_stupid_backoff_logprob",
+    # NEW in round 10 — DPR/ANCE hard-negative mining band
+    "sim_search_hard_negatives",
     # latest driver row r6 — oldest remaining evidence; tail rolls
     "agg_boolean_family",
     "agg_distinct_and_approx",
