@@ -305,6 +305,10 @@ def test_hostile_stream_outer_join_parity(spark, hostile_dir, duck, name):
         # shingle under array_distinct/DISTINCT in both engines; no
         # hostile doc shares a shingle, so both must emit empty
         "dedup_containment_ngram",
+        # sliding windows: the empty doc gets exactly ONE window holding
+        # the '' token (n=1 <= W), 1-token and sub-window docs likewise;
+        # both engines' slice-beyond-end semantics must agree
+        "chunk_sliding_window",
         # quantile cut: percentile/quantile_cont interpolation on 13
         # rounded scores (h = 12*0.25 = 3 exactly — no interpolation —
         # but engines must also agree on <= ties at the threshold)

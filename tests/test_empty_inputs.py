@@ -142,6 +142,7 @@ REPRESENTATIVE = [
     "sample_quantile_threshold_cut",
     "quality_stupid_backoff_logprob",
     "sim_search_hard_negatives",
+    "chunk_sliding_window",
 ]
 
 

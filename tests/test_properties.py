@@ -629,3 +629,39 @@ def test_containment_vs_jaccard_relation(spark):
         a, b, j = r["doc_a"], r["doc_b"], r["jaccard"]
         best = max(cont.get((a, b), 0.0), cont.get((b, a), 0.0))
         assert best >= j - 1e-9, (a, b, j, best)
+
+
+def test_sliding_windows_reconstruct_document(spark):
+    """Sliding windows must cover every token: concatenating each
+    window's first WIN_STRIDE tokens plus the last window's remainder
+    reproduces the original token stream exactly, and consecutive full
+    windows overlap by WIN_TOKENS - WIN_STRIDE tokens."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.io import read_table
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.llm_prep import (
+        WIN_STRIDE,
+        WIN_TOKENS,
+        chunk_sliding_window,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    wins = {}
+    for r in chunk_sliding_window(spark, sf).collect():
+        wins.setdefault(r["doc_id"], {})[r["win_id"]] = r["win_text"].split(" ")
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in read_table(spark, sf, "documents").collect()
+        if r["text"] is not None
+    }
+    assert set(wins) == set(docs)
+    for did, toks in docs.items():
+        ws = [wins[did][i] for i in range(len(wins[did]))]
+        rebuilt = []
+        for w in ws[:-1]:
+            assert len(w) == WIN_TOKENS  # only the last may run short
+            rebuilt.extend(w[:WIN_STRIDE])
+        rebuilt.extend(ws[-1])
+        assert rebuilt == toks, did
+        for a, b in zip(ws, ws[1:]):
+            if len(b) >= WIN_TOKENS - WIN_STRIDE:
+                assert a[WIN_STRIDE:] == b[: WIN_TOKENS - WIN_STRIDE]
+

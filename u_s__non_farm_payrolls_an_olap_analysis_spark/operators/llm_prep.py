@@ -1384,3 +1384,71 @@ ORACLE["quality_stupid_backoff_logprob"] = (
     f"ROUND({davg_sql('s', SURPRISAL_SCALE)}, 6) AS avg_logprob "
     "FROM scored GROUP BY 1 ORDER BY 1"
 )
+
+
+# --- Sliding-window chunking with overlap ----------------------------------
+
+WIN_TOKENS = 40
+WIN_STRIDE = 20  # < WIN_TOKENS -> consecutive windows overlap by 20
+
+
+def chunk_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **sliding-window chunking with overlap** (stride <
+    window), the standard RAG-indexing / long-doc pretraining variant of
+    `chunk_documents`: consecutive windows share ``WIN_TOKENS -
+    WIN_STRIDE`` tokens so no boundary context is lost. Window count is
+    ``1`` for docs that fit, else ``ceil((n - W)/S) + 1`` — the last
+    window is allowed to run short rather than re-anchoring to the tail
+    (re-anchoring duplicates tail tokens nondeterministically across
+    engines; the run-short contract is stated identically in both).
+
+    Same scale shape as `chunk_documents`: pure array arithmetic, a
+    codegen'd 1-to-N explode, zero shuffle — scan partitions carry
+    straight through. Window-count arithmetic stays in the exact-double
+    domain (``ceil`` on counts ≪ 2^53) so both engines agree bit-for-bit.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    n_wins = (
+        F.when(n <= WIN_TOKENS, F.lit(1))
+        .otherwise(
+            F.ceil((n - WIN_TOKENS) * F.lit(1.0) / WIN_STRIDE).cast("int")
+            + 1
+        )
+        .cast("int")
+    )
+    w = docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.explode(F.sequence(F.lit(0), n_wins - 1)).alias("win_id"),
+        toks.alias("toks"),
+    )
+    win = F.slice(
+        F.col("toks"), F.col("win_id") * WIN_STRIDE + 1, WIN_TOKENS
+    )
+    return w.select(
+        "doc_id",
+        "win_id",
+        F.size(win).cast("int").alias("win_tokens"),
+        F.array_join(win, " ").alias("win_text"),
+    )
+
+
+QUERIES["chunk_sliding_window"] = chunk_sliding_window
+
+ORACLE["chunk_sliding_window"] = (
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+    "FROM documents), "
+    "c AS (SELECT doc_id, toks, "
+    f"CASE WHEN len(toks) <= {WIN_TOKENS} THEN 1 ELSE "
+    f"CAST(CEIL((len(toks) - {WIN_TOKENS}) * 1.0 / {WIN_STRIDE}) "
+    "AS BIGINT) + 1 END AS n_wins FROM t), "
+    "e AS (SELECT doc_id, toks, unnest(range(0, n_wins)) AS win_id FROM c) "
+    "SELECT doc_id, CAST(win_id AS INT) AS win_id, "
+    f"CAST(len(toks[win_id * {WIN_STRIDE} + 1 : "
+    f"win_id * {WIN_STRIDE} + {WIN_TOKENS}]) AS INT) AS win_tokens, "
+    f"array_to_string(toks[win_id * {WIN_STRIDE} + 1 : "
+    f"win_id * {WIN_STRIDE} + {WIN_TOKENS}], ' ') AS win_text "
+    "FROM e"
+)

@@ -165,6 +165,8 @@ _SAMPLE_PRIORITY = [
     "quality_stupid_backoff_logprob",
     # NEW in round 10 — DPR/ANCE hard-negative mining band
     "sim_search_hard_negatives",
+    # NEW in round 10 — sliding-window chunking with overlap
+    "chunk_sliding_window",
     # latest driver row r6 — oldest remaining evidence; tail rolls
     "agg_boolean_family",
     "agg_distinct_and_approx",
