@@ -309,6 +309,21 @@ def test_hostile_stream_outer_join_parity(spark, hostile_dir, duck, name):
         # the '' token (n=1 <= W), 1-token and sub-window docs likewise;
         # both engines' slice-beyond-end semantics must agree
         "chunk_sliding_window",
+        # winnowing: sub-K-token docs (incl. empty text) drop in both
+        # engines; the repetition doc's all-identical gram hashes force
+        # the rightmost-tie rule to decide EVERY window — any tie-break
+        # divergence between the engines' min(key) would surface here
+        "text_winnow_fingerprint",
+        # prefix-filtered ssjoin: no hostile doc shares a shingle, so
+        # prefixes are disjoint and both engines must emit empty; the
+        # repetition doc's single-distinct-shingle set gets prefix
+        # length 1 - ceil(0.8) + 1 = 1 (integer-ceil path) in both
+        "dedup_allpairs_prefix",
+        # BPE apply: the ''-word encodes to 0 units (regexp_replace('')
+        # stays empty, both engines' split-on-|| drops empties); digits
+        # and non-ASCII words pass through unmerged; the repetition doc
+        # stresses the broadcast vocab join on one giant count
+        "text_bpe_encode_count",
         # quantile cut: percentile/quantile_cont interpolation on 13
         # rounded scores (h = 12*0.25 = 3 exactly — no interpolation —
         # but engines must also agree on <= ties at the threshold)

@@ -143,6 +143,9 @@ REPRESENTATIVE = [
     "quality_stupid_backoff_logprob",
     "sim_search_hard_negatives",
     "chunk_sliding_window",
+    "text_winnow_fingerprint",
+    "dedup_allpairs_prefix",
+    "text_bpe_encode_count",
 ]
 
 

@@ -665,3 +665,180 @@ def test_sliding_windows_reconstruct_document(spark):
             if len(b) >= WIN_TOKENS - WIN_STRIDE:
                 assert a[WIN_STRIDE:] == b[: WIN_TOKENS - WIN_STRIDE]
 
+
+def _winnow_reference(tokens, k, w, pos_max):
+    """Pure-python winnowing (Schleimer et al. 2003, rightmost-min rule)."""
+    import hashlib
+
+    g = len(tokens) - k + 1
+    if g < 1:
+        return set()
+    hs = [
+        hashlib.md5(("wn:" + " ".join(tokens[i : i + k])).encode()).hexdigest()[:15]
+        for i in range(g)
+    ]
+    sel = set()
+    for end in range(min(w, g) - 1, g):
+        lo = max(0, end - w + 1)
+        best = min(range(lo, end + 1), key=lambda i: (hs[i], -i))
+        sel.add((best + 1, hs[best]))
+    return sel
+
+
+def test_winnow_matches_pure_python_reference(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.io import read_table
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.text import (
+        _WINNOW_POS_MAX,
+        WINNOW_K,
+        WINNOW_W,
+        text_winnow_fingerprint,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {}
+    for r in text_winnow_fingerprint(spark, sf).collect():
+        got.setdefault(r["doc_id"], set()).add((r["fp_pos"], r["fp_hash"]))
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in read_table(spark, sf, "documents").collect()
+        if r["text"] is not None
+    }
+    want = {
+        d: _winnow_reference(t, WINNOW_K, WINNOW_W, _WINNOW_POS_MAX)
+        for d, t in docs.items()
+    }
+    want = {d: s for d, s in want.items() if s}
+    assert got == want
+
+
+def test_winnow_guarantee_shared_runs_share_fingerprint(spark):
+    """The winnowing guarantee: any two docs sharing a contiguous run of
+    >= W + K - 1 tokens must share at least one selected fingerprint
+    hash (checked over every qualifying doc pair at sf0.001)."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.io import read_table
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.text import (
+        WINNOW_K,
+        WINNOW_W,
+        text_winnow_fingerprint,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    t_g = WINNOW_W + WINNOW_K - 1
+    fps = {}
+    for r in text_winnow_fingerprint(spark, sf).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp_hash"])
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in read_table(spark, sf, "documents").collect()
+        if r["text"] is not None and len(r["text"].split(" ")) >= t_g
+    }
+    runs = {
+        d: {" ".join(t[i : i + t_g]) for i in range(len(t) - t_g + 1)}
+        for d, t in docs.items()
+    }
+    ids = sorted(runs)
+    checked = 0
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if runs[a] & runs[b]:
+                checked += 1
+                assert fps[a] & fps[b], (a, b)
+    assert checked > 0  # the guarantee was actually exercised
+
+
+def test_allpairs_prefix_equals_full_inverted_index(spark):
+    """The prefix filter is lossless: dedup_allpairs_prefix must produce
+    exactly dedup_ngram_jaccard's pairs, while generating strictly fewer
+    candidate pairs than the full shared-shingle join (the pruning that
+    justifies it at scale)."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.io import read_table
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        _prefix_candidates,
+        _shingles,
+        dedup_allpairs_prefix,
+        dedup_ngram_jaccard,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup_allpairs_prefix(spark, sf).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup_ngram_jaccard(spark, sf).collect()
+    }
+    assert got == want
+    assert len(got) > 0  # the equality was exercised on real pairs
+
+    docs = read_table(spark, sf, "documents")
+    n_prefix = _prefix_candidates(
+        docs, int(JACCARD_THRESHOLD * 100)
+    ).count()
+    sh = _shingles(docs)
+    a, b = sh.alias("a"), sh.alias("b")
+    from pyspark.sql import functions as F
+
+    n_full = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    assert n_prefix < n_full, (n_prefix, n_full)
+
+
+def test_bpe_encode_matches_fixpoint_reference(spark):
+    """The chained single-pass replace must equal classic BPE application
+    run to FIXPOINT per merge rank (the stronger contract: one pass is
+    exact because a merge cannot recreate its own pair)."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.io import read_table
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.text import (
+        BPE_MERGES,
+        text_bpe_encode_count,
+    )
+
+    def bpe_units(word):
+        u = list(word)
+        for x, y in BPE_MERGES:
+            while True:
+                out, i = [], 0
+                while i < len(u):
+                    if i + 1 < len(u) and u[i] == x and u[i + 1] == y:
+                        out.append(x + y)
+                        i += 2
+                    else:
+                        out.append(u[i])
+                        i += 1
+                if out == u:
+                    break
+                u = out
+        return u
+
+    sf = "/root/testdata/sf0.001"
+    want = {}
+    for r in read_table(spark, sf, "documents").collect():
+        if r["text"] is None:
+            continue
+        ws = r["text"].split(" ")
+        want[r["doc_id"]] = (len(ws), sum(len(bpe_units(w)) for w in ws))
+    got = {
+        r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_units"])
+        for r in text_bpe_encode_count(spark, sf).collect()
+    }
+    assert got == want
+    # merges actually fired: BPE count strictly below char count somewhere
+    chars = {
+        d: sum(len(w) for w in t)
+        for d, t in (
+            (r["doc_id"], r["text"].split(" "))
+            for r in read_table(spark, sf, "documents").collect()
+            if r["text"] is not None
+        )
+    }
+    assert any(got[d][1] < chars[d] for d in got)

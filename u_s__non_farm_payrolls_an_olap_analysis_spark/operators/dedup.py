@@ -1344,3 +1344,118 @@ ORACLE["dedup_containment_ngram"] = (
     f"WHERE containment >= {CONTAINMENT_THRESHOLD} "
     "ORDER BY contained_doc, container_doc"
 )
+
+
+# --- Prefix-filtered set-similarity join (AllPairs / PPJoin family) --------
+
+
+def _prefix_candidates(docs: DataFrame, threshold_pct: int) -> DataFrame:
+    """Candidate pairs under **prefix filtering** (Chaudhuri et al.
+    ICDE 2006; Bayardo et al. WWW 2007 AllPairs; the MapReduce form is
+    Vernica et al. SIGMOD 2010): order every document's shingle set by a
+    single global total order — ascending corpus document-frequency,
+    shingle string as the tiebreak — and index only each set's first
+    ``n - ceil(t*n) + 1`` shingles. Two sets whose prefixes are disjoint
+    cannot reach Jaccard ``t``, so equi-joining on PREFIX shingles alone
+    is a lossless candidate generator that skips the high-df tail
+    (exactly the tokens whose inverted lists explode at corpus scale).
+
+    ``ceil(t*n)`` is computed in integer space (``(p*n + p - 1) DIV q``
+    for ``t = p/q``) — an FP ``ceil(0.8*n)`` rounds up on the binary
+    representation error and would silently shorten the prefix (a
+    recall bug, not a precision one).
+    """
+    from pyspark.sql.window import Window  # lazy: needs active session
+
+    p, q = threshold_pct, 100
+    sh = _spread_if_narrow(_shingles(_spread_if_narrow(docs)), "shingle")
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    order_w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    size_w = Window.partitionBy("doc_id")
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .select(
+            "doc_id",
+            "shingle",
+            F.row_number().over(order_w).alias("rnk"),
+            F.count(F.lit(1)).over(size_w).alias("n"),
+        )
+    )
+    prefix = ranked.filter(
+        F.col("rnk")
+        <= F.col("n") - F.expr(f"({p} * n + {q - 1}) DIV {q}") + 1
+    ).select("doc_id", "shingle")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def dedup_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — exact-Jaccard near-dup pairs via the **AllPairs
+    prefix filter** instead of the full shared-shingle inverted index:
+    candidates come only from shared PREFIX shingles (see
+    :func:`_prefix_candidates`), then each candidate pair is verified
+    with exact Jaccard over the full sets. Lossless by the prefix-filter
+    theorem, so the result is IDENTICAL to :func:`dedup_ngram_jaccard`
+    (the oracle is literally that query's SQL) while the candidate join
+    touches a fraction of the inverted index — the standard answer when
+    frequent tokens make plain shared-token blocking quadratic at
+    100 TB. Verification collapses the exploded shingle stream to ONE
+    per-doc collected-set aggregate first (the subtree-reexecution rule:
+    every extra consumer of the corpus-sized explode re-runs it), then
+    joins the few candidate pairs to that compact table twice and takes
+    ``array_intersect`` sizes — cost ∝ candidates × set size, never
+    corpus², and the explode executes once per keyed consumer instead of
+    three more times for sizes + two row-level verify joins.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    t_pct = int(JACCARD_THRESHOLD * 100)
+    sh = _spread_if_narrow(_shingles(_spread_if_narrow(docs)), "shingle")
+    docsets = sh.groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("sset"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cand = _prefix_candidates(docs, t_pct)
+    da = docsets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sset").alias("set_a"),
+        F.col("n").alias("n_a"),
+    )
+    db = docsets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sset").alias("set_b"),
+        F.col("n").alias("n_b"),
+    )
+    verified = (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("set_a", "set_b")).alias("n_inter"),
+            "n_a",
+            "n_b",
+        )
+    )
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        verified.filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+QUERIES["dedup_allpairs_prefix"] = dedup_allpairs_prefix
+
+# lossless prefix filter ⇒ same result set as the plain inverted-index
+# formulation; the oracle is deliberately the simple exact SQL
+ORACLE["dedup_allpairs_prefix"] = ORACLE["dedup_ngram_jaccard"]

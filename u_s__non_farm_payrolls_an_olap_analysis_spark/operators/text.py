@@ -745,3 +745,182 @@ ORACLE["text_langid_ngram_profile"] = (
     "CAST(d.lang = pred.pred_lang AS INT) AS hit "
     "FROM d JOIN pred ON d.doc_id = pred.doc_id ORDER BY d.doc_id"
 )
+
+
+# --- Winnowing document fingerprints (Schleimer et al. 2003) ---------------
+
+WINNOW_K = 4  # tokens per k-gram
+WINNOW_W = 5  # window of consecutive gram hashes; guarantee = W + K - 1
+_WINNOW_POS_MAX = 9_999_999  # > any fixture gram position; fixed-width pad
+
+
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **winnowing** fingerprint selection (Schleimer,
+    Wilkerson & Aiken, SIGMOD 2003 — the MOSS algorithm): hash every
+    ``K``-token gram, slide a window of ``W`` consecutive gram hashes,
+    and from each window keep the MINIMUM hash, ties broken by the
+    RIGHTMOST position (the paper's rule). The selected ``(pos, hash)``
+    set is the document fingerprint, with the guarantee that any match
+    of at least ``W + K - 1`` tokens between two documents shares a
+    selected hash, at an expected density of ``2/(W+1)`` — the
+    local-selection property that makes it better than "every i-th
+    hash" sampling (which misses matches under reordering).
+
+    Engine mapping: grams + hashes are one guarded array ``transform``
+    (the `when(n >= K)` guard keeps `sequence` from counting down on
+    short docs), the window minimum is a trailing ``rowsBetween`` frame
+    — one exchange on ``doc_id`` — and the min/tie rule is encoded in a
+    single composite sort key ``md5-prefix || zero-padded (MAX - pos)``
+    so the frame's plain ``min()`` implements argmin-with-rightmost-tie
+    in both engines (portable md5, byte-identical string comparison).
+    No UDF anywhere; scales as one explode + one window exchange.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n = F.size(toks)
+    n_grams = n - WINNOW_K + 1
+    gram = lambda i: F.concat_ws(" ", F.slice(toks, i, WINNOW_K))  # noqa: E731
+    sk = lambda i: F.concat(  # noqa: E731
+        F.substring(F.md5(F.concat(F.lit("wn:"), gram(i))), 1, 15),
+        F.lpad((F.lit(_WINNOW_POS_MAX) - i).cast("string"), 7, "0"),
+    )
+    keys = F.when(
+        n >= WINNOW_K,
+        F.transform(F.sequence(F.lit(1), n_grams), sk),
+    ).otherwise(F.array().cast("array<string>"))
+    rows = docs.select(
+        "doc_id",
+        n_grams.alias("n_grams"),
+        F.posexplode(keys).alias("pos0", "sk"),
+    ).select(
+        "doc_id", "n_grams", (F.col("pos0") + 1).alias("pos"), "sk"
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(WINNOW_W - 1), 0)
+    )
+    sel = rows.select(
+        "doc_id",
+        "pos",
+        "n_grams",
+        F.min("sk").over(win).alias("sel"),
+    ).filter(F.col("pos") >= F.least(F.lit(WINNOW_W), F.col("n_grams")))
+    return sel.select(
+        "doc_id",
+        (
+            F.lit(_WINNOW_POS_MAX)
+            - F.substring("sel", 16, 7).cast("int")
+        ).cast("int").alias("fp_pos"),
+        F.substring("sel", 1, 15).alias("fp_hash"),
+    ).distinct()
+
+
+QUERIES["text_winnow_fingerprint"] = text_winnow_fingerprint
+
+ORACLE["text_winnow_fingerprint"] = (
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+    "FROM documents), "
+    f"g AS (SELECT doc_id, len(toks) - {WINNOW_K - 1} AS n_grams, toks "
+    f"FROM t WHERE len(toks) >= {WINNOW_K}), "
+    "e AS (SELECT doc_id, n_grams, CAST(i AS INT) AS pos, "
+    "substr(md5('wn:' || array_to_string("
+    f"toks[i : i + {WINNOW_K - 1}], ' ')), 1, 15) || "
+    f"lpad(CAST({_WINNOW_POS_MAX} - i AS VARCHAR), 7, '0') AS sk "
+    "FROM g, UNNEST(range(1, n_grams + 1)) AS u(i)), "
+    "w AS (SELECT doc_id, pos, n_grams, "
+    "min(sk) OVER (PARTITION BY doc_id ORDER BY pos "
+    f"ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS sel "
+    "FROM e) "
+    "SELECT DISTINCT doc_id, "
+    f"CAST({_WINNOW_POS_MAX} - CAST(substr(sel, 16, 7) AS INT) AS INT) "
+    "AS fp_pos, substr(sel, 1, 15) AS fp_hash "
+    f"FROM w WHERE pos >= least({WINNOW_W}, n_grams)"
+)
+
+
+# --- BPE tokenizer application (Sennrich et al. 2016) -----------------------
+
+# rank-ordered merge table — the merges.txt artifact a trained BPE
+# tokenizer ships; application order IS rank order (Sennrich et al. 2016;
+# GPT-2's tokenizer applies the same rule). Chars drawn from the fixture
+# vocabulary so merges actually fire.
+BPE_MERGES = (
+    ("t", "h"),
+    ("th", "e"),
+    ("e", "r"),
+    ("a", "t"),
+    ("o", "r"),
+    ("s", "t"),
+    ("er", "y"),
+)
+
+
+def text_bpe_encode_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **BPE tokenizer application** (Sennrich et al., ACL
+    2016 — the merge-table half of byte-pair encoding; GPT-2 ships it as
+    ``merges.txt``): encode every corpus word by splitting to characters
+    and applying the rank-ordered merges, then count each document's
+    resulting BPE units — token counting under a LEARNED tokenizer, the
+    number every pretraining cost model actually needs (whitespace
+    counts in `text_token_count` are the cheap proxy).
+
+    Algorithm note: each merge is ONE non-overlapping left-to-right
+    ``replace`` pass over a ``||``-delimited unit string (pattern
+    ``|x||y|`` → ``|xy|`` keeps the boundary bars balanced so adjacent
+    matches chain). A single pass per merge is exact: merging ``x y``
+    into ``xy`` can never create a new ``x y`` adjacency (``xy`` is
+    longer than both), so no fixpoint loop is needed — verified
+    cross-engine in tests and by the hostile corpus.
+
+    Scale shape: the merge chain runs over the DISTINCT-word vocabulary
+    (a tiny aggregate), which then broadcasts back onto the exploded
+    corpus for one keyed sum — the corpus is touched once, the per-word
+    string work happens |vocab| times, not |corpus| times.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("word"))
+    vocab = tok.select("word").distinct()
+    s = F.concat(
+        F.lit("||"), F.regexp_replace(F.col("word"), "(.)", "$1||")
+    )
+    for x, y in BPE_MERGES:
+        s = F.replace(s, F.lit(f"|{x}||{y}|"), F.lit(f"|{x}{y}|"))
+    units = F.filter(F.split(s, r"\|\|"), lambda u: u != "")
+    encoded = vocab.select(
+        "word",
+        F.array_join(units, " ").alias("bpe_units"),
+        F.size(units).cast("int").alias("n_units"),
+    )
+    return (
+        tok.join(F.broadcast(encoded), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ws_tokens"),
+            F.sum("n_units").alias("n_bpe_units"),
+        )
+        .select("doc_id", "n_ws_tokens", "n_bpe_units")
+    )
+
+
+QUERIES["text_bpe_encode_count"] = text_bpe_encode_count
+
+
+def _bpe_chain_sql(expr: str) -> str:
+    for x, y in BPE_MERGES:
+        expr = f"replace({expr}, '|{x}||{y}|', '|{x}{y}|')"
+    return expr
+
+
+ORACLE["text_bpe_encode_count"] = (
+    "WITH tok AS (SELECT doc_id, u.word FROM "
+    "(SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+    "UNNEST(ws) AS u(word)), "
+    "vocab AS (SELECT DISTINCT word FROM tok), "
+    "enc AS (SELECT word, CAST(len(list_filter(string_split("
+    + _bpe_chain_sql("'||' || regexp_replace(word, '(.)', '\\1||', 'g')")
+    + ", '||'), x -> x <> '')) AS INT) AS n_units FROM vocab) "
+    "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ws_tokens, "
+    "CAST(SUM(n_units) AS BIGINT) AS n_bpe_units "
+    "FROM tok JOIN enc USING (word) GROUP BY doc_id"
+)

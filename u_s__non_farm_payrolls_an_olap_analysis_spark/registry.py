@@ -167,6 +167,10 @@ _SAMPLE_PRIORITY = [
     "sim_search_hard_negatives",
     # NEW in round 10 — sliding-window chunking with overlap
     "chunk_sliding_window",
+    # NEW in round 10 — winnowing fingerprints + prefix-filtered ssjoin
+    "text_winnow_fingerprint",
+    "dedup_allpairs_prefix",
+    "text_bpe_encode_count",
     # latest driver row r6 — oldest remaining evidence; tail rolls
     "agg_boolean_family",
     "agg_distinct_and_approx",
