@@ -117,3 +117,75 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
     assert pushed.count() == 6
     plan = pushed._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "employment" in plan
+
+
+def test_xml_roundtrip_with_nested_struct(spark, tmp_path):
+    """Spark 4 native XML source (built-in since 4.0; the spark-xml
+    lineage): write rows with a NESTED struct — the shape XML represents
+    naturally and flat formats cannot — read them back with an explicit
+    schema, and verify values and that a filter is applied on the read
+    path. Real connector, no stub."""
+    path = str(tmp_path / "xmlout")
+    df = spark.createDataFrame(
+        [(1, ("alpha", 10.5)), (2, ("beta", 20.25)), (3, ("gamma", 30.0))],
+        "id int, meta struct<name:string, score:double>",
+    )
+    df.write.mode("overwrite").format("xml").option("rowTag", "rec").save(
+        path
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "rec")
+        .schema("id int, meta struct<name:string, score:double>")
+        .load(path)
+    )
+    assert sorted(
+        (r["id"], r["meta"]["name"], r["meta"]["score"])
+        for r in back.collect()
+    ) == [(1, "alpha", 10.5), (2, "beta", 20.25), (3, "gamma", 30.0)]
+    assert sorted(
+        r["id"] for r in back.filter(F.col("meta.score") > 15).collect()
+    ) == [2, 3]
+
+
+def test_text_source_line_roundtrip(spark, tmp_path):
+    """spark.read.text — the raw-corpus ingestion path (one line = one
+    value row, the shape web-text dumps arrive in before parsing):
+    write lines, read back, parse with from_csv, verify."""
+    path = str(tmp_path / "textout")
+    df = _series_df(spark)
+    df.selectExpr(
+        "concat(date_format(date, 'yyyy-MM-dd'), '|', employment) AS value"
+    ).write.mode("overwrite").text(path)
+    back = spark.read.text(path).selectExpr(
+        "split(value, '\\\\|')[0] AS d",
+        "CAST(split(value, '\\\\|')[1] AS DOUBLE) AS employment",
+    )
+    want = sorted(
+        (r["date"].strftime("%Y-%m-%d"), r["employment"])
+        for r in df.collect()
+    )
+    assert sorted(map(tuple, back.collect())) == want
+
+
+def test_avro_capability_gate(spark, tmp_path):
+    """Avro is an EXTERNAL module (spark-avro jar) not shipped in this
+    container; pin that the exclusion is environmental, mirroring the
+    TWS/protobuf gate: if the jar ever appears, the roundtrip must pass
+    — otherwise the failure must be the documented missing-source error,
+    not a code defect."""
+    import pytest
+
+    df = _series_df(spark)
+    path = str(tmp_path / "avroout")
+    try:
+        df.write.mode("overwrite").format("avro").save(path)
+    except Exception as e:
+        assert "Failed to find data source: avro" in str(e).replace(
+            "\n", " "
+        ), f"unexpected avro failure mode: {e}"
+        pytest.skip("spark-avro jar absent in this environment")
+    back = spark.read.format("avro").load(path)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, df.collect())
+    )
