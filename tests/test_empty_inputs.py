@@ -146,6 +146,7 @@ REPRESENTATIVE = [
     "text_winnow_fingerprint",
     "dedup_allpairs_prefix",
     "text_bpe_encode_count",
+    "privacy_k_anonymity",
 ]
 
 

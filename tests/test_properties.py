@@ -842,3 +842,25 @@ def test_bpe_encode_matches_fixpoint_reference(spark):
         )
     }
     assert any(got[d][1] < chars[d] for d in got)
+
+
+def test_k_anonymity_invariants(spark):
+    """Every released class is >= K; suppressed records pool into the
+    single '*' class; record count is conserved exactly."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.io import read_table
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.llm_prep import (
+        K_ANON,
+        privacy_k_anonymity,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = privacy_k_anonymity(spark, sf).collect()
+    total = read_table(spark, sf, "customer").count()
+    assert sum(r["class_size"] for r in rows) == total
+    star = [r for r in rows if r["qi_nation"] == "*"]
+    for r in rows:
+        if r["qi_nation"] != "*":
+            assert r["qi_segment"] != "*"
+            assert r["class_size"] >= K_ANON, r
+    # the fixture has sub-k classes at this SF, so suppression must fire
+    assert len(star) == 1 and star[0]["qi_segment"] == "*"

@@ -1452,3 +1452,75 @@ ORACLE["chunk_sliding_window"] = (
     f"win_id * {WIN_STRIDE} + {WIN_TOKENS}], ' ') AS win_text "
     "FROM e"
 )
+
+
+# --- k-anonymity release (Sweeney 2002) -------------------------------------
+
+K_ANON = 10
+
+
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **k-anonymity** release (Sweeney, IJUFKS 2002): every
+    published row must belong to a quasi-identifier equivalence class of
+    at least ``K_ANON`` records. QIs here are (customer nation,
+    market segment); classes below k are GENERALIZED to ``('*', '*')``
+    and pooled into one class whose aggregate is recomputed from the
+    underlying records (an average-of-averages would leak and be wrong).
+    The privacy-side complement to `pii_detect_stats`/`pii_redact`:
+    redaction handles direct identifiers, k-anonymity handles
+    re-identification by QI intersection.
+
+    Scale shape: class sizes are a tiny two-key aggregate broadcast back
+    onto the record stream (the record table never shuffles on QI twice
+    for the size probe), then ONE keyed aggregate over the derived
+    released keys; the nation dim is an explicit broadcast. Money
+    average via scaled-int64 `davg`.
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    rec = cust.join(
+        F.broadcast(nation),
+        cust["c_nationkey"] == nation["n_nationkey"],
+    ).select("n_name", "c_mktsegment", "c_acctbal")
+    sizes = rec.groupBy("n_name", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("class_n")
+    )
+    suppressed = F.col("class_n") < K_ANON
+    return (
+        rec.join(F.broadcast(sizes), ["n_name", "c_mktsegment"])
+        .select(
+            F.when(suppressed, F.lit("*"))
+            .otherwise(F.col("n_name"))
+            .alias("qi_nation"),
+            F.when(suppressed, F.lit("*"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("qi_segment"),
+            "c_acctbal",
+        )
+        .groupBy("qi_nation", "qi_segment")
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.round(davg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+        .orderBy("qi_nation", "qi_segment")
+    )
+
+
+QUERIES["privacy_k_anonymity"] = privacy_k_anonymity
+
+ORACLE["privacy_k_anonymity"] = (
+    "WITH rec AS (SELECT n_name, c_mktsegment, c_acctbal "
+    "FROM customer JOIN nation ON c_nationkey = n_nationkey), "
+    "sz AS (SELECT n_name, c_mktsegment, COUNT(*) AS class_n "
+    "FROM rec GROUP BY 1, 2), "
+    "rel AS (SELECT "
+    f"CASE WHEN sz.class_n < {K_ANON} THEN '*' ELSE rec.n_name END "
+    "AS qi_nation, "
+    f"CASE WHEN sz.class_n < {K_ANON} THEN '*' ELSE rec.c_mktsegment END "
+    "AS qi_segment, rec.c_acctbal "
+    "FROM rec JOIN sz USING (n_name, c_mktsegment)) "
+    "SELECT qi_nation, qi_segment, "
+    "CAST(COUNT(*) AS BIGINT) AS class_size, "
+    f"ROUND({davg_sql('c_acctbal')}, 4) AS avg_acctbal "
+    "FROM rel GROUP BY 1, 2 ORDER BY 1, 2"
+)

@@ -171,6 +171,7 @@ _SAMPLE_PRIORITY = [
     "text_winnow_fingerprint",
     "dedup_allpairs_prefix",
     "text_bpe_encode_count",
+    "privacy_k_anonymity",
     # latest driver row r6 — oldest remaining evidence; tail rolls
     "agg_boolean_family",
     "agg_distinct_and_approx",
