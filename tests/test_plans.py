@@ -632,3 +632,44 @@ def test_semdedup_joins_only_on_cluster_key(spark):
     df = dedup.dedup_semantic_kmeans(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_winnow_single_window_exchange(spark):
+    """Winnowing = one explode + one trailing window: exactly ONE
+    exchange (the doc_id hash for the window frame), no range
+    partitioning (no global sort), scan pruned to doc_id/text."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import text
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.plans.explain import (
+        formatted_plan,
+    )
+
+    df = text.text_winnow_fingerprint(spark, SF)
+    plan = formatted_plan(df)
+    assert exchange_count(df) == 1, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    schemas = " ".join(read_schemas(df))
+    assert "lang" not in schemas and "source" not in schemas
+
+
+def test_bpe_vocab_joins_broadcast(spark):
+    """The merge chain runs on the distinct-word vocabulary and must come
+    back onto the corpus as a BROADCAST hash join — the corpus never
+    shuffles on word."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import text
+
+    df = text.text_bpe_encode_count(spark, SF)
+    kinds = " ".join(join_kinds(df))
+    assert "BroadcastHashJoin" in kinds, kinds
+    assert "SortMergeJoin" not in kinds, kinds
+
+
+def test_allpairs_prefix_no_cartesian(spark):
+    """Prefix-filtered ssjoin: every join is an equi-join (prefix-shingle
+    candidates, doc_id verify joins) — no cartesian/theta join anywhere,
+    the property the prefix filter exists to guarantee at scale."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import dedup
+
+    df = dedup.dedup_allpairs_prefix(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
