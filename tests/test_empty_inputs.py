@@ -147,6 +147,7 @@ REPRESENTATIVE = [
     "dedup_allpairs_prefix",
     "text_bpe_encode_count",
     "privacy_k_anonymity",
+    "privacy_l_diversity",
 ]
 
 

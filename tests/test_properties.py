@@ -864,3 +864,21 @@ def test_k_anonymity_invariants(spark):
             assert r["class_size"] >= K_ANON, r
     # the fixture has sub-k classes at this SF, so suppression must fire
     assert len(star) == 1 and star[0]["qi_segment"] == "*"
+
+
+def test_l_diversity_entropy_dominance(spark):
+    """Entropy l-diversity is strictly stronger: entropy >= ln(l) implies
+    >= l distinct values (entropy is bounded by ln(#distinct)); the flag
+    implication and the bound must hold on every audited class."""
+    import math
+
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.llm_prep import (
+        privacy_l_diversity,
+    )
+
+    rows = privacy_l_diversity(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        assert r["entropy"] <= math.log(r["l_distinct"]) + 1e-6, r
+        if r["is_entropy_l_diverse"]:
+            assert r["is_l_diverse"], r

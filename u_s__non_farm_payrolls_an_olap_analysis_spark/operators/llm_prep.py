@@ -1524,3 +1524,84 @@ ORACLE["privacy_k_anonymity"] = (
     f"ROUND({davg_sql('c_acctbal')}, 4) AS avg_acctbal "
     "FROM rel GROUP BY 1, 2 ORDER BY 1, 2"
 )
+
+
+L_DIV = 3
+_ENT_SCALE = 100_000_000
+
+
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **l-diversity** audit (Machanavajjhala et al., ICDE
+    2006): k-anonymity alone fails when a class's SENSITIVE values are
+    homogeneous, so each quasi-identifier class (nation) is audited for
+    (a) distinct l-diversity — ≥ ``L_DIV`` distinct sensitive values
+    (market segment) — and (b) entropy l-diversity,
+    ``-Σ p·ln p ≥ ln(l)``, the stricter published variant. Emits the
+    per-class audit table release tooling gates on, flags included.
+
+    Determinism: the entropy sum is per-term scaled-int64 (each
+    ``-p·ln p`` term rounds to 1e-8 before summing) so engine
+    aggregation order cannot move the 6-dp output. Shape: one
+    (QI, sensitive) count aggregate, a window total on the QI
+    partition, one QI aggregate — two exchanges total, no joins.
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    rec = cust.join(
+        F.broadcast(nation),
+        cust["c_nationkey"] == nation["n_nationkey"],
+    ).select("n_name", "c_mktsegment")
+    cnts = rec.groupBy("n_name", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    from pyspark.sql.window import Window  # lazy: needs active session
+
+    tot = F.sum("cnt").over(Window.partitionBy("n_name"))
+    p = F.col("cnt") / F.col("n")
+    term = F.round(-p * F.log(p) * _ENT_SCALE).cast("bigint")
+    audited = (
+        cnts.select("n_name", "cnt", tot.alias("n"))
+        .select("n_name", "n", term.alias("t"))
+        .groupBy("n_name")
+        .agg(
+            F.max("n").alias("class_size"),
+            F.count(F.lit(1)).alias("l_distinct"),
+            F.round(F.sum("t") / float(_ENT_SCALE), 6).alias("entropy"),
+        )
+    )
+    import math
+
+    return audited.select(
+        F.col("n_name").alias("qi_nation"),
+        "class_size",
+        "l_distinct",
+        "entropy",
+        (F.col("class_size") >= K_ANON).cast("int").alias("is_k_anonymous"),
+        (F.col("l_distinct") >= L_DIV).cast("int").alias("is_l_diverse"),
+        (F.col("entropy") >= F.lit(math.log(L_DIV)))
+        .cast("int")
+        .alias("is_entropy_l_diverse"),
+    ).orderBy("qi_nation")
+
+
+QUERIES["privacy_l_diversity"] = privacy_l_diversity
+
+ORACLE["privacy_l_diversity"] = (
+    "WITH rec AS (SELECT n_name, c_mktsegment "
+    "FROM customer JOIN nation ON c_nationkey = n_nationkey), "
+    "cnts AS (SELECT n_name, c_mktsegment, COUNT(*) AS cnt "
+    "FROM rec GROUP BY 1, 2), "
+    "w AS (SELECT n_name, cnt, "
+    "SUM(cnt) OVER (PARTITION BY n_name) AS n FROM cnts), "
+    "t AS (SELECT n_name, n, CAST(ROUND(-(cnt * 1.0 / n) * "
+    f"LN(cnt * 1.0 / n) * {_ENT_SCALE}) AS BIGINT) AS t FROM w), "
+    "a AS (SELECT n_name, CAST(MAX(n) AS BIGINT) AS class_size, "
+    "CAST(COUNT(*) AS BIGINT) AS l_distinct, "
+    f"ROUND(SUM(t) / {_ENT_SCALE}.0, 6) AS entropy "
+    "FROM t GROUP BY 1) "
+    "SELECT n_name AS qi_nation, class_size, l_distinct, entropy, "
+    f"CAST(class_size >= {K_ANON} AS INT) AS is_k_anonymous, "
+    f"CAST(l_distinct >= {L_DIV} AS INT) AS is_l_diverse, "
+    f"CAST(entropy >= LN({L_DIV}) AS INT) AS is_entropy_l_diverse "
+    "FROM a ORDER BY 1"
+)

@@ -172,6 +172,7 @@ _SAMPLE_PRIORITY = [
     "dedup_allpairs_prefix",
     "text_bpe_encode_count",
     "privacy_k_anonymity",
+    "privacy_l_diversity",
     # latest driver row r6 — oldest remaining evidence; tail rolls
     "agg_boolean_family",
     "agg_distinct_and_approx",
