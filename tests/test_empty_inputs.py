@@ -148,6 +148,7 @@ REPRESENTATIVE = [
     "text_bpe_encode_count",
     "privacy_k_anonymity",
     "privacy_l_diversity",
+    "sample_weighted_reservoir",
 ]
 
 

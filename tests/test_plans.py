@@ -673,3 +673,18 @@ def test_allpairs_prefix_no_cartesian(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_weighted_reservoir_takeordered_no_global_sort(spark):
+    """A-Res sampling is a scan projection + TakeOrdered top-k: no
+    exchange-backed global sort of the corpus."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import (
+        sampling,
+    )
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.plans.explain import (
+        formatted_plan,
+    )
+
+    df = sampling.sample_weighted_reservoir(spark, SF)
+    assert has_take_ordered(df), formatted_plan(df)
+    assert "rangepartitioning" not in formatted_plan(df).lower()

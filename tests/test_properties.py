@@ -882,3 +882,42 @@ def test_l_diversity_entropy_dominance(spark):
         assert r["entropy"] <= math.log(r["l_distinct"]) + 1e-6, r
         if r["is_entropy_l_diverse"]:
             assert r["is_l_diverse"], r
+
+
+def test_weighted_reservoir_matches_reference_and_biases_long_docs(spark):
+    import hashlib
+    import math
+
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.io import read_table
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.sampling import (
+        _ARES_DENOM,
+        ARES_K,
+        sample_weighted_reservoir,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = [
+        (r["doc_id"], r["n_chars"])
+        for r in read_table(spark, sf, "documents").collect()
+        if r["text"] is not None and r["n_chars"] > 0
+    ]
+
+    def key(doc_id, w):
+        h = int(hashlib.md5(f"ares:{doc_id}".encode()).hexdigest()[:8], 16)
+        r = math.log((h + 0.5) / _ARES_DENOM) / w
+        # ties-away-from-zero at 6dp, mirroring dround/DuckDB ROUND
+        return math.floor(abs(r) * 1e6 + 0.5) / 1e6 * (1 if r >= 0 else -1)
+
+    want = sorted(
+        ((key(d, w), d, w) for d, w in docs),
+        key=lambda t: (-t[0], t[1]),
+    )[:ARES_K]
+    got = [
+        (r["ares_key"], r["doc_id"], r["weight"])
+        for r in sample_weighted_reservoir(spark, sf).collect()
+    ]
+    assert [(k, d, w) for k, d, w in want] == got
+    # the weighted draw must bias toward long docs
+    avg_all = sum(w for _, w in docs) / len(docs)
+    avg_sample = sum(w for _, _, w in got) / len(got)
+    assert avg_sample > avg_all

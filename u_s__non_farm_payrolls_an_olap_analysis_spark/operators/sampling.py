@@ -209,3 +209,56 @@ ORACLE["sample_temperature_mixture"] = (
     f"* {MIX_TOKEN_BUDGET}) AS BIGINT) AS temp_budget "
     "FROM s ORDER BY source"
 )
+
+
+# --- Weighted reservoir sampling (Efraimidis & Spirakis 2006) ---------------
+
+ARES_K = 200
+_ARES_DENOM = 4294967296.0  # 2^32
+
+
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **weighted reservoir sampling without replacement**
+    (Efraimidis & Spirakis, IPL 2006, "A-Res"): each record draws
+    ``u ~ U(0,1)`` and keys on ``u^(1/w)``; the k largest keys are an
+    exact weighted sample without replacement. Monotone-equivalently we
+    rank on ``ln(u)/w`` (descending) — no pow, better conditioning.
+    The draw is a SEEDED md5-derived uniform (portable across engines
+    and across reruns — the reproducible-pipeline form; swap in
+    ``rand()`` for true randomness at the cost of reproducibility).
+    Weights here are document lengths: the long-doc-biased sample a
+    token-budget curator draws.
+
+    Scale shape: one scan-sized projection (hash, ln, divide — all
+    codegen) into a TakeOrdered top-k; no global sort, no shuffle beyond
+    the k-row merge. Keys round at 6 dp with doc_id tiebreak so the cut
+    is deterministic cross-engine.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    w = F.col("n_chars").cast("double")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("ares:"), F.col("doc_id"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + 0.5) / F.lit(_ARES_DENOM)
+    from ..functions.numerics import dround
+
+    r = dround(F.log(u) / w, 6)
+    return (
+        docs.filter(F.col("text").isNotNull() & (F.col("n_chars") > 0))
+        .select("doc_id", F.col("n_chars").alias("weight"), r.alias("ares_key"))
+        .orderBy(F.col("ares_key").desc(), F.col("doc_id"))
+        .limit(ARES_K)
+    )
+
+
+QUERIES["sample_weighted_reservoir"] = sample_weighted_reservoir
+
+ORACLE["sample_weighted_reservoir"] = (
+    "SELECT doc_id, n_chars AS weight, "
+    "ROUND(LN((CAST(('0x' || substr(md5('ares:' || doc_id), 1, 8)) "
+    f"AS BIGINT) + 0.5) / {_ARES_DENOM}) / n_chars, 6) AS ares_key "
+    "FROM documents WHERE text IS NOT NULL AND n_chars > 0 "
+    f"ORDER BY ares_key DESC, doc_id LIMIT {ARES_K}"
+)

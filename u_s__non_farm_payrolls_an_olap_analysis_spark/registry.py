@@ -173,6 +173,7 @@ _SAMPLE_PRIORITY = [
     "text_bpe_encode_count",
     "privacy_k_anonymity",
     "privacy_l_diversity",
+    "sample_weighted_reservoir",
     # latest driver row r6 — oldest remaining evidence; tail rolls
     "agg_boolean_family",
     "agg_distinct_and_approx",
