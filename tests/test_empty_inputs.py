@@ -149,6 +149,7 @@ REPRESENTATIVE = [
     "privacy_k_anonymity",
     "privacy_l_diversity",
     "sample_weighted_reservoir",
+    "dedup_ppjoin",
 ]
 
 

@@ -921,3 +921,50 @@ def test_weighted_reservoir_matches_reference_and_biases_long_docs(spark):
     avg_all = sum(w for _, w in docs) / len(docs)
     avg_sample = sum(w for _, _, w in got) / len(got)
     assert avg_sample > avg_all
+
+
+def test_ppjoin_positional_filter_lossless_and_tighter(spark):
+    """PPJoin containment chain at a threshold where the positional
+    bound actually bites (t = 0.5 on this corpus: prefix ~1139
+    candidates, ppjoin ~29): every true Jaccard>=t pair must survive
+    BOTH filters (losslessness), ppjoin candidates must be a strict
+    subset of prefix candidates, and at the production t=0.8 the
+    operator output must equal dedup_ngram_jaccard exactly."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.io import read_table
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.dedup import (
+        _jaccard_pairs,
+        _ppjoin_candidates,
+        _prefix_candidates,
+        dedup_ngram_jaccard,
+        dedup_ppjoin,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = read_table(spark, sf, "documents")
+    t_pct = 50
+    true_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in _jaccard_pairs(docs)
+        .filter(f"jaccard >= {t_pct / 100}")
+        .collect()
+    }
+    prefix = {
+        (r["doc_a"], r["doc_b"])
+        for r in _prefix_candidates(docs, t_pct).collect()
+    }
+    ppjoin = {
+        (r["doc_a"], r["doc_b"])
+        for r in _ppjoin_candidates(docs, t_pct).collect()
+    }
+    assert true_pairs and true_pairs <= ppjoin <= prefix
+    assert len(ppjoin) < len(prefix)  # the positional bound prunes
+
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup_ppjoin(spark, sf).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup_ngram_jaccard(spark, sf).collect()
+    }
+    assert got == want

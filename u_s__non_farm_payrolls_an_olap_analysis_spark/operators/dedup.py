@@ -1365,26 +1365,7 @@ def _prefix_candidates(docs: DataFrame, threshold_pct: int) -> DataFrame:
     representation error and would silently shorten the prefix (a
     recall bug, not a precision one).
     """
-    from pyspark.sql.window import Window  # lazy: needs active session
-
-    p, q = threshold_pct, 100
-    sh = _spread_if_narrow(_shingles(_spread_if_narrow(docs)), "shingle")
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    order_w = Window.partitionBy("doc_id").orderBy("df", "shingle")
-    size_w = Window.partitionBy("doc_id")
-    ranked = (
-        sh.join(dfreq, "shingle")
-        .select(
-            "doc_id",
-            "shingle",
-            F.row_number().over(order_w).alias("rnk"),
-            F.count(F.lit(1)).over(size_w).alias("n"),
-        )
-    )
-    prefix = ranked.filter(
-        F.col("rnk")
-        <= F.col("n") - F.expr(f"({p} * n + {q - 1}) DIV {q}") + 1
-    ).select("doc_id", "shingle")
+    prefix = _prefix_rows(docs, threshold_pct).select("doc_id", "shingle")
     a, b = prefix.alias("a"), prefix.alias("b")
     return (
         a.join(
@@ -1398,6 +1379,78 @@ def _prefix_candidates(docs: DataFrame, threshold_pct: int) -> DataFrame:
         )
         .distinct()
     )
+
+
+def _prefix_rows(docs: DataFrame, threshold_pct: int) -> DataFrame:
+    """Prefix rows ``(doc_id, shingle, rnk, n)`` under the global
+    ascending-df order (see :func:`_prefix_candidates` for the theory);
+    ``rnk`` is the shingle's 1-based position in the doc's order and
+    ``n`` the doc's set size — the extra columns PPJoin's positional
+    bound needs."""
+    from pyspark.sql.window import Window  # lazy: needs active session
+
+    p, q = threshold_pct, 100
+    sh = _spread_if_narrow(_shingles(_spread_if_narrow(docs)), "shingle")
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    order_w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    size_w = Window.partitionBy("doc_id")
+    ranked = sh.join(dfreq, "shingle").select(
+        "doc_id",
+        "shingle",
+        F.row_number().over(order_w).alias("rnk"),
+        F.count(F.lit(1)).over(size_w).alias("n"),
+    )
+    return ranked.filter(
+        F.col("rnk")
+        <= F.col("n") - F.expr(f"({p} * n + {q - 1}) DIV {q}") + 1
+    )
+
+
+def _ppjoin_candidates(docs: DataFrame, threshold_pct: int) -> DataFrame:
+    """PPJoin's **positional filter** (Xiao, Wang, Lin & Yu, WWW 2008) on
+    top of the prefix filter: a shared prefix shingle at order positions
+    ``(i, j)`` caps the achievable overlap at
+    ``1 + min(n_a - i, n_b - j)`` (everything before the match on each
+    side is disjoint by the shared total order — at most the suffixes
+    after it can still intersect). Keep the pair only if the BEST shared
+    prefix shingle's cap reaches the Jaccard-equivalent overlap floor
+    ``α = ceil(t/(1+t)·(n_a+n_b))`` — integer form ``(4·(n_a+n_b)+8)
+    DIV 9`` at t = 0.8. Lossless like the prefix filter, strictly
+    tighter: pairs the prefix join admits on a late, low-upper-bound
+    collision die here without ever reaching the verify join.
+    """
+    p, q = threshold_pct, 100
+    pref = _prefix_rows(docs, threshold_pct)
+    a = pref.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingle"),
+        F.col("rnk").alias("rnk_a"),
+        F.col("n").alias("n_a"),
+    )
+    b = pref.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingle"),
+        F.col("rnk").alias("rnk_b"),
+        F.col("n").alias("n_b"),
+    )
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.max(
+                F.lit(1)
+                + F.least(
+                    F.col("n_a") - F.col("rnk_a"),
+                    F.col("n_b") - F.col("rnk_b"),
+                )
+            ).alias("ubound"),
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+        )
+    )
+    alpha = F.expr(f"({p} * (n_a + n_b) + {p + q - 1}) DIV {p + q}")
+    return pairs.filter(F.col("ubound") >= alpha).select("doc_a", "doc_b")
 
 
 def dedup_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1419,13 +1472,20 @@ def dedup_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     three more times for sizes + two row-level verify joins.
     """
     docs = read_table(spark, sf_dir, "documents")
-    t_pct = int(JACCARD_THRESHOLD * 100)
+    cand = _prefix_candidates(docs, int(JACCARD_THRESHOLD * 100))
+    return _verify_candidates_jaccard(docs, cand)
+
+
+def _verify_candidates_jaccard(docs: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact-Jaccard verify of a candidate-pair stream against the
+    collected per-doc shingle sets (shared by the AllPairs and PPJoin
+    operators — see :func:`dedup_allpairs_prefix` for the shape
+    rationale)."""
     sh = _spread_if_narrow(_shingles(_spread_if_narrow(docs)), "shingle")
     docsets = sh.groupBy("doc_id").agg(
         F.collect_set("shingle").alias("sset"),
         F.count(F.lit(1)).alias("n"),
     )
-    cand = _prefix_candidates(docs, t_pct)
     da = docsets.select(
         F.col("doc_id").alias("doc_a"),
         F.col("sset").alias("set_a"),
@@ -1459,3 +1519,21 @@ QUERIES["dedup_allpairs_prefix"] = dedup_allpairs_prefix
 # lossless prefix filter ⇒ same result set as the plain inverted-index
 # formulation; the oracle is deliberately the simple exact SQL
 ORACLE["dedup_allpairs_prefix"] = ORACLE["dedup_ngram_jaccard"]
+
+
+def dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **PPJoin** (Xiao et al., WWW 2008): the prefix filter
+    plus the positional filter (:func:`_ppjoin_candidates`), then the
+    same exact-Jaccard verify. Both filters are lossless, so the output
+    is again IDENTICAL to :func:`dedup_ngram_jaccard` — what changes at
+    scale is the candidate count that survives to the verify join, and
+    the property tests pin ``ppjoin ⊆ prefix ⊂ full inverted index``
+    candidate containment alongside result equality.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    cand = _ppjoin_candidates(docs, int(JACCARD_THRESHOLD * 100))
+    return _verify_candidates_jaccard(docs, cand)
+
+
+QUERIES["dedup_ppjoin"] = dedup_ppjoin
+ORACLE["dedup_ppjoin"] = ORACLE["dedup_ngram_jaccard"]

@@ -174,6 +174,7 @@ _SAMPLE_PRIORITY = [
     "privacy_k_anonymity",
     "privacy_l_diversity",
     "sample_weighted_reservoir",
+    "dedup_ppjoin",
     # latest driver row r6 — oldest remaining evidence; tail rolls
     "agg_boolean_family",
     "agg_distinct_and_approx",
