@@ -150,6 +150,7 @@ REPRESENTATIVE = [
     "privacy_l_diversity",
     "sample_weighted_reservoir",
     "dedup_ppjoin",
+    "stream_topk_space_saving",
 ]
 
 

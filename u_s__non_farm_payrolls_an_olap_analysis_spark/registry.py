@@ -175,6 +175,8 @@ _SAMPLE_PRIORITY = [
     "privacy_l_diversity",
     "sample_weighted_reservoir",
     "dedup_ppjoin",
+    # NEW in round 10 — distributed Space-Saving streaming heavy hitters
+    "stream_topk_space_saving",
     # latest driver row r6 — oldest remaining evidence; tail rolls
     "agg_boolean_family",
     "agg_distinct_and_approx",

@@ -218,3 +218,132 @@ TWS_ORACLE_SQL = (
     "/ 10000.0, 4) AS sum_value "
     "FROM events GROUP BY 1"
 )
+
+
+# --- Distributed Space-Saving heavy hitters (Metwally et al. 2005) ----------
+
+SS_CAPACITY = 512  # per-shard counter capacity m
+SS_SHARDS = 8
+SS_TOPK = 20
+
+_SS_OUTPUT_SCHEMA = (
+    "shard long, n_processed long, item long, est long, err long"
+)
+_SS_STATE_SCHEMA = (
+    "n long, items array<long>, counts array<long>, errs array<long>"
+)
+
+
+def _space_saving_update(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Space-Saving (Metwally, Agrawal & El Abbadi, ICDT 2005) counter
+    table for ONE shard: seen items increment; unseen items evict the
+    current minimum, inheriting its count as overestimation error
+    (``err``). Guarantees ``true <= est <= true + err`` and
+    ``err <= n_shard / m`` — the Misra-Gries bound made per-item.
+    """
+    n, items, counts, errs = (
+        state.get if state.exists else (0, [], [], [])
+    )
+    tbl = {
+        it: (c, e)
+        for it, c, e in zip(list(items), list(counts), list(errs))
+    }
+    for pdf in pdfs:
+        for it, batch_cnt in (
+            pdf["item"].astype("int64").value_counts().sort_index().items()
+        ):
+            it, batch_cnt = int(it), int(batch_cnt)
+            n += batch_cnt
+            if it in tbl:
+                c, e = tbl[it]
+                tbl[it] = (c + batch_cnt, e)
+            elif len(tbl) < SS_CAPACITY:
+                tbl[it] = (batch_cnt, 0)
+            else:
+                # evict the minimum-count entry (smallest item on ties —
+                # deterministic); the newcomer inherits its count as err
+                victim = min(tbl, key=lambda k: (tbl[k][0], k))
+                vc, _ = tbl.pop(victim)
+                tbl[it] = (vc + batch_cnt, vc)
+    out_items = sorted(tbl)
+    state.update(
+        (
+            n,
+            out_items,
+            [tbl[i][0] for i in out_items],
+            [tbl[i][1] for i in out_items],
+        )
+    )
+    yield pd.DataFrame(
+        {
+            "shard": [key[0]] * len(out_items),
+            "n_processed": [n] * len(out_items),
+            "item": out_items,
+            "est": [tbl[i][0] for i in out_items],
+            "err": [tbl[i][1] for i in out_items],
+        }
+    )
+
+
+def stream_topk_space_saving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — streaming **top-k heavy hitters via Space-Saving**
+    (Metwally et al. 2005), distributed the way mergeable summaries
+    (Agarwal et al., PODS 2012) prescribe: items hash to
+    ``SS_SHARDS`` shards, each shard maintains an independent
+    capacity-``m`` Space-Saving table as explicit group state across
+    micro-batches, and the final per-shard tables are unioned and cut to
+    the global top-k (each item lives in exactly one shard, so
+    cross-shard merge is a plain union). State is bounded at
+    ``m × shards`` counters regardless of stream length — the whole
+    point at 100 TB, where exact per-key counting needs unbounded state.
+
+    On the fixtures the per-shard distinct-item count is below ``m``, so
+    no eviction fires and the emitted estimates are EXACT (err = 0) —
+    which is what makes this key oracle-checkable against the batch
+    ``GROUP BY``/top-k. The eviction/error path is exercised by a
+    direct property test against a pure-python reference with the
+    Misra-Gries bound asserted (tests/test_streaming_space_saving.py),
+    mirroring the planted-harness convention for order-sensitive
+    estimators.
+    """
+    from pyspark.sql import functions as F
+
+    ev = _events_stream(spark, sf_dir).select(
+        F.col("user_id").alias("item"),
+        (F.col("user_id") % SS_SHARDS).alias("shard"),
+    )
+    tables = ev.groupBy("shard").applyInPandasWithState(
+        _space_saving_update,
+        outputStructType=_SS_OUTPUT_SCHEMA,
+        stateStructType=_SS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _drain_to_memory(tables, spark, output_mode="update")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("shard").orderBy(F.col("n_processed").desc())
+    final = (
+        out.withColumn("mx", F.max("n_processed").over(w))
+        .filter(F.col("n_processed") == F.col("mx"))
+        .select("item", "est", "err")
+    )
+    return final.orderBy(
+        F.col("est").desc(), F.col("item")
+    ).limit(SS_TOPK)
+
+
+QUERIES["stream_topk_space_saving"] = stream_topk_space_saving
+
+# exact at fixture cardinalities (no eviction below SS_CAPACITY per
+# shard), so the batch top-k IS the oracle; est desc + item tiebreak is a
+# total order
+ORACLE["stream_topk_space_saving"] = (
+    "SELECT user_id AS item, CAST(COUNT(*) AS BIGINT) AS est, "
+    "CAST(0 AS BIGINT) AS err FROM events GROUP BY 1 "
+    f"ORDER BY est DESC, item LIMIT {SS_TOPK}"
+)
