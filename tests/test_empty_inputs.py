@@ -151,6 +151,7 @@ REPRESENTATIVE = [
     "sample_weighted_reservoir",
     "dedup_ppjoin",
     "stream_topk_space_saving",
+    "privacy_t_closeness",
 ]
 
 

@@ -968,3 +968,39 @@ def test_ppjoin_positional_filter_lossless_and_tighter(spark):
         for r in dedup_ngram_jaccard(spark, sf).collect()
     }
     assert got == want
+
+
+def test_t_closeness_matches_bruteforce_tv(spark):
+    """The present-rows-only decomposition must equal the brute-force
+    total-variation distance over ALL categories, computed in python."""
+    import collections
+
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.io import read_table
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.llm_prep import (
+        privacy_t_closeness,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    cust = read_table(spark, sf, "customer").collect()
+    nation = {
+        r["n_nationkey"]: r["n_name"]
+        for r in read_table(spark, sf, "nation").collect()
+    }
+    per_class = collections.defaultdict(collections.Counter)
+    glob = collections.Counter()
+    for r in cust:
+        per_class[nation[r["c_nationkey"]]][r["c_mktsegment"]] += 1
+        glob[r["c_mktsegment"]] += 1
+    n_tot = sum(glob.values())
+    got = {
+        r["qi_nation"]: (r["class_size"], r["tv_distance"])
+        for r in privacy_t_closeness(spark, sf).collect()
+    }
+    assert set(got) == set(per_class)
+    for cls, cnt in per_class.items():
+        n = sum(cnt.values())
+        tv = 0.5 * sum(
+            abs(cnt.get(seg, 0) / n - glob[seg] / n_tot) for seg in glob
+        )
+        assert got[cls][0] == n
+        assert abs(got[cls][1] - tv) < 1e-5, (cls, got[cls][1], tv)

@@ -1605,3 +1605,92 @@ ORACLE["privacy_l_diversity"] = (
     f"CAST(entropy >= LN({L_DIV}) AS INT) AS is_entropy_l_diverse "
     "FROM a ORDER BY 1"
 )
+
+
+T_CLOSE = 0.2
+
+
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **t-closeness** audit (Li, Li & Venkatasubramanian,
+    ICDE 2007), completing the k-anonymity → l-diversity → t-closeness
+    ladder: a class can be diverse yet still leak if its sensitive
+    distribution DIFFERS sharply from the corpus-wide one, so each QI
+    class (nation) is scored by the variational distance (= EMD under
+    uniform ground distance for categorical attributes) between its
+    market-segment distribution and the global distribution, and flagged
+    against ``T_CLOSE``.
+
+    Absent-category handling without a class × category cross join:
+    ``TV = ½·Σ_all |p_c − q_c|`` decomposes as
+    ``½ + ½·Σ_present (|p_c − q_c| − q_c)`` since the absent categories
+    contribute exactly ``1 − Σ_present q_c`` — only observed (class,
+    segment) rows are ever materialized. Per-term scaled-int64 sums keep
+    the 6-dp output independent of aggregation order; the 6-row global
+    distribution is a broadcast join.
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    rec = cust.join(
+        F.broadcast(nation),
+        cust["c_nationkey"] == nation["n_nationkey"],
+    ).select("n_name", "c_mktsegment")
+    cnts = rec.groupBy("n_name", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    glob = cnts.groupBy("c_mktsegment").agg(F.sum("cnt").alias("gcnt"))
+    from pyspark.sql.window import Window  # lazy: needs active session
+
+    n_total = F.sum("gcnt").over(Window.partitionBy())
+    gdist = glob.select(
+        "c_mktsegment", (F.col("gcnt") / n_total).alias("q")
+    )
+    class_n = F.sum("cnt").over(Window.partitionBy("n_name"))
+    p = F.col("cnt") / F.col("n")
+    term = F.round(
+        (F.abs(p - F.col("q")) - F.col("q")) * _ENT_SCALE
+    ).cast("bigint")
+    tv = F.round(
+        0.5 + 0.5 * F.sum("t") / float(_ENT_SCALE), 6
+    )
+    return (
+        cnts.select("n_name", "c_mktsegment", "cnt", class_n.alias("n"))
+        .join(F.broadcast(gdist), "c_mktsegment")
+        .select("n_name", "n", term.alias("t"))
+        .groupBy("n_name")
+        .agg(
+            F.max("n").alias("class_size"),
+            tv.alias("tv_distance"),
+        )
+        .select(
+            F.col("n_name").alias("qi_nation"),
+            "class_size",
+            "tv_distance",
+            (F.col("tv_distance") <= T_CLOSE).cast("int").alias("is_t_close"),
+        )
+        .orderBy("qi_nation")
+    )
+
+
+QUERIES["privacy_t_closeness"] = privacy_t_closeness
+
+ORACLE["privacy_t_closeness"] = (
+    "WITH rec AS (SELECT n_name, c_mktsegment "
+    "FROM customer JOIN nation ON c_nationkey = n_nationkey), "
+    "cnts AS (SELECT n_name, c_mktsegment, COUNT(*) AS cnt "
+    "FROM rec GROUP BY 1, 2), "
+    "g AS (SELECT c_mktsegment, SUM(cnt) AS gcnt FROM cnts GROUP BY 1), "
+    "gd AS (SELECT c_mktsegment, "
+    "CAST(gcnt AS DOUBLE) / SUM(gcnt) OVER () AS q FROM g), "
+    "w AS (SELECT n_name, c_mktsegment, cnt, "
+    "SUM(cnt) OVER (PARTITION BY n_name) AS n FROM cnts), "
+    "t AS (SELECT w.n_name, w.n, "
+    "CAST(ROUND((ABS(w.cnt * 1.0 / w.n - gd.q) - gd.q) * "
+    f"{_ENT_SCALE}) AS BIGINT) AS t "
+    "FROM w JOIN gd USING (c_mktsegment)), "
+    "a AS (SELECT n_name, CAST(MAX(n) AS BIGINT) AS class_size, "
+    f"ROUND(0.5 + 0.5 * SUM(t) / {_ENT_SCALE}.0, 6) AS tv_distance "
+    "FROM t GROUP BY 1) "
+    "SELECT n_name AS qi_nation, class_size, tv_distance, "
+    f"CAST(tv_distance <= {T_CLOSE} AS INT) AS is_t_close "
+    "FROM a ORDER BY 1"
+)

@@ -177,6 +177,7 @@ _SAMPLE_PRIORITY = [
     "dedup_ppjoin",
     # NEW in round 10 — distributed Space-Saving streaming heavy hitters
     "stream_topk_space_saving",
+    "privacy_t_closeness",
     # latest driver row r6 — oldest remaining evidence; tail rolls
     "agg_boolean_family",
     "agg_distinct_and_approx",
