@@ -152,6 +152,8 @@ REPRESENTATIVE = [
     "dedup_ppjoin",
     "stream_topk_space_saving",
     "privacy_t_closeness",
+    "graph_triangle_counts",
+    "mine_association_rules",
 ]
 
 

@@ -1004,3 +1004,100 @@ def test_t_closeness_matches_bruteforce_tv(spark):
         )
         assert got[cls][0] == n
         assert abs(got[cls][1] - tv) < 1e-5, (cls, got[cls][1], tv)
+
+
+def _bigram_edges(spark, sf):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.io import read_table
+
+    edges = set()
+    for r in read_table(spark, sf, "documents").collect():
+        if r["text"] is None:
+            continue
+        t = r["text"].split(" ")
+        for a, b in zip(t, t[1:]):
+            edges.add((a, b))
+    return edges
+
+
+def test_triangle_counts_match_bruteforce(spark):
+    """Oriented wedge enumeration must equal the brute-force triangle
+    count over the undirected token graph (every unordered triple with
+    all three edges present; each corner credited once per triangle)."""
+    import collections
+    import itertools
+
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.graph import (
+        graph_triangle_counts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    und = {
+        (min(a, b), max(a, b)) for a, b in _bigram_edges(spark, sf) if a != b
+    }
+    nodes = sorted({x for e in und for x in e})
+    per_node = collections.Counter()
+    for x, y, z in itertools.combinations(nodes, 3):
+        if (x, y) in und and (y, z) in und and (x, z) in und:
+            per_node[x] += 1
+            per_node[y] += 1
+            per_node[z] += 1
+    got = {
+        r["token"]: r["n_triangles"]
+        for r in graph_triangle_counts(spark, sf).collect()
+    }
+    assert got == dict(per_node)
+    assert got  # the graph actually has triangles
+
+
+def test_association_rules_match_bruteforce(spark):
+    """Rules, supports, confidences and lifts must equal the literal
+    Agrawal-Srikant computation in python (ceil-integer minsup, 3/5
+    confidence floor, 6dp rounding)."""
+    import collections
+
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.io import read_table
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.text import (
+        mine_association_rules,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    baskets = {
+        r["doc_id"]: set(r["text"].split(" "))
+        for r in read_table(spark, sf, "documents").collect()
+        if r["text"] is not None
+    }
+    n_docs = read_table(spark, sf, "documents").count()
+    minsup = (3 * n_docs + 9) // 10
+    singles = collections.Counter()
+    for b in baskets.values():
+        singles.update(b)
+    freq1 = {t for t, c in singles.items() if c >= minsup}
+    pairs = collections.Counter()
+    for b in baskets.values():
+        fb = sorted(b & freq1)
+        for i, x in enumerate(fb):
+            for y in fb[i + 1 :]:
+                pairs[(x, y)] += 1
+    want = {}
+    for (x, y), sxy in pairs.items():
+        if sxy < minsup:
+            continue
+        for ante, cons in ((x, y), (y, x)):
+            if 5 * sxy >= 3 * singles[ante]:
+                want[(ante, cons)] = (
+                    round(sxy / n_docs, 6),
+                    round(sxy / singles[ante], 6),
+                    round((sxy / singles[ante]) / (singles[cons] / n_docs), 6),
+                )
+    got = {
+        (r["antecedent"], r["consequent"]): (
+            r["support"],
+            r["confidence"],
+            r["lift"],
+        )
+        for r in mine_association_rules(spark, sf).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        for gv, wv in zip(got[k], want[k]):
+            assert abs(gv - wv) < 2e-6, (k, got[k], want[k])

@@ -160,3 +160,109 @@ def _pagerank_oracle_sql() -> str:
 
 
 ORACLE = {"graph_pagerank_tokens": _pagerank_oracle_sql()}
+
+
+# --- Oriented triangle counting (Schank 2007; Suri & Vassilvitskii 2011) ----
+
+
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **per-node triangle counts** on the undirected token
+    graph via the ORIENTED wedge join (Schank's thesis 2007; the
+    MapReduce form is Suri & Vassilvitskii, WWW 2011 — "the curse of
+    the last reducer"): orient every undirected edge from the
+    lower-(degree, node) endpoint to the higher, generate wedges only
+    from each node's ORIENTED out-edges, and close them against the
+    oriented edge list. Orientation bounds per-node wedge generation by
+    out-degree ≤ O(√|E|) — the high-degree hub that makes the naive
+    wedge join quadratic never fans out — which is the difference
+    between hours and minutes on a power-law 100 TB graph.
+
+    Node order materializes as an integer rank (one 31-row global
+    window, broadcast back onto edges), so every join predicate is an
+    integer equi-join/compare. Counts are exact integers — trivially
+    deterministic. Each triangle is generated exactly once (its
+    lowest-rank corner forms the wedge), then exploded to its three
+    corners for the per-node aggregate.
+    """
+    from pyspark.sql.window import Window
+
+    directed = _token_edges(spark, sf_dir)
+    und = (
+        directed.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("token"))
+        .unionByName(und.select(F.col("b").alias("token")))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    rnk = deg.select(
+        "token",
+        F.row_number()
+        .over(Window.partitionBy().orderBy("deg", "token"))
+        .alias("rnk"),
+    )
+    ra = rnk.select(F.col("token").alias("a"), F.col("rnk").alias("rnk_a"))
+    rb = rnk.select(F.col("token").alias("b"), F.col("rnk").alias("rnk_b"))
+    ranked = und.join(F.broadcast(ra), "a").join(F.broadcast(rb), "b")
+    oriented = ranked.select(
+        F.least("rnk_a", "rnk_b").alias("u"),
+        F.greatest("rnk_a", "rnk_b").alias("v"),
+    )
+    x, y, z = oriented.alias("x"), oriented.alias("y"), oriented.alias("z")
+    tri = (
+        x.join(
+            y,
+            (F.col("x.u") == F.col("y.u")) & (F.col("x.v") < F.col("y.v")),
+        )
+        .join(
+            z,
+            (F.col("z.u") == F.col("x.v")) & (F.col("z.v") == F.col("y.v")),
+        )
+        .select(
+            F.col("x.u").alias("c1"),
+            F.col("x.v").alias("c2"),
+            F.col("y.v").alias("c3"),
+        )
+    )
+    corners = (
+        tri.select(F.col("c1").alias("rnk"))
+        .unionByName(tri.select(F.col("c2").alias("rnk")))
+        .unionByName(tri.select(F.col("c3").alias("rnk")))
+    )
+    return (
+        corners.groupBy("rnk")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .join(F.broadcast(rnk), "rnk")
+        .select("token", "n_triangles")
+        .orderBy("token")
+    )
+
+
+QUERIES["graph_triangle_counts"] = graph_triangle_counts
+
+# oracle counts the same triangles WITHOUT the orientation device: with
+# undirected edges stored as a < b (lexicographic), the chain e1=(x,y),
+# e2=(y,z), e3=(x,z) enumerates each triangle x<y<z exactly once — the
+# equivalence of the two enumerations is itself part of what the
+# hash-match verifies
+ORACLE["graph_triangle_counts"] = (
+    "WITH e0 AS (SELECT DISTINCT toks[i] AS src, toks[i + 1] AS dst FROM ("
+    "SELECT string_split(text, ' ') AS toks FROM documents), "
+    "UNNEST(CASE WHEN len(toks) >= 2 THEN range(1, len(toks)) "
+    "ELSE [] END) AS u(i)), "
+    "und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+    "FROM e0 WHERE src <> dst), "
+    "tri AS (SELECT e1.a AS c1, e1.b AS c2, e2.b AS c3 "
+    "FROM und e1 JOIN und e2 ON e2.a = e1.b "
+    "JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b), "
+    "corners AS (SELECT c1 AS token FROM tri "
+    "UNION ALL SELECT c2 FROM tri UNION ALL SELECT c3 FROM tri) "
+    "SELECT token, CAST(COUNT(*) AS BIGINT) AS n_triangles "
+    "FROM corners GROUP BY 1 ORDER BY 1"
+)

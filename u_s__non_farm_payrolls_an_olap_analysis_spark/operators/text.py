@@ -924,3 +924,129 @@ ORACLE["text_bpe_encode_count"] = (
     "CAST(SUM(n_units) AS BIGINT) AS n_bpe_units "
     "FROM tok JOIN enc USING (word) GROUP BY doc_id"
 )
+
+
+# --- Association rules (Agrawal & Srikant, VLDB 1994) -----------------------
+
+AR_MINSUP = 0.30  # minimum pair support (fraction of documents)
+AR_MINCONF = 0.60  # minimum rule confidence
+
+
+def mine_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — level-2 **Apriori association rules** (Agrawal &
+    Srikant, VLDB 1994) over document token baskets: frequent token
+    pairs with support ≥ ``AR_MINSUP``, emitted as directed rules
+    ``antecedent → consequent`` with support / confidence / lift. The
+    **Apriori property** is applied exactly as published: baskets are
+    pruned to frequent SINGLES (semi-join) before any pair is generated,
+    so the quadratic per-basket pair explosion runs only over items that
+    can still qualify — the pruning that makes level-2 feasible when the
+    raw vocabulary is large.
+
+    Shapes: one distinct (doc, token) aggregate feeds singles and (after
+    the frequent-singles semi-join) a doc_id-keyed self-join for pairs;
+    the frequent-singles table and the 1-row doc count are broadcasts.
+    All metrics are ratios of exact integer counts rounded at 6 dp.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    basket = docs.select(
+        "doc_id", F.explode(F.array_distinct(_tokens())).alias("token")
+    )
+    n_docs = docs.select(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    singles = basket.groupBy("token").agg(F.count(F.lit(1)).alias("supp_1"))
+    # ceil(0.30 * n) in INTEGER space: (3n + 9) DIV 10 — an FP ceil on the
+    # binary rendering of 0.30 is the prefix-length recall trap (rule 3)
+    freq1 = singles.crossJoin(F.broadcast(n_docs)).filter(
+        F.col("supp_1") >= F.expr("(3 * n_docs + 9) DIV 10")
+    )
+    pruned = basket.join(
+        F.broadcast(freq1.select("token")), "token", "left_semi"
+    )
+    a, b = pruned.alias("a"), pruned.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.token") < F.col("b.token")),
+        )
+        .groupBy(
+            F.col("a.token").alias("x"), F.col("b.token").alias("y")
+        )
+        .agg(F.count(F.lit(1)).alias("supp_xy"))
+    )
+    sx = freq1.select(F.col("token").alias("x"), F.col("supp_1").alias("sx"))
+    sy = freq1.select(F.col("token").alias("y"), F.col("supp_1").alias("sy"))
+    both = (
+        pairs.join(F.broadcast(sx), "x")
+        .join(F.broadcast(sy), "y")
+        .crossJoin(F.broadcast(n_docs))
+    )
+    rules = both.select(
+        F.col("x").alias("antecedent"),
+        F.col("y").alias("consequent"),
+        "supp_xy",
+        F.col("sx").alias("supp_ante"),
+        F.col("sy").alias("supp_cons"),
+        "n_docs",
+    ).unionByName(
+        both.select(
+            F.col("y").alias("antecedent"),
+            F.col("x").alias("consequent"),
+            "supp_xy",
+            F.col("sy").alias("supp_ante"),
+            F.col("sx").alias("supp_cons"),
+            "n_docs",
+        )
+    )
+    support = F.col("supp_xy") / F.col("n_docs")
+    conf = F.col("supp_xy") / F.col("supp_ante")
+    lift = conf / (F.col("supp_cons") / F.col("n_docs"))
+    return (
+        rules.filter(
+            (F.col("supp_xy") >= F.expr("(3 * n_docs + 9) DIV 10"))
+            # confidence >= 0.6 as 5*supp_xy >= 3*supp_ante (integer space)
+            & (5 * F.col("supp_xy") >= 3 * F.col("supp_ante"))
+        )
+        .select(
+            "antecedent",
+            "consequent",
+            F.round(support, 6).alias("support"),
+            F.round(conf, 6).alias("confidence"),
+            F.round(lift, 6).alias("lift"),
+        )
+        .orderBy("antecedent", "consequent")
+    )
+
+
+QUERIES["mine_association_rules"] = mine_association_rules
+
+ORACLE["mine_association_rules"] = (
+    "WITH basket AS (SELECT DISTINCT doc_id, u.token FROM "
+    "(SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+    "UNNEST(ws) AS u(token)), "
+    "nd AS (SELECT COUNT(*) AS n_docs FROM documents), "
+    "singles AS (SELECT token, COUNT(*) AS supp_1 FROM basket GROUP BY 1), "
+    "freq1 AS (SELECT token, supp_1 FROM singles, nd "
+    "WHERE supp_1 >= (3 * n_docs + 9) // 10), "
+    "pruned AS (SELECT b.doc_id, b.token FROM basket b "
+    "WHERE EXISTS (SELECT 1 FROM freq1 f WHERE f.token = b.token)), "
+    "pairs AS (SELECT a.token AS x, b.token AS y, COUNT(*) AS supp_xy "
+    "FROM pruned a JOIN pruned b "
+    "ON a.doc_id = b.doc_id AND a.token < b.token GROUP BY 1, 2), "
+    "pb AS (SELECT x, y, supp_xy, fx.supp_1 AS sx, fy.supp_1 AS sy, "
+    "n_docs FROM pairs JOIN freq1 fx ON fx.token = x "
+    "JOIN freq1 fy ON fy.token = y, nd), "
+    "rules AS (SELECT x AS antecedent, y AS consequent, supp_xy, "
+    "sx AS supp_ante, sy AS supp_cons, n_docs FROM pb "
+    "UNION ALL SELECT y, x, supp_xy, sy, sx, n_docs FROM pb) "
+    "SELECT antecedent, consequent, "
+    "ROUND(supp_xy * 1.0 / n_docs, 6) AS support, "
+    "ROUND(supp_xy * 1.0 / supp_ante, 6) AS confidence, "
+    "ROUND((supp_xy * 1.0 / supp_ante) / (supp_cons * 1.0 / n_docs), 6) "
+    "AS lift FROM rules "
+    "WHERE supp_xy >= (3 * n_docs + 9) // 10 "
+    "AND 5 * supp_xy >= 3 * supp_ante "
+    "ORDER BY 1, 2"
+)

@@ -178,6 +178,8 @@ _SAMPLE_PRIORITY = [
     # NEW in round 10 — distributed Space-Saving streaming heavy hitters
     "stream_topk_space_saving",
     "privacy_t_closeness",
+    "graph_triangle_counts",
+    "mine_association_rules",
     # latest driver row r6 — oldest remaining evidence; tail rolls
     "agg_boolean_family",
     "agg_distinct_and_approx",
