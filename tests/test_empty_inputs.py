@@ -154,6 +154,7 @@ REPRESENTATIVE = [
     "privacy_t_closeness",
     "graph_triangle_counts",
     "mine_association_rules",
+    "timeseries_ewma_smooth",
 ]
 
 

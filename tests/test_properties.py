@@ -1101,3 +1101,29 @@ def test_association_rules_match_bruteforce(spark):
     for k in want:
         for gv, wv in zip(got[k], want[k]):
             assert abs(gv - wv) < 2e-6, (k, got[k], want[k])
+
+
+def test_ewma_matches_pandas_ewm(spark):
+    """The grouped-map recurrence must equal pandas' own ewm(adjust=False)
+    smoother per series — an independent implementation of the same
+    definition."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.custom_udf import (
+        EWMA_ALPHA,
+        timeseries_ewma_smooth,
+    )
+
+    rows = timeseries_ewma_smooth(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    import collections
+
+    series = collections.defaultdict(list)
+    for r in rows:
+        series[r["priority"]].append((r["mon"], r["revenue"], r["ewma"]))
+    import pandas as pd
+
+    for prio, pts in series.items():
+        pts.sort()
+        rev = pd.Series([p[1] for p in pts])
+        want = rev.ewm(alpha=EWMA_ALPHA, adjust=False).mean()
+        for (_, _, got), w in zip(pts, want):
+            assert abs(got - w) < 1e-4, (prio, got, w)

@@ -411,3 +411,85 @@ def udtf_table_arg_year_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["udtf_table_arg_year_profile"] = udtf_table_arg_year_profile
+
+
+# --- EWMA smoothing via grouped-map recurrence -------------------------------
+
+EWMA_ALPHA = 0.5  # exact binary fraction: every blend step is one IEEE
+# multiply-by-0.5 per operand + one add — bit-identical between python
+# floats and DuckDB doubles, so the recurrence itself is oracle-exact
+
+
+def _ewma_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("mon").reset_index(drop=True)
+    s = None
+    out = []
+    for x in pdf["revenue"]:
+        s = x if s is None else EWMA_ALPHA * x + (1.0 - EWMA_ALPHA) * s
+        # expose at 4dp with half-away-from-zero (numerics.dround /
+        # DuckDB ROUND convention; python round() is banker's)
+        v = abs(s) * 10000.0
+        out.append(
+            (1.0 if s >= 0 else -1.0) * (int(v + 0.5) // 1) / 10000.0
+        )
+    pdf["ewma"] = out
+    return pdf
+
+
+def timeseries_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — exponentially weighted moving average per series
+    (Holt's level-only recurrence, the standard streaming smoother):
+    ``s_t = α·x_t + (1−α)·s_{t−1}``, seeded with the first observation,
+    over monthly per-priority revenue. A sequential recurrence has no
+    closed window form that is numerically exact (the 2^t rescaling
+    trick loses low bits across 80+ months), so the per-series loop runs
+    in a grouped-map ``applyInPandas`` — one shuffle on the series key,
+    each series a single Arrow batch; series count scales out, series
+    length stays bounded (monthly grain). The DuckDB oracle replays the
+    SAME recurrence as a recursive CTE step-indexed per series — with
+    ``α = 0.5`` every blend is exact-IEEE-reproducible in both engines,
+    so the result is fully hash-checked (no tolerance).
+    """
+    from ..functions.numerics import dsum
+
+    orders = read_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.date_trunc("month", "o_orderdate").alias("mon"),
+        )
+        .agg(F.round(dsum("o_totalprice"), 4).alias("revenue"))
+    )
+    return (
+        monthly.groupBy("priority")
+        .applyInPandas(
+            _ewma_group,
+            schema="priority string, mon timestamp, revenue double, "
+            "ewma double",
+        )
+        .orderBy("priority", "mon")
+    )
+
+
+QUERIES["timeseries_ewma_smooth"] = timeseries_ewma_smooth
+
+ORACLE["timeseries_ewma_smooth"] = (
+    "WITH RECURSIVE m AS (SELECT o_orderpriority AS priority, "
+    "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon, "
+    "ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) "
+    "AS DOUBLE) / 10000.0, 4) AS revenue "
+    "FROM orders GROUP BY 1, 2), "
+    "idx AS (SELECT priority, mon, revenue, "
+    "ROW_NUMBER() OVER (PARTITION BY priority ORDER BY mon) AS i "
+    "FROM m), "
+    "rec(priority, mon, revenue, i, s) AS ("
+    "SELECT priority, mon, revenue, i, revenue FROM idx WHERE i = 1 "
+    "UNION ALL "
+    "SELECT idx.priority, idx.mon, idx.revenue, idx.i, "
+    f"{EWMA_ALPHA} * idx.revenue + {1.0 - EWMA_ALPHA} * rec.s "
+    "FROM idx JOIN rec ON idx.priority = rec.priority "
+    "AND idx.i = rec.i + 1) "
+    "SELECT priority, mon, revenue, "
+    "SIGN(s) * (FLOOR(ABS(s) * 10000.0 + 0.5)) / 10000.0 AS ewma "
+    "FROM rec ORDER BY 1, 2"
+)

@@ -180,6 +180,7 @@ _SAMPLE_PRIORITY = [
     "privacy_t_closeness",
     "graph_triangle_counts",
     "mine_association_rules",
+    "timeseries_ewma_smooth",
     # latest driver row r6 — oldest remaining evidence; tail rolls
     "agg_boolean_family",
     "agg_distinct_and_approx",
