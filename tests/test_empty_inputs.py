@@ -155,6 +155,7 @@ REPRESENTATIVE = [
     "graph_triangle_counts",
     "mine_association_rules",
     "timeseries_ewma_smooth",
+    "dq_benford_first_digit",
 ]
 
 

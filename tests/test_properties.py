@@ -1127,3 +1127,24 @@ def test_ewma_matches_pandas_ewm(spark):
         want = rev.ewm(alpha=EWMA_ALPHA, adjust=False).mean()
         for (_, _, got), w in zip(pts, want):
             assert abs(got - w) < 1e-4, (prio, got, w)
+
+
+def test_benford_audit_invariants(spark):
+    """Observed shares sum to 1 over the digit spine, Benford shares sum
+    to 1 (log10 telescoping), and n sums to the filtered row count."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.io import read_table
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        dq_benford_first_digit,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = dq_benford_first_digit(spark, sf).collect()
+    assert [r["digit"] for r in rows] == list(range(1, 10))
+    assert abs(sum(r["obs_share"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["benford_share"] for r in rows) - 1.0) < 1e-5
+    n_pos = (
+        read_table(spark, sf, "orders")
+        .filter("o_totalprice > 0")
+        .count()
+    )
+    assert sum(r["n"] for r in rows) == n_pos

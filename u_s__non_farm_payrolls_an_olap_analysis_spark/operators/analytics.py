@@ -1044,3 +1044,68 @@ ORACLE["string_collation_compare"] = (
     "CAST(SUM(CASE WHEN label = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) "
     "AS bin_eq_building FROM lab"
 )
+
+
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **Benford's-law first-digit audit** (Benford 1938;
+    the standard forensic-accounting screen, Nigrini 2012): the leading
+    digit of naturally occurring amounts should follow
+    ``P(d) = log10(1 + 1/d)``; a synthetic or truncated money column
+    drifts from it. Emits the 9-row digit table — observed count, share,
+    Benford share, absolute deviation — over ``o_totalprice``, with a
+    1-9 spine LEFT JOIN so absent digits still audit (share 0, full
+    deviation). One conditional aggregate over the scan; the 9-row spine
+    and total are broadcast scalars.
+
+    Determinism: digit extraction is integer/string (first char of the
+    floored amount), shares are exact-int ratios rounded at 6 dp, and
+    ``log10(1+1/d)`` evaluates on the same 9 doubles in both engines.
+    """
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 0
+    )
+    digit = F.substring(
+        F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+    ).cast("int")
+    obs = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = orders.agg(F.count(F.lit(1)).alias("tot"))
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    benford = F.log10(1.0 + 1.0 / F.col("digit"))
+    share = F.col("n") / F.col("tot")
+    return (
+        spine.join(F.broadcast(obs), "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.round(
+                F.coalesce(share, F.lit(0.0)), 6
+            ).alias("obs_share"),
+            F.round(benford, 6).alias("benford_share"),
+            F.round(
+                F.abs(F.coalesce(share, F.lit(0.0)) - benford), 6
+            ).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )
+
+
+QUERIES["dq_benford_first_digit"] = dq_benford_first_digit
+
+ORACLE["dq_benford_first_digit"] = (
+    "WITH o AS (SELECT o_totalprice FROM orders WHERE o_totalprice > 0), "
+    "obs AS (SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) "
+    "AS VARCHAR), 1, 1) AS INT) AS digit, COUNT(*) AS n "
+    "FROM o GROUP BY 1), "
+    "tot AS (SELECT COUNT(*) AS tot FROM o), "
+    "spine AS (SELECT CAST(i AS INT) AS digit FROM range(1, 10) t(i)) "
+    "SELECT spine.digit, CAST(COALESCE(obs.n, 0) AS BIGINT) AS n, "
+    "ROUND(COALESCE(obs.n * 1.0 / tot, 0.0), 6) AS obs_share, "
+    "ROUND(LOG10(1.0 + 1.0 / spine.digit), 6) AS benford_share, "
+    "ROUND(ABS(COALESCE(obs.n * 1.0 / tot, 0.0) - "
+    "LOG10(1.0 + 1.0 / spine.digit)), 6) AS abs_dev "
+    "FROM spine LEFT JOIN obs ON obs.digit = spine.digit, tot "
+    "ORDER BY 1"
+)

@@ -181,6 +181,7 @@ _SAMPLE_PRIORITY = [
     "graph_triangle_counts",
     "mine_association_rules",
     "timeseries_ewma_smooth",
+    "dq_benford_first_digit",
     # latest driver row r6 — oldest remaining evidence; tail rolls
     "agg_boolean_family",
     "agg_distinct_and_approx",
