@@ -156,6 +156,7 @@ REPRESENTATIVE = [
     "mine_association_rules",
     "timeseries_ewma_smooth",
     "dq_benford_first_digit",
+    "privacy_dp_noisy_counts",
 ]
 
 

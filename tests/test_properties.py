@@ -1148,3 +1148,49 @@ def test_benford_audit_invariants(spark):
         .count()
     )
     assert sum(r["n"] for r in rows) == n_pos
+
+
+def test_dp_noisy_counts_match_reference_laplace(spark):
+    """Noisy counts must equal the python recomputation of the seeded
+    inverse-CDF Laplace mechanism exactly (4dp), and noise must actually
+    perturb (not all zeros)."""
+    import collections
+    import hashlib
+    import math
+
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.io import read_table
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.llm_prep import (
+        _DP_DENOM,
+        DP_EPSILON,
+        privacy_dp_noisy_counts,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    nation = {
+        r["n_nationkey"]: r["n_name"]
+        for r in read_table(spark, sf, "nation").collect()
+    }
+    true = collections.Counter(
+        nation[r["c_nationkey"]]
+        for r in read_table(spark, sf, "customer").collect()
+    )
+    got = {
+        r["qi_nation"]: r["noisy_count"]
+        for r in privacy_dp_noisy_counts(spark, sf).collect()
+    }
+    assert set(got) == set(true)
+    diffs = []
+    for name, n in true.items():
+        h = int(
+            hashlib.md5(f"dpseed:{name}".encode()).hexdigest()[:8], 16
+        )
+        ctr = (h + 0.5) / _DP_DENOM - 0.5
+        noise = (
+            -(1.0 / DP_EPSILON)
+            * math.copysign(1.0, ctr)
+            * math.log(1.0 - 2.0 * abs(ctr))
+        )
+        want = round(n + noise, 4)
+        assert abs(got[name] - want) < 1.5e-4, (name, got[name], want)
+        diffs.append(got[name] - n)
+    assert any(abs(d) > 0.01 for d in diffs)

@@ -1694,3 +1694,71 @@ ORACLE["privacy_t_closeness"] = (
     f"CAST(tv_distance <= {T_CLOSE} AS INT) AS is_t_close "
     "FROM a ORDER BY 1"
 )
+
+
+DP_EPSILON = 1.0
+_DP_DENOM = 4294967296.0  # 2^32
+
+
+def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — the **differential-privacy release shape** (Dwork et
+    al., TCC 2006): per-group counts (sensitivity 1) plus Laplace
+    ``(1/ε)`` noise via inverse-CDF,
+    ``noise = -(1/ε)·sign(u−½)·ln(1−2|u−½|)``. The uniform draw is
+    SEEDED (md5 of the group key) so the release is reproducible and the
+    whole pipeline hash-checks cross-engine — the standard test-harness
+    posture; a production release swaps the seeded draw for a
+    cryptographic RNG (one-line change, same plan) because a
+    key-derived seed is NOT private. Epsilon and the true sensitivity
+    are emitted alongside so downstream accounting can compose budgets.
+
+    Shape: one count aggregate; the noise term is scalar math on the
+    25 aggregated rows. Deterministic: identical md5 → uniform → ln on
+    the same doubles in both engines; exposed at 4 dp.
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    counts = (
+        cust.join(
+            F.broadcast(nation),
+            cust["c_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy(F.col("n_name").alias("qi_nation"))
+        .agg(F.count(F.lit(1)).alias("true_n"))
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("dpseed:"), F.col("qi_nation"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + 0.5) / F.lit(_DP_DENOM)
+    centered = u - 0.5
+    noise = (
+        -(1.0 / DP_EPSILON)
+        * F.signum(centered)
+        * F.log(1.0 - 2.0 * F.abs(centered))
+    )
+    return counts.select(
+        "qi_nation",
+        F.round(F.col("true_n") + noise, 4).alias("noisy_count"),
+        F.lit(DP_EPSILON).alias("epsilon"),
+        F.lit(1).alias("sensitivity"),
+    ).orderBy("qi_nation")
+
+
+QUERIES["privacy_dp_noisy_counts"] = privacy_dp_noisy_counts
+
+ORACLE["privacy_dp_noisy_counts"] = (
+    "WITH c AS (SELECT n_name AS qi_nation, COUNT(*) AS true_n "
+    "FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 1), "
+    "d AS (SELECT qi_nation, true_n, "
+    "((CAST(('0x' || substr(md5('dpseed:' || qi_nation), 1, 8)) "
+    f"AS BIGINT) + 0.5) / {_DP_DENOM}) - 0.5 AS ctr FROM c) "
+    "SELECT qi_nation, "
+    f"ROUND(true_n + (-(1.0 / {DP_EPSILON}) * SIGN(ctr) * "
+    "LN(1.0 - 2.0 * ABS(ctr))), 4) AS noisy_count, "
+    f"{DP_EPSILON} AS epsilon, 1 AS sensitivity "
+    "FROM d ORDER BY 1"
+)

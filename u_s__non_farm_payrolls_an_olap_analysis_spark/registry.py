@@ -182,6 +182,7 @@ _SAMPLE_PRIORITY = [
     "mine_association_rules",
     "timeseries_ewma_smooth",
     "dq_benford_first_digit",
+    "privacy_dp_noisy_counts",
     # latest driver row r6 — oldest remaining evidence; tail rolls
     "agg_boolean_family",
     "agg_distinct_and_approx",
