@@ -157,6 +157,10 @@ REPRESENTATIVE = [
     "timeseries_ewma_smooth",
     "dq_benford_first_digit",
     "privacy_dp_noisy_counts",
+    "rfm_segmentation",
+    "abc_pareto_parts",
+    "events_attribution_last_touch",
+    "corpus_zipf_fit",
 ]
 
 

@@ -1194,3 +1194,121 @@ def test_dp_noisy_counts_match_reference_laplace(spark):
         assert abs(got[name] - want) < 1.5e-4, (name, got[name], want)
         diffs.append(got[name] - n)
     assert any(abs(d) > 0.01 for d in diffs)
+
+
+def test_rfm_scores_monotone_and_bounded(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        rfm_segmentation,
+    )
+
+    rows = rfm_segmentation(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        for s in (r["r_score"], r["f_score"], r["m_score"]):
+            assert 1 <= s <= 5
+        assert r["rfm_code"] == f"{r['r_score']}{r['f_score']}{r['m_score']}"
+    # monotone: sort by metric, scores must be non-decreasing (freq/money)
+    # and non-increasing in recency_days
+    by_m = sorted(rows, key=lambda r: r["monetary"])
+    assert all(
+        a["m_score"] <= b["m_score"] for a, b in zip(by_m, by_m[1:])
+    )
+    by_r = sorted(rows, key=lambda r: r["recency_days"])
+    assert all(
+        a["r_score"] >= b["r_score"] for a, b in zip(by_r, by_r[1:])
+    )
+    # every quintile bucket is populated at this SF
+    assert {r["m_score"] for r in rows} == {1, 2, 3, 4, 5}
+
+
+def test_abc_pareto_invariants(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        abc_pareto_parts,
+    )
+
+    rows = abc_pareto_parts(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    shares = [r["cum_share"] for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(shares, shares[1:]))
+    assert abs(shares[-1] - 1.0) < 1e-6
+    order = {"A": 0, "B": 1, "C": 2}
+    classes = [order[r["abc_class"]] for r in rows]
+    assert classes == sorted(classes)  # A block, then B, then C
+    for r in rows:
+        if r["abc_class"] == "A":
+            assert r["cum_share"] <= 0.700001
+        elif r["abc_class"] == "B":
+            assert 0.699999 < r["cum_share"] <= 0.900001
+    assert {r["abc_class"] for r in rows} == {"A", "B", "C"}
+
+
+def test_attribution_matches_pure_python(spark):
+    import collections
+    import datetime
+
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.io import read_table
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        events_attribution_last_touch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = sorted(
+        read_table(spark, sf, "events").collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    last_np = {}
+    agg = collections.defaultdict(lambda: [0, 0])
+    for r in ev:
+        u = r["user_id"]
+        if r["event_type"] == "purchase":
+            prior = last_np.get(u)
+            if prior and r["ts"] - prior[1] <= datetime.timedelta(days=7):
+                ch = prior[0]
+            else:
+                ch = "direct"
+            agg[ch][0] += 1
+            if r["value"] is not None:
+                v = abs(r["value"]) * 10000
+                agg[ch][1] += int(v + 0.5) * (1 if r["value"] >= 0 else -1)
+        else:
+            last_np[u] = (r["event_type"], r["ts"])
+    want = {
+        ch: (n, round(sv / 10000.0, 4)) for ch, (n, sv) in agg.items()
+    }
+    got = {
+        r["channel"]: (r["n_purchases"], r["attributed_value"])
+        for r in events_attribution_last_touch(spark, sf).collect()
+    }
+    assert got == want
+    assert len(got) > 1  # both attributed and non-trivial channels exist
+
+
+def test_zipf_fit_matches_numpy_polyfit(spark):
+    """Slope/intercept/R2 must match numpy's least squares on the same
+    ln(rank)/ln(freq) points (within the 1e-8 term-rounding the scaled
+    sums introduce)."""
+    import collections
+    import math
+
+    import numpy as np
+
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.io import read_table
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.text import (
+        corpus_zipf_fit,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    tf = collections.Counter()
+    for r in read_table(spark, sf, "documents").collect():
+        if r["text"] is not None:
+            tf.update(r["text"].split(" "))
+    ordered = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))
+    x = np.array([math.log(i + 1) for i in range(len(ordered))])
+    y = np.array([math.log(c) for _, c in ordered])
+    slope, intercept = np.polyfit(x, y, 1)
+    r = np.corrcoef(x, y)[0, 1]
+    row = corpus_zipf_fit(spark, sf).collect()[0]
+    assert row["n_types"] == len(ordered)
+    assert abs(row["zipf_slope"] - slope) < 1e-5
+    assert abs(row["zipf_intercept"] - intercept) < 1e-5
+    assert abs(row["r2"] - r * r) < 1e-5

@@ -1109,3 +1109,268 @@ ORACLE["dq_benford_first_digit"] = (
     "FROM spine LEFT JOIN obs ON obs.digit = spine.digit, tot "
     "ORDER BY 1"
 )
+
+
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **RFM customer segmentation** (Hughes 1994, the
+    classic BI scoring the reference's dashboard genre feeds): per
+    customer, Recency (days since last order, against the corpus max
+    date), Frequency (order count), Monetary (scaled-int revenue sum),
+    each scored 1-5 against the corpus 20/40/60/80 quantiles, composed
+    into the familiar ``rfm_code``.
+
+    Scale shape — the `sample_quantile_threshold_cut` device, not a
+    global ntile: quintile thresholds are ONE scalar aggregate over the
+    per-customer rollup (exact interpolated ``percentile`` ≡
+    ``quantile_cont``, rounded 6 dp), broadcast back as a 1-row join;
+    scores are four strict-greater comparisons. No single-partition
+    window anywhere; recency deltas are exact integer epoch-day
+    arithmetic (timezone-free, rule 6a).
+    """
+    from ..functions.numerics import dsum
+    from ..functions.timeparts import epoch_micros_from_ntz
+
+    orders = read_table(spark, sf_dir, "orders")
+    day = F.floor(
+        epoch_micros_from_ntz(F.col("o_orderdate")) / 86_400_000_000
+    ).cast("long")
+    per_cust = orders.groupBy(
+        F.col("o_custkey").alias("custkey")
+    ).agg(
+        F.max(day).alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(dsum("o_totalprice"), 4).alias("monetary"),
+    )
+    maxd = orders.agg(F.max(day).alias("max_day"))
+    rfm = per_cust.crossJoin(F.broadcast(maxd)).select(
+        "custkey",
+        (F.col("max_day") - F.col("last_day")).alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    qs = rfm.agg(
+        *[
+            F.round(F.percentile(c, F.lit(p)), 6).alias(f"{c}_q{int(p*100)}")
+            for c in ("recency_days", "frequency", "monetary")
+            for p in (0.2, 0.4, 0.6, 0.8)
+        ]
+    )
+
+    def score(c: str, invert: bool) -> F.Column:
+        s = F.lit(1)
+        for p in (20, 40, 60, 80):
+            s = s + (F.col(c) > F.col(f"{c}_q{p}")).cast("int")
+        # recency: more days = worse -> invert to 5 = most recent
+        return (F.lit(6) - s) if invert else s
+
+    return (
+        rfm.crossJoin(F.broadcast(qs))
+        .select(
+            "custkey",
+            "recency_days",
+            "frequency",
+            "monetary",
+            score("recency_days", True).alias("r_score"),
+            score("frequency", False).alias("f_score"),
+            score("monetary", False).alias("m_score"),
+        )
+        .withColumn(
+            "rfm_code",
+            F.concat_ws(
+                "", F.col("r_score"), F.col("f_score"), F.col("m_score")
+            ),
+        )
+        .orderBy("custkey")
+    )
+
+
+QUERIES["rfm_segmentation"] = rfm_segmentation
+
+ORACLE["rfm_segmentation"] = (
+    "WITH o AS (SELECT o_custkey, "
+    "CAST(FLOOR(epoch(o_orderdate) / 86400) AS BIGINT) AS day, "
+    "o_totalprice FROM orders), "
+    "pc AS (SELECT o_custkey AS custkey, MAX(day) AS last_day, "
+    "COUNT(*) AS frequency, "
+    "ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) "
+    "AS DOUBLE) / 10000.0, 4) AS monetary FROM o GROUP BY 1), "
+    "mx AS (SELECT MAX(day) AS max_day FROM o), "
+    "rfm AS (SELECT custkey, max_day - last_day AS recency_days, "
+    "frequency, monetary FROM pc, mx), "
+    "qs AS (SELECT "
+    + ", ".join(
+        f"ROUND(quantile_cont({c}, {p}), 6) AS {c}_q{int(p * 100)}"
+        for c in ("recency_days", "frequency", "monetary")
+        for p in (0.2, 0.4, 0.6, 0.8)
+    )
+    + " FROM rfm), "
+    "sc AS (SELECT custkey, recency_days, frequency, monetary, "
+    "6 - (1 + CAST(recency_days > recency_days_q20 AS INT) + "
+    "CAST(recency_days > recency_days_q40 AS INT) + "
+    "CAST(recency_days > recency_days_q60 AS INT) + "
+    "CAST(recency_days > recency_days_q80 AS INT)) AS r_score, "
+    "1 + CAST(frequency > frequency_q20 AS INT) + "
+    "CAST(frequency > frequency_q40 AS INT) + "
+    "CAST(frequency > frequency_q60 AS INT) + "
+    "CAST(frequency > frequency_q80 AS INT) AS f_score, "
+    "1 + CAST(monetary > monetary_q20 AS INT) + "
+    "CAST(monetary > monetary_q40 AS INT) + "
+    "CAST(monetary > monetary_q60 AS INT) + "
+    "CAST(monetary > monetary_q80 AS INT) AS m_score "
+    "FROM rfm, qs) "
+    "SELECT custkey, recency_days, frequency, monetary, "
+    "r_score, f_score, m_score, "
+    "CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || "
+    "CAST(m_score AS VARCHAR) AS rfm_code "
+    "FROM sc ORDER BY custkey"
+)
+
+
+def abc_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **ABC / Pareto classification** (the 80/20 inventory
+    analysis; Pareto 1896 via Juran's quality canon): parts ranked by
+    revenue, cumulative revenue share computed in descending order, and
+    classed A (first 70 % of revenue), B (to 90 %), C (tail) — the
+    classic OLAP drill the reference's dashboard genre ships beside
+    top-N.
+
+    Scale: revenue reduces on the FACT table with one keyed aggregate;
+    the ordered cumulative window runs over the part-level rollup
+    (|parts| ≪ |lineitem| — dim-sized, like every corpus-stats window
+    here), never over facts. The cumulative sum accumulates the SCALED
+    INT revenue (exact, order-stable under the (revenue desc, partkey)
+    total order), so shares are identical bit-for-bit cross-engine.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.numerics import dsum_scaled
+
+    li = read_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        dsum_scaled(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("rev_s")
+    )
+    w = (
+        Window.orderBy(F.col("rev_s").desc(), F.col("partkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = rev.agg(F.sum("rev_s").alias("tot_s"))
+    cum = (
+        rev.withColumn("cum_s", F.sum("rev_s").over(w))
+        .crossJoin(F.broadcast(tot))
+    )
+    share = F.col("cum_s").cast("double") / F.col("tot_s")
+    return cum.select(
+        "partkey",
+        F.round(F.col("rev_s") / 10000.0, 4).alias("revenue"),
+        F.round(share, 6).alias("cum_share"),
+        F.when(share <= 0.70, F.lit("A"))
+        .when(share <= 0.90, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    ).orderBy(F.col("revenue").desc(), F.col("partkey"))
+
+
+QUERIES["abc_pareto_parts"] = abc_pareto_parts
+
+ORACLE["abc_pareto_parts"] = (
+    "WITH rev AS (SELECT l_partkey AS partkey, "
+    "SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) "
+    "AS BIGINT)) AS rev_s FROM lineitem GROUP BY 1), "
+    "tot AS (SELECT SUM(rev_s) AS tot_s FROM rev), "
+    "cum AS (SELECT partkey, rev_s, "
+    "SUM(rev_s) OVER (ORDER BY rev_s DESC, partkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_s "
+    "FROM rev) "
+    "SELECT partkey, "
+    "ROUND(CAST(rev_s AS DOUBLE) / 10000.0, 4) AS revenue, "
+    "ROUND(CAST(cum_s AS DOUBLE) / tot_s, 6) AS cum_share, "
+    "CASE WHEN CAST(cum_s AS DOUBLE) / tot_s <= 0.70 THEN 'A' "
+    "WHEN CAST(cum_s AS DOUBLE) / tot_s <= 0.90 THEN 'B' "
+    "ELSE 'C' END AS abc_class "
+    "FROM cum, tot ORDER BY revenue DESC, partkey"
+)
+
+
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **last-touch attribution** (the standard marketing-
+    analytics credit model): each purchase credits 100 % of its value to
+    the user's most recent PRIOR non-purchase event within a 7-day
+    lookback, else to 'direct'. Emits the per-channel attribution
+    rollup (purchase count + attributed revenue) — the campaign-ROI
+    table every funnel dashboard pairs with `agg_funnel_conversion`.
+
+    One exchange by user: the carry of (last non-purchase type, its ts)
+    is a pair of ignore-nulls `last()` frames over the SAME user window
+    the purchases then read; the lookback is an exact NTZ interval
+    compare (CLAUDE.md 6a — no epoch decomposition, no FP seconds).
+    (event_id tiebreak makes the frame order total under equal
+    timestamps.)
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.numerics import dsum
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value", "event_id"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    non_purchase = F.when(
+        F.col("event_type") != "purchase", F.col("event_type")
+    )
+    non_purchase_ts = F.when(
+        F.col("event_type") != "purchase", F.col("ts")
+    )
+    carried = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.last(non_purchase, ignorenulls=True).over(w).alias("prior_type"),
+        F.last(non_purchase_ts, ignorenulls=True).over(w).alias("prior_ts"),
+    )
+    purchases = carried.filter(F.col("event_type") == "purchase")
+    within = F.col("prior_ts").isNotNull() & (
+        (F.col("ts") - F.col("prior_ts")) <= F.expr("INTERVAL '7' DAY")
+    )
+    return (
+        purchases.select(
+            F.when(within, F.col("prior_type"))
+            .otherwise(F.lit("direct"))
+            .alias("channel"),
+            "value",
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(dsum("value"), 4).alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )
+
+
+QUERIES["events_attribution_last_touch"] = events_attribution_last_touch
+
+ORACLE["events_attribution_last_touch"] = (
+    "WITH c AS (SELECT user_id, ts, event_type, value, "
+    "last_value(CASE WHEN event_type <> 'purchase' THEN event_type END "
+    "IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_type, "
+    "last_value(CASE WHEN event_type <> 'purchase' THEN ts END "
+    "IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_ts "
+    "FROM events), "
+    "p AS (SELECT CASE WHEN prior_ts IS NOT NULL "
+    "AND ts - prior_ts <= INTERVAL 7 DAY THEN prior_type "
+    "ELSE 'direct' END AS channel, value FROM c "
+    "WHERE event_type = 'purchase') "
+    "SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_purchases, "
+    "ROUND(CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS DOUBLE) "
+    "/ 10000.0, 4) AS attributed_value "
+    "FROM p GROUP BY 1 ORDER BY 1"
+)

@@ -1050,3 +1050,107 @@ ORACLE["mine_association_rules"] = (
     "AND 5 * supp_xy >= 3 * supp_ante "
     "ORDER BY 1, 2"
 )
+
+
+# --- Zipf rank-frequency fit (Zipf 1949) ------------------------------------
+
+_ZIPF_SCALE = 100_000_000
+
+
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **Zipf's-law fit** (Zipf 1949; the log-log
+    rank-frequency regression every corpus-linguistics report opens
+    with): token frequencies ranked descending, least-squares slope /
+    intercept / R² of ``ln(freq) ~ ln(rank)`` — natural language sits
+    near slope −1; a synthetic or truncated corpus shows up immediately
+    in the slope and fit quality. One row out: the corpus fingerprint a
+    crawl-health dashboard tracks over time.
+
+    Shapes: term frequencies are the canonical explode → count; the
+    rank window and the regression sums run over the VOCABULARY-sized
+    rollup, never the corpus. Determinism: each regression term
+    (x, y, xy, x², y²) rounds to 1e-8 scaled int64 BEFORE summing
+    (`agg_linear_trend` convention), so the closed-form coefficients are
+    bit-identical cross-engine at 6 dp.
+    """
+    from pyspark.sql.window import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(_tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = tf.select(
+        "freq",
+        F.row_number()
+        .over(Window.partitionBy().orderBy(F.col("freq").desc(), "token"))
+        .alias("rank"),
+    )
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("freq").cast("double"))
+    S = float(_ZIPF_SCALE)
+    t = lambda c: F.round(c * S).cast("bigint")  # noqa: E731
+    sums = ranked.select(
+        t(x).alias("sx"),
+        t(y).alias("sy"),
+        t(x * y).alias("sxy"),
+        t(x * x).alias("sxx"),
+        t(y * y).alias("syy"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("sx") / S).alias("Sx"),
+        (F.sum("sy") / S).alias("Sy"),
+        (F.sum("sxy") / S).alias("Sxy"),
+        (F.sum("sxx") / S).alias("Sxx"),
+        (F.sum("syy") / S).alias("Syy"),
+    )
+    tot = docs.select(
+        F.sum(F.size(_tokens())).alias("n_tokens")
+    )
+    num = F.col("n") * F.col("Sxy") - F.col("Sx") * F.col("Sy")
+    den_x = F.col("n") * F.col("Sxx") - F.col("Sx") * F.col("Sx")
+    den_y = F.col("n") * F.col("Syy") - F.col("Sy") * F.col("Sy")
+    slope = num / den_x
+    return sums.crossJoin(F.broadcast(tot)).select(
+        F.col("n").cast("long").alias("n_types"),
+        "n_tokens",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            (F.col("Sy") - slope * F.col("Sx")) / F.col("n"), 6
+        ).alias("zipf_intercept"),
+        F.round(num * num / (den_x * den_y), 6).alias("r2"),
+    )
+
+
+QUERIES["corpus_zipf_fit"] = corpus_zipf_fit
+
+ORACLE["corpus_zipf_fit"] = (
+    "WITH tf AS (SELECT u.token, COUNT(*) AS freq FROM "
+    "(SELECT string_split(text, ' ') AS ws FROM documents), "
+    "UNNEST(ws) AS u(token) GROUP BY 1), "
+    "r AS (SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, token) "
+    "AS rank FROM tf), "
+    "terms AS (SELECT "
+    f"CAST(ROUND(LN(rank) * {_ZIPF_SCALE}) AS BIGINT) AS sx, "
+    f"CAST(ROUND(LN(freq) * {_ZIPF_SCALE}) AS BIGINT) AS sy, "
+    f"CAST(ROUND(LN(rank) * LN(freq) * {_ZIPF_SCALE}) AS BIGINT) AS sxy, "
+    f"CAST(ROUND(LN(rank) * LN(rank) * {_ZIPF_SCALE}) AS BIGINT) AS sxx, "
+    f"CAST(ROUND(LN(freq) * LN(freq) * {_ZIPF_SCALE}) AS BIGINT) AS syy "
+    "FROM r), "
+    "s AS (SELECT COUNT(*) AS n, "
+    f"CAST(SUM(sx) AS DOUBLE) / {_ZIPF_SCALE} AS Sx, "
+    f"CAST(SUM(sy) AS DOUBLE) / {_ZIPF_SCALE} AS Sy, "
+    f"CAST(SUM(sxy) AS DOUBLE) / {_ZIPF_SCALE} AS Sxy, "
+    f"CAST(SUM(sxx) AS DOUBLE) / {_ZIPF_SCALE} AS Sxx, "
+    f"CAST(SUM(syy) AS DOUBLE) / {_ZIPF_SCALE} AS Syy FROM terms), "
+    "tot AS (SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT) "
+    "AS n_tokens FROM documents) "
+    "SELECT CAST(n AS BIGINT) AS n_types, n_tokens, "
+    "ROUND((n * Sxy - Sx * Sy) / (n * Sxx - Sx * Sx), 6) AS zipf_slope, "
+    "ROUND((Sy - ((n * Sxy - Sx * Sy) / (n * Sxx - Sx * Sx)) * Sx) / n, 6) "
+    "AS zipf_intercept, "
+    "ROUND((n * Sxy - Sx * Sy) * (n * Sxy - Sx * Sy) / "
+    "((n * Sxx - Sx * Sx) * (n * Syy - Sy * Sy)), 6) AS r2 "
+    "FROM s, tot"
+)

@@ -183,6 +183,10 @@ _SAMPLE_PRIORITY = [
     "timeseries_ewma_smooth",
     "dq_benford_first_digit",
     "privacy_dp_noisy_counts",
+    "rfm_segmentation",
+    "abc_pareto_parts",
+    "events_attribution_last_touch",
+    "corpus_zipf_fit",
     # latest driver row r6 — oldest remaining evidence; tail rolls
     "agg_boolean_family",
     "agg_distinct_and_approx",
