@@ -103,11 +103,6 @@ _MODULES = [
 # n-gram langid, PageRank, temperature mixing): 71 keys total — the last 21 (sql_exists_big_order onward through the
 # TPC-H tail) roll into round 11; prune recorded keys then.
 _SAMPLE_PRIORITY = [
-    # latest driver row r4 — rolled past slot 50 by the r9 rotation
-    "udtf_month_spine",
-    "unpivot_measures",
-    "window_distribution_ranks",
-    "window_first_last_nth",
     # guard-anchor change this round (round-10 ADVICE) — fresh row
     "scalar_try_functions",
     # gap arithmetic rewritten epoch-decomposition → interval compare in
@@ -187,6 +182,13 @@ _SAMPLE_PRIORITY = [
     "abc_pareto_parts",
     "events_attribution_last_touch",
     "corpus_zipf_fit",
+    # latest driver row r4 — oldest non-round-10 evidence; NEVER-sampled
+    # round-10 keys above outrank these (they have r4 rows to fall back
+    # on; a new key has none)
+    "udtf_month_spine",
+    "unpivot_measures",
+    "window_distribution_ranks",
+    "window_first_last_nth",
     # latest driver row r6 — oldest remaining evidence; tail rolls
     "agg_boolean_family",
     "agg_distinct_and_approx",
