@@ -90,18 +90,17 @@ _MODULES = [
 # tests/test_registry_contract.py (subset, duplicate-free, leads
 # iteration) — prune entries once their round's JSON records them
 # (CLAUDE.md rule 7).
-# Round-10 rotation: every r9-recorded key pruned (46 green + 4
-# documented rows-only rows in CORRECTNESS_r09). Leads with (a) the
-# FOUR r4-evidence keys the round-9 list pushed past slot 50, (b)
-# scalar_try_functions — its try_cast guard anchors changed ^..$ →
-# \\A..\\z this round (round-10 ADVICE), needs a fresh row — then
-# (c) oldest evidence first: all 47 keys whose latest driver row is
-# round 6 (the entire TPC-H Q1-Q22 block, sql_dashboard, sources,
-# r3-era joins/aggregates). With the TWELVE mid-round additions (BM25,
-# SemDeDup, Arrow map/grouped-map, pipe syntax, RRF, CCNet buckets,
-# portable CMS, TABLE-arg UDTF, collation, parameterized SQL,
-# n-gram langid, PageRank, temperature mixing): 71 keys total — the last 21 (sql_exists_big_order onward through the
-# TPC-H tail) roll into round 11; prune recorded keys then.
+# Round-10 rotation (final, end of session 4): every r9-recorded key
+# pruned. Leads with (a) scalar_try_functions (try_cast anchors changed
+# ^..$ → \\A..\\z this round, round-10 ADVICE) and sessionize_batch (gap
+# arithmetic rewritten; now the headline events query) — code changed,
+# fresh rows needed; then (b) ALL 45 round-10 additions in landing
+# order — a new key has NO driver row anywhere, so it outranks every
+# key with historical evidence; then (c) the r4-evidence quartet, then
+# the r6 tail (TPC-H Q1-Q22 block, sql_dashboard, sources, r3-era
+# joins/aggregates). The first 50 = (a) + (b) + 3 of the r4 quartet;
+# window_first_last_nth (r4 row) and the whole r6 tail roll into
+# round 11 — prune r10-recorded keys then and lead with that tail.
 _SAMPLE_PRIORITY = [
     # guard-anchor change this round (round-10 ADVICE) — fresh row
     "scalar_try_functions",
