@@ -319,6 +319,13 @@ def test_hostile_stream_outer_join_parity(spark, hostile_dir, duck, name):
         # repetition doc's single-distinct-shingle set gets prefix
         # length 1 - ceil(0.8) + 1 = 1 (integer-ceil path) in both
         "dedup_allpairs_prefix",
+        # association rules: n_docs counts NULL-text docs while baskets
+        # exclude them — the integer minsup ceiling must agree; the ''
+        # token is a basket item whose equality/ordering must match
+        "mine_association_rules",
+        # zipf fit: tiny vocabulary incl. the '' token; ln(rank)/ln(freq)
+        # scaled-int regression terms must agree on a 13-doc corpus
+        "corpus_zipf_fit",
         # BPE apply: the ''-word encodes to 0 units (regexp_replace('')
         # stays empty, both engines' split-on-|| drops empties); digits
         # and non-ASCII words pass through unmerged; the repetition doc
