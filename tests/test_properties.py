@@ -1312,3 +1312,75 @@ def test_zipf_fit_matches_numpy_polyfit(spark):
     assert abs(row["zipf_slope"] - slope) < 1e-5
     assert abs(row["zipf_intercept"] - intercept) < 1e-5
     assert abs(row["r2"] - r * r) < 1e-5
+
+
+@given(
+    tokens=st.lists(
+        st.sampled_from("abcd"), min_size=0, max_size=30
+    ),
+    merges=st.lists(
+        st.tuples(st.sampled_from("abcd"), st.sampled_from("abcd")),
+        min_size=1,
+        max_size=4,
+    ),
+)
+@_settings
+def test_bpe_single_pass_equals_fixpoint(tokens, merges):
+    """The docstring claim behind text_bpe_encode_count: ONE left-to-right
+    non-overlapping pass per merge equals iterating that merge to
+    fixpoint, for arbitrary unit streams and merge tables (a merge can
+    never recreate its own pair). Pure python, no Spark."""
+    # resolve merges in rank order against evolving units, like BPE does
+    def one_pass(u, x, y):
+        out, i = [], 0
+        while i < len(u):
+            if i + 1 < len(u) and u[i] == x and u[i + 1] == y:
+                out.append(x + y)
+                i += 2
+            else:
+                out.append(u[i])
+                i += 1
+        return out
+
+    single = list(tokens)
+    fix = list(tokens)
+    for x, y in merges:
+        single = one_pass(single, x, y)
+        while True:
+            nxt = one_pass(fix, x, y)
+            if nxt == fix:
+                break
+            fix = nxt
+    assert single == fix
+
+
+@given(
+    a=st.lists(st.sampled_from("abc"), min_size=8, max_size=40),
+    b=st.lists(st.sampled_from("abc"), min_size=8, max_size=40),
+)
+@_settings
+def test_winnow_guarantee_on_random_streams(a, b):
+    """The winnowing guarantee (Schleimer et al. Thm): if two token
+    streams share a contiguous run of >= W + K - 1 tokens, their
+    fingerprint hash sets intersect. Checked on the pure-python
+    reference the Spark operator is already proven equal to."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.text import (
+        _WINNOW_POS_MAX,
+        WINNOW_K,
+        WINNOW_W,
+    )
+
+    t_g = WINNOW_W + WINNOW_K - 1
+    runs_a = {tuple(a[i : i + t_g]) for i in range(len(a) - t_g + 1)}
+    runs_b = {tuple(b[i : i + t_g]) for i in range(len(b) - t_g + 1)}
+    if not (runs_a & runs_b):
+        return
+    fa = {
+        h
+        for _, h in _winnow_reference(a, WINNOW_K, WINNOW_W, _WINNOW_POS_MAX)
+    }
+    fb = {
+        h
+        for _, h in _winnow_reference(b, WINNOW_K, WINNOW_W, _WINNOW_POS_MAX)
+    }
+    assert fa & fb
