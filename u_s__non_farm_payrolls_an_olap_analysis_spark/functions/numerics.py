@@ -86,8 +86,12 @@ def dround(col: Column | str, digits: int) -> Column:
     """Fast per-row ROUND(x, digits) — ties away from zero on the binary
     double, identical arithmetic to DuckDB's ``ROUND(x, d)`` (multiply by
     10^d, nearest-away, divide) but ~2x faster than ``F.round``'s
-    BigDecimal path. For per-ROW rounding in scan-sized projections; the
-    per-GROUP ``F.round`` on aggregate outputs is not worth changing."""
+    BigDecimal path. Required for per-ROW rounding in scan-sized
+    projections AND for any 6-dp ratio emitted once per row/doc/pair —
+    at sf0.1 cardinalities ``F.round``'s rendered-decimal ties diverge
+    from DuckDB's FP ties-away on real data (two round-10 hits).
+    ``F.round`` remains fine for small per-GROUP outputs and for 4-dp
+    money rounding of scaled-int sums (identity there)."""
     s = float(10**digits)
     return (_nearest_long_away(_c(col) * s) / s).cast("double")
 

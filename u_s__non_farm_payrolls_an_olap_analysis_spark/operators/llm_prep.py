@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.numerics import davg, davg_sql
+from ..functions.numerics import davg, davg_sql, dround, dsum_scaled
 from ..io import read_table, table_bytes
 
 EMAIL_RE = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
@@ -176,7 +176,7 @@ def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "bench_id",
             "n_shared",
-            F.round(F.col("n_shared") / F.col("n_sh"), 6).alias("containment"),
+            dround(F.col("n_shared") / F.col("n_sh"), 6).alias("containment"),
         )
     )
 
@@ -239,8 +239,8 @@ def quality_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         tri.join(big, "doc_id")
         .select(
             "doc_id",
-            F.round(dup_tri, 6).alias("dup_trigram_frac"),
-            F.round(top_big_frac, 6).alias("top_bigram_frac"),
+            dround(dup_tri, 6).alias("dup_trigram_frac"),
+            dround(top_big_frac, 6).alias("top_bigram_frac"),
             ((dup_tri > 0.2) | (top_big_frac > 0.18))
             .cast("int")
             .alias("repetitive"),
@@ -423,12 +423,28 @@ def quality_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = counts.agg(F.sum("cnt").alias("t_total"))
     lm = counts.crossJoin(F.broadcast(total))
     s = -F.log(F.col("cnt").cast("double") / F.col("t_total").cast("double"))
+    from ..functions.numerics import dround, dsum_scaled
+
     return (
         tok.join(F.broadcast(lm), "token")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(davg(s, SURPRISAL_SCALE), 6).alias("avg_surprisal"),
+            dsum_scaled(s, SURPRISAL_SCALE).alias("s_scaled"),
+        )
+        # dround (FP ties-away, == DuckDB ROUND), not F.round: per-doc
+        # 6dp quotients at corpus scale WILL eventually land on a
+        # half-boundary where F.round's decimal-rendering path flips the
+        # opposite way (two sf0.1 hits this round; CLAUDE.md rule 2)
+        .select(
+            "doc_id",
+            "n_tokens",
+            dround(
+                F.col("s_scaled").cast("double")
+                / SURPRISAL_SCALE
+                / F.col("n_tokens"),
+                6,
+            ).alias("avg_surprisal"),
         )
         .orderBy("doc_id")
     )
@@ -894,9 +910,9 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select(
         "doc_id",
         F.col("n").alias("n_words"),
-        F.round(mean_len, 6).alias("mean_word_len"),
-        F.round(sym_ratio, 6).alias("symbol_ratio"),
-        F.round(alpha_ratio, 6).alias("alpha_word_ratio"),
+        dround(mean_len, 6).alias("mean_word_len"),
+        dround(sym_ratio, 6).alias("symbol_ratio"),
+        dround(alpha_ratio, 6).alias("alpha_word_ratio"),
         F.col("n_req").alias("n_required_stops"),
         r_words.alias("r_word_count"),
         r_mean.alias("r_mean_word_len"),
@@ -1019,10 +1035,14 @@ def quality_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     score = F.col("raw") / F.col("n_tokens")
+    # dround, not F.round: at sf0.1 a quotient landed exactly on a 6dp
+    # half-boundary where F.round's BigDecimal-on-rendered-decimal path
+    # rounds opposite to DuckDB's FP ties-away ROUND (round-10 session-4
+    # sweep caught it: 0.508313 vs 0.508312). dround bitwise-matches.
     return scored.select(
         "doc_id",
         "n_tokens",
-        F.round(score, 6).alias("score"),
+        dround(score, 6).alias("score"),
         (score >= 0).cast("int").alias("keep"),
     ).orderBy("doc_id")
 
@@ -1154,8 +1174,16 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.sum("cnt").alias("n_feats"),
-            F.round(
-                F.sum(contrib).cast("double") / SURPRISAL_SCALE, 6
+            F.sum(contrib).alias("lw_s"),
+        )
+        # dround outside the agg (dround is not an aggregate): same
+        # F.round half-boundary fix as quality_linear_classifier —
+        # sf0.1 hit ...5231385e-6 exactly (round-10 session-4 sweep)
+        .select(
+            "doc_id",
+            "n_feats",
+            dround(
+                F.col("lw_s").cast("double") / SURPRISAL_SCALE, 6
             ).alias("log_weight"),
         )
     )
@@ -1353,7 +1381,19 @@ def quality_stupid_backoff_logprob(
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(davg(s, SURPRISAL_SCALE), 6).alias("avg_logprob"),
+            dsum_scaled(s, SURPRISAL_SCALE).alias("s_scaled"),
+        )
+        # dround, not F.round — the per-doc 6dp quotient half-boundary
+        # fix (see quality_unigram_surprisal; CLAUDE.md rule 2)
+        .select(
+            "doc_id",
+            "n_bigrams",
+            dround(
+                F.col("s_scaled").cast("double")
+                / SURPRISAL_SCALE
+                / F.col("n_bigrams"),
+                6,
+            ).alias("avg_logprob"),
         )
         .orderBy("doc_id")
     )

@@ -15,6 +15,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.numerics import dround
 from ..io import read_table
 
 # Stopword set for quality/langid heuristics: function words present in the
@@ -57,13 +58,16 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     diversity = F.col("n_distinct") / F.col("n_tokens")
     stop_ratio = F.col("n_stop") / F.col("n_tokens")
     length_score = F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
+    # dround (== DuckDB ROUND bitwise), not F.round: per-doc 6dp ratio
+    # outputs at corpus scale hit decimal-rendering half-boundary flips
+    # (round-10 session-4 sf0.1 sweep; CLAUDE.md rule 2)
     return stats.select(
         "doc_id",
         "n_tokens",
         "n_distinct",
-        F.round(F.col("sum_len") / F.col("n_tokens"), 6).alias("avg_token_len"),
-        F.round(stop_ratio, 6).alias("stop_ratio"),
-        F.round(
+        dround(F.col("sum_len") / F.col("n_tokens"), 6).alias("avg_token_len"),
+        dround(stop_ratio, 6).alias("stop_ratio"),
+        dround(
             0.5 * diversity + 0.3 * (1.0 - stop_ratio) + 0.2 * length_score, 6
         ).alias("quality"),
     )
@@ -95,7 +99,8 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "lang",
-            F.round(stop_ratio, 6).alias("stop_ratio"),
+            # dround: per-doc 6dp ratio (see text_quality_score note)
+            dround(stop_ratio, 6).alias("stop_ratio"),
             pred.alias("pred_lang"),
         )
     )
