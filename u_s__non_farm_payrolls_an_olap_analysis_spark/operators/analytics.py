@@ -273,8 +273,8 @@ def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_orderkey",
         F.year("o_orderdate").alias("year"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+        dround(F.percent_rank().over(w), 6).alias("pct_rank"),
+        dround(F.cume_dist().over(w), 6).alias("cume_dist"),
     )
 
 
@@ -392,7 +392,7 @@ def dq_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("ms").alias("month_start"),
             "total",
-            F.round(z, 6).alias("zscore"),
+            dround(z, 6).alias("zscore"),
         )
         .filter(F.abs(F.col("zscore")) > 2.0)
         .orderBy("month_start")
@@ -1264,7 +1264,7 @@ def abc_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cum.select(
         "partkey",
         F.round(F.col("rev_s") / 10000.0, 4).alias("revenue"),
-        F.round(share, 6).alias("cum_share"),
+        dround(share, 6).alias("cum_share"),
         F.when(share <= 0.70, F.lit("A"))
         .when(share <= 0.90, F.lit("B"))
         .otherwise(F.lit("C"))

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.numerics import dsum, dsum_sql
+from ..functions.numerics import dsum, dsum_sql, dround
 from ..functions.timeparts import epoch_micros_from_ntz
 from ..functions.plan_cache import plan_memo
 from ..io import read_table
@@ -362,7 +362,7 @@ def join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "n_type",
             "type_total",
-            F.round(F.col("value") / F.col("type_total"), 6).alias(
+            dround(F.col("value") / F.col("type_total"), 6).alias(
                 "value_share"
             ),
         )
