@@ -1080,11 +1080,11 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "digit",
             F.coalesce(F.col("n"), F.lit(0)).alias("n"),
-            F.round(
+            dround(
                 F.coalesce(share, F.lit(0.0)), 6
             ).alias("obs_share"),
-            F.round(benford, 6).alias("benford_share"),
-            F.round(
+            dround(benford, 6).alias("benford_share"),
+            dround(
                 F.abs(F.coalesce(share, F.lit(0.0)) - benford), 6
             ).alias("abs_dev"),
         )

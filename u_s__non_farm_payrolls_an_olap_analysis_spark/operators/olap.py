@@ -189,7 +189,7 @@ def filter_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``dashboard_nfp.py:152-153``)."""
     w = monthly_with_pct(spark, sf_dir)
     return w.filter(F.col("pct") < -2).select(
-        "month_start", "total", F.round("pct", 6).alias("mom_pct_change")
+        "month_start", "total", dround("pct", 6).alias("mom_pct_change")
     )
 
 
@@ -211,7 +211,7 @@ def filter_dropna(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7 — drop the lag-null first row (``etl.py:38``)."""
     w = monthly_with_pct(spark, sf_dir)
     return w.filter(F.col("pct").isNotNull()).select(
-        "month_start", "total", F.round("pct", 6).alias("mom_pct_change")
+        "month_start", "total", dround("pct", 6).alias("mom_pct_change")
     )
 
 
@@ -335,7 +335,7 @@ def window_pct_change_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 — lag-1 pct change over the whole series (``etl.py:37``),
     null first row retained (callers drop per P7)."""
     w = monthly_with_pct(spark, sf_dir)
-    return w.select("month_start", "total", F.round("pct", 6).alias("mom_pct_change"))
+    return w.select("month_start", "total", dround("pct", 6).alias("mom_pct_change"))
 
 
 def window_pct_change_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -346,7 +346,7 @@ def window_pct_change_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame
     return m.select(
         "month_start",
         "total",
-        F.round(pct_change(F.col("total"), w), 6).alias("pct_in_year"),
+        dround(pct_change(F.col("total"), w), 6).alias("pct_in_year"),
     )
 
 
@@ -360,7 +360,7 @@ def window_diff_on_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "year",
         "total",
         F.round(diff(F.col("total"), w), 4).alias("annual_gain"),
-        F.round(pct_change(F.col("total"), w), 6).alias("yoy_pct"),
+        dround(pct_change(F.col("total"), w), 6).alias("yoy_pct"),
     )
 
 
@@ -373,7 +373,7 @@ def rollup_quarter_qoq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "year",
         "quarter",
         "total",
-        F.round(pct_change(F.col("total"), w), 6).alias("qoq_pct"),
+        dround(pct_change(F.col("total"), w), 6).alias("qoq_pct"),
     )
 
 
@@ -426,7 +426,7 @@ def drill_sharpest_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "month_start",
             month_name("month_start").alias("month_name"),
-            F.round("pct", 6).alias("mom_pct_change"),
+            dround("pct", 6).alias("mom_pct_change"),
         )
     )
 
@@ -473,7 +473,7 @@ def dice_recovery_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return rec.select(
         "drop_month",
-        F.round("pct", 6).alias("drop_pct"),
+        dround("pct", 6).alias("drop_pct"),
         F.round("prior_peak", 4).alias("prior_peak"),
         "recovery_month",
         months_between_int(F.col("recovery_month"), F.col("drop_month")).alias(

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.numerics import dsum, dsum_sql
+from ..functions.numerics import dsum, dsum_sql, dround
 from ..io import read_table
 
 
@@ -183,8 +183,8 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_src.select(
         "source",
         "n_tokens",
-        F.round(nat, 6).alias("natural_share"),
-        F.round(temp, 6).alias("temp_share"),
+        dround(nat, 6).alias("natural_share"),
+        dround(temp, 6).alias("temp_share"),
         F.floor(nat * MIX_TOKEN_BUDGET).cast("long").alias("natural_budget"),
         F.floor(temp * MIX_TOKEN_BUDGET).cast("long").alias("temp_budget"),
     ).orderBy("source")
