@@ -211,6 +211,11 @@ def test_hostile_llm_prep_parity(spark, hostile_dir, duck, name):
         # single-month priority segments: slope/intercept guard to NULL
         # (0/0 would be NaN, which compares unequal across engines)
         "agg_linear_trend",
+        # Markov transitions: ALL hostile events share one timestamp, so
+        # the (ts, event_id) tiebreak decides EVERY lag pair — any
+        # ordering divergence between the engines' window sorts would
+        # permute the transition counts
+        "events_markov_transitions",
     ],
 )
 def test_hostile_events_analytics_parity(spark, hostile_dir, duck, name):
@@ -339,6 +344,16 @@ def test_hostile_stream_outer_join_parity(spark, hostile_dir, duck, name):
         # exercise the OOV floor (COALESCE to count 1) and the unigram
         # backoff in BOTH engines; sub-bigram docs drop identically
         "quality_stupid_backoff_logprob",
+        # RAKE: empty text marks the '' token as a delimiter (no phrase)
+        # in both engines; the repetition doc is one 6-word phrase of a
+        # single word (degree 36 / freq 6); '123\n' is an ordinary
+        # keyword whose string equality must agree
+        "text_keyword_extract_rake",
+        # LPA: sub-bigram docs contribute no edges; self-loop bigrams
+        # (spam spam) are dropped by BOTH engines' src<>dst filter; the
+        # vote tie-break (cnt desc, label asc) decides nearly every node
+        # on this tiny graph
+        "graph_label_propagation",
     ],
 )
 def test_hostile_docs_ops_parity(spark, hostile_dir, duck, name):

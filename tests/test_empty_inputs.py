@@ -161,6 +161,9 @@ REPRESENTATIVE = [
     "abc_pareto_parts",
     "events_attribution_last_touch",
     "corpus_zipf_fit",
+    "events_markov_transitions",
+    "graph_label_propagation",
+    "text_keyword_extract_rake",
 ]
 
 

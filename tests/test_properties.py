@@ -1384,3 +1384,147 @@ def test_winnow_guarantee_on_random_streams(a, b):
         for _, h in _winnow_reference(b, WINNOW_K, WINNOW_W, _WINNOW_POS_MAX)
     }
     assert fa & fb
+
+
+def _round_away(x: float) -> int:
+    """Pure-python twin of numerics._nearest_long_away (C round())."""
+    import math
+
+    y = abs(x)
+    f = math.floor(y + 0.5)
+    if y < f - 0.5:
+        f -= 1
+    return int(f) if x >= 0 else -int(f)
+
+
+def test_markov_transitions_match_pure_python(spark):
+    """Transition counts must equal the literal per-user consecutive-pair
+    count; probabilities must row-normalize (each row of the matrix sums
+    to 1) and match n/total to the 6-dp rounding grain."""
+    import collections
+
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.io import read_table
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        events_markov_transitions,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = sorted(
+        (
+            (r["user_id"], r["ts"], r["event_id"], r["event_type"])
+            for r in read_table(spark, sf, "events").collect()
+        ),
+    )
+    counts: collections.Counter = collections.Counter()
+    for (u1, _, _, t1), (u2, _, _, t2) in zip(ev, ev[1:]):
+        if u1 == u2:
+            counts[(t1, t2)] += 1
+    row_tot: collections.Counter = collections.Counter()
+    for (p, _), n in counts.items():
+        row_tot[p] += n
+
+    got = events_markov_transitions(spark, sf).collect()
+    assert {(r["prev_type"], r["event_type"]): r["n"] for r in got} == dict(
+        counts
+    )
+    by_prev: collections.defaultdict = collections.defaultdict(float)
+    for r in got:
+        want = counts[(r["prev_type"], r["event_type"])] / row_tot[
+            r["prev_type"]
+        ]
+        assert abs(r["prob"] - want) <= 5.1e-7
+        by_prev[r["prev_type"]] += r["prob"]
+    for s in by_prev.values():
+        assert abs(s - 1.0) < 3e-6
+
+
+def test_label_propagation_matches_pure_python(spark):
+    """The unrolled Spark LPA must equal a literal synchronous
+    label-propagation replay (mode of neighbor labels, min-label
+    tie-break, 3 rounds) on the same undirected token graph."""
+    import collections
+
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.graph import (
+        LPA_ITERS,
+        graph_label_propagation,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    und = {
+        (min(a, b), max(a, b)) for a, b in _bigram_edges(spark, sf) if a != b
+    }
+    adj: collections.defaultdict = collections.defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    labels = {n: n for n in adj}
+    for _ in range(LPA_ITERS):
+        new = {}
+        for n in adj:
+            cnt = collections.Counter(labels[v] for v in adj[n])
+            new[n] = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        labels = new
+
+    got = {
+        r["token"]: r["community"]
+        for r in graph_label_propagation(spark, sf).collect()
+    }
+    assert got == labels
+    assert got  # graph is nonempty
+
+
+def test_rake_matches_pure_python(spark):
+    """RAKE top-k phrases and scaled-int scores must equal the literal
+    Rose et al. computation (per-doc word degree/freq, guarded
+    ties-away rounding, sum over member-word occurrences, ties by
+    phrase)."""
+    import collections
+
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.io import read_table
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.text import (
+        RAKE_SCALE,
+        RAKE_TOPK,
+        STOPWORDS,
+        text_keyword_extract_rake,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    want: dict = {}
+    for r in read_table(spark, sf, "documents").collect():
+        if r["text"] is None:
+            continue
+        phrases: list[list[str]] = []
+        cur: list[str] = []
+        for t in r["text"].split(" "):
+            if t in STOPWORDS or t == "":
+                if cur:
+                    phrases.append(cur)
+                cur = []
+            else:
+                cur.append(t)
+        if cur:
+            phrases.append(cur)
+        if not phrases:
+            continue
+        freq: collections.Counter = collections.Counter()
+        degree: collections.Counter = collections.Counter()
+        for p in phrases:
+            for w in p:
+                freq[w] += 1
+                degree[w] += len(p)
+        sc = {
+            w: _round_away(degree[w] * RAKE_SCALE / freq[w]) for w in freq
+        }
+        per_phrase: dict = {}
+        for p in phrases:
+            per_phrase[" ".join(p)] = sum(sc[w] for w in p)
+        top = sorted(per_phrase.items(), key=lambda kv: (-kv[1], kv[0]))
+        for rank, (phrase, s) in enumerate(top[:RAKE_TOPK], start=1):
+            want[(r["doc_id"], rank)] = (phrase, s)
+
+    got = text_keyword_extract_rake(spark, sf).collect()
+    assert {
+        (r["doc_id"], r["rank"]): (r["phrase"], _round_away(r["score"] * RAKE_SCALE))
+        for r in got
+    } == want
+    assert len(got) >= 3

@@ -1374,3 +1374,57 @@ ORACLE["events_attribution_last_touch"] = (
     "/ 10000.0, 4) AS attributed_value "
     "FROM p GROUP BY 1 ORDER BY 1"
 )
+
+
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **first-order Markov transition matrix** over the
+    per-user event stream (the clickstream "what happens after X" model
+    behind next-action prediction and anomaly scoring): for every
+    ordered pair of consecutive events of one user, count the
+    (prev_type → event_type) transition and row-normalize into
+    ``P(next | prev)``.
+
+    One exchange by user carries the lag (the ``sessionize_batch``
+    shape); the transition table is at most |event_type|² rows, so the
+    row-normalizing window runs over a k²-sized aggregate — at 100 TB
+    the only corpus-sized cost is the per-user ordering shuffle, which
+    AQE skew-splits on hot users. The probability is a per-row quotient
+    emitted once per matrix CELL (small output), but rounds via
+    ``dround`` anyway per the engine-wide 6-dp ratio rule.
+
+    vs reference: no analogue — the reference's only sequence device is
+    the lag-1 pct_change (`dashboard_nfp.py:152`); this is the same lag
+    window applied to a categorical column and re-aggregated.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"), "event_type"
+    ).filter(F.col("prev_type").isNotNull())
+    counts = pairs.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row_tot = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "event_type",
+        "n",
+        dround(F.col("n") / F.sum("n").over(row_tot), 6).alias("prob"),
+    ).orderBy("prev_type", "event_type")
+
+
+QUERIES["events_markov_transitions"] = events_markov_transitions
+
+ORACLE["events_markov_transitions"] = (
+    "WITH p AS (SELECT LAG(event_type) OVER ("
+    "PARTITION BY user_id ORDER BY ts, event_id) AS prev_type, "
+    "event_type FROM events), "
+    "c AS (SELECT prev_type, event_type, COUNT(*) AS n FROM p "
+    "WHERE prev_type IS NOT NULL GROUP BY 1, 2) "
+    "SELECT prev_type, event_type, n, "
+    "ROUND(CAST(n AS DOUBLE) / "
+    "CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS prob "
+    "FROM c ORDER BY 1, 2"
+)

@@ -266,3 +266,104 @@ ORACLE["graph_triangle_counts"] = (
     "SELECT token, CAST(COUNT(*) AS BIGINT) AS n_triangles "
     "FROM corners GROUP BY 1 ORDER BY 1"
 )
+
+
+# --- Synchronous label propagation (Raghavan et al. 2007) -------------------
+
+LPA_ITERS = 3
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **community detection by label propagation**
+    (Raghavan, Albert & Kumara 2007) on the undirected token graph:
+    every node starts labelled with itself; each synchronous round a
+    node adopts the most frequent label among its neighbors, ties
+    broken by the lexicographically smallest label. ``LPA_ITERS``
+    unrolled rounds make the whole computation one static DAG (the
+    ``graph_pagerank_tokens`` device), so the oracle replays it as
+    chained CTEs and the result is fully hash-checked — counts and
+    string compares only, no floats anywhere.
+
+    Each round is one join (label lookup by neighbor) + one groupBy
+    (votes per (node, label)) + one per-node argmax window — all
+    shuffling on node keys, O(|E|) per round. The deterministic
+    tie-break replaces the paper's random choice (mandatory for
+    cross-engine replay; the paper itself notes ties are arbitrary).
+    Synchronous updates can oscillate on bipartite structure — the
+    fixed-round snapshot is still deterministic, which is what the
+    parity gate needs; production runs to convergence with async
+    sweeps.
+    """
+    from pyspark.sql.window import Window
+
+    directed = _token_edges(spark, sf_dir)
+    und = (
+        directed.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    nbr = und.select(
+        F.col("a").alias("token"), F.col("b").alias("nb")
+    ).unionByName(und.select(F.col("b").alias("token"), F.col("a").alias("nb")))
+    lbl = nbr.select("token").distinct().select(
+        "token", F.col("token").alias("label")
+    )
+    pick = Window.partitionBy("token").orderBy(
+        F.col("cnt").desc(), F.col("label")
+    )
+    for _ in range(LPA_ITERS):
+        votes = (
+            nbr.join(
+                lbl.select(F.col("token").alias("nb"), "label"), "nb"
+            )
+            .groupBy("token", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        lbl = (
+            votes.withColumn("rn", F.row_number().over(pick))
+            .filter(F.col("rn") == 1)
+            .select("token", "label")
+        )
+    return lbl.select("token", F.col("label").alias("community")).orderBy(
+        "token"
+    )
+
+
+QUERIES["graph_label_propagation"] = graph_label_propagation
+
+
+def _lpa_oracle_sql() -> str:
+    parts = [
+        "e0 AS (SELECT DISTINCT toks[i] AS src, toks[i + 1] AS dst FROM ("
+        "SELECT string_split(text, ' ') AS toks FROM documents), "
+        "UNNEST(CASE WHEN len(toks) >= 2 THEN range(1, len(toks)) "
+        "ELSE [] END) AS u(i))",
+        "und AS (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM e0 WHERE src <> dst)",
+        "nbr AS (SELECT a AS token, b AS nb FROM und "
+        "UNION ALL SELECT b, a FROM und)",
+        "l0 AS (SELECT DISTINCT token, token AS label FROM nbr)",
+    ]
+    prev = "l0"
+    for i in range(1, LPA_ITERS + 1):
+        parts.append(
+            f"v{i} AS (SELECT n.token, l.label, COUNT(*) AS cnt "
+            f"FROM nbr n JOIN {prev} l ON l.token = n.nb GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"l{i} AS (SELECT token, label FROM ("
+            "SELECT token, label, ROW_NUMBER() OVER ("
+            "PARTITION BY token ORDER BY cnt DESC, label) AS rn "
+            f"FROM v{i}) WHERE rn = 1)"
+        )
+        prev = f"l{i}"
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT token, label AS community FROM {prev} ORDER BY token"
+    )
+
+
+ORACLE["graph_label_propagation"] = _lpa_oracle_sql()

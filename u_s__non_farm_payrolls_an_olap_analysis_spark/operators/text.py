@@ -1159,3 +1159,123 @@ ORACLE["corpus_zipf_fit"] = (
     "((n * Sxx - Sx * Sx) * (n * Syy - Sy * Sy)), 6) AS r2 "
     "FROM s, tot"
 )
+
+
+# --- RAKE keyword extraction (Rose et al. 2010) -----------------------------
+
+RAKE_TOPK = 3
+RAKE_SCALE = 1_000_000.0  # 6-dp scaled-int64 word scores
+
+
+def text_keyword_extract_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **RAKE keyword extraction** (Rose, Engel, Cramer &
+    Cowley 2010): candidate phrases are the maximal stopword-free token
+    runs of each document; each word scores ``degree/freq`` (degree =
+    summed length of the phrase occurrences containing it, freq = its
+    occurrence count, both within the document); a phrase scores the
+    sum of its member-word scores; the top-``RAKE_TOPK`` phrases per
+    document are the keywords.
+
+    Phrase segmentation is pure array work in codegen (mark stopwords
+    as a delimiter, re-join, split — no UDF); word stats shuffle on
+    (doc_id, word) and join back to the phrase-word stream on the same
+    key; the final ranking window partitions by doc_id. Nothing is
+    corpus-global, so every stage scales with the corpus under keyed
+    shuffles. Per-word ``degree/freq`` quotients round to scaled int64
+    (ties-away, the ``dround`` device) BEFORE the phrase sum, so phrase
+    scores are exact integer sums — commutative, order-independent,
+    bitwise-equal across engines (the PageRank contribution-sum
+    rationale).
+
+    vs reference: no analogue — nearest shape is the decade-bucket
+    derive (`dashboard_nfp.py:300`); this is the same "derive then
+    re-aggregate" pattern applied twice over exploded text.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    marked = F.transform(
+        toks,
+        lambda t: F.when(
+            t.isin(*STOPWORDS) | (t == F.lit("")), F.lit("|")
+        ).otherwise(t),
+    )
+    phr_arr = F.split(F.array_join(marked, " "), "[|]")
+    phr = (
+        docs.select("doc_id", F.posexplode(phr_arr).alias("occ", "rawp"))
+        .select("doc_id", "occ", F.trim(F.col("rawp")).alias("phrase"))
+        .filter(F.col("phrase") != "")
+    )
+    words = phr.select(
+        "doc_id",
+        "occ",
+        "phrase",
+        F.size(F.split(F.col("phrase"), " ")).alias("plen"),
+        F.explode(F.split(F.col("phrase"), " ")).alias("word"),
+    )
+    stats = words.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("plen").alias("degree"),
+    )
+    wscore = stats.select(
+        "doc_id",
+        "word",
+        dround(
+            F.col("degree").cast("double") * RAKE_SCALE / F.col("freq"), 0
+        )
+        .cast("long")
+        .alias("sc"),
+    )
+    ps = (
+        words.join(wscore, ["doc_id", "word"])
+        .groupBy("doc_id", "occ", "phrase")
+        .agg(F.sum("sc").alias("s_scaled"))
+    )
+    per_phrase = ps.groupBy("doc_id", "phrase").agg(
+        F.max("s_scaled").alias("s_scaled")
+    )
+    rk = Window.partitionBy("doc_id").orderBy(
+        F.col("s_scaled").desc(), "phrase"
+    )
+    return (
+        per_phrase.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= RAKE_TOPK)
+        .select(
+            "doc_id",
+            F.col("rank").cast("int").alias("rank"),
+            "phrase",
+            (F.col("s_scaled").cast("double") / RAKE_SCALE).alias("score"),
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
+QUERIES["text_keyword_extract_rake"] = text_keyword_extract_rake
+
+ORACLE["text_keyword_extract_rake"] = (
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+    "FROM documents), "
+    "m AS (SELECT doc_id, string_split(array_to_string("
+    "list_transform(toks, x -> CASE WHEN x IN "
+    + _STOP_SQL
+    + " OR x = '' THEN '|' ELSE x END), ' '), '|') AS parts FROM t), "
+    "ph AS (SELECT doc_id, i AS occ, trim(parts[i]) AS phrase "
+    "FROM m, UNNEST(range(1, len(parts) + 1)) AS u(i) "
+    "WHERE trim(parts[i]) <> ''), "
+    "w AS (SELECT doc_id, occ, phrase, "
+    "len(string_split(phrase, ' ')) AS plen, "
+    "unnest(string_split(phrase, ' ')) AS word FROM ph), "
+    "st AS (SELECT doc_id, word, COUNT(*) AS freq, SUM(plen) AS degree "
+    "FROM w GROUP BY 1, 2), "
+    "ws AS (SELECT doc_id, word, CAST(ROUND("
+    "CAST(degree AS DOUBLE) * 1000000.0 / freq) AS BIGINT) AS sc FROM st), "
+    "ps AS (SELECT w.doc_id, w.occ, w.phrase, SUM(ws.sc) AS s_scaled "
+    "FROM w JOIN ws ON ws.doc_id = w.doc_id AND ws.word = w.word "
+    "GROUP BY 1, 2, 3), "
+    "pp AS (SELECT doc_id, phrase, MAX(s_scaled) AS s_scaled "
+    "FROM ps GROUP BY 1, 2), "
+    "r AS (SELECT doc_id, phrase, s_scaled, ROW_NUMBER() OVER ("
+    "PARTITION BY doc_id ORDER BY s_scaled DESC, phrase) AS rn FROM pp) "
+    f"SELECT doc_id, CAST(rn AS INT) AS rank, phrase, "
+    f"CAST(s_scaled AS DOUBLE) / {RAKE_SCALE} AS score "
+    f"FROM r WHERE rn <= {RAKE_TOPK} ORDER BY doc_id, rank"
+)

@@ -98,9 +98,10 @@ _MODULES = [
 # order — a new key has NO driver row anywhere, so it outranks every
 # key with historical evidence; then (c) the r4-evidence quartet, then
 # the r6 tail (TPC-H Q1-Q22 block, sql_dashboard, sources, r3-era
-# joins/aggregates). The first 50 = (a) + (b) + 3 of the r4 quartet;
-# window_first_last_nth (r4 row) and the whole r6 tail roll into
-# round 11 — prune r10-recorded keys then and lead with that tail.
+# joins/aggregates). With session 5's three additions the first 50 =
+# (a) 2 changed + (b) 48 never-sampled round-10 keys exactly; the r4
+# quartet and the whole r6 tail roll into round 11 — prune
+# r10-recorded keys then and lead with that tail.
 _SAMPLE_PRIORITY = [
     # guard-anchor change this round (round-10 ADVICE) — fresh row
     "scalar_try_functions",
@@ -181,6 +182,12 @@ _SAMPLE_PRIORITY = [
     "abc_pareto_parts",
     "events_attribution_last_touch",
     "corpus_zipf_fit",
+    # NEW in round 10 (session 5) — clickstream Markov transition matrix
+    "events_markov_transitions",
+    # NEW in round 10 (session 5) — label-propagation community detection
+    "graph_label_propagation",
+    # NEW in round 10 (session 5) — RAKE per-document keyword extraction
+    "text_keyword_extract_rake",
     # latest driver row r4 — oldest non-round-10 evidence; NEVER-sampled
     # round-10 keys above outrank these (they have r4 rows to fall back
     # on; a new key has none)
