@@ -493,3 +493,100 @@ ORACLE["timeseries_ewma_smooth"] = (
     "SIGN(s) * (FLOOR(ABS(s) * 10000.0 + 0.5)) / 10000.0 AS ewma "
     "FROM rec ORDER BY 1, 2"
 )
+
+
+# --- Holt linear-trend smoothing via grouped-map recurrence ------------------
+
+HOLT_ALPHA = 0.5  # both exact binary fractions: every blend step is a
+HOLT_BETA = 0.5  # halving + an add — bit-identical python/DuckDB IEEE
+
+
+def _holt_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("mon").reset_index(drop=True)
+    lvl = trend = None
+    out = []
+    for x in pdf["revenue"]:
+        if lvl is None:
+            lvl, trend = x, 0.0
+        else:
+            prev = lvl
+            lvl = HOLT_ALPHA * x + (1.0 - HOLT_ALPHA) * (lvl + trend)
+            trend = HOLT_BETA * (lvl - prev) + (1.0 - HOLT_BETA) * trend
+        out.append((lvl, trend, lvl + trend))
+
+    def r4(s: float) -> float:
+        v = abs(s) * 10000.0
+        return (1.0 if s >= 0 else -1.0) * (int(v + 0.5) // 1) / 10000.0
+
+    pdf["level"] = [r4(a) for a, _, _ in out]
+    pdf["trend"] = [r4(b) for _, b, _ in out]
+    pdf["forecast"] = [r4(f) for _, _, f in out]
+    return pdf
+
+
+def timeseries_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **Holt's linear-trend (double exponential) smoothing**
+    (Holt 1957; Hyndman & Athanasopoulos FPP §8.2) per series:
+    ``l_t = α·x_t + (1−α)(l_{t−1}+b_{t−1})``,
+    ``b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}``, seeded ``l_1 = x_1,
+    b_1 = 0``, one-step forecast ``l_t + b_t`` — the trend-aware
+    upgrade of `timeseries_ewma_smooth`'s level-only recurrence, and
+    like it sequential with no numerically exact closed window form,
+    so the per-series loop runs in grouped-map ``applyInPandas`` (one
+    shuffle on the series key, each series one Arrow batch; series
+    count scales out, monthly length stays bounded). With
+    ``α = β = ½`` every update is halvings + adds/subtracts — each a
+    single IEEE op both engines perform identically — so the DuckDB
+    recursive-CTE replay of the SAME 2-state recurrence hash-matches
+    with zero tolerance.
+    """
+    from ..functions.numerics import dsum
+
+    orders = read_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("month", "o_orderdate").alias("mon"),
+    ).agg(F.round(dsum("o_totalprice"), 4).alias("revenue"))
+    return (
+        monthly.groupBy("priority")
+        .applyInPandas(
+            _holt_group,
+            schema="priority string, mon timestamp, revenue double, "
+            "level double, trend double, forecast double",
+        )
+        .orderBy("priority", "mon")
+    )
+
+
+QUERIES["timeseries_holt_linear"] = timeseries_holt_linear
+
+_HOLT_R4 = "SIGN({0}) * (FLOOR(ABS({0}) * 10000.0 + 0.5)) / 10000.0"
+
+ORACLE["timeseries_holt_linear"] = (
+    "WITH RECURSIVE m AS (SELECT o_orderpriority AS priority, "
+    "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon, "
+    "ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) "
+    "AS DOUBLE) / 10000.0, 4) AS revenue "
+    "FROM orders GROUP BY 1, 2), "
+    "idx AS (SELECT priority, mon, revenue, "
+    "ROW_NUMBER() OVER (PARTITION BY priority ORDER BY mon) AS i "
+    "FROM m), "
+    "rec(priority, mon, revenue, i, l, b) AS ("
+    "SELECT priority, mon, revenue, i, revenue, 0.0 FROM idx WHERE i = 1 "
+    "UNION ALL "
+    "SELECT idx.priority, idx.mon, idx.revenue, idx.i, "
+    f"{HOLT_ALPHA} * idx.revenue + {1.0 - HOLT_ALPHA} * (rec.l + rec.b), "
+    f"{HOLT_BETA} * (({HOLT_ALPHA} * idx.revenue "
+    f"+ {1.0 - HOLT_ALPHA} * (rec.l + rec.b)) - rec.l) "
+    f"+ {1.0 - HOLT_BETA} * rec.b "
+    "FROM idx JOIN rec ON idx.priority = rec.priority "
+    "AND idx.i = rec.i + 1) "
+    "SELECT priority, mon, revenue, "
+    + _HOLT_R4.format("l")
+    + " AS level, "
+    + _HOLT_R4.format("b")
+    + " AS trend, "
+    + _HOLT_R4.format("l + b")
+    + " AS forecast "
+    "FROM rec ORDER BY 1, 2"
+)
