@@ -571,14 +571,20 @@ ORACLE["timeseries_holt_linear"] = (
     "idx AS (SELECT priority, mon, revenue, "
     "ROW_NUMBER() OVER (PARTITION BY priority ORDER BY mon) AS i "
     "FROM m), "
+    # Anchor types pin the recursive column types in DuckDB: a bare 0.0
+    # literal is DECIMAL(2,1) and the recursive branch's double blend then
+    # fails to cast back (round-10 verdict) — CAST both state seeds to
+    # DOUBLE, and the α/β literals too so every blend step is pure IEEE.
     "rec(priority, mon, revenue, i, l, b) AS ("
-    "SELECT priority, mon, revenue, i, revenue, 0.0 FROM idx WHERE i = 1 "
+    "SELECT priority, mon, revenue, i, CAST(revenue AS DOUBLE), "
+    "CAST(0.0 AS DOUBLE) FROM idx WHERE i = 1 "
     "UNION ALL "
     "SELECT idx.priority, idx.mon, idx.revenue, idx.i, "
-    f"{HOLT_ALPHA} * idx.revenue + {1.0 - HOLT_ALPHA} * (rec.l + rec.b), "
-    f"{HOLT_BETA} * (({HOLT_ALPHA} * idx.revenue "
-    f"+ {1.0 - HOLT_ALPHA} * (rec.l + rec.b)) - rec.l) "
-    f"+ {1.0 - HOLT_BETA} * rec.b "
+    f"CAST({HOLT_ALPHA} AS DOUBLE) * idx.revenue "
+    f"+ CAST({1.0 - HOLT_ALPHA} AS DOUBLE) * (rec.l + rec.b), "
+    f"CAST({HOLT_BETA} AS DOUBLE) * ((CAST({HOLT_ALPHA} AS DOUBLE) * idx.revenue "
+    f"+ CAST({1.0 - HOLT_ALPHA} AS DOUBLE) * (rec.l + rec.b)) - rec.l) "
+    f"+ CAST({1.0 - HOLT_BETA} AS DOUBLE) * rec.b "
     "FROM idx JOIN rec ON idx.priority = rec.priority "
     "AND idx.i = rec.i + 1) "
     "SELECT priority, mon, revenue, "
