@@ -90,112 +90,26 @@ _MODULES = [
 # tests/test_registry_contract.py (subset, duplicate-free, leads
 # iteration) — prune entries once their round's JSON records them
 # (CLAUDE.md rule 7).
-# Round-10 rotation (final, end of session 4): every r9-recorded key
-# pruned. Leads with (a) scalar_try_functions (try_cast anchors changed
-# ^..$ → \\A..\\z this round, round-10 ADVICE) and sessionize_batch (gap
-# arithmetic rewritten; now the headline events query) — code changed,
-# fresh rows needed; then (b) ALL 45 round-10 additions in landing
-# order — a new key has NO driver row anywhere, so it outranks every
-# key with historical evidence; then (c) the r4-evidence quartet, then
-# the r6 tail (TPC-H Q1-Q22 block, sql_dashboard, sources, r3-era
-# joins/aggregates). With session 5's three additions the first 50 =
-# (a) 2 changed + (b) 48 never-sampled round-10 keys exactly; the r4
-# quartet and the whole r6 tail roll into round 11 — prune
-# r10-recorded keys then and lead with that tail.
+# Round-12 rotation: all 50 keys recorded in CORRECTNESS_r11.json pruned.
+# Leads with timeseries_holt_linear — the ONLY registry key with zero
+# driver rows across 11 rounds (added round 10, oracle fixed round 11,
+# never sampled because it was left out of this list; round-11 VERDICT
+# item 1). New round-12 keys slot in directly after it (a new key has
+# no driver row anywhere, so it outranks every key with historical
+# evidence). Then the r4-evidence quartet and the r6 tail (TPC-H block,
+# sql_dashboard, sources, r3-era joins/aggregates); with holt at the
+# head the last two TPC-H keys (q21/q22, r6 rows) roll to round 13 —
+# prune the r12-recorded keys then and lead with that remainder.
 _SAMPLE_PRIORITY = [
-    # guard-anchor change this round (round-10 ADVICE) — fresh row
-    "scalar_try_functions",
-    # gap arithmetic rewritten epoch-decomposition → interval compare in
-    # round 10 (same sessions, now a headline query) — fresh row
-    "sessionize_batch",
-    # NEW in round 10 (completes the planted-harness family for the
-    # rows-only LSH keys) — needs its first driver row
-    "dedup_minhash_planted",
-    # NEW in round 10 — MRL prefix truncation + renormalize
-    "embedding_matryoshka_truncate",
-    # NEW in round 10 — int8-quantized MIPS search (exact integer dot)
-    "sim_search_int8_mips",
-    # NEW in round 10 — published Gopher rejection-rule gates
-    "quality_gopher_rules",
-    # NEW in round 10 — BM25 top-k retrieval (inverted-index candidates)
-    "text_bm25_topk",
-    # NEW in round 10 — SemDeDup: k-means-partitioned semantic dedup
-    "dedup_semantic_kmeans",
-    # NEW in round 10 — Arrow-native map / grouped-map surfaces
-    "arrow_map_doc_stats",
-    "arrow_grouped_source_stats",
-    # NEW in round 10 — Spark 4 SQL pipe-syntax front-end
-    "sql_pipe_syntax_rollup",
-    # NEW in round 10 — hybrid BM25+vector retrieval via RRF
-    "sim_search_hybrid_rrf",
-    # NEW in round 10 — CCNet perplexity-bucket corpus split
-    "quality_ccnet_buckets",
-    # NEW in round 10 — portable md5 CMS, sketch content oracle-checked
-    "agg_count_min_sketch",
-    # NEW in round 10 — UDTF with TABLE argument (PARTITION BY)
-    "udtf_table_arg_year_profile",
-    # NEW in round 10 — Spark 4 collation semantics vs lower() twin
-    "string_collation_compare",
-    # NEW in round 10 — named-parameter SQL binding
-    "sql_parameterized_args",
-    # NEW in round 10 — Cavnar-Trenkle n-gram rank-profile language ID
-    "text_langid_ngram_profile",
-    # NEW in round 10 — edge-partitioned PageRank power iteration
-    "graph_pagerank_tokens",
-    # NEW in round 10 — T5/UniMax temperature-scaled mixture weights
-    "sample_temperature_mixture",
-    # NEW in round 10 — linear hashed-feature quality classifier apply
-    "quality_linear_classifier",
-    # NEW in round 10 — ExactSubstr duplicated-span detection
-    "dedup_exact_substring_spans",
-    # NEW in round 10 — DSIR hashed-n-gram importance resampling
-    "sample_dsir_importance",
-    # NEW in round 10 — Broder asymmetric shingle containment
-    "dedup_containment_ngram",
-    # NEW in round 10 — stream-static broadcast dimension enrichment
-    "stream_static_enrich_join",
-    # NEW in round 10 — broadcast quantile-threshold corpus cut
-    "sample_quantile_threshold_cut",
-    # NEW in round 10 — Stupid Backoff bigram LM scoring
-    "quality_stupid_backoff_logprob",
-    # NEW in round 10 — DPR/ANCE hard-negative mining band
-    "sim_search_hard_negatives",
-    # NEW in round 10 — sliding-window chunking with overlap
-    "chunk_sliding_window",
-    # NEW in round 10 — winnowing fingerprints + prefix-filtered ssjoin
-    "text_winnow_fingerprint",
-    "dedup_allpairs_prefix",
-    "text_bpe_encode_count",
-    "privacy_k_anonymity",
-    "privacy_l_diversity",
-    "sample_weighted_reservoir",
-    "dedup_ppjoin",
-    # NEW in round 10 — distributed Space-Saving streaming heavy hitters
-    "stream_topk_space_saving",
-    "privacy_t_closeness",
-    "graph_triangle_counts",
-    "mine_association_rules",
-    "timeseries_ewma_smooth",
-    "dq_benford_first_digit",
-    "privacy_dp_noisy_counts",
-    "rfm_segmentation",
-    "abc_pareto_parts",
-    "events_attribution_last_touch",
-    "corpus_zipf_fit",
-    # NEW in round 10 (session 5) — clickstream Markov transition matrix
-    "events_markov_transitions",
-    # NEW in round 10 (session 5) — label-propagation community detection
-    "graph_label_propagation",
-    # NEW in round 10 (session 5) — RAKE per-document keyword extraction
-    "text_keyword_extract_rake",
-    # latest driver row r4 — oldest non-round-10 evidence; NEVER-sampled
-    # round-10 keys above outrank these (they have r4 rows to fall back
-    # on; a new key has none)
+    # NEW round 10, never sampled; oracle repaired round 11 — the only
+    # key with no driver CORRECTNESS row in 11 rounds. First in line.
+    "timeseries_holt_linear",
+    # latest driver row r4 — oldest surviving evidence
     "udtf_month_spine",
     "unpivot_measures",
     "window_distribution_ranks",
     "window_first_last_nth",
-    # latest driver row r6 — oldest remaining evidence; tail rolls
+    # latest driver row r6 — the remaining tail, in r6 order
     "agg_boolean_family",
     "agg_distinct_and_approx",
     "agg_grouping_sets_cube",
