@@ -384,7 +384,9 @@ SFN100_REP = int(os.environ.get("SPARK_GRAFT_SFN100_REP", "100"))
 SFN100_DIRNAME = ".bench_sf100x"
 
 
-def _ensure_docs_rep(spark, base_dir: str, out_dir: str) -> None:
+def _ensure_docs_rep(
+    spark, base_dir: str, out_dir: str, n_rep: int = DOCS_REP
+) -> None:
     import shutil
 
     from pyspark.sql import functions as F
@@ -392,13 +394,13 @@ def _ensure_docs_rep(spark, base_dir: str, out_dir: str) -> None:
     from u_s__non_farm_payrolls_an_olap_analysis_spark.io import read_table
 
     ready = os.path.join(out_dir, "_READY")
-    stamp = _gen_stamp(DOCS_REP, base_dir)
+    stamp = _gen_stamp(n_rep, base_dir)
     if _marker_ok(ready, stamp):
         return
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir)
     docs = read_table(spark, base_dir, "documents")
-    rep = spark.range(DOCS_REP).select(F.col("id").alias("rep"))
+    rep = spark.range(n_rep).select(F.col("id").alias("rep"))
     (
         docs.crossJoin(rep)
         .select(
@@ -415,6 +417,10 @@ def _ensure_docs_rep(spark, base_dir: str, out_dir: str) -> None:
             ).alias("text"),
             "lang", "source", "n_chars",
         )
+        # multi-file layout so the corpus scans in parallel without the
+        # narrow-scan spread helper (one file per ~replica at small rep,
+        # capped at 32 — matches the executor thread count)
+        .repartition(min(32, max(4, n_rep)))
         .write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
     )
     with open(ready, "w") as f:
@@ -429,6 +435,8 @@ def _sfn_section(
     dirname: str = SFN_DIRNAME,
     include_docs: bool = True,
     clear_cache_first: bool = False,
+    shuffle_partitions: int = 16,
+    aqe: str = "false",
 ) -> dict:
     from u_s__non_farm_payrolls_an_olap_analysis_spark import registry
     from u_s__non_farm_payrolls_an_olap_analysis_spark.io import cache_tables
@@ -450,15 +458,23 @@ def _sfn_section(
     # The headline session is tuned for MB-scale sf0.1 shuffles
     # (partitions=4, AQE off — see main()); at 30x facts those settings
     # strangle the multi-way shuffle joins (measured: q8 15 s at 4
-    # partitions vs ~1.5 s tuned). Scoped at-scale posture: shuffle
-    # partitions by the ~128 MB rule for this section's ~0.5 GB shuffles
-    # (measured sweep at 30x: 16 beats both 8 and 32), AQE on — its
-    # runtime broadcast conversion is what keeps q8's fact join cheap.
+    # partitions vs ~1.5 s tuned). Scoped at-scale posture, re-swept in
+    # round 12 (scripts/measure_q8_sfn_sweep.py / _posture_final.py):
+    # at 30x, 16 partitions + AQE OFF wins on EVERY section query — all
+    # joins already broadcast explicitly via the size gate, so AQE's
+    # query-stage materialization is pure fixed overhead here (~0.1-0.2 s
+    # per query: q8 0.93->0.75, sessionize 0.56->0.51, join_agg
+    # 0.46->0.29). At 100x the caller passes (32, AQE on): postures are
+    # within noise there and AQE tightens the shuffle-heavy spreads
+    # (sessionize 1.52->1.28 median) and keeps runtime skew-splitting
+    # for the regime where it can matter.
     n_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.shuffle.partitions", str(min(16, n_cpus)))
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(min(shuffle_partitions, n_cpus))
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", aqe)
     t0 = time.time()
     _ensure_sf1(spark, base_dir, out_dir, n_rep=rep)
     cache_tables(
@@ -512,6 +528,44 @@ def _sfn_section(
         SCALE_RUNS,
     )
 
+    # LLM-pipeline trajectory key (round 12): quality_gopher_rules over a
+    # documents corpus replicated at THIS section's rep (disjoint token
+    # spaces, same generator as the dedup corpus) — the north-star pack's
+    # 100 TB posture gets the same measured Spark/DuckDB ratio trajectory
+    # the TPC-H keys have, not just sf0.1 plans. Map-only scan shape: the
+    # interesting question is whether the ratio converges the way the
+    # fact scans do as the corpus grows.
+    docs_scale_dir = os.path.join(here, f".bench_docs{rep}x")
+    t0 = time.time()
+    _ensure_docs_rep(spark, base_dir, docs_scale_dir, n_rep=rep)
+    docs_scale_prep = time.time() - t0
+    cache_tables(
+        spark, docs_scale_dir, tables=("documents",), max_partitions=n_cpus
+    )
+    gq = qs["quality_gopher_rules"]
+    gq(spark, docs_scale_dir).toPandas()  # warm
+    times = []
+    for _ in range(SCALE_RUNS):
+        clear_plan_memo()
+        df = gq(spark, docs_scale_dir)
+        t = time.time()
+        df.toPandas()
+        times.append(time.time() - t)
+    spark_sec["quality_gopher_rules"] = round(statistics.median(times), 4)
+    spark_spread["quality_gopher_rules"] = [
+        round(min(times), 4), round(max(times), 4)
+    ]
+    g_sec, g_spread = _duck_time_subprocess(
+        docs_scale_dir,
+        {"quality_gopher_rules": oracles["quality_gopher_rules"]},
+        SCALE_RUNS,
+    )
+    duck_sec.update(g_sec)
+    duck_spread.update(g_spread)
+    table_rows.update(
+        {"documents": _table_rows(docs_scale_dir, ("documents",))["documents"]}
+    )
+
     # Spark scaling slope vs the 10x section (ideal = SFN_REP/SF1_REP for
     # work linear in the fact count); sf1 times come from the sf1 section
     sf1_spark = sf1.get("spark", {}) if isinstance(sf1, dict) else {}
@@ -524,6 +578,9 @@ def _sfn_section(
     out = {
         "rep": rep,
         "prep_sec": round(prep, 2),
+        "docs_scale_prep_sec": round(docs_scale_prep, 2),
+        "posture": {"shuffle_partitions": min(shuffle_partitions, n_cpus),
+                    "aqe": aqe},
         "table_rows": table_rows,
         "q8_bucket_prep_sec": round(bucket_prep, 2),
         "spark": spark_sec,
@@ -744,6 +801,7 @@ def main() -> None:
                 spark, sf_dir, sf1,
                 rep=SFN100_REP, dirname=SFN100_DIRNAME,
                 include_docs=False, clear_cache_first=True,
+                shuffle_partitions=32, aqe="true",
             )
         except Exception as e:  # noqa: BLE001 — report, don't die
             sfn100 = {"error": str(e)[:200]}

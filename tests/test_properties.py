@@ -1528,3 +1528,101 @@ def test_rake_matches_pure_python(spark):
         for r in got
     } == want
     assert len(got) >= 3
+
+
+def test_classical_decompose_matches_pure_python(spark):
+    """The exact-integer decomposition must equal an independent
+    float-based reference implementing the same spec (centered 2x12 MA,
+    month-of-year seasonal means, centering) on the raw monthly series,
+    and the components must reassemble: trend+seasonal+residual ~ revenue
+    (up to the seasonal-index rounding the spec fixes at 6dp)."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        timeseries_classical_decompose,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = timeseries_classical_decompose(spark, sf).collect()
+    assert rows
+    # independent reference: rebuild the monthly series from parquet
+    import collections
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf}/orders.parquet").to_pandas()
+    t["mon"] = t["o_orderdate"].values.astype("datetime64[M]")
+    monthly = collections.defaultdict(float)
+    for p, m, v in zip(t["o_orderpriority"], t["mon"], t["o_totalprice"]):
+        monthly[(p, m)] += round(v * 10000) / 10000.0
+    series = collections.defaultdict(list)
+    for (p, m), v in sorted(monthly.items()):
+        series[p].append((m, v))
+    expect = {}
+    for p, pts in series.items():
+        xs = [v for _, v in pts]
+        n = len(xs)
+        trend = {}
+        for i in range(6, n - 6):
+            trend[i] = (
+                0.5 * xs[i - 6] + sum(xs[i - 5:i + 6]) + 0.5 * xs[i + 6]
+            ) / 12.0
+        det = {i: xs[i] - tr for i, tr in trend.items()}
+        by_moy = collections.defaultdict(list)
+        for i, d in det.items():
+            by_moy[pts[i][0].month].append(d)
+        smeans = {m: sum(v) / len(v) for m, v in by_moy.items()}
+        smeans_r = {m: round(v, 6) for m, v in smeans.items()}
+        center = sum(smeans_r.values()) / len(smeans_r)
+        for i in trend:
+            expect[(p, pts[i][0])] = (
+                xs[i],
+                trend[i],
+                smeans_r[pts[i][0].month] - center,
+            )
+    import numpy as np
+
+    assert len(rows) == len(expect)
+    for r in rows:
+        key = (r["priority"], np.datetime64(r["mon"], "M"))
+        rev, tr, seas = expect[key]
+        assert abs(r["revenue"] - rev) < 1e-3, key
+        assert abs(r["trend"] - tr) < 1e-3, key
+        assert abs(r["seasonal"] - seas) < 2e-6, key
+        # components reassemble (residual defined against rounded seasonal)
+        assert abs(
+            (r["trend"] + r["seasonal"] + r["residual"]) - r["revenue"]
+        ) < 5e-3, key
+
+
+def test_hamming_binary_matches_numpy_bruteforce(spark):
+    """Sign-quantized Hamming top-k must equal a numpy bit-packing +
+    popcount brute force on the same fixture vectors."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.similarity import (
+        TOP_K,
+        sim_search_hamming_binary,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = sim_search_hamming_binary(spark, sf).collect()
+    assert rows
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf}/embeddings.parquet").to_pandas()
+    vecs = {
+        int(r.vec_id): np.array(r.embedding, dtype=np.float32)
+        for r in t.itertuples()
+    }
+    bits = {k: (v > 0) for k, v in vecs.items()}
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["hamming"])
+        )
+    for qid in [k for k in vecs if k < 10]:
+        cands = sorted(
+            (int(np.count_nonzero(bits[qid] != bits[c])), c)
+            for c in vecs
+            if c >= 10
+        )[:TOP_K]
+        want = [(i + 1, c, h) for i, (h, c) in enumerate(cands)]
+        assert sorted(got[qid]) == want, qid

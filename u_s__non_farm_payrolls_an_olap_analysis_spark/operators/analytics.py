@@ -1428,3 +1428,145 @@ ORACLE["events_markov_transitions"] = (
     "CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS prob "
     "FROM c ORDER BY 1, 2"
 )
+
+
+def timeseries_classical_decompose(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average
+    method of Macaulay 1931, as in Hyndman & Athanasopoulos FPP §3.4)
+    of the monthly per-priority revenue series — the reference's domain
+    is exactly this kind of monthly macro series (`dashboard_nfp.py`
+    computes MoM changes and yearly rollups; decomposition is the next
+    question an analyst asks of it):
+
+    - **trend** = centered 2x12-term moving average (index-based frames;
+      the fixture series is gapless monthly, and the contract — mirrored
+      in the oracle — is ROWS-based) computed EXACTLY in scaled-int64:
+      ``t24 = 2*sum(rev_s)[-5..+5] + rev_s[-6] + rev_s[+6]`` (units =
+      24 x 1e4-scaled dollars), defined only where the full 13-month
+      window exists.
+    - **seasonal** = per month-of-year mean of the exact detrended
+      integers, rounded half-away in PURE INTEGER space
+      (``(2|25*sum_d| + 6*cnt) DIV (12*cnt)`` micro-dollars — no FP in
+      the mean), then centered so the 12 indices sum to ~0 with an
+      exact-integer numerator ``n*s_micro - tot_micro``.
+    - **residual** = detrended minus the (rounded) seasonal index —
+      every emitted double is a single division off exact int64s, so
+      the DuckDB twin hash-matches bit for bit.
+
+    Scale: one shuffle for the monthly rollup (map-side partial over
+    orders), one window exchange per series key, a ~60-row broadcast
+    join for the seasonal indices. Series count scales out; series
+    length stays bounded (monthly grain)."""
+    orders = read_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("month", "o_orderdate").alias("mon"),
+    ).agg(dsum_scaled("o_totalprice").alias("rev_s"))
+
+    wo = Window.partitionBy("priority").orderBy("mon")
+    w11 = wo.rowsBetween(-5, 5)
+    w = m.select(
+        "priority",
+        "mon",
+        "rev_s",
+        F.count(F.lit(1)).over(w11).alias("cnt11"),
+        F.sum("rev_s").over(w11).alias("sum11"),
+        F.lag("rev_s", 6).over(wo).alias("lag6"),
+        F.lead("rev_s", 6).over(wo).alias("lead6"),
+    )
+    t = (
+        w.filter(
+            (F.col("cnt11") == 11)
+            & F.col("lag6").isNotNull()
+            & F.col("lead6").isNotNull()
+        )
+        .select(
+            "priority",
+            "mon",
+            "rev_s",
+            F.month("mon").alias("moy"),
+            (2 * F.col("sum11") + F.col("lag6") + F.col("lead6")).alias("t24"),
+        )
+        .withColumn("d24", 24 * F.col("rev_s") - F.col("t24"))
+    )
+    s = t.groupBy("priority", "moy").agg(
+        F.sum("d24").alias("sum_d"), F.count(F.lit(1)).alias("cnt")
+    )
+    # integer round-half-away of (25*sum_d)/(6*cnt) micro-dollars: the
+    # DIV operand is kept non-negative so Spark DIV (truncate-to-zero)
+    # and DuckDB // agree by construction
+    mag = F.expr("(2 * abs(25 * sum_d) + 6 * cnt) DIV (12 * cnt)")
+    sm = s.select(
+        "priority",
+        "moy",
+        F.when(F.col("sum_d") >= 0, mag).otherwise(-mag).alias("s_micro"),
+    )
+    wp = Window.partitionBy("priority")
+    sc = sm.select(
+        "priority",
+        "moy",
+        "s_micro",
+        F.count(F.lit(1)).over(wp).alias("n_moy"),
+        F.sum("s_micro").over(wp).alias("tot_micro"),
+    )
+    seasonal = (
+        (F.col("n_moy") * F.col("s_micro") - F.col("tot_micro"))
+        .cast("double")
+        / (F.col("n_moy") * 1_000_000.0)
+    )
+    joined = t.join(F.broadcast(sc), ["priority", "moy"])
+    return joined.select(
+        "priority",
+        "mon",
+        F.round(F.col("rev_s").cast("double") / 10_000.0, 4).alias("revenue"),
+        dround(F.col("t24").cast("double") / 240_000.0, 4).alias("trend"),
+        dround(seasonal, 6).alias("seasonal"),
+        dround(
+            F.col("d24").cast("double") / 240_000.0 - dround(seasonal, 6), 6
+        ).alias("residual"),
+    ).orderBy("priority", "mon")
+
+
+QUERIES["timeseries_classical_decompose"] = timeseries_classical_decompose
+
+ORACLE["timeseries_classical_decompose"] = (
+    "WITH m AS (SELECT o_orderpriority AS priority, "
+    "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon, "
+    "CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS BIGINT) "
+    "AS rev_s FROM orders GROUP BY 1, 2), "
+    "w AS (SELECT priority, mon, rev_s, "
+    "COUNT(*) OVER win11 AS cnt11, "
+    "CAST(SUM(rev_s) OVER win11 AS BIGINT) AS sum11, "
+    "LAG(rev_s, 6) OVER wino AS lag6, "
+    "LEAD(rev_s, 6) OVER wino AS lead6 "
+    "FROM m WINDOW wino AS (PARTITION BY priority ORDER BY mon), "
+    "win11 AS (PARTITION BY priority ORDER BY mon "
+    "ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)), "
+    "t AS (SELECT priority, mon, rev_s, MONTH(mon) AS moy, "
+    "2 * sum11 + lag6 + lead6 AS t24, "
+    "24 * rev_s - (2 * sum11 + lag6 + lead6) AS d24 "
+    "FROM w WHERE cnt11 = 11 AND lag6 IS NOT NULL "
+    "AND lead6 IS NOT NULL), "
+    "s AS (SELECT priority, moy, CAST(SUM(d24) AS BIGINT) AS sum_d, "
+    "COUNT(*) AS cnt FROM t GROUP BY 1, 2), "
+    "sm AS (SELECT priority, moy, CASE WHEN sum_d >= 0 "
+    "THEN (2 * abs(25 * sum_d) + 6 * cnt) // (12 * cnt) "
+    "ELSE -((2 * abs(25 * sum_d) + 6 * cnt) // (12 * cnt)) END "
+    "AS s_micro FROM s), "
+    "sc AS (SELECT priority, moy, s_micro, "
+    "COUNT(*) OVER (PARTITION BY priority) AS n_moy, "
+    "CAST(SUM(s_micro) OVER (PARTITION BY priority) AS BIGINT) "
+    "AS tot_micro FROM sm) "
+    "SELECT t.priority, t.mon, "
+    "ROUND(CAST(t.rev_s AS DOUBLE) / 10000.0, 4) AS revenue, "
+    "ROUND(CAST(t.t24 AS DOUBLE) / 240000.0, 4) AS trend, "
+    "ROUND(CAST(sc.n_moy * sc.s_micro - sc.tot_micro AS DOUBLE) "
+    "/ (sc.n_moy * 1000000.0), 6) AS seasonal, "
+    "ROUND(CAST(t.d24 AS DOUBLE) / 240000.0 "
+    "- ROUND(CAST(sc.n_moy * sc.s_micro - sc.tot_micro AS DOUBLE) "
+    "/ (sc.n_moy * 1000000.0), 6), 6) AS residual "
+    "FROM t JOIN sc ON t.priority = sc.priority AND t.moy = sc.moy "
+    "ORDER BY 1, 2"
+)

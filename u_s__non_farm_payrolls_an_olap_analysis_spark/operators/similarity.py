@@ -827,3 +827,108 @@ ORACLE["sim_search_hard_negatives"] = (
     "FROM b) SELECT query_id, neighbor_id, cosine, "
     f"CAST(rank AS INT) AS rank FROM r WHERE rank <= {HN_K}"
 )
+
+
+def _sign_words(col: str, n_words: int = 2, word_bits: int = 32):
+    """Sign-bit binary quantization of an embedding array into
+    ``n_words`` x ``word_bits``-bit integer words (bit i of word w set
+    iff ``emb[w*word_bits + i] > 0``). 32 bits per int64 word keeps
+    every value positive and well inside BIGINT in both engines (no
+    sign-bit-63 portability trap). All JVM-side higher-order functions —
+    zero UDF, zero explode."""
+    words = []
+    for w in range(n_words):
+        off = w * word_bits
+        words.append(
+            F.when(
+                F.size(F.col(col)) >= (w + 1) * word_bits,
+                F.expr(
+                    f"aggregate(transform(sequence(0, {word_bits - 1}), "
+                    f"i -> IF(element_at({col}, i + {off} + 1) > 0D, "
+                    "shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)), "
+                    "CAST(0 AS BIGINT))), CAST(0 AS BIGINT), "
+                    "(acc, x) -> acc + x)"
+                ),
+            ).alias(f"w{w}")
+        )
+    return words
+
+
+def sim_search_hamming_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star ANN — **binary (sign) quantization + Hamming top-k**
+    (Charikar STOC'02 hyperplane-LSH limit case; the "binary embedding"
+    compression every production vector store ships): each 64-dim float
+    vector collapses to 2 int64 words of sign bits — a 32x memory
+    reduction — and distance becomes two XOR+popcount ops per pair
+    instead of 64 FMAs. The scan here is the exact-over-compressed-codes
+    baseline (broadcast 10-query side, one pass over candidates, rank
+    window per query); at 100 TB the same codes feed the pigeonhole
+    band-bucketing already demonstrated by ``dedup_simhash`` (any pair
+    within Hamming r shares an exact band among r+1 bands), so candidate
+    generation stays sub-quadratic while THIS operator's arithmetic is
+    the verifier. Fully deterministic (sign compare + integer popcount)
+    → hash-checked against the DuckDB twin.
+
+    Reference scope: `dashboard_nfp.py` has no vector search; this is
+    part of the driver-mandated LLM-pipeline pack (embedding column
+    family, with `embedding_quantize_int8` / `sim_search_int8_mips`)."""
+    emb = read_table(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") >= 64
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        *[c.alias(f"q{i}") for i, c in enumerate(_sign_words("embedding"))],
+    )
+    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        *[c.alias(f"c{i}") for i, c in enumerate(_sign_words("embedding"))],
+    )
+    scored = c.join(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        (
+            F.bit_count(F.col("q0").bitwiseXOR(F.col("c0")))
+            + F.bit_count(F.col("q1").bitwiseXOR(F.col("c1")))
+        ).cast("int").alias("hamming"),
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "hamming",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+QUERIES["sim_search_hamming_binary"] = sim_search_hamming_binary
+
+_HAM_W0 = (
+    "CAST(list_sum(list_transform(range(32), "
+    "i -> CASE WHEN embedding[i + 1] > 0 "
+    "THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+)
+_HAM_W1 = (
+    "CAST(list_sum(list_transform(range(32), "
+    "i -> CASE WHEN embedding[i + 33] > 0 "
+    "THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+)
+
+ORACLE["sim_search_hamming_binary"] = (
+    f"WITH b AS (SELECT vec_id, {_HAM_W0} AS w0, {_HAM_W1} AS w1 "
+    "FROM embeddings WHERE len(embedding) >= 64), "
+    f"q AS (SELECT vec_id AS query_id, w0, w1 FROM b "
+    f"WHERE vec_id < {N_QUERIES}), "
+    f"c AS (SELECT vec_id AS neighbor_id, w0, w1 FROM b "
+    f"WHERE vec_id >= {N_QUERIES}), "
+    "s AS (SELECT query_id, neighbor_id, "
+    "CAST(bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1)) AS INT) "
+    "AS hamming FROM q CROSS JOIN c), "
+    "r AS (SELECT query_id, neighbor_id, hamming, ROW_NUMBER() OVER ("
+    "PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rank FROM s) "
+    "SELECT query_id, neighbor_id, hamming, CAST(rank AS INT) AS rank "
+    f"FROM r WHERE rank <= {TOP_K}"
+)

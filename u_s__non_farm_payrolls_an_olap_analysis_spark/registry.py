@@ -104,6 +104,10 @@ _SAMPLE_PRIORITY = [
     # NEW round 10, never sampled; oracle repaired round 11 — the only
     # key with no driver CORRECTNESS row in 11 rounds. First in line.
     "timeseries_holt_linear",
+    # NEW in round 12 — binary sign quantization + Hamming top-k
+    "sim_search_hamming_binary",
+    # NEW in round 12 — classical additive seasonal decomposition
+    "timeseries_classical_decompose",
     # latest driver row r4 — oldest surviving evidence
     "udtf_month_spine",
     "unpivot_measures",

@@ -39,9 +39,50 @@ class YearPartition(InputPartition):
         self.year = year
 
 
+def _fetch_page_live(year: int) -> list[tuple[dt.date, int]]:
+    """LIVE fetch of one calendar year of the public FRED ``PAYEMS``
+    series over HTTPS (the reference's `etl.py:22-24` fetch, re-homed to
+    executor tasks) — stdlib urllib, no client library. Requires network
+    plus ``FRED_API_KEY`` (free registration at fred.stlouisfed.org);
+    enabled only when ``SPARK_GRAFT_FRED_LIVE=1`` so the default engine
+    stays deterministic and offline-reproducible."""
+    import json
+    import os
+    import urllib.parse
+    import urllib.request
+
+    params = urllib.parse.urlencode(
+        {
+            "series_id": "PAYEMS",
+            "api_key": os.environ["FRED_API_KEY"],
+            "file_type": "json",
+            "observation_start": f"{year}-01-01",
+            "observation_end": f"{year}-12-31",
+        }
+    )
+    url = f"https://api.stlouisfed.org/fred/series/observations?{params}"
+    with urllib.request.urlopen(url, timeout=30) as resp:
+        payload = json.load(resp)
+    out = []
+    for obs in payload.get("observations", []):
+        if obs.get("value") in (None, "", "."):  # FRED's missing marker
+            continue
+        d = dt.date.fromisoformat(obs["date"])
+        out.append((d, int(float(obs["value"]))))
+    return out
+
+
 def _fetch_page(year: int) -> list[tuple[dt.date, int]]:
-    """One 'API page' = one calendar year of observations. Deterministic
-    offline stand-in for the HTTPS call (`etl.py:22-24`)."""
+    """One 'API page' = one calendar year of observations. Runs
+    executor-side (called from ``FredSeriesReader.read``). Deterministic
+    offline stand-in for the HTTPS call (`etl.py:22-24`) by default; set
+    ``SPARK_GRAFT_FRED_LIVE=1`` + ``FRED_API_KEY`` for the real pull
+    (env-gated integration test: tests/test_custom_source_stateful.py
+    ``test_fred_live_fetch``)."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_FRED_LIVE") == "1":
+        return _fetch_page_live(year)
     return [(d, v) for d, v in fake_fred_payems() if d.year == year]
 
 
