@@ -67,5 +67,10 @@ def test_sfn_section_emits_table_rows(spark, _mini_bench):
         include_docs=False,
     )
     assert "error" not in out, out
-    base = bench._table_rows(SF_SMOKE, ("orders", "lineitem", "events"))
+    base = bench._table_rows(
+        SF_SMOKE, ("orders", "lineitem", "events", "documents")
+    )
+    # facts replicate at rep; the round-12 docs-trajectory corpus
+    # (quality_gopher_rules at the section's rep) adds a rep-matched
+    # documents row to the same provenance dict
     assert out["table_rows"] == {t: n * 2 for t, n in base.items()}

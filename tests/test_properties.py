@@ -1546,6 +1546,7 @@ def test_classical_decompose_matches_pure_python(spark):
     # independent reference: rebuild the monthly series from parquet
     import collections
 
+    import numpy as np
     import pyarrow.parquet as pq
 
     t = pq.read_table(f"{sf}/orders.parquet").to_pandas()
@@ -1573,13 +1574,11 @@ def test_classical_decompose_matches_pure_python(spark):
         smeans_r = {m: round(v, 6) for m, v in smeans.items()}
         center = sum(smeans_r.values()) / len(smeans_r)
         for i in trend:
-            expect[(p, pts[i][0])] = (
+            expect[(p, np.datetime64(pts[i][0], "M"))] = (
                 xs[i],
                 trend[i],
                 smeans_r[pts[i][0].month] - center,
             )
-    import numpy as np
-
     assert len(rows) == len(expect)
     for r in rows:
         key = (r["priority"], np.datetime64(r["mon"], "M"))
