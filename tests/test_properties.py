@@ -1625,3 +1625,131 @@ def test_hamming_binary_matches_numpy_bruteforce(spark):
         )[:TOP_K]
         want = [(i + 1, c, h) for i, (h, c) in enumerate(cands)]
         assert sorted(got[qid]) == want, qid
+
+
+def test_cusum_matches_pure_python(spark):
+    """The grouped-map CUSUM recurrence must equal an independent python
+    replay (same mu/k/h derivation), and obey the tabular-CUSUM
+    invariants: both sums nonnegative, reset-at-zero, alarm iff a sum
+    strictly exceeds h."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.custom_udf import (
+        timeseries_cusum_changepoints,
+    )
+
+    rows = timeseries_cusum_changepoints(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    import collections
+
+    series = collections.defaultdict(list)
+    for r in rows:
+        series[r["priority"]].append(
+            (r["mon"], r["revenue"], r["cusum_pos"], r["cusum_neg"],
+             r["alarm"])
+        )
+
+    def r4(s):
+        v = abs(s) * 10000.0
+        return (1.0 if s >= 0 else -1.0) * (int(v + 0.5) // 1) / 10000.0
+
+    saw_alarm = False
+    for prio, pts in series.items():
+        pts.sort()
+        xs = [p[1] for p in pts]
+        scaled = [int(abs(x) * 10000.0 + 0.5) for x in xs]
+        mu = r4(float(sum(scaled)) / 10000.0 / len(xs))
+        k, h = mu / 16.0, mu / 4.0
+        sp = sn = 0.0
+        for (mon, x, got_sp, got_sn, got_alarm) in pts:
+            sp = max(0.0, sp + (x - mu) - k)
+            sn = max(0.0, sn + (mu - x) - k)
+            assert got_sp == r4(sp), (prio, mon)
+            assert got_sn == r4(sn), (prio, mon)
+            assert got_alarm == (1 if (sp > h or sn > h) else 0), (prio, mon)
+            assert got_sp >= 0.0 and got_sn >= 0.0
+            saw_alarm = saw_alarm or got_alarm == 1
+    # the fixture series drifts enough that at least one alarm must fire
+    assert saw_alarm
+
+
+def test_pq_adc_matches_numpy_reference(spark):
+    """PQ encode + asymmetric-distance scoring must equal an independent
+    numpy implementation of the same spec (6-dp-rounded distances,
+    centroid-id tiebreaks, 6-dp partial dots)."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.similarity import (
+        PQ_DSUB,
+        PQ_K,
+        PQ_M,
+        TOP_K,
+        sim_search_pq_adc,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = sim_search_pq_adc(spark, sf).collect()
+    assert rows
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf}/embeddings.parquet").to_pandas()
+    vecs = {
+        int(r.vec_id): np.array(r.embedding, dtype=np.float64)
+        for r in t.itertuples()
+    }
+
+    def r6(x):
+        return (1.0 if x >= 0 else -1.0) * (
+            int(abs(x) * 1e6 + 0.5) // 1
+        ) / 1e6
+
+    cb = {
+        (m, j): vecs[10 + j][m * PQ_DSUB:(m + 1) * PQ_DSUB]
+        for m in range(PQ_M)
+        for j in range(PQ_K)
+    }
+    codes = {}
+    for c in vecs:
+        if c < 10:
+            continue
+        for m in range(PQ_M):
+            sub = vecs[c][m * PQ_DSUB:(m + 1) * PQ_DSUB]
+
+            def d2(a, b):
+                acc = 0.0  # sequential fold, same order as both engines
+                for x, y in zip(a, b):
+                    v = float(x) - float(y)
+                    acc += v * v
+                return acc
+
+            best = min(
+                (r6(d2(sub, cb[(m, j)])), j) for j in range(PQ_K)
+            )
+            codes[(c, m)] = best[1]
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["score"])
+        )
+    for qid in [k for k in vecs if k < 10]:
+        scores = []
+        for c in vecs:
+            if c < 10:
+                continue
+            s = 0.0
+            for m in range(PQ_M):
+                sub = vecs[qid][m * PQ_DSUB:(m + 1) * PQ_DSUB]
+                acc = 0.0  # sequential fold, same order as both engines
+                for x, y in zip(sub, cb[(m, codes[(c, m)])]):
+                    acc += float(x) * float(y)
+                s += r6(acc)
+            scores.append((-r6(s), c))
+        scores.sort()
+        want = [
+            (i + 1, c, -ns) for i, (ns, c) in enumerate(scores[:TOP_K])
+        ]
+        have = sorted(got[qid])
+        assert [(rk, nb) for rk, nb, _ in have] == [
+            (rk, nb) for rk, nb, _ in want
+        ], qid
+        for (_, _, a), (_, _, b) in zip(have, want):
+            assert abs(a - b) < 1e-9, qid

@@ -596,3 +596,107 @@ ORACLE["timeseries_holt_linear"] = (
     + " AS forecast "
     "FROM rec ORDER BY 1, 2"
 )
+
+
+# --- CUSUM change-point detection via grouped-map recurrence -----------------
+
+def _cusum_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("mon").reset_index(drop=True)
+
+    def r4(s: float) -> float:
+        v = abs(s) * 10000.0
+        return (1.0 if s >= 0 else -1.0) * (int(v + 0.5) // 1) / 10000.0
+
+    # recover the exact scaled-int months (revenue is a 4-dp rounded
+    # double, so round-half-away recovers the original int64) and
+    # compute mu with the ORACLE's exact op sequence: sum-int ->
+    # /10000.0 -> /n -> ROUND(.., 4)
+    scaled = [int(abs(x) * 10000.0 + 0.5) * (1 if x >= 0 else -1)
+              for x in pdf["revenue"]]
+    n = len(scaled)
+    mu = r4(float(sum(scaled)) / 10000.0 / n)
+    k = mu / 16.0  # slack: exact power-of-two scaling, no rounding
+    h = mu / 4.0   # alarm threshold
+    sp = sn = 0.0
+    out = []
+    for x in pdf["revenue"]:
+        sp = max(0.0, sp + (x - mu) - k)
+        sn = max(0.0, sn + (mu - x) - k)
+        out.append((sp, sn, 1 if (sp > h or sn > h) else 0))
+    pdf["cusum_pos"] = [r4(a) for a, _, _ in out]
+    pdf["cusum_neg"] = [r4(b) for _, b, _ in out]
+    pdf["alarm"] = [a for _, _, a in out]
+    return pdf
+
+
+def timeseries_cusum_changepoints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """North-star — **tabular CUSUM change-point detection** (Page 1954;
+    Montgomery SQC §9.1) per monthly revenue series: one-sided
+    cumulative sums ``sp_t = max(0, sp_{t-1} + (x_t - mu) - k)`` /
+    ``sn_t = max(0, sn_{t-1} + (mu - x_t) - k)`` with reset-at-zero,
+    alarming when either exceeds ``h`` — the classic sequential drift
+    detector a monitoring pipeline runs over exactly the reference's
+    kind of monthly macro series (`dashboard_nfp.py`'s sharp-drop scan
+    is the one-shot version of this). Slack/threshold are
+    scale-relative (``k = mu/16``, ``h = mu/4`` — exact power-of-two
+    scalings of the 4-dp series mean) so the operator is deterministic
+    with no sigma estimate. Like EWMA/Holt the recurrence is sequential
+    with no exact closed window form (the reset clamp is non-linear),
+    so the per-series loop runs in grouped-map ``applyInPandas`` — one
+    shuffle on the series key, series count scales out, monthly length
+    bounded. Every step is add/subtract/max on identical doubles, so
+    the DuckDB recursive-CTE twin hash-matches with zero tolerance."""
+    from ..functions.numerics import dsum
+
+    orders = read_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("month", "o_orderdate").alias("mon"),
+    ).agg(F.round(dsum("o_totalprice"), 4).alias("revenue"))
+    return (
+        monthly.groupBy("priority")
+        .applyInPandas(
+            _cusum_group,
+            schema="priority string, mon timestamp, revenue double, "
+            "cusum_pos double, cusum_neg double, alarm int",
+        )
+        .orderBy("priority", "mon")
+    )
+
+
+QUERIES["timeseries_cusum_changepoints"] = timeseries_cusum_changepoints
+
+ORACLE["timeseries_cusum_changepoints"] = (
+    "WITH RECURSIVE m AS (SELECT o_orderpriority AS priority, "
+    "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon, "
+    "CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS BIGINT) "
+    "AS rev_s FROM orders GROUP BY 1, 2), "
+    "mm AS (SELECT priority, mon, "
+    "ROUND(CAST(rev_s AS DOUBLE) / 10000.0, 4) AS revenue FROM m), "
+    "stats AS (SELECT priority, "
+    "ROUND(CAST(SUM(rev_s) AS DOUBLE) / 10000.0 / COUNT(*), 4) AS mu "
+    "FROM m GROUP BY 1), "
+    "idx AS (SELECT mm.priority, mm.mon, mm.revenue, stats.mu, "
+    "stats.mu / 16.0 AS k, stats.mu / 4.0 AS h, "
+    "ROW_NUMBER() OVER (PARTITION BY mm.priority ORDER BY mm.mon) AS i "
+    "FROM mm JOIN stats ON mm.priority = stats.priority), "
+    "rec(priority, mon, revenue, mu, k, h, i, sp, sn) AS ("
+    "SELECT priority, mon, revenue, mu, k, h, i, "
+    "GREATEST(CAST(0 AS DOUBLE), (revenue - mu) - k), "
+    "GREATEST(CAST(0 AS DOUBLE), (mu - revenue) - k) "
+    "FROM idx WHERE i = 1 "
+    "UNION ALL "
+    "SELECT idx.priority, idx.mon, idx.revenue, idx.mu, idx.k, idx.h, "
+    "idx.i, "
+    "GREATEST(CAST(0 AS DOUBLE), rec.sp + (idx.revenue - idx.mu) - idx.k), "
+    "GREATEST(CAST(0 AS DOUBLE), rec.sn + (idx.mu - idx.revenue) - idx.k) "
+    "FROM idx JOIN rec ON idx.priority = rec.priority "
+    "AND idx.i = rec.i + 1) "
+    "SELECT priority, mon, revenue, "
+    "SIGN(sp) * (FLOOR(ABS(sp) * 10000.0 + 0.5)) / 10000.0 AS cusum_pos, "
+    "SIGN(sn) * (FLOOR(ABS(sn) * 10000.0 + 0.5)) / 10000.0 AS cusum_neg, "
+    "CAST(CASE WHEN sp > h OR sn > h THEN 1 ELSE 0 END AS INT) AS alarm "
+    "FROM rec ORDER BY 1, 2"
+)

@@ -932,3 +932,191 @@ ORACLE["sim_search_hamming_binary"] = (
     "SELECT query_id, neighbor_id, hamming, CAST(rank AS INT) AS rank "
     f"FROM r WHERE rank <= {TOP_K}"
 )
+
+
+# --- Product quantization (PQ) asymmetric-distance search --------------------
+
+PQ_M = 4      # subspaces
+PQ_DSUB = 16  # dims per subspace (4 x 16 = the fixture's 64)
+PQ_K = 8      # centroids per subspace codebook
+
+
+def _sub_d2(a, b):
+    """Squared L2 distance between two equal-length float subvectors as a
+    sequential double fold (bitwise == DuckDB ``list_dot_product`` of the
+    difference list with itself)."""
+    d = F.zip_with(a, b, lambda x, y: x.cast("double") - y.cast("double"))
+    return F.aggregate(d, F.lit(0.0), lambda acc, v: acc + v * v)
+
+
+def sim_search_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star ANN — **product quantization with asymmetric distance
+    computation** (Jégou/Douze/Schmid PAMI'11), the compression behind
+    every billion-vector FAISS deployment: vectors collapse to
+    ``PQ_M`` 3-bit codes (argmin-centroid per 16-dim subspace), and a
+    query scores a candidate with ``PQ_M`` table lookups + adds instead
+    of 64 multiply-adds — the lookup tables (query x subspace x
+    centroid partial dots) are tiny and broadcast. 64 floats → 4 codes
+    is a 64x storage cut; at 100 TB the codes column scans at memory
+    bandwidth and the 4 broadcast-joined lookup tables replace all
+    vector arithmetic on the big side.
+
+    Deterministic stand-in codebook (the ``sim_search_ann_ivf`` device):
+    centroids are the subvectors of vec_id ∈ [N_QUERIES, N_QUERIES+PQ_K)
+    — at scale the codebook is k-means-trained offline and broadcast
+    identically (`sim_search_ann_ivf_kmeans` demonstrates the training
+    loop). Assignment uses 6-dp-rounded distances with centroid-id
+    tiebreak so codes are total and portable; every emitted double is a
+    fixed-order fold → fully hash-checked against the DuckDB twin.
+
+    Reference scope: LLM-pipeline pack (no vector search in
+    `dashboard_nfp.py`); completes the ANN compression family (IVF
+    probe / LSH bands / sign-bit Hamming / int8 MIPS / PQ-ADC)."""
+    from ..functions.numerics import dround
+
+    emb = read_table(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") >= PQ_M * PQ_DSUB
+    )
+    ms = spark.range(PQ_M).select(F.col("id").cast("int").alias("m"))
+    cb = (
+        emb.filter(
+            (F.col("vec_id") >= N_QUERIES)
+            & (F.col("vec_id") < N_QUERIES + PQ_K)
+        )
+        .crossJoin(F.broadcast(ms))
+        .select(
+            "m",
+            (F.col("vec_id") - N_QUERIES).cast("int").alias("j"),
+            F.slice(
+                "embedding", F.col("m") * PQ_DSUB + 1, PQ_DSUB
+            ).alias("cv"),
+        )
+    )
+    # encode the corpus: nearest centroid per (candidate, subspace)
+    cand = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+    )
+    enc = cand.crossJoin(F.broadcast(cb)).select(
+        "neighbor_id",
+        "m",
+        "j",
+        dround(
+            _sub_d2(
+                F.slice("ce", F.col("m") * PQ_DSUB + 1, PQ_DSUB),
+                F.col("cv"),
+            ),
+            6,
+        ).alias("d2"),
+    )
+    codes = (
+        enc.groupBy("neighbor_id", "m")
+        .agg(F.min(F.struct("d2", "j")).alias("s"))
+        .select("neighbor_id", "m", F.col("s.j").alias("code"))
+    )
+    codes_w = (
+        codes.groupBy("neighbor_id")
+        .pivot("m", list(range(PQ_M)))
+        .agg(F.first("code"))
+        .select(
+            "neighbor_id",
+            *[F.col(str(m)).alias(f"c{m}") for m in range(PQ_M)],
+        )
+    )
+    # ADC lookup tables: query x subspace x centroid partial dot products
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    from ..functions.vectors import dot
+
+    pdt = q.crossJoin(F.broadcast(cb)).select(
+        "query_id",
+        "m",
+        "j",
+        dround(
+            dot(
+                F.slice("qe", F.col("m") * PQ_DSUB + 1, PQ_DSUB),
+                F.col("cv"),
+            ),
+            6,
+        ).alias("p"),
+    )
+    scored = codes_w
+    for m in range(PQ_M):
+        pm = pdt.filter(F.col("m") == m).select(
+            F.col("query_id").alias(f"qid{m}"),
+            F.col("j").alias(f"j{m}"),
+            F.col("p").alias(f"p{m}"),
+        )
+        cond = scored[f"c{m}"] == pm[f"j{m}"]
+        if m > 0:
+            cond = cond & (F.col("qid0") == pm[f"qid{m}"])
+        scored = scored.join(F.broadcast(pm), cond)
+    score = dround(
+        ((F.col("p0") + F.col("p1")) + F.col("p2")) + F.col("p3"), 6
+    )
+    ranked = scored.select(
+        F.col("qid0").alias("query_id"),
+        "neighbor_id",
+        score.alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), "neighbor_id"
+    )
+    return (
+        ranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "score",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+QUERIES["sim_search_pq_adc"] = sim_search_pq_adc
+
+ORACLE["sim_search_pq_adc"] = (
+    "WITH mm AS (SELECT CAST(range AS INT) AS m FROM range(4)), "
+    f"cb AS (SELECT mm.m, CAST(vec_id - {N_QUERIES} AS INT) AS j, "
+    "CAST(embedding[16*mm.m + 1 : 16*mm.m + 16] AS DOUBLE[]) AS cv "
+    f"FROM embeddings, mm WHERE vec_id >= {N_QUERIES} "
+    f"AND vec_id < {N_QUERIES + PQ_K} AND len(embedding) >= 64), "
+    "cand AS (SELECT vec_id AS neighbor_id, embedding AS ce "
+    f"FROM embeddings WHERE vec_id >= {N_QUERIES} "
+    "AND len(embedding) >= 64), "
+    "enc AS (SELECT neighbor_id, m, j, "
+    "ROUND(list_dot_product(d, d), 6) AS d2 FROM ("
+    "SELECT neighbor_id, cb.m, cb.j, list_transform(range(16), "
+    "i -> CAST(ce[16*cb.m + i + 1] AS DOUBLE) - cv[i + 1]) AS d "
+    "FROM cand, cb)), "
+    "codes AS (SELECT neighbor_id, m, j AS code FROM ("
+    "SELECT neighbor_id, m, j, ROW_NUMBER() OVER ("
+    "PARTITION BY neighbor_id, m ORDER BY d2, j) AS rn FROM enc) "
+    "WHERE rn = 1), "
+    "cw AS (SELECT neighbor_id, "
+    "MAX(CASE WHEN m = 0 THEN code END) AS c0, "
+    "MAX(CASE WHEN m = 1 THEN code END) AS c1, "
+    "MAX(CASE WHEN m = 2 THEN code END) AS c2, "
+    "MAX(CASE WHEN m = 3 THEN code END) AS c3 "
+    "FROM codes GROUP BY 1), "
+    "pdt AS (SELECT vec_id AS query_id, cb.m, cb.j, "
+    "ROUND(list_dot_product("
+    "CAST(embedding[16*cb.m + 1 : 16*cb.m + 16] AS DOUBLE[]), cv), 6) "
+    f"AS p FROM embeddings, cb WHERE vec_id < {N_QUERIES} "
+    "AND len(embedding) >= 64), "
+    "s AS (SELECT p0.query_id, cw.neighbor_id, "
+    "ROUND(((p0.p + p1.p) + p2.p) + p3.p, 6) AS score "
+    "FROM cw "
+    "JOIN pdt p0 ON p0.m = 0 AND p0.j = cw.c0 "
+    "JOIN pdt p1 ON p1.m = 1 AND p1.j = cw.c1 "
+    "AND p1.query_id = p0.query_id "
+    "JOIN pdt p2 ON p2.m = 2 AND p2.j = cw.c2 "
+    "AND p2.query_id = p0.query_id "
+    "JOIN pdt p3 ON p3.m = 3 AND p3.j = cw.c3 "
+    "AND p3.query_id = p0.query_id), "
+    "r AS (SELECT query_id, neighbor_id, score, ROW_NUMBER() OVER ("
+    "PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank "
+    "FROM s) SELECT query_id, neighbor_id, score, "
+    f"CAST(rank AS INT) AS rank FROM r WHERE rank <= {TOP_K}"
+)

@@ -108,6 +108,10 @@ _SAMPLE_PRIORITY = [
     "sim_search_hamming_binary",
     # NEW in round 12 — classical additive seasonal decomposition
     "timeseries_classical_decompose",
+    # NEW in round 12 — product-quantization ADC search (PAMI'11)
+    "sim_search_pq_adc",
+    # NEW in round 12 — tabular CUSUM change-point detection (Page'54)
+    "timeseries_cusum_changepoints",
     # latest driver row r4 — oldest surviving evidence
     "udtf_month_spine",
     "unpivot_measures",
