@@ -374,6 +374,10 @@ SFN_QUERIES = {
     # sessionization ratio collapses toward parity as the events table
     # grows, the same crossover window_rank already shows
     "sessionize_batch": "sessionize_batch",
+    # the at-rest answer to sessionize's per-query events shuffle
+    # (round 12): user-bucketed sorted layout, zero-exchange window
+    # plan; write-once cost reported as events_bucket_prep_sec
+    "sessionize_clustered": "sessionize_batch_clustered",
 }
 
 # --- sf100 section: the extrapolation anchor, run EVERY round ----------
@@ -496,6 +500,9 @@ def _sfn_section(
 
     layout._q8_bucketed_tables(spark, out_dir)
     bucket_prep = time.time() - t0
+    t0 = time.time()
+    layout._events_user_bucketed_table(spark, out_dir)
+    events_bucket_prep = time.time() - t0
 
     qs = registry.queries()
     oracles = registry.oracle_sql()
@@ -583,6 +590,7 @@ def _sfn_section(
                     "aqe": aqe},
         "table_rows": table_rows,
         "q8_bucket_prep_sec": round(bucket_prep, 2),
+        "events_bucket_prep_sec": round(events_bucket_prep, 2),
         "spark": spark_sec,
         "duckdb": duck_sec,
         # [min, max] per engine — see _sf1_section

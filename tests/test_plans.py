@@ -688,3 +688,16 @@ def test_weighted_reservoir_takeordered_no_global_sort(spark):
     df = sampling.sample_weighted_reservoir(spark, SF)
     assert has_take_ordered(df), formatted_plan(df)
     assert "rangepartitioning" not in formatted_plan(df).lower()
+
+
+def test_sessionize_clustered_zero_exchange(spark):
+    """The user-bucketed at-rest events layout must serve the session
+    windows with ZERO exchanges (the whole point of the layout: the
+    flat-scan twin pays one full shuffle of events per query), reading
+    only (user_id, ts) off a bucketed scan with all buckets selected."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import layout
+
+    df = layout.sessionize_batch_clustered(spark, SF)
+    assert exchange_count(df) == 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan, plan

@@ -73,11 +73,20 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     of session starts. The batch twin of ``stream_session_window`` —
     identical session boundaries, pure windows (lag → flag → cumsum →
     aggregate), two window passes over one shuffle by user."""
-    from pyspark.sql.window import Window
-
     # project to the two columns the session logic needs BEFORE the
     # window shuffle — every extra column rides the exchange by user
     ev = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    return _sessionize_events(ev)
+
+
+def _sessionize_events(ev: DataFrame) -> DataFrame:
+    """Shared gaps-and-islands session logic off a (user_id, ts) frame —
+    the physical input layout (flat scan vs user-bucketed at-rest table,
+    `layout.sessionize_batch_clustered`) is the callers' only
+    difference, so one definition serves both and they share one
+    oracle."""
+    from pyspark.sql.window import Window
+
     w_user = Window.partitionBy("user_id").orderBy("ts")
     # NTZ-minus-NTZ is an exact int64-microsecond INTERVAL — no session-tz
     # hop (CLAUDE.md 6a), no FP (epoch-seconds-as-DOUBLE carries ~2e-7 s

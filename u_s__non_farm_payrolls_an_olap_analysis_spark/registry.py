@@ -112,6 +112,8 @@ _SAMPLE_PRIORITY = [
     "sim_search_pq_adc",
     # NEW in round 12 — tabular CUSUM change-point detection (Page'54)
     "timeseries_cusum_changepoints",
+    # NEW in round 12 — zero-exchange sessionize off user-bucketed layout
+    "sessionize_batch_clustered",
     # latest driver row r4 — oldest surviving evidence
     "udtf_month_spine",
     "unpivot_measures",
