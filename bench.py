@@ -535,13 +535,13 @@ def _sfn_section(
         SCALE_RUNS,
     )
 
-    # LLM-pipeline trajectory key (round 12): quality_gopher_rules over a
-    # documents corpus replicated at THIS section's rep (disjoint token
-    # spaces, same generator as the dedup corpus) — the north-star pack's
-    # 100 TB posture gets the same measured Spark/DuckDB ratio trajectory
-    # the TPC-H keys have, not just sf0.1 plans. Map-only scan shape: the
-    # interesting question is whether the ratio converges the way the
-    # fact scans do as the corpus grows.
+    # LLM-pipeline trajectory keys (round 12): quality_gopher_rules (map-
+    # only scan shape) and dedup_ngram_jaccard (inverted-index pair join —
+    # the candidate-generation shape the 100 TB dedup claims rest on) over
+    # a documents corpus replicated at THIS section's rep (disjoint token
+    # spaces, same generator as the dedup corpus) — the north-star pack
+    # gets the same measured Spark/DuckDB ratio trajectory the TPC-H keys
+    # have, not just sf0.1 plans.
     docs_scale_dir = os.path.join(here, f".bench_docs{rep}x")
     t0 = time.time()
     _ensure_docs_rep(spark, base_dir, docs_scale_dir, n_rep=rep)
@@ -549,22 +549,22 @@ def _sfn_section(
     cache_tables(
         spark, docs_scale_dir, tables=("documents",), max_partitions=n_cpus
     )
-    gq = qs["quality_gopher_rules"]
-    gq(spark, docs_scale_dir).toPandas()  # warm
-    times = []
-    for _ in range(SCALE_RUNS):
-        clear_plan_memo()
-        df = gq(spark, docs_scale_dir)
-        t = time.time()
-        df.toPandas()
-        times.append(time.time() - t)
-    spark_sec["quality_gopher_rules"] = round(statistics.median(times), 4)
-    spark_spread["quality_gopher_rules"] = [
-        round(min(times), 4), round(max(times), 4)
-    ]
+    docs_keys = ("quality_gopher_rules", "dedup_ngram_jaccard")
+    for key in docs_keys:
+        gq = qs[key]
+        gq(spark, docs_scale_dir).toPandas()  # warm
+        times = []
+        for _ in range(SCALE_RUNS):
+            clear_plan_memo()
+            df = gq(spark, docs_scale_dir)
+            t = time.time()
+            df.toPandas()
+            times.append(time.time() - t)
+        spark_sec[key] = round(statistics.median(times), 4)
+        spark_spread[key] = [round(min(times), 4), round(max(times), 4)]
     g_sec, g_spread = _duck_time_subprocess(
         docs_scale_dir,
-        {"quality_gopher_rules": oracles["quality_gopher_rules"]},
+        {key: oracles[key] for key in docs_keys},
         SCALE_RUNS,
     )
     duck_sec.update(g_sec)

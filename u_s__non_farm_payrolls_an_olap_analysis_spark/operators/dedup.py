@@ -174,6 +174,32 @@ def _jaccard_pairs(docs: DataFrame) -> DataFrame:
       at 30x docs; identical pairs and Jaccard values (same oracle).
 
     The docs spread still parallelizes the explode on narrow inputs."""
+    return _pair_counts(docs).select(
+        "doc_a",
+        "doc_b",
+        (
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        ).alias("jaccard"),
+    )
+
+
+def _pair_counts(docs: DataFrame) -> DataFrame:
+    """Shared-shingle candidate pairs with intersection and per-doc set
+    sizes: ``(doc_a, doc_b, n_inter, n_a, n_b)``, doc_a < doc_b — the
+    common core of every set-overlap measure (Jaccard, containment).
+
+    Single pass over the exploded shingles: group by shingle, sort the
+    posting list, emit i<j combinations with an array transform
+    (fan-out bounded by posting-list length; fixture max 25 — a
+    stop-shingle cap would bound it at 100 TB), count per pair with
+    map-side partial aggregation. Per-doc sizes probe as BROADCASTS
+    built straight off the shingle-ARRAY expression (doc-count-sized;
+    no explode, no shuffle). The pre-round-12 shape — shingle
+    self-join + two shuffle joins against a sizes aggregate — ran the
+    explode subtree three times (CLAUDE.md rule 5) and shuffled the
+    30M-row pair stream twice more: measured 27 s -> 9.3 s at 30x
+    docs for the Jaccard consumer."""
     spread = _spread_if_narrow(docs)
     sh = _shingles(spread)
     posting = sh.groupBy("shingle").agg(
@@ -197,25 +223,13 @@ def _jaccard_pairs(docs: DataFrame) -> DataFrame:
     inter = pairs.groupBy("doc_a", "doc_b").agg(
         F.count(F.lit(1)).alias("n_inter")
     )
-    # per-doc distinct-shingle counts straight off the ARRAY expression —
-    # no explode, no shuffle, doc-count-sized → broadcast both probes
-    # (the old shape shuffled the 30M-row pair stream twice for these)
     sizes = spread.select(
         "doc_id", F.size(_shingle_array()).alias("n")
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
-    return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-            ).alias("jaccard"),
-        )
+    return inter.join(F.broadcast(sa), "doc_a").join(
+        F.broadcast(sb), "doc_b"
     )
 
 
@@ -1325,36 +1339,29 @@ def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     impossible in ordering (doc_a, doc_b unique per direction).
     """
     docs = read_table(spark, sf_dir, "documents")
-    sh = _spread_if_narrow(_shingles(_spread_if_narrow(docs)), "shingle")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
-    j = inter.join(sa, "doc_a").join(sb, "doc_b")
-    fwd = j.select(
-        F.col("doc_a").alias("contained_doc"),
-        F.col("doc_b").alias("container_doc"),
-        (F.col("n_inter") / F.col("n_a")).alias("containment"),
-    )
-    rev = j.select(
-        F.col("doc_b").alias("contained_doc"),
-        F.col("doc_a").alias("container_doc"),
-        (F.col("n_inter") / F.col("n_b")).alias("containment"),
-    )
+    j = _pair_counts(docs)
+    # both directed containments from ONE pass over the pair stream —
+    # the previous fwd/rev UNION consumed the join subtree twice, so
+    # the whole candidate pipeline executed twice (rule 5; measured
+    # 33 s at 30x docs, ~2x the single-pass cost)
+    both = j.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("contained_doc"),
+                    F.col("doc_b").alias("container_doc"),
+                    (F.col("n_inter") / F.col("n_a")).alias("containment"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("contained_doc"),
+                    F.col("doc_a").alias("container_doc"),
+                    (F.col("n_inter") / F.col("n_b")).alias("containment"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.*")
     return (
-        fwd.unionByName(rev)
-        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        both.filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
         .select(
             "contained_doc",
             "container_doc",
