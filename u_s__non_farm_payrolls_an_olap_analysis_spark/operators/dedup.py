@@ -1414,17 +1414,31 @@ def _prefix_candidates(docs: DataFrame, threshold_pct: int) -> DataFrame:
     recall bug, not a precision one).
     """
     prefix = _prefix_rows(docs, threshold_pct).select("doc_id", "shingle")
-    a, b = prefix.alias("a"), prefix.alias("b")
+    # posting-list i<j combinations: the prefix subtree (explode + df
+    # ride + two windows) executes ONCE — the old self-join consumed it
+    # from both sides, doubling the whole pipeline (rule 5)
+    posting = prefix.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        posting.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ds"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("ds"), i + 2, F.size(F.col("ds"))
+                            ),
+                            lambda y: F.struct(
+                                x.alias("doc_a"), y.alias("doc_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
+        .select("p.*")
         .distinct()
     )
 
@@ -1438,11 +1452,19 @@ def _prefix_rows(docs: DataFrame, threshold_pct: int) -> DataFrame:
     from pyspark.sql.window import Window  # lazy: needs active session
 
     p, q = threshold_pct, 100
-    sh = _spread_if_narrow(_shingles(_spread_if_narrow(docs)), "shingle")
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sh = _shingles(_spread_if_narrow(docs))
+    # ONE pass: group the exploded stream by shingle so the document
+    # frequency rides the re-exploded posting rows — the old shape
+    # consumed the explode subtree twice (dfreq aggregate + the
+    # row-level sh ⋈ dfreq join) and shuffled the full stream for the
+    # join on top (rule 5; round-12 dedup sweep)
+    posting = sh.groupBy("shingle").agg(
+        F.collect_list("doc_id").alias("ds"), F.count(F.lit(1)).alias("df")
+    )
+    rows = posting.select("shingle", "df", F.explode("ds").alias("doc_id"))
     order_w = Window.partitionBy("doc_id").orderBy("df", "shingle")
     size_w = Window.partitionBy("doc_id")
-    ranked = sh.join(dfreq, "shingle").select(
+    ranked = rows.select(
         "doc_id",
         "shingle",
         F.row_number().over(order_w).alias("rnk"),
@@ -1469,21 +1491,39 @@ def _ppjoin_candidates(docs: DataFrame, threshold_pct: int) -> DataFrame:
     """
     p, q = threshold_pct, 100
     pref = _prefix_rows(docs, threshold_pct)
-    a = pref.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("shingle"),
-        F.col("rnk").alias("rnk_a"),
-        F.col("n").alias("n_a"),
-    )
-    b = pref.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("shingle"),
-        F.col("rnk").alias("rnk_b"),
-        F.col("n").alias("n_b"),
+    # posting-list combinations carrying (rnk, n) per side — single
+    # execution of the prefix subtree, same rule-5 rewrite as
+    # _prefix_candidates; sort key is the struct, doc_id first, so
+    # doc_a < doc_b by construction
+    posting = pref.groupBy("shingle").agg(
+        F.sort_array(
+            F.collect_list(F.struct("doc_id", "rnk", "n"))
+        ).alias("ds")
     )
     pairs = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        posting.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ds"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("ds"), i + 2, F.size(F.col("ds"))
+                            ),
+                            lambda y: F.struct(
+                                x["doc_id"].alias("doc_a"),
+                                x["rnk"].alias("rnk_a"),
+                                x["n"].alias("n_a"),
+                                y["doc_id"].alias("doc_b"),
+                                y["rnk"].alias("rnk_b"),
+                                y["n"].alias("n_b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.*")
         .groupBy("doc_a", "doc_b")
         .agg(
             F.max(
@@ -1529,11 +1569,18 @@ def _verify_candidates_jaccard(docs: DataFrame, cand: DataFrame) -> DataFrame:
     collected per-doc shingle sets (shared by the AllPairs and PPJoin
     operators — see :func:`dedup_allpairs_prefix` for the shape
     rationale)."""
-    sh = _spread_if_narrow(_shingles(_spread_if_narrow(docs)), "shingle")
+    sh = _shingles(_spread_if_narrow(docs))
     docsets = sh.groupBy("doc_id").agg(
         F.collect_set("shingle").alias("sset"),
         F.count(F.lit(1)).alias("n"),
     )
+    # twin joins move the HEAVY side (the 300-string sets) only inside
+    # the doc-count-sized docsets shuffles; the candidate stream rides
+    # lean. (A single-consumer melt was tried in round 12 and is WORSE:
+    # it re-keys the joined rows by pair, so every candidate drags both
+    # full sets through a second shuffle — sets must never ride a
+    # pair-sized stream.) docsets re-executes per side (rule 5) but its
+    # explode is the cheap post-rewrite expression; candidates dominate.
     da = docsets.select(
         F.col("doc_id").alias("doc_a"),
         F.col("sset").alias("set_a"),
