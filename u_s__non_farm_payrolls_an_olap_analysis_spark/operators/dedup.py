@@ -414,31 +414,55 @@ def _simhash_pairs(docs: DataFrame) -> DataFrame:
     # 8-bit-bucket scheme gives at corpus scale.
     widths = [10, 9, 9, 9, 9, 9, 9]
     offsets = [sum(widths[:i]) for i in range(len(widths))]
-    chunks = None
-    for c, (off, wd) in enumerate(zip(offsets, widths)):
-        part = sigs.select(
-            "doc_id",
-            "simhash",
-            F.lit(c).alias("chunk"),
-            F.shiftrightunsigned(F.col("simhash"), off)
-            .bitwiseAND(F.lit((1 << wd) - 1))
-            .alias("chunk_val"),
+    # one EXPLODE of a 7-struct array instead of a 7-part union of
+    # projections: a union consumes the signature subtree (token
+    # explode + two shuffles + the 64-way conditional aggregate) once
+    # PER BRANCH, and the candidate self-join then doubled the whole
+    # stack again — 14 executions total (rule 5; measured 41.7 s at 30x
+    # docs). Candidates come from per-bucket posting-list combinations
+    # (same device as _pair_counts), so the signature pipeline now
+    # executes exactly once: 41.7 -> ~8 s.
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftrightunsigned(F.col("simhash"), off)
+                .bitwiseAND(F.lit((1 << wd) - 1))
+                .alias("chunk_val"),
+            )
+            for c, (off, wd) in enumerate(zip(offsets, widths))
+        ]
+    )
+    chunks = sigs.select(
+        "doc_id", "simhash", F.explode(chunk_structs).alias("ch")
+    ).select("doc_id", "simhash", "ch.chunk", "ch.chunk_val")
+    posting = chunks.groupBy("chunk", "chunk_val").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias(
+            "ds"
         )
-        chunks = part if chunks is None else chunks.unionByName(part)
-    a, b = chunks.alias("a"), chunks.alias("b")
+    )
     cands = (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        posting.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ds"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("ds"), i + 2, F.size(F.col("ds"))
+                            ),
+                            lambda y: F.struct(
+                                x["doc_id"].alias("doc_a"),
+                                y["doc_id"].alias("doc_b"),
+                                x["simhash"].alias("sh_a"),
+                                y["simhash"].alias("sh_b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
+        .select("p.*")
         .distinct()
     )
     return (
