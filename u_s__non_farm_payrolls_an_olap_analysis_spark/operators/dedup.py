@@ -263,26 +263,51 @@ def _minhash_pairs(docs: DataFrame) -> DataFrame:
             for i in range(MINHASH_PERMS)
         ]
     )
-    bands = None
-    for band in range(LSH_BANDS):
-        cols = [F.col(f"h{band * LSH_ROWS + r}") for r in range(LSH_ROWS)]
-        part = sig.select(
-            "doc_id",
-            F.lit(band).alias("band"),
-            F.xxhash64(*cols).alias("band_sig"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
-    ca, cb = bands.alias("ca"), bands.alias("cb")
+    # one EXPLODE of a per-band struct array instead of an 8-branch
+    # union (which re-ran the 32-min signature aggregate once per
+    # branch, and the banding self-join doubled that — 16 executions;
+    # same rule-5 rewrite as the SimHash banding), then per-bucket
+    # posting-list combinations generate the candidate pairs with the
+    # signature pipeline executing exactly ONCE
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.xxhash64(
+                    *[
+                        F.col(f"h{band * LSH_ROWS + r}")
+                        for r in range(LSH_ROWS)
+                    ]
+                ).alias("band_sig"),
+            )
+            for band in range(LSH_BANDS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", F.explode(band_structs).alias("bs")
+    ).select("doc_id", "bs.band", "bs.band_sig")
+    posting = bands.groupBy("band", "band_sig").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
+    )
     cands = (
-        ca.join(
-            cb,
-            (F.col("ca.band") == F.col("cb.band"))
-            & (F.col("ca.band_sig") == F.col("cb.band_sig"))
-            & (F.col("ca.doc_id") < F.col("cb.doc_id")),
+        posting.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ds"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("ds"), i + 2, F.size(F.col("ds"))
+                            ),
+                            lambda y: F.struct(
+                                x.alias("doc_a"), y.alias("doc_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
-        .select(
-            F.col("ca.doc_id").alias("doc_a"), F.col("cb.doc_id").alias("doc_b")
-        )
+        .select("p.*")
         .distinct()
     )
     # verify ONLY the candidate pairs, and consume `cands` exactly once —
