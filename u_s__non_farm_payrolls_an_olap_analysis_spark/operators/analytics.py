@@ -1570,3 +1570,108 @@ ORACLE["timeseries_classical_decompose"] = (
     "FROM t JOIN sc ON t.priority = sc.priority AND t.moy = sc.moy "
     "ORDER BY 1, 2"
 )
+
+
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **sequence-pattern matching** over the per-user event
+    stream: find every contiguous run matching ``view (click)* purchase``
+    in the user's (ts, event_id)-ordered sequence — the
+    MATCH_RECOGNIZE / CEP capability (SQL:2016 row-pattern recognition;
+    Flink CEP's bread-and-butter) expressed as pure window functions.
+
+    The device is the **last-non-matching-anchor**: for every event,
+    carry (a) the sequence number and (b) the type/timestamp of the most
+    recent NON-click event strictly before it — a conditional running
+    ``max`` plus two ignore-nulls ``last`` frames. A ``purchase`` whose
+    last non-click predecessor is a ``view`` closes exactly one maximal
+    ``view click* purchase`` run, with ``n_clicks = seq gap - 1``; runs
+    interrupted by any other event type never match, runs sharing the
+    same view anchor cannot occur (the purchase itself is non-click and
+    re-anchors). Each match is emitted once with its anchor timestamps —
+    no regex over concatenated symbols, no self-join, no per-row UDF.
+
+    Scale: ONE exchange by user (the ``sessionize_batch`` shape — the
+    row_number and the three anchor frames share the same partition+sort,
+    so Catalyst plans a single sort with stacked Window operators); the
+    filter is post-window, everything stays in whole-stage codegen. At
+    100 TB hot users AQE-skew-split exactly as sessionize does.
+
+    vs reference: no analogue — the reference's only sequence device is
+    lag-1 pct_change (`dashboard_nfp.py:152`); this is the general
+    ordered-pattern extension of the same window machinery.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # project seq BEFORE the anchor frames reference it (rule 3)
+    seqd = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("seq"),
+    )
+    wf = Window.partitionBy("user_id").orderBy("seq").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    nc = F.when(F.col("event_type") != "click", F.col("seq"))
+    anchored = seqd.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        "seq",
+        F.max(nc).over(wf).alias("nc_seq"),
+        F.last(
+            F.when(F.col("event_type") != "click", F.col("event_type")),
+            ignorenulls=True,
+        )
+        .over(wf)
+        .alias("nc_type"),
+        F.last(
+            F.when(F.col("event_type") != "click", F.col("ts")),
+            ignorenulls=True,
+        )
+        .over(wf)
+        .alias("nc_ts"),
+    )
+    return (
+        anchored.filter(
+            (F.col("event_type") == "purchase") & (F.col("nc_type") == "view")
+        )
+        .select(
+            "user_id",
+            F.col("nc_ts").alias("view_ts"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_event_id"),
+            (F.col("seq") - F.col("nc_seq") - 1).cast("int").alias("n_clicks"),
+            F.col("value").alias("purchase_value"),
+        )
+        .orderBy("user_id", "purchase_ts", "purchase_event_id")
+    )
+
+
+QUERIES["events_pattern_match"] = events_pattern_match
+
+ORACLE["events_pattern_match"] = (
+    "WITH s1 AS (SELECT user_id, ts, event_id, event_type, value, "
+    "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq "
+    "FROM events), "
+    "s2 AS (SELECT user_id, ts, event_id, event_type, value, seq, "
+    "MAX(CASE WHEN event_type <> 'click' THEN seq END) OVER wf AS nc_seq, "
+    "LAST_VALUE(CASE WHEN event_type <> 'click' THEN event_type END "
+    "IGNORE NULLS) OVER wf AS nc_type, "
+    "LAST_VALUE(CASE WHEN event_type <> 'click' THEN ts END "
+    "IGNORE NULLS) OVER wf AS nc_ts "
+    "FROM s1 WINDOW wf AS (PARTITION BY user_id ORDER BY seq "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) "
+    "SELECT user_id, nc_ts AS view_ts, ts AS purchase_ts, "
+    "event_id AS purchase_event_id, "
+    "CAST(seq - nc_seq - 1 AS INT) AS n_clicks, "
+    "value AS purchase_value "
+    "FROM s2 WHERE event_type = 'purchase' AND nc_type = 'view' "
+    "ORDER BY user_id, purchase_ts, purchase_event_id"
+)

@@ -367,3 +367,148 @@ def _lpa_oracle_sql() -> str:
 
 
 ORACLE["graph_label_propagation"] = _lpa_oracle_sql()
+
+
+# --- Connected components over the co-purchase graph ------------------------
+
+CC_MIN_SUPPORT = 2  # pair must co-occur in >= 2 orders (sparsifies the graph)
+CC_MAX_ROUNDS = 50
+
+
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **connected components** of the part CO-PURCHASE
+    graph (nodes = parts, edge iff two parts appear in the same order in
+    ``CC_MIN_SUPPORT``-or-more orders — the support filter of
+    ``mine_association_rules`` applied as a graph sparsifier, which is
+    what makes the component structure non-trivial: the unfiltered
+    basket graph collapses into one giant component). Component id =
+    minimum part key in the component — the product-substitution /
+    assortment-cluster question ("which parts sell together,
+    transitively?") that basket analysis asks after pairwise lift.
+
+    Algorithm: iterative **min-label propagation** (the
+    ``dedup.dedup_clusters`` Pregel-lite device, generalized to an
+    arbitrary edge relation): every node starts labelled with itself;
+    each round every node takes the minimum label among itself and its
+    neighbors; the driver loops until a round changes nothing (rounds
+    needed = max distance to a component's min-key node; the sf0.01
+    fixture needs 10). Each round is ONE O(|E|) join on integer node
+    keys + a map-side-combinable ``min`` aggregate + the label-update
+    join. Each round's labels are **eagerly localCheckpoint-ed**: the
+    round references the previous generation TWICE (neighbor lookup +
+    label update), so a cache alone — which breaks re-EXECUTION but
+    not the logical plan — leaves a plan tree that doubles every round
+    and OOMs the driver in plan stringification near round 10 (found
+    the hard way; `dedup_clusters` never sees this only because
+    near-dup components converge in ≤3 rounds). Lineage truncation is
+    the standard Spark device for unbounded iteration (GraphFrames
+    does the same); production on a real cluster uses a reliable
+    ``checkpoint()`` dir for fault tolerance. Non-convergence within
+    ``CC_MAX_ROUNDS`` raises instead of returning labels that disagree
+    with the oracle's transitive closure.
+
+    Scale: pair generation is a lineitem self-join on the ORDER key —
+    per-order fan-out is bounded by basket size (~7), so candidate
+    volume is O(|orders| * k²), never cross-join shaped; the support
+    HAVING prunes before any graph work. Late rounds concentrate each
+    component's min label into one hot join key — AQE skew-split
+    handles it (the giant-component skew every min-label CC has;
+    large-star/small-star splits it algorithmically if needed).
+    Integer labels, counts only — no floats — fully hash-checked.
+
+    vs reference: no analogue (the reference has no graph surface);
+    within the repo it generalizes ``dedup_clusters``' doc-pair
+    components to a derived relational edge list.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .groupBy(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= CC_MIN_SUPPORT)
+        .select("pa", "pb")
+    )
+    edges = (
+        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionByName(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("part"))
+        .distinct()
+        .select("part", F.col("part").alias("component"))
+    )
+    converged = False
+    for _round in range(1, CC_MAX_ROUNDS + 1):
+        neigh = (
+            edges.join(labels, edges.dst == labels.part)
+            .groupBy("src")
+            .agg(F.min("component").alias("neigh_min"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.part == neigh.src, "left")
+            .select(
+                "part",
+                F.least(
+                    F.col("component"), F.coalesce("neigh_min", "component")
+                ).alias("component"),
+                (
+                    F.coalesce("neigh_min", "component") < F.col("component")
+                ).alias("_changed"),
+            )
+            .localCheckpoint(eager=True)  # cut lineage — see docstring
+        )
+        changed = new_labels.filter(F.col("_changed")).count()
+        labels = new_labels.select("part", "component")
+        if changed == 0:
+            converged = True
+            break
+    edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"graph_connected_components: no convergence in "
+            f"{CC_MAX_ROUNDS} rounds"
+        )
+    # comp_size via a window, not a groupBy+self-join — the checkpointed
+    # frame serves both consumers from its materialized blocks either
+    # way, but the window keeps it to one pass and one exchange
+    from pyspark.sql.window import Window
+
+    return labels.select(
+        "part",
+        "component",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("component"))
+        .cast("int")
+        .alias("comp_size"),
+    ).orderBy("part")
+
+
+QUERIES["graph_connected_components"] = graph_connected_components
+
+# oracle: transitive min label by recursive reachability (the
+# dedup_clusters device) over the identical support-filtered edge list
+ORACLE["graph_connected_components"] = (
+    "WITH RECURSIVE pr AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb "
+    "FROM lineitem a JOIN lineitem b "
+    "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+    f"GROUP BY 1, 2 HAVING COUNT(*) >= {CC_MIN_SUPPORT}), "
+    "e AS (SELECT pa AS src, pb AS dst FROM pr "
+    "UNION ALL SELECT pb, pa FROM pr), "
+    "reach(src, lbl) AS ("
+    "SELECT DISTINCT src, src FROM e "
+    "UNION "
+    "SELECT e.src, r.lbl FROM e JOIN reach r ON e.dst = r.src), "
+    "lab AS (SELECT src AS part, MIN(lbl) AS component "
+    "FROM reach GROUP BY src) "
+    "SELECT part, component, "
+    "CAST(COUNT(*) OVER (PARTITION BY component) AS INT) AS comp_size "
+    "FROM lab ORDER BY part"
+)

@@ -1802,3 +1802,161 @@ ORACLE["privacy_dp_noisy_counts"] = (
     f"{DP_EPSILON} AS epsilon, 1 AS sensitivity "
     "FROM d ORDER BY 1"
 )
+
+
+# --- Interpolated Kneser-Ney bigram LM scoring (Kneser & Ney 1995) ----------
+
+KN_D = 0.75  # the standard absolute-discount (Chen & Goodman 1999 default)
+
+
+def quality_kneser_ney_logprob(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """North-star — bigram LM scoring with **interpolated Kneser-Ney
+    smoothing** (Kneser & Ney, ICASSP 1995; the interpolated form and
+    D=0.75 default per Chen & Goodman, CSL 1999) — the
+    quality-over-speed counterpart of `quality_stupid_backoff_logprob`
+    (Stupid Backoff is what Brants et al. fall back to when KN's
+    normalization pass is too expensive; at filter-model scale KN is
+    the stronger scorer and still two corpus aggregates):
+
+        P(w|v) = max(c(v,w) - D, 0)/c(v) + D·N1+(v,·)/c(v) · Pcont(w)
+        Pcont(w) = N1+(·,w) / |distinct bigram types|
+
+    The continuation probability — KN's insight — scores a word by how
+    many CONTEXTS it follows, not how often it occurs ("Francisco" is
+    frequent but only ever follows "San").
+
+    Model tables (trained on the EVEN-doc_id half, scoring every doc —
+    the Stupid Backoff split, so seen/backoff/OOV regimes all fire):
+    unigram counts, bigram counts, and the two type-count marginals
+    N1+(v,·) / N1+(·,w) — all map-side-combined aggregates over one
+    shingle-free bigram explode, joined back onto the scoring stream as
+    BROADCASTs (production shards by first token — same equi-joins,
+    shuffled). Explicit floor policy (KN leaves OOV to the
+    implementation, like Stupid Backoff): unseen ``prev`` scores the
+    pure continuation probability; a token with no continuation /
+    context count scores with type count 1.
+
+    Determinism: the probability is assembled in DOUBLE with IDENTICAL
+    association in both engines (``max(c-D,0)/c_prev + (D·n1p/c_prev)
+    · pc``), ``ln`` is 6 dp cross-engine stable (surprisal precedent),
+    per-doc sums ride scaled int64, and the final per-doc quotient
+    rounds via ``dround`` (CLAUDE.md rule 2). Docs with < 2 tokens
+    drop in both engines.
+    """
+    from .dedup import _spread_if_narrow
+
+    docs = read_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    toks = F.split(F.col("text"), " ")
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.struct(
+                F.element_at(toks, i + 1).alias("prev"),
+                F.element_at(toks, i + 2).alias("cur"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    bg = (
+        _spread_if_narrow(docs)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+    )
+    cu = (
+        train.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c_uni"))
+    )
+    cb = (
+        _spread_if_narrow(train)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+        .agg(F.count(F.lit(1)).alias("c_big"))
+    )
+    # type-count marginals off the bigram TYPE table (cb rows are the
+    # distinct types, so these are dim-sized aggregates of a dim table)
+    n1p_prev = cb.groupBy("prev").agg(F.count(F.lit(1)).alias("n1p_fol"))
+    n1p_cur = cb.groupBy("cur").agg(F.count(F.lit(1)).alias("n1p_ctx"))
+    n_types = cb.agg(F.count(F.lit(1)).alias("n_types"))
+    cprev = cu.select(F.col("tok").alias("prev"), F.col("c_uni").alias("c_prev"))
+
+    pc = (
+        F.coalesce(F.col("n1p_ctx"), F.lit(1)).cast("double")
+        / F.col("n_types").cast("double")
+    )
+    p_seen_prev = (
+        F.greatest(
+            F.coalesce(F.col("c_big"), F.lit(0)).cast("double") - KN_D,
+            F.lit(0.0),
+        )
+        / F.col("c_prev").cast("double")
+        + (
+            F.lit(KN_D)
+            * F.coalesce(F.col("n1p_fol"), F.lit(1)).cast("double")
+            / F.col("c_prev").cast("double")
+        )
+        * pc
+    )
+    s = F.when(F.col("c_prev").isNotNull(), F.log(p_seen_prev)).otherwise(
+        F.log(pc)
+    )
+    return (
+        bg.join(F.broadcast(cb), ["prev", "cur"], "left")
+        .join(F.broadcast(cprev), "prev", "left")
+        .join(F.broadcast(n1p_prev), "prev", "left")
+        .join(F.broadcast(n1p_cur), "cur", "left")
+        .crossJoin(F.broadcast(n_types))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            dsum_scaled(s, SURPRISAL_SCALE).alias("s_scaled"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            dround(
+                F.col("s_scaled").cast("double")
+                / SURPRISAL_SCALE
+                / F.col("n_bigrams"),
+                6,
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["quality_kneser_ney_logprob"] = quality_kneser_ney_logprob
+
+ORACLE["quality_kneser_ney_logprob"] = (
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+    "FROM documents), "
+    "bg AS (SELECT doc_id, toks[i] AS prev, toks[i + 1] AS cur "
+    "FROM t, UNNEST(range(1, greatest(len(toks), 1))) AS u(i)), "
+    "cu AS (SELECT u.tok, COUNT(*) AS c_uni FROM t, UNNEST(toks) AS u(tok) "
+    "WHERE doc_id % 2 = 0 GROUP BY 1), "
+    "cb AS (SELECT prev, cur, COUNT(*) AS c_big FROM bg "
+    "WHERE doc_id % 2 = 0 GROUP BY 1, 2), "
+    "n1f AS (SELECT prev, COUNT(*) AS n1p_fol FROM cb GROUP BY 1), "
+    "n1c AS (SELECT cur, COUNT(*) AS n1p_ctx FROM cb GROUP BY 1), "
+    "nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM cb), "
+    "scored AS (SELECT bg.doc_id, "
+    "CASE WHEN cp.c_uni IS NOT NULL THEN "
+    f"ln(greatest(CAST(COALESCE(cb.c_big, 0) AS DOUBLE) - {KN_D}, 0.0) "
+    "/ CAST(cp.c_uni AS DOUBLE) "
+    f"+ ({KN_D} * CAST(COALESCE(n1f.n1p_fol, 1) AS DOUBLE) "
+    "/ CAST(cp.c_uni AS DOUBLE)) "
+    "* (CAST(COALESCE(n1c.n1p_ctx, 1) AS DOUBLE) "
+    "/ CAST(nt.n_types AS DOUBLE))) "
+    "ELSE ln(CAST(COALESCE(n1c.n1p_ctx, 1) AS DOUBLE) "
+    "/ CAST(nt.n_types AS DOUBLE)) END AS s "
+    "FROM bg LEFT JOIN cb ON cb.prev = bg.prev AND cb.cur = bg.cur "
+    "LEFT JOIN cu cp ON cp.tok = bg.prev "
+    "LEFT JOIN n1f ON n1f.prev = bg.prev "
+    "LEFT JOIN n1c ON n1c.cur = bg.cur CROSS JOIN nt) "
+    "SELECT doc_id, COUNT(*) AS n_bigrams, "
+    f"ROUND({davg_sql('s', SURPRISAL_SCALE)}, 6) AS avg_logprob "
+    "FROM scored GROUP BY 1 ORDER BY 1"
+)

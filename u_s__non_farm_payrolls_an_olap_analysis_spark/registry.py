@@ -114,6 +114,12 @@ _SAMPLE_PRIORITY = [
     "timeseries_cusum_changepoints",
     # NEW in round 12 — zero-exchange sessionize off user-bucketed layout
     "sessionize_batch_clustered",
+    # NEW in round 12 — co-purchase connected components (min-label CC)
+    "graph_connected_components",
+    # NEW in round 12 — MATCH_RECOGNIZE-style view-click*-purchase runs
+    "events_pattern_match",
+    # NEW in round 12 — interpolated Kneser-Ney bigram LM scoring
+    "quality_kneser_ney_logprob",
     # latest driver row r4 — oldest surviving evidence
     "udtf_month_spine",
     "unpivot_measures",
