@@ -709,3 +709,138 @@ ORACLE["timeseries_cusum_changepoints"] = (
     "CAST(CASE WHEN sp > h OR sn > h THEN 1 ELSE 0 END AS INT) AS alarm "
     "FROM rec ORDER BY 1, 2"
 )
+
+
+# --- Holt-Winters additive seasonal smoothing (triple exponential) -----------
+
+HW_ALPHA = 0.5  # all three exact binary fractions: every blend is a
+HW_BETA = 0.5  # halving + adds — bit-identical python/DuckDB IEEE
+HW_GAMMA = 0.5
+HW_PERIOD = 12  # monthly series, yearly seasonality
+
+
+def _hw_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("mon").reset_index(drop=True)
+
+    def r4(s: float) -> float:
+        v = abs(s) * 10000.0
+        return (1.0 if s >= 0 else -1.0) * (int(v + 0.5) // 1) / 10000.0
+
+    lvl = trend = None
+    sh: list[float] = []  # s_1..s_t, grows like the oracle's LIST state
+    out = []
+    for x in pdf["revenue"]:
+        if lvl is None:
+            lvl, trend, s_t = x, 0.0, 0.0
+        else:
+            sp = sh[-HW_PERIOD] if len(sh) >= HW_PERIOD else 0.0
+            prev_l, prev_b = lvl, trend
+            lvl = HW_ALPHA * (x - sp) + (1.0 - HW_ALPHA) * (prev_l + prev_b)
+            trend = HW_BETA * (lvl - prev_l) + (1.0 - HW_BETA) * prev_b
+            s_t = HW_GAMMA * (x - prev_l - prev_b) + (1.0 - HW_GAMMA) * sp
+        sh.append(s_t)
+        nxt = sh[-HW_PERIOD] if len(sh) >= HW_PERIOD else 0.0
+        out.append((lvl, trend, s_t, lvl + trend + nxt))
+    pdf["level"] = [r4(a) for a, _, _, _ in out]
+    pdf["trend"] = [r4(b) for _, b, _, _ in out]
+    pdf["seasonal"] = [r4(s) for _, _, s, _ in out]
+    pdf["forecast"] = [r4(f) for _, _, _, f in out]
+    return pdf
+
+
+def timeseries_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **Holt-Winters additive seasonal (triple
+    exponential) smoothing** (Winters 1960; Hyndman & Athanasopoulos
+    FPP §8.3) of the monthly per-priority revenue series, completing
+    the exponential-smoothing ladder (`timeseries_ewma_smooth` level →
+    `timeseries_holt_linear` +trend → here +seasonality):
+
+        l_t = α(x_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β(l_t − l_{t−1}) + (1−β) b_{t−1}
+        s_t = γ(x_t − l_{t−1} − b_{t−1}) + (1−γ) s_{t−m}
+        one-step forecast = l_t + b_t + s_{t+1−m}
+
+    Cold-start policy (explicit — textbooks differ): ``l_1 = x_1,
+    b_1 = 0``, and the seasonal index reads as 0 until a full period
+    has accumulated (``s_{t−m} := 0`` for ``t ≤ m``) — the same
+    seed-simple convention the Holt operator uses, replayed verbatim
+    by the oracle so the choice is hash-verified, not asserted.
+
+    Like its siblings the recurrence is sequential with no exact
+    closed window form → grouped-map ``applyInPandas`` per series
+    (one shuffle on the series key; series count scales out, monthly
+    length stays bounded). α = β = γ = ½ keeps every blend a
+    halving + add — single IEEE ops both engines perform identically —
+    and the DuckDB twin is a recursive CTE whose state row carries
+    (level, trend, **the seasonal history as a growing DOUBLE LIST**):
+    ``s_{t−m}`` is plain 1-based list indexing, which is the
+    interesting new device here — recursive-CTE state need not be
+    scalar.
+    """
+    from ..functions.numerics import dsum
+
+    orders = read_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("month", "o_orderdate").alias("mon"),
+    ).agg(F.round(dsum("o_totalprice"), 4).alias("revenue"))
+    return (
+        monthly.groupBy("priority")
+        .applyInPandas(
+            _hw_group,
+            schema="priority string, mon timestamp, revenue double, "
+            "level double, trend double, seasonal double, forecast double",
+        )
+        .orderBy("priority", "mon")
+    )
+
+
+QUERIES["timeseries_holt_winters"] = timeseries_holt_winters
+
+# sp = the seasonal index one full period back, 0 during cold start;
+# repeated inline (DuckDB computes the identical double each time)
+_HW_SP = (
+    f"CASE WHEN idx.i > {HW_PERIOD} THEN rec.sh[idx.i - {HW_PERIOD}] "
+    "ELSE CAST(0.0 AS DOUBLE) END"
+)
+_HW_L = (
+    f"CAST({HW_ALPHA} AS DOUBLE) * (idx.revenue - {_HW_SP}) "
+    f"+ CAST({1.0 - HW_ALPHA} AS DOUBLE) * (rec.l + rec.b)"
+)
+
+ORACLE["timeseries_holt_winters"] = (
+    "WITH RECURSIVE m AS (SELECT o_orderpriority AS priority, "
+    "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon, "
+    "ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) "
+    "AS DOUBLE) / 10000.0, 4) AS revenue "
+    "FROM orders GROUP BY 1, 2), "
+    "idx AS (SELECT priority, mon, revenue, "
+    "ROW_NUMBER() OVER (PARTITION BY priority ORDER BY mon) AS i "
+    "FROM m), "
+    "rec(priority, mon, revenue, i, l, b, sh) AS ("
+    "SELECT priority, mon, revenue, i, CAST(revenue AS DOUBLE), "
+    "CAST(0.0 AS DOUBLE), [CAST(0.0 AS DOUBLE)] FROM idx WHERE i = 1 "
+    "UNION ALL "
+    "SELECT idx.priority, idx.mon, idx.revenue, idx.i, "
+    f"{_HW_L}, "
+    f"CAST({HW_BETA} AS DOUBLE) * (({_HW_L}) - rec.l) "
+    f"+ CAST({1.0 - HW_BETA} AS DOUBLE) * rec.b, "
+    f"list_append(rec.sh, CAST({HW_GAMMA} AS DOUBLE) "
+    f"* (idx.revenue - rec.l - rec.b) "
+    f"+ CAST({1.0 - HW_GAMMA} AS DOUBLE) * {_HW_SP}) "
+    "FROM idx JOIN rec ON idx.priority = rec.priority "
+    "AND idx.i = rec.i + 1) "
+    "SELECT priority, mon, revenue, "
+    + _HOLT_R4.format("l")
+    + " AS level, "
+    + _HOLT_R4.format("b")
+    + " AS trend, "
+    + _HOLT_R4.format("sh[i]")
+    + " AS seasonal, "
+    + _HOLT_R4.format(
+        f"l + b + CASE WHEN i >= {HW_PERIOD} THEN sh[i - {HW_PERIOD - 1}] "
+        "ELSE CAST(0.0 AS DOUBLE) END"
+    )
+    + " AS forecast "
+    "FROM rec ORDER BY 1, 2"
+)

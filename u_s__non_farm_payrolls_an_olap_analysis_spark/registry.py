@@ -120,6 +120,8 @@ _SAMPLE_PRIORITY = [
     "events_pattern_match",
     # NEW in round 12 — interpolated Kneser-Ney bigram LM scoring
     "quality_kneser_ney_logprob",
+    # NEW in round 12 — Holt-Winters additive seasonal smoothing
+    "timeseries_holt_winters",
     # latest driver row r4 — oldest surviving evidence
     "udtf_month_spine",
     "unpivot_measures",
