@@ -701,3 +701,37 @@ def test_sessionize_clustered_zero_exchange(spark):
     assert exchange_count(df) == 0
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Bucketed: true" in plan, plan
+
+
+def test_pattern_match_single_user_exchange(spark):
+    """The last-non-click-anchor pattern windows must ride ONE hash
+    exchange by user (row_number + the three anchor frames share the
+    partition+sort); the only other exchange is the final presentation
+    sort. No joins at all."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import (
+        analytics,
+    )
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.plans.explain import (
+        formatted_plan,
+    )
+
+    df = analytics.events_pattern_match(spark, SF)
+    plan = formatted_plan(df)
+    assert plan.lower().count("hashpartitioning") <= 1, plan
+    assert exchange_count(df) <= 2  # user window + presentation sort
+    assert "Join" not in join_kinds(df)
+
+
+def test_kneser_ney_model_tables_broadcast(spark):
+    """All five KN model-table joins onto the corpus bigram stream must
+    be broadcasts — the corpus never shuffles for the model lookup; the
+    only hash exchange is the per-doc aggregate."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import (
+        llm_prep,
+    )
+
+    df = llm_prep.quality_kneser_ney_logprob(spark, SF)
+    kinds = join_kinds(df)
+    assert "SortMergeJoin" not in kinds, kinds
+    assert "ShuffledHashJoin" not in kinds, kinds
+    assert "BroadcastHashJoin" in kinds or "BroadcastNestedLoopJoin" in kinds
