@@ -122,6 +122,8 @@ _SAMPLE_PRIORITY = [
     "quality_kneser_ney_logprob",
     # NEW in round 12 — Holt-Winters additive seasonal smoothing
     "timeseries_holt_winters",
+    # NEW in round 12 — streaming CEP twin of events_pattern_match
+    "stream_pattern_match",
     # latest driver row r4 — oldest surviving evidence
     "udtf_month_spine",
     "unpivot_measures",

@@ -347,3 +347,135 @@ ORACLE["stream_topk_space_saving"] = (
     "CAST(0 AS BIGINT) AS err FROM events GROUP BY 1 "
     f"ORDER BY est DESC, item LIMIT {SS_TOPK}"
 )
+
+
+# --- Streaming CEP: view (click)* purchase pattern detection ----------------
+
+_PM_OUTPUT_SCHEMA = (
+    "user_id long, view_us long, purchase_us long, "
+    "purchase_event_id long, n_clicks int, purchase_value double"
+)
+# "" sentinel = no non-click event seen yet for this user
+_PM_STATE_SCHEMA = "nc_type string, nc_us long, clicks long"
+
+
+def _pattern_update(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user CEP walk: carry (last non-click type, its ts, clicks
+    since) as explicit group state; a ``purchase`` arriving while the
+    anchor is a ``view`` closes one match and emits immediately
+    (append mode — no watermark flush dependency, unlike the outer
+    joins' null-extended rows). The walk is inherently sequential per
+    user (Flink CEP runs the same per-key NFA loop); the vectorizable
+    work — decode, sort — is pandas, the state transition is the
+    per-row loop over ONE user's batch slice."""
+    nc_type, nc_us, clicks = state.get if state.exists else ("", 0, 0)
+    out: dict[str, list] = {
+        "user_id": [],
+        "view_us": [],
+        "purchase_us": [],
+        "purchase_event_id": [],
+        "n_clicks": [],
+        "purchase_value": [],
+    }
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        for ts_us, eid, etype, val in zip(
+            pdf["ts_us"].to_numpy("int64"),
+            pdf["event_id"].to_numpy("int64"),
+            pdf["event_type"],
+            pdf["value"].to_numpy("float64"),
+        ):
+            if etype == "purchase" and nc_type == "view":
+                out["user_id"].append(int(key[0]))
+                out["view_us"].append(int(nc_us))
+                out["purchase_us"].append(int(ts_us))
+                out["purchase_event_id"].append(int(eid))
+                out["n_clicks"].append(int(clicks))
+                out["purchase_value"].append(float(val))
+            if etype != "click":
+                nc_type, nc_us, clicks = str(etype), int(ts_us), 0
+            else:
+                clicks += 1
+    state.update((nc_type, int(nc_us), int(clicks)))
+    yield pd.DataFrame(
+        {
+            "user_id": pd.Series(out["user_id"], dtype="int64"),
+            "view_us": pd.Series(out["view_us"], dtype="int64"),
+            "purchase_us": pd.Series(out["purchase_us"], dtype="int64"),
+            "purchase_event_id": pd.Series(
+                out["purchase_event_id"], dtype="int64"
+            ),
+            "n_clicks": pd.Series(out["n_clicks"], dtype="int32"),
+            "purchase_value": pd.Series(
+                out["purchase_value"], dtype="float64"
+            ),
+        }
+    )
+
+
+def stream_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — the STREAMING twin of
+    ``analytics.events_pattern_match``: ``view (click)* purchase``
+    detection as a per-user stateful walk (``applyInPandasWithState``),
+    i.e. CEP on Structured Streaming. The batch operator's
+    last-non-click-anchor WINDOW becomes three scalars of group state,
+    which is the general batch→stream translation for anchor-pattern
+    queries: whatever the window carries "from the past", the stream
+    carries in the state row. Matches emit the moment their closing
+    event arrives (append semantics, no watermark dependency), so a
+    bounded replay is complete without horizon staging — unlike the
+    stream-stream outer joins (CLAUDE.md 6c).
+
+    State is O(1) per user regardless of stream length — the CEP
+    memory guarantee that makes this viable at 100 TB (contrast the
+    batch window, which re-sorts the full history per query).
+    Correctness across micro-batches needs per-user TIME-ordered
+    arrival between batches (in-batch order is restored by the local
+    sort); the fixture replay satisfies this, production fronts a
+    per-key-ordered log (Kafka partitions by user). Timestamps ride as
+    epoch-micro longs end-to-end (the stateful Arrow serializer's unit
+    corruption — CLAUDE.md rule 6) and convert to NTZ walls after the
+    drain. Oracle: the batch operator's window SQL verbatim — the
+    strongest batch↔stream equivalence statement in the streaming pack
+    (value-hash, not rows-only).
+    """
+    from pyspark.sql import functions as F
+
+    ev = _events_stream(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+    matches = ev.groupBy("user_id").applyInPandasWithState(
+        _pattern_update,
+        outputStructType=_PM_OUTPUT_SCHEMA,
+        stateStructType=_PM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _drain_to_memory(matches, spark, output_mode="append")
+    return (
+        out.select(
+            "user_id",
+            ntz_from_epoch_micros("view_us").alias("view_ts"),
+            ntz_from_epoch_micros("purchase_us").alias("purchase_ts"),
+            "purchase_event_id",
+            "n_clicks",
+            "purchase_value",
+        )
+        .orderBy("user_id", "purchase_ts", "purchase_event_id")
+    )
+
+
+QUERIES["stream_pattern_match"] = stream_pattern_match
+
+# batch<->stream equivalence: the batch window operator's oracle verbatim
+from ..operators.analytics import ORACLE as _ANALYTICS_ORACLE  # noqa: E402
+
+ORACLE["stream_pattern_match"] = _ANALYTICS_ORACLE["events_pattern_match"]
