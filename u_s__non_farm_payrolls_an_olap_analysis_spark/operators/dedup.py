@@ -752,7 +752,6 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
     max_rounds = 50  # label propagation needs <= diameter rounds
     converged = False
-    prev_cached = None
     for round_no in range(1, max_rounds + 1):
         neigh = (
             edges.join(labels, edges.dst == labels.doc_id)
@@ -762,11 +761,17 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the changed flag is computed INLINE on the label-update join
         # (neigh_min improves the label ⇔ the row changed) — round 5
         # dropped the separate old⋈new diff join the convergence check
-        # used to cost, cutting per-round joins from 3 to 2. The count()
-        # on the flagged filter still scans every partition of
-        # new_labels, which deliberately materializes the cache in full:
-        # an early-exit isEmpty here would leave the cache partial and
-        # let lineage chain across rounds (exponential recompute).
+        # used to cost, cutting per-round joins from 3 to 2. Eager
+        # localCheckpoint (not cache) per round: each round references
+        # the previous generation TWICE, so a cache alone — which breaks
+        # re-EXECUTION but not the logical plan — leaves a plan tree
+        # that doubles per round and OOMs plan stringification near
+        # round 10 (hit for real by graph_connected_components, whose
+        # co-purchase graph needs 10 rounds; duplicate chains longer
+        # than ~10 hops would have hit it here too, well before the
+        # max_rounds guard). Checkpoint blocks of superseded
+        # generations are freed by the ContextCleaner when the frame
+        # is garbage-collected at rebind.
         new_labels = (
             labels.join(neigh, labels.doc_id == neigh.src, "left")
             .select(
@@ -778,12 +783,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("neigh_min", "cluster_id") < F.col("cluster_id")
                 ).alias("_changed"),
             )
-            .cache()
+            .localCheckpoint(eager=True)
         )
         changed = new_labels.filter(F.col("_changed")).count()
-        if prev_cached is not None:
-            prev_cached.unpersist()
-        prev_cached = new_labels
         labels = new_labels.select("doc_id", "cluster_id")
         LAST_CLUSTER_ROUNDS = round_no  # diagnostic (scripts/measure_dedup_scale.py)
         if changed == 0:
@@ -797,12 +799,6 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"dedup_clusters: label propagation did not converge within "
             f"{max_rounds} rounds (pathologically long duplicate chain?)"
         )
-    # release the terminal generation's cache too (labels is a projection
-    # over it, so unpersist the cached frame itself): the caller's single
-    # consumption recomputes one extra pass through lineage, and repeated
-    # invocations no longer pin one cached frame each in executor storage
-    if prev_cached is not None:
-        prev_cached.unpersist()
     return labels
 
 
