@@ -156,3 +156,94 @@ def test_kneser_ney_matches_python_model(spark):
     }
     assert got == want
     assert got  # corpus produced scores
+
+
+def test_theil_sen_matches_pure_python(spark):
+    """Slope/intercept must equal the literal median-of-pairwise-slopes
+    computation (python floats, same op order, same interpolated
+    median)."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        agg_theil_sen_trend,
+    )
+
+    monthly = collections.defaultdict(dict)
+    for r in read_table(spark, SF, "orders").select(
+        "o_orderpriority", "o_orderdate", "o_totalprice"
+    ).collect():
+        x = r["o_orderdate"].year * 12 + r["o_orderdate"].month - 1 - 1995 * 12
+        d = monthly[r["o_orderpriority"]]
+        d[x] = d.get(x, 0) + _round_away(r["o_totalprice"] * 10000.0)
+
+    def median(vals):
+        v = sorted(vals)
+        n = len(v)
+        mid = n // 2
+        return float(v[mid]) if n % 2 else (v[mid - 1] + v[mid]) / 2.0
+
+    want = {}
+    for pri, d in monthly.items():
+        pts = sorted(d.items())
+        slopes = [
+            float(y2 - y1) / float(x2 - x1)
+            for i, (x1, y1) in enumerate(pts)
+            for (x2, y2) in pts[i + 1 :]
+        ]
+        sl = median(slopes)
+        icpt = median([(float(y) - sl * float(x)) / 10000.0 for x, y in pts])
+        want[pri] = (
+            round(sl / 10000.0, 6),
+            round(icpt, 4),
+            len(slopes),
+        )
+
+    got = {
+        r["priority"]: (r["ts_slope"], r["ts_intercept"], r["n_pairs"])
+        for r in agg_theil_sen_trend(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_mad_outliers_match_pure_python(spark):
+    """MAD medians, outlier counts, and rates must equal the literal
+    per-type computation."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        dq_anomaly_mad,
+    )
+
+    by_type = collections.defaultdict(list)
+    for r in read_table(spark, SF, "events").select(
+        "event_type", "value"
+    ).collect():
+        by_type[r["event_type"]].append(r["value"])
+
+    def median(vals):
+        v = sorted(vals)
+        n = len(v)
+        mid = n // 2
+        return float(v[mid]) if n % 2 else (v[mid - 1] + v[mid]) / 2.0
+
+    want = {}
+    for t, vs in by_type.items():
+        med = median(vs)
+        mad = median([abs(x - med) for x in vs])
+        n_out = sum(1 for x in vs if abs(x - med) > 3.0 * (1.4826 * mad))
+        want[t] = (
+            round(med, 4),
+            round(mad, 4),
+            n_out,
+            len(vs),
+            _round_away((n_out / len(vs)) * 1e6) / 1e6,
+        )
+
+    got = {
+        r["event_type"]: (
+            r["med"],
+            r["mad"],
+            r["n_outliers"],
+            r["n"],
+            r["outlier_rate"],
+        )
+        for r in dq_anomaly_mad(spark, SF).collect()
+    }
+    assert got == want
+    assert any(w[2] > 0 for w in want.values())  # outliers actually exist

@@ -1675,3 +1675,167 @@ ORACLE["events_pattern_match"] = (
     "FROM s2 WHERE event_type = 'purchase' AND nc_type = 'view' "
     "ORDER BY user_id, purchase_ts, purchase_event_id"
 )
+
+
+def agg_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **Theil-Sen robust trend** per priority (Theil 1950;
+    Sen, JASA 1968): slope = MEDIAN of all pairwise slopes
+    ``(y_j − y_i)/(x_j − x_i)``, intercept = median of per-point
+    ``y_i − slope·x_i`` — the outlier-resistant companion of
+    `agg_linear_trend`'s OLS (one wild month moves OLS arbitrarily;
+    Theil-Sen has a 29.3% breakdown point).
+
+    Same series conventions as the OLS twin: x = exact month index
+    centered on Jan 1995, y = scaled-int64 monthly revenue. The
+    pairwise self-join is per-series with MONTHLY grain, so fan-out is
+    bounded (~84 months → ~3.5k pairs per key) no matter how many
+    fact rows feed the rollup — pairwise generation happens strictly
+    AFTER the aggregate, which is the only reason an O(n²) estimator
+    is sane at 100 TB (n is series length, not row count). Each pair
+    slope is one double division of exact integer differences —
+    bit-identical across engines — and the median is the same linear
+    interpolation `agg_percentiles` already proves equivalent
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont``)."""
+    orders = read_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+            - F.lit(1995 * 12)
+        ).alias("x"),
+    ).agg(dsum_scaled("o_totalprice").alias("y"))
+    a, b = monthly.alias("a"), monthly.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.priority") == F.col("b.priority"))
+        & (F.col("a.x") < F.col("b.x")),
+    ).select(
+        F.col("a.priority").alias("priority"),
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.x") - F.col("a.x")).cast("double")
+        ).alias("s"),
+    )
+    sl = slopes.groupBy("priority").agg(
+        F.percentile("s", F.lit(0.5)).alias("slope_scaled"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    resid = monthly.join(F.broadcast(sl), "priority").select(
+        "priority",
+        "n_pairs",
+        "slope_scaled",
+        (
+            (
+                F.col("y").cast("double")
+                - F.col("slope_scaled") * F.col("x").cast("double")
+            )
+            / 10_000.0
+        ).alias("r"),
+    )
+    return (
+        resid.groupBy("priority", "n_pairs", "slope_scaled")
+        .agg(F.percentile("r", F.lit(0.5)).alias("icpt"))
+        .select(
+            "priority",
+            F.round(F.col("slope_scaled") / 10_000.0, 6).alias("ts_slope"),
+            F.round("icpt", 4).alias("ts_intercept"),
+            "n_pairs",
+        )
+        .orderBy("priority")
+    )
+
+
+QUERIES["agg_theil_sen_trend"] = agg_theil_sen_trend
+
+ORACLE["agg_theil_sen_trend"] = (
+    "WITH m AS (SELECT o_orderpriority AS priority, "
+    "year(o_orderdate) * 12 + month(o_orderdate) - 1 - (1995 * 12) AS x, "
+    "CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS BIGINT) AS y "
+    "FROM orders GROUP BY 1, 2), "
+    "p AS (SELECT a.priority, "
+    "CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS s "
+    "FROM m a JOIN m b ON a.priority = b.priority AND a.x < b.x), "
+    "sl AS (SELECT priority, quantile_cont(s, 0.5) AS slope_scaled, "
+    "CAST(COUNT(*) AS BIGINT) AS n_pairs FROM p GROUP BY 1), "
+    "r AS (SELECT m.priority, sl.n_pairs, sl.slope_scaled, "
+    "(CAST(m.y AS DOUBLE) - sl.slope_scaled * CAST(m.x AS DOUBLE)) "
+    "/ 10000.0 AS r FROM m JOIN sl ON sl.priority = m.priority) "
+    "SELECT priority, ROUND(slope_scaled / 10000.0, 6) AS ts_slope, "
+    "ROUND(quantile_cont(r, 0.5), 4) AS ts_intercept, n_pairs "
+    "FROM r GROUP BY priority, n_pairs, slope_scaled ORDER BY priority"
+)
+
+
+def dq_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **robust outlier detection by Median Absolute
+    Deviation** per event type (Hampel 1974; the 1.4826 consistency
+    constant makes MAD a σ estimate under normality): flag values with
+    ``|x − median| > 3 · 1.4826 · MAD`` — the robust companion of
+    `dq_anomaly_zscore`, whose mean/stddev are themselves dragged by
+    the outliers they're meant to find (masking); the median/MAD pair
+    has a 50% breakdown point.
+
+    Two grouped exact medians (value, then absolute deviation) with the
+    per-type medians broadcast back between them — at 100 TB exact
+    medians per group become `approx_percentile` sketches (the
+    documented KLL path of `agg_approx_percentiles`); the flagging
+    comparison is identical either way. Medians interpolate identically
+    across engines (`agg_percentiles` precedent); the threshold compare
+    runs on the same doubles both engines derive, so the counts are
+    exact — no rounding anywhere until the emitted rate."""
+    ev = read_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("ad")
+    )
+    mad = dev.groupBy("event_type", "med").agg(
+        F.percentile("ad", F.lit(0.5)).alias("mad"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    flagged = ev.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        "med",
+        "mad",
+        "n",
+        (
+            F.abs(F.col("value") - F.col("med"))
+            > F.lit(3.0) * (F.lit(1.4826) * F.col("mad"))
+        ).cast("int").alias("is_out"),
+    )
+    return (
+        flagged.groupBy("event_type", "med", "mad", "n")
+        .agg(F.sum("is_out").alias("n_outliers"))
+        .select(
+            "event_type",
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+            F.col("n_outliers").cast("bigint").alias("n_outliers"),
+            "n",
+            dround(F.col("n_outliers") / F.col("n"), 6).alias("outlier_rate"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["dq_anomaly_mad"] = dq_anomaly_mad
+
+ORACLE["dq_anomaly_mad"] = (
+    "WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med "
+    "FROM events GROUP BY 1), "
+    "mad AS (SELECT e.event_type, med.med, "
+    "quantile_cont(abs(e.value - med.med), 0.5) AS mad, "
+    "CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM events e JOIN med ON med.event_type = e.event_type "
+    "GROUP BY 1, 2), "
+    "f AS (SELECT e.event_type, mad.med, mad.mad, mad.n, "
+    "CASE WHEN abs(e.value - mad.med) > 3.0 * (1.4826 * mad.mad) "
+    "THEN 1 ELSE 0 END AS is_out "
+    "FROM events e JOIN mad ON mad.event_type = e.event_type) "
+    "SELECT event_type, ROUND(med, 4) AS med, ROUND(mad, 4) AS mad, "
+    "CAST(SUM(is_out) AS BIGINT) AS n_outliers, n, "
+    "ROUND(CAST(SUM(is_out) AS DOUBLE) / CAST(n AS DOUBLE), 6) "
+    "AS outlier_rate "
+    "FROM f GROUP BY event_type, med, mad, n ORDER BY event_type"
+)

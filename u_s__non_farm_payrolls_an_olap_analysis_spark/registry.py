@@ -124,6 +124,10 @@ _SAMPLE_PRIORITY = [
     "timeseries_holt_winters",
     # NEW in round 12 — streaming CEP twin of events_pattern_match
     "stream_pattern_match",
+    # NEW in round 12 — Theil-Sen robust trend (median of pair slopes)
+    "agg_theil_sen_trend",
+    # NEW in round 12 — MAD robust outlier detection per event type
+    "dq_anomaly_mad",
     # latest driver row r4 — oldest surviving evidence
     "udtf_month_spine",
     "unpivot_measures",
