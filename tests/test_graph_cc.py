@@ -247,3 +247,44 @@ def test_mad_outliers_match_pure_python(spark):
     }
     assert got == want
     assert any(w[2] > 0 for w in want.values())  # outliers actually exist
+
+
+def test_systematic_resample_invariants(spark):
+    """Copy counts must (a) sum exactly to SYS_DRAWS, (b) be each doc's
+    floor or ceil of its proportional share N*w/W, and (c) match the
+    literal position-walk definition u_k = (k+0.5)*W/N."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.sampling import (
+        SYS_DRAWS,
+        sample_systematic_resample,
+    )
+
+    weights = {
+        r["doc_id"]: r["n_chars"]
+        for r in read_table(spark, SF, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    ids = sorted(weights)
+    W = sum(weights[d] for d in ids)
+    counts = collections.Counter()
+    c = 0
+    bounds = []
+    for d in ids:
+        bounds.append((d, c, c + weights[d]))
+        c += weights[d]
+    k = 0
+    for d, lo, hi in bounds:
+        # positions are (k+0.5)*W/N in increasing order — walk them once
+        while k < SYS_DRAWS and lo * 2 * SYS_DRAWS <= (2 * k + 1) * W < hi * 2 * SYS_DRAWS:
+            counts[d] += 1
+            k += 1
+
+    got = {
+        r["doc_id"]: r["n_copies"]
+        for r in sample_systematic_resample(spark, SF).collect()
+    }
+    assert got == {d: n for d, n in counts.items() if n > 0}
+    assert sum(got.values()) == SYS_DRAWS
+    for d, n in got.items():
+        share = SYS_DRAWS * weights[d] / W
+        assert math.floor(share) <= n <= math.ceil(share)

@@ -262,3 +262,105 @@ ORACLE["sample_weighted_reservoir"] = (
     "FROM documents WHERE text IS NOT NULL AND n_chars > 0 "
     f"ORDER BY ares_key DESC, doc_id LIMIT {ARES_K}"
 )
+
+
+# --- Systematic (low-variance) weighted resampling ---------------------------
+
+SYS_DRAWS = 500          # N resample positions
+SYS_BUCKET_SPAN = 256    # doc_ids per prefix-sum bucket (shared device)
+
+
+def sample_systematic_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **systematic resampling** (the low-variance scheme of
+    particle filtering, Kitagawa JCGS 1996; Douc & Cappé ISPA 2005 for
+    the variance ordering): place ``N`` equally-spaced positions
+    ``u_k = (k + ½)·W/N`` over the cumulative weight axis and give each
+    document one copy per position falling in its weight interval —
+    every document receives ``floor(N·w/W)`` or ``ceil(N·w/W)`` copies
+    (variance strictly below multinomial draws), and the deterministic
+    mid-grid phase replaces the scheme's single random offset (the
+    repo-wide no-RNG convention; one seeded uniform restores it in
+    production).
+
+    The per-doc copy count is CLOSED-FORM integer arithmetic on the
+    inclusive prefix sum: ``count_i = f(c_i) − f(c_i − w_i)`` with
+    ``f(c) = min(N, (2·N·c + W − 1) div (2·W))`` — exact int64 in both
+    engines, no floats anywhere, and ``Σ count_i = f(W) = N`` by
+    construction (asserted in tests). The prefix sum itself is the
+    distributed TWO-LEVEL device of ``pack_training_sequences`` (bucket
+    rollup takes the only global cumsum; per-doc offsets ride a
+    bounded within-bucket window + broadcast bucket offsets) — never a
+    corpus-wide single-task ORDER BY window.
+
+    Weight = ``n_chars`` (the natural size-proportional sampling prior;
+    any non-negative per-doc score drops in). Zero-copy docs are
+    filtered — the output IS the resampled multiset.
+    """
+    from pyspark.sql.window import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    lens = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("w"),
+        F.expr(f"doc_id div {SYS_BUCKET_SPAN}").alias("bucket"),
+    )
+    bucket_tot = lens.groupBy("bucket").agg(F.sum("w").alias("bw"))
+    w_buckets = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bucket_off = bucket_tot.select(
+        "bucket",
+        F.coalesce(F.sum("bw").over(w_buckets), F.lit(0)).alias("boff"),
+    )
+    total = lens.agg(F.sum("w").alias("wtot"))
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = (
+        lens.join(F.broadcast(bucket_off), "bucket")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "w",
+            "wtot",
+            (F.col("boff") + F.sum("w").over(w_in)).alias("c_hi"),
+        )
+    )
+    n = SYS_DRAWS
+
+    def f(c):  # noqa: ANN001 — Column-in, Column-out closed form
+        return F.least(
+            F.lit(n).cast("long"),
+            F.expr(f"({2 * n} * {c} + wtot - 1) div (2 * wtot)"),
+        )
+
+    return (
+        placed.select(
+            "doc_id",
+            "w",
+            (f("c_hi") - f("(c_hi - w)")).cast("int").alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 0)
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["sample_systematic_resample"] = sample_systematic_resample
+
+ORACLE["sample_systematic_resample"] = (
+    "WITH t AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w "
+    "FROM documents), "
+    "c AS (SELECT doc_id, w, "
+    "CAST(SUM(w) OVER (ORDER BY doc_id "
+    "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c_hi, "
+    "CAST(SUM(w) OVER () AS BIGINT) AS wtot FROM t), "
+    "k AS (SELECT doc_id, w, "
+    f"LEAST({SYS_DRAWS}, ({2 * SYS_DRAWS} * c_hi + wtot - 1) "
+    "// (2 * wtot)) - "
+    f"LEAST({SYS_DRAWS}, ({2 * SYS_DRAWS} * (c_hi - w) + wtot - 1) "
+    "// (2 * wtot)) AS n_copies FROM c) "
+    "SELECT doc_id, w, CAST(n_copies AS INT) AS n_copies FROM k "
+    "WHERE n_copies > 0 ORDER BY doc_id"
+)

@@ -128,6 +128,8 @@ _SAMPLE_PRIORITY = [
     "agg_theil_sen_trend",
     # NEW in round 12 — MAD robust outlier detection per event type
     "dq_anomaly_mad",
+    # NEW in round 12 — systematic (low-variance) weighted resampling
+    "sample_systematic_resample",
     # latest driver row r4 — oldest surviving evidence
     "udtf_month_spine",
     "unpivot_measures",
