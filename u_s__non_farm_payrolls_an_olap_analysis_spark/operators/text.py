@@ -1279,3 +1279,82 @@ ORACLE["text_keyword_extract_rake"] = (
     f"CAST(s_scaled AS DOUBLE) / {RAKE_SCALE} AS score "
     f"FROM r WHERE rn <= {RAKE_TOPK} ORDER BY doc_id, rank"
 )
+
+
+# --- Shannon entropy of the token distribution per source -------------------
+
+_ENTROPY_SCALE = 100_000_000
+
+
+def corpus_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **per-source Shannon entropy** of the token
+    distribution (Shannon 1948): ``H = −Σ p·ln p`` over each source's
+    token frequencies, computed in the factored form
+    ``H = ln N − (Σ c·ln c)/N`` so the per-TYPE terms are independent
+    of N and sum exactly — the corpus-diversity / repetitiveness
+    signal mixture builders read next to quality scores (a source
+    whose entropy is far below ``ln(vocab)`` is template/boilerplate
+    heavy; `quality_repetition_signals` flags that per document, this
+    aggregates the distributional view per source).
+
+    One explode → one (source, token) count aggregate (map-side
+    combinable) → one per-source rollup where ``c·ln c`` doubles sum
+    as scaled int64 (`dsum_scaled`, the `corpus_zipf_fit` convention)
+    — associativity-proof, so the emitted entropy is bit-stable at any
+    partition count. ``evenness = H / ln(vocab)`` (Pielou 1966)
+    normalizes across vocabulary sizes; ``try_divide`` guards the
+    single-type source (CSE hoists a shared quotient out of any
+    ``when`` guard — CLAUDE.md rule 3)."""
+    from ..functions.numerics import dsum_scaled
+
+    docs = read_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_src = counts.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        dsum_scaled(
+            F.col("c").cast("double") * F.log(F.col("c").cast("double")),
+            _ENTROPY_SCALE,
+        ).alias("s_clnc"),
+    )
+    h = F.log(F.col("n_tokens").cast("double")) - (
+        F.col("s_clnc").cast("double")
+        / _ENTROPY_SCALE
+        / F.col("n_tokens").cast("double")
+    )
+    return per_src.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        dround(h, 6).alias("entropy"),
+        dround(
+            F.try_divide(h, F.log(F.col("vocab").cast("double"))), 6
+        ).alias("evenness"),
+    ).orderBy("source")
+
+
+QUERIES["corpus_entropy_by_source"] = corpus_entropy_by_source
+
+ORACLE["corpus_entropy_by_source"] = (
+    "WITH tk AS (SELECT source, u.tok FROM (SELECT source, "
+    "string_split(text, ' ') AS toks FROM documents), "
+    "UNNEST(toks) AS u(tok)), "
+    "c AS (SELECT source, tok, COUNT(*) AS c FROM tk GROUP BY 1, 2), "
+    "s AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens, "
+    "CAST(COUNT(*) AS BIGINT) AS vocab, "
+    "CAST(SUM(CAST(ROUND(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) "
+    f"* {_ENTROPY_SCALE}) AS BIGINT)) AS BIGINT) AS s_clnc "
+    "FROM c GROUP BY 1) "
+    "SELECT source, n_tokens, vocab, "
+    "ROUND(ln(CAST(n_tokens AS DOUBLE)) - (CAST(s_clnc AS DOUBLE) "
+    f"/ {_ENTROPY_SCALE} / CAST(n_tokens AS DOUBLE)), 6) AS entropy, "
+    "ROUND(CASE WHEN vocab > 1 THEN "
+    "(ln(CAST(n_tokens AS DOUBLE)) - (CAST(s_clnc AS DOUBLE) "
+    f"/ {_ENTROPY_SCALE} / CAST(n_tokens AS DOUBLE))) "
+    "/ ln(CAST(vocab AS DOUBLE)) END, 6) AS evenness "
+    "FROM s ORDER BY source"
+)

@@ -130,6 +130,8 @@ _SAMPLE_PRIORITY = [
     "dq_anomaly_mad",
     # NEW in round 12 — systematic (low-variance) weighted resampling
     "sample_systematic_resample",
+    # NEW in round 12 — per-source Shannon entropy / Pielou evenness
+    "corpus_entropy_by_source",
     # latest driver row r4 — oldest surviving evidence
     "udtf_month_spine",
     "unpivot_measures",
