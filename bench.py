@@ -378,6 +378,10 @@ SFN_QUERIES = {
     # (round 12): user-bucketed sorted layout, zero-exchange window
     # plan; write-once cost reported as events_bucket_prep_sec
     "sessionize_clustered": "sessionize_batch_clustered",
+    # the CEP window stack (round 12): one user exchange serving four
+    # window frames — tracks the same events-family crossover as
+    # sessionize, with a heavier per-row expression load
+    "events_pattern_match": "events_pattern_match",
 }
 
 # --- sf100 section: the extrapolation anchor, run EVERY round ----------

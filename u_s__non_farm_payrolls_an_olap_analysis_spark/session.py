@@ -65,6 +65,16 @@ def get_spark(
         # --- local-mode hygiene ---
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # Route the JVM's default unified-logging warnings (e.g.
+        # [gc,alloc] GCLocker retries under allocation pressure) to
+        # STDERR: the JVM default is stdout, where they interleave with
+        # bench.py's driver-parsed JSON line (observed corrupting a
+        # captured bench run in round 12). Only effective when this
+        # builder launches the JVM — a pre-existing gateway ignores it.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Xlog:all=warning:stderr:uptime,level,tags",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
