@@ -322,3 +322,47 @@ def test_semdedup_pairs_are_within_cluster_only(spark):
     }
     for r in dedup.dedup_semantic_kmeans(spark, SF).collect():
         assert cluster[r["witness_vec"]] == cluster[r["drop_vec"]] == r["list_id"]
+
+
+@pytest.fixture(scope="module")
+def knn_dir(spark, tmp_path_factory):
+    """Planted k-NN geometry: query 0 sits on axis e1 whose 5 nearest
+    candidates vote 3-2 for label 7; query 1 on axis e2, 3-2 for label 2."""
+    d = tmp_path_factory.mktemp("knn")
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 7),
+        (1, [0.0, 1.0, 0.0, 0.0], 2),
+        (10, [1.0, 0.01, 0.0, 0.0], 7),
+        (11, [1.0, 0.02, 0.0, 0.0], 7),
+        (12, [1.0, 0.03, 0.0, 0.0], 3),
+        (13, [1.0, 0.04, 0.0, 0.0], 7),
+        (14, [1.0, 0.05, 0.0, 0.0], 3),
+        (15, [0.0, 1.0, 0.01, 0.0], 9),
+        (16, [0.0, 1.0, 0.02, 0.0], 9),
+        (17, [0.0, 1.0, 0.03, 0.0], 2),
+        (18, [0.0, 1.0, 0.04, 0.0], 2),
+        (19, [0.0, 1.0, 0.05, 0.0], 2),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    return str(d)
+
+
+def test_knn_classify_majority_vote(spark, knn_dir):
+    out = {
+        r["query_id"]: r
+        for r in similarity.sim_knn_classify(spark, knn_dir).collect()
+    }
+    assert set(out) == {0, 1}
+    assert out[0]["predicted_label"] == 7 and out[0]["votes"] == 3
+    assert out[0]["true_label"] == 7 and out[0]["correct"] == 1
+    assert out[1]["predicted_label"] == 2 and out[1]["votes"] == 3
+    assert out[1]["correct"] == 1
+
+
+def test_knn_classify_fixture_shape(spark):
+    rows = similarity.sim_knn_classify(spark, SF).collect()
+    assert len(rows) == 10  # one prediction per query vector
+    assert all(1 <= r["votes"] <= 5 for r in rows)
+    assert all(r["correct"] in (0, 1) for r in rows)

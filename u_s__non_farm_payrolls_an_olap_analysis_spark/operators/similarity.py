@@ -1120,3 +1120,98 @@ ORACLE["sim_search_pq_adc"] = (
     "FROM s) SELECT query_id, neighbor_id, score, "
     f"CAST(rank AS INT) AS rank FROM r WHERE rank <= {TOP_K}"
 )
+
+
+# --- k-NN majority-vote classification (Fix & Hodges 1951) -------------------
+
+
+def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **k-nearest-neighbor classification** over the
+    embedding corpus (Fix & Hodges 1951; Cover & Hart, IEEE IT 1967):
+    each query vector is labelled by the majority vote of its k=5
+    nearest labelled neighbors — the canonical END USE of a similarity
+    index, closing the loop on the whole `sim_search_*` family (the
+    search operators produce neighbor lists; this one consumes them).
+
+    Shares `sim_search_cosine`'s exact scored stream verbatim (broadcast
+    query side, one corpus pass, per-query rank window), then the vote
+    is a k-row-per-query aggregate: votes per (query, label) with the
+    winner chosen by (votes DESC, best cosine DESC, label ASC) — a total
+    order on exact integers + 6-dp-rounded doubles, so the prediction is
+    engine-portable. At 100 TB the scored stream is the ANN variant
+    (IVF / PQ / Hamming — same rank contract), and the vote stays a
+    k-row aggregate per query: classification cost is search cost.
+
+    vs reference: no analogue (`dashboard_nfp.py` has no vector surface).
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("true_label"),
+    )
+    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("label").alias("nb_label"),
+    )
+    scored = c.join(F.broadcast(q)).select(
+        "query_id",
+        "true_label",
+        "neighbor_id",
+        "nb_label",
+        F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cosine"),
+    )
+    w_nn = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    nn = (
+        scored.withColumn("rank", F.row_number().over(w_nn))
+        .filter(F.col("rank") <= TOP_K)
+    )
+    votes = nn.groupBy("query_id", "true_label", "nb_label").agg(
+        F.count(F.lit(1)).alias("votes"),
+        F.max("cosine").alias("best_cos"),
+    )
+    w_win = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("best_cos").desc(), F.col("nb_label")
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(w_win))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id",
+            F.col("nb_label").alias("predicted_label"),
+            "true_label",
+            "votes",
+            "best_cos",
+            (F.col("nb_label") == F.col("true_label")).cast("int").alias(
+                "correct"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+QUERIES["sim_knn_classify"] = sim_knn_classify
+
+ORACLE["sim_knn_classify"] = (
+    f"WITH q AS (SELECT vec_id AS query_id, embedding AS qe, "
+    f"label AS true_label FROM embeddings WHERE vec_id < {N_QUERIES}), "
+    f"c AS (SELECT vec_id AS neighbor_id, embedding AS ce, "
+    f"label AS nb_label FROM embeddings WHERE vec_id >= {N_QUERIES}), "
+    f"s AS (SELECT query_id, true_label, neighbor_id, nb_label, "
+    f"ROUND({_COS_QC}, 6) AS cosine FROM q CROSS JOIN c), "
+    "r AS (SELECT query_id, true_label, nb_label, cosine, "
+    "ROW_NUMBER() OVER (PARTITION BY query_id "
+    "ORDER BY cosine DESC, neighbor_id) AS rank FROM s), "
+    "v AS (SELECT query_id, true_label, nb_label, "
+    "CAST(COUNT(*) AS BIGINT) AS votes, MAX(cosine) AS best_cos "
+    f"FROM r WHERE rank <= {TOP_K} GROUP BY 1, 2, 3), "
+    "p AS (SELECT query_id, true_label, nb_label, votes, best_cos, "
+    "ROW_NUMBER() OVER (PARTITION BY query_id "
+    "ORDER BY votes DESC, best_cos DESC, nb_label) AS vr FROM v) "
+    "SELECT query_id, nb_label AS predicted_label, true_label, votes, "
+    "best_cos, CAST(CASE WHEN nb_label = true_label THEN 1 ELSE 0 END "
+    "AS INT) AS correct FROM p WHERE vr = 1 ORDER BY query_id"
+)

@@ -132,6 +132,8 @@ _SAMPLE_PRIORITY = [
     "sample_systematic_resample",
     # NEW in round 12 — per-source Shannon entropy / Pielou evenness
     "corpus_entropy_by_source",
+    # NEW in round 12 (session 2) — k-NN majority-vote classification
+    "sim_knn_classify",
     # latest driver row r4 — oldest surviving evidence
     "udtf_month_spine",
     "unpivot_measures",
