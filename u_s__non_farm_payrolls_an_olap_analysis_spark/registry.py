@@ -90,86 +90,14 @@ _MODULES = [
 # tests/test_registry_contract.py (subset, duplicate-free, leads
 # iteration) — prune entries once their round's JSON records them
 # (CLAUDE.md rule 7).
-# Round-12 rotation: all 50 keys recorded in CORRECTNESS_r11.json pruned.
-# Leads with timeseries_holt_linear — the ONLY registry key with zero
-# driver rows across 11 rounds (added round 10, oracle fixed round 11,
-# never sampled because it was left out of this list; round-11 VERDICT
-# item 1). New round-12 keys slot in directly after it (a new key has
-# no driver row anywhere, so it outranks every key with historical
-# evidence). Then the r4-evidence quartet and the r6 tail (TPC-H block,
-# sql_dashboard, sources, r3-era joins/aggregates); with holt at the
-# head the last two TPC-H keys (q21/q22, r6 rows) roll to round 13 —
-# prune the r12-recorded keys then and lead with that remainder.
+# Round-13 rotation: all 50 keys recorded in CORRECTNESS_r12.json pruned
+# (the entire round-12 new-key batch plus holt got fresh green rows).
+# What remains is the r6-evidence TPC-H tail that rolled past the window
+# two rounds running; new round-13 keys slot in AHEAD of it (a new key
+# has no driver row anywhere, so it outranks keys with historical
+# evidence). Prune the r13-recorded keys next round.
 _SAMPLE_PRIORITY = [
-    # NEW round 10, never sampled; oracle repaired round 11 — the only
-    # key with no driver CORRECTNESS row in 11 rounds. First in line.
-    "timeseries_holt_linear",
-    # NEW in round 12 — binary sign quantization + Hamming top-k
-    "sim_search_hamming_binary",
-    # NEW in round 12 — classical additive seasonal decomposition
-    "timeseries_classical_decompose",
-    # NEW in round 12 — product-quantization ADC search (PAMI'11)
-    "sim_search_pq_adc",
-    # NEW in round 12 — tabular CUSUM change-point detection (Page'54)
-    "timeseries_cusum_changepoints",
-    # NEW in round 12 — zero-exchange sessionize off user-bucketed layout
-    "sessionize_batch_clustered",
-    # NEW in round 12 — co-purchase connected components (min-label CC)
-    "graph_connected_components",
-    # NEW in round 12 — MATCH_RECOGNIZE-style view-click*-purchase runs
-    "events_pattern_match",
-    # NEW in round 12 — interpolated Kneser-Ney bigram LM scoring
-    "quality_kneser_ney_logprob",
-    # NEW in round 12 — Holt-Winters additive seasonal smoothing
-    "timeseries_holt_winters",
-    # NEW in round 12 — streaming CEP twin of events_pattern_match
-    "stream_pattern_match",
-    # NEW in round 12 — Theil-Sen robust trend (median of pair slopes)
-    "agg_theil_sen_trend",
-    # NEW in round 12 — MAD robust outlier detection per event type
-    "dq_anomaly_mad",
-    # NEW in round 12 — systematic (low-variance) weighted resampling
-    "sample_systematic_resample",
-    # NEW in round 12 — per-source Shannon entropy / Pielou evenness
-    "corpus_entropy_by_source",
-    # NEW in round 12 (session 2) — k-NN majority-vote classification
-    "sim_knn_classify",
-    # latest driver row r4 — oldest surviving evidence
-    "udtf_month_spine",
-    "unpivot_measures",
-    "window_distribution_ranks",
-    "window_first_last_nth",
-    # latest driver row r6 — the remaining tail, in r6 order
-    "agg_boolean_family",
-    "agg_distinct_and_approx",
-    "agg_grouping_sets_cube",
-    "agg_rollup_year_quarter",
-    "agg_salted_two_phase",
-    "corpus_mix_report",
-    "dq_anomaly_zscore",
-    "embedding_quantize_int8",
-    "join_broadcast_dim",
-    "join_full_outer_reconcile",
-    "join_null_safe_eq",
-    "join_range_asof",
-    "join_semi_anti",
-    "join_shuffle_3way",
-    "join_skew_aqe",
-    "scd2_history_merge",
-    "sink_jdbc_upsert",
-    "source_api_extract",
-    "sql_dashboard_decade_case",
-    "sql_dashboard_q4_growth",
-    "sql_dashboard_sharpest_drop",
-    "sql_exists_big_order",
-    "sql_in_subquery_region_orders",
-    "sql_scalar_above_nation_avg",
-    "text_bigram_topk",
-    "text_idf_topk",
-    "tpch_q1_pricing_summary",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
+    # latest driver row r6 — oldest surviving evidence, in r6 order
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
     "tpch_q7_volume_shipping",
