@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.numerics import dround
 from ..functions.vectors import cosine, cosine_sql
 from ..io import read_table
 
@@ -45,7 +46,7 @@ def sim_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = c.join(F.broadcast(q)).select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cosine"),
+        dround(cosine(F.col("qe"), F.col("ce")), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), "neighbor_id"
@@ -91,7 +92,7 @@ def assign_to_codebook(cand: DataFrame, cent: DataFrame) -> DataFrame:
         "neighbor_id",
         "ce",
         "cent_id",
-        F.round(cosine(F.col("ce"), F.col("cent_e")), 6).alias("cc"),
+        dround(cosine(F.col("ce"), F.col("cent_e")), 6).alias("cc"),
     )
     w_assign = Window.partitionBy("neighbor_id").orderBy(
         F.col("cc").desc(), "cent_id"
@@ -115,7 +116,7 @@ def _ivf_search(q: DataFrame, cand: DataFrame, cent: DataFrame) -> DataFrame:
         "query_id",
         "qe",
         "cent_id",
-        F.round(cosine(F.col("qe"), F.col("cent_e")), 6).alias("qc"),
+        dround(cosine(F.col("qe"), F.col("cent_e")), 6).alias("qc"),
     )
     w_probe = Window.partitionBy("query_id").orderBy(F.col("qc").desc(), "cent_id")
     probes = (
@@ -128,7 +129,7 @@ def _ivf_search(q: DataFrame, cand: DataFrame, cent: DataFrame) -> DataFrame:
     scored = probes.join(assigned, "list_id").select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cosine"),
+        dround(cosine(F.col("qe"), F.col("ce")), 6).alias("cosine"),
     )
     w_rank = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), "neighbor_id"
@@ -164,7 +165,7 @@ def _train_kmeans_codebook(cand: DataFrame, k: int, iters: int) -> DataFrame:
             "neighbor_id",
             "ce",
             "cent_id",
-            F.round(cosine(F.col("ce"), F.col("cent_e")), 6).alias("cc"),
+            dround(cosine(F.col("ce"), F.col("cent_e")), 6).alias("cc"),
         )
         w = Window.partitionBy("neighbor_id").orderBy(F.col("cc").desc(), "cent_id")
         members = (
@@ -235,7 +236,7 @@ def _train_kmeans_codebook_exact(
             "neighbor_id",
             "ce",
             "cent_id",
-            F.round(cosine(F.col("ce"), F.col("cent_e")), 6).alias("cc"),
+            dround(cosine(F.col("ce"), F.col("cent_e")), 6).alias("cc"),
         )
         w = Window.partitionBy("neighbor_id").orderBy(F.col("cc").desc(), "cent_id")
         members = (
@@ -326,7 +327,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         # display scale is rounded; the quantization divides by the RAW
         # scale (rounding first would shift codes vs the oracle)
-        F.round("scale", 6).alias("scale"),
+        dround("scale", 6).alias("scale"),
         (F.col("dim0") + 1).cast("int").alias("dim"),  # 1-based like SQL
         dround(F.col("val").cast("double") / F.col("scale"), 0)
         .cast("int")
@@ -370,10 +371,10 @@ def embedding_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     return ex.select(
         "vec_id",
-        F.round("nrm", 6).alias("prefix_norm"),
-        F.round("retained", 6).alias("norm_retained"),
+        dround("nrm", 6).alias("prefix_norm"),
+        dround("retained", 6).alias("norm_retained"),
         (F.col("dim0") + 1).cast("int").alias("dim"),
-        F.round(F.col("val").cast("double") / F.col("nrm"), 6).alias("v"),
+        dround(F.col("val").cast("double") / F.col("nrm"), 6).alias("v"),
     )
 
 
@@ -430,7 +431,7 @@ def sim_search_int8_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = c.join(F.broadcast(q)).select(
         "query_id",
         "neighbor_id",
-        F.round(
+        dround(
             int_dot.cast("double") * F.col("qs") * F.col("cs"), 6
         ).alias("score"),
     )
@@ -691,7 +692,7 @@ def sim_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(qv))
         .select(
             F.col("vec_id").alias("doc_id"),
-            F.round(cosine(F.col("qe"), F.col("embedding")), 6).alias("cos"),
+            dround(cosine(F.col("qe"), F.col("embedding")), 6).alias("cos"),
         )
         .orderBy(F.col("cos").desc(), "doc_id")
         .limit(RRF_POOL)
@@ -792,7 +793,7 @@ def sim_search_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = c.join(F.broadcast(q)).select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cosine"),
+        dround(cosine(F.col("qe"), F.col("ce")), 6).alias("cosine"),
     )
     band = scored.filter(
         (F.col("cosine") >= HN_LO) & (F.col("cosine") < HN_HI)
@@ -1160,7 +1161,7 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_label",
         "neighbor_id",
         "nb_label",
-        F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cosine"),
+        dround(cosine(F.col("qe"), F.col("ce")), 6).alias("cosine"),
     )
     w_nn = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), "neighbor_id"
@@ -1185,9 +1186,13 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "true_label",
             "votes",
             "best_cos",
-            (F.col("nb_label") == F.col("true_label")).cast("int").alias(
-                "correct"
-            ),
+            # when/otherwise, not bool-cast: matches the oracle's CASE on
+            # a NULL label (0, never NULL) — defensive; current fixtures
+            # have no NULL labels (round-12 ADVICE item 2)
+            F.when(F.col("nb_label") == F.col("true_label"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("correct"),
         )
         .orderBy("query_id")
     )
