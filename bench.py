@@ -382,6 +382,11 @@ SFN_QUERIES = {
     # window frames — tracks the same events-family crossover as
     # sessionize, with a heavier per-row expression load
     "events_pattern_match": "events_pattern_match",
+    # the at-rest answer to the CEP shuffle (round 13): same window
+    # stack off the user-bucketed (user_id, ts, event_id)-sorted layout
+    # — zero exchanges, zero pre-window sort; shares the flat-scan
+    # twin's oracle byte-for-byte
+    "events_cep_clustered": "events_pattern_match_clustered",
 }
 
 # --- sf100 section: the extrapolation anchor, run EVERY round ----------

@@ -1603,6 +1603,14 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type", "value"
     )
+    return _pattern_match_events(ev)
+
+
+def _pattern_match_events(ev: DataFrame) -> DataFrame:
+    """The view-click*-purchase window stack over a 5-column events frame
+    — shared verbatim by the flat-scan operator above and the
+    user-bucketed `layout.events_pattern_match_clustered` (layout is
+    physical, never semantic: byte-identical output, one oracle)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # project seq BEFORE the anchor frames reference it (rule 3)
     seqd = ev.select(
@@ -1613,7 +1621,14 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.row_number().over(w).alias("seq"),
     )
-    wf = Window.partitionBy("user_id").orderBy("seq").rowsBetween(
+    # the anchor frames order by (ts, event_id) — the SAME ordering seq
+    # was numbered over — not by seq: ordering by the derived column
+    # made Catalyst re-sort every partition between the two Window
+    # operators (row 13: sort-count 3 → 2 in the flat plan, and off the
+    # (user_id, ts, event_id)-sorted bucketed layout the whole pre-window
+    # sort pipeline vanishes). ROWS BETWEEN frames care only about row
+    # positions, which are identical under either key.
+    wf = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, -1
     )
     nc = F.when(F.col("event_type") != "click", F.col("seq"))

@@ -890,10 +890,21 @@ def _events_user_bucketed_table(spark: SparkSession, sf_dir: str) -> str:
     so the per-query exchange of the whole events table disappears.
     Same write-once/read-many economics as `_q8_bucketed_tables`
     (prep cost reported by bench, never hidden)."""
+    # round 13: the table carries the FULL per-user timeline payload
+    # (event_id/event_type/value joined the original user_id/ts pair) and
+    # sorts by (user_id, ts, event_id), so every timeline operator shares
+    # ONE at-rest layout: sessionize needs the (user_id, ts) prefix — a
+    # longer at-rest sort still satisfies it — and the CEP pattern match
+    # needs the full (user_id, ts, event_id) order. Parquet column
+    # pruning keeps sessionize's scan at 2 columns; the extra columns
+    # cost nothing to readers that don't project them. The column tuple
+    # is part of the signature so pre-round-13 memoized tables restage.
+    cols = ("user_id", "ts", "event_id", "event_type", "value")
     sig = hashlib.md5(
         repr((
             _table_sig(os.path.join(sf_dir, "events.parquet")),
             EVENTS_N_BUCKETS,
+            cols,
         )).encode()
     ).hexdigest()[:10]
     tag = "".join(c if c.isalnum() else "_" for c in _sf_tag(sf_dir))
@@ -904,15 +915,15 @@ def _events_user_bucketed_table(spark: SparkSession, sf_dir: str) -> str:
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     (
         read_table(spark, sf_dir, "events")
-        .select("user_id", "ts")
+        .select(*cols)
         # one sorted file per bucket (see _q8_bucketed_tables): route by
-        # the same hash first so the at-rest (user_id, ts) sort survives
-        # the read and the window needs neither exchange NOR full sort
+        # the same hash first so the at-rest sort survives the read and
+        # the window needs neither exchange NOR full sort
         .repartition(EVENTS_N_BUCKETS, F.col("user_id"))
         .write.mode("overwrite")
         .option("path", path)
         .bucketBy(EVENTS_N_BUCKETS, "user_id")
-        .sortBy("user_id", "ts")
+        .sortBy("user_id", "ts", "event_id")
         .saveAsTable(name)
     )
     return name
@@ -929,13 +940,40 @@ def sessionize_batch_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .custom_udf import _sessionize_events
 
     name = _events_user_bucketed_table(spark, sf_dir)
-    return _sessionize_events(spark.table(name))
+    # explicit 2-column projection: the shared at-rest table carries the
+    # full timeline payload since round 13, and _sessionize_events
+    # withColumns over whatever it's given — project first so the scan
+    # prunes to (user_id, ts) and nothing extra rides the window buffers
+    return _sessionize_events(spark.table(name).select("user_id", "ts"))
+
+
+def events_pattern_match_clustered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """North-star — the `view (click)* purchase` CEP window stack
+    (`analytics.events_pattern_match`) off the user-clustered at-rest
+    layout: the scan arrives bucketed by user_id and pre-sorted by
+    (user_id, ts, event_id) — exactly the window's required
+    distribution AND ordering — so the plan carries ZERO exchanges and
+    ZERO sorts before the window frames (the flat-scan twin's 100x cost
+    is precisely this shuffle+sort of the whole events table; bench
+    tracks both variants). Layout is physical, never semantic:
+    byte-identical output, the flat-scan oracle serves both."""
+    from .analytics import _pattern_match_events
+
+    name = _events_user_bucketed_table(spark, sf_dir)
+    return _pattern_match_events(spark.table(name))
 
 
 QUERIES["sessionize_batch_clustered"] = sessionize_batch_clustered
+QUERIES["events_pattern_match_clustered"] = events_pattern_match_clustered
 
-# byte-identical contract with the flat-scan sessionize_batch: the ONE
-# oracle SQL serves both (layout is physical, never semantic)
+# byte-identical contract with the flat-scan twins: the ONE oracle SQL
+# serves both physical layouts (layout is physical, never semantic)
+from .analytics import ORACLE as _ANALYTICS_ORACLE  # noqa: E402
 from .custom_udf import ORACLE as _UDF_ORACLE  # noqa: E402
 
 ORACLE["sessionize_batch_clustered"] = _UDF_ORACLE["sessionize_batch"]
+ORACLE["events_pattern_match_clustered"] = _ANALYTICS_ORACLE[
+    "events_pattern_match"
+]

@@ -51,6 +51,15 @@ def get_spark(
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Report at-rest sort order from bucketed scans (off by default
+        # since SPARK-28595). Spark still only claims ordering when every
+        # selected bucket is a SINGLE file — which layout.py's writers
+        # guarantee by pre-repartitioning on the bucket key — so this is
+        # strictly plan-improving here: the clustered timeline operators
+        # (sessionize / CEP off _events_user_bucketed_table) lose their
+        # redundant pre-window per-partition sort (round 13: CEP@100x
+        # sort elided, ~1.6s -> ~1.4s best case).
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         # Split parquet files finely enough to use all local cores at this
         # fixture scale (single ~10 MB files). On a real cluster with
         # 100 TB inputs the 128 MB default is right — this is the knob the
