@@ -1572,6 +1572,114 @@ ORACLE["timeseries_classical_decompose"] = (
 )
 
 
+ACF_MAX_LAG = 12
+
+
+def timeseries_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **sample autocorrelation function** (Box & Jenkins
+    1970, §2.1; the correlogram) of the monthly per-priority revenue
+    series at lags 1..12, with the ±1.96/√n white-noise band — the
+    diagnostic an analyst runs on exactly the reference's kind of
+    monthly macro series before fitting anything (the reference's own
+    `pct_change` in `dashboard_nfp.py:152` is the lag-1 special case
+    of this machinery).
+
+    Determinism: with y the scaled-int64 monthly revenue and
+    z_t = n·y_t − Σy (the mean-centering cleared of its /n), the
+    textbook r_k = Σ(y_t−ȳ)(y_{t−k}−ȳ) / Σ(y_t−ȳ)² equals
+    Σ z_t·z_{t−k} / Σ z_t² — the n² cancels — so numerator and
+    denominator are EXACT integer sums (z products as decimal in
+    Spark ≡ HUGEINT in DuckDB; order-independent), and each emitted
+    double is one division of two exact values, `dround`ed at 6 dp.
+
+    Scale: the corpus-sized work is the monthly rollup (map-side
+    partial over orders); everything after runs on the ~80-row-per-key
+    monthly aggregate — the lag pairing is a per-key range self-join
+    with fan-out ≤ 12 rows per month, the collapse-first discipline of
+    CLAUDE.md rule 5. Series count scales out; series length stays
+    bounded by the monthly grain.
+
+    vs reference: extends `dashboard_nfp.py:152`'s lag-1 MoM change to
+    the full correlogram; no other analogue.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("month", "o_orderdate").alias("mon"),
+    ).agg(dsum_scaled("o_totalprice").alias("rev_s"))
+    wp = Window.partitionBy("priority")
+    wo = Window.partitionBy("priority").orderBy("mon")
+    # z = n*y - S is exact in int64 (|z| < 2n·max(rev_s)); the decimal
+    # cast widens BEFORE the products, whose magnitudes (~1e31 at 100x)
+    # need 128-bit — decimal(18,0)^2 -> decimal(37,0), sums at 38
+    z = m.select(
+        "priority",
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.row_number().over(wo).alias("rn"),
+        (F.count(F.lit(1)).over(wp) * F.col("rev_s") - F.sum("rev_s").over(wp))
+        .cast("decimal(18,0)")
+        .alias("z"),
+    )
+    den = z.groupBy("priority", "n").agg(
+        F.sum(F.col("z") * F.col("z")).alias("den")
+    )
+    a, b = z.alias("a"), z.alias("b")
+    num = (
+        a.join(
+            b,
+            (F.col("a.priority") == F.col("b.priority"))
+            & (F.col("a.rn") - F.col("b.rn")).between(1, ACF_MAX_LAG),
+        )
+        .groupBy(
+            F.col("a.priority").alias("priority"),
+            (F.col("a.rn") - F.col("b.rn")).cast("int").alias("lag_k"),
+        )
+        .agg(F.sum(F.col("a.z") * F.col("b.z")).alias("num"))
+    )
+    return (
+        num.join(den, "priority")
+        .select(
+            "priority",
+            "lag_k",
+            dround(
+                F.col("num").cast("double") / F.col("den").cast("double"), 6
+            ).alias("acf"),
+            dround(F.lit(1.96) / F.sqrt(F.col("n").cast("double")), 6).alias(
+                "ci95"
+            ),
+        )
+        .orderBy("priority", "lag_k")
+    )
+
+
+QUERIES["timeseries_acf"] = timeseries_acf
+
+ORACLE["timeseries_acf"] = (
+    "WITH m AS (SELECT o_orderpriority AS priority, "
+    "date_trunc('month', o_orderdate) AS mon, "
+    "CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS BIGINT) "
+    "AS rev_s FROM orders GROUP BY 1, 2), "
+    # SUM(bigint) OVER is HUGEINT in DuckDB, so z is 128-bit exact here
+    # just as the decimal(18,0) cast makes it in Spark
+    "z AS (SELECT priority, "
+    "COUNT(*) OVER (PARTITION BY priority) AS n, "
+    "ROW_NUMBER() OVER (PARTITION BY priority ORDER BY mon) AS rn, "
+    "CAST(COUNT(*) OVER (PARTITION BY priority) AS HUGEINT) * rev_s "
+    "- SUM(rev_s) OVER (PARTITION BY priority) AS z "
+    "FROM m), "
+    "den AS (SELECT priority, MAX(n) AS n, SUM(z * z) AS den "
+    "FROM z GROUP BY 1), "
+    "num AS (SELECT a.priority, CAST(a.rn - b.rn AS INT) AS lag_k, "
+    "SUM(a.z * b.z) AS num FROM z a JOIN z b "
+    f"ON a.priority = b.priority AND a.rn - b.rn BETWEEN 1 AND {ACF_MAX_LAG} "
+    "GROUP BY 1, 2) "
+    "SELECT num.priority, lag_k, "
+    "ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf, "
+    "ROUND(1.96 / sqrt(CAST(den.n AS DOUBLE)), 6) AS ci95 "
+    "FROM num JOIN den ON num.priority = den.priority ORDER BY 1, 2"
+)
+
+
 def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star — **sequence-pattern matching** over the per-user event
     stream: find every contiguous run matching ``view (click)* purchase``

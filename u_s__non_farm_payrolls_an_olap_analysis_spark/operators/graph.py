@@ -512,3 +512,127 @@ ORACLE["graph_connected_components"] = (
     "CAST(COUNT(*) OVER (PARTITION BY component) AS INT) AS comp_size "
     "FROM lab ORDER BY part"
 )
+
+
+# --- Resource-Allocation link prediction (Zhou, Lu & Zhang 2009) -------------
+
+RA_MAX_DEG = 64  # common-neighbor degree cap — see docstring
+RA_SCALE = 1_000_000_000_000.0  # pico-units: 1/deg exact to 12 dp
+RA_TOP_K = 50
+
+
+def graph_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **link prediction by the Resource-Allocation index**
+    (Zhou, Lü & Zhang, Eur. Phys. J. B 71:623, 2009) on the undirected
+    token graph: for each NON-adjacent pair (x, y),
+    ``RA(x,y) = Σ_{z ∈ N(x)∩N(y)} 1/deg(z)`` — the top-scored pairs are
+    the missing-edge predictions. RA is the exact-arithmetic sibling of
+    Adamic-Adar (1/log deg): 1/deg is a ratio of exact integers, so the
+    per-z weight ``round(1e12/deg)`` is one correctly-rounded IEEE
+    division + ties-away round in BOTH engines and the pair score
+    accumulates as an exact int64 — no FP-sum order dependence, no
+    cross-engine ``log`` ULP risk.
+
+    Candidate generation is the posting-list device (CLAUDE.md rule 5,
+    the dedup `_pair_counts` shape): group neighbors by the COMMON node
+    z, emit sorted i<j combinations — never an all-pairs join. Fan-out
+    per z is C(deg, 2), so the degree cap ``deg(z) <= 64`` bounds it at
+    ~2k pairs per node; the cap is part of the scoring contract
+    (mirrored in the oracle) and is the standard hub approximation —  a
+    hub's contribution 1/deg is already ~0, so dropping it changes
+    scores by < 1/64 per hub while turning a power-law quadratic blowup
+    into bounded work (the Suri-Vassilvitskii "curse of the last
+    reducer" argument, same as `graph_triangle_counts`). Existing edges
+    leave via a keyed anti-join; top-k is TakeOrdered on the EXACT
+    integer score with a (token_a, token_b) total tiebreaker — no
+    global sort.
+
+    vs reference: no analogue (the reference has no graph surface).
+    """
+    directed = _token_edges(spark, sf_dir)
+    und = (
+        directed.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    nbr = und.select(F.col("a").alias("z"), F.col("b").alias("x")).unionByName(
+        und.select(F.col("b").alias("z"), F.col("a").alias("x"))
+    )
+    from ..functions.numerics import dround
+
+    posting = (
+        nbr.groupBy("z")
+        .agg(F.sort_array(F.collect_list("x")).alias("xs"))
+        .filter((F.size("xs") >= 2) & (F.size("xs") <= RA_MAX_DEG))
+        .select(
+            dround(F.lit(RA_SCALE) / F.size("xs"), 0).cast("long").alias("w"),
+            F.col("xs"),
+        )
+    )
+    pairs = posting.select(
+        "w",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("xs"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("xs"), i + 2, F.size(F.col("xs"))),
+                        lambda y: F.struct(
+                            x.alias("token_a"), y.alias("token_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p"),
+    ).select("p.token_a", "p.token_b", "w")
+    scored = pairs.groupBy("token_a", "token_b").agg(
+        F.sum("w").alias("sw")
+    )
+    new_links = scored.join(
+        und,
+        (scored["token_a"] == und["a"]) & (scored["token_b"] == und["b"]),
+        "left_anti",
+    )
+    return (
+        new_links.orderBy(
+            F.col("sw").desc(), "token_a", "token_b"
+        )
+        .limit(RA_TOP_K)
+        .select(
+            "token_a",
+            "token_b",
+            dround(F.col("sw").cast("double") / RA_SCALE, 6).alias(
+                "ra_score"
+            ),
+        )
+    )
+
+
+QUERIES["graph_link_prediction_ra"] = graph_link_prediction_ra
+
+ORACLE["graph_link_prediction_ra"] = (
+    "WITH e0 AS (SELECT DISTINCT toks[i] AS src, toks[i + 1] AS dst FROM ("
+    "SELECT string_split(text, ' ') AS toks FROM documents), "
+    "UNNEST(CASE WHEN len(toks) >= 2 THEN range(1, len(toks)) "
+    "ELSE [] END) AS u(i)), "
+    "und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+    "FROM e0 WHERE src <> dst), "
+    "nbr AS (SELECT a AS z, b AS x FROM und "
+    "UNION ALL SELECT b, a FROM und), "
+    "deg AS (SELECT z, COUNT(*) AS deg FROM nbr GROUP BY 1), "
+    f"w AS (SELECT z, CAST(ROUND({RA_SCALE} / deg) AS BIGINT) AS w "
+    f"FROM deg WHERE deg >= 2 AND deg <= {RA_MAX_DEG}), "
+    "p AS (SELECT n1.x AS token_a, n2.x AS token_b, w.w "
+    "FROM nbr n1 JOIN nbr n2 ON n1.z = n2.z AND n1.x < n2.x "
+    "JOIN w ON w.z = n1.z), "
+    "s AS (SELECT token_a, token_b, CAST(SUM(w) AS BIGINT) AS sw "
+    "FROM p GROUP BY 1, 2), "
+    "nf AS (SELECT s.* FROM s WHERE NOT EXISTS (SELECT 1 FROM und "
+    "WHERE und.a = s.token_a AND und.b = s.token_b)) "
+    "SELECT token_a, token_b, "
+    f"ROUND(CAST(sw AS DOUBLE) / {RA_SCALE}, 6) AS ra_score "
+    f"FROM nf ORDER BY sw DESC, token_a, token_b LIMIT {RA_TOP_K}"
+)

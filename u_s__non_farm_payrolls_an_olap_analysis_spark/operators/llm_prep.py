@@ -1960,3 +1960,162 @@ ORACLE["quality_kneser_ney_logprob"] = (
     f"ROUND({davg_sql('s', SURPRISAL_SCALE)}, 6) AS avg_logprob "
     "FROM scored GROUP BY 1 ORDER BY 1"
 )
+
+
+# --- iterative BPE merge learning (Sennrich, Haddow & Birch, ACL 2016) -------
+
+BPE_MERGES = 6  # unrolled in the oracle; production trainers run ~30k
+
+
+def vocab_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **tokenizer training, the full BPE merge loop**
+    (Sennrich, Haddow & Birch, ACL 2016 §3.2): starting from the
+    character-split word-frequency table, repeat ``BPE_MERGES`` times —
+    count adjacent symbol pairs weighted by word frequency, merge the
+    most frequent pair (ties: lexicographically smallest) in every
+    word, greedy left-to-right non-overlapping. Returns the learned
+    merge table `(merge_rank, left_sym, right_sym, merged,
+    weighted_count)` — the artifact a BPE tokenizer ships.
+    `vocab_bpe_pair_counts` is iteration 1's count stage; this is the
+    whole trainer.
+
+    The **collapse-first discipline** (CLAUDE.md rule 5) is what makes
+    an iterative trainer sane at 100 TB: the corpus-sized work is ONE
+    word-count aggregate; every merge iteration then runs on the
+    distinct-word vocab table (bounded by vocabulary, not corpus size).
+    Each iteration is: pair explode + sum (map-side partials) → 1-row
+    TakeOrdered argmax → broadcast-crossJoin of that single row into a
+    symbol rewrite — no collect(), the argmax stays distributed. The
+    symbol sequence is carried as a `|s1||s2||…|`-delimited string so
+    the merge is ONE `replace()` call, whose left-to-right
+    non-overlapping scan is exactly BPE's greedy merge semantic in both
+    engines (each symbol carries its own delimiters, so matches can't
+    chain through a shared separator). Lineage is cut per round with
+    `localCheckpoint(eager=True)` — the vocab is referenced twice per
+    round (pair count + rewrite), which doubles the logical plan per
+    iteration if left uncut (the round-12 connected-components lesson).
+
+    vs reference: no analogue (`dashboard_nfp.py` has no text surface).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    ).filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2))
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq")).select(
+        F.col("w").alias("word"),
+        "freq",
+        F.concat(
+            F.lit("|"),
+            F.array_join(F.expr("regexp_extract_all(w, '(.)', 1)"), "||"),
+            F.lit("|"),
+        ).alias("syms"),
+    )
+    vocab = vocab.localCheckpoint(eager=True)
+
+    merges = []
+    empty_pairs = F.array().cast("array<struct<l:string,r:string>>")
+    for k in range(1, BPE_MERGES + 1):
+        arr = F.split(
+            F.expr("substring(syms, 2, length(syms) - 2)"), r"\|\|"
+        )
+        # guard the index-building transform itself (rule 3): Catalyst
+        # may evaluate the projection around any row filter
+        pairs_col = F.when(
+            F.size(arr) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr) - 1),
+                lambda i: F.struct(
+                    F.element_at(arr, i).alias("l"),
+                    F.element_at(arr, i + 1).alias("r"),
+                ),
+            ),
+        ).otherwise(empty_pairs)
+        pc = (
+            vocab.select("freq", F.explode(pairs_col).alias("p"))
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = (
+            pc.orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        merges.append(best.select(F.lit(k).cast("int").alias("merge_rank"), "l", "r", "cnt"))
+        vocab = (
+            vocab.crossJoin(
+                F.broadcast(
+                    best.select(F.col("l").alias("m_l"), F.col("r").alias("m_r"))
+                )
+            )
+            .select(
+                "word",
+                "freq",
+                F.replace(
+                    F.col("syms"),
+                    F.concat(
+                        F.lit("|"), "m_l", F.lit("||"), "m_r", F.lit("|")
+                    ),
+                    F.concat(F.lit("|"), "m_l", F.col("m_r"), F.lit("|")),
+                ).alias("syms"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.select(
+        "merge_rank",
+        F.col("l").alias("left_sym"),
+        F.col("r").alias("right_sym"),
+        F.concat("l", "r").alias("merged"),
+        F.col("cnt").alias("weighted_count"),
+    ).orderBy("merge_rank")
+
+
+QUERIES["vocab_bpe_learn_merges"] = vocab_bpe_learn_merges
+
+
+def _bpe_oracle_sql() -> str:
+    """Unrolled-CTE twin of the merge loop: v0 = char-split vocab, then
+    per iteration pc_k (pair counts) -> b_k (argmax) -> v_k (REPLACE
+    rewrite; same greedy left-to-right semantic as Spark's replace())."""
+    ctes = [
+        "v0 AS (SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq, "
+        "'|' || array_to_string(regexp_extract_all(w, '.'), '||') || '|' "
+        "AS syms FROM (SELECT w FROM documents, "
+        "unnest(string_split(lower(text), ' ')) AS t(w) "
+        "WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 2) "
+        "GROUP BY 1)"
+    ]
+    for k in range(1, BPE_MERGES + 1):
+        p = k - 1
+        ctes.append(
+            f"pc{k} AS (SELECT a[CAST(i AS INT)] AS l, "
+            f"a[CAST(i AS INT) + 1] AS r, "
+            f"CAST(SUM(freq) AS BIGINT) AS cnt FROM "
+            f"(SELECT freq, string_split(substr(syms, 2, "
+            f"length(syms) - 2), '||') AS a FROM v{p}), "
+            f"unnest(CASE WHEN len(a) >= 2 THEN range(1, len(a)) "
+            f"ELSE [] END) AS u(i) GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"b{k} AS (SELECT l, r, cnt FROM pc{k} "
+            f"ORDER BY cnt DESC, l, r LIMIT 1)"
+        )
+        ctes.append(
+            f"v{k} AS (SELECT word, freq, REPLACE(syms, "
+            f"'|' || b.l || '||' || b.r || '|', "
+            f"'|' || b.l || b.r || '|') AS syms FROM v{p}, b{k} b)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS merge_rank, l AS left_sym, "
+        f"r AS right_sym, l || r AS merged, cnt AS weighted_count FROM b{k}"
+        for k in range(1, BPE_MERGES + 1)
+    )
+    return (
+        "WITH " + ", ".join(ctes) + " SELECT * FROM (" + union
+        + ") ORDER BY merge_rank"
+    )
+
+
+ORACLE["vocab_bpe_learn_merges"] = _bpe_oracle_sql()

@@ -1220,3 +1220,236 @@ ORACLE["sim_knn_classify"] = (
     "best_cos, CAST(CASE WHEN nb_label = true_label THEN 1 ELSE 0 END "
     "AS INT) AS correct FROM p WHERE vr = 1 ORDER BY query_id"
 )
+
+
+# --- MMR diversified retrieval (Carbonell & Goldstein, SIGIR 1998) -----------
+
+# λ = MMR_L_NUM / MMR_DEN — kept as INTEGER weights so the greedy
+# objective is exact int64 arithmetic over the 6-dp-scaled cosines
+# (round 13: the double form 0.7*rel - 0.3*max_sim straddled a 6-dp
+# rendering boundary between engines on the sf0.01 fixture — the
+# CLAUDE.md "compare in INTEGER space" corollary applies to scores too)
+MMR_L_NUM = 7
+MMR_D_NUM = 3
+MMR_DEN = 10
+MMR_POOL = 20  # relevance pool per query the re-ranker works on
+MMR_K = 5  # diversified results returned per query
+MMR_S = 1_000_000.0  # 6-dp cosine scale
+
+
+def sim_search_mmr_diversified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """North-star — **Maximal Marginal Relevance re-ranking** (Carbonell
+    & Goldstein, SIGIR 1998): from each query's top-``MMR_POOL`` cosine
+    pool, greedily select ``MMR_K`` results maximizing
+    ``λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)`` with λ = 0.7 — the
+    standard diversification pass a retrieval stack runs between ANN
+    search and the consumer (dedupes near-identical hits the plain
+    top-k returns).
+
+    Scale contract: the corpus-sized work is ONE scored pass (the
+    `sim_search_cosine` stream — broadcast query side, rank window);
+    everything after runs on the per-query constant-size pool
+    (``MMR_POOL`` rows/query → pool² pairwise sims), so the greedy loop
+    is unrolled as ``MMR_K − 1`` fixed stages over pool-sized frames.
+    The pool and its pairwise-sim table are `localCheckpoint`ed before
+    the stages hang off them — Spark shares no subtrees across
+    consumers, and without the cut the ~10 downstream references would
+    re-execute the corpus scan ~10 times (CLAUDE.md rule 5, the DSIR
+    collapse).
+
+    Determinism: cosines are carried as 6-dp SCALED INT64
+    (``round(cos·1e6)``); the MMR objective ``7·rel_s − 3·ms_s`` and
+    every argmax tiebreak are exact integer comparisons, and each
+    emitted double is one division of an exact int64 by a power of ten
+    — no FP boundary anywhere (the float form of the objective
+    measurably flipped a 6-dp rendering boundary between engines).
+
+    vs reference: no analogue (no vector surface in `dashboard_nfp.py`).
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+    )
+    scored = c.join(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        "ce",
+        dround(cosine(F.col("qe"), F.col("ce")) * MMR_S, 0)
+        .cast("long")
+        .alias("rel_s"),
+    )
+    w_pool = Window.partitionBy("query_id").orderBy(
+        F.col("rel_s").desc(), "neighbor_id"
+    )
+    cand = (
+        scored.withColumn("rk", F.row_number().over(w_pool))
+        .filter(F.col("rk") <= MMR_POOL)
+        .drop("rk")
+        .localCheckpoint(eager=True)
+    )
+    a = cand.select(
+        "query_id",
+        F.col("neighbor_id").alias("n1"),
+        F.col("ce").alias("e1"),
+    )
+    b = cand.select(
+        "query_id",
+        F.col("neighbor_id").alias("n2"),
+        F.col("ce").alias("e2"),
+    )
+    sims = (
+        a.join(b, "query_id")
+        .filter(F.col("n1") != F.col("n2"))
+        .select(
+            "query_id",
+            "n1",
+            "n2",
+            dround(cosine(F.col("e1"), F.col("e2")) * MMR_S, 0)
+            .cast("long")
+            .alias("sim_s"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cs = cand.select("query_id", "neighbor_id", "rel_s")
+
+    w_pick = Window.partitionBy("query_id")
+    picks = []
+    selected = None
+    for t in range(1, MMR_K + 1):
+        if t == 1:
+            sc = cs.select(
+                "query_id",
+                "neighbor_id",
+                "rel_s",
+                F.lit(0).cast("long").alias("ms_s"),
+            )
+        else:
+            remaining = cs.join(
+                selected, ["query_id", "neighbor_id"], "left_anti"
+            )
+            to_sel = sims.join(
+                selected.withColumnRenamed("neighbor_id", "n2"),
+                ["query_id", "n2"],
+            )
+            ms = to_sel.groupBy(
+                "query_id", F.col("n1").alias("neighbor_id")
+            ).agg(F.max("sim_s").alias("ms_s"))
+            sc = remaining.join(ms, ["query_id", "neighbor_id"])
+        score_s = (
+            F.lit(MMR_L_NUM) * F.col("rel_s")
+            - F.lit(MMR_D_NUM) * F.col("ms_s")
+        )
+        pick = (
+            sc.withColumn(
+                "rn",
+                F.row_number().over(
+                    w_pick.orderBy(score_s.desc(), "neighbor_id")
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("query_id", "neighbor_id", "rel_s", "ms_s")
+        )
+        picks.append(pick.withColumn("rank", F.lit(t).cast("int")))
+        new_sel = pick.select("query_id", "neighbor_id")
+        selected = (
+            new_sel if selected is None else selected.unionByName(new_sel)
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "query_id",
+        "rank",
+        "neighbor_id",
+        (F.col("rel_s").cast("double") / MMR_S).alias("relevance"),
+        (
+            (
+                F.lit(MMR_L_NUM) * F.col("rel_s")
+                - F.lit(MMR_D_NUM) * F.col("ms_s")
+            ).cast("double")
+            / (MMR_S * MMR_DEN)
+        ).alias("mmr_score"),
+    ).orderBy("query_id", "rank")
+
+
+QUERIES["sim_search_mmr_diversified"] = sim_search_mmr_diversified
+
+
+def _mmr_oracle_sql() -> str:
+    """Unrolled-CTE twin of the greedy MMR loop (5 fixed stages), same
+    scaled-int64 objective: rel_s/sim_s = ROUND(cos*1e6) BIGINTs,
+    score = 7*rel_s - 3*ms_s compared exactly."""
+    cos_qc = cosine_sql("qe", "ce")
+    cos_cc = cosine_sql("a.ce", "b.ce")
+    ctes = [
+        f"q AS (SELECT vec_id AS query_id, embedding AS qe "
+        f"FROM embeddings WHERE vec_id < {N_QUERIES})",
+        f"c AS (SELECT vec_id AS neighbor_id, embedding AS ce "
+        f"FROM embeddings WHERE vec_id >= {N_QUERIES})",
+        f"scored AS (SELECT query_id, neighbor_id, ce, "
+        f"CAST(ROUND({cos_qc} * {MMR_S}) AS BIGINT) AS rel_s "
+        f"FROM q CROSS JOIN c)",
+        f"cand AS (SELECT query_id, neighbor_id, ce, rel_s FROM ("
+        f"SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
+        f"ORDER BY rel_s DESC, neighbor_id) AS rk FROM scored) "
+        f"WHERE rk <= {MMR_POOL})",
+        f"sims AS (SELECT a.query_id, a.neighbor_id AS n1, "
+        f"b.neighbor_id AS n2, "
+        f"CAST(ROUND({cos_cc} * {MMR_S}) AS BIGINT) AS sim_s "
+        f"FROM cand a JOIN cand b ON a.query_id = b.query_id "
+        f"AND a.neighbor_id <> b.neighbor_id)",
+        "cs AS (SELECT query_id, neighbor_id, rel_s FROM cand)",
+        "p1 AS (SELECT query_id, neighbor_id, rel_s, "
+        "CAST(0 AS BIGINT) AS ms_s FROM ("
+        "SELECT query_id, neighbor_id, rel_s, ROW_NUMBER() OVER ("
+        "PARTITION BY query_id ORDER BY rel_s DESC, neighbor_id) AS rn "
+        "FROM cs) WHERE rn = 1)",
+        "sel1 AS (SELECT query_id, neighbor_id FROM p1)",
+    ]
+    for t in range(2, MMR_K + 1):
+        p = t - 1
+        ctes.append(
+            f"r{t} AS (SELECT cs.* FROM cs WHERE NOT EXISTS ("
+            f"SELECT 1 FROM sel{p} s WHERE s.query_id = cs.query_id "
+            f"AND s.neighbor_id = cs.neighbor_id))"
+        )
+        ctes.append(
+            f"ms{t} AS (SELECT s.query_id, s.n1 AS neighbor_id, "
+            f"CAST(MAX(s.sim_s) AS BIGINT) AS ms_s "
+            f"FROM sims s JOIN sel{p} ON "
+            f"sel{p}.query_id = s.query_id AND sel{p}.neighbor_id = s.n2 "
+            f"GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"p{t} AS (SELECT query_id, neighbor_id, rel_s, ms_s FROM ("
+            f"SELECT r{t}.query_id, r{t}.neighbor_id, r{t}.rel_s, "
+            f"ms{t}.ms_s, ROW_NUMBER() OVER ("
+            f"PARTITION BY r{t}.query_id ORDER BY "
+            f"{MMR_L_NUM} * r{t}.rel_s - {MMR_D_NUM} * ms{t}.ms_s DESC, "
+            f"r{t}.neighbor_id) AS rn FROM r{t} JOIN ms{t} ON "
+            f"ms{t}.query_id = r{t}.query_id "
+            f"AND ms{t}.neighbor_id = r{t}.neighbor_id) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"sel{t} AS (SELECT query_id, neighbor_id FROM sel{p} "
+            f"UNION ALL SELECT query_id, neighbor_id FROM p{t})"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT query_id, CAST({t} AS INT) AS rank, neighbor_id, "
+        f"CAST(rel_s AS DOUBLE) / {MMR_S} AS relevance, "
+        f"CAST({MMR_L_NUM} * rel_s - {MMR_D_NUM} * ms_s AS DOUBLE) "
+        f"/ ({MMR_S} * {MMR_DEN}) AS mmr_score FROM p{t}"
+        for t in range(1, MMR_K + 1)
+    )
+    return (
+        "WITH " + ", ".join(ctes) + " SELECT * FROM (" + union
+        + ") ORDER BY query_id, rank"
+    )
+
+
+ORACLE["sim_search_mmr_diversified"] = _mmr_oracle_sql()

@@ -97,6 +97,16 @@ _MODULES = [
 # has no driver row anywhere, so it outranks keys with historical
 # evidence). Prune the r13-recorded keys next round.
 _SAMPLE_PRIORITY = [
+    # NEW in round 13 — zero-exchange CEP off the user-bucketed layout
+    "events_pattern_match_clustered",
+    # NEW in round 13 — sample ACF correlogram, exact-integer z-products
+    "timeseries_acf",
+    # NEW in round 13 — Resource-Allocation link prediction (posting-list)
+    "graph_link_prediction_ra",
+    # NEW in round 13 — full iterative BPE merge-learning loop
+    "vocab_bpe_learn_merges",
+    # NEW in round 13 — MMR diversified retrieval re-ranking
+    "sim_search_mmr_diversified",
     # latest driver row r6 — oldest surviving evidence, in r6 order
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
