@@ -364,3 +364,149 @@ ORACLE["sample_systematic_resample"] = (
     "SELECT doc_id, w, CAST(n_copies AS INT) AS n_copies FROM k "
     "WHERE n_copies > 0 ORDER BY doc_id"
 )
+
+
+# --- greedy k-center coreset (Gonzalez 1985 farthest-first traversal) --------
+
+KC_K = 6  # centers selected; unrolled in the oracle
+KC_S = 1_000_000.0  # 6-dp cosine-distance scale
+
+
+def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **greedy k-center coreset selection** (Gonzalez,
+    TCS 1985 farthest-first traversal; 2-approximation for the k-center
+    radius): seed with the lowest vec_id, then ``KC_K − 1`` times pick
+    the point FARTHEST (max min-cosine-distance) from the centers
+    chosen so far — the classic diversity sampler for training-data
+    curation (pick the k most mutually-dissimilar exemplars of an
+    embedding corpus).
+
+    Scale contract: Gonzalez is inherently k passes of one
+    distance-per-point each — O(n·k) total, each pass a broadcast of
+    the SINGLE new center into a map-side distance + running
+    ``least()``, then a TakeOrdered argmax. No pairwise blowup, no
+    collect: the argmax row stays distributed (1-row localCheckpoint →
+    broadcast crossJoin, the BPE-trainer device). The point set is
+    checkpointed once up front so the k stages re-read materialized
+    blocks instead of re-scanning the source (CLAUDE.md rule 5), and
+    the running min-distance frame is checkpointed per stage because
+    each stage references it twice (argmax + update).
+
+    Determinism: distances are 6-dp scaled int64
+    (``round((1−cos)·1e6)``, the MMR discipline) so every min/argmax
+    compares exact integers; ties break on vec_id. The seed's
+    sel_dist is 0 by convention (no prior centers).
+
+    vs reference: no analogue (no vector surface in `dashboard_nfp.py`).
+    """
+    from ..functions.vectors import cosine
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    pts = (
+        emb.filter(F.col("vec_id") >= 10)
+        .select("vec_id", F.col("embedding").alias("e"))
+        .localCheckpoint(eager=True)
+    )
+    c1 = pts.orderBy("vec_id").limit(1).localCheckpoint(eager=True)
+
+    def dist_s(e_col, ce_col):
+        return (
+            dround((F.lit(1.0) - cosine(e_col, ce_col)) * KC_S, 0)
+            .cast("long")
+        )
+
+    md = pts.crossJoin(
+        F.broadcast(c1.select(F.col("e").alias("ce")))
+    ).select(
+        "vec_id", "e", dist_s(F.col("e"), F.col("ce")).alias("md_s")
+    ).localCheckpoint(eager=True)
+
+    centers = [
+        c1.select(
+            F.lit(1).cast("int").alias("center_rank"),
+            "vec_id",
+            F.lit(0).cast("long").alias("seld_s"),
+        )
+    ]
+    for t in range(2, KC_K + 1):
+        nxt = (
+            md.orderBy(F.col("md_s").desc(), "vec_id")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        centers.append(
+            nxt.select(
+                F.lit(t).cast("int").alias("center_rank"),
+                "vec_id",
+                F.col("md_s").alias("seld_s"),
+            )
+        )
+        if t < KC_K:
+            md = (
+                md.crossJoin(F.broadcast(nxt.select(F.col("e").alias("ce"))))
+                .select(
+                    "vec_id",
+                    "e",
+                    F.least(
+                        F.col("md_s"), dist_s(F.col("e"), F.col("ce"))
+                    ).alias("md_s"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    out = centers[0]
+    for cdf in centers[1:]:
+        out = out.unionByName(cdf)
+    return out.select(
+        "center_rank",
+        "vec_id",
+        (F.col("seld_s").cast("double") / KC_S).alias("sel_dist"),
+    ).orderBy("center_rank")
+
+
+QUERIES["sample_coreset_kcenter"] = sample_coreset_kcenter
+
+
+def _kcenter_oracle_sql() -> str:
+    """Unrolled farthest-first traversal: c1 = lowest vec_id, then per
+    stage m_t (running min distance) -> c_{t+1} (argmax)."""
+    from ..functions.vectors import cosine_sql
+
+    def d(e, ce):
+        return f"CAST(ROUND((1 - {cosine_sql(e, ce)}) * {KC_S}) AS BIGINT)"
+
+    ctes = [
+        "pts AS (SELECT vec_id, embedding AS e FROM embeddings "
+        "WHERE vec_id >= 10)",
+        "c1 AS (SELECT vec_id AS cid, e AS ce FROM pts "
+        "ORDER BY vec_id LIMIT 1)",
+        f"m1 AS (SELECT p.vec_id, p.e, {d('p.e', 'c.ce')} AS md "
+        f"FROM pts p, c1 c)",
+    ]
+    for t in range(2, KC_K + 1):
+        p = t - 1
+        ctes.append(
+            f"c{t} AS (SELECT vec_id AS cid, e AS ce, md AS seld "
+            f"FROM m{p} ORDER BY md DESC, vec_id LIMIT 1)"
+        )
+        if t < KC_K:
+            ctes.append(
+                f"m{t} AS (SELECT m.vec_id, m.e, "
+                f"LEAST(m.md, {d('m.e', 'c.ce')}) AS md "
+                f"FROM m{p} m, c{t} c)"
+            )
+    union = " UNION ALL ".join(
+        ["SELECT CAST(1 AS INT) AS center_rank, cid AS vec_id, "
+         "0.0 AS sel_dist FROM c1"]
+        + [
+            f"SELECT CAST({t} AS INT), cid, "
+            f"CAST(seld AS DOUBLE) / {KC_S} FROM c{t}"
+            for t in range(2, KC_K + 1)
+        ]
+    )
+    return (
+        "WITH " + ", ".join(ctes) + " SELECT * FROM (" + union
+        + ") ORDER BY center_rank"
+    )
+
+
+ORACLE["sample_coreset_kcenter"] = _kcenter_oracle_sql()

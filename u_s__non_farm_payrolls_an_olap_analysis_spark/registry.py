@@ -107,6 +107,8 @@ _SAMPLE_PRIORITY = [
     "vocab_bpe_learn_merges",
     # NEW in round 13 — MMR diversified retrieval re-ranking
     "sim_search_mmr_diversified",
+    # NEW in round 13 — Gonzalez farthest-first k-center coreset
+    "sample_coreset_kcenter",
     # latest driver row r6 — oldest surviving evidence, in r6 order
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
