@@ -703,6 +703,24 @@ def test_sessionize_clustered_zero_exchange(spark):
     assert "Bucketed: true" in plan, plan
 
 
+def test_pattern_match_clustered_zero_exchange_zero_presort(spark):
+    """The CEP stack off the user-bucketed layout: ZERO hash exchanges
+    (the scan is bucketed by user_id) and ZERO sorts below the windows
+    (the at-rest (user_id, ts, event_id) sort order is reported by the
+    bucketed scan — one file per bucket — and both window frames order
+    by exactly that key since the round-13 derived-seq fix). The only
+    allowed exchange/sort pair is the final presentation ORDER BY on
+    the ~0.05%-selectivity match output."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import layout
+
+    df = layout.events_pattern_match_clustered(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.lower().count("hashpartitioning") == 0, plan
+    assert "Bucketed: true" in plan, plan
+    assert plan.count("Exchange") <= 1, plan  # final rangepartitioning
+    assert plan.count("Sort [") <= 1, plan  # final presentation sort
+
+
 def test_pattern_match_single_user_exchange(spark):
     """The last-non-click-anchor pattern windows must ride ONE hash
     exchange by user (row_number + the three anchor frames share the

@@ -347,6 +347,13 @@ def _q8_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             .repartition(Q8_N_BUCKETS, F.col(key))
             .write.mode("overwrite")
             .option("path", path)
+            # parquet's dictionary encoder keeps a per-writer value->id
+            # hash map in heap until the page fills; on near-unique fact
+            # doubles (l_extendedprice at 60M rows x 32 concurrent
+            # writers) the dictionaries OOMed the 8g heap in the 100x
+            # bench section (round 13) while compressing nothing —
+            # dictionary encoding is for low-cardinality columns
+            .option("parquet.enable.dictionary", "false")
             .bucketBy(Q8_N_BUCKETS, key)
             .sortBy(key)
             .saveAsTable(name)

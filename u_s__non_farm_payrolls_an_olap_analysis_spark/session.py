@@ -73,7 +73,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # --- local-mode hygiene ---
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # 16g default (was 8g): the host carries 128 GiB and the 100x
+        # bench section's concurrent parquet writers OOMed the 8g heap
+        # in round 13 — 8g forced artificial frugality everywhere
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g")
+        )
         # Route the JVM's default unified-logging warnings (e.g.
         # [gc,alloc] GCLocker retries under allocation pressure) to
         # STDERR: the JVM default is stdout, where they interleave with
