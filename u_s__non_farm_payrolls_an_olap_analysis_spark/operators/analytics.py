@@ -1962,3 +1962,73 @@ ORACLE["dq_anomaly_mad"] = (
     "AS outlier_rate "
     "FROM f GROUP BY event_type, med, mad, n ORDER BY event_type"
 )
+
+
+MEDIAN_WIN = 2  # centered 5-month window: ROWS BETWEEN -2 AND +2
+
+
+def timeseries_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **running-median smoothing** (Tukey, EDA 1977 §7:
+    median smoothers resist the outliers a moving AVERAGE smears) of the
+    monthly per-priority revenue series: the centered 5-month median,
+    plus the residual against it — the robust companion of
+    `window_moving_stats`' trailing mean and the smoothing primitive
+    `dq_anomaly_mad`'s Hampel filter builds on.
+
+    Determinism: the series values are scaled int64 (`dsum_scaled`), so
+    the window median is either an exact integer (odd frame) or the
+    midpoint of two integers (edge frames with even count) — Spark
+    ``percentile(x, 0.5)`` ≡ DuckDB ``quantile_cont(x, 0.5)`` linear
+    interpolation, the equivalence `agg_percentiles` already pins, with
+    every interpolation here a /2 of exact ints (exact in binary FP).
+
+    Scale: one shuffle for the monthly rollup, one window exchange per
+    series key; frame length is constant so the median costs O(w log w)
+    per row on a bounded w=5. Series count scales out."""
+    orders = read_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("month", "o_orderdate").alias("mon"),
+    ).agg(dsum_scaled("o_totalprice").alias("rev_s"))
+    w5 = (
+        Window.partitionBy("priority")
+        .orderBy("mon")
+        .rowsBetween(-MEDIAN_WIN, MEDIAN_WIN)
+    )
+    med = F.expr("percentile(rev_s, 0.5)")
+    smoothed = m.select(
+        "priority",
+        "mon",
+        "rev_s",
+        med.over(w5).alias("med_s"),
+    )
+    return smoothed.select(
+        "priority",
+        "mon",
+        F.round(F.col("rev_s").cast("double") / 10_000.0, 4).alias(
+            "revenue"
+        ),
+        dround(F.col("med_s") / 10_000.0, 4).alias("median5"),
+        dround(
+            (F.col("rev_s").cast("double") - F.col("med_s")) / 10_000.0, 4
+        ).alias("residual"),
+    ).orderBy("priority", "mon")
+
+
+QUERIES["timeseries_moving_median"] = timeseries_moving_median
+
+ORACLE["timeseries_moving_median"] = (
+    "WITH m AS (SELECT o_orderpriority AS priority, "
+    "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon, "
+    "CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS BIGINT) "
+    "AS rev_s FROM orders GROUP BY 1, 2), "
+    "s AS (SELECT priority, mon, rev_s, "
+    "quantile_cont(rev_s, 0.5) OVER (PARTITION BY priority ORDER BY mon "
+    f"ROWS BETWEEN {MEDIAN_WIN} PRECEDING AND {MEDIAN_WIN} FOLLOWING) "
+    "AS med_s FROM m) "
+    "SELECT priority, mon, "
+    "ROUND(CAST(rev_s AS DOUBLE) / 10000.0, 4) AS revenue, "
+    "ROUND(med_s / 10000.0, 4) AS median5, "
+    "ROUND((CAST(rev_s AS DOUBLE) - med_s) / 10000.0, 4) AS residual "
+    "FROM s ORDER BY 1, 2"
+)

@@ -109,6 +109,8 @@ _SAMPLE_PRIORITY = [
     "sim_search_mmr_diversified",
     # NEW in round 13 — Gonzalez farthest-first k-center coreset
     "sample_coreset_kcenter",
+    # NEW in round 13 — Tukey running-median smoother + residuals
+    "timeseries_moving_median",
     # latest driver row r6 — oldest surviving evidence, in r6 order
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
