@@ -1353,6 +1353,12 @@ def sim_search_mmr_diversified(
             )
             .filter(F.col("rn") == 1)
             .select("query_id", "neighbor_id", "rel_s", "ms_s")
+            # cut lineage per stage: stage t references selected_{t-1}
+            # TWICE (anti-join + max-sim join), so without the cut the
+            # logical plan doubles per stage — 2^5 replicated join
+            # subtrees, 322 exchanges in the round-13 plan audit
+            # (CLAUDE.md rule 5, the connected-components lesson)
+            .localCheckpoint(eager=True)
         )
         picks.append(pick.withColumn("rank", F.lit(t).cast("int")))
         new_sel = pick.select("query_id", "neighbor_id")
