@@ -2032,3 +2032,103 @@ ORACLE["timeseries_moving_median"] = (
     "ROUND((CAST(rev_s AS DOUBLE) - med_s) / 10000.0, 4) AS residual "
     "FROM s ORDER BY 1, 2"
 )
+
+
+MASE_H = 12  # holdout length (months) and the seasonal period
+
+
+def timeseries_seasonal_naive_mase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """North-star — **forecast backtest: seasonal-naive + MASE**
+    (Hyndman & Koehler, IJF 2006 — the scale-free forecast-accuracy
+    measure): hold out each priority's last 12 months, forecast every
+    held-out month with the seasonal-naive rule ŷ_t = y_{t−12}, and
+    score MASE = (test MAE) / (train MAE of the same seasonal-naive) —
+    the standard "is the model better than the naive?" gate, and the
+    natural next step after the reference's trend/MoM analytics
+    (`dashboard_nfp.py` §trends) toward forecasting.
+
+    Determinism: y is scaled int64 (`dsum_scaled`), so each absolute
+    error is an exact integer and MASE = (Σ|e_test|·n_train) /
+    (Σ|e_train|·n_test) is one double division of two exact int64
+    products, `dround`ed at 6 dp; the test MAE is the exact integer sum
+    divided by (n_test·1e4). Guard: priorities whose history is too
+    short for a 12-lag train error drop out in BOTH engines (n_train
+    errors counted AFTER the lag, identically).
+
+    Scale: the corpus-sized work is the monthly rollup; the backtest is
+    two window functions and one aggregate on the ~80-row-per-key
+    series. Series count scales out (CLAUDE.md rule 5)."""
+    orders = read_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("month", "o_orderdate").alias("mon"),
+    ).agg(dsum_scaled("o_totalprice").alias("rev_s"))
+    wo = Window.partitionBy("priority").orderBy("mon")
+    wd = Window.partitionBy("priority").orderBy(F.col("mon").desc())
+    lagged = m.select(
+        "priority",
+        "rev_s",
+        F.lag("rev_s", MASE_H).over(wo).alias("base"),
+        F.row_number().over(wd).alias("rn_desc"),
+    ).filter(F.col("base").isNotNull())
+    err = lagged.select(
+        "priority",
+        (F.col("rn_desc") <= MASE_H).alias("is_test"),
+        F.abs(F.col("rev_s") - F.col("base")).alias("ae"),
+    )
+    agg = err.groupBy("priority").agg(
+        F.sum(F.when(F.col("is_test"), F.col("ae"))).alias("sum_test"),
+        F.count(F.when(F.col("is_test"), F.lit(1))).alias("n_test"),
+        F.sum(F.when(~F.col("is_test"), F.col("ae"))).alias("sum_train"),
+        F.count(F.when(~F.col("is_test"), F.lit(1))).alias("n_train"),
+    )
+    return (
+        agg.filter((F.col("n_train") > 0) & (F.col("n_test") > 0))
+        .select(
+            "priority",
+            F.col("n_train").cast("int").alias("n_train"),
+            F.col("n_test").cast("int").alias("n_test"),
+            dround(
+                F.col("sum_test").cast("double")
+                / (F.col("n_test") * 10_000.0),
+                4,
+            ).alias("mae_test"),
+            dround(
+                (F.col("sum_test") * F.col("n_train")).cast("double")
+                / (F.col("sum_train") * F.col("n_test")).cast("double"),
+                6,
+            ).alias("mase"),
+        )
+        .orderBy("priority")
+    )
+
+
+QUERIES["timeseries_seasonal_naive_mase"] = timeseries_seasonal_naive_mase
+
+ORACLE["timeseries_seasonal_naive_mase"] = (
+    "WITH m AS (SELECT o_orderpriority AS priority, "
+    "date_trunc('month', o_orderdate) AS mon, "
+    "CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS BIGINT) "
+    "AS rev_s FROM orders GROUP BY 1, 2), "
+    "lagged AS (SELECT priority, rev_s, "
+    f"LAG(rev_s, {MASE_H}) OVER (PARTITION BY priority ORDER BY mon) "
+    "AS base, ROW_NUMBER() OVER (PARTITION BY priority "
+    "ORDER BY mon DESC) AS rn_desc FROM m), "
+    "err AS (SELECT priority, "
+    f"rn_desc <= {MASE_H} AS is_test, abs(rev_s - base) AS ae "
+    "FROM lagged WHERE base IS NOT NULL), "
+    "agg AS (SELECT priority, "
+    "CAST(SUM(CASE WHEN is_test THEN ae END) AS BIGINT) AS sum_test, "
+    "CAST(COUNT(CASE WHEN is_test THEN 1 END) AS BIGINT) AS n_test, "
+    "CAST(SUM(CASE WHEN NOT is_test THEN ae END) AS BIGINT) AS sum_train, "
+    "CAST(COUNT(CASE WHEN NOT is_test THEN 1 END) AS BIGINT) AS n_train "
+    "FROM err GROUP BY 1) "
+    "SELECT priority, CAST(n_train AS INT) AS n_train, "
+    "CAST(n_test AS INT) AS n_test, "
+    "ROUND(CAST(sum_test AS DOUBLE) / (n_test * 10000.0), 4) AS mae_test, "
+    "ROUND(CAST(sum_test * n_train AS DOUBLE) "
+    "/ CAST(sum_train * n_test AS DOUBLE), 6) AS mase "
+    "FROM agg WHERE n_train > 0 AND n_test > 0 ORDER BY 1"
+)

@@ -111,6 +111,8 @@ _SAMPLE_PRIORITY = [
     "sample_coreset_kcenter",
     # NEW in round 13 — Tukey running-median smoother + residuals
     "timeseries_moving_median",
+    # NEW in round 13 — seasonal-naive forecast backtest scored by MASE
+    "timeseries_seasonal_naive_mase",
     # latest driver row r6 — oldest surviving evidence, in r6 order
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
