@@ -1,0 +1,221 @@
+"""Independent-reference tests for the round-13 second batch:
+gaps-and-islands streaks, the exact-integer DFT periodogram, retrieval
+MRR/recall eval, and the fixed-round k-core peel — each replicated in
+pure python at sf0.001 (the same device as test_round13_ops.py: the
+DuckDB oracle checks cross-engine parity; these pin the SEMANTICS
+against a from-scratch implementation that shares no code)."""
+
+from __future__ import annotations
+
+import collections
+import math
+
+from u_s__non_farm_payrolls_an_olap_analysis_spark.io import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _round_half_away(x: float) -> float:
+    return math.floor(abs(x) + 0.5) * (1 if x >= 0 else -1)
+
+
+def _monthly_scaled(spark, keyed=True):
+    series = collections.defaultdict(dict)
+    for r in (
+        read_table(spark, SF, "orders")
+        .select("o_orderpriority", "o_orderdate", "o_totalprice")
+        .collect()
+    ):
+        mon = (r["o_orderdate"].year, r["o_orderdate"].month)
+        key = r["o_orderpriority"] if keyed else ""
+        series[key][mon] = series[key].get(mon, 0) + int(
+            _round_half_away(r["o_totalprice"] * 10000)
+        )
+    return series
+
+
+def test_gaps_islands_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        STREAK_MIN,
+        window_gaps_islands,
+    )
+
+    want = []
+    for key, by_mon in sorted(_monthly_scaled(spark).items()):
+        mons = sorted(by_mon)
+        runs = []
+        for prev, cur in zip(mons, mons[1:]):
+            if by_mon[cur] > by_mon[prev]:
+                gain = by_mon[cur] - by_mon[prev]
+                if runs and runs[-1][-1][0] == prev:
+                    runs[-1].append((cur, gain))
+                else:
+                    runs.append([(cur, gain)])
+        for run in runs:
+            if len(run) >= STREAK_MIN:
+                want.append(
+                    (
+                        key,
+                        run[0][0],
+                        run[-1][0],
+                        len(run),
+                        sum(g for _, g in run) / 10000.0,
+                    )
+                )
+
+    rows = window_gaps_islands(spark, SF).collect()
+    got = [
+        (
+            r["priority"],
+            (r["streak_start"].year, r["streak_start"].month),
+            (r["streak_end"].year, r["streak_end"].month),
+            r["months_up"],
+            r["total_gain"],
+        )
+        for r in rows
+    ]
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[:4] == w[:4]
+        assert abs(g[4] - w[4]) < 1e-6
+
+
+def test_periodogram_matches_pure_python(spark):
+    """The exact-integer DFT must agree with the plain float harmonic
+    regression to well past rounding — the integer path exists for
+    cross-engine determinism, not to change the statistic. The scaled
+    basis introduces a relative basis error of ~5e-7 (866025 vs
+    sqrt(3)/2*1e6), so compare at 1e-4."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        PGRAM_BASIS,
+        timeseries_periodogram,
+    )
+
+    by_mon = _monthly_scaled(spark, keyed=False)[""]
+    ys = [by_mon[m] / 10000.0 for m in sorted(by_mon)]
+    n = len(ys)
+    mean = sum(ys) / n
+    yc = [y - mean for y in ys]
+    m2 = sum(v * v for v in yc)
+    want = {}
+    for p, _, _ in PGRAM_BASIS:
+        a = sum(
+            v * math.cos(2 * math.pi * t / p) for t, v in enumerate(yc)
+        )
+        b = sum(
+            v * math.sin(2 * math.pi * t / p) for t, v in enumerate(yc)
+        )
+        amp = 2.0 * math.sqrt(a * a + b * b) / n
+        share = 2.0 * (a * a + b * b) / (n * m2)
+        want[p] = (amp, share)
+
+    rows = timeseries_periodogram(spark, SF).collect()
+    assert [r["period"] for r in rows] == [p for p, _, _ in PGRAM_BASIS]
+    for r in rows:
+        amp, share = want[r["period"]]
+        assert r["n_months"] == n
+        assert abs(r["amp"] - amp) / max(amp, 1.0) < 1e-4
+        assert abs(r["var_share"] - share) < 1e-4
+        assert 0.0 <= r["var_share"] <= 1.0 + 1e-9
+
+
+def _dround6(x: float) -> float:
+    return _round_half_away(x * 1e6) / 1e6
+
+
+def test_sim_eval_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.similarity import (
+        EVAL_K,
+        N_QUERIES,
+        sim_eval_mrr_recall,
+    )
+
+    emb = {
+        r["vec_id"]: (list(r["embedding"]), r["label"])
+        for r in read_table(spark, SF, "embeddings").collect()
+    }
+
+    def cos(u, v):
+        du = [float(x) for x in u]
+        dv = [float(x) for x in v]
+        dp = sum(a * b for a, b in zip(du, dv))
+        return dp / (
+            math.sqrt(sum(a * a for a in du))
+            * math.sqrt(sum(b * b for b in dv))
+        )
+
+    corpus = {i: e for i, e in emb.items() if i >= N_QUERIES}
+    label_tot = collections.Counter(lab for _, lab in corpus.values())
+    want = {}
+    for qid in range(N_QUERIES):
+        qe, ql = emb[qid]
+        ranked = sorted(
+            ((_dround6(cos(qe, ce)), nid, lab) for nid, (ce, lab) in corpus.items()),
+            key=lambda t: (-t[0], t[1]),
+        )[:EVAL_K]
+        rel_ranks = [
+            i + 1 for i, (_, _, lab) in enumerate(ranked) if lab == ql
+        ]
+        first = rel_ranks[0] if rel_ranks else 0
+        want[qid] = (
+            ql,
+            len(rel_ranks),
+            first,
+            _dround6(1.0 / first) if first else 0.0,
+            label_tot[ql],
+            _dround6(len(rel_ranks) / label_tot[ql]),
+        )
+
+    rows = sim_eval_mrr_recall(spark, SF).collect()
+    assert len(rows) == len(want)
+    for r in rows:
+        ql, hits, first, rr, tot, rec = want[r["query_id"]]
+        assert r["label"] == ql
+        assert r["hits_at_k"] == hits
+        assert r["first_rel_rank"] == first
+        assert abs(r["reciprocal_rank"] - rr) < 1e-9
+        assert r["n_rel_total"] == tot
+        assert abs(r["recall_at_k"] - rec) < 1e-9
+
+
+def test_kcore_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.graph import (
+        CC_MIN_SUPPORT,
+        KCORE_K,
+        KCORE_ROUNDS,
+        graph_kcore_peel,
+    )
+
+    # the edge relation counts LINE pairs (the raw self-join on the order
+    # key): a part appearing on two lines of one order contributes twice
+    # to each of its pairs — replicate with per-order multiplicity
+    baskets = collections.defaultdict(collections.Counter)
+    for r in (
+        read_table(spark, SF, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    ):
+        baskets[r["l_orderkey"]][r["l_partkey"]] += 1
+    sup = collections.Counter()
+    for cnt in baskets.values():
+        ps = sorted(cnt)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                sup[(ps[i], ps[j])] += cnt[ps[i]] * cnt[ps[j]]
+    edges = {e for e, s in sup.items() if s >= CC_MIN_SUPPORT}
+    for _ in range(KCORE_ROUNDS):
+        deg = collections.Counter()
+        for a, b in edges:
+            deg[a] += 1
+            deg[b] += 1
+        keep = {v for v, d in deg.items() if d >= KCORE_K}
+        edges = {(a, b) for a, b in edges if a in keep and b in keep}
+    deg = collections.Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+
+    rows = graph_kcore_peel(spark, SF).collect()
+    got = {r["part"]: r["deg"] for r in rows}
+    assert got == dict(deg)
+    assert [r["part"] for r in rows] == sorted(got)

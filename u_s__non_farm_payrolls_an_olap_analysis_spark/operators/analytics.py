@@ -2132,3 +2132,244 @@ ORACLE["timeseries_seasonal_naive_mase"] = (
     "/ CAST(sum_train * n_test AS DOUBLE), 6) AS mase "
     "FROM agg WHERE n_train > 0 AND n_test > 0 ORDER BY 1"
 )
+
+
+# --- Gaps-and-islands: consecutive growth streaks ----------------------------
+
+STREAK_MIN = 2  # report islands of >= 2 consecutive up-months
+
+
+def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic **gaps-and-islands**: maximal runs of consecutive months
+    with month-over-month revenue GROWTH per priority, via the canonical
+    row_number-difference device (rn over all months minus rn over
+    up-months is constant within an island). The OLAP twin of the
+    reference's MoM growth question (`dashboard_nfp.py` "which months
+    grew?") asked at streak granularity — "how LONG did growth runs
+    last, and how much did each run add?".
+
+    Determinism: the series is scaled int64 (`dsum_scaled`); the up flag
+    compares exact integers; island keys are integer differences; gains
+    are exact integer sums descaled once (`dround` 4 dp). First month of
+    each series has no base month and is never an up-month in either
+    engine (NULL base filtered identically). Island starts are unique
+    per priority, so ORDER BY (priority, streak_start) is total.
+
+    Scale: one corpus-sized shuffle for the monthly rollup, then two
+    stacked windows over the SAME (priority, mon) sort — one exchange,
+    one sort (CLAUDE.md rule 5: later frames order by the original key,
+    never a derived alias)."""
+    orders = read_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("month", "o_orderdate").alias("mon"),
+    ).agg(dsum_scaled("o_totalprice").alias("rev_s"))
+    w = Window.partitionBy("priority").orderBy("mon")
+    flagged = m.select(
+        "priority",
+        "mon",
+        "rev_s",
+        F.lag("rev_s").over(w).alias("base"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("base").isNotNull() & (F.col("rev_s") > F.col("base")))
+    w_up = Window.partitionBy("priority").orderBy("mon")
+    grouped = flagged.select(
+        "priority",
+        "mon",
+        (F.col("rev_s") - F.col("base")).alias("gain_s"),
+        (F.col("rn") - F.row_number().over(w_up)).alias("grp"),
+    )
+    return (
+        grouped.groupBy("priority", "grp")
+        .agg(
+            F.min("mon").alias("streak_start"),
+            F.max("mon").alias("streak_end"),
+            F.count(F.lit(1)).alias("months_up"),
+            F.sum("gain_s").alias("gain_sum"),
+        )
+        .filter(F.col("months_up") >= STREAK_MIN)
+        .select(
+            "priority",
+            "streak_start",
+            "streak_end",
+            F.col("months_up").cast("int").alias("months_up"),
+            F.round(F.col("gain_sum") / 10_000.0, 4).alias("total_gain"),
+        )
+        .orderBy("priority", "streak_start")
+    )
+
+
+QUERIES["window_gaps_islands"] = window_gaps_islands
+
+ORACLE["window_gaps_islands"] = (
+    "WITH m AS (SELECT o_orderpriority AS priority, "
+    "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon, "
+    "CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS BIGINT) "
+    "AS rev_s FROM orders GROUP BY 1, 2), "
+    "f AS (SELECT priority, mon, rev_s, "
+    "LAG(rev_s) OVER (PARTITION BY priority ORDER BY mon) AS base, "
+    "ROW_NUMBER() OVER (PARTITION BY priority ORDER BY mon) AS rn "
+    "FROM m), "
+    "u AS (SELECT priority, mon, rev_s - base AS gain_s, "
+    "rn - ROW_NUMBER() OVER (PARTITION BY priority ORDER BY mon) AS grp "
+    "FROM f WHERE base IS NOT NULL AND rev_s > base), "
+    "g AS (SELECT priority, grp, MIN(mon) AS streak_start, "
+    "MAX(mon) AS streak_end, CAST(COUNT(*) AS BIGINT) AS months_up, "
+    "CAST(SUM(gain_s) AS BIGINT) AS gain_sum FROM u GROUP BY 1, 2) "
+    "SELECT priority, streak_start, streak_end, "
+    "CAST(months_up AS INT) AS months_up, "
+    "ROUND(CAST(gain_sum AS DOUBLE) / 10000.0, 4) AS total_gain "
+    f"FROM g WHERE months_up >= {STREAK_MIN} "
+    "ORDER BY priority, streak_start"
+)
+
+
+# --- Periodogram: exact-integer DFT power at candidate seasonal periods ------
+
+# cos/sin basis values at 2*pi*k/P, scaled by 1e6 and DEFINED as these
+# integer literals in BOTH engines (the only irrational ones are
+# +/-sqrt(3)/2 ~ +/-0.866025): the basis is part of the operator's
+# contract, so no cross-engine trig ULP can enter.
+PGRAM_BASIS = [
+    (3, [1000000, -500000, -500000], [0, 866025, -866025]),
+    (4, [1000000, 0, -1000000, 0], [0, 1000000, 0, -1000000]),
+    (
+        6,
+        [1000000, 500000, -500000, -1000000, -500000, 500000],
+        [0, 866025, 866025, 0, -866025, -866025],
+    ),
+    (
+        12,
+        [1000000, 866025, 500000, 0, -500000, -866025,
+         -1000000, -866025, -500000, 0, 500000, 866025],
+        [0, 500000, 866025, 1000000, 866025, 500000,
+         0, -500000, -866025, -1000000, -866025, -500000],
+    ),
+]
+
+
+def timeseries_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Seasonality detection via a single-frequency DFT periodogram**
+    (Schuster 1898; the harmonic-regression identity: the squared DFT
+    coefficient at period P is the least-squares fit of a P-periodic
+    sinusoid): project the de-meaned monthly revenue series onto the
+    cos/sin pair at candidate periods {3, 4, 6, 12} months and report
+    each period's fitted amplitude and share of variance explained —
+    the quantitative answer to the reference's seasonality question
+    (`dashboard_nfp.py` "is there a seasonal pattern?") that
+    `timeseries_acf` answers in lag space.
+
+    Determinism: y is scaled int64; de-meaning multiplies through by n
+    (yc = n*y_t - S, exact); the basis is the PGRAM_BASIS integer table
+    (see above); weighted sums run in DECIMAL(38,0) (Spark) == HUGEINT
+    (DuckDB) — exact integers — and only the final amplitude/share
+    arithmetic touches doubles: cast-from-exact-integer, two squares,
+    one add, sqrt (IEEE correctly-rounded), fixed-shape quotients,
+    `dround`. Identical expression shape in both engines.
+
+    Scale: ONE corpus-sized shuffle (the monthly rollup); everything
+    after runs on the ~n_months-row series (x4 periods after the basis
+    explode). The scalar (S, n) rides a broadcast cross join."""
+    orders = read_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("mon")
+    ).agg(dsum_scaled("o_totalprice").alias("rev_s"))
+    w = Window.partitionBy().orderBy("mon")
+    idx = m.select(F.row_number().over(w).alias("t"), "rev_s")
+    tot = idx.agg(
+        F.sum("rev_s").alias("s_tot"), F.count(F.lit(1)).alias("n")
+    )
+    centered = idx.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "n",
+        (
+            F.col("rev_s").cast("decimal(38,0)") * F.col("n")
+            - F.col("s_tot").cast("decimal(38,0)")
+        ).alias("yc"),
+    )
+    basis = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("period"),
+                F.lit(cs).alias("cosv"),
+                F.lit(ss).alias("sinv"),
+            )
+            for p, cs, ss in PGRAM_BASIS
+        ]
+    )
+    pos = ((F.col("t") - 1) % F.col("period") + 1).cast("int")
+    expanded = (
+        centered.select("t", "n", "yc", F.explode(basis).alias("p"))
+        .select(
+            "t",
+            "n",
+            "yc",
+            F.col("p.period").alias("period"),
+            F.col("p.cosv").alias("cosv"),
+            F.col("p.sinv").alias("sinv"),
+        )
+        .select(
+            "n",
+            "period",
+            (F.col("yc") * F.element_at("cosv", pos)).alias("pc"),
+            (F.col("yc") * F.element_at("sinv", pos)).alias("ps"),
+            (F.col("yc") * F.col("yc")).alias("y2"),
+        )
+    )
+    g = expanded.groupBy("period", "n").agg(
+        F.sum("pc").alias("a_e"),
+        F.sum("ps").alias("b_e"),
+        F.sum("y2").alias("m2_e"),
+    )
+    a = F.col("a_e").cast("double")
+    b = F.col("b_e").cast("double")
+    m2 = F.col("m2_e").cast("double")
+    n_d = F.col("n").cast("double")
+    return g.select(
+        "period",
+        F.col("n").cast("int").alias("n_months"),
+        dround(
+            F.lit(2.0) * F.sqrt(a * a + b * b) / (n_d * n_d * F.lit(1e10)),
+            4,
+        ).alias("amp"),
+        dround(
+            F.lit(2.0) * (a * a + b * b) / (n_d * m2 * F.lit(1e12)), 6
+        ).alias("var_share"),
+    ).orderBy("period")
+
+
+QUERIES["timeseries_periodogram"] = timeseries_periodogram
+
+
+def _pgram_oracle_sql() -> str:
+    values = ", ".join(
+        f"({p}, {cs}, {ss})" for p, cs, ss in PGRAM_BASIS
+    )
+    return (
+        "WITH m AS (SELECT date_trunc('month', o_orderdate) AS mon, "
+        "CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS BIGINT) "
+        "AS rev_s FROM orders GROUP BY 1), "
+        "idx AS (SELECT ROW_NUMBER() OVER (ORDER BY mon) AS t, rev_s "
+        "FROM m), "
+        "tot AS (SELECT CAST(SUM(rev_s) AS HUGEINT) AS s_tot, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM idx), "
+        "c AS (SELECT t, n, CAST(rev_s AS HUGEINT) * n - s_tot AS yc "
+        "FROM idx, tot), "
+        f"per(period, cosv, sinv) AS (VALUES {values}), "
+        "e AS (SELECT n, period, "
+        "yc * cosv[CAST((t - 1) % period + 1 AS INT)] AS pc, "
+        "yc * sinv[CAST((t - 1) % period + 1 AS INT)] AS ps, "
+        "yc * yc AS y2 FROM c, per), "
+        "g AS (SELECT period, n, CAST(SUM(pc) AS DOUBLE) AS a, "
+        "CAST(SUM(ps) AS DOUBLE) AS b, CAST(SUM(y2) AS DOUBLE) AS m2 "
+        "FROM e GROUP BY 1, 2) "
+        "SELECT period, CAST(n AS INT) AS n_months, "
+        "ROUND(2.0 * sqrt(a * a + b * b) "
+        "/ (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e10), 4) AS amp, "
+        "ROUND(2.0 * (a * a + b * b) "
+        "/ (CAST(n AS DOUBLE) * m2 * 1e12), 6) AS var_share "
+        "FROM g ORDER BY period"
+    )
+
+
+ORACLE["timeseries_periodogram"] = _pgram_oracle_sql()

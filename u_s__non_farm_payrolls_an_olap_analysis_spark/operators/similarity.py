@@ -1459,3 +1459,122 @@ def _mmr_oracle_sql() -> str:
 
 
 ORACLE["sim_search_mmr_diversified"] = _mmr_oracle_sql()
+
+
+# --- Retrieval evaluation: MRR + recall@k against label ground truth ---------
+
+EVAL_K = 10  # evaluation cutoff (deeper than TOP_K: recall@10 is standard)
+
+
+def sim_eval_mrr_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Retrieval-quality evaluation** — MRR and recall@k of the exact
+    cosine retriever against the corpus's label column as graded ground
+    truth (a neighbor is RELEVANT iff it shares the query's label): the
+    measurement half of the similarity-search story — every ANN variant
+    in this module claims recall, and this operator is the harness that
+    would score it (swap the scored stream; the eval tail is identical).
+
+    Per query: the rank of the first relevant neighbor in the top-k
+    (reciprocal rank; 0 when none), hits@k, and recall@k = hits /
+    total relevant in the corpus (Manning, Raghavan & Schütze, IR ch.8).
+
+    Determinism: ranks are total (6-dp `dround` cosine, neighbor_id
+    tiebreak — the module contract); hits and totals are exact counts;
+    the two exposed ratios are single divisions of small exact integers,
+    `dround`ed at 6 dp. Queries whose rank list has no relevant neighbor
+    emit rr=0/first_rel_rank=0, never NULL (NULL-sort trap, CLAUDE.md
+    rule 2).
+
+    Scale: the corpus-sized work is ONE broadcast-scored pass + per-query
+    rank (same shape as `sim_search_cosine`); the label totals are a
+    corpus aggregate broadcast back onto 10 eval rows.
+
+    vs reference: no analogue (`dashboard_nfp.py` has no vector surface).
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("q_label"),
+    )
+    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("label").alias("c_label"),
+    )
+    scored = c.join(F.broadcast(q)).select(
+        "query_id",
+        "q_label",
+        "neighbor_id",
+        "c_label",
+        dround(cosine(F.col("qe"), F.col("ce")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    topk = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= EVAL_K
+    )
+    rel = F.col("c_label") == F.col("q_label")
+    hits = topk.groupBy("query_id", "q_label").agg(
+        F.sum(F.when(rel, F.lit(1)).otherwise(F.lit(0))).alias("n_hits"),
+        F.min(F.when(rel, F.col("rank"))).alias("first_rel"),
+    )
+    label_tot = c.groupBy(F.col("c_label").alias("q_label")).agg(
+        F.count(F.lit(1)).alias("n_rel_total")
+    )
+    return (
+        hits.join(F.broadcast(label_tot), "q_label")
+        .select(
+            "query_id",
+            F.col("q_label").cast("int").alias("label"),
+            F.col("n_hits").cast("int").alias("hits_at_k"),
+            F.coalesce(F.col("first_rel"), F.lit(0))
+            .cast("int")
+            .alias("first_rel_rank"),
+            dround(
+                F.coalesce(
+                    F.lit(1.0) / F.col("first_rel"), F.lit(0.0)
+                ),
+                6,
+            ).alias("reciprocal_rank"),
+            F.col("n_rel_total").cast("int").alias("n_rel_total"),
+            dround(
+                F.col("n_hits").cast("double")
+                / F.col("n_rel_total").cast("double"),
+                6,
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
+QUERIES["sim_eval_mrr_recall"] = sim_eval_mrr_recall
+
+ORACLE["sim_eval_mrr_recall"] = (
+    f"WITH q AS (SELECT vec_id AS query_id, embedding AS qe, "
+    f"label AS q_label FROM embeddings WHERE vec_id < {N_QUERIES}), "
+    f"c AS (SELECT vec_id AS neighbor_id, embedding AS ce, "
+    f"label AS c_label FROM embeddings WHERE vec_id >= {N_QUERIES}), "
+    f"s AS (SELECT query_id, q_label, neighbor_id, c_label, "
+    f"ROUND({_COS_QC}, 6) AS cosine FROM q CROSS JOIN c), "
+    "r AS (SELECT query_id, q_label, c_label, "
+    "ROW_NUMBER() OVER (PARTITION BY query_id "
+    "ORDER BY cosine DESC, neighbor_id) AS rank FROM s), "
+    "h AS (SELECT query_id, q_label, "
+    "CAST(SUM(CASE WHEN c_label = q_label THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_hits, "
+    "MIN(CASE WHEN c_label = q_label THEN rank END) AS first_rel "
+    f"FROM r WHERE rank <= {EVAL_K} GROUP BY 1, 2), "
+    "lt AS (SELECT c_label AS q_label, CAST(COUNT(*) AS BIGINT) "
+    "AS n_rel_total FROM c GROUP BY 1) "
+    "SELECT query_id, CAST(h.q_label AS INT) AS label, "
+    "CAST(n_hits AS INT) AS hits_at_k, "
+    "CAST(COALESCE(first_rel, 0) AS INT) AS first_rel_rank, "
+    "ROUND(COALESCE(CAST(1 AS DOUBLE) / first_rel, 0.0), 6) "
+    "AS reciprocal_rank, "
+    "CAST(n_rel_total AS INT) AS n_rel_total, "
+    "ROUND(CAST(n_hits AS DOUBLE) / CAST(n_rel_total AS DOUBLE), 6) "
+    "AS recall_at_k "
+    "FROM h JOIN lt USING (q_label) ORDER BY query_id"
+)

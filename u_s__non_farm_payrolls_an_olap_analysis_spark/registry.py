@@ -113,6 +113,14 @@ _SAMPLE_PRIORITY = [
     "timeseries_moving_median",
     # NEW in round 13 — seasonal-naive forecast backtest scored by MASE
     "timeseries_seasonal_naive_mase",
+    # NEW in round 13 — gaps-and-islands growth streaks
+    "window_gaps_islands",
+    # NEW in round 13 — exact-integer DFT periodogram at seasonal periods
+    "timeseries_periodogram",
+    # NEW in round 13 — retrieval eval: MRR + recall@k vs label truth
+    "sim_eval_mrr_recall",
+    # NEW in round 13 — fixed-round k-core peel of the co-purchase graph
+    "graph_kcore_peel",
     # latest driver row r6 — oldest surviving evidence, in r6 order
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
