@@ -219,3 +219,122 @@ def test_kcore_matches_pure_python(spark):
     got = {r["part"]: r["deg"] for r in rows}
     assert got == dict(deg)
     assert [r["part"] for r in rows] == sorted(got)
+
+
+def test_skew_kurtosis_matches_pure_python(spark):
+    """The exact-integer moment combination must equal the plain float
+    population formula (the integer path exists for determinism)."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.aggregates import (
+        agg_skew_kurtosis,
+    )
+
+    by_year = collections.defaultdict(list)
+    for r in (
+        read_table(spark, SF, "lineitem")
+        .select("l_shipdate", "l_quantity")
+        .collect()
+    ):
+        by_year[r["l_shipdate"].year].append(int(round(r["l_quantity"])))
+    want = {}
+    for year, qs in by_year.items():
+        n = len(qs)
+        mean = sum(qs) / n
+        m2 = sum((q - mean) ** 2 for q in qs) / n
+        m3 = sum((q - mean) ** 3 for q in qs) / n
+        m4 = sum((q - mean) ** 4 for q in qs) / n
+        if m2 <= 0:
+            continue
+        want[year] = (
+            n,
+            mean,
+            math.sqrt(m2),
+            m3 / m2**1.5,
+            m4 / m2**2 - 3.0,
+        )
+
+    rows = agg_skew_kurtosis(spark, SF).collect()
+    assert sorted(r["year"] for r in rows) == sorted(want)
+    for r in rows:
+        n, mean, sd, g1, g2 = want[r["year"]]
+        assert r["n_lines"] == n
+        assert abs(r["mean_qty"] - mean) < 1e-5
+        assert abs(r["sd_qty"] - sd) < 1e-5
+        assert abs(r["skewness"] - g1) < 1e-5
+        assert abs(r["kurtosis_excess"] - g2) < 1e-5
+
+
+def test_neyman_allocation_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.sampling import (
+        NEYMAN_BUDGET,
+        sample_neyman_allocation,
+    )
+
+    by_src = collections.defaultdict(list)
+    for r in (
+        read_table(spark, SF, "documents")
+        .select("source", "n_chars")
+        .collect()
+    ):
+        by_src[r["source"]].append(r["n_chars"])
+    w_int = {}
+    stats = {}
+    for src, ys in by_src.items():
+        n = len(ys)
+        mean = sum(ys) / n
+        var = sum((y - mean) ** 2 for y in ys) / n
+        sd = math.sqrt(var)
+        stats[src] = (n, mean, sd)
+        w_int[src] = int(_round_half_away(n * sd * 10000.0))
+    w_tot = sum(w_int.values())
+
+    rows = sample_neyman_allocation(spark, SF).collect()
+    assert sorted(r["stratum"] for r in rows) == sorted(by_src)
+    alloc_total = 0
+    for r in rows:
+        n, mean, sd = stats[r["stratum"]]
+        assert r["n_docs"] == n
+        assert abs(r["mean_chars"] - mean) < 1e-3
+        assert abs(r["sd_chars"] - sd) < 1e-3
+        share = w_int[r["stratum"]] / w_tot
+        assert abs(r["alloc_share"] - share) < 1e-5
+        assert r["n_alloc"] == math.floor(
+            NEYMAN_BUDGET * w_int[r["stratum"]] / w_tot
+        )
+        alloc_total += r["n_alloc"]
+    # floor allocation never exceeds the budget
+    assert alloc_total <= NEYMAN_BUDGET
+
+
+def test_share_of_total_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        window_share_of_total,
+    )
+
+    per = collections.defaultdict(int)
+    for r in (
+        read_table(spark, SF, "orders")
+        .select("o_orderdate", "o_orderpriority", "o_totalprice")
+        .collect()
+    ):
+        per[(r["o_orderdate"].year, r["o_orderpriority"])] += int(
+            _round_half_away(r["o_totalprice"] * 10000)
+        )
+    year_tot = collections.defaultdict(int)
+    for (y, _), v in per.items():
+        year_tot[y] += v
+
+    rows = window_share_of_total(spark, SF).collect()
+    assert len(rows) == len(per)
+    for r in rows:
+        key = (r["year"], r["priority"])
+        assert abs(r["revenue"] - per[key] / 10000.0) < 1e-6
+        assert abs(r["share_of_year"] - per[key] / year_tot[r["year"]]) < 1e-5
+    # shares sum to ~1 per year and ranks are a permutation
+    by_year = collections.defaultdict(list)
+    for r in rows:
+        by_year[r["year"]].append(r)
+    for y, rs in by_year.items():
+        assert abs(sum(r["share_of_year"] for r in rs) - 1.0) < 1e-4
+        assert sorted(r["rank_in_year"] for r in rs) == list(
+            range(1, len(rs) + 1)
+        )

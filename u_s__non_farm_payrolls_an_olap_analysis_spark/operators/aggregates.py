@@ -351,3 +351,108 @@ ORACLE = {
         "FROM orders GROUP BY 1"
     ),
 }
+
+
+# --- Exact higher moments: skewness & kurtosis --------------------------------
+
+
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Exact population skewness and excess kurtosis** of per-line
+    quantity by ship year — the shape statistics after mean/variance
+    (`agg_corr_covar`) and the distribution-rank family. NOT the
+    engines' built-in ``skewness()``/``kurtosis()`` aggregates (Spark
+    and DuckDB disagree on bias correction); both sides compute the
+    same raw-power-sum combination:
+
+        M2 = n*S2 - S1^2              (= n^2 * m2)
+        M3 = n^2*S3 - 3n*S1*S2 + 2*S1^3      (= n^3 * m3)
+        M4 = n^3*S4 - 4n^2*S1*S3 + 6n*S1^2*S2 - 3*S1^4  (= n^4 * m4)
+
+    with the n-powers cancelling in the exposed ratios: g1 = m3/m2^1.5
+    = M3/(M2*sqrt(M2)) and g2 = m4/m2^2 - 3 = M4/(M2*M2) - 3 — one
+    exact-integer combination (DECIMAL(38,0) == HUGEINT; quantities are
+    small integers so S4 fits int64 even at 100x) cast once to double,
+    then sqrt (IEEE correctly-rounded) and fixed-shape quotients.
+
+    Scale: ONE map-side-combinable aggregate over the fact table (the
+    power sums are ordinary SUMs); the moment algebra runs on the
+    ~7-row year frame. Zero-variance groups are filtered on the exact
+    integer M2 in both engines (no Inf can reach the rounding)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    # quantities are integral in every fixture; round-first (the dsum
+    # device) so a fractional value could never truncate (Spark) vs
+    # round (DuckDB) differently
+    q = dround("l_quantity", 0).cast("long")
+    per = li.groupBy(year_of("l_shipdate").alias("year")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum(q * q).alias("s2"),
+        F.sum(q * q * q).alias("s3"),
+        F.sum(q * q * q * q).alias("s4"),
+    )
+
+    def d(c):
+        return c.cast("decimal(38,0)")
+
+    n, s1, s2, s3, s4 = (F.col(x) for x in ("n", "s1", "s2", "s3", "s4"))
+    with_m = per.select(
+        "year",
+        "n",
+        "s1",
+        (d(n) * d(s2) - d(s1) * d(s1)).alias("m2e"),
+        (
+            d(n) * d(n) * d(s3)
+            - F.lit(3) * d(n) * d(s1) * d(s2)
+            + F.lit(2) * d(s1) * d(s1) * d(s1)
+        ).alias("m3e"),
+        (
+            d(n) * d(n) * d(n) * d(s4)
+            - F.lit(4) * d(n) * d(n) * d(s1) * d(s3)
+            + F.lit(6) * d(n) * d(s1) * d(s1) * d(s2)
+            - F.lit(3) * d(s1) * d(s1) * d(s1) * d(s1)
+        ).alias("m4e"),
+    ).filter(F.col("m2e") > 0)
+    m2, m3, m4 = (F.col(x).cast("double") for x in ("m2e", "m3e", "m4e"))
+    n_d = F.col("n").cast("double")
+    return with_m.select(
+        "year",
+        F.col("n").cast("long").alias("n_lines"),
+        dround(F.col("s1").cast("double") / n_d, 6).alias("mean_qty"),
+        dround(F.sqrt(m2) / n_d, 6).alias("sd_qty"),
+        dround(m3 / (m2 * F.sqrt(m2)), 6).alias("skewness"),
+        dround(m4 / (m2 * m2) - F.lit(3.0), 6).alias("kurtosis_excess"),
+    ).orderBy("year")
+
+
+QUERIES["agg_skew_kurtosis"] = agg_skew_kurtosis
+
+ORACLE["agg_skew_kurtosis"] = (
+    "WITH per AS (SELECT CAST(year(l_shipdate) AS INT) AS year, "
+    "CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS s1, "
+    "CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT) * CAST(ROUND(l_quantity) AS BIGINT)) "
+    "AS BIGINT) AS s2, "
+    "CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT) * CAST(ROUND(l_quantity) AS BIGINT) "
+    "* CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS s3, "
+    "CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT) * CAST(ROUND(l_quantity) AS BIGINT) "
+    "* CAST(ROUND(l_quantity) AS BIGINT) * CAST(ROUND(l_quantity) AS BIGINT)) "
+    "AS BIGINT) AS s4 FROM lineitem GROUP BY 1), "
+    "m AS (SELECT year, n, s1, "
+    "CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS m2e, "
+    "CAST(n AS HUGEINT) * n * s3 "
+    "- 3 * CAST(n AS HUGEINT) * s1 * s2 "
+    "+ 2 * CAST(s1 AS HUGEINT) * s1 * s1 AS m3e, "
+    "CAST(n AS HUGEINT) * n * n * s4 "
+    "- 4 * CAST(n AS HUGEINT) * n * s1 * s3 "
+    "+ 6 * CAST(n AS HUGEINT) * s1 * s1 * s2 "
+    "- 3 * CAST(s1 AS HUGEINT) * s1 * s1 * s1 AS m4e "
+    "FROM per) "
+    "SELECT year, n AS n_lines, "
+    "ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_qty, "
+    "ROUND(sqrt(CAST(m2e AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS sd_qty, "
+    "ROUND(CAST(m3e AS DOUBLE) / (CAST(m2e AS DOUBLE) "
+    "* sqrt(CAST(m2e AS DOUBLE))), 6) AS skewness, "
+    "ROUND(CAST(m4e AS DOUBLE) / (CAST(m2e AS DOUBLE) "
+    "* CAST(m2e AS DOUBLE)) - 3.0, 6) AS kurtosis_excess "
+    "FROM m WHERE m2e > 0 ORDER BY year"
+)

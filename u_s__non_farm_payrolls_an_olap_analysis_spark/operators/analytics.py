@@ -2373,3 +2373,60 @@ def _pgram_oracle_sql() -> str:
 
 
 ORACLE["timeseries_periodogram"] = _pgram_oracle_sql()
+
+
+# --- Ratio-to-report: share of total within a group ---------------------------
+
+
+def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Ratio-to-report** (Oracle's RATIO_TO_REPORT, the classic BI
+    "percent of total" column): each priority's share of its YEAR's
+    revenue, plus its rank within the year — the one distribution
+    window shape the rank family (`window_distribution_ranks`) didn't
+    cover: a windowed SUM used as a denominator.
+
+    Determinism: the numerator and the windowed denominator are the
+    SAME exact scaled-int64 aggregate (`dsum_scaled`), so the share is
+    one double division of exact integers per (year, priority) row,
+    `dround`ed at 6 dp; rank breaks ties by priority (total order).
+
+    Scale: one corpus-sized shuffle for the (year, priority) rollup;
+    the share window runs over the ~35-row aggregate partitioned by
+    year — the denominator never recomputes the fact scan."""
+    orders = read_table(spark, sf_dir, "orders")
+    per = orders.groupBy(
+        year_of("o_orderdate").alias("year"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(dsum_scaled("o_totalprice").alias("rev_s"))
+    w_year = Window.partitionBy("year")
+    w_rank = Window.partitionBy("year").orderBy(
+        F.col("rev_s").desc(), "priority"
+    )
+    return per.select(
+        "year",
+        "priority",
+        F.round(F.col("rev_s") / 10_000.0, 4).alias("revenue"),
+        dround(
+            F.col("rev_s").cast("double")
+            / F.sum("rev_s").over(w_year).cast("double"),
+            6,
+        ).alias("share_of_year"),
+        F.row_number().over(w_rank).cast("int").alias("rank_in_year"),
+    ).orderBy("year", "priority")
+
+
+QUERIES["window_share_of_total"] = window_share_of_total
+
+ORACLE["window_share_of_total"] = (
+    "WITH per AS (SELECT CAST(year(o_orderdate) AS INT) AS year, "
+    "o_orderpriority AS priority, "
+    "CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS BIGINT) "
+    "AS rev_s FROM orders GROUP BY 1, 2) "
+    "SELECT year, priority, "
+    "ROUND(CAST(rev_s AS DOUBLE) / 10000.0, 4) AS revenue, "
+    "ROUND(CAST(rev_s AS DOUBLE) / CAST(SUM(rev_s) "
+    "OVER (PARTITION BY year) AS DOUBLE), 6) AS share_of_year, "
+    "CAST(ROW_NUMBER() OVER (PARTITION BY year "
+    "ORDER BY rev_s DESC, priority) AS INT) AS rank_in_year "
+    "FROM per ORDER BY year, priority"
+)

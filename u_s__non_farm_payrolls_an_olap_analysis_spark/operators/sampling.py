@@ -510,3 +510,105 @@ def _kcenter_oracle_sql() -> str:
 
 
 ORACLE["sample_coreset_kcenter"] = _kcenter_oracle_sql()
+
+
+# --- Neyman optimal stratified allocation ------------------------------------
+
+NEYMAN_BUDGET = 10_000  # total sample size to allocate across strata
+
+
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Neyman optimal allocation** (Neyman, JRSS 1934): size each
+    stratum's sample share proportional to N_h * S_h (stratum size x
+    within-stratum standard deviation) — the allocation that minimizes
+    the variance of the stratified mean for a fixed total budget. Strata
+    = document sources, y = document length; the principled upgrade of
+    `sample_stratified_rates`' fixed-rate design (big noisy strata get
+    MORE than proportional share, uniform strata less).
+
+    Determinism: per-stratum M2 = n*S2 - S1^2 is an exact integer
+    (DECIMAL(38,0) == HUGEINT — n*S2 overflows int64 at ~100x), so
+    sd = sqrt(M2)/n is one IEEE sqrt of a cast-from-exact integer. The
+    cross-stratum normalizer must NOT be a float sum (engine summation
+    order differs): each weight w_h = N_h * sd_h is re-scaled to int64
+    (x1e4, ties-away) and the normalizer is the exact INTEGER sum of
+    those — shares and allocations are then single double divisions of
+    exact integers. Allocation = floor(budget * w_h / W): floor of a
+    deterministic double quotient, identical in both engines.
+
+    Scale: one map-side-combinable aggregate over the corpus (count +
+    two power sums per stratum); the allocation algebra runs on the
+    ~source-count-row frame with the scalar W broadcast."""
+    docs = read_table(spark, sf_dir, "documents")
+    y = F.col("n_chars").cast("long")
+    per = docs.groupBy(F.col("source").alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(y).alias("s1"),
+        F.sum(y * y).alias("s2"),
+    )
+
+    def d(c):
+        return c.cast("decimal(38,0)")
+
+    n = F.col("n")
+    m2 = (d(n) * d(F.col("s2")) - d(F.col("s1")) * d(F.col("s1"))).alias(
+        "m2e"
+    )
+    sd = F.sqrt(F.col("m2e").cast("double")) / n.cast("double")
+    weighted = per.select("stratum", "n", "s1", m2).select(
+        "stratum",
+        "n",
+        "s1",
+        "m2e",
+        dround(sd, 4).alias("sd_chars"),
+        # integer re-scale of N_h * sd_h: the cross-stratum sum must be
+        # exact, so it never rides a float accumulation
+        dround(n.cast("double") * sd * F.lit(10_000.0), 0)
+        .cast("long")
+        .alias("w_s"),
+    )
+    tot = weighted.agg(F.sum("w_s").alias("w_tot"))
+    w_d = F.col("w_s").cast("double")
+    wt_d = F.col("w_tot").cast("double")
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            "stratum",
+            F.col("n").cast("long").alias("n_docs"),
+            dround(
+                F.col("s1").cast("double") / F.col("n").cast("double"), 4
+            ).alias("mean_chars"),
+            "sd_chars",
+            dround(w_d / wt_d, 6).alias("alloc_share"),
+            F.floor(F.lit(float(NEYMAN_BUDGET)) * w_d / wt_d)
+            .cast("int")
+            .alias("n_alloc"),
+        )
+        .orderBy("stratum")
+    )
+
+
+QUERIES["sample_neyman_allocation"] = sample_neyman_allocation
+
+ORACLE["sample_neyman_allocation"] = (
+    "WITH per AS (SELECT source AS stratum, "
+    "CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(n_chars) AS BIGINT) AS s1, "
+    "CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2 "
+    "FROM documents GROUP BY 1), "
+    "m AS (SELECT stratum, n, s1, "
+    "CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS m2e "
+    "FROM per), "
+    "w AS (SELECT stratum, n, s1, "
+    "ROUND(sqrt(CAST(m2e AS DOUBLE)) / CAST(n AS DOUBLE), 4) AS sd_chars, "
+    "CAST(ROUND(CAST(n AS DOUBLE) * (sqrt(CAST(m2e AS DOUBLE)) "
+    "/ CAST(n AS DOUBLE)) * 10000.0) AS BIGINT) AS w_s FROM m), "
+    "t AS (SELECT CAST(SUM(w_s) AS BIGINT) AS w_tot FROM w) "
+    "SELECT stratum, n AS n_docs, "
+    "ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 4) AS mean_chars, "
+    "sd_chars, "
+    "ROUND(CAST(w_s AS DOUBLE) / CAST(w_tot AS DOUBLE), 6) AS alloc_share, "
+    f"CAST(FLOOR({float(NEYMAN_BUDGET)} * CAST(w_s AS DOUBLE) "
+    "/ CAST(w_tot AS DOUBLE)) AS INT) AS n_alloc "
+    "FROM w, t ORDER BY stratum"
+)

@@ -121,6 +121,12 @@ _SAMPLE_PRIORITY = [
     "sim_eval_mrr_recall",
     # NEW in round 13 — fixed-round k-core peel of the co-purchase graph
     "graph_kcore_peel",
+    # NEW in round 13 — exact population skewness/kurtosis via raw moments
+    "agg_skew_kurtosis",
+    # NEW in round 13 — Neyman optimal stratified allocation
+    "sample_neyman_allocation",
+    # NEW in round 13 — ratio-to-report share within year
+    "window_share_of_total",
     # latest driver row r6 — oldest surviving evidence, in r6 order
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
