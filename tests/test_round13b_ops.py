@@ -338,3 +338,74 @@ def test_share_of_total_matches_pure_python(spark):
         assert sorted(r["rank_in_year"] for r in rs) == list(
             range(1, len(rs) + 1)
         )
+
+
+def test_gini_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.text import (
+        corpus_gini_by_source,
+    )
+
+    counts = collections.defaultdict(collections.Counter)
+    for r in (
+        read_table(spark, SF, "documents").select("source", "text").collect()
+    ):
+        counts[r["source"]].update(r["text"].split(" "))
+    want = {}
+    for src, cnt in counts.items():
+        cs = sorted(cnt.values())
+        k, n = len(cs), sum(cs)
+        s_ic = sum((i + 1) * c for i, c in enumerate(cs))
+        want[src] = (
+            n,
+            k,
+            (2 * s_ic - (k + 1) * n) / (k * n),
+            max(cs) / n,
+        )
+
+    rows = corpus_gini_by_source(spark, SF).collect()
+    assert sorted(r["source"] for r in rows) == sorted(want)
+    for r in rows:
+        n, k, gini, bp = want[r["source"]]
+        assert r["n_tokens"] == n and r["vocab"] == k
+        assert abs(r["gini"] - gini) < 1e-6
+        assert abs(r["berger_parker"] - bp) < 1e-6
+        assert 0.0 <= r["gini"] < 1.0
+
+
+def test_runs_test_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        timeseries_runs_test,
+    )
+
+    want = {}
+    for key, by_mon in _monthly_scaled(spark).items():
+        ys = [by_mon[m] for m in sorted(by_mon)]
+        signs = [
+            1 if b > a else -1
+            for a, b in zip(ys, ys[1:])
+            if b != a
+        ]
+        n1 = sum(1 for s in signs if s > 0)
+        n2 = sum(1 for s in signs if s < 0)
+        n = n1 + n2
+        if n1 == 0 or n2 == 0 or n <= 2:
+            continue
+        r_runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+        mu = 1.0 + 2.0 * n1 * n2 / n
+        var = (2 * n1 * n2) * (2 * n1 * n2 - n) / (n * n * (n - 1.0))
+        if var <= 0:
+            continue
+        want[key] = (n, n1, n2, r_runs, mu, (r_runs - mu) / math.sqrt(var))
+
+    rows = timeseries_runs_test(spark, SF).collect()
+    assert sorted(r["priority"] for r in rows) == sorted(want)
+    for r in rows:
+        n, n1, n2, rr, mu, z = want[r["priority"]]
+        assert (r["n_moves"], r["n_up"], r["n_down"], r["runs"]) == (
+            n,
+            n1,
+            n2,
+            rr,
+        )
+        assert abs(r["expected_runs"] - mu) < 1e-6
+        assert abs(r["z_score"] - z) < 1e-6

@@ -2430,3 +2430,134 @@ ORACLE["window_share_of_total"] = (
     "ORDER BY rev_s DESC, priority) AS INT) AS rank_in_year "
     "FROM per ORDER BY year, priority"
 )
+
+
+# --- Wald–Wolfowitz runs test --------------------------------------------------
+
+
+def timeseries_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Wald–Wolfowitz runs test** (Ann. Math. Stat. 1940) on the
+    direction sequence of each priority's monthly revenue: are the
+    up/down moves random, or do they cluster (trend/momentum) or
+    alternate (mean-reversion)? The hypothesis-test companion of
+    `timeseries_acf` (which measures the correlation; this tests the
+    sign sequence) and the diagnostic a forecaster runs on
+    `timeseries_seasonal_naive_mase`'s residual direction.
+
+    R = observed runs, n1/n2 = up/down counts, and under H0:
+    mu = 1 + 2*n1*n2/n, var = 2*n1*n2*(2*n1*n2 - n) / (n^2 * (n-1)),
+    z = (R - mu)/sqrt(var). Zero-diff months are dropped (ties carry
+    no direction) — identically in both engines.
+
+    Determinism: signs compare exact scaled ints; R/n1/n2 are exact
+    counts; mu/var are fixed-shape double expressions over small exact
+    integers; one sqrt; `dround` 6. Groups without both signs or with
+    var = 0 drop out on integer predicates in both engines.
+
+    Scale: one corpus-sized rollup, then two stacked windows ordered by
+    the original month key over ~80-row series, one aggregate."""
+    orders = read_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("month", "o_orderdate").alias("mon"),
+    ).agg(dsum_scaled("o_totalprice").alias("rev_s"))
+    w = Window.partitionBy("priority").orderBy("mon")
+    signs = (
+        m.select(
+            "priority",
+            "mon",
+            (F.col("rev_s") - F.lag("rev_s").over(w)).alias("diff"),
+        )
+        .filter(F.col("diff").isNotNull() & (F.col("diff") != 0))
+        .select(
+            "priority",
+            "mon",
+            F.when(F.col("diff") > 0, F.lit(1)).otherwise(F.lit(-1)).alias(
+                "sign"
+            ),
+        )
+    )
+    w2 = Window.partitionBy("priority").orderBy("mon")
+    runs = signs.select(
+        "priority",
+        "sign",
+        F.when(F.lag("sign").over(w2).isNull(), F.lit(1))
+        .when(F.lag("sign").over(w2) != F.col("sign"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("new_run"),
+    )
+    agg = runs.groupBy("priority").agg(
+        F.sum("new_run").alias("r_runs"),
+        F.sum(F.when(F.col("sign") > 0, F.lit(1)).otherwise(F.lit(0))).alias(
+            "n_up"
+        ),
+        F.sum(F.when(F.col("sign") < 0, F.lit(1)).otherwise(F.lit(0))).alias(
+            "n_down"
+        ),
+    )
+    n = F.col("n_up") + F.col("n_down")
+    two_ab = F.lit(2) * F.col("n_up") * F.col("n_down")
+    n_d = n.cast("double")
+    mu = F.lit(1.0) + two_ab.cast("double") / n_d
+    var = (two_ab * (two_ab - n)).cast("double") / (
+        n_d * n_d * (n_d - F.lit(1.0))
+    )
+    return (
+        agg.filter(
+            (F.col("n_up") > 0)
+            & (F.col("n_down") > 0)
+            & (n > 2)
+            & (two_ab * (two_ab - n) > 0)
+        )
+        .select(
+            "priority",
+            n.cast("int").alias("n_moves"),
+            F.col("n_up").cast("int").alias("n_up"),
+            F.col("n_down").cast("int").alias("n_down"),
+            F.col("r_runs").cast("int").alias("runs"),
+            dround(mu, 6).alias("expected_runs"),
+            dround(
+                (F.col("r_runs").cast("double") - mu) / F.sqrt(var), 6
+            ).alias("z_score"),
+        )
+        .orderBy("priority")
+    )
+
+
+QUERIES["timeseries_runs_test"] = timeseries_runs_test
+
+ORACLE["timeseries_runs_test"] = (
+    "WITH m AS (SELECT o_orderpriority AS priority, "
+    "date_trunc('month', o_orderdate) AS mon, "
+    "CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS BIGINT) "
+    "AS rev_s FROM orders GROUP BY 1, 2), "
+    "d AS (SELECT priority, mon, rev_s - LAG(rev_s) OVER ("
+    "PARTITION BY priority ORDER BY mon) AS diff FROM m), "
+    "sgn AS (SELECT priority, mon, "
+    "CASE WHEN diff > 0 THEN 1 ELSE -1 END AS sign "
+    "FROM d WHERE diff IS NOT NULL AND diff <> 0), "
+    "rn AS (SELECT priority, sign, "
+    "CASE WHEN LAG(sign) OVER (PARTITION BY priority ORDER BY mon) "
+    "IS NULL THEN 1 WHEN LAG(sign) OVER (PARTITION BY priority "
+    "ORDER BY mon) <> sign THEN 1 ELSE 0 END AS new_run FROM sgn), "
+    "a AS (SELECT priority, CAST(SUM(new_run) AS BIGINT) AS r_runs, "
+    "CAST(SUM(CASE WHEN sign > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_up, "
+    "CAST(SUM(CASE WHEN sign < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_down "
+    "FROM rn GROUP BY 1) "
+    "SELECT priority, "
+    "CAST(n_up + n_down AS INT) AS n_moves, "
+    "CAST(n_up AS INT) AS n_up, CAST(n_down AS INT) AS n_down, "
+    "CAST(r_runs AS INT) AS runs, "
+    "ROUND(1.0 + CAST(2 * n_up * n_down AS DOUBLE) "
+    "/ CAST(n_up + n_down AS DOUBLE), 6) AS expected_runs, "
+    "ROUND((CAST(r_runs AS DOUBLE) - (1.0 + "
+    "CAST(2 * n_up * n_down AS DOUBLE) "
+    "/ CAST(n_up + n_down AS DOUBLE))) "
+    "/ sqrt(CAST((2 * n_up * n_down) * (2 * n_up * n_down "
+    "- (n_up + n_down)) AS DOUBLE) / (CAST(n_up + n_down AS DOUBLE) "
+    "* CAST(n_up + n_down AS DOUBLE) "
+    "* (CAST(n_up + n_down AS DOUBLE) - 1.0))), 6) AS z_score "
+    "FROM a WHERE n_up > 0 AND n_down > 0 AND n_up + n_down > 2 "
+    "AND (2 * n_up * n_down) * (2 * n_up * n_down - (n_up + n_down)) > 0 "
+    "ORDER BY priority"
+)

@@ -147,6 +147,18 @@ SHARED_SQL = {
         "ON date_trunc('month', o.o_orderdate) = s.m "
         "GROUP BY s.m ORDER BY s.m"
     ),
+    # GROUP BY ALL / ORDER BY ALL (DuckDB-pioneered, Spark 3.4+/4): both
+    # engines resolve ALL to the non-aggregate select items (year,
+    # status) and to every output column left-to-right ASC respectively
+    # — the parity hash proves the two resolutions agree. (year, status)
+    # is a unique grouping key, so ORDER BY ALL is total.
+    "sql_group_by_all": (
+        "SELECT CAST(year(o_orderdate) AS INT) AS year, "
+        "o_orderstatus AS status, COUNT(*) AS n_orders, "
+        "ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) "
+        "AS DOUBLE) / 10000.0, 4) AS total_price "
+        "FROM orders GROUP BY ALL ORDER BY ALL"
+    ),
 }
 
 

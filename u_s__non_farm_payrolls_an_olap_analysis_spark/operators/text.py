@@ -1358,3 +1358,83 @@ ORACLE["corpus_entropy_by_source"] = (
     "/ ln(CAST(vocab AS DOUBLE)) END, 6) AS evenness "
     "FROM s ORDER BY source"
 )
+
+
+# --- Gini concentration of the token distribution ----------------------------
+
+
+def corpus_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **Gini concentration** of each source's token
+    frequencies (Gini 1912, discrete form over k types sorted ascending:
+    ``G = (2*sum(i*c_i) - (k+1)*N) / (k*N)``), plus the Berger-Parker
+    dominance index ``max(c)/N`` — the INEQUALITY view of the token
+    distribution, complementing `corpus_entropy_by_source`'s diversity
+    view and `corpus_zipf_fit`'s power-law fit (the three standard
+    summaries mixture builders profile a source with: a source whose
+    Gini spikes is dominated by few boilerplate types even when its
+    entropy still looks moderate).
+
+    Determinism: every term is an exact integer — the sorted index i is
+    a row_number (count-then-token tiebreak; ties in c commute inside
+    sum(i*c_i), so the tiebreak can't change the sum), the weighted sum
+    and N fit int64, and the two exposed ratios are single double
+    divisions `dround`ed at 6 dp.
+
+    Scale: one corpus explode → one (source, token) count (map-side
+    combinable) → one per-source window over VOCABULARY-sized frames
+    (types, not tokens) → one per-source aggregate."""
+    docs = read_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy("c", "tok")
+    ranked = counts.select(
+        "source", "c", F.row_number().over(w).alias("i")
+    )
+    per = ranked.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(F.col("i") * F.col("c")).alias("s_ic"),
+        F.max("c").alias("c_max"),
+    )
+    num = (
+        F.lit(2) * F.col("s_ic")
+        - (F.col("vocab") + F.lit(1)) * F.col("n_tokens")
+    ).cast("double")
+    den = (F.col("vocab") * F.col("n_tokens")).cast("double")
+    return per.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        dround(num / den, 6).alias("gini"),
+        dround(
+            F.col("c_max").cast("double")
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("berger_parker"),
+    ).orderBy("source")
+
+
+QUERIES["corpus_gini_by_source"] = corpus_gini_by_source
+
+ORACLE["corpus_gini_by_source"] = (
+    "WITH tk AS (SELECT source, u.tok FROM (SELECT source, "
+    "string_split(text, ' ') AS toks FROM documents), "
+    "UNNEST(toks) AS u(tok)), "
+    "c AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c "
+    "FROM tk GROUP BY 1, 2), "
+    "r AS (SELECT source, c, CAST(ROW_NUMBER() OVER ("
+    "PARTITION BY source ORDER BY c, tok) AS BIGINT) AS i FROM c), "
+    "s AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens, "
+    "CAST(COUNT(*) AS BIGINT) AS vocab, "
+    "CAST(SUM(i * c) AS BIGINT) AS s_ic, "
+    "CAST(MAX(c) AS BIGINT) AS c_max FROM r GROUP BY 1) "
+    "SELECT source, n_tokens, vocab, "
+    "ROUND(CAST(2 * s_ic - (vocab + 1) * n_tokens AS DOUBLE) "
+    "/ CAST(vocab * n_tokens AS DOUBLE), 6) AS gini, "
+    "ROUND(CAST(c_max AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) "
+    "AS berger_parker "
+    "FROM s ORDER BY source"
+)

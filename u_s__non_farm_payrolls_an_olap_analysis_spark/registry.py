@@ -127,6 +127,12 @@ _SAMPLE_PRIORITY = [
     "sample_neyman_allocation",
     # NEW in round 13 — ratio-to-report share within year
     "window_share_of_total",
+    # NEW in round 13 — Gini/Berger-Parker token concentration
+    "corpus_gini_by_source",
+    # NEW in round 13 — Wald–Wolfowitz runs test on MoM directions
+    "timeseries_runs_test",
+    # NEW in round 13 — GROUP BY ALL / ORDER BY ALL shared dialect
+    "sql_group_by_all",
     # latest driver row r6 — oldest surviving evidence, in r6 order
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
