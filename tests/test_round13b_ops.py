@@ -409,3 +409,133 @@ def test_runs_test_matches_pure_python(spark):
         )
         assert abs(r["expected_runs"] - mu) < 1e-6
         assert abs(r["z_score"] - z) < 1e-6
+
+
+def test_ljung_box_matches_pure_python(spark):
+    """Q must match the plain float Ljung-Box over the same monthly
+    series (quantization error of the 1e12-scaled terms is far below
+    the comparison tolerance)."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        ACF_MAX_LAG,
+        timeseries_ljung_box,
+    )
+
+    want = {}
+    for key, by_mon in _monthly_scaled(spark).items():
+        ys = [by_mon[m] for m in sorted(by_mon)]
+        n = len(ys)
+        mean = sum(ys) / n
+        den = sum((y - mean) ** 2 for y in ys)
+        q = 0.0
+        df = 0
+        for k in range(1, ACF_MAX_LAG + 1):
+            if k >= n:
+                break
+            num = sum(
+                (ys[t] - mean) * (ys[t - k] - mean) for t in range(k, n)
+            )
+            rho = num / den
+            q += rho * rho / (n - k)
+            df += 1
+        want[key] = (n, df, n * (n + 2) * q)
+
+    rows = timeseries_ljung_box(spark, SF).collect()
+    assert sorted(r["priority"] for r in rows) == sorted(want)
+    for r in rows:
+        n, df, q = want[r["priority"]]
+        assert (r["n_months"], r["df"]) == (n, df)
+        assert abs(r["q_stat"] - q) < 1e-3
+        assert r["q_stat"] >= 0.0
+
+
+def test_pca_power_iteration_matches_pure_python(spark):
+    """Replicates the exact quantized algorithm step for step in pure
+    python (same IEEE double ops, same fold order, same ties-away
+    quantizations) — got must equal want to rounding — and then checks
+    the MEANING: the returned direction's Rayleigh quotient must be
+    within a few percent of the true top eigenvalue computed by a
+    long-converged float power iteration."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.similarity import (
+        EMB_DIM,
+        PCA_CS,
+        PCA_ITERS,
+        PCA_QS,
+        embedding_pca_power_iteration,
+    )
+
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in read_table(spark, SF, "embeddings").collect()
+    }
+    n = len(vecs)
+    xs = {
+        i: [_round_half_away(x * PCA_CS) for x in v]
+        for i, v in vecs.items()
+    }
+    s1 = [sum(xs[i][k] for i in xs) for k in range(EMB_DIM)]
+    ct = {
+        i: [(n * xs[i][k] - s1[k]) / (n * PCA_CS) for k in range(EMB_DIM)]
+        for i in xs
+    }
+
+    def dot_seq(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    tv_s = sum(
+        int(_round_half_away(dot_seq(ct[i], ct[i]) / n * PCA_QS))
+        for i in ct
+    )
+    v = [0.125] * EMB_DIM
+    lam = None
+    for _ in range(PCA_ITERS):
+        ds = {
+            i: int(_round_half_away(dot_seq(ct[i], v) * PCA_QS))
+            for i in ct
+        }
+        ws = []
+        for k in range(EMB_DIM):
+            ws.append(
+                sum(
+                    int(
+                        _round_half_away(
+                            (ct[i][k] * (ds[i] / PCA_QS)) * PCA_QS
+                        )
+                    )
+                    for i in ct
+                )
+            )
+        w = [x / PCA_QS for x in ws]
+        nrm = math.sqrt(dot_seq(w, w))
+        v = [_dround6(x / nrm) for x in w]
+        lam = _dround6(nrm)
+    share = _dround6(lam / (tv_s / PCA_QS))
+
+    rows = embedding_pca_power_iteration(spark, SF).collect()
+    assert [r["k"] for r in rows] == list(range(1, EMB_DIM + 1))
+    for r in rows:
+        assert abs(r["loading"] - v[r["k"] - 1]) < 1e-9
+        assert abs(r["lambda1"] - lam) < 1e-9
+        assert abs(r["var_share"] - share) < 1e-9
+    # unit norm (to quantization)
+    assert abs(sum(x * x for x in v) - 1.0) < 1e-3
+
+    # meaning: converge a float power iteration for 200 steps and
+    # compare Rayleigh quotients. The synthetic embeddings are close to
+    # isotropic (small eigengap), so the fixed 6-step result captures
+    # ~88% of the top eigendirection's energy — bound at 0.85
+    u = [1.0 / math.sqrt(EMB_DIM)] * EMB_DIM
+    for _ in range(200):
+        w2 = [
+            sum(ct[i][k] * dot_seq(ct[i], u) for i in ct)
+            for k in range(EMB_DIM)
+        ]
+        nz = math.sqrt(dot_seq(w2, w2))
+        u = [x / nz for x in w2]
+    lam_true = sum(dot_seq(ct[i], u) ** 2 for i in ct)
+    # rayleigh of the operator's v (per-sample covariance uses 1/1 —
+    # both lam and lam_true are in the same unnormalized units)
+    lam_v = sum(dot_seq(ct[i], v) ** 2 for i in ct)
+    assert lam_v >= 0.85 * lam_true

@@ -2561,3 +2561,113 @@ ORACLE["timeseries_runs_test"] = (
     "AND (2 * n_up * n_down) * (2 * n_up * n_down - (n_up + n_down)) > 0 "
     "ORDER BY priority"
 )
+
+
+# --- Ljung–Box portmanteau test ------------------------------------------------
+
+LB_SCALE = 1_000_000_000_000  # 1e12: per-lag term quantization
+
+
+def timeseries_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Ljung–Box portmanteau test** (Biometrika 1978): Q = n(n+2) ·
+    Σ_{k=1..h} ρ_k²/(n−k) over the first h=12 autocorrelations of each
+    priority's monthly revenue — the one-number "is there ANY serial
+    correlation?" summary of `timeseries_acf`'s correlogram (compare Q
+    to χ²(h); df is emitted, the critical value is the reader's table
+    lookup).
+
+    Determinism: ρ_k = num_k/den is a division of the ACF operator's
+    exact 128-bit integer sums; the per-lag terms ρ_k²/(n−k) are each
+    quantized to scaled int64 (×1e12, ties-away — `dsum_scaled`) so the
+    cross-lag SUM is exact integer arithmetic, never an order-dependent
+    float accumulation; Q is then one fixed-shape double expression.
+
+    Scale: identical to `timeseries_acf` — corpus-sized work is the
+    monthly rollup; the lag self-join fans out ≤ h rows per month."""
+    orders = read_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("month", "o_orderdate").alias("mon"),
+    ).agg(dsum_scaled("o_totalprice").alias("rev_s"))
+    wp = Window.partitionBy("priority")
+    wo = Window.partitionBy("priority").orderBy("mon")
+    z = m.select(
+        "priority",
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.row_number().over(wo).alias("rn"),
+        (
+            F.count(F.lit(1)).over(wp) * F.col("rev_s")
+            - F.sum("rev_s").over(wp)
+        )
+        .cast("decimal(18,0)")
+        .alias("z"),
+    )
+    den = z.groupBy("priority", "n").agg(
+        F.sum(F.col("z") * F.col("z")).alias("den")
+    )
+    a, b = z.alias("a"), z.alias("b")
+    num = (
+        a.join(
+            b,
+            (F.col("a.priority") == F.col("b.priority"))
+            & (F.col("a.rn") - F.col("b.rn")).between(1, ACF_MAX_LAG),
+        )
+        .groupBy(
+            F.col("a.priority").alias("priority"),
+            (F.col("a.rn") - F.col("b.rn")).cast("int").alias("lag_k"),
+        )
+        .agg(F.sum(F.col("a.z") * F.col("b.z")).alias("num"))
+    )
+    rho = F.col("num").cast("double") / F.col("den").cast("double")
+    term = rho * rho / (F.col("n") - F.col("lag_k")).cast("double")
+    per = (
+        num.join(den, "priority")
+        .groupBy("priority", "n")
+        .agg(
+            dsum_scaled(term, LB_SCALE).alias("t_s"),
+            F.count(F.lit(1)).alias("df"),
+        )
+    )
+    return per.select(
+        "priority",
+        F.col("n").cast("int").alias("n_months"),
+        F.col("df").cast("int").alias("df"),
+        dround(
+            (F.col("n") * (F.col("n") + F.lit(2))).cast("double")
+            * F.col("t_s").cast("double")
+            / F.lit(float(LB_SCALE)),
+            6,
+        ).alias("q_stat"),
+    ).orderBy("priority")
+
+
+QUERIES["timeseries_ljung_box"] = timeseries_ljung_box
+
+ORACLE["timeseries_ljung_box"] = (
+    "WITH m AS (SELECT o_orderpriority AS priority, "
+    "date_trunc('month', o_orderdate) AS mon, "
+    "CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS BIGINT) "
+    "AS rev_s FROM orders GROUP BY 1, 2), "
+    "z AS (SELECT priority, "
+    "COUNT(*) OVER (PARTITION BY priority) AS n, "
+    "ROW_NUMBER() OVER (PARTITION BY priority ORDER BY mon) AS rn, "
+    "COUNT(*) OVER (PARTITION BY priority) * rev_s "
+    "- SUM(rev_s) OVER (PARTITION BY priority) AS z FROM m), "
+    "den AS (SELECT priority, n, SUM(z * z) AS den "
+    "FROM z GROUP BY 1, 2), "
+    "num AS (SELECT a.priority, CAST(a.rn - b.rn AS INT) AS lag_k, "
+    "SUM(a.z * b.z) AS num FROM z a JOIN z b "
+    f"ON a.priority = b.priority AND a.rn - b.rn BETWEEN 1 AND {ACF_MAX_LAG} "
+    "GROUP BY 1, 2), "
+    "per AS (SELECT num.priority, den.n, "
+    "CAST(SUM(CAST(ROUND((CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) "
+    "* (CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) "
+    f"/ CAST(den.n - lag_k AS DOUBLE) * {LB_SCALE}) AS BIGINT)) "
+    "AS BIGINT) AS t_s, "
+    "CAST(COUNT(*) AS BIGINT) AS df "
+    "FROM num JOIN den ON num.priority = den.priority GROUP BY 1, 2) "
+    "SELECT priority, CAST(n AS INT) AS n_months, CAST(df AS INT) AS df, "
+    "ROUND(CAST(n * (n + 2) AS DOUBLE) * CAST(t_s AS DOUBLE) "
+    f"/ {float(LB_SCALE)}, 6) AS q_stat "
+    "FROM per ORDER BY priority"
+)

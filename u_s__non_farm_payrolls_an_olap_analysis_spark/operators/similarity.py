@@ -23,8 +23,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.numerics import dround
-from ..functions.vectors import cosine, cosine_sql
+from ..functions.numerics import dround, dsum_scaled
+from ..functions.vectors import cosine, cosine_sql, dot
 from ..io import read_table
 
 TOP_K = 5
@@ -1578,3 +1578,220 @@ ORACLE["sim_eval_mrr_recall"] = (
     "AS recall_at_k "
     "FROM h JOIN lt USING (q_label) ORDER BY query_id"
 )
+
+
+# --- PCA: top principal component by power iteration --------------------------
+
+PCA_ITERS = 6  # fixed unrolled power-iteration refinements
+PCA_CS = 1_000_000  # per-cell scale (xs = round(x * 1e6))
+PCA_QS = 1_000_000  # quantization of dots / partial sums / loadings
+EMB_DIM = 64  # fixture embedding dimensionality (asserted by the plan)
+
+
+def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **top principal component of the embedding corpus by
+    power iteration** (von Mises & Pollaczek-Geiringer 1929; the
+    distributed form is the standard map-reduce PCA: each step is one
+    pass computing C·v without ever materializing the covariance
+    matrix): center the corpus, start from the fixed uniform unit
+    vector v0 = (1/8,...,1/8), and run ``PCA_ITERS`` refinements
+    v ← C·v/‖C·v‖. Emits the component loadings, the Rayleigh-quotient
+    eigenvalue estimate, and its share of total variance — the
+    embedding-space diagnostic a pipeline reads before whitening,
+    Matryoshka truncation (`embedding_matryoshka_truncate`) or int8
+    quantization (`embedding_quantize_int8`): one dominant direction
+    means anisotropic embeddings (Mu & Viswanath 2018) that hurt cosine
+    retrieval.
+
+    Contract & determinism: FIXED iteration count (convergence is a
+    property the hash pins, not a loop condition). Centering is exact:
+    cells quantize to int64 (×1e6 ties-away), c = n·xs − Σxs clears the
+    /n. Every corpus-sized reduction is either a per-row SEQUENTIAL
+    array fold (`vectors.dot` ≡ DuckDB ``list_dot_product`` — the
+    module's proven pairing) or a `dsum_scaled` exact-integer sum; each
+    iteration's dot products and partial sums re-quantize to scaled
+    int64 so no order-dependent float accumulation exists anywhere.
+    The 64-element w/v vectors rebuild via sort_array(collect_list) ≡
+    ``list(... ORDER BY)``.
+
+    Scale: per iteration ONE pass over the corpus (dot per row, fold
+    over dim) + one (dim)-key exact aggregate — C is never formed
+    (O(n·d), not O(n·d²)); v rides a broadcast; each iteration's 1-row
+    v frame is localCheckpoint-ed (CLAUDE.md rule 5, the MMR unrolled-
+    stage lesson), as is the centered-corpus frame every iteration
+    re-reads.
+
+    vs reference: no analogue (no vector surface in `dashboard_nfp.py`).
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    tot = emb.agg(F.count(F.lit(1)).alias("n"))
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("p0", "x")
+    ).select(
+        "vec_id",
+        (F.col("p0") + F.lit(1)).alias("k"),
+        dround(F.col("x").cast("double") * F.lit(float(PCA_CS)), 0)
+        .cast("long")
+        .alias("xs"),
+    )
+    s1 = ex.groupBy("k").agg(F.sum("xs").alias("s1k"))
+    cent = (
+        ex.join(F.broadcast(s1), "k")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "vec_id",
+            "k",
+            "n",
+            (F.col("n") * F.col("xs") - F.col("s1k")).alias("c"),
+        )
+    )
+    n_d = F.col("n").cast("double")
+    cvec = (
+        cent.groupBy("vec_id", "n")
+        .agg(F.sort_array(F.collect_list(F.struct("k", "c"))).alias("kc"))
+        .select(
+            "vec_id",
+            "n",
+            F.transform(
+                "kc",
+                lambda s: s["c"].cast("double")
+                / (F.col("n").cast("double") * F.lit(float(PCA_CS))),
+            ).alias("ct"),
+        )
+        .localCheckpoint(eager=True)  # re-read every iteration
+    )
+    # total variance (real units): sequential per-row fold, exact corpus sum
+    tv = cvec.select(
+        (dot(F.col("ct"), F.col("ct")) / n_d).alias("rss")
+    ).agg(dsum_scaled("rss", PCA_QS).alias("tv_s"))
+
+    v_df = spark.range(1).select(
+        F.array_repeat(F.lit(0.125), EMB_DIM).alias("v")
+    )
+    for _it in range(PCA_ITERS):
+        dots = cvec.crossJoin(F.broadcast(v_df)).select(
+            "n",
+            "ct",
+            dround(
+                dot(F.col("ct"), F.col("v")) * F.lit(float(PCA_QS)), 0
+            )
+            .cast("long")
+            .alias("ds"),
+        )
+        wrows = dots.select(
+            (F.col("ds").cast("double") / F.lit(float(PCA_QS))).alias(
+                "dsd"
+            ),
+            F.posexplode("ct").alias("p0", "ctv"),
+        )
+        w = (
+            wrows.groupBy((F.col("p0") + F.lit(1)).alias("p"))
+            .agg(
+                dsum_scaled(
+                    F.col("ctv") * F.col("dsd"), PCA_QS
+                ).alias("ws")
+            )
+        )
+        warr = (
+            w.groupBy()
+            .agg(
+                F.sort_array(F.collect_list(F.struct("p", "ws"))).alias(
+                    "pw"
+                )
+            )
+            .select(
+                F.transform(
+                    "pw",
+                    lambda s: s["ws"].cast("double")
+                    / F.lit(float(PCA_QS)),
+                ).alias("w")
+            )
+            .select("w", F.sqrt(dot(F.col("w"), F.col("w"))).alias("nrm"))
+        )
+        v_df = warr.select(
+            F.transform(
+                "w", lambda x: dround(x / F.col("nrm"), 6)
+            ).alias("v"),
+            dround(F.col("nrm"), 6).alias("lam"),
+        ).localCheckpoint(eager=True)  # cut per-stage lineage
+
+    return (
+        v_df.crossJoin(F.broadcast(tv))
+        .select(
+            F.posexplode("v").alias("p0", "loading"),
+            "lam",
+            "tv_s",
+        )
+        .select(
+            (F.col("p0") + F.lit(1)).cast("int").alias("k"),
+            "loading",
+            F.col("lam").alias("lambda1"),
+            dround(
+                F.col("lam")
+                / (F.col("tv_s").cast("double") / F.lit(float(PCA_QS))),
+                6,
+            ).alias("var_share"),
+        )
+        .orderBy("k")
+    )
+
+
+QUERIES["embedding_pca_power_iteration"] = embedding_pca_power_iteration
+
+
+def _pca_oracle_sql() -> str:
+    """Identical unrolled power iteration; MATERIALIZED CTEs (the
+    graph_kcore_peel lesson: each generation is referenced by the next
+    twice, so inlining compounds per iteration)."""
+    v0 = (
+        "list_transform(range(1, "
+        f"{EMB_DIM + 1}), i -> CAST(0.125 AS DOUBLE))"
+    )
+    sql = (
+        "WITH tot AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM embeddings), "
+        "ex AS MATERIALIZED (SELECT vec_id, i AS k, "
+        f"CAST(ROUND(CAST(embedding[i] AS DOUBLE) * {float(PCA_CS)}) "
+        "AS BIGINT) AS xs FROM embeddings, "
+        "UNNEST(range(1, len(embedding) + 1)) AS u(i)), "
+        "s1 AS MATERIALIZED (SELECT k, CAST(SUM(xs) AS BIGINT) AS s1k "
+        "FROM ex GROUP BY 1), "
+        "cent AS MATERIALIZED (SELECT vec_id, ex.k, n, "
+        "n * xs - s1k AS c FROM ex JOIN s1 ON s1.k = ex.k, tot), "
+        "cv AS MATERIALIZED (SELECT vec_id, n, "
+        "list_transform(list(c ORDER BY k), c -> CAST(c AS DOUBLE) "
+        f"/ (CAST(n AS DOUBLE) * {float(PCA_CS)})) AS ct "
+        "FROM cent GROUP BY 1, 2), "
+        "tv AS MATERIALIZED (SELECT CAST(SUM(CAST(ROUND("
+        "(list_dot_product(ct, ct) / CAST(n AS DOUBLE)) "
+        f"* {PCA_QS}) AS BIGINT)) AS BIGINT) AS tv_s FROM cv), "
+        f"v0 AS MATERIALIZED (SELECT {v0} AS v FROM (VALUES (1)))"
+    )
+    prev = "v0"
+    for t in range(1, PCA_ITERS + 1):
+        sql += (
+            f", d{t} AS MATERIALIZED (SELECT n, ct, "
+            f"CAST(ROUND(list_dot_product(ct, v) * {float(PCA_QS)}) "
+            f"AS BIGINT) AS ds FROM cv, {prev})"
+            f", w{t} AS MATERIALIZED (SELECT p, "
+            "CAST(SUM(CAST(ROUND((ct[p] * (CAST(ds AS DOUBLE) "
+            f"/ {float(PCA_QS)})) * {PCA_QS}) AS BIGINT)) AS BIGINT) AS ws "
+            f"FROM d{t}, UNNEST(range(1, {EMB_DIM + 1})) AS u(p) "
+            "GROUP BY 1)"
+            f", wa{t} AS MATERIALIZED (SELECT list(CAST(ws AS DOUBLE) "
+            f"/ {float(PCA_QS)} ORDER BY p) AS w FROM w{t})"
+            f", v{t} AS MATERIALIZED (SELECT list_transform(w, "
+            "x -> ROUND(x / sqrt(list_dot_product(w, w)), 6)) AS v, "
+            f"ROUND(sqrt(list_dot_product(w, w)), 6) AS lam FROM wa{t})"
+        )
+        prev = f"v{t}"
+    sql += (
+        f" SELECT CAST(p AS INT) AS k, v[p] AS loading, lam AS lambda1, "
+        f"ROUND(lam / (CAST(tv_s AS DOUBLE) / {float(PCA_QS)}), 6) "
+        f"AS var_share FROM {prev}, tv, "
+        f"UNNEST(range(1, {EMB_DIM + 1})) AS u(p) ORDER BY p"
+    )
+    return sql
+
+
+ORACLE["embedding_pca_power_iteration"] = _pca_oracle_sql()

@@ -133,6 +133,10 @@ _SAMPLE_PRIORITY = [
     "timeseries_runs_test",
     # NEW in round 13 — GROUP BY ALL / ORDER BY ALL shared dialect
     "sql_group_by_all",
+    # NEW in round 13 — Ljung–Box portmanteau test over the ACF lags
+    "timeseries_ljung_box",
+    # NEW in round 13 — distributed PCA top component by power iteration
+    "embedding_pca_power_iteration",
     # latest driver row r6 — oldest surviving evidence, in r6 order
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
