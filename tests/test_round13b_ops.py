@@ -539,3 +539,60 @@ def test_pca_power_iteration_matches_pure_python(spark):
     # both lam and lam_true are in the same unnormalized units)
     lam_v = sum(dot_seq(ct[i], v) ** 2 for i in ct)
     assert lam_v >= 0.85 * lam_true
+
+
+def test_cluster_purity_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.similarity import (
+        IVF_K,
+        N_QUERIES,
+        sim_eval_cluster_purity,
+    )
+
+    emb = {
+        r["vec_id"]: (list(r["embedding"]), r["label"])
+        for r in read_table(spark, SF, "embeddings").collect()
+    }
+
+    def cos(u, v):
+        du = [float(x) for x in u]
+        dv = [float(x) for x in v]
+        dp = sum(a * b for a, b in zip(du, dv))
+        return dp / (
+            math.sqrt(sum(a * a for a in du))
+            * math.sqrt(sum(b * b for b in dv))
+        )
+
+    cents = {
+        i: e for i, (e, _) in emb.items()
+        if N_QUERIES <= i < N_QUERIES + IVF_K
+    }
+    clusters = collections.defaultdict(list)
+    for i, (e, lab) in emb.items():
+        if i < N_QUERIES:
+            continue
+        best = min(
+            ((-_dround6(cos(e, ce)), cid) for cid, ce in cents.items())
+        )[1]
+        clusters[best].append(lab)
+    per = {}
+    maj_tot = n_tot = 0
+    for cid, labs in clusters.items():
+        cnt = collections.Counter(labs)
+        maj_lab, maj_c = min(
+            cnt.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        per[cid] = (len(labs), maj_lab, maj_c)
+        maj_tot += maj_c
+        n_tot += len(labs)
+
+    rows = sim_eval_cluster_purity(spark, SF).collect()
+    assert sorted(r["cluster_id"] for r in rows) == sorted(per)
+    for r in rows:
+        size, maj_lab, maj_c = per[r["cluster_id"]]
+        assert (r["size"], r["majority_label"], r["majority_count"]) == (
+            size,
+            maj_lab,
+            maj_c,
+        )
+        assert abs(r["cluster_purity"] - maj_c / size) < 1e-5
+        assert abs(r["overall_purity"] - maj_tot / n_tot) < 1e-5

@@ -1795,3 +1795,115 @@ def _pca_oracle_sql() -> str:
 
 
 ORACLE["embedding_pca_power_iteration"] = _pca_oracle_sql()
+
+
+# --- Clustering evaluation: purity against label ground truth -----------------
+
+
+def sim_eval_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Cluster-purity evaluation** (Manning, Raghavan & Schütze, IR
+    §16.3): score the IVF codebook assignment (`assign_to_codebook`,
+    the partitioning `sim_search_ann_ivf` and `dedup_semantic_kmeans`
+    search within) against the corpus labels — per cluster the
+    majority label and its share, plus the corpus-level purity
+    Σ_c max_l |c ∩ l| / N as a constant column. The clustering twin of
+    `sim_eval_mrr_recall`: one scores the retriever, this scores the
+    partitioner (a low-purity codebook is why an IVF probe misses).
+
+    Determinism: assignments inherit the module's total order
+    (6-dp `dround` cosine + cent_id tiebreak); majority label breaks
+    count ties toward the smaller label id; counts are exact integers;
+    the two exposed ratios are single divisions `dround`ed at 6 dp.
+
+    Scale: assignment is the module's one-broadcast-pass + rank-1
+    window; everything after is a (cluster, label) count aggregate and
+    a K-row argmax."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + IVF_K)
+    ).select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_e"))
+    cand = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("label").alias("lab"),
+    )
+    assigned = assign_to_codebook(cand.drop("lab"), cent).join(
+        cand.select("neighbor_id", "lab"), "neighbor_id"
+    )
+    cl = assigned.groupBy("list_id", "lab").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_maj = Window.partitionBy("list_id").orderBy(
+        F.col("c").desc(), "lab"
+    )
+    per = (
+        cl.withColumn("rn", F.row_number().over(w_maj))
+        .withColumn(
+            "size", F.sum("c").over(Window.partitionBy("list_id"))
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("list_id").alias("cluster_id"),
+            F.col("size").cast("long").alias("size"),
+            F.col("lab").cast("int").alias("majority_label"),
+            F.col("c").cast("long").alias("majority_count"),
+        )
+    )
+    tot = per.agg(
+        F.sum("majority_count").alias("maj_tot"),
+        F.sum("size").alias("n_tot"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "cluster_id",
+            "size",
+            "majority_label",
+            "majority_count",
+            dround(
+                F.col("majority_count").cast("double")
+                / F.col("size").cast("double"),
+                6,
+            ).alias("cluster_purity"),
+            dround(
+                F.col("maj_tot").cast("double")
+                / F.col("n_tot").cast("double"),
+                6,
+            ).alias("overall_purity"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+QUERIES["sim_eval_cluster_purity"] = sim_eval_cluster_purity
+
+ORACLE["sim_eval_cluster_purity"] = (
+    "WITH cent AS (SELECT vec_id AS cent_id, embedding AS cent_e "
+    f"FROM embeddings WHERE vec_id >= {N_QUERIES} "
+    f"AND vec_id < {N_QUERIES + IVF_K}), "
+    f"cand AS (SELECT vec_id AS neighbor_id, embedding AS ce, "
+    f"label AS lab FROM embeddings WHERE vec_id >= {N_QUERIES}), "
+    "cs AS (SELECT neighbor_id, lab, cent_id, "
+    "ROW_NUMBER() OVER (PARTITION BY neighbor_id ORDER BY "
+    f"ROUND({cosine_sql('ce', 'cent_e')}, 6) DESC, cent_id) AS rn "
+    "FROM cand CROSS JOIN cent), "
+    "assigned AS (SELECT neighbor_id, lab, cent_id AS list_id FROM cs "
+    "WHERE rn = 1), "
+    "cl AS (SELECT list_id, lab, CAST(COUNT(*) AS BIGINT) AS c "
+    "FROM assigned GROUP BY 1, 2), "
+    "per AS (SELECT list_id AS cluster_id, "
+    "CAST(SUM(c) OVER (PARTITION BY list_id) AS BIGINT) AS size, "
+    "CAST(lab AS INT) AS majority_label, c AS majority_count, "
+    "ROW_NUMBER() OVER (PARTITION BY list_id ORDER BY c DESC, lab) "
+    "AS rn FROM cl), "
+    "p AS (SELECT cluster_id, size, majority_label, majority_count "
+    "FROM per WHERE rn = 1), "
+    "t AS (SELECT CAST(SUM(majority_count) AS BIGINT) AS maj_tot, "
+    "CAST(SUM(size) AS BIGINT) AS n_tot FROM p) "
+    "SELECT cluster_id, size, majority_label, majority_count, "
+    "ROUND(CAST(majority_count AS DOUBLE) / CAST(size AS DOUBLE), 6) "
+    "AS cluster_purity, "
+    "ROUND(CAST(maj_tot AS DOUBLE) / CAST(n_tot AS DOUBLE), 6) "
+    "AS overall_purity "
+    "FROM p, t ORDER BY cluster_id"
+)

@@ -137,6 +137,8 @@ _SAMPLE_PRIORITY = [
     "timeseries_ljung_box",
     # NEW in round 13 — distributed PCA top component by power iteration
     "embedding_pca_power_iteration",
+    # NEW in round 13 — clustering eval: codebook purity vs labels
+    "sim_eval_cluster_purity",
     # latest driver row r6 — oldest surviving evidence, in r6 order
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
