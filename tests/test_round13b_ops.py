@@ -596,3 +596,69 @@ def test_cluster_purity_matches_pure_python(spark):
         )
         assert abs(r["cluster_purity"] - maj_c / size) < 1e-5
         assert abs(r["overall_purity"] - maj_tot / n_tot) < 1e-5
+
+
+def test_survival_km_matches_pure_python(spark):
+    """Replicates KM with the CLASSIC running product (not the engine's
+    ln/exp device) — agreement to ~1e-6 proves the quantized-log
+    formulation computes the textbook estimator."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        events_survival_km,
+    )
+
+    US_DAY = 86_400_000_000
+    clicks = collections.defaultdict(list)
+    purchases = collections.defaultdict(list)
+    tmax = None
+    for r in (
+        read_table(spark, SF, "events")
+        .select("user_id", "event_type", "ts")
+        .collect()
+    ):
+        # epoch-micros from wall parts (tz-proof, mirrors
+        # epoch_micros_from_ntz)
+        import datetime
+
+        us = int(
+            (r["ts"] - datetime.datetime(1970, 1, 1)).total_seconds()
+            * 1_000_000
+        )
+        tmax = us if tmax is None else max(tmax, us)
+        if r["event_type"] == "click":
+            clicks[r["user_id"]].append(us)
+        elif r["event_type"] == "purchase":
+            purchases[r["user_id"]].append(us)
+    durs = []
+    for u, cs in clicks.items():
+        t0 = min(cs)
+        tps = [t for t in purchases.get(u, []) if t >= t0]
+        if tps:
+            durs.append(((min(tps) - t0) // US_DAY, 1))
+        else:
+            durs.append(((tmax - t0) // US_DAY, 0))
+    perd = collections.defaultdict(lambda: [0, 0])  # dur -> [d_i, m_i]
+    for d, e in durs:
+        perd[d][0] += e
+        perd[d][1] += 1
+    want = []
+    s = 1.0
+    n_at_risk = len(durs)
+    for d in sorted(perd):
+        d_i, m_i = perd[d]
+        if d_i > 0:
+            s *= (n_at_risk - d_i) / n_at_risk
+            want.append((d, n_at_risk, d_i, s))
+        n_at_risk -= m_i
+
+    rows = events_survival_km(spark, SF).collect()
+    got = [
+        (r["duration_days"], r["n_risk"], r["d_events"], r["survival"])
+        for r in rows
+    ]
+    assert len(got) == len(want)
+    prev = 1.0
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3]
+        assert abs(g[3] - w[3]) < 1e-6
+        assert g[3] <= prev + 1e-9  # survival is non-increasing
+        prev = g[3]

@@ -2671,3 +2671,152 @@ ORACLE["timeseries_ljung_box"] = (
     f"/ {float(LB_SCALE)}, 6) AS q_stat "
     "FROM per ORDER BY priority"
 )
+
+
+# --- Kaplan–Meier survival estimate --------------------------------------------
+
+KM_LN_SCALE = 1_000_000_000_000  # 1e12: per-step ln(factor) quantization
+KM_ZERO_SENTINEL = -(10**15)  # exp(cum/1e12) underflows to exactly 0.0
+_US_PER_DAY = 86_400_000_000
+
+
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Kaplan–Meier survival estimate** (JASA 1958) of time from a
+    user's FIRST click to their FIRST subsequent purchase, with users
+    who never purchase RIGHT-CENSORED at the fixture's horizon (the
+    global max event time) — the correct treatment of the funnel
+    question `agg_funnel_conversion` answers only for completed
+    conversions (dropping non-converters biases time-to-convert low;
+    censoring is the whole point of KM).
+
+    Per distinct duration d (days): d_i = conversions at d, n_i = users
+    still at risk (duration ≥ d, converted or censored), and
+    S(d) = Π_{j ≤ d} (1 − d_j/n_j).
+
+    Determinism: durations are exact int64 epoch-microsecond
+    differences floor-divided to days (`epoch_micros_from_ntz`, rule
+    6a — no tz-dependent casts); d_i/n_i/m_i are exact counts; the
+    product runs as exp of a CUMULATIVE SUM of per-step ln factors
+    each quantized to scaled int64 (×1e12 ties-away — the
+    `corpus_entropy_by_source` convention: identical doubles into
+    ln/exp on both engines, quantization absorbing any libm-vs-JVM
+    ULP), so the running sum is exact integer arithmetic; a
+    d_i = n_i step (everyone at risk converts) contributes the
+    KM_ZERO_SENTINEL instead of ln(0), and exp then underflows to
+    exactly 0.0 in both engines.
+
+    Scale: two keyed aggregates over events (first click, first
+    subsequent purchase — map-side combinable mins) + one LEFT join on
+    user; the KM table itself is ~distinct-durations rows through two
+    global windows (tiny by construction: durations are bounded by the
+    fixture's day span)."""
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_type",
+        epoch_micros_from_ntz(F.col("ts")).alias("us"),
+    )
+    t0 = (
+        base.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t0"))
+    )
+    tmax = base.agg(F.max("us").alias("tmax"))
+    p = (
+        base.filter(F.col("event_type") == "purchase")
+        .join(t0, "user_id")
+        .filter(F.col("us") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("tp"))
+    )
+    cohort = (
+        t0.join(p, "user_id", "left")
+        .crossJoin(F.broadcast(tmax))
+        .select(
+            F.when(F.col("tp").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_event"),
+            F.expr(
+                f"(coalesce(tp, tmax) - t0) div {_US_PER_DAY}"
+            ).alias("dur"),
+        )
+    )
+    perd = cohort.groupBy("dur").agg(
+        F.sum("is_event").alias("d_i"), F.count(F.lit(1)).alias("m_i")
+    )
+    w_risk = Window.partitionBy().orderBy(F.col("dur").desc())
+    risk = perd.select(
+        "dur", "d_i", "m_i", F.sum("m_i").over(w_risk).alias("n_i")
+    )
+    ln_f = F.log(
+        (F.col("n_i") - F.col("d_i")).cast("double")
+        / F.col("n_i").cast("double")
+    )
+    km = risk.filter(F.col("d_i") > 0).select(
+        "dur",
+        "d_i",
+        "n_i",
+        F.when(
+            F.col("d_i") < F.col("n_i"),
+            dround(ln_f * F.lit(float(KM_LN_SCALE)), 0).cast("long"),
+        )
+        .otherwise(F.lit(KM_ZERO_SENTINEL))
+        .alias("ls"),
+    )
+    w_cum = Window.partitionBy().orderBy("dur")
+    return (
+        km.select(
+            "dur",
+            "d_i",
+            "n_i",
+            F.sum("ls").over(w_cum).alias("cum"),
+        )
+        .select(
+            F.col("dur").alias("duration_days"),
+            F.col("n_i").cast("long").alias("n_risk"),
+            F.col("d_i").cast("long").alias("d_events"),
+            dround(
+                F.exp(
+                    F.col("cum").cast("double")
+                    / F.lit(float(KM_LN_SCALE))
+                ),
+                6,
+            ).alias("survival"),
+        )
+        .orderBy("duration_days")
+    )
+
+
+QUERIES["events_survival_km"] = events_survival_km
+
+ORACLE["events_survival_km"] = (
+    "WITH b AS (SELECT user_id, event_type, "
+    "epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events), "
+    "t0 AS (SELECT user_id, MIN(us) AS t0 FROM b "
+    "WHERE event_type = 'click' GROUP BY 1), "
+    "tm AS (SELECT MAX(us) AS tmax FROM b), "
+    "p AS (SELECT b.user_id, MIN(us) AS tp FROM b "
+    "JOIN t0 ON t0.user_id = b.user_id "
+    "WHERE event_type = 'purchase' AND us >= t0 GROUP BY 1), "
+    "coh AS (SELECT CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END "
+    "AS is_event, "
+    f"CAST((COALESCE(tp, tmax) - t0) // {_US_PER_DAY} AS BIGINT) AS dur "
+    "FROM t0 LEFT JOIN p ON p.user_id = t0.user_id, tm), "
+    "perd AS (SELECT dur, CAST(SUM(is_event) AS BIGINT) AS d_i, "
+    "CAST(COUNT(*) AS BIGINT) AS m_i FROM coh GROUP BY 1), "
+    "r AS (SELECT dur, d_i, m_i, "
+    "CAST(SUM(m_i) OVER (ORDER BY dur DESC) AS BIGINT) AS n_i "
+    "FROM perd), "
+    "km AS (SELECT dur, d_i, n_i, "
+    "CASE WHEN d_i < n_i THEN "
+    "CAST(ROUND(ln(CAST(n_i - d_i AS DOUBLE) / CAST(n_i AS DOUBLE)) "
+    f"* {float(KM_LN_SCALE)}) AS BIGINT) "
+    f"ELSE {KM_ZERO_SENTINEL} END AS ls "
+    "FROM r WHERE d_i > 0), "
+    "c AS (SELECT dur, d_i, n_i, "
+    "CAST(SUM(ls) OVER (ORDER BY dur) AS BIGINT) AS cum FROM km) "
+    "SELECT dur AS duration_days, n_i AS n_risk, d_i AS d_events, "
+    f"ROUND(exp(CAST(cum AS DOUBLE) / {float(KM_LN_SCALE)}), 6) "
+    "AS survival "
+    "FROM c ORDER BY duration_days"
+)

@@ -139,6 +139,8 @@ _SAMPLE_PRIORITY = [
     "embedding_pca_power_iteration",
     # NEW in round 13 — clustering eval: codebook purity vs labels
     "sim_eval_cluster_purity",
+    # NEW in round 13 — Kaplan–Meier censored time-to-convert
+    "events_survival_km",
     # latest driver row r6 — oldest surviving evidence, in r6 order
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
