@@ -662,3 +662,55 @@ def test_survival_km_matches_pure_python(spark):
         assert abs(g[3] - w[3]) < 1e-6
         assert g[3] <= prev + 1e-9  # survival is non-increasing
         prev = g[3]
+
+
+def test_mann_whitney_matches_scipy_style_reference(spark):
+    """Pure-python rank-sum replication with average ranks and the
+    tie-corrected normal approximation (the scipy.stats.mannwhitneyu
+    method='asymptotic' formulas)."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        MW_GROUP_A,
+        MW_GROUP_B,
+        agg_mann_whitney_u,
+    )
+
+    vals = []
+    for r in (
+        read_table(spark, SF, "orders")
+        .select("o_orderpriority", "o_totalprice")
+        .collect()
+    ):
+        if r["o_orderpriority"] in (MW_GROUP_A, MW_GROUP_B):
+            vals.append(
+                (
+                    r["o_orderpriority"] == MW_GROUP_A,
+                    int(_round_half_away(r["o_totalprice"] * 10000)),
+                )
+            )
+    vals.sort(key=lambda t: t[1])
+    # average ranks with ties
+    ranks = {}
+    i = 0
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j][1] == vals[i][1]:
+            j += 1
+        avg = (i + 1 + j) / 2.0  # mean of ranks i+1..j
+        ranks[vals[i][1]] = avg
+        i = j
+    r1 = sum(ranks[v] for is_a, v in vals if is_a)
+    n1 = sum(1 for is_a, _ in vals if is_a)
+    n2 = len(vals) - n1
+    n = n1 + n2
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    cnt = collections.Counter(v for _, v in vals)
+    t3t = sum(t**3 - t for t in cnt.values())
+    var = n1 * n2 / 12.0 * ((n + 1) - t3t / (n * (n - 1.0)))
+    z = (u1 - n1 * n2 / 2.0) / math.sqrt(var)
+
+    rows = agg_mann_whitney_u(spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_urgent"], r["n_low"]) == (n1, n2)
+    assert abs(r["u_stat"] - u1) < 1e-6
+    assert abs(r["z_score"] - z) < 1e-6

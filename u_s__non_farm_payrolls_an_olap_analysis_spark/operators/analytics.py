@@ -2820,3 +2820,131 @@ ORACLE["events_survival_km"] = (
     "AS survival "
     "FROM c ORDER BY duration_days"
 )
+
+
+# --- Mann–Whitney U rank-sum test ----------------------------------------------
+
+MW_GROUP_A = "1-URGENT"
+MW_GROUP_B = "5-LOW"
+
+
+def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Mann–Whitney U / Wilcoxon rank-sum test** (Ann. Math. Stat.
+    1947): do URGENT and LOW orders draw from the same price
+    distribution? The distribution-free two-sample test — the
+    significance companion of `agg_percentiles`' descriptive contrast
+    and the third member of the testing family (`timeseries_runs_test`,
+    `timeseries_ljung_box`).
+
+    Rank algebra kept EXACT by working in doubled units: with ties
+    taking the average rank, 2·avgrank = 2·minrank + (t−1) is an exact
+    integer (rank() gives minrank, a count window gives the tie size
+    t), so the doubled rank sum R1d, U1d = R1d − n1(n1+1), and the tie
+    correction T = Σ(t³−t) are all exact integers (DECIMAL(38,0) ≡
+    HUGEINT for the cubes). The normal approximation
+    z = (U1 − n1n2/2) / sqrt(n1n2/12 · ((n+1) − T/(n(n−1)))) is then
+    one fixed-shape double expression; values are scaled-int prices so
+    tie sets are identical across engines.
+
+    Scale: one scan + one global rank window (the documented cost of
+    exact global ranks; at 100 TB a range-partitioned sort — Spark's
+    rank window already is one) + two exact aggregates."""
+    orders = read_table(spark, sf_dir, "orders")
+    both = orders.filter(
+        F.col("o_orderpriority").isin(MW_GROUP_A, MW_GROUP_B)
+    ).select(
+        (F.col("o_orderpriority") == MW_GROUP_A).alias("is_a"),
+        dround(F.col("o_totalprice") * F.lit(10_000.0), 0)
+        .cast("long")
+        .alias("v"),
+    )
+    w_rank = Window.partitionBy().orderBy("v")
+    w_tie = Window.partitionBy("v")
+    ranked = both.select(
+        "is_a",
+        "v",
+        F.rank().over(w_rank).alias("minrank"),
+        F.count(F.lit(1)).over(w_tie).alias("t"),
+    )
+    agg = ranked.agg(
+        F.sum(
+            F.when(
+                F.col("is_a"),
+                F.lit(2) * F.col("minrank") + F.col("t") - F.lit(1),
+            )
+        ).alias("r1d"),
+        F.sum(F.when(F.col("is_a"), F.lit(1)).otherwise(F.lit(0))).alias(
+            "n1"
+        ),
+        F.sum(F.when(~F.col("is_a"), F.lit(1)).otherwise(F.lit(0))).alias(
+            "n2"
+        ),
+    )
+    # tie correction: one row per distinct value
+    ties = (
+        both.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(
+                F.col("t").cast("decimal(38,0)")
+                * F.col("t")
+                * F.col("t")
+                - F.col("t")
+            ).alias("t3t")
+        )
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    n = n1 + n2
+    u1d = F.col("r1d") - n1 * (n1 + F.lit(1))
+    n_d = n.cast("double")
+    var = (
+        (n1 * n2).cast("double")
+        / F.lit(12.0)
+        * (
+            (n + F.lit(1)).cast("double")
+            - F.col("t3t").cast("double")
+            / (n_d * (n_d - F.lit(1.0)))
+        )
+    )
+    return (
+        agg.crossJoin(F.broadcast(ties))
+        .select(
+            n1.cast("long").alias("n_urgent"),
+            n2.cast("long").alias("n_low"),
+            (u1d.cast("double") / F.lit(2.0)).alias("u_stat"),
+            dround(
+                (u1d - n1 * n2).cast("double")
+                / (F.lit(2.0) * F.sqrt(var)),
+                6,
+            ).alias("z_score"),
+        )
+    )
+
+
+QUERIES["agg_mann_whitney_u"] = agg_mann_whitney_u
+
+ORACLE["agg_mann_whitney_u"] = (
+    "WITH both_g AS (SELECT "
+    f"o_orderpriority = '{MW_GROUP_A}' AS is_a, "
+    "CAST(ROUND(o_totalprice * 10000.0) AS BIGINT) AS v "
+    f"FROM orders WHERE o_orderpriority IN ('{MW_GROUP_A}', "
+    f"'{MW_GROUP_B}')), "
+    "r AS (SELECT is_a, v, RANK() OVER (ORDER BY v) AS minrank, "
+    "COUNT(*) OVER (PARTITION BY v) AS t FROM both_g), "
+    "a AS (SELECT CAST(SUM(CASE WHEN is_a THEN 2 * minrank + t - 1 END) "
+    "AS BIGINT) AS r1d, "
+    "CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n1, "
+    "CAST(SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS n2 "
+    "FROM r), "
+    "ties AS (SELECT CAST(SUM(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) "
+    "AS t3t FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t "
+    "FROM both_g GROUP BY v)) "
+    "SELECT n1 AS n_urgent, n2 AS n_low, "
+    "CAST(r1d - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u_stat, "
+    "ROUND(CAST((r1d - n1 * (n1 + 1)) - n1 * n2 AS DOUBLE) "
+    "/ (2.0 * sqrt(CAST(n1 * n2 AS DOUBLE) / 12.0 "
+    "* (CAST(n1 + n2 + 1 AS DOUBLE) - CAST(t3t AS DOUBLE) "
+    "/ (CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1.0))))), 6) "
+    "AS z_score "
+    "FROM a, ties"
+)

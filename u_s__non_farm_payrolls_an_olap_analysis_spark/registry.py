@@ -141,6 +141,8 @@ _SAMPLE_PRIORITY = [
     "sim_eval_cluster_purity",
     # NEW in round 13 — Kaplan–Meier censored time-to-convert
     "events_survival_km",
+    # NEW in round 13 — Mann–Whitney U rank-sum test (tie-corrected)
+    "agg_mann_whitney_u",
     # latest driver row r6 — oldest surviving evidence, in r6 order
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
