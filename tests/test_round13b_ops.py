@@ -714,3 +714,81 @@ def test_mann_whitney_matches_scipy_style_reference(spark):
     assert (r["n_urgent"], r["n_low"]) == (n1, n2)
     assert abs(r["u_stat"] - u1) < 1e-6
     assert abs(r["z_score"] - z) < 1e-6
+
+
+def test_minhash_lsh_eval_matches_pure_python(spark):
+    """Replicates the whole portable pipeline — md5 minhash signatures,
+    banding, bucket collision, exact-Jaccard truth — with hashlib."""
+    import hashlib
+
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.dedup import (
+        EVAL_BANDS,
+        EVAL_PERMS,
+        EVAL_ROWS,
+        JACCARD_THRESHOLD,
+        dedup_eval_minhash_lsh,
+    )
+
+    shingles = {}
+    for r in (
+        read_table(spark, SF, "documents").select("doc_id", "text").collect()
+    ):
+        toks = r["text"].split(" ")
+        shingles[r["doc_id"]] = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+    shingles = {d: s for d, s in shingles.items() if s}
+
+    def h15(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    sig = {
+        d: [
+            min(h15(f"mh{i}:{sh}") for sh in ss)
+            for i in range(EVAL_PERMS)
+        ]
+        for d, ss in shingles.items()
+    }
+    buckets = collections.defaultdict(list)
+    for d, hs in sig.items():
+        for b in range(EVAL_BANDS):
+            key = (
+                b,
+                ",".join(
+                    str(hs[b * EVAL_ROWS + r]) for r in range(EVAL_ROWS)
+                ),
+            )
+            buckets[key].append(d)
+    cands = set()
+    for ds in buckets.values():
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                cands.add((ds[i], ds[j]))
+    truth = set()
+    docs = sorted(shingles)
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = docs[i], docs[j]
+            inter = len(shingles[a] & shingles[b])
+            if inter == 0:
+                continue
+            if inter / (len(shingles[a]) + len(shingles[b]) - inter) >= (
+                JACCARD_THRESHOLD
+            ):
+                truth.add((a, b))
+    detected = truth & cands
+
+    rows = dedup_eval_minhash_lsh(spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_true"] == len(truth)
+    assert r["n_candidates"] == len(cands)
+    assert r["n_detected"] == len(detected)
+    if truth:
+        assert abs(r["lsh_recall"] - len(detected) / len(truth)) < 1e-6
+    if cands:
+        assert (
+            abs(r["candidate_precision"] - len(detected) / len(cands))
+            < 1e-6
+        )

@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.numerics import dround
 from ..functions.vectors import cosine_from_norms, cosine_sql, l2_norm
 from ..io import read_table
 
@@ -1677,3 +1678,188 @@ def dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["dedup_ppjoin"] = dedup_ppjoin
 ORACLE["dedup_ppjoin"] = ORACLE["dedup_ngram_jaccard"]
+
+
+# --- LSH quality evaluation: portable-hash MinHash vs exact truth -------------
+
+EVAL_PERMS = 16
+EVAL_BANDS = 4
+EVAL_ROWS = 4  # EVAL_PERMS / EVAL_BANDS; collision threshold ~ (1/4)^(1/4)
+
+
+def _md5long15(s):
+    """Portable 60-bit integer hash: first 15 hex chars of md5 — the
+    `sketches._cms_hash` device widened to minhash width. Identical in
+    Spark (conv) and DuckDB ('0x' cast)."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def dedup_eval_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **measured LSH quality**: run a MinHash-LSH banding
+    built ENTIRELY from portable md5 hashes (16 permutations × 4 bands
+    of 4 rows) and score its candidate set against the exact-Jaccard
+    ≥ 0.8 truth set from the exhaustive inverted index
+    (`_jaccard_pairs` — complete above any positive threshold, since
+    J > 0 requires a shared shingle). Emits the counts and the two
+    numbers every LSH deployment is judged by:
+
+    - ``lsh_recall`` = |candidates ∩ truth| / |truth| — theory predicts
+      1 − (1 − J^r)^b ≈ 0.88 at J = 0.8 for (b=4, r=4);
+    - ``candidate_precision`` = |candidates ∩ truth| / |candidates| —
+      the verify-stage workload efficiency.
+
+    The production pipeline (`dedup_minhash_near`, xxhash64, 32 perms)
+    is rows-only by necessity — engine-native hashing. THIS operator is
+    the hash-checkable twin that pins the whole LSH mechanism
+    cross-engine: signatures, banding, bucket collision, candidate
+    generation and both quality ratios are bit-identical in DuckDB
+    (md5 is the portable hash family of `agg_count_min_sketch`).
+
+    Scale: signature build is one pass over the exploded shingles (16
+    min-aggregates, map-side combinable); banding is ONE explode of a
+    per-band struct array (never a union re-executing the signature);
+    candidates come from per-bucket posting-list combinations — no
+    cross join anywhere; the truth side is the shared `_pair_counts`
+    single-pass pipeline.
+
+    vs reference: no analogue (`dashboard_nfp.py` has no text surface).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    sh = _shingles(_spread_if_narrow(docs))
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                _md5long15(F.concat(F.lit(f"mh{i}:"), F.col("shingle")))
+            ).alias(f"h{i}")
+            for i in range(EVAL_PERMS)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"h{b * EVAL_ROWS + r}").cast("string")
+                        for r in range(EVAL_ROWS)
+                    ],
+                ).alias("bsig"),
+            )
+            for b in range(EVAL_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bs")).select(
+        "doc_id", "bs.band", "bs.bsig"
+    )
+    posting = bands.groupBy("band", "bsig").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
+    )
+    cands = (
+        posting.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ds"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                            lambda y: F.struct(
+                                x.alias("doc_a"), y.alias("doc_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .distinct()
+    )
+    truth = _jaccard_pairs(docs).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    ).select("doc_a", "doc_b")
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    n_cand = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_det = truth.join(cands, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("n_detected")
+    )
+    return (
+        n_true.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_det))
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_detected",
+            dround(
+                F.try_divide(
+                    F.col("n_detected").cast("double"),
+                    F.col("n_true").cast("double"),
+                ),
+                6,
+            ).alias("lsh_recall"),
+            dround(
+                F.try_divide(
+                    F.col("n_detected").cast("double"),
+                    F.col("n_candidates").cast("double"),
+                ),
+                6,
+            ).alias("candidate_precision"),
+        )
+    )
+
+
+QUERIES["dedup_eval_minhash_lsh"] = dedup_eval_minhash_lsh
+
+
+def _minhash_eval_oracle_sql() -> str:
+    def h(i: int) -> str:
+        return (
+            f"MIN(CAST(('0x' || substr(md5('mh{i}:' || shingle), 1, 15)) "
+            f"AS BIGINT)) AS h{i}"
+        )
+
+    sig_cols = ", ".join(h(i) for i in range(EVAL_PERMS))
+    band_branches = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || ',' || ".join(
+            f"CAST(h{b * EVAL_ROWS + r} AS VARCHAR)"
+            for r in range(EVAL_ROWS)
+        )
+        + " AS bsig FROM sig"
+        for b in range(EVAL_BANDS)
+    )
+    return (
+        f"WITH sh AS MATERIALIZED ({_SHINGLE_SQL}), "
+        "sz AS MATERIALIZED (SELECT doc_id, CAST(COUNT(*) AS BIGINT) "
+        "AS n FROM sh GROUP BY 1), "
+        "inter AS MATERIALIZED (SELECT a.doc_id AS doc_a, "
+        "b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS i "
+        "FROM sh a JOIN sh b ON a.shingle = b.shingle "
+        "AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+        "truth AS MATERIALIZED (SELECT doc_a, doc_b FROM inter "
+        "JOIN sz sa ON sa.doc_id = doc_a "
+        "JOIN sz sb ON sb.doc_id = doc_b "
+        f"WHERE i / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}), "
+        f"sig AS MATERIALIZED (SELECT doc_id, {sig_cols} "
+        "FROM sh GROUP BY 1), "
+        f"bands AS MATERIALIZED ({band_branches}), "
+        "cands AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, "
+        "b.doc_id AS doc_b FROM bands a JOIN bands b "
+        "ON a.band = b.band AND a.bsig = b.bsig "
+        "AND a.doc_id < b.doc_id), "
+        "nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM truth), "
+        "nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates "
+        "FROM cands), "
+        "nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_detected "
+        "FROM truth JOIN cands ON cands.doc_a = truth.doc_a "
+        "AND cands.doc_b = truth.doc_b) "
+        "SELECT n_true, n_candidates, n_detected, "
+        "ROUND(CASE WHEN n_true > 0 THEN CAST(n_detected AS DOUBLE) "
+        "/ CAST(n_true AS DOUBLE) END, 6) AS lsh_recall, "
+        "ROUND(CASE WHEN n_candidates > 0 THEN "
+        "CAST(n_detected AS DOUBLE) / CAST(n_candidates AS DOUBLE) END, 6) "
+        "AS candidate_precision "
+        "FROM nt, nc, nd"
+    )
+
+
+ORACLE["dedup_eval_minhash_lsh"] = _minhash_eval_oracle_sql()

@@ -143,6 +143,8 @@ _SAMPLE_PRIORITY = [
     "events_survival_km",
     # NEW in round 13 — Mann–Whitney U rank-sum test (tie-corrected)
     "agg_mann_whitney_u",
+    # NEW in round 13 — portable-md5 MinHash-LSH with measured recall
+    "dedup_eval_minhash_lsh",
     # latest driver row r6 — oldest surviving evidence, in r6 order
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
