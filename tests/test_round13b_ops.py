@@ -792,3 +792,35 @@ def test_minhash_lsh_eval_matches_pure_python(spark):
             abs(r["candidate_precision"] - len(detected) / len(cands))
             < 1e-6
         )
+
+
+def test_chi_square_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        agg_chi_square_independence,
+    )
+
+    cells = collections.Counter()
+    for r in (
+        read_table(spark, SF, "orders")
+        .select("o_orderstatus", "o_orderpriority")
+        .collect()
+    ):
+        cells[(r["o_orderstatus"], r["o_orderpriority"])] += 1
+    rm = collections.Counter()
+    cm = collections.Counter()
+    for (s, p), o in cells.items():
+        rm[s] += o
+        cm[p] += o
+    n = sum(cells.values())
+    chi2 = sum(
+        (o - rm[s] * cm[p] / n) ** 2 / (rm[s] * cm[p] / n)
+        for (s, p), o in cells.items()
+    )
+    df = (len(rm) - 1) * (len(cm) - 1)
+
+    rows = agg_chi_square_independence(spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_orders"], r["df"]) == (n, df)
+    assert abs(r["chi2"] - chi2) < 1e-4
+    assert r["chi2"] >= 0.0

@@ -2948,3 +2948,91 @@ ORACLE["agg_mann_whitney_u"] = (
     "AS z_score "
     "FROM a, ties"
 )
+
+
+# --- Chi-square test of independence --------------------------------------------
+
+CHI2_SCALE = 1_000_000  # per-cell term quantization
+
+
+def agg_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Pearson χ² test of independence** (Pearson 1900) between order
+    STATUS and PRIORITY — is the priority mix different across
+    statuses? The categorical member of the testing family
+    (`timeseries_runs_test`, `timeseries_ljung_box`,
+    `agg_mann_whitney_u`) and the significance layer over
+    `crosstab_status_priority`'s contingency table.
+
+    Algebra kept exact: with O_ij the observed counts, r_i/c_j the
+    margins and n the total, each cell's (O−E)²/E equals
+    (n·O_ij − r_i·c_j)² / (n·r_i·c_j) — numerator and denominator are
+    exact integers (DECIMAL(38,0) ≡ HUGEINT; the square reaches ~1e26
+    at 100x); each cell's double quotient quantizes to scaled int64
+    (×1e6 ties-away) so the cross-cell sum is exact integer arithmetic,
+    and χ² is one descale. df = (R−1)(C−1) from exact distinct counts.
+
+    Scale: one map-side-combinable count aggregate over orders; margins
+    are two ~cardinality-row aggregates broadcast back; the cell
+    algebra runs on the R×C frame."""
+    orders = read_table(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        F.col("o_orderstatus").alias("s"),
+        F.col("o_orderpriority").alias("p"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rows_m = cells.groupBy("s").agg(F.sum("o").alias("r"))
+    cols_m = cells.groupBy("p").agg(F.sum("o").alias("c"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("s").alias("nr"),
+        F.countDistinct("p").alias("nc"),
+    )
+
+    def d(c):
+        return c.cast("decimal(38,0)")
+
+    joined = (
+        cells.join(F.broadcast(rows_m), "s")
+        .join(F.broadcast(cols_m), "p")
+        .crossJoin(F.broadcast(tot))
+    )
+    dev = d(F.col("n")) * d(F.col("o")) - d(F.col("r")) * d(F.col("c"))
+    term = (dev * dev).cast("double") / (
+        d(F.col("n")) * d(F.col("r")) * d(F.col("c"))
+    ).cast("double")
+    return (
+        joined.groupBy("n", "nr", "nc")
+        .agg(dsum_scaled(term, CHI2_SCALE).alias("t_s"))
+        .select(
+            F.col("n").cast("long").alias("n_orders"),
+            ((F.col("nr") - F.lit(1)) * (F.col("nc") - F.lit(1)))
+            .cast("int")
+            .alias("df"),
+            dround(
+                F.col("t_s").cast("double") / F.lit(float(CHI2_SCALE)), 6
+            ).alias("chi2"),
+        )
+    )
+
+
+QUERIES["agg_chi_square_independence"] = agg_chi_square_independence
+
+ORACLE["agg_chi_square_independence"] = (
+    "WITH cells AS (SELECT o_orderstatus AS s, o_orderpriority AS p, "
+    "CAST(COUNT(*) AS BIGINT) AS o FROM orders GROUP BY 1, 2), "
+    "rm AS (SELECT s, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1), "
+    "cm AS (SELECT p, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1), "
+    "tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n, "
+    "CAST(COUNT(DISTINCT s) AS BIGINT) AS nr, "
+    "CAST(COUNT(DISTINCT p) AS BIGINT) AS nc FROM cells), "
+    "t AS (SELECT n, nr, nc, "
+    "CAST(SUM(CAST(ROUND((CAST((CAST(n AS HUGEINT) * o "
+    "- CAST(r AS HUGEINT) * c) * (CAST(n AS HUGEINT) * o "
+    "- CAST(r AS HUGEINT) * c) AS DOUBLE) "
+    "/ CAST(CAST(n AS HUGEINT) * r * c AS DOUBLE)) "
+    f"* {CHI2_SCALE}) AS BIGINT)) AS BIGINT) AS t_s "
+    "FROM cells JOIN rm USING (s) JOIN cm USING (p), tot "
+    "GROUP BY 1, 2, 3) "
+    "SELECT n AS n_orders, CAST((nr - 1) * (nc - 1) AS INT) AS df, "
+    f"ROUND(CAST(t_s AS DOUBLE) / {float(CHI2_SCALE)}, 6) AS chi2 "
+    "FROM t"
+)

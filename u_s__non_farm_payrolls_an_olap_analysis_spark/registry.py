@@ -145,6 +145,8 @@ _SAMPLE_PRIORITY = [
     "agg_mann_whitney_u",
     # NEW in round 13 — portable-md5 MinHash-LSH with measured recall
     "dedup_eval_minhash_lsh",
+    # NEW in round 13 — Pearson chi-square independence (status x priority)
+    "agg_chi_square_independence",
     # latest driver row r6 — oldest surviving evidence, in r6 order
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
