@@ -824,3 +824,47 @@ def test_chi_square_matches_pure_python(spark):
     assert (r["n_orders"], r["df"]) == (n, df)
     assert abs(r["chi2"] - chi2) < 1e-4
     assert r["chi2"] >= 0.0
+
+
+def test_halfsample_ci_matches_pure_python(spark):
+    import hashlib
+
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.sampling import (
+        HS_B,
+        agg_halfsample_ci,
+    )
+
+    rows_in = [
+        (r["o_orderkey"], int(_round_half_away(r["o_totalprice"] * 10000)))
+        for r in read_table(spark, SF, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+    ]
+    n_all = len(rows_in)
+    s_all = sum(v for _, v in rows_in)
+    mean = s_all / (n_all * 10000.0)
+    mqs = []
+    for r in range(HS_B):
+        s = n = 0
+        for k, v in rows_in:
+            h = int(hashlib.md5(f"hs{r}:{k}".encode()).hexdigest()[:8], 16)
+            if h % 2 == 0:
+                s += v
+                n += 1
+        mqs.append(int(_round_half_away(s / (n * 10000.0) * 1e6)))
+    b = len(mqs)
+    m2 = b * sum(m * m for m in mqs) - sum(mqs) ** 2
+    se = math.sqrt(m2) / (b * 1e6 * math.sqrt(2.0))
+
+    out = agg_halfsample_ci(spark, SF).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_orders"], r["n_replicates"]) == (n_all, b)
+    assert abs(r["mean_price"] - mean) < 1e-3
+    assert abs(r["se_mean"] - se) < 1e-5
+    assert abs(r["ci_lo"] - (mean - 1.96 * se)) < 1e-3
+    assert abs(r["ci_hi"] - (mean + 1.96 * se)) < 1e-3
+    assert r["ci_lo"] < r["mean_price"] < r["ci_hi"]
+    # the CI should bracket plausibly: SE of a ~1500-row mean with
+    # price sd ~1e5 is a few thousand — sanity bounds only
+    assert 0.0 < r["se_mean"] < r["mean_price"]

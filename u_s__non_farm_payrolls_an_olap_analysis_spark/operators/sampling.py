@@ -612,3 +612,143 @@ ORACLE["sample_neyman_allocation"] = (
     "/ CAST(w_tot AS DOUBLE)) AS INT) AS n_alloc "
     "FROM w, t ORDER BY stratum"
 )
+
+
+# --- Half-sample bootstrap confidence interval --------------------------------
+
+HS_B = 32  # replicates
+
+
+def agg_halfsample_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Deterministic resampling inference**: a 95% CI for the mean
+    order price by half-sample replication (the random-group /
+    balanced-half-sample method of survey statistics — McCarthy 1969;
+    the subsampling special case of the m-out-of-n bootstrap, Politis &
+    Romano 1994): B=32 replicates, each keeping the rows whose
+    PORTABLE hash md5('hs<r>:<key>') is even — a deterministic,
+    engine-identical stand-in for random resampling, the
+    `sample_by_key_mod` philosophy applied to inference. SE of the
+    full-sample mean = sd(replicate means)/√2 (a half-sample mean has
+    twice the variance of the full mean).
+
+    Determinism: per-replicate sums/counts are exact scaled ints; each
+    replicate mean quantizes to ×1e6 ties-away int64, so the
+    across-replicate moment algebra (M2 = B·Σm² − (Σm)², DECIMAL(38,0)
+    ≡ HUGEINT) is exact; one sqrt and fixed-shape arithmetic out.
+
+    Scale: ONE pass over orders exploded ×B (each row hashed B times —
+    the documented cost of replication; B is a constant), map-side
+    combinable per-replicate partials, then a 32-row frame. No
+    `df.sample`, no RNG state, reproducible on any cluster layout."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        dround(F.col("o_totalprice") * F.lit(10_000.0), 0)
+        .cast("long")
+        .alias("v"),
+    )
+    full = orders.agg(
+        F.sum("v").alias("s_all"), F.count(F.lit(1)).alias("n_all")
+    )
+    member = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("hs"),
+                        F.col("r").cast("string"),
+                        F.lit(":"),
+                        F.col("o_orderkey").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0
+    )
+    rep = (
+        orders.select(
+            "o_orderkey",
+            "v",
+            F.explode(F.sequence(F.lit(0), F.lit(HS_B - 1))).alias("r"),
+        )
+        .filter(member)
+        .groupBy("r")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    means = rep.select(
+        dround(
+            F.col("s").cast("double")
+            / (F.col("n").cast("double") * F.lit(10_000.0))
+            * F.lit(1_000_000.0),
+            0,
+        )
+        .cast("long")
+        .alias("mq")
+    )
+    stats = means.agg(
+        F.count(F.lit(1)).alias("b"),
+        F.sum("mq").alias("sm"),
+        F.sum(F.col("mq").cast("decimal(38,0)") * F.col("mq")).alias(
+            "sm2"
+        ),
+    )
+    m2 = (
+        F.col("b").cast("decimal(38,0)") * F.col("sm2")
+        - F.col("sm").cast("decimal(38,0)") * F.col("sm")
+    )
+    b_d = F.col("b").cast("double")
+    se = F.sqrt(m2.cast("double")) / (
+        b_d * F.lit(1_000_000.0) * F.sqrt(F.lit(2.0))
+    )
+    mean = F.col("s_all").cast("double") / (
+        F.col("n_all").cast("double") * F.lit(10_000.0)
+    )
+    return full.crossJoin(F.broadcast(stats)).select(
+        F.col("n_all").cast("long").alias("n_orders"),
+        F.col("b").cast("int").alias("n_replicates"),
+        dround(mean, 4).alias("mean_price"),
+        dround(se, 6).alias("se_mean"),
+        dround(mean - F.lit(1.96) * se, 4).alias("ci_lo"),
+        dround(mean + F.lit(1.96) * se, 4).alias("ci_hi"),
+    )
+
+
+QUERIES["agg_halfsample_ci"] = agg_halfsample_ci
+
+ORACLE["agg_halfsample_ci"] = (
+    "WITH o AS (SELECT o_orderkey, "
+    "CAST(ROUND(o_totalprice * 10000.0) AS BIGINT) AS v FROM orders), "
+    "full_s AS (SELECT CAST(SUM(v) AS BIGINT) AS s_all, "
+    "CAST(COUNT(*) AS BIGINT) AS n_all FROM o), "
+    f"rep AS (SELECT r, CAST(SUM(v) AS BIGINT) AS s, "
+    "CAST(COUNT(*) AS BIGINT) AS n "
+    f"FROM o, UNNEST(range(0, {HS_B})) AS u(r) "
+    "WHERE CAST(('0x' || substr(md5('hs' || CAST(r AS VARCHAR) || ':' "
+    "|| CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0 "
+    "GROUP BY 1), "
+    "means AS (SELECT CAST(ROUND(CAST(s AS DOUBLE) "
+    "/ (CAST(n AS DOUBLE) * 10000.0) * 1000000.0) AS BIGINT) AS mq "
+    "FROM rep), "
+    "st AS (SELECT CAST(COUNT(*) AS BIGINT) AS b, "
+    "CAST(SUM(mq) AS BIGINT) AS sm, "
+    "CAST(SUM(CAST(mq AS HUGEINT) * mq) AS HUGEINT) AS sm2 FROM means) "
+    "SELECT n_all AS n_orders, CAST(b AS INT) AS n_replicates, "
+    "ROUND(CAST(s_all AS DOUBLE) / (CAST(n_all AS DOUBLE) * 10000.0), 4) "
+    "AS mean_price, "
+    "ROUND(sqrt(CAST(CAST(b AS HUGEINT) * sm2 "
+    "- CAST(sm AS HUGEINT) * sm AS DOUBLE)) "
+    "/ (CAST(b AS DOUBLE) * 1000000.0 * sqrt(2.0)), 6) AS se_mean, "
+    "ROUND(CAST(s_all AS DOUBLE) / (CAST(n_all AS DOUBLE) * 10000.0) "
+    "- 1.96 * (sqrt(CAST(CAST(b AS HUGEINT) * sm2 "
+    "- CAST(sm AS HUGEINT) * sm AS DOUBLE)) "
+    "/ (CAST(b AS DOUBLE) * 1000000.0 * sqrt(2.0))), 4) AS ci_lo, "
+    "ROUND(CAST(s_all AS DOUBLE) / (CAST(n_all AS DOUBLE) * 10000.0) "
+    "+ 1.96 * (sqrt(CAST(CAST(b AS HUGEINT) * sm2 "
+    "- CAST(sm AS HUGEINT) * sm AS DOUBLE)) "
+    "/ (CAST(b AS DOUBLE) * 1000000.0 * sqrt(2.0))), 4) AS ci_hi "
+    "FROM full_s, st"
+)

@@ -147,6 +147,8 @@ _SAMPLE_PRIORITY = [
     "dedup_eval_minhash_lsh",
     # NEW in round 13 — Pearson chi-square independence (status x priority)
     "agg_chi_square_independence",
+    # NEW in round 13 — deterministic half-sample bootstrap CI
+    "agg_halfsample_ci",
     # latest driver row r6 — oldest surviving evidence, in r6 order
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
