@@ -868,3 +868,67 @@ def test_halfsample_ci_matches_pure_python(spark):
     # the CI should bracket plausibly: SE of a ~1500-row mean with
     # price sd ~1e5 is a few thousand — sanity bounds only
     assert 0.0 < r["se_mean"] < r["mean_price"]
+
+
+def test_bollinger_bands_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        BB_W,
+        window_bollinger_bands,
+    )
+
+    want = {}
+    for key, by_mon in _monthly_scaled(spark).items():
+        mons = sorted(by_mon)
+        for i, mon in enumerate(mons):
+            frame = [by_mon[m] for m in mons[max(0, i - BB_W + 1) : i + 1]]
+            w = len(frame)
+            mean = sum(frame) / (w * 10000.0)
+            var = (
+                w * sum(v * v for v in frame) - sum(frame) ** 2
+            ) / (w * 10000.0) ** 2
+            sd = math.sqrt(var)
+            rev = by_mon[mon] / 10000.0
+            want[(key, mon)] = (
+                rev,
+                mean,
+                mean + 2 * sd,
+                mean - 2 * sd,
+                1 if (rev > mean + 2 * sd or rev < mean - 2 * sd) else 0,
+            )
+
+    rows = window_bollinger_bands(spark, SF).collect()
+    assert len(rows) == len(want)
+    n_outside = 0
+    for r in rows:
+        k = (r["priority"], (r["mon"].year, r["mon"].month))
+        rev, mid, up, lo, out = want[k]
+        assert abs(r["revenue"] - rev) < 1e-6
+        assert abs(r["mid"] - mid) < 1e-3
+        assert abs(r["upper_band"] - up) < 1e-3
+        assert abs(r["lower_band"] - lo) < 1e-3
+        assert r["outside"] == out
+        n_outside += r["outside"]
+    # the bands should be mostly containing (a 2-sigma envelope)
+    assert n_outside < 0.2 * len(rows)
+
+
+def test_lexical_diversity_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.text import (
+        text_lexical_diversity,
+    )
+
+    want = {}
+    for r in (
+        read_table(spark, SF, "documents").select("doc_id", "text").collect()
+    ):
+        toks = r["text"].split(" ")
+        want[r["doc_id"]] = (len(toks), len(set(toks)))
+
+    rows = text_lexical_diversity(spark, SF).collect()
+    assert len(rows) == len(want)
+    for r in rows:
+        nt, ny = want[r["doc_id"]]
+        assert (r["n_tokens"], r["n_types"]) == (nt, ny)
+        assert abs(r["ttr"] - ny / nt) < 1e-6
+        assert abs(r["guiraud_r"] - ny / math.sqrt(nt)) < 1e-6
+        assert 0.0 < r["ttr"] <= 1.0

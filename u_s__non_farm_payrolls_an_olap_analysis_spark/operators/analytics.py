@@ -3036,3 +3036,112 @@ ORACLE["agg_chi_square_independence"] = (
     f"ROUND(CAST(t_s AS DOUBLE) / {float(CHI2_SCALE)}, 6) AS chi2 "
     "FROM t"
 )
+
+
+# --- Bollinger bands: rolling mean ± 2 rolling sd --------------------------------
+
+BB_W = 6  # trailing window length (months)
+
+
+def window_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Bollinger bands** (Bollinger 1992) over the monthly
+    per-priority revenue: trailing 6-month mean ± 2 rolling standard
+    deviations, plus an outside-the-bands flag — the volatility-
+    normalized envelope `window_moving_stats`' plain min/max frame
+    doesn't give (a breakout beyond 2σ is signal; beyond a fixed range
+    is not), and the windowed sibling of `dq_anomaly_zscore`'s global
+    z-score.
+
+    Determinism: the series is scaled int64; the rolling second moment
+    is exact per frame — M2 = w·Σv² − (Σv)² with Σv² in DECIMAL(38,0)
+    ≡ HUGEINT (v² ~ 1e24 at sf0.1) and the frame width w a count
+    window over the SAME frame — so sd = √M2/w is one IEEE sqrt of
+    exact integers, and the band edges are fixed-shape arithmetic,
+    `dround`ed at 4 dp. The outside flag compares exact ints to the
+    rounded band (computed identically in both engines).
+
+    Scale: one corpus-sized monthly rollup; one window exchange+sort
+    per priority serves all five frame aggregates (same WindowSpec →
+    single WindowExec)."""
+    orders = read_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("month", "o_orderdate").alias("mon"),
+    ).agg(dsum_scaled("o_totalprice").alias("rev_s"))
+    w6 = (
+        Window.partitionBy("priority")
+        .orderBy("mon")
+        .rowsBetween(-(BB_W - 1), 0)
+    )
+    framed = m.select(
+        "priority",
+        "mon",
+        "rev_s",
+        F.count(F.lit(1)).over(w6).alias("w"),
+        F.sum("rev_s").over(w6).alias("s1"),
+        F.sum(F.col("rev_s").cast("decimal(38,0)") * F.col("rev_s"))
+        .over(w6)
+        .alias("s2"),
+    )
+    m2 = (
+        F.col("w").cast("decimal(38,0)") * F.col("s2")
+        - F.col("s1").cast("decimal(38,0)") * F.col("s1")
+    )
+    w_d = F.col("w").cast("double")
+    mid = F.col("s1").cast("double") / (w_d * F.lit(10_000.0))
+    sd = F.sqrt(m2.cast("double")) / (w_d * F.lit(10_000.0))
+    upper = mid + F.lit(2.0) * sd
+    lower = mid - F.lit(2.0) * sd
+    rev_d = F.col("rev_s").cast("double") / F.lit(10_000.0)
+    return framed.select(
+        "priority",
+        "mon",
+        F.round(F.col("rev_s") / 10_000.0, 4).alias("revenue"),
+        dround(mid, 4).alias("mid"),
+        dround(upper, 4).alias("upper_band"),
+        dround(lower, 4).alias("lower_band"),
+        F.when((rev_d > upper) | (rev_d < lower), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("outside"),
+    ).orderBy("priority", "mon")
+
+
+QUERIES["window_bollinger_bands"] = window_bollinger_bands
+
+ORACLE["window_bollinger_bands"] = (
+    "WITH m AS (SELECT o_orderpriority AS priority, "
+    "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon, "
+    "CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS BIGINT) "
+    "AS rev_s FROM orders GROUP BY 1, 2), "
+    "f AS (SELECT priority, mon, rev_s, "
+    "CAST(COUNT(*) OVER w AS BIGINT) AS w, "
+    "CAST(SUM(rev_s) OVER w AS BIGINT) AS s1, "
+    "CAST(SUM(CAST(rev_s AS HUGEINT) * rev_s) OVER w AS HUGEINT) AS s2 "
+    "FROM m WINDOW w AS (PARTITION BY priority ORDER BY mon "
+    f"ROWS BETWEEN {BB_W - 1} PRECEDING AND CURRENT ROW)) "
+    "SELECT priority, mon, "
+    "ROUND(CAST(rev_s AS DOUBLE) / 10000.0, 4) AS revenue, "
+    "ROUND(CAST(s1 AS DOUBLE) / (CAST(w AS DOUBLE) * 10000.0), 4) "
+    "AS mid, "
+    "ROUND(CAST(s1 AS DOUBLE) / (CAST(w AS DOUBLE) * 10000.0) "
+    "+ 2.0 * (sqrt(CAST(CAST(w AS HUGEINT) * s2 "
+    "- CAST(s1 AS HUGEINT) * s1 AS DOUBLE)) "
+    "/ (CAST(w AS DOUBLE) * 10000.0)), 4) AS upper_band, "
+    "ROUND(CAST(s1 AS DOUBLE) / (CAST(w AS DOUBLE) * 10000.0) "
+    "- 2.0 * (sqrt(CAST(CAST(w AS HUGEINT) * s2 "
+    "- CAST(s1 AS HUGEINT) * s1 AS DOUBLE)) "
+    "/ (CAST(w AS DOUBLE) * 10000.0)), 4) AS lower_band, "
+    "CAST(CASE WHEN CAST(rev_s AS DOUBLE) / 10000.0 "
+    "> CAST(s1 AS DOUBLE) / (CAST(w AS DOUBLE) * 10000.0) "
+    "+ 2.0 * (sqrt(CAST(CAST(w AS HUGEINT) * s2 "
+    "- CAST(s1 AS HUGEINT) * s1 AS DOUBLE)) "
+    "/ (CAST(w AS DOUBLE) * 10000.0)) "
+    "OR CAST(rev_s AS DOUBLE) / 10000.0 "
+    "< CAST(s1 AS DOUBLE) / (CAST(w AS DOUBLE) * 10000.0) "
+    "- 2.0 * (sqrt(CAST(CAST(w AS HUGEINT) * s2 "
+    "- CAST(s1 AS HUGEINT) * s1 AS DOUBLE)) "
+    "/ (CAST(w AS DOUBLE) * 10000.0)) "
+    "THEN 1 ELSE 0 END AS INT) AS outside "
+    "FROM f ORDER BY priority, mon"
+)

@@ -1438,3 +1438,67 @@ ORACLE["corpus_gini_by_source"] = (
     "AS berger_parker "
     "FROM s ORDER BY source"
 )
+
+
+# --- Lexical diversity: TTR and Guiraud index ---------------------------------
+
+
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document **lexical diversity**: type-token ratio (TTR) and
+    Guiraud's index R = types/√tokens (Guiraud 1954 — the classic
+    length-corrected TTR; raw TTR shrinks mechanically with document
+    length) — the per-document diversity signal beside
+    `quality_repetition_signals`' repetition flags and the document-
+    grain companion of `corpus_entropy_by_source`'s per-source view
+    (low R = template/boilerplate likely).
+
+    Determinism: types/tokens are exact integer array aggregates
+    (`size`/`array_distinct` — identical tokenization both engines);
+    TTR and R are per-DOC ratios, so both round via `dround` (rule 2:
+    per-row 6-dp quotients at sf0.1 cardinalities MUST use the
+    FP-ties-away path); √tokens is IEEE-exact.
+
+    Scale: pure per-row projection — no shuffle before the ORDER BY;
+    predicate-pushdown and column-pruning friendly (2-column scan)."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    n_typ = F.size(F.array_distinct(toks))
+    return (
+        docs.select(
+            "doc_id",
+            n_tok.cast("int").alias("n_tokens"),
+            n_typ.cast("int").alias("n_types"),
+            dround(
+                F.try_divide(
+                    n_typ.cast("double"), n_tok.cast("double")
+                ),
+                6,
+            ).alias("ttr"),
+            dround(
+                F.try_divide(
+                    n_typ.cast("double"),
+                    F.sqrt(n_tok.cast("double")),
+                ),
+                6,
+            ).alias("guiraud_r"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["text_lexical_diversity"] = text_lexical_diversity
+
+ORACLE["text_lexical_diversity"] = (
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+    "FROM documents) "
+    "SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens, "
+    "CAST(len(list_distinct(toks)) AS INT) AS n_types, "
+    "ROUND(CASE WHEN len(toks) > 0 THEN "
+    "CAST(len(list_distinct(toks)) AS DOUBLE) "
+    "/ CAST(len(toks) AS DOUBLE) END, 6) AS ttr, "
+    "ROUND(CASE WHEN len(toks) > 0 THEN "
+    "CAST(len(list_distinct(toks)) AS DOUBLE) "
+    "/ sqrt(CAST(len(toks) AS DOUBLE)) END, 6) AS guiraud_r "
+    "FROM t ORDER BY doc_id"
+)

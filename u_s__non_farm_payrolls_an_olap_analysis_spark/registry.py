@@ -149,6 +149,10 @@ _SAMPLE_PRIORITY = [
     "agg_chi_square_independence",
     # NEW in round 13 — deterministic half-sample bootstrap CI
     "agg_halfsample_ci",
+    # NEW in round 13 — Bollinger bands (rolling mean ± 2 rolling sd)
+    "window_bollinger_bands",
+    # NEW in round 13 — per-doc TTR + Guiraud lexical diversity
+    "text_lexical_diversity",
     # latest driver row r6 — oldest surviving evidence, in r6 order
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
