@@ -932,3 +932,86 @@ def test_lexical_diversity_matches_pure_python(spark):
         assert abs(r["ttr"] - ny / nt) < 1e-6
         assert abs(r["guiraud_r"] - ny / math.sqrt(nt)) < 1e-6
         assert 0.0 < r["ttr"] <= 1.0
+
+
+def test_kruskal_wallis_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        agg_kruskal_wallis,
+    )
+
+    vals = [
+        (
+            r["o_orderpriority"],
+            int(_round_half_away(r["o_totalprice"] * 10000)),
+        )
+        for r in read_table(spark, SF, "orders")
+        .select("o_orderpriority", "o_totalprice")
+        .collect()
+    ]
+    vals.sort(key=lambda t: t[1])
+    ranks = {}
+    i = 0
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j][1] == vals[i][1]:
+            j += 1
+        ranks[vals[i][1]] = (i + 1 + j) / 2.0
+        i = j
+    by_g = collections.defaultdict(list)
+    for g, v in vals:
+        by_g[g].append(ranks[v])
+    n = len(vals)
+    s = sum(sum(rs) ** 2 / len(rs) for rs in by_g.values())
+    h = 12.0 * s / (n * (n + 1)) - 3 * (n + 1)
+    cnt = collections.Counter(v for _, v in vals)
+    t3t = sum(t**3 - t for t in cnt.values())
+    hc = h / (1 - t3t / (n**3 - n))
+
+    rows = agg_kruskal_wallis(spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_orders"], r["df"]) == (n, len(by_g) - 1)
+    assert abs(r["h_stat"] - h) < 1e-3
+    assert abs(r["h_corrected"] - hc) < 1e-3
+    assert r["h_corrected"] >= r["h_stat"] - 1e-9  # correction inflates
+
+
+def test_assortativity_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.graph import (
+        CC_MIN_SUPPORT,
+        graph_degree_assortativity,
+    )
+
+    baskets = collections.defaultdict(collections.Counter)
+    for r in (
+        read_table(spark, SF, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    ):
+        baskets[r["l_orderkey"]][r["l_partkey"]] += 1
+    sup = collections.Counter()
+    for cnt in baskets.values():
+        ps = sorted(cnt)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                sup[(ps[i], ps[j])] += cnt[ps[i]] * cnt[ps[j]]
+    und = [e for e, s in sup.items() if s >= CC_MIN_SUPPORT]
+    deg = collections.Counter()
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+    jk = [(deg[a], deg[b]) for a, b in und] + [
+        (deg[b], deg[a]) for a, b in und
+    ]
+    m = len(jk)
+    s1 = sum(j for j, _ in jk)
+    s2 = sum(j * j for j, _ in jk)
+    s3 = sum(j * k for j, k in jk)
+    r_want = (m * s3 - s1 * s1) / (m * s2 - s1 * s1)
+
+    rows = graph_degree_assortativity(spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_edges"] == len(und)
+    assert abs(r["assortativity"] - r_want) < 1e-6
+    assert -1.0 - 1e-9 <= r["assortativity"] <= 1.0 + 1e-9

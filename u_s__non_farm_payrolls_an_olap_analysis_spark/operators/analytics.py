@@ -3145,3 +3145,122 @@ ORACLE["window_bollinger_bands"] = (
     "THEN 1 ELSE 0 END AS INT) AS outside "
     "FROM f ORDER BY priority, mon"
 )
+
+
+# --- Kruskal–Wallis H test ------------------------------------------------------
+
+KW_SCALE = 10_000  # per-group term quantization (H error ~ 1e-8)
+
+
+def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Kruskal–Wallis H test** (JASA 1952) across ALL five order
+    priorities: the k-group generalization of `agg_mann_whitney_u` —
+    one rank-based ANOVA answering "do any priorities price
+    differently?" before pairwise tests.
+
+    Same doubled-rank device as Mann–Whitney (2·avgrank = 2·minrank +
+    t − 1, exact), then H = 12/(n(n+1)) · Σ R_i²/n_i − 3(n+1) with each
+    group's R_i²/(4·n_i·n) quantized ×1e4 to int64 (the term divided by
+    n BEFORE quantizing keeps it inside int64 at 100x; quantization
+    error reaches H at ~12·5·0.5/(1e4·n·(n+1)) ≈ 1e-10 — identical in
+    both engines regardless), the cross-group sum exact, and the tie
+    correction 1 − Σ(t³−t)/(n³−n) in DECIMAL(38,0) ≡ HUGEINT.
+
+    Scale: one scan + one global rank window + three exact aggregates
+    (the `agg_mann_whitney_u` posture, k groups in one pass)."""
+    orders = read_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        dround(F.col("o_totalprice") * F.lit(10_000.0), 0)
+        .cast("long")
+        .alias("v"),
+    )
+    w_rank = Window.partitionBy().orderBy("v")
+    w_tie = Window.partitionBy("v")
+    ranked = base.select(
+        "grp",
+        "v",
+        (
+            F.lit(2) * F.rank().over(w_rank)
+            + F.count(F.lit(1)).over(w_tie)
+            - F.lit(1)
+        ).alias("dr"),
+    )
+    per_g = ranked.groupBy("grp").agg(
+        F.sum("dr").alias("rd"), F.count(F.lit(1)).alias("ni")
+    )
+    tot = per_g.agg(
+        F.sum("ni").alias("n"), F.count(F.lit(1)).alias("k")
+    )
+    term = (
+        (F.col("rd").cast("decimal(38,0)") * F.col("rd")).cast("double")
+        / (
+            F.lit(4.0)
+            * F.col("ni").cast("double")
+            * F.col("n").cast("double")
+        )
+    )
+    s = (
+        per_g.crossJoin(F.broadcast(tot))
+        .groupBy("n", "k")
+        .agg(dsum_scaled(term, KW_SCALE).alias("s_q"))
+    )
+    ties = (
+        base.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(
+                F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
+                - F.col("t")
+            ).alias("t3t")
+        )
+    )
+    n_d = F.col("n").cast("double")
+    h = (
+        F.lit(12.0)
+        * (F.col("s_q").cast("double") / F.lit(float(KW_SCALE)))
+        / (n_d + F.lit(1.0))
+        - F.lit(3.0) * (n_d + F.lit(1.0))
+    )
+    corr = F.lit(1.0) - F.col("t3t").cast("double") / (
+        n_d * n_d * n_d - n_d
+    )
+    return s.crossJoin(F.broadcast(ties)).select(
+        F.col("n").cast("long").alias("n_orders"),
+        (F.col("k") - F.lit(1)).cast("int").alias("df"),
+        dround(h, 6).alias("h_stat"),
+        dround(h / corr, 6).alias("h_corrected"),
+    )
+
+
+QUERIES["agg_kruskal_wallis"] = agg_kruskal_wallis
+
+ORACLE["agg_kruskal_wallis"] = (
+    "WITH base AS (SELECT o_orderpriority AS grp, "
+    "CAST(ROUND(o_totalprice * 10000.0) AS BIGINT) AS v FROM orders), "
+    "r AS (SELECT grp, v, 2 * RANK() OVER (ORDER BY v) "
+    "+ COUNT(*) OVER (PARTITION BY v) - 1 AS dr FROM base), "
+    "pg AS (SELECT grp, CAST(SUM(dr) AS BIGINT) AS rd, "
+    "CAST(COUNT(*) AS BIGINT) AS ni FROM r GROUP BY 1), "
+    "tot AS (SELECT CAST(SUM(ni) AS BIGINT) AS n, "
+    "CAST(COUNT(*) AS BIGINT) AS k FROM pg), "
+    "s AS (SELECT n, k, CAST(SUM(CAST(ROUND("
+    "CAST(CAST(rd AS HUGEINT) * rd AS DOUBLE) "
+    "/ (4.0 * CAST(ni AS DOUBLE) * CAST(n AS DOUBLE)) "
+    f"* {KW_SCALE}) AS BIGINT)) AS BIGINT) AS s_q "
+    "FROM pg, tot GROUP BY 1, 2), "
+    "ties AS (SELECT CAST(SUM(CAST(t AS HUGEINT) * t * t - t) "
+    "AS HUGEINT) AS t3t FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t "
+    "FROM base GROUP BY v)) "
+    "SELECT n AS n_orders, CAST(k - 1 AS INT) AS df, "
+    f"ROUND(12.0 * (CAST(s_q AS DOUBLE) / {float(KW_SCALE)}) "
+    "/ (CAST(n AS DOUBLE) + 1.0) "
+    "- 3.0 * (CAST(n AS DOUBLE) + 1.0), 6) AS h_stat, "
+    f"ROUND((12.0 * (CAST(s_q AS DOUBLE) / {float(KW_SCALE)}) "
+    "/ (CAST(n AS DOUBLE) + 1.0) "
+    "- 3.0 * (CAST(n AS DOUBLE) + 1.0)) "
+    "/ (1.0 - CAST(t3t AS DOUBLE) / (CAST(n AS DOUBLE) "
+    "* CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))), 6) "
+    "AS h_corrected "
+    "FROM s, ties"
+)

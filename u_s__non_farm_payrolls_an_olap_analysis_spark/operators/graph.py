@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.numerics import dround
 from ..io import read_table
 
 PR_DAMPING = 0.85
@@ -755,3 +756,101 @@ def _kcore_oracle_sql() -> str:
 
 
 ORACLE["graph_kcore_peel"] = _kcore_oracle_sql()
+
+
+# --- Degree assortativity (Newman 2002) ----------------------------------------
+
+
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **degree assortativity coefficient** (Newman, PRL
+    2002): the Pearson correlation of endpoint degrees across edges of
+    the part co-purchase graph — do well-connected parts co-sell with
+    other hubs (assortative, r > 0, social-network-like) or with
+    peripherals (disassortative, r < 0, technological/biological-like)?
+    The one-number structural summary after `graph_triangle_counts`'
+    clustering and `graph_kcore_peel`'s density backbone.
+
+    Exactness: over the DIRECTED double-counted edge list (each
+    undirected edge contributes (j,k) and (k,j)), the coefficient's
+    /M normalizations clear to the integer form
+    r = (M·Σjk − (Σj)²) / (M·Σj² − (Σj)²) — numerator and denominator
+    are exact integers (DECIMAL(38,0) ≡ HUGEINT), so r is ONE double
+    division, `dround`ed at 6 dp. Degenerate regular graphs (zero
+    denominator) drop on the exact integer predicate in both engines.
+
+    Scale: the pair generation is the CC operator's bounded per-order
+    self-join; degrees are one aggregate broadcast onto the edge list;
+    the moments are one map-side-combinable aggregate. No floats until
+    the final division."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .groupBy(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= CC_MIN_SUPPORT)
+        .select("pa", "pb")
+    )
+    directed = und.select(
+        F.col("pa").alias("u"), F.col("pb").alias("w")
+    ).unionByName(und.select(F.col("pb").alias("u"), F.col("pa").alias("w")))
+    deg = directed.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    dj = deg.select(F.col("node").alias("u"), F.col("d").alias("j"))
+    dk = deg.select(F.col("node").alias("w"), F.col("d").alias("k"))
+    edges = directed.join(F.broadcast(dj), "u").join(F.broadcast(dk), "w")
+
+    def dd(c):
+        return c.cast("decimal(38,0)")
+
+    mom = edges.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("j").alias("s1"),
+        F.sum(dd(F.col("j")) * F.col("j")).alias("s2"),
+        F.sum(dd(F.col("j")) * F.col("k")).alias("s3"),
+    )
+    num = dd(F.col("m")) * F.col("s3") - dd(F.col("s1")) * F.col("s1")
+    den = dd(F.col("m")) * F.col("s2") - dd(F.col("s1")) * F.col("s1")
+    return (
+        mom.filter(den != 0)
+        .select(
+            (F.col("m") / F.lit(2)).cast("long").alias("n_edges"),
+            dround(num.cast("double") / den.cast("double"), 6).alias(
+                "assortativity"
+            ),
+        )
+    )
+
+
+QUERIES["graph_degree_assortativity"] = graph_degree_assortativity
+
+ORACLE["graph_degree_assortativity"] = (
+    "WITH pr AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb "
+    "FROM lineitem a JOIN lineitem b "
+    "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+    f"GROUP BY 1, 2 HAVING COUNT(*) >= {CC_MIN_SUPPORT}), "
+    "d AS (SELECT pa AS u, pb AS w FROM pr "
+    "UNION ALL SELECT pb, pa FROM pr), "
+    "deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS dg "
+    "FROM d GROUP BY 1), "
+    "e AS (SELECT dj.dg AS j, dk.dg AS k FROM d "
+    "JOIN deg dj ON dj.node = d.u JOIN deg dk ON dk.node = d.w), "
+    "mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS m, "
+    "CAST(SUM(j) AS BIGINT) AS s1, "
+    "CAST(SUM(CAST(j AS HUGEINT) * j) AS HUGEINT) AS s2, "
+    "CAST(SUM(CAST(j AS HUGEINT) * k) AS HUGEINT) AS s3 FROM e) "
+    "SELECT CAST(m // 2 AS BIGINT) AS n_edges, "
+    "ROUND(CAST(CAST(m AS HUGEINT) * s3 "
+    "- CAST(s1 AS HUGEINT) * s1 AS DOUBLE) "
+    "/ CAST(CAST(m AS HUGEINT) * s2 "
+    "- CAST(s1 AS HUGEINT) * s1 AS DOUBLE), 6) AS assortativity "
+    "FROM mom WHERE CAST(m AS HUGEINT) * s2 "
+    "- CAST(s1 AS HUGEINT) * s1 <> 0"
+)

@@ -153,6 +153,10 @@ _SAMPLE_PRIORITY = [
     "window_bollinger_bands",
     # NEW in round 13 — per-doc TTR + Guiraud lexical diversity
     "text_lexical_diversity",
+    # NEW in round 13 — Kruskal–Wallis H across all priorities
+    "agg_kruskal_wallis",
+    # NEW in round 13 — Newman degree assortativity coefficient
+    "graph_degree_assortativity",
     # latest driver row r6 — oldest surviving evidence, in r6 order
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
