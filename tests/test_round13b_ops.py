@@ -1015,3 +1015,102 @@ def test_assortativity_matches_pure_python(spark):
     assert r["n_edges"] == len(und)
     assert abs(r["assortativity"] - r_want) < 1e-6
     assert -1.0 - 1e-9 <= r["assortativity"] <= 1.0 + 1e-9
+
+
+def test_ks_two_sample_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        MW_GROUP_A,
+        MW_GROUP_B,
+        agg_ks_two_sample,
+    )
+
+    xs, ys = [], []
+    for r in (
+        read_table(spark, SF, "orders")
+        .select("o_orderpriority", "o_totalprice")
+        .collect()
+    ):
+        v = int(_round_half_away(r["o_totalprice"] * 10000))
+        if r["o_orderpriority"] == MW_GROUP_A:
+            xs.append(v)
+        elif r["o_orderpriority"] == MW_GROUP_B:
+            ys.append(v)
+    n1, n2 = len(xs), len(ys)
+    values = sorted(set(xs) | set(ys))
+    xs.sort()
+    ys.sort()
+    import bisect
+
+    d_num = max(
+        abs(
+            n2 * bisect.bisect_right(xs, v)
+            - n1 * bisect.bisect_right(ys, v)
+        )
+        for v in values
+    )
+    d = d_num / (n1 * n2)
+    lam = d * math.sqrt(n1 * n2 / (n1 + n2))
+
+    rows = agg_ks_two_sample(spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_urgent"], r["n_low"]) == (n1, n2)
+    assert abs(r["d_stat"] - d) < 1e-6
+    assert abs(r["ks_lambda"] - lam) < 1e-6
+    assert 0.0 <= r["d_stat"] <= 1.0
+
+
+def test_spearman_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        agg_spearman_rank_corr,
+    )
+
+    cnt = collections.Counter()
+    for r in read_table(spark, SF, "lineitem").select("l_orderkey").collect():
+        cnt[r["l_orderkey"]] += 1
+    pairs = []
+    for r in (
+        read_table(spark, SF, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+    ):
+        if r["o_orderkey"] in cnt:
+            pairs.append(
+                (
+                    int(_round_half_away(r["o_totalprice"] * 10000)),
+                    cnt[r["o_orderkey"]],
+                )
+            )
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while (
+                j < len(order) and vals[order[j]] == vals[order[i]]
+            ):
+                j += 1
+            for k in range(i, j):
+                ranks[order[k]] = (i + 1 + j) / 2.0
+            i = j
+        return ranks
+
+    rx = avg_ranks([p[0] for p in pairs])
+    ry = avg_ranks([p[1] for p in pairs])
+    m = len(pairs)
+    mx = sum(rx) / m
+    my = sum(ry) / m
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = math.sqrt(
+        sum((a - mx) ** 2 for a in rx) * sum((b - my) ** 2 for b in ry)
+    )
+    rho = num / den
+
+    rows = agg_spearman_rank_corr(spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_orders"] == m
+    assert abs(r["spearman_rho"] - rho) < 1e-6
+    assert -1.0 - 1e-9 <= r["spearman_rho"] <= 1.0 + 1e-9

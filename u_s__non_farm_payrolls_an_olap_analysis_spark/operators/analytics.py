@@ -3264,3 +3264,213 @@ ORACLE["agg_kruskal_wallis"] = (
     "AS h_corrected "
     "FROM s, ties"
 )
+
+
+# --- Kolmogorov–Smirnov two-sample test -----------------------------------------
+
+
+def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Two-sample Kolmogorov–Smirnov statistic** (Smirnov 1939)
+    between URGENT and LOW order prices: D = max_v |F1(v) − F2(v)| —
+    the distribution-SHAPE companion of `agg_mann_whitney_u` (which
+    only sees location): two samples can share a median and still
+    differ in spread; KS sees it. Also emits the asymptotic scaling
+    λ = D·√(n1·n2/(n1+n2)) (compare to the Kolmogorov distribution's
+    1.358 at α=0.05).
+
+    Exactness: the ECDF difference at value v clears denominators —
+    |n2·C1(v) − n1·C2(v)| with C the cumulative group counts — so the
+    argmax runs over exact int64 and D is ONE division, λ one
+    fixed-shape expression (`dround` 6).
+
+    Scale: one map-side-combinable per-value count aggregate, one
+    global cumulative window over DISTINCT values (bounded by value
+    cardinality, not rows), one max aggregate."""
+    orders = read_table(spark, sf_dir, "orders")
+    both = orders.filter(
+        F.col("o_orderpriority").isin(MW_GROUP_A, MW_GROUP_B)
+    ).select(
+        (F.col("o_orderpriority") == MW_GROUP_A).alias("is_a"),
+        dround(F.col("o_totalprice") * F.lit(10_000.0), 0)
+        .cast("long")
+        .alias("v"),
+    )
+    per_v = both.groupBy("v").agg(
+        F.sum(F.when(F.col("is_a"), F.lit(1)).otherwise(F.lit(0))).alias(
+            "a"
+        ),
+        F.sum(F.when(~F.col("is_a"), F.lit(1)).otherwise(F.lit(0))).alias(
+            "b"
+        ),
+    )
+    w = Window.partitionBy().orderBy("v")
+    cum = per_v.select(
+        F.sum("a").over(w).alias("c1"), F.sum("b").over(w).alias("c2")
+    )
+    tot = both.agg(
+        F.sum(F.when(F.col("is_a"), F.lit(1)).otherwise(F.lit(0))).alias(
+            "n1"
+        ),
+        F.sum(F.when(~F.col("is_a"), F.lit(1)).otherwise(F.lit(0))).alias(
+            "n2"
+        ),
+    )
+    stat = (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("n2") * F.col("c1") - F.col("n1") * F.col("c2")
+                )
+            ).alias("d_num")
+        )
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    d = F.col("d_num").cast("double") / (n1d * n2d)
+    return stat.select(
+        F.col("n1").cast("long").alias("n_urgent"),
+        F.col("n2").cast("long").alias("n_low"),
+        dround(d, 6).alias("d_stat"),
+        dround(
+            d * F.sqrt(n1d * n2d / (n1d + n2d)), 6
+        ).alias("ks_lambda"),
+    )
+
+
+QUERIES["agg_ks_two_sample"] = agg_ks_two_sample
+
+ORACLE["agg_ks_two_sample"] = (
+    "WITH both_g AS (SELECT "
+    f"o_orderpriority = '{MW_GROUP_A}' AS is_a, "
+    "CAST(ROUND(o_totalprice * 10000.0) AS BIGINT) AS v "
+    f"FROM orders WHERE o_orderpriority IN ('{MW_GROUP_A}', "
+    f"'{MW_GROUP_B}')), "
+    "pv AS (SELECT v, "
+    "CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS a, "
+    "CAST(SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS b "
+    "FROM both_g GROUP BY 1), "
+    "cum AS (SELECT CAST(SUM(a) OVER (ORDER BY v) AS BIGINT) AS c1, "
+    "CAST(SUM(b) OVER (ORDER BY v) AS BIGINT) AS c2 FROM pv), "
+    "tot AS (SELECT "
+    "CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n1, "
+    "CAST(SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS n2 "
+    "FROM both_g), "
+    "st AS (SELECT n1, n2, "
+    "CAST(MAX(abs(n2 * c1 - n1 * c2)) AS BIGINT) AS d_num "
+    "FROM cum, tot GROUP BY 1, 2) "
+    "SELECT n1 AS n_urgent, n2 AS n_low, "
+    "ROUND(CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) "
+    "* CAST(n2 AS DOUBLE)), 6) AS d_stat, "
+    "ROUND(CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) "
+    "* CAST(n2 AS DOUBLE)) * sqrt(CAST(n1 AS DOUBLE) "
+    "* CAST(n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) "
+    "+ CAST(n2 AS DOUBLE))), 6) AS ks_lambda "
+    "FROM st"
+)
+
+
+# --- Spearman rank correlation ---------------------------------------------------
+
+
+def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Spearman rank correlation** (1904) between an order's total
+    price and its line count — the monotonic-association companion of
+    `agg_corr_covar`'s Pearson (which sees only LINEAR association and
+    is leveraged by price outliers; rank correlation is robust to
+    both).
+
+    Exactness: both variables rank with the doubled-average-rank device
+    (2·avgrank = 2·minrank + t − 1, exact ints); Pearson on the doubled
+    ranks clears every /M — ρ = (M·Σxy − Σx·Σy) / √((M·Σx² − (Σx)²) ·
+    (M·Σy² − (Σy)²)) — with all five sums exact DECIMAL(38,0) ≡
+    HUGEINT; the two second-moment factors cast to double BEFORE their
+    product (their exact product would overflow 128 bits at 100x), then
+    one sqrt and one division, `dround` 6.
+
+    Scale: one join (orders ⋈ per-order line counts — both keyed on
+    the order key), two global rank windows, one moment aggregate."""
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    cnt = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
+    pairs = orders.select(
+        "o_orderkey",
+        dround(F.col("o_totalprice") * F.lit(10_000.0), 0)
+        .cast("long")
+        .alias("vx"),
+    ).join(cnt, "o_orderkey")
+    wx = Window.partitionBy().orderBy("vx")
+    tx = Window.partitionBy("vx")
+    wy = Window.partitionBy().orderBy("n_lines")
+    ty = Window.partitionBy("n_lines")
+    ranked = pairs.select(
+        (
+            F.lit(2) * F.rank().over(wx)
+            + F.count(F.lit(1)).over(tx)
+            - F.lit(1)
+        ).alias("rx"),
+        (
+            F.lit(2) * F.rank().over(wy)
+            + F.count(F.lit(1)).over(ty)
+            - F.lit(1)
+        ).alias("ry"),
+    )
+
+    def d(c):
+        return c.cast("decimal(38,0)")
+
+    mom = ranked.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(d(F.col("rx")) * F.col("rx")).alias("sxx"),
+        F.sum(d(F.col("ry")) * F.col("ry")).alias("syy"),
+        F.sum(d(F.col("rx")) * F.col("ry")).alias("sxy"),
+    )
+    num = d(F.col("m")) * F.col("sxy") - d(F.col("sx")) * F.col("sy")
+    m2x = d(F.col("m")) * F.col("sxx") - d(F.col("sx")) * F.col("sx")
+    m2y = d(F.col("m")) * F.col("syy") - d(F.col("sy")) * F.col("sy")
+    return (
+        mom.filter((m2x > 0) & (m2y > 0))
+        .select(
+            F.col("m").cast("long").alias("n_orders"),
+            dround(
+                num.cast("double")
+                / F.sqrt(m2x.cast("double") * m2y.cast("double")),
+                6,
+            ).alias("spearman_rho"),
+        )
+    )
+
+
+QUERIES["agg_spearman_rank_corr"] = agg_spearman_rank_corr
+
+ORACLE["agg_spearman_rank_corr"] = (
+    "WITH cnt AS (SELECT l_orderkey AS o_orderkey, "
+    "CAST(COUNT(*) AS BIGINT) AS n_lines FROM lineitem GROUP BY 1), "
+    "p AS (SELECT CAST(ROUND(o_totalprice * 10000.0) AS BIGINT) AS vx, "
+    "n_lines FROM orders JOIN cnt USING (o_orderkey)), "
+    "r AS (SELECT "
+    "2 * RANK() OVER (ORDER BY vx) "
+    "+ COUNT(*) OVER (PARTITION BY vx) - 1 AS rx, "
+    "2 * RANK() OVER (ORDER BY n_lines) "
+    "+ COUNT(*) OVER (PARTITION BY n_lines) - 1 AS ry FROM p), "
+    "mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS m, "
+    "CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy, "
+    "CAST(SUM(CAST(rx AS HUGEINT) * rx) AS HUGEINT) AS sxx, "
+    "CAST(SUM(CAST(ry AS HUGEINT) * ry) AS HUGEINT) AS syy, "
+    "CAST(SUM(CAST(rx AS HUGEINT) * ry) AS HUGEINT) AS sxy FROM r) "
+    "SELECT m AS n_orders, "
+    "ROUND(CAST(CAST(m AS HUGEINT) * sxy "
+    "- CAST(sx AS HUGEINT) * sy AS DOUBLE) "
+    "/ sqrt(CAST(CAST(m AS HUGEINT) * sxx "
+    "- CAST(sx AS HUGEINT) * sx AS DOUBLE) "
+    "* CAST(CAST(m AS HUGEINT) * syy "
+    "- CAST(sy AS HUGEINT) * sy AS DOUBLE)), 6) AS spearman_rho "
+    "FROM mom WHERE CAST(m AS HUGEINT) * sxx "
+    "- CAST(sx AS HUGEINT) * sx > 0 "
+    "AND CAST(m AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy > 0"
+)

@@ -157,6 +157,10 @@ _SAMPLE_PRIORITY = [
     "agg_kruskal_wallis",
     # NEW in round 13 — Newman degree assortativity coefficient
     "graph_degree_assortativity",
+    # NEW in round 13 — two-sample Kolmogorov–Smirnov statistic
+    "agg_ks_two_sample",
+    # NEW in round 13 — Spearman rank correlation (price vs line count)
+    "agg_spearman_rank_corr",
     # latest driver row r6 — oldest surviving evidence, in r6 order
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
