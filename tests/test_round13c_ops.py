@@ -1,0 +1,188 @@
+"""Independent-reference tests for the round-13 third batch: Welch's
+t-test, one-way ANOVA, Kendall's tau-b and the Jarque-Bera normality
+test — each replicated in pure python at sf0.001 (the same device as
+test_round13_ops.py: the DuckDB oracle checks cross-engine parity;
+these pin the SEMANTICS against a from-scratch implementation that
+shares no code)."""
+
+from __future__ import annotations
+
+import collections
+import math
+
+from u_s__non_farm_payrolls_an_olap_analysis_spark.io import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _round_half_away(x: float) -> float:
+    return math.floor(abs(x) + 0.5) * (1 if x >= 0 else -1)
+
+
+def test_welch_ttest_matches_scipy_style_reference(spark):
+    """Pure-python Welch t and Welch-Satterthwaite df (the
+    scipy.stats.ttest_ind(equal_var=False) formulas) on the scaled-int
+    prices the operator quantizes to."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        MW_GROUP_A,
+        MW_GROUP_B,
+        agg_welch_ttest,
+    )
+
+    ga, gb = [], []
+    for r in (
+        read_table(spark, SF, "orders")
+        .select("o_orderpriority", "o_totalprice")
+        .collect()
+    ):
+        v = int(_round_half_away(r["o_totalprice"] * 10000))
+        if r["o_orderpriority"] == MW_GROUP_A:
+            ga.append(v)
+        elif r["o_orderpriority"] == MW_GROUP_B:
+            gb.append(v)
+    n1, n2 = len(ga), len(gb)
+    m1, m2 = sum(ga) / n1, sum(gb) / n2
+    var1 = sum((x - m1) ** 2 for x in ga) / (n1 - 1)
+    var2 = sum((x - m2) ** 2 for x in gb) / (n2 - 1)
+    u1, u2 = var1 / n1, var2 / n2
+    t = (m1 - m2) / math.sqrt(u1 + u2)
+    df = (u1 + u2) ** 2 / (u1**2 / (n1 - 1) + u2**2 / (n2 - 1))
+
+    rows = agg_welch_ttest(spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_urgent"], r["n_low"]) == (n1, n2)
+    assert abs(r["mean_urgent"] - m1 / 10000.0) < 1e-3
+    assert abs(r["mean_diff"] - (m1 - m2) / 10000.0) < 1e-3
+    assert abs(r["t_stat"] - t) < 1e-5
+    assert abs(r["df_welch"] - df) < 1e-2
+
+
+def test_oneway_anova_matches_pure_python(spark):
+    """Textbook one-way F and eta-squared over all priorities; the
+    operator's 0-dp quantization of the per-n SS terms (scaled-squared
+    units, granularity 1e-8 money-squared) is far inside the assert
+    tolerance."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        agg_oneway_anova,
+    )
+
+    groups = collections.defaultdict(list)
+    for r in (
+        read_table(spark, SF, "orders")
+        .select("o_orderpriority", "o_totalprice")
+        .collect()
+    ):
+        groups[r["o_orderpriority"]].append(
+            int(_round_half_away(r["o_totalprice"] * 10000))
+        )
+    allv = [v for g in groups.values() for v in g]
+    n, k = len(allv), len(groups)
+    grand = sum(allv) / n
+    ssb = sum(len(g) * (sum(g) / len(g) - grand) ** 2 for g in groups.values())
+    ssw = sum(
+        (v - sum(g) / len(g)) ** 2 for g in groups.values() for v in g
+    )
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    eta2 = ssb / (ssb + ssw)
+
+    rows = agg_oneway_anova(spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_orders"], r["k_groups"]) == (n, k)
+    assert abs(r["f_stat"] - f) / max(f, 1e-9) < 1e-5
+    assert abs(r["eta_squared"] - eta2) < 1e-5
+
+
+def test_kendall_tau_matches_pure_python(spark):
+    """O(n^2) concordance scan over the monthly (revenue, count) series
+    with the tau-b tie correction (the scipy.stats.kendalltau
+    variant='b' formulas)."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        agg_kendall_tau,
+    )
+
+    rev, cnt = collections.defaultdict(int), collections.defaultdict(int)
+    for r in (
+        read_table(spark, SF, "orders")
+        .select("o_orderdate", "o_totalprice")
+        .collect()
+    ):
+        mon = (r["o_orderdate"].year, r["o_orderdate"].month)
+        rev[mon] += int(_round_half_away(r["o_totalprice"] * 10000))
+        cnt[mon] += 1
+    mons = sorted(rev)
+    xs = [rev[m] for m in mons]
+    ys = [cnt[m] for m in mons]
+    c = d = tx = ty = 0
+    npairs = 0
+    for i in range(len(mons)):
+        for j in range(i + 1, len(mons)):
+            npairs += 1
+            dx, dy = xs[i] - xs[j], ys[i] - ys[j]
+            if dx == 0:
+                tx += 1
+            if dy == 0:
+                ty += 1
+            if dx * dy > 0:
+                c += 1
+            elif dx * dy < 0:
+                d += 1
+    tau = (c - d) / math.sqrt((npairs - tx) * (npairs - ty))
+
+    rows = agg_kendall_tau(spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_pairs"] == npairs
+    assert (r["concordant"], r["discordant"]) == (c, d)
+    assert abs(r["kendall_tau_b"] - tau) < 1e-6
+
+
+def test_jarque_bera_matches_pure_python(spark):
+    """Population-moment JB per ship year (the statsmodels jarque_bera
+    formulas on population g1/g2), plus internal consistency with the
+    descriptive skew/kurtosis twin."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.aggregates import (
+        agg_jarque_bera,
+        agg_skew_kurtosis,
+    )
+
+    by_year = collections.defaultdict(list)
+    for r in (
+        read_table(spark, SF, "lineitem")
+        .select("l_shipdate", "l_quantity")
+        .collect()
+    ):
+        by_year[r["l_shipdate"].year].append(
+            int(_round_half_away(r["l_quantity"]))
+        )
+    want = {}
+    for y, vals in by_year.items():
+        n = len(vals)
+        mean = sum(vals) / n
+        m2 = sum((v - mean) ** 2 for v in vals) / n
+        if m2 <= 0:
+            continue
+        m3 = sum((v - mean) ** 3 for v in vals) / n
+        m4 = sum((v - mean) ** 4 for v in vals) / n
+        g1 = m3 / m2**1.5
+        g2 = m4 / m2**2 - 3.0
+        want[y] = (n, g1, g2, n * (g1**2 / 6.0 + g2**2 / 24.0))
+
+    got = {r["year"]: r for r in agg_jarque_bera(spark, SF).collect()}
+    assert set(got) == set(want)
+    for y, (n, g1, g2, jb) in want.items():
+        r = got[y]
+        assert r["n_lines"] == n
+        assert abs(r["skewness"] - g1) < 1e-5
+        assert abs(r["kurtosis_excess"] - g2) < 1e-5
+        assert abs(r["jb_stat"] - jb) < 1e-3
+
+    # internal consistency: shares shape values with the descriptive twin
+    desc = {r["year"]: r for r in agg_skew_kurtosis(spark, SF).collect()}
+    for y in got:
+        assert abs(got[y]["skewness"] - desc[y]["skewness"]) < 1e-9
+        assert (
+            abs(got[y]["kurtosis_excess"] - desc[y]["kurtosis_excess"])
+            < 1e-9
+        )

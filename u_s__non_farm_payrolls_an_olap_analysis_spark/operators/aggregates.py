@@ -456,3 +456,99 @@ ORACLE["agg_skew_kurtosis"] = (
     "* CAST(m2e AS DOUBLE)) - 3.0, 6) AS kurtosis_excess "
     "FROM m WHERE m2e > 0 ORDER BY year"
 )
+
+
+def agg_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Jarque–Bera normality test** (Economics Letters 1980) of
+    per-line quantity by ship year — the significance layer over
+    `agg_skew_kurtosis`'s descriptive shape statistics:
+    JB = n·(g1²/6 + g2²/24) with g1/g2 the same exact-raw-moment
+    skewness and excess kurtosis.
+
+    Shares the power-sum algebra verbatim (M2/M3/M4 exact integer
+    combinations in DECIMAL(38,0) ≡ HUGEINT); the moments cast to
+    double BEFORE any squaring (M3² would overflow 128 bits), then JB
+    is one fixed-shape double expression — the same g1 = M3/(M2·√M2)
+    and g2 = M4/M2² − 3 shapes as the descriptive twin, so the two
+    operators can never drift apart.
+
+    Scale: ONE map-side-combinable power-sum aggregate over lineitem;
+    the test statistic runs on the ~7-row year frame."""
+    li = read_table(spark, sf_dir, "lineitem")
+    q = dround("l_quantity", 0).cast("long")
+    per = li.groupBy(year_of("l_shipdate").alias("year")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum(q * q).alias("s2"),
+        F.sum(q * q * q).alias("s3"),
+        F.sum(q * q * q * q).alias("s4"),
+    )
+
+    def d(c):
+        return c.cast("decimal(38,0)")
+
+    n, s1, s2, s3, s4 = (F.col(x) for x in ("n", "s1", "s2", "s3", "s4"))
+    with_m = per.select(
+        "year",
+        "n",
+        (d(n) * d(s2) - d(s1) * d(s1)).alias("m2e"),
+        (
+            d(n) * d(n) * d(s3)
+            - F.lit(3) * d(n) * d(s1) * d(s2)
+            + F.lit(2) * d(s1) * d(s1) * d(s1)
+        ).alias("m3e"),
+        (
+            d(n) * d(n) * d(n) * d(s4)
+            - F.lit(4) * d(n) * d(n) * d(s1) * d(s3)
+            + F.lit(6) * d(n) * d(s1) * d(s1) * d(s2)
+            - F.lit(3) * d(s1) * d(s1) * d(s1) * d(s1)
+        ).alias("m4e"),
+    ).filter(F.col("m2e") > 0)
+    m2, m3, m4 = (F.col(x).cast("double") for x in ("m2e", "m3e", "m4e"))
+    n_d = F.col("n").cast("double")
+    g1 = m3 / (m2 * F.sqrt(m2))
+    g2 = m4 / (m2 * m2) - F.lit(3.0)
+    return with_m.select(
+        "year",
+        F.col("n").cast("long").alias("n_lines"),
+        dround(g1, 6).alias("skewness"),
+        dround(g2, 6).alias("kurtosis_excess"),
+        dround(
+            n_d * (g1 * g1 / F.lit(6.0) + g2 * g2 / F.lit(24.0)), 6
+        ).alias("jb_stat"),
+    ).orderBy("year")
+
+
+QUERIES["agg_jarque_bera"] = agg_jarque_bera
+
+ORACLE["agg_jarque_bera"] = (
+    "WITH per AS (SELECT CAST(year(l_shipdate) AS INT) AS year, "
+    "CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS s1, "
+    "CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT) * CAST(ROUND(l_quantity) AS BIGINT)) "
+    "AS BIGINT) AS s2, "
+    "CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT) * CAST(ROUND(l_quantity) AS BIGINT) "
+    "* CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS s3, "
+    "CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT) * CAST(ROUND(l_quantity) AS BIGINT) "
+    "* CAST(ROUND(l_quantity) AS BIGINT) * CAST(ROUND(l_quantity) AS BIGINT)) "
+    "AS BIGINT) AS s4 FROM lineitem GROUP BY 1), "
+    "m AS (SELECT year, n, "
+    "CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS m2e, "
+    "CAST(n AS HUGEINT) * n * s3 "
+    "- 3 * CAST(n AS HUGEINT) * s1 * s2 "
+    "+ 2 * CAST(s1 AS HUGEINT) * s1 * s1 AS m3e, "
+    "CAST(n AS HUGEINT) * n * n * s4 "
+    "- 4 * CAST(n AS HUGEINT) * n * s1 * s3 "
+    "+ 6 * CAST(n AS HUGEINT) * s1 * s1 * s2 "
+    "- 3 * CAST(s1 AS HUGEINT) * s1 * s1 * s1 AS m4e "
+    "FROM per), "
+    "g AS (SELECT year, n, "
+    "CAST(m3e AS DOUBLE) / (CAST(m2e AS DOUBLE) * sqrt(CAST(m2e AS DOUBLE))) AS g1, "
+    "CAST(m4e AS DOUBLE) / (CAST(m2e AS DOUBLE) * CAST(m2e AS DOUBLE)) - 3.0 AS g2 "
+    "FROM m WHERE m2e > 0) "
+    "SELECT year, n AS n_lines, "
+    "ROUND(g1, 6) AS skewness, "
+    "ROUND(g2, 6) AS kurtosis_excess, "
+    "ROUND(CAST(n AS DOUBLE) * (g1 * g1 / 6.0 + g2 * g2 / 24.0), 6) AS jb_stat "
+    "FROM g ORDER BY year"
+)

@@ -3474,3 +3474,320 @@ ORACLE["agg_spearman_rank_corr"] = (
     "- CAST(sx AS HUGEINT) * sx > 0 "
     "AND CAST(m AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy > 0"
 )
+
+
+# --- Welch's unequal-variance t-test ---------------------------------------------
+
+
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Welch's unequal-variance t-test** (Biometrika 1947) between
+    URGENT and LOW order prices — the parametric companion of
+    `agg_mann_whitney_u` on the same two groups (rank-free, so it sees
+    the MEANS rather than the whole distributions), with the
+    Welch–Satterthwaite effective degrees of freedom.
+
+    Exactness: prices quantize to scaled int64 (×1e4); each group's
+    count n, sum s and sum-of-squares q are exact integers (q in
+    DECIMAL(38,0) ≡ HUGEINT — v² reaches ~2.5e19), so the sample
+    variance numerator A = n·q − s² is exact. The exposed doubles are
+    fixed-shape expressions off those integers: u_h = A_h/(n_h(n_h−1)n_h)
+    (the squared standard error, scale cancelling between numerator and
+    denominator of t), t = (m1−m2)/√(u1+u2), and
+    df = (u1+u2)² / (u1²/(n1−1) + u2²/(n2−1)).
+
+    Scale: ONE map-side-combinable conditional aggregate over orders —
+    no rank window at all (contrast Mann–Whitney's global sort), so
+    this is the cheapest member of the testing family at 100 TB."""
+    orders = read_table(spark, sf_dir, "orders")
+    both = orders.filter(
+        F.col("o_orderpriority").isin(MW_GROUP_A, MW_GROUP_B)
+    ).select(
+        (F.col("o_orderpriority") == MW_GROUP_A).alias("is_a"),
+        dround(F.col("o_totalprice") * F.lit(10_000.0), 0)
+        .cast("long")
+        .alias("v"),
+    )
+
+    def d(c):
+        return c.cast("decimal(38,0)")
+
+    agg = both.agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+        F.sum(F.when(F.col("is_a"), F.col("v"))).alias("s1"),
+        F.sum(F.when(~F.col("is_a"), F.col("v"))).alias("s2"),
+        F.sum(F.when(F.col("is_a"), d(F.col("v")) * F.col("v"))).alias("q1"),
+        F.sum(F.when(~F.col("is_a"), d(F.col("v")) * F.col("v"))).alias(
+            "q2"
+        ),
+    ).filter((F.col("n1") > 1) & (F.col("n2") > 1))
+    n1, n2 = F.col("n1"), F.col("n2")
+    s1, s2 = F.col("s1"), F.col("s2")
+    a1 = d(n1) * F.col("q1") - d(s1) * s1
+    a2 = d(n2) * F.col("q2") - d(s2) * s2
+    n1d, n2d = n1.cast("double"), n2.cast("double")
+    m1 = s1.cast("double") / n1d
+    m2 = s2.cast("double") / n2d
+    u1 = a1.cast("double") / (n1d * (n1d - F.lit(1.0)) * n1d)
+    u2 = a2.cast("double") / (n2d * (n2d - F.lit(1.0)) * n2d)
+    use = u1 + u2
+    return agg.select(
+        n1.alias("n_urgent"),
+        n2.alias("n_low"),
+        dround(m1 / F.lit(10_000.0), 4).alias("mean_urgent"),
+        dround(m2 / F.lit(10_000.0), 4).alias("mean_low"),
+        dround((m1 - m2) / F.lit(10_000.0), 4).alias("mean_diff"),
+        dround((m1 - m2) / F.sqrt(use), 6).alias("t_stat"),
+        dround(
+            (use * use)
+            / (
+                u1 * u1 / (n1d - F.lit(1.0))
+                + u2 * u2 / (n2d - F.lit(1.0))
+            ),
+            4,
+        ).alias("df_welch"),
+    )
+
+
+QUERIES["agg_welch_ttest"] = agg_welch_ttest
+
+ORACLE["agg_welch_ttest"] = (
+    "WITH both_g AS (SELECT "
+    f"o_orderpriority = '{MW_GROUP_A}' AS is_a, "
+    "CAST(ROUND(o_totalprice * 10000.0) AS BIGINT) AS v "
+    f"FROM orders WHERE o_orderpriority IN ('{MW_GROUP_A}', "
+    f"'{MW_GROUP_B}')), "
+    "a AS (SELECT "
+    "CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n1, "
+    "CAST(SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS n2, "
+    "CAST(SUM(CASE WHEN is_a THEN v END) AS BIGINT) AS s1, "
+    "CAST(SUM(CASE WHEN NOT is_a THEN v END) AS BIGINT) AS s2, "
+    "CAST(SUM(CASE WHEN is_a THEN CAST(v AS HUGEINT) * v END) "
+    "AS HUGEINT) AS q1, "
+    "CAST(SUM(CASE WHEN NOT is_a THEN CAST(v AS HUGEINT) * v END) "
+    "AS HUGEINT) AS q2 FROM both_g), "
+    "u AS (SELECT n1, n2, "
+    "CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1, "
+    "CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2, "
+    "CAST(CAST(n1 AS HUGEINT) * q1 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE) "
+    "/ (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0) "
+    "* CAST(n1 AS DOUBLE)) AS u1, "
+    "CAST(CAST(n2 AS HUGEINT) * q2 - CAST(s2 AS HUGEINT) * s2 AS DOUBLE) "
+    "/ (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0) "
+    "* CAST(n2 AS DOUBLE)) AS u2 "
+    "FROM a WHERE n1 > 1 AND n2 > 1) "
+    "SELECT n1 AS n_urgent, n2 AS n_low, "
+    "ROUND(m1 / 10000.0, 4) AS mean_urgent, "
+    "ROUND(m2 / 10000.0, 4) AS mean_low, "
+    "ROUND((m1 - m2) / 10000.0, 4) AS mean_diff, "
+    "ROUND((m1 - m2) / sqrt(u1 + u2), 6) AS t_stat, "
+    "ROUND(((u1 + u2) * (u1 + u2)) "
+    "/ (u1 * u1 / (CAST(n1 AS DOUBLE) - 1.0) "
+    "+ u2 * u2 / (CAST(n2 AS DOUBLE) - 1.0)), 4) AS df_welch "
+    "FROM u"
+)
+
+
+# --- One-way ANOVA F test ---------------------------------------------------------
+
+
+def agg_oneway_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**One-way analysis of variance** (Fisher 1925) of order price
+    across ALL five priorities — the k-group parametric extension of
+    `agg_welch_ttest`, exactly as `agg_kruskal_wallis` extends
+    `agg_mann_whitney_u` on the rank side.
+
+    Exactness (the Kruskal pre-divide device, CLAUDE.md rule 2): the
+    per-group between term s_h²/(n_h·n) and the grand terms Q/n and
+    S²/n² are each ONE fixed-shape double expression off exact
+    integers, quantized at 0 dp in scaled² units (≈4.5e17 at 100x —
+    inside int64 BECAUSE of the pre-divide by n; the un-divided
+    s_h²/n_h would be ~1e23) so the cross-group sum B = Σ and the SS
+    differences SSB/n = B − g, SSW/n = qn − B are exact integers.
+    F = ((B−g)·(n−k)) / ((qn−B)·(k−1)) with the two products in
+    DECIMAL(38,0) ≡ HUGEINT and ONE division; η² = (B−g)/(qn−g).
+
+    Scale: one map-side-combinable aggregate over orders to the k-row
+    group frame; everything after runs on k rows."""
+    orders = read_table(spark, sf_dir, "orders")
+    v = dround(F.col("o_totalprice") * F.lit(10_000.0), 0).cast("long")
+
+    def d(c):
+        return c.cast("decimal(38,0)")
+
+    per = orders.groupBy(F.col("o_orderpriority").alias("p")).agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum(v).alias("sh"),
+        F.sum(d(v) * v).alias("qh"),
+    )
+    tot = per.agg(
+        F.sum("nh").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("sh").cast("long").alias("s"),
+        F.sum("qh").alias("q"),
+    )
+    joined = per.crossJoin(F.broadcast(tot))
+    nd = F.col("n").cast("double")
+    bh = dround(
+        F.col("sh").cast("double")
+        * F.col("sh").cast("double")
+        / (F.col("nh").cast("double") * nd),
+        0,
+    ).cast("long")
+    sums = joined.groupBy("n", "k", "s", "q").agg(
+        F.sum(bh).alias("b")
+    )
+    g = dround(
+        F.col("s").cast("double") * F.col("s").cast("double") / (nd * nd),
+        0,
+    ).cast("long")
+    qn = dround(F.col("q").cast("double") / nd, 0).cast("long")
+    ssb_n = F.col("b") - g
+    ssw_n = qn - F.col("b")
+    return (
+        sums.filter((qn - F.col("b")) > 0)
+        .select(
+            F.col("n").alias("n_orders"),
+            F.col("k").alias("k_groups"),
+            dround(
+                (d(ssb_n) * (F.col("n") - F.col("k"))).cast("double")
+                / (d(ssw_n) * (F.col("k") - F.lit(1))).cast("double"),
+                6,
+            ).alias("f_stat"),
+            dround(
+                ssb_n.cast("double") / (qn - g).cast("double"), 6
+            ).alias("eta_squared"),
+        )
+    )
+
+
+QUERIES["agg_oneway_anova"] = agg_oneway_anova
+
+ORACLE["agg_oneway_anova"] = (
+    "WITH per AS (SELECT o_orderpriority AS p, "
+    "CAST(COUNT(*) AS BIGINT) AS nh, "
+    "CAST(SUM(CAST(ROUND(o_totalprice * 10000.0) AS BIGINT)) AS BIGINT) "
+    "AS sh, "
+    "CAST(SUM(CAST(CAST(ROUND(o_totalprice * 10000.0) AS BIGINT) "
+    "AS HUGEINT) * CAST(ROUND(o_totalprice * 10000.0) AS BIGINT)) "
+    "AS HUGEINT) AS qh FROM orders GROUP BY 1), "
+    "tot AS (SELECT CAST(SUM(nh) AS BIGINT) AS n, "
+    "CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(sh) AS BIGINT) AS s, "
+    "CAST(SUM(qh) AS HUGEINT) AS q FROM per), "
+    "sums AS (SELECT n, k, s, q, "
+    "CAST(SUM(CAST(ROUND(CAST(sh AS DOUBLE) * CAST(sh AS DOUBLE) "
+    "/ (CAST(nh AS DOUBLE) * CAST(n AS DOUBLE))) AS BIGINT)) AS BIGINT) "
+    "AS b FROM per, tot GROUP BY n, k, s, q), "
+    "f AS (SELECT n, k, b, "
+    "CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) "
+    "/ (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS BIGINT) AS g, "
+    "CAST(ROUND(CAST(q AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS qn "
+    "FROM sums) "
+    "SELECT n AS n_orders, k AS k_groups, "
+    "ROUND(CAST(CAST(b - g AS HUGEINT) * (n - k) AS DOUBLE) "
+    "/ CAST(CAST(qn - b AS HUGEINT) * (k - 1) AS DOUBLE), 6) AS f_stat, "
+    "ROUND(CAST(b - g AS DOUBLE) / CAST(qn - g AS DOUBLE), 6) "
+    "AS eta_squared "
+    "FROM f WHERE qn - b > 0"
+)
+
+
+# --- Kendall's tau-b rank correlation ---------------------------------------------
+
+
+def agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Kendall's τ-b** (Biometrika 1938, tie correction Kendall 1945)
+    between monthly revenue and monthly order count — the
+    concordance-pair view of the same question `agg_spearman_rank_corr`
+    answers with ranks (τ weights each discordant pair equally;
+    Spearman squares rank gaps, so a single far-out month moves ρ more
+    than τ).
+
+    Pair generation strictly AFTER the monthly rollup (the
+    `agg_theil_sen_trend` posture): the O(n²) is in SERIES LENGTH
+    (~84 months → 3.5k pairs), never row count. Concordant /
+    discordant / x-tied / y-tied pair counts are exact integers off
+    the exact scaled-int revenue (ties identical across engines);
+    τ_b = (C−D)/√((n0−n1)(n0−n2)) is one fixed-shape double off those
+    integers — the (n0−n1)(n0−n2) product in DECIMAL(38,0) ≡ HUGEINT.
+
+    Scale: one map-side-combinable month rollup, then a broadcast-able
+    self-join of the ~84-row series."""
+    orders = read_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        month_start("o_orderdate").alias("month")
+    ).agg(
+        dsum_scaled("o_totalprice").alias("rev"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    a = monthly.select(
+        F.col("month").alias("ma"),
+        F.col("rev").alias("ra"),
+        F.col("cnt").alias("ca"),
+    )
+    b = monthly.select(
+        F.col("month").alias("mb"),
+        F.col("rev").alias("rb"),
+        F.col("cnt").alias("cb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("ma") < F.col("mb")).select(
+        (F.col("ra") - F.col("rb")).alias("dx"),
+        (F.col("ca") - F.col("cb")).alias("dy"),
+    )
+    sgn = F.signum(F.col("dx").cast("double")) * F.signum(
+        F.col("dy").cast("double")
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(F.when(sgn > 0, 1).otherwise(0)).cast("long").alias("c"),
+        F.sum(F.when(sgn < 0, 1).otherwise(0)).cast("long").alias("dd"),
+        F.sum(F.when(F.col("dx") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("dy") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+    )
+
+    def d(c):
+        return c.cast("decimal(38,0)")
+
+    denom = d(F.col("n0") - F.col("n1")) * (F.col("n0") - F.col("n2"))
+    return agg.filter(denom > 0).select(
+        F.col("n0").cast("long").alias("n_pairs"),
+        F.col("c").alias("concordant"),
+        F.col("dd").alias("discordant"),
+        dround(
+            (F.col("c") - F.col("dd")).cast("double")
+            / F.sqrt(denom.cast("double")),
+            6,
+        ).alias("kendall_tau_b"),
+    )
+
+
+QUERIES["agg_kendall_tau"] = agg_kendall_tau
+
+ORACLE["agg_kendall_tau"] = (
+    "WITH monthly AS (SELECT date_trunc('month', o_orderdate) AS month, "
+    "CAST(SUM(CAST(ROUND(o_totalprice * 10000.0) AS BIGINT)) AS BIGINT) "
+    "AS rev, CAST(COUNT(*) AS BIGINT) AS cnt FROM orders GROUP BY 1), "
+    "pairs AS (SELECT a.rev - b.rev AS dx, a.cnt - b.cnt AS dy "
+    "FROM monthly a JOIN monthly b ON a.month < b.month), "
+    "agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0, "
+    "CAST(SUM(CASE WHEN sign(CAST(dx AS DOUBLE)) "
+    "* sign(CAST(dy AS DOUBLE)) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS c, "
+    "CAST(SUM(CASE WHEN sign(CAST(dx AS DOUBLE)) "
+    "* sign(CAST(dy AS DOUBLE)) < 0 THEN 1 ELSE 0 END) AS BIGINT) AS dd, "
+    "CAST(SUM(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1, "
+    "CAST(SUM(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2 "
+    "FROM pairs) "
+    "SELECT n0 AS n_pairs, c AS concordant, dd AS discordant, "
+    "ROUND(CAST(c - dd AS DOUBLE) "
+    "/ sqrt(CAST(CAST(n0 - n1 AS HUGEINT) * (n0 - n2) AS DOUBLE)), 6) "
+    "AS kendall_tau_b "
+    "FROM agg WHERE CAST(n0 - n1 AS HUGEINT) * (n0 - n2) > 0"
+)

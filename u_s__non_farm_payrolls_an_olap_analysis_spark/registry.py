@@ -97,6 +97,14 @@ _MODULES = [
 # has no driver row anywhere, so it outranks keys with historical
 # evidence). Prune the r13-recorded keys next round.
 _SAMPLE_PRIORITY = [
+    # NEW in round 13 — Welch unequal-variance t-test (URGENT vs LOW)
+    "agg_welch_ttest",
+    # NEW in round 13 — one-way ANOVA F across all priorities
+    "agg_oneway_anova",
+    # NEW in round 13 — Kendall tau-b concordance on the monthly series
+    "agg_kendall_tau",
+    # NEW in round 13 — Jarque-Bera normality test per ship year
+    "agg_jarque_bera",
     # NEW in round 13 — zero-exchange CEP off the user-bucketed layout
     "events_pattern_match_clustered",
     # NEW in round 13 — sample ACF correlogram, exact-integer z-products
