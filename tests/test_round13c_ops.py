@@ -186,3 +186,101 @@ def test_jarque_bera_matches_pure_python(spark):
             abs(got[y]["kurtosis_excess"] - desc[y]["kurtosis_excess"])
             < 1e-9
         )
+
+
+def _pure_centroid_scores(spark):
+    """From-scratch nearest-centroid scored stream replicating the
+    operator's quantization contract (1e-6 component means, 6-dp
+    cosine)."""
+    rows = (
+        read_table(spark, SF, "embeddings")
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    by_cls = collections.defaultdict(list)
+    for r in rows:
+        by_cls[r["label"]].append([float(v) for v in r["embedding"]])
+    cents = {}
+    for cls, vecs in by_cls.items():
+        n = len(vecs)
+        cents[cls] = [
+            _round_half_away(
+                sum(_round_half_away(v[d] * 1e6) for v in vecs)
+                / (1e6 * n)
+                * 1e6
+            )
+            / 1e6
+            for d in range(len(vecs[0]))
+        ]
+    scored = []
+    for r in rows:
+        e = [float(v) for v in r["embedding"]]
+        ne = math.sqrt(sum(x * x for x in e))
+        for cls, c in cents.items():
+            nc = math.sqrt(sum(x * x for x in c))
+            cos = sum(a * b for a, b in zip(e, c)) / (ne * nc)
+            scored.append(
+                (r["vec_id"], r["label"], cls, _round_half_away(cos * 1e6) / 1e6)
+            )
+    return scored
+
+
+def test_centroid_confusion_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.similarity import (
+        sim_eval_centroid_confusion,
+    )
+
+    scored = _pure_centroid_scores(spark)
+    best = {}
+    for vid, true, cls, cos in scored:
+        cur = best.get(vid)
+        if cur is None or (-cos, cls) < (-cur[1], cur[0]):
+            best[vid] = (cls, cos, true)
+    n_true = collections.Counter(t for _, _, t in best.values())
+    n_pred = collections.Counter(c for c, _, _ in best.values())
+    tp = collections.Counter(
+        t for c, _, t in best.values() if c == t
+    )
+
+    got = {r["label"]: r for r in sim_eval_centroid_confusion(spark, SF).collect()}
+    assert set(got) == set(n_true)
+    for cls in n_true:
+        r = got[cls]
+        assert r["n_true"] == n_true[cls]
+        assert r["n_pred"] == n_pred.get(cls, 0)
+        assert r["tp"] == tp.get(cls, 0)
+        want_f1 = 2.0 * tp.get(cls, 0) / (n_true[cls] + n_pred.get(cls, 0))
+        assert abs(r["f1"] - want_f1) < 1e-6
+        if n_pred.get(cls, 0):
+            assert abs(r["precision"] - tp.get(cls, 0) / n_pred[cls]) < 1e-6
+        assert abs(r["recall"] - tp.get(cls, 0) / n_true[cls]) < 1e-6
+
+
+def test_roc_auc_ovr_matches_pure_python(spark):
+    """AUC via the direct pair-counting definition (ties count half) —
+    an independent formulation of the operator's rank-sum identity."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.similarity import (
+        sim_eval_roc_auc_ovr,
+    )
+
+    scored = _pure_centroid_scores(spark)
+    by_cls = collections.defaultdict(lambda: ([], []))
+    for _, true, cls, cos in scored:
+        by_cls[cls][0 if true == cls else 1].append(cos)
+
+    got = {r["label"]: r for r in sim_eval_roc_auc_ovr(spark, SF).collect()}
+    for cls, (pos, neg) in by_cls.items():
+        if not pos or not neg:
+            assert cls not in got
+            continue
+        wins = ties = 0
+        for p in pos:
+            for q in neg:
+                if p > q:
+                    wins += 1
+                elif p == q:
+                    ties += 1
+        auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
+        r = got[cls]
+        assert (r["n_pos"], r["n_neg"]) == (len(pos), len(neg))
+        assert abs(r["auc"] - auc) < 1e-6

@@ -1907,3 +1907,238 @@ ORACLE["sim_eval_cluster_purity"] = (
     "AS overall_purity "
     "FROM p, t ORDER BY cluster_id"
 )
+
+
+# --- Nearest-centroid classifier eval: confusion/F1 + one-vs-rest ROC-AUC ---------
+
+CENT_SCALE = 1_000_000  # component quantization for exact centroid means
+
+
+def _centroid_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared scored stream for the classifier-eval pair: every vector
+    cosine-scored against every class centroid (Rocchio/nearest-centroid
+    classification, Manning-Raghavan-Schütze IR ch.14).
+
+    Centroid components are exact scaled-int means (ROUND(v·1e6) sums /
+    (1e6·n), the IVF-exact device) quantized at 6 dp, so both engines
+    build bitwise-identical centroid arrays and the sequential-fold
+    cosine stays cross-engine deterministic. Class count is ~10, so the
+    centroid table broadcasts and the corpus is scanned ONCE."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    x = emb.select("vec_id", "label", F.col("embedding").alias("e"))
+    comp = x.select("label", F.posexplode("e").alias("dim", "v"))
+    per = comp.groupBy(F.col("label").alias("cls"), F.col("dim")).agg(
+        dsum_scaled("v", CENT_SCALE).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    m = dround(
+        F.col("s").cast("double")
+        / (F.lit(float(CENT_SCALE)) * F.col("n").cast("double")),
+        6,
+    )
+    cent = (
+        per.select("cls", F.struct(F.col("dim"), m.alias("m")).alias("p"))
+        .groupBy("cls")
+        .agg(F.collect_list("p").alias("parts"))
+        .select(
+            "cls",
+            F.transform(F.array_sort("parts"), lambda t: t["m"]).alias(
+                "ce"
+            ),
+        )
+    )
+    return x.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "cls",
+        dround(cosine(F.col("e"), F.col("ce")), 6).alias("cos"),
+    )
+
+
+_CENTROID_SQL = (
+    "x AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e "
+    "FROM embeddings), "
+    "comp AS (SELECT label, "
+    "CAST(generate_subscripts(e, 1) AS INT) AS dim, unnest(e) AS v "
+    "FROM x), "
+    "per AS (SELECT label AS cls, dim, "
+    f"CAST(SUM(CAST(ROUND(v * {CENT_SCALE}.0) AS BIGINT)) AS BIGINT) AS s, "
+    "CAST(COUNT(*) AS BIGINT) AS n FROM comp GROUP BY 1, 2), "
+    "cent AS (SELECT cls, list(ROUND(CAST(s AS DOUBLE) "
+    f"/ ({CENT_SCALE}.0 * CAST(n AS DOUBLE)), 6) ORDER BY dim) AS ce "
+    "FROM per GROUP BY cls), "
+    f"sc AS (SELECT vec_id, label, cls, "
+    f"ROUND({cosine_sql('x.e', 'cent.ce')}, 6) AS cos "
+    "FROM x CROSS JOIN cent)"
+)
+
+
+def sim_eval_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Classification evaluation — per-class confusion statistics and
+    F1** of the nearest-centroid classifier (resubstitution protocol:
+    centroids trained on the full corpus, every vector then classified).
+    The multiclass counterpart of `sim_eval_mrr_recall`'s retrieval
+    metrics: precision = tp/n_pred, recall = tp/n_true, and
+    F1 = 2·tp/(n_true + n_pred) — the harmonic mean in its exact
+    integer form, so every exposed ratio is ONE division of exact
+    counts (`dround` 6, zero-denominator guarded to 0.0).
+
+    Prediction is a total order: (cosine DESC 6-dp, class ASC) per
+    vector — engine-portable by the module contract.
+
+    Scale: centroids are a k×d aggregate broadcast back; the corpus is
+    scanned once for scoring; the confusion algebra runs on ≤k² rows."""
+    scored = _centroid_scored(spark, sf_dir)
+    w_pred = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("cls")
+    )
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w_pred))
+        .filter(F.col("rn") == 1)
+        .select(F.col("label").alias("t"), F.col("cls").alias("p"))
+    )
+    n_true = pred.groupBy(F.col("t").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    n_pred = pred.groupBy(F.col("p").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_pred")
+    )
+    tp = (
+        pred.filter(F.col("t") == F.col("p"))
+        .groupBy(F.col("t").alias("label"))
+        .agg(F.count(F.lit(1)).alias("tp"))
+    )
+    base = (
+        n_true.join(n_pred, "label", "left")
+        .join(tp, "label", "left")
+        .select(
+            "label",
+            F.col("n_true"),
+            F.coalesce(F.col("n_pred"), F.lit(0)).alias("n_pred"),
+            F.coalesce(F.col("tp"), F.lit(0)).alias("tp"),
+        )
+    )
+    tp_d = F.col("tp").cast("double")
+    return base.select(
+        F.col("label").cast("int").alias("label"),
+        F.col("n_true").cast("long").alias("n_true"),
+        F.col("n_pred").cast("long").alias("n_pred"),
+        F.col("tp").cast("long").alias("tp"),
+        dround(
+            F.when(
+                F.col("n_pred") > 0,
+                tp_d / F.col("n_pred").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("precision"),
+        dround(tp_d / F.col("n_true").cast("double"), 6).alias("recall"),
+        dround(
+            F.lit(2.0)
+            * tp_d
+            / (F.col("n_true") + F.col("n_pred")).cast("double"),
+            6,
+        ).alias("f1"),
+    ).orderBy("label")
+
+
+QUERIES["sim_eval_centroid_confusion"] = sim_eval_centroid_confusion
+
+ORACLE["sim_eval_centroid_confusion"] = (
+    f"WITH {_CENTROID_SQL}, "
+    "pr AS (SELECT label AS t, cls AS p FROM (SELECT label, cls, "
+    "ROW_NUMBER() OVER (PARTITION BY vec_id "
+    "ORDER BY cos DESC, cls) AS rn FROM sc) WHERE rn = 1), "
+    "nt AS (SELECT t AS label, CAST(COUNT(*) AS BIGINT) AS n_true "
+    "FROM pr GROUP BY 1), "
+    "np AS (SELECT p AS label, CAST(COUNT(*) AS BIGINT) AS n_pred "
+    "FROM pr GROUP BY 1), "
+    "tpc AS (SELECT t AS label, CAST(COUNT(*) AS BIGINT) AS tp "
+    "FROM pr WHERE t = p GROUP BY 1), "
+    "base AS (SELECT nt.label, nt.n_true, "
+    "COALESCE(np.n_pred, 0) AS n_pred, COALESCE(tpc.tp, 0) AS tp "
+    "FROM nt LEFT JOIN np ON nt.label = np.label "
+    "LEFT JOIN tpc ON nt.label = tpc.label) "
+    "SELECT CAST(label AS INT) AS label, n_true, n_pred, tp, "
+    "ROUND(CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) "
+    "/ CAST(n_pred AS DOUBLE) ELSE 0.0 END, 6) AS precision, "
+    "ROUND(CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE), 6) AS recall, "
+    "ROUND(2.0 * CAST(tp AS DOUBLE) "
+    "/ CAST(n_true + n_pred AS DOUBLE), 6) AS f1 "
+    "FROM base ORDER BY label"
+)
+
+
+def sim_eval_roc_auc_ovr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**One-vs-rest ROC AUC** of the nearest-centroid score, per class
+    (Hanley–McNeil 1982; Fawcett PRL 2006) — the threshold-free ranking
+    quality of the same scores `sim_eval_centroid_confusion` hardens
+    into a single prediction, via the rank-sum identity
+    AUC = U/(n₁·n₀) with tie-averaged ranks.
+
+    Exactness is `agg_mann_whitney_u`'s doubled-rank device per class:
+    2·avgrank = 2·minrank + t − 1 exact over the 6-dp-quantized scores
+    (identical tie sets cross-engine), so R1d, U1d = R1d − n₁(n₁+1) and
+    AUC = U1d/(2·n₁·n₀) are one exact-integer chain with a single
+    division.
+
+    Scale: the scored stream is one broadcast pass; per-class ranks are
+    k partition-local sorts (class is the partition key — no global
+    sort); the AUC algebra runs on k rows."""
+    scored = _centroid_scored(spark, sf_dir)
+    w_rank = Window.partitionBy("cls").orderBy("cos")
+    w_tie = Window.partitionBy("cls", "cos")
+    ranked = scored.select(
+        "cls",
+        (F.col("label") == F.col("cls")).alias("is_pos"),
+        (
+            F.lit(2) * F.rank().over(w_rank)
+            + F.count(F.lit(1)).over(w_tie)
+            - F.lit(1)
+        ).alias("rd"),
+    )
+    agg = ranked.groupBy("cls").agg(
+        F.sum(F.when(F.col("is_pos"), F.col("rd"))).alias("r1d"),
+        F.sum(F.when(F.col("is_pos"), 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(~F.col("is_pos"), 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+    )
+    u1d = F.col("r1d") - F.col("n1") * (F.col("n1") + F.lit(1))
+    return (
+        agg.filter((F.col("n1") > 0) & (F.col("n0") > 0))
+        .select(
+            F.col("cls").cast("int").alias("label"),
+            F.col("n1").alias("n_pos"),
+            F.col("n0").alias("n_neg"),
+            dround(
+                u1d.cast("double")
+                / (
+                    F.lit(2.0)
+                    * (F.col("n1") * F.col("n0")).cast("double")
+                ),
+                6,
+            ).alias("auc"),
+        )
+        .orderBy("label")
+    )
+
+
+QUERIES["sim_eval_roc_auc_ovr"] = sim_eval_roc_auc_ovr
+
+ORACLE["sim_eval_roc_auc_ovr"] = (
+    f"WITH {_CENTROID_SQL}, "
+    "r AS (SELECT cls, label = cls AS is_pos, "
+    "2 * RANK() OVER (PARTITION BY cls ORDER BY cos) "
+    "+ COUNT(*) OVER (PARTITION BY cls, cos) - 1 AS rd FROM sc), "
+    "a AS (SELECT cls, "
+    "CAST(SUM(CASE WHEN is_pos THEN rd END) AS BIGINT) AS r1d, "
+    "CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS n1, "
+    "CAST(SUM(CASE WHEN NOT is_pos THEN 1 ELSE 0 END) AS BIGINT) AS n0 "
+    "FROM r GROUP BY cls) "
+    "SELECT CAST(cls AS INT) AS label, n1 AS n_pos, n0 AS n_neg, "
+    "ROUND(CAST(r1d - n1 * (n1 + 1) AS DOUBLE) "
+    "/ (2.0 * CAST(n1 * n0 AS DOUBLE)), 6) AS auc "
+    "FROM a WHERE n1 > 0 AND n0 > 0 ORDER BY label"
+)

@@ -105,6 +105,10 @@ _SAMPLE_PRIORITY = [
     "agg_kendall_tau",
     # NEW in round 13 — Jarque-Bera normality test per ship year
     "agg_jarque_bera",
+    # NEW in round 13 — nearest-centroid confusion matrix + per-class F1
+    "sim_eval_centroid_confusion",
+    # NEW in round 13 — one-vs-rest ROC AUC via the rank-sum identity
+    "sim_eval_roc_auc_ovr",
     # NEW in round 13 — zero-exchange CEP off the user-bucketed layout
     "events_pattern_match_clustered",
     # NEW in round 13 — sample ACF correlogram, exact-integer z-products
