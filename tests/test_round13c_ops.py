@@ -284,3 +284,65 @@ def test_roc_auc_ovr_matches_pure_python(spark):
         r = got[cls]
         assert (r["n_pos"], r["n_neg"]) == (len(pos), len(neg))
         assert abs(r["auc"] - auc) < 1e-6
+
+
+def test_cume_dist_deciles_matches_pure_python(spark):
+    """Replicates ntile's positional bucketing and the cume_dist /
+    percent_rank definitions from first principles per priority."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        window_cume_dist_deciles,
+    )
+
+    groups = collections.defaultdict(list)
+    for r in (
+        read_table(spark, SF, "orders")
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .collect()
+    ):
+        groups[r["o_orderpriority"]].append(
+            (r["o_totalprice"], r["o_orderkey"])
+        )
+    want = {}
+    for pri, rows in groups.items():
+        rows.sort()
+        n = len(rows)
+        base, rem = divmod(n, 10)
+        # ntile: first `rem` buckets get base+1 rows
+        sizes = [base + (1 if i < rem else 0) for i in range(10)]
+        # cume_dist / percent_rank per distinct value
+        vals = [v for v, _ in rows]
+        import bisect
+
+        idx = 0
+        for b, size in enumerate(sizes, start=1):
+            bucket = rows[idx : idx + size]
+            idx += size
+            if not bucket:
+                continue
+            hi_v = bucket[-1][0]
+            cd = bisect.bisect_right(vals, hi_v) / n
+            # percent_rank of the LAST row's value: (rank-1)/(n-1)
+            pr = bisect.bisect_left(vals, hi_v) / (n - 1)
+            # bucket-max pr is the max over rows in bucket; rows sharing a
+            # value share pr, and values increase within the bucket, so the
+            # max is the last value's pr
+            want[(pri, b)] = (
+                size,
+                bucket[0][0],
+                hi_v,
+                cd,
+                pr,
+            )
+
+    got = {
+        (r["priority"], r["decile"]): r
+        for r in window_cume_dist_deciles(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for key, (size, lo, hi, cd, pr) in want.items():
+        r = got[key]
+        assert r["n_orders"] == size
+        assert abs(r["lo_price"] - lo) < 1e-6
+        assert abs(r["hi_price"] - hi) < 1e-6
+        assert abs(r["cume_dist_hi"] - cd) < 1e-6
+        assert abs(r["pct_rank_hi"] - pr) < 1e-6

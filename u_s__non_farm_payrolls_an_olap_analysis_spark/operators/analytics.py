@@ -3791,3 +3791,69 @@ ORACLE["agg_kendall_tau"] = (
     "AS kendall_tau_b "
     "FROM agg WHERE CAST(n0 - n1 AS HUGEINT) * (n0 - n2) > 0"
 )
+
+
+# --- Distribution-rank windows: cume_dist / percent_rank / ntile ------------------
+
+
+def window_cume_dist_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Distribution-rank window trio** — ``ntile(10)`` decile buckets
+    with ``cume_dist``/``percent_rank`` boundary values, per order
+    priority: the window functions an analyst reaches for to bucket a
+    population by rank (the windowed complement of `agg_percentiles`'
+    value-space quantiles).
+
+    Determinism: ``ntile`` assigns by ROW POSITION, so its ORDER BY
+    carries the unique o_orderkey tiebreaker (a ties-only ordering
+    would be engine-nondeterministic); ``cume_dist``/``percent_rank``
+    are tie-safe BY DEFINITION (all peers share a value) and order by
+    price alone — both facts the docstring of record for this engine.
+    The decile summary emits each bucket's size, exact money bounds and
+    the bucket-max of the two rank ratios (single divisions of exact
+    rank integers, `dround` 6).
+
+    Scale: one partition-local sort per priority (priority is the
+    partition key — no global sort), then a 50-row rollup."""
+    orders = read_table(spark, sf_dir, "orders")
+    w_pos = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    w_val = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    ranked = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").alias("price"),
+        F.ntile(10).over(w_pos).alias("decile"),
+        F.cume_dist().over(w_val).alias("cd"),
+        F.percent_rank().over(w_val).alias("pr"),
+    )
+    return (
+        ranked.groupBy("priority", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("price"), 4).alias("lo_price"),
+            F.round(F.max("price"), 4).alias("hi_price"),
+            dround(F.max("cd"), 6).alias("cume_dist_hi"),
+            dround(F.max("pr"), 6).alias("pct_rank_hi"),
+        )
+        .orderBy("priority", "decile")
+    )
+
+
+QUERIES["window_cume_dist_deciles"] = window_cume_dist_deciles
+
+ORACLE["window_cume_dist_deciles"] = (
+    "WITH r AS (SELECT o_orderpriority AS priority, "
+    "o_totalprice AS price, "
+    "NTILE(10) OVER (PARTITION BY o_orderpriority "
+    "ORDER BY o_totalprice, o_orderkey) AS decile, "
+    "CUME_DIST() OVER (PARTITION BY o_orderpriority "
+    "ORDER BY o_totalprice) AS cd, "
+    "PERCENT_RANK() OVER (PARTITION BY o_orderpriority "
+    "ORDER BY o_totalprice) AS pr FROM orders) "
+    "SELECT priority, CAST(decile AS INT) AS decile, "
+    "CAST(COUNT(*) AS BIGINT) AS n_orders, "
+    "ROUND(MIN(price), 4) AS lo_price, ROUND(MAX(price), 4) AS hi_price, "
+    "ROUND(MAX(cd), 6) AS cume_dist_hi, "
+    "ROUND(MAX(pr), 6) AS pct_rank_hi "
+    "FROM r GROUP BY 1, 2 ORDER BY 1, 2"
+)

@@ -258,3 +258,45 @@ ORACLE["sql_parameterized_args"] = (
     .replace("year(o_orderdate) = 1996",
              "CAST(year(o_orderdate) AS INT) = 1996")
 )
+
+
+# --- QUALIFY dialect mapping ------------------------------------------------
+
+# Spark has no QUALIFY clause (parse error at the keyword, probed on 4.1);
+# the engine-portable form of "filter on a window function" is the derived
+# table with the window in the SELECT list. This entry pins the mapping:
+# the Spark text is the subquery form, the DuckDB oracle the QUALIFY form —
+# the parity hash proves they denote the same relation. Tiebreak
+# (o_totalprice DESC, o_orderkey) is total, so top-2 is deterministic.
+_QUALIFY_SPARK = (
+    "SELECT year, o_orderkey, price FROM ("
+    "SELECT CAST(year(o_orderdate) AS INT) AS year, o_orderkey, "
+    "ROUND(o_totalprice, 4) AS price, "
+    "ROW_NUMBER() OVER (PARTITION BY year(o_orderdate) "
+    "ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) "
+    "WHERE rn <= 2 ORDER BY year, price DESC, o_orderkey"
+)
+
+
+def sql_qualify_topk_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**QUALIFY-clause dialect mapping** (Snowflake/DuckDB/BigQuery
+    extension; not in Spark's grammar): a window-function filter. Spark
+    runs the portable derived-table formulation; the oracle is the same
+    query written WITH QUALIFY — the value hash proves the mapping a
+    migrating user applies is exact. Catalyst plans the subquery form
+    as window + rank filter (the same physical shape QUALIFY engines
+    produce), so nothing is lost in translation at scale either."""
+    register_views(spark, sf_dir)
+    return spark.sql(_QUALIFY_SPARK)
+
+
+QUERIES["sql_qualify_topk_dialect"] = sql_qualify_topk_dialect
+
+ORACLE["sql_qualify_topk_dialect"] = (
+    "SELECT CAST(year(o_orderdate) AS INT) AS year, o_orderkey, "
+    "ROUND(o_totalprice, 4) AS price "
+    "FROM orders "
+    "QUALIFY ROW_NUMBER() OVER (PARTITION BY year(o_orderdate) "
+    "ORDER BY o_totalprice DESC, o_orderkey) <= 2 "
+    "ORDER BY year, price DESC, o_orderkey"
+)

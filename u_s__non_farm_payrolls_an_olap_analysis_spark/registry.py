@@ -109,6 +109,10 @@ _SAMPLE_PRIORITY = [
     "sim_eval_centroid_confusion",
     # NEW in round 13 — one-vs-rest ROC AUC via the rank-sum identity
     "sim_eval_roc_auc_ovr",
+    # NEW in round 13 — QUALIFY dialect mapping (subquery form on Spark)
+    "sql_qualify_topk_dialect",
+    # NEW in round 13 — ntile/cume_dist/percent_rank decile summary
+    "window_cume_dist_deciles",
     # NEW in round 13 — zero-exchange CEP off the user-bucketed layout
     "events_pattern_match_clustered",
     # NEW in round 13 — sample ACF correlogram, exact-integer z-products
