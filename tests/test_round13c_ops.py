@@ -346,3 +346,73 @@ def test_cume_dist_deciles_matches_pure_python(spark):
         assert abs(r["hi_price"] - hi) < 1e-6
         assert abs(r["cume_dist_hi"] - cd) < 1e-6
         assert abs(r["pct_rank_hi"] - pr) < 1e-6
+
+
+def _pure_token_graph(spark):
+    und = set()
+    for r in read_table(spark, SF, "documents").select("text").collect():
+        toks = r["text"].split(" ")
+        for s, t in zip(toks, toks[1:]):
+            if s != t:
+                und.add((min(s, t), max(s, t)))
+    nbrs = collections.defaultdict(set)
+    for a, b in und:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    return und, nbrs
+
+
+def test_clustering_coefficient_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.graph import (
+        graph_clustering_coefficient,
+    )
+
+    und, nbrs = _pure_token_graph(spark)
+    got = {r["token"]: r for r in graph_clustering_coefficient(spark, SF).collect()}
+    want_tokens = {t for t, ns in nbrs.items() if len(ns) >= 2}
+    assert set(got) == want_tokens
+    for t in want_tokens:
+        ns = sorted(nbrs[t])
+        tri = sum(
+            1
+            for i in range(len(ns))
+            for j in range(i + 1, len(ns))
+            if (min(ns[i], ns[j]), max(ns[i], ns[j])) in und
+        )
+        d = len(ns)
+        r = got[t]
+        assert r["degree"] == d
+        assert r["n_triangles"] == tri
+        assert abs(r["clustering_coef"] - 2.0 * tri / (d * (d - 1))) < 1e-6
+
+
+def test_jaccard_link_prediction_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.graph import (
+        JC_TOP_K,
+        RA_MAX_DEG,
+        graph_link_prediction_jaccard,
+    )
+
+    und, nbrs = _pure_token_graph(spark)
+    cn = collections.Counter()
+    for z, ns in nbrs.items():
+        if 2 <= len(ns) <= RA_MAX_DEG:
+            ns = sorted(ns)
+            for i in range(len(ns)):
+                for j in range(i + 1, len(ns)):
+                    cn[(ns[i], ns[j])] += 1
+    scored = []
+    for (a, b), c in cn.items():
+        if (a, b) in und:
+            continue
+        j = c / (len(nbrs[a]) + len(nbrs[b]) - c)
+        key = _round_half_away(j * 1e12)
+        scored.append((-key, a, b, c, j))
+    scored.sort()
+    want = scored[:JC_TOP_K]
+
+    got = graph_link_prediction_jaccard(spark, SF).collect()
+    assert len(got) == len(want)
+    for g, (_, a, b, c, j) in zip(got, want):
+        assert (g["token_a"], g["token_b"], g["common_neighbors"]) == (a, b, c)
+        assert abs(g["jaccard"] - j) < 1e-6

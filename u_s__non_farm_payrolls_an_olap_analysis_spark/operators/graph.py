@@ -854,3 +854,262 @@ ORACLE["graph_degree_assortativity"] = (
     "FROM mom WHERE CAST(m AS HUGEINT) * s2 "
     "- CAST(s1 AS HUGEINT) * s1 <> 0"
 )
+
+
+# --- Local clustering coefficient (Watts-Strogatz 1998) ---------------------
+
+
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Per-node local clustering coefficient** (Watts & Strogatz,
+    Nature 1998) on the undirected token graph:
+    C(v) = 2·T(v) / (deg(v)·(deg(v)−1)) — how close each node's
+    neighborhood is to a clique. The per-node normalization of
+    `graph_triangle_counts` (same oriented-wedge triangle enumeration,
+    Schank 2007 / Suri-Vassilvitskii WWW'11), completing the local
+    structure family beside `graph_degree_assortativity`'s global
+    mixing coefficient.
+
+    Exactness: T and deg are exact integers; C is ONE division of
+    exact ints (2T cannot overflow: T ≤ C(deg,2) ≤ deg² with deg
+    bounded by the vocabulary), `dround` 6. Nodes with deg < 2 are
+    excluded in both engines (C undefined — a 0.0 would skew any
+    average a user takes downstream).
+
+    Scale: identical physical shape to the triangle operator — the
+    orientation bounds wedge fan-out by O(√|E|); the deg join is
+    node-keyed."""
+    from pyspark.sql.window import Window
+
+    directed = _token_edges(spark, sf_dir)
+    und = (
+        directed.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("token"))
+        .unionByName(und.select(F.col("b").alias("token")))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    rnk = deg.select(
+        "token",
+        F.col("degree").alias("deg"),
+        F.row_number()
+        .over(Window.partitionBy().orderBy("degree", "token"))
+        .alias("rnk"),
+    )
+    ra = rnk.select(F.col("token").alias("a"), F.col("rnk").alias("rnk_a"))
+    rb = rnk.select(F.col("token").alias("b"), F.col("rnk").alias("rnk_b"))
+    ranked = und.join(F.broadcast(ra), "a").join(F.broadcast(rb), "b")
+    oriented = ranked.select(
+        F.least("rnk_a", "rnk_b").alias("u"),
+        F.greatest("rnk_a", "rnk_b").alias("v"),
+    )
+    x, y, z = oriented.alias("x"), oriented.alias("y"), oriented.alias("z")
+    tri = (
+        x.join(
+            y,
+            (F.col("x.u") == F.col("y.u")) & (F.col("x.v") < F.col("y.v")),
+        )
+        .join(
+            z,
+            (F.col("z.u") == F.col("x.v")) & (F.col("z.v") == F.col("y.v")),
+        )
+        .select(
+            F.col("x.u").alias("c1"),
+            F.col("x.v").alias("c2"),
+            F.col("y.v").alias("c3"),
+        )
+    )
+    corners = (
+        tri.select(F.col("c1").alias("rnk"))
+        .unionByName(tri.select(F.col("c2").alias("rnk")))
+        .unionByName(tri.select(F.col("c3").alias("rnk")))
+    )
+    tcount = corners.groupBy("rnk").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    from ..functions.numerics import dround
+
+    joined = (
+        rnk.join(tcount, "rnk", "left")
+        .select(
+            "token",
+            F.col("deg").alias("degree"),
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+        )
+        .filter(F.col("degree") >= 2)
+    )
+    return joined.select(
+        "token",
+        F.col("degree").cast("long").alias("degree"),
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+        dround(
+            (F.lit(2) * F.col("n_triangles")).cast("double")
+            / (F.col("degree") * (F.col("degree") - F.lit(1))).cast(
+                "double"
+            ),
+            6,
+        ).alias("clustering_coef"),
+    ).orderBy("token")
+
+
+QUERIES["graph_clustering_coefficient"] = graph_clustering_coefficient
+
+ORACLE["graph_clustering_coefficient"] = (
+    "WITH e0 AS (SELECT DISTINCT toks[i] AS src, toks[i + 1] AS dst FROM ("
+    "SELECT string_split(text, ' ') AS toks FROM documents), "
+    "UNNEST(CASE WHEN len(toks) >= 2 THEN range(1, len(toks)) "
+    "ELSE [] END) AS u(i)), "
+    "und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+    "FROM e0 WHERE src <> dst), "
+    "deg AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS degree FROM ("
+    "SELECT a AS token FROM und UNION ALL SELECT b FROM und) GROUP BY 1), "
+    "tri AS (SELECT e1.a AS c1, e1.b AS c2, e2.b AS c3 "
+    "FROM und e1 JOIN und e2 ON e2.a = e1.b "
+    "JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b), "
+    "corners AS (SELECT c1 AS token FROM tri "
+    "UNION ALL SELECT c2 FROM tri UNION ALL SELECT c3 FROM tri), "
+    "tc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_triangles "
+    "FROM corners GROUP BY 1) "
+    "SELECT deg.token, degree, COALESCE(tc.n_triangles, 0) AS n_triangles, "
+    "ROUND(CAST(2 * COALESCE(tc.n_triangles, 0) AS DOUBLE) "
+    "/ CAST(degree * (degree - 1) AS DOUBLE), 6) AS clustering_coef "
+    "FROM deg LEFT JOIN tc ON deg.token = tc.token "
+    "WHERE degree >= 2 ORDER BY deg.token"
+)
+
+
+# --- Jaccard-coefficient link prediction (Liben-Nowell & Kleinberg 2003) -----
+
+JC_TOP_K = 50
+JC_SCALE = 1_000_000_000_000.0  # exact-int sort key: 12-dp Jaccard
+
+
+def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Link prediction by the Jaccard coefficient** (Liben-Nowell &
+    Kleinberg, CIKM 2003) on the undirected token graph: for each
+    non-adjacent pair, J(x,y) = |N(x)∩N(y)| / |N(x)∪N(y)| =
+    cn / (deg(x) + deg(y) − cn) — the normalized companion of
+    `graph_link_prediction_ra` (RA weights rare common neighbors;
+    Jaccard normalizes by neighborhood size, so high-degree nodes
+    must share proportionally more).
+
+    Same candidate-generation contract as RA: posting-list i<j
+    combinations per common neighbor z with the deg(z) ≤ 64 hub cap
+    (mirrored in the oracle — common neighbors are enumerated through
+    non-hub nodes; the DENOMINATOR degrees stay exact full degrees).
+    cn and both degrees are exact integers; the sort key is the
+    12-dp scaled-int Jaccard (one IEEE division + ties-away round in
+    both engines), the exposed ratio its 6-dp round; tiebreak
+    (token_a, token_b) is total. Top-k is TakeOrdered on the exact
+    int — no global sort.
+
+    vs reference: no analogue (the reference has no graph surface)."""
+    directed = _token_edges(spark, sf_dir)
+    und = (
+        directed.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    nbr = und.select(F.col("a").alias("z"), F.col("b").alias("x")).unionByName(
+        und.select(F.col("b").alias("z"), F.col("a").alias("x"))
+    )
+    deg = nbr.groupBy(F.col("z").alias("token")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    posting = (
+        nbr.groupBy("z")
+        .agg(F.sort_array(F.collect_list("x")).alias("xs"))
+        .filter((F.size("xs") >= 2) & (F.size("xs") <= RA_MAX_DEG))
+    )
+    pairs = posting.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("xs"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("xs"), i + 2, F.size(F.col("xs"))),
+                        lambda y: F.struct(
+                            x.alias("token_a"), y.alias("token_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.token_a", "p.token_b")
+    cn = pairs.groupBy("token_a", "token_b").agg(
+        F.count(F.lit(1)).alias("cn")
+    )
+    da = deg.select(F.col("token").alias("token_a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("token").alias("token_b"), F.col("deg").alias("db"))
+    scored = cn.join(F.broadcast(da), "token_a").join(
+        F.broadcast(db), "token_b"
+    )
+    new_links = scored.join(
+        und,
+        (scored["token_a"] == und["a"]) & (scored["token_b"] == und["b"]),
+        "left_anti",
+    )
+    from ..functions.numerics import dround
+
+    union_sz = (F.col("da") + F.col("db") - F.col("cn")).cast("double")
+    key = dround(
+        F.lit(JC_SCALE) * F.col("cn").cast("double") / union_sz, 0
+    ).cast("long")
+    return (
+        new_links.withColumn("k", key)
+        .orderBy(F.col("k").desc(), "token_a", "token_b")
+        .limit(JC_TOP_K)
+        .select(
+            "token_a",
+            "token_b",
+            F.col("cn").cast("long").alias("common_neighbors"),
+            dround(F.col("cn").cast("double") / union_sz, 6).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+QUERIES["graph_link_prediction_jaccard"] = graph_link_prediction_jaccard
+
+ORACLE["graph_link_prediction_jaccard"] = (
+    "WITH e0 AS (SELECT DISTINCT toks[i] AS src, toks[i + 1] AS dst FROM ("
+    "SELECT string_split(text, ' ') AS toks FROM documents), "
+    "UNNEST(CASE WHEN len(toks) >= 2 THEN range(1, len(toks)) "
+    "ELSE [] END) AS u(i)), "
+    "und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+    "FROM e0 WHERE src <> dst), "
+    "nbr AS (SELECT a AS z, b AS x FROM und "
+    "UNION ALL SELECT b, a FROM und), "
+    "deg AS (SELECT z AS token, CAST(COUNT(*) AS BIGINT) AS deg "
+    "FROM nbr GROUP BY 1), "
+    "hub AS (SELECT token FROM deg "
+    f"WHERE deg >= 2 AND deg <= {RA_MAX_DEG}), "
+    "p AS (SELECT n1.x AS token_a, n2.x AS token_b "
+    "FROM nbr n1 JOIN nbr n2 ON n1.z = n2.z AND n1.x < n2.x "
+    "JOIN hub ON hub.token = n1.z), "
+    "cn AS (SELECT token_a, token_b, CAST(COUNT(*) AS BIGINT) AS cn "
+    "FROM p GROUP BY 1, 2), "
+    "s AS (SELECT cn.token_a, cn.token_b, cn.cn, da.deg AS da, "
+    "db.deg AS db FROM cn "
+    "JOIN deg da ON da.token = cn.token_a "
+    "JOIN deg db ON db.token = cn.token_b), "
+    "nf AS (SELECT s.* FROM s WHERE NOT EXISTS (SELECT 1 FROM und "
+    "WHERE und.a = s.token_a AND und.b = s.token_b)) "
+    "SELECT token_a, token_b, cn AS common_neighbors, "
+    "ROUND(CAST(cn AS DOUBLE) / CAST(da + db - cn AS DOUBLE), 6) "
+    "AS jaccard "
+    "FROM nf ORDER BY CAST(ROUND("
+    f"{JC_SCALE} * CAST(cn AS DOUBLE) / CAST(da + db - cn AS DOUBLE)"
+    ") AS BIGINT) DESC, token_a, token_b "
+    f"LIMIT {JC_TOP_K}"
+)

@@ -113,6 +113,10 @@ _SAMPLE_PRIORITY = [
     "sql_qualify_topk_dialect",
     # NEW in round 13 — ntile/cume_dist/percent_rank decile summary
     "window_cume_dist_deciles",
+    # NEW in round 13 — Watts-Strogatz local clustering coefficient
+    "graph_clustering_coefficient",
+    # NEW in round 13 — Jaccard-coefficient link prediction
+    "graph_link_prediction_jaccard",
     # NEW in round 13 — zero-exchange CEP off the user-bucketed layout
     "events_pattern_match_clustered",
     # NEW in round 13 — sample ACF correlogram, exact-integer z-products
