@@ -416,3 +416,95 @@ def test_jaccard_link_prediction_matches_pure_python(spark):
     for g, (_, a, b, c, j) in zip(got, want):
         assert (g["token_a"], g["token_b"], g["common_neighbors"]) == (a, b, c)
         assert abs(g["jaccard"] - j) < 1e-6
+
+
+def test_hapax_ratio_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.text import (
+        text_hapax_ratio,
+    )
+
+    per = collections.defaultdict(collections.Counter)
+    for r in read_table(spark, SF, "documents").select("source", "text").collect():
+        per[r["source"]].update(r["text"].split(" "))
+
+    got = {r["source"]: r for r in text_hapax_ratio(spark, SF).collect()}
+    assert set(got) == set(per)
+    for src, cnt in per.items():
+        r = got[src]
+        hapax = sum(1 for c in cnt.values() if c == 1)
+        dis = sum(1 for c in cnt.values() if c == 2)
+        assert r["n_tokens"] == sum(cnt.values())
+        assert r["n_types"] == len(cnt)
+        assert (r["hapax"], r["dis"]) == (hapax, dis)
+        assert abs(r["hapax_type_ratio"] - hapax / len(cnt)) < 1e-6
+        assert abs(r["hapax_token_share"] - hapax / sum(cnt.values())) < 1e-6
+
+
+def _levenshtein(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_levenshtein_blocked_matches_pure_python(spark):
+    """From-scratch blocking + Wagner-Fischer DP replication of the
+    whole pipeline (block key, size cap, 20% integer-space threshold)."""
+    import re
+
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.dedup import (
+        LEV_BLOCK_TOKS,
+        LEV_MAX_BLOCK,
+        LEV_REL_DEN,
+        dedup_levenshtein_blocked,
+    )
+
+    base = {}
+    for r in read_table(spark, SF, "documents").select("doc_id", "text").collect():
+        nt = re.sub(r"\s+", " ", r["text"].strip().lower())
+        base[r["doc_id"]] = nt
+    blocks = collections.defaultdict(list)
+    for did, nt in base.items():
+        toks = nt.split(" ")
+        blk = (
+            len(toks) // LEV_BLOCK_TOKS,
+            toks[0],
+            toks[1] if len(toks) > 1 else "",
+        )
+        blocks[blk].append(did)
+    want = []
+    for ids in blocks.values():
+        if not (2 <= len(ids) <= LEV_MAX_BLOCK):
+            continue
+        ids.sort()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a, b = base[ids[i]], base[ids[j]]
+                led = _levenshtein(a, b)
+                mx = max(len(a), len(b))
+                if LEV_REL_DEN * led <= mx:
+                    want.append(
+                        (ids[i], ids[j], led, len(a), len(b), led / mx)
+                    )
+    want.sort()
+
+    got = dedup_levenshtein_blocked(spark, SF).collect()
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert (
+            g["doc_a"],
+            g["doc_b"],
+            g["lev_dist"],
+            g["len_a"],
+            g["len_b"],
+        ) == w[:5]
+        assert abs(g["rel_dist"] - w[5]) < 1e-6
+    # the planted near-dups must actually be caught at this SF
+    assert len(got) > 0

@@ -1863,3 +1863,136 @@ def _minhash_eval_oracle_sql() -> str:
 
 
 ORACLE["dedup_eval_minhash_lsh"] = _minhash_eval_oracle_sql()
+
+
+# --- Blocked edit-distance (Levenshtein) near-dedup --------------------------------
+
+LEV_BLOCK_TOKS = 8  # token-count bucket width of the blocking key
+LEV_MAX_BLOCK = 50  # block-size cap — the quadratic-bound contract
+LEV_REL_DEN = 5  # near iff 5*lev <= max(len): relative distance <= 20%
+
+
+def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **blocked edit-distance near-dedup** (classic record
+    linkage: Navarro, ACM Comp. Surveys 2001): candidate pairs from a
+    cheap blocking key — (token-count bucket, first two tokens) — then
+    exact Levenshtein distance on the normalized text, keeping pairs
+    with relative distance ≤ 20% (compared in INTEGER space,
+    5·lev ≤ max(len), CLAUDE.md rule 3). The character-level member of
+    the near-dup family: MinHash/Jaccard sees shingle SETS (reorder-
+    invariant), SimHash token frequencies; Levenshtein is the only one
+    that prices INSERTIONS/EDITS positionally, which is what catches
+    small in-place corruptions of otherwise identical docs.
+
+    Scale posture: blocking is one hash aggregate; pair generation is
+    the posting-list i<j device (never an all-pairs join) with the
+    block-size cap as the quadratic bound (≤ C(50,2) pairs per block,
+    contract mirrored in the oracle); the O(len²) Levenshtein kernel
+    runs ONCE per candidate pair, JVM-side in both engines; texts join
+    the id-only pair stream DOC-keyed (heavy payloads never ride a
+    pair-keyed shuffle — SCALE.md round 12). Both engines' levenshtein
+    is the unit-cost insert/delete/substitute distance, which the
+    value hash proves.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    base = _spread_if_narrow(
+        docs.select("doc_id", norm.alias("nt")).select(
+            "doc_id", "nt", F.length("nt").alias("ln")
+        )
+    )
+    toks = F.split(F.col("nt"), " ")
+    blk = F.concat_ws(
+        "|",
+        F.floor(F.size(toks) / F.lit(float(LEV_BLOCK_TOKS))).cast("string"),
+        F.element_at(toks, 1),
+        F.coalesce(F.try_element_at(toks, F.lit(2)), F.lit("")),
+    )
+    posting = (
+        base.select("doc_id", blk.alias("blk"))
+        .groupBy("blk")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(
+            (F.size("ids") >= 2) & (F.size("ids") <= LEV_MAX_BLOCK)
+        )
+    )
+    pairs = posting.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                        lambda y: F.struct(
+                            x.alias("doc_a"), y.alias("doc_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    ta = base.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("nt").alias("ta"),
+        F.col("ln").alias("len_a"),
+    )
+    tb = base.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("nt").alias("tb"),
+        F.col("ln").alias("len_b"),
+    )
+    cand = pairs.join(ta, "doc_a").join(tb, "doc_b")
+    led = F.levenshtein(F.col("ta"), F.col("tb"))
+    mx = F.greatest(F.col("len_a"), F.col("len_b"))
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            led.alias("lev_dist"),
+            F.col("len_a").cast("int").alias("len_a"),
+            F.col("len_b").cast("int").alias("len_b"),
+            mx.alias("mx"),
+        )
+        .filter(F.lit(LEV_REL_DEN) * F.col("lev_dist") <= F.col("mx"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("lev_dist").cast("int").alias("lev_dist"),
+            "len_a",
+            "len_b",
+            dround(
+                F.col("lev_dist").cast("double") / F.col("mx").cast("double"),
+                6,
+            ).alias("rel_dist"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+QUERIES["dedup_levenshtein_blocked"] = dedup_levenshtein_blocked
+
+ORACLE["dedup_levenshtein_blocked"] = (
+    "WITH base AS (SELECT doc_id, "
+    "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt "
+    "FROM documents), "
+    "b2 AS (SELECT doc_id, nt, CAST(length(nt) AS BIGINT) AS ln, "
+    "string_split(nt, ' ') AS toks FROM base), "
+    "b3 AS (SELECT doc_id, nt, ln, concat_ws('|', "
+    f"CAST(CAST(floor(len(toks) / {LEV_BLOCK_TOKS}.0) AS BIGINT) "
+    "AS VARCHAR), toks[1], COALESCE(toks[2], '')) AS blk FROM b2), "
+    "ok_blk AS (SELECT blk FROM b3 GROUP BY blk "
+    f"HAVING COUNT(*) BETWEEN 2 AND {LEV_MAX_BLOCK}), "
+    "p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b "
+    "FROM b3 x JOIN b3 y ON x.blk = y.blk AND x.doc_id < y.doc_id "
+    "JOIN ok_blk ON ok_blk.blk = x.blk), "
+    "c AS (SELECT doc_a, doc_b, "
+    "CAST(levenshtein(ta.nt, tb.nt) AS INT) AS lev_dist, "
+    "CAST(ta.ln AS INT) AS len_a, CAST(tb.ln AS INT) AS len_b, "
+    "greatest(ta.ln, tb.ln) AS mx "
+    "FROM p JOIN b2 ta ON ta.doc_id = p.doc_a "
+    "JOIN b2 tb ON tb.doc_id = p.doc_b) "
+    "SELECT doc_a, doc_b, lev_dist, len_a, len_b, "
+    "ROUND(CAST(lev_dist AS DOUBLE) / CAST(mx AS DOUBLE), 6) AS rel_dist "
+    f"FROM c WHERE {LEV_REL_DEN} * lev_dist <= mx "
+    "ORDER BY doc_a, doc_b"
+)

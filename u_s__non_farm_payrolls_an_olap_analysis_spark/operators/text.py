@@ -1502,3 +1502,81 @@ ORACLE["text_lexical_diversity"] = (
     "/ sqrt(CAST(len(toks) AS DOUBLE)) END, 6) AS guiraud_r "
     "FROM t ORDER BY doc_id"
 )
+
+
+# --- Hapax legomena / rare-type concentration by source ---------------------------
+
+
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **hapax/dis legomena statistics** per source
+    (Baayen, *Word Frequency Distributions* 2001): the share of a
+    source's vocabulary that occurs exactly once (hapax) or twice
+    (dis) — the productivity/novelty end of the distribution family
+    (`corpus_entropy_by_source` measures diversity,
+    `corpus_gini_by_source` inequality; hapax density is the classic
+    vocabulary-growth signal — Heaps-law curves are driven by it).
+
+    All counts exact integers off one (source, token) count aggregate;
+    the three exposed ratios are single divisions of exact ints
+    (`dround` 6, per ~5-source group).
+
+    Scale: one explode → one map-side-combinable count aggregate →
+    per-source rollup (the entropy operator's physical shape)."""
+    docs = read_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_src = counts.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("hapax"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("dis"),
+    )
+    return per_src.select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_types").cast("long").alias("n_types"),
+        "hapax",
+        "dis",
+        dround(
+            F.col("hapax").cast("double") / F.col("n_types").cast("double"),
+            6,
+        ).alias("hapax_type_ratio"),
+        dround(
+            F.col("dis").cast("double") / F.col("n_types").cast("double"),
+            6,
+        ).alias("dis_type_ratio"),
+        dround(
+            F.col("hapax").cast("double")
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("hapax_token_share"),
+    ).orderBy("source")
+
+
+QUERIES["text_hapax_ratio"] = text_hapax_ratio
+
+ORACLE["text_hapax_ratio"] = (
+    "WITH c AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c FROM ("
+    "SELECT source, UNNEST(string_split(text, ' ')) AS tok "
+    "FROM documents) GROUP BY 1, 2), "
+    "p AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens, "
+    "CAST(COUNT(*) AS BIGINT) AS n_types, "
+    "CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax, "
+    "CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis "
+    "FROM c GROUP BY 1) "
+    "SELECT source, n_tokens, n_types, hapax, dis, "
+    "ROUND(CAST(hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 6) "
+    "AS hapax_type_ratio, "
+    "ROUND(CAST(dis AS DOUBLE) / CAST(n_types AS DOUBLE), 6) "
+    "AS dis_type_ratio, "
+    "ROUND(CAST(hapax AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) "
+    "AS hapax_token_share "
+    "FROM p ORDER BY source"
+)

@@ -117,6 +117,10 @@ _SAMPLE_PRIORITY = [
     "graph_clustering_coefficient",
     # NEW in round 13 — Jaccard-coefficient link prediction
     "graph_link_prediction_jaccard",
+    # NEW in round 13 — hapax/dis legomena vocabulary stats by source
+    "text_hapax_ratio",
+    # NEW in round 13 — blocked Levenshtein edit-distance near-dedup
+    "dedup_levenshtein_blocked",
     # NEW in round 13 — zero-exchange CEP off the user-bucketed layout
     "events_pattern_match_clustered",
     # NEW in round 13 — sample ACF correlogram, exact-integer z-products
