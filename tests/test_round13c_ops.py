@@ -508,3 +508,94 @@ def test_levenshtein_blocked_matches_pure_python(spark):
         assert abs(g["rel_dist"] - w[5]) < 1e-6
     # the planted near-dups must actually be caught at this SF
     assert len(got) > 0
+
+
+def test_ccf_matches_pure_python(spark):
+    """Textbook cross-correlation on the aligned monthly series: the
+    cleared-mean integer device must reproduce r_k computed the naive
+    float way."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        CCF_MAX_LAG,
+        CCF_X,
+        CCF_Y,
+        timeseries_ccf,
+    )
+
+    series = collections.defaultdict(dict)
+    for r in (
+        read_table(spark, SF, "orders")
+        .select("o_orderpriority", "o_orderdate", "o_totalprice")
+        .collect()
+    ):
+        if r["o_orderpriority"] in (CCF_X, CCF_Y):
+            mon = (r["o_orderdate"].year, r["o_orderdate"].month)
+            series[r["o_orderpriority"]][mon] = series[r["o_orderpriority"]].get(
+                mon, 0
+            ) + int(_round_half_away(r["o_totalprice"] * 10000))
+    common = sorted(set(series[CCF_X]) & set(series[CCF_Y]))
+    xs = [series[CCF_X][m] for m in common]
+    ys = [series[CCF_Y][m] for m in common]
+    n = len(common)
+    mx, my = sum(xs) / n, sum(ys) / n
+    dx = sum((v - mx) ** 2 for v in xs)
+    dy = sum((v - my) ** 2 for v in ys)
+    got = {r["lag_k"]: r for r in timeseries_ccf(spark, SF).collect()}
+    assert set(got) == set(range(-CCF_MAX_LAG, CCF_MAX_LAG + 1))
+    for k in got:
+        num = sum(
+            (xs[t] - mx) * (ys[t - k] - my)
+            for t in range(n)
+            if 0 <= t - k < n
+        )
+        r = got[k]
+        assert r["n_overlap"] == n - abs(k)
+        assert abs(r["ccf"] - num / math.sqrt(dx * dy)) < 1e-6
+
+
+def test_ar2_yule_walker_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        timeseries_ar2_yule_walker,
+    )
+
+    got = {r["priority"]: r for r in timeseries_ar2_yule_walker(spark, SF).collect()}
+    series = _monthly_scaled_c(spark)
+    assert set(got) == set(series)
+    for pri, by_mon in series.items():
+        vals = [by_mon[m] for m in sorted(by_mon)]
+        n = len(vals)
+        mean = sum(vals) / n
+        c0 = sum((v - mean) ** 2 for v in vals)
+        r1 = sum(
+            (vals[t] - mean) * (vals[t - 1] - mean) for t in range(1, n)
+        ) / c0
+        r2 = sum(
+            (vals[t] - mean) * (vals[t - 2] - mean) for t in range(2, n)
+        ) / c0
+        # the operator quantizes r at 12 dp before the phi algebra
+        r1q = _round_half_away(r1 * 1e12) / 1e12
+        r2q = _round_half_away(r2 * 1e12) / 1e12
+        phi1 = r1q * (1 - r2q) / (1 - r1q * r1q)
+        phi2 = (r2q - r1q * r1q) / (1 - r1q * r1q)
+        g = got[pri]
+        assert g["n_months"] == n
+        assert abs(g["r1"] - r1) < 1e-5
+        assert abs(g["r2"] - r2) < 1e-5
+        assert abs(g["phi1"] - phi1) < 1e-5
+        assert abs(g["phi2"] - phi2) < 1e-5
+        assert (
+            abs(g["innovation_var_share"] - (1 - phi1 * r1q - phi2 * r2q))
+            < 1e-5
+        )
+
+
+def _monthly_scaled_c(spark):
+    series = collections.defaultdict(dict)
+    for r in (
+        read_table(spark, SF, "orders")
+        .select("o_orderpriority", "o_orderdate", "o_totalprice")
+        .collect()
+    ):
+        mon = (r["o_orderdate"].year, r["o_orderdate"].month)
+        d = series[r["o_orderpriority"]]
+        d[mon] = d.get(mon, 0) + int(_round_half_away(r["o_totalprice"] * 10000))
+    return series

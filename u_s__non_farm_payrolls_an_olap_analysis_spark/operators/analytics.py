@@ -3857,3 +3857,271 @@ ORACLE["window_cume_dist_deciles"] = (
     "ROUND(MAX(pr), 6) AS pct_rank_hi "
     "FROM r GROUP BY 1, 2 ORDER BY 1, 2"
 )
+
+
+# --- Cross-correlation function between two monthly series ------------------------
+
+CCF_MAX_LAG = 6
+CCF_X = "1-URGENT"
+CCF_Y = "5-LOW"
+
+
+def timeseries_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Sample cross-correlation function** (Box & Jenkins 1970 §11.1)
+    between the URGENT and LOW monthly revenue series at lags −6..+6 —
+    does one priority's revenue LEAD the other? Positive lag k means
+    x (URGENT) at month t pairs with y (LOW) at month t−k, so a peak
+    at k>0 reads "LOW leads URGENT by k months". The two-series
+    companion of `timeseries_acf`, sharing its exactness device.
+
+    Determinism: on the COMMON month spine (inner join), with
+    zx_t = n·x_t − Σx and zy_t = n·y_t − Σy exact int64, the textbook
+    r_k = Σ(x_{t}−x̄)(y_{t−k}−ȳ) / √(Σ(x−x̄)²·Σ(y−ȳ)²) equals
+    Σ zx_t·zy_{t−k} / √(Σzx²·Σzy²) — every n² cancels — so the
+    numerator is an exact integer sum (DECIMAL ≡ HUGEINT) and the two
+    denominator moments cast to double BEFORE their product (the
+    Spearman posture; the exact product would overflow 128 bits at
+    100x). One division + one sqrt per lag, `dround` 6.
+
+    Scale: corpus-sized work is the monthly rollup; the lag pairing is
+    a ≤13-fanout range self-join on the ~80-row spine."""
+    orders = read_table(spark, sf_dir, "orders")
+    m = (
+        orders.filter(F.col("o_orderpriority").isin(CCF_X, CCF_Y))
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.date_trunc("month", "o_orderdate").alias("mon"),
+        )
+        .agg(dsum_scaled("o_totalprice").alias("rev_s"))
+    )
+    xs = m.filter(F.col("priority") == CCF_X).select(
+        "mon", F.col("rev_s").alias("x")
+    )
+    ys = m.filter(F.col("priority") == CCF_Y).select(
+        "mon", F.col("rev_s").alias("y")
+    )
+    spine = xs.join(ys, "mon")
+    w_all = Window.partitionBy()
+    w_ord = Window.partitionBy().orderBy("mon")
+    z = spine.select(
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.row_number().over(w_ord).alias("rn"),
+        (F.count(F.lit(1)).over(w_all) * F.col("x") - F.sum("x").over(w_all))
+        .cast("decimal(18,0)")
+        .alias("zx"),
+        (F.count(F.lit(1)).over(w_all) * F.col("y") - F.sum("y").over(w_all))
+        .cast("decimal(18,0)")
+        .alias("zy"),
+    )
+    den = z.groupBy("n").agg(
+        F.sum(F.col("zx") * F.col("zx")).alias("dx"),
+        F.sum(F.col("zy") * F.col("zy")).alias("dy"),
+    )
+    a, b = z.alias("a"), z.alias("b")
+    num = (
+        a.join(
+            b,
+            (F.col("a.rn") - F.col("b.rn")).between(
+                -CCF_MAX_LAG, CCF_MAX_LAG
+            ),
+        )
+        .groupBy(
+            (F.col("a.rn") - F.col("b.rn")).cast("int").alias("lag_k")
+        )
+        .agg(
+            F.sum(F.col("a.zx") * F.col("b.zy")).alias("num"),
+            F.count(F.lit(1)).alias("n_overlap"),
+        )
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            "lag_k",
+            F.col("n_overlap").cast("long").alias("n_overlap"),
+            dround(
+                F.col("num").cast("double")
+                / F.sqrt(
+                    F.col("dx").cast("double") * F.col("dy").cast("double")
+                ),
+                6,
+            ).alias("ccf"),
+            dround(
+                F.lit(1.96) / F.sqrt(F.col("n").cast("double")), 6
+            ).alias("ci95"),
+        )
+        .orderBy("lag_k")
+    )
+
+
+QUERIES["timeseries_ccf"] = timeseries_ccf
+
+ORACLE["timeseries_ccf"] = (
+    "WITH m AS (SELECT o_orderpriority AS priority, "
+    "date_trunc('month', o_orderdate) AS mon, "
+    "CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS BIGINT) "
+    "AS rev_s FROM orders "
+    f"WHERE o_orderpriority IN ('{CCF_X}', '{CCF_Y}') GROUP BY 1, 2), "
+    f"xs AS (SELECT mon, rev_s AS x FROM m WHERE priority = '{CCF_X}'), "
+    f"ys AS (SELECT mon, rev_s AS y FROM m WHERE priority = '{CCF_Y}'), "
+    "spine AS (SELECT xs.mon, x, y FROM xs JOIN ys ON xs.mon = ys.mon), "
+    "z AS (SELECT CAST(COUNT(*) OVER () AS BIGINT) AS n, "
+    "ROW_NUMBER() OVER (ORDER BY mon) AS rn, "
+    "CAST(COUNT(*) OVER () * x - SUM(x) OVER () AS HUGEINT) AS zx, "
+    "CAST(COUNT(*) OVER () * y - SUM(y) OVER () AS HUGEINT) AS zy "
+    "FROM spine), "
+    "den AS (SELECT n, CAST(SUM(zx * zx) AS HUGEINT) AS dx, "
+    "CAST(SUM(zy * zy) AS HUGEINT) AS dy FROM z GROUP BY n), "
+    "num AS (SELECT CAST(a.rn - b.rn AS INT) AS lag_k, "
+    "CAST(SUM(a.zx * b.zy) AS HUGEINT) AS num, "
+    "CAST(COUNT(*) AS BIGINT) AS n_overlap "
+    "FROM z a JOIN z b ON a.rn - b.rn "
+    f"BETWEEN -{CCF_MAX_LAG} AND {CCF_MAX_LAG} GROUP BY 1) "
+    "SELECT lag_k, n_overlap, "
+    "ROUND(CAST(num AS DOUBLE) "
+    "/ sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)), 6) AS ccf, "
+    "ROUND(1.96 / sqrt(CAST(n AS DOUBLE)), 6) AS ci95 "
+    "FROM num, den ORDER BY lag_k"
+)
+
+
+# --- AR(2) Yule-Walker fit off the exact correlogram -------------------------------
+
+
+def timeseries_ar2_yule_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Yule–Walker AR(2) fit** (Yule 1927; Walker 1931) of each
+    priority's monthly revenue series — the first MODEL on top of
+    `timeseries_acf`'s diagnostics, in the closed 2×2 form:
+    φ₁ = r₁(1−r₂)/(1−r₁²), φ₂ = (r₂−r₁²)/(1−r₁²), with the innovation
+    variance share σ²/c₀ = 1 − φ₁r₁ − φ₂r₂.
+
+    Determinism: r₁/r₂ ride the ACF's cleared-mean device — numerators
+    Σz_t·z_{t−k} and denominator Σz² are exact integers — and are
+    QUANTIZED at 12 dp (scaled-int longs) before the φ algebra, so the
+    rational functions run on identical inputs in both engines;
+    φ/σ² are fixed-shape double expressions of those two quantized
+    values, `dround` 6. Series with a degenerate lag structure
+    (|1−r₁²| quantized to 0) are filtered on the exact long in both
+    engines.
+
+    Scale: identical to the ACF — the corpus-sized work is the monthly
+    rollup; the fit runs on one row per priority."""
+    orders = read_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("month", "o_orderdate").alias("mon"),
+    ).agg(dsum_scaled("o_totalprice").alias("rev_s"))
+    wp = Window.partitionBy("priority")
+    wo = Window.partitionBy("priority").orderBy("mon")
+    z = m.select(
+        "priority",
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.row_number().over(wo).alias("rn"),
+        (F.count(F.lit(1)).over(wp) * F.col("rev_s") - F.sum("rev_s").over(wp))
+        .cast("decimal(18,0)")
+        .alias("z"),
+    )
+    den = z.groupBy("priority", "n").agg(
+        F.sum(F.col("z") * F.col("z")).alias("den")
+    )
+    a, b = z.alias("a"), z.alias("b")
+    num = (
+        a.join(
+            b,
+            (F.col("a.priority") == F.col("b.priority"))
+            & (F.col("a.rn") - F.col("b.rn")).between(1, 2),
+        )
+        .groupBy(
+            F.col("a.priority").alias("priority"),
+            (F.col("a.rn") - F.col("b.rn")).cast("int").alias("lag_k"),
+        )
+        .agg(F.sum(F.col("a.z") * F.col("b.z")).alias("num"))
+    )
+    rq = (
+        num.join(den, "priority")
+        .select(
+            "priority",
+            "n",
+            "lag_k",
+            dround(
+                F.lit(1e12)
+                * F.col("num").cast("double")
+                / F.col("den").cast("double"),
+                0,
+            )
+            .cast("long")
+            .alias("rq"),
+        )
+    )
+    wide = rq.groupBy("priority", "n").agg(
+        F.sum(F.when(F.col("lag_k") == 1, F.col("rq"))).alias("r1q"),
+        F.sum(F.when(F.col("lag_k") == 2, F.col("rq"))).alias("r2q"),
+    )
+    r1 = F.col("r1q").cast("double") / F.lit(1e12)
+    r2 = F.col("r2q").cast("double") / F.lit(1e12)
+    # exact degeneracy filter: 1 - r1^2 == 0 at 12-dp quantization
+    # (1e24 and r1q^2 exceed int64 — the comparison runs in decimal ≡
+    # HUGEINT)
+    def _d38(c):
+        return c.cast("decimal(38,0)")
+
+    den_q = _d38(F.lit(10**12)) * F.lit(10**12) - _d38(
+        F.col("r1q")
+    ) * F.col("r1q")
+    phi1 = r1 * (F.lit(1.0) - r2) / (F.lit(1.0) - r1 * r1)
+    phi2 = (r2 - r1 * r1) / (F.lit(1.0) - r1 * r1)
+    return (
+        wide.filter(den_q != 0)
+        .select(
+            "priority",
+            F.col("n").cast("long").alias("n_months"),
+            dround(r1, 6).alias("r1"),
+            dround(r2, 6).alias("r2"),
+            dround(phi1, 6).alias("phi1"),
+            dround(phi2, 6).alias("phi2"),
+            dround(
+                F.lit(1.0) - phi1 * r1 - phi2 * r2, 6
+            ).alias("innovation_var_share"),
+        )
+        .orderBy("priority")
+    )
+
+
+QUERIES["timeseries_ar2_yule_walker"] = timeseries_ar2_yule_walker
+
+ORACLE["timeseries_ar2_yule_walker"] = (
+    "WITH m AS (SELECT o_orderpriority AS priority, "
+    "date_trunc('month', o_orderdate) AS mon, "
+    "CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS BIGINT) "
+    "AS rev_s FROM orders GROUP BY 1, 2), "
+    "z AS (SELECT priority, "
+    "CAST(COUNT(*) OVER (PARTITION BY priority) AS BIGINT) AS n, "
+    "ROW_NUMBER() OVER (PARTITION BY priority ORDER BY mon) AS rn, "
+    "CAST(COUNT(*) OVER (PARTITION BY priority) * rev_s "
+    "- SUM(rev_s) OVER (PARTITION BY priority) AS HUGEINT) AS z "
+    "FROM m), "
+    "den AS (SELECT priority, n, CAST(SUM(z * z) AS HUGEINT) AS den "
+    "FROM z GROUP BY 1, 2), "
+    "num AS (SELECT a.priority, CAST(a.rn - b.rn AS INT) AS lag_k, "
+    "CAST(SUM(a.z * b.z) AS HUGEINT) AS num "
+    "FROM z a JOIN z b ON a.priority = b.priority "
+    "AND a.rn - b.rn BETWEEN 1 AND 2 GROUP BY 1, 2), "
+    "rq AS (SELECT num.priority, den.n, lag_k, "
+    "CAST(ROUND(1e12 * CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) "
+    "AS BIGINT) AS rq FROM num JOIN den ON num.priority = den.priority), "
+    "wide AS (SELECT priority, n, "
+    "CAST(SUM(CASE WHEN lag_k = 1 THEN rq END) AS BIGINT) AS r1q, "
+    "CAST(SUM(CASE WHEN lag_k = 2 THEN rq END) AS BIGINT) AS r2q "
+    "FROM rq GROUP BY 1, 2), "
+    "f AS (SELECT priority, n, "
+    "CAST(r1q AS DOUBLE) / 1e12 AS r1, CAST(r2q AS DOUBLE) / 1e12 AS r2 "
+    "FROM wide WHERE CAST(1000000000000 AS HUGEINT) * 1000000000000 "
+    "- CAST(r1q AS HUGEINT) * r1q <> 0) "
+    "SELECT priority, n AS n_months, "
+    "ROUND(r1, 6) AS r1, ROUND(r2, 6) AS r2, "
+    "ROUND(r1 * (1.0 - r2) / (1.0 - r1 * r1), 6) AS phi1, "
+    "ROUND((r2 - r1 * r1) / (1.0 - r1 * r1), 6) AS phi2, "
+    "ROUND(1.0 - (r1 * (1.0 - r2) / (1.0 - r1 * r1)) * r1 "
+    "- ((r2 - r1 * r1) / (1.0 - r1 * r1)) * r2, 6) "
+    "AS innovation_var_share "
+    "FROM f ORDER BY priority"
+)

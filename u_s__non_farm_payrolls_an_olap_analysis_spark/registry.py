@@ -121,6 +121,10 @@ _SAMPLE_PRIORITY = [
     "text_hapax_ratio",
     # NEW in round 13 — blocked Levenshtein edit-distance near-dedup
     "dedup_levenshtein_blocked",
+    # NEW in round 13 — URGENT/LOW cross-correlation function at ±6 lags
+    "timeseries_ccf",
+    # NEW in round 13 — Yule-Walker AR(2) fit off the exact correlogram
+    "timeseries_ar2_yule_walker",
     # NEW in round 13 — zero-exchange CEP off the user-bucketed layout
     "events_pattern_match_clustered",
     # NEW in round 13 — sample ACF correlogram, exact-integer z-products
