@@ -599,3 +599,145 @@ def _monthly_scaled_c(spark):
         d = series[r["o_orderpriority"]]
         d[mon] = d.get(mon, 0) + int(_round_half_away(r["o_totalprice"] * 10000))
     return series
+
+
+def test_user_path_trigrams_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        PATH_TOP_K,
+        events_user_path_trigrams,
+    )
+
+    per_user = collections.defaultdict(list)
+    for r in (
+        read_table(spark, SF, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    ):
+        per_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    cnt = collections.Counter()
+    for rows in per_user.values():
+        rows.sort()
+        types = [t for _, _, t in rows]
+        for i in range(len(types) - 2):
+            cnt[tuple(types[i : i + 3])] += 1
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:PATH_TOP_K]
+
+    got = events_user_path_trigrams(spark, SF).collect()
+    assert len(got) == len(want)
+    for g, ((e1, e2, e3), n) in zip(got, want):
+        assert (g["e1"], g["e2"], g["e3"], g["n_paths"]) == (e1, e2, e3, n)
+
+
+def test_inter_arrival_stats_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        events_inter_arrival_stats,
+    )
+
+    per_type = collections.defaultdict(list)
+    for r in (
+        read_table(spark, SF, "events")
+        .select("event_type", "ts", "event_id")
+        .collect()
+    ):
+        us = int(r["ts"].timestamp() * 1e6) if r["ts"].tzinfo else None
+        # naive wall read as UTC epoch — replicate timeparts semantics
+        import calendar
+
+        t = r["ts"]
+        us = (
+            calendar.timegm(t.timetuple()) * 1_000_000 + t.microsecond
+        )
+        per_type[r["event_type"]].append((us, r["event_id"]))
+
+    def q_cont(sorted_vals, p):
+        n = len(sorted_vals)
+        pos = p * (n - 1)
+        lo = int(math.floor(pos))
+        hi = min(lo + 1, n - 1)
+        frac = pos - lo
+        return sorted_vals[lo] * (1 - frac) + sorted_vals[hi] * frac
+
+    got = {r["event_type"]: r for r in events_inter_arrival_stats(spark, SF).collect()}
+    assert set(got) == set(per_type)
+    for et, rows in per_type.items():
+        rows.sort()
+        gaps = [b[0] - a[0] for a, b in zip(rows, rows[1:])]
+        gaps_sorted = sorted(gaps)
+        r = got[et]
+        assert r["n_gaps"] == len(gaps)
+        assert abs(r["mean_gap_s"] - sum(gaps) / len(gaps) / 1e6) < 1e-5
+        assert abs(r["median_gap_s"] - q_cont(gaps_sorted, 0.5) / 1e6) < 1e-5
+        assert abs(r["p90_gap_s"] - q_cont(gaps_sorted, 0.9) / 1e6) < 1e-5
+        assert abs(r["max_gap_s"] - max(gaps) / 1e6) < 1e-6
+
+
+def test_contingency_effect_sizes_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        agg_contingency_effect_sizes,
+    )
+
+    cells = collections.Counter()
+    for r in (
+        read_table(spark, SF, "orders")
+        .select("o_orderstatus", "o_orderpriority")
+        .collect()
+    ):
+        cells[(r["o_orderstatus"], r["o_orderpriority"])] += 1
+    n = sum(cells.values())
+    rm = collections.Counter()
+    cm = collections.Counter()
+    for (s, p), o in cells.items():
+        rm[s] += o
+        cm[p] += o
+    chi2 = sum(
+        (o - rm[s] * cm[p] / n) ** 2 / (rm[s] * cm[p] / n)
+        for (s, p), o in cells.items()
+    )
+    nr, nc = len(rm), len(cm)
+    v = math.sqrt(chi2 / (n * (min(nr, nc) - 1)))
+    c = math.sqrt(chi2 / (chi2 + n))
+    t = math.sqrt(chi2 / (n * math.sqrt((nr - 1) * (nc - 1))))
+
+    rows = agg_contingency_effect_sizes(spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_orders"] == n
+    assert r["df"] == (nr - 1) * (nc - 1)
+    assert abs(r["chi2"] - chi2) < 1e-3
+    assert abs(r["cramers_v"] - v) < 1e-5
+    assert abs(r["contingency_c"] - c) < 1e-5
+    assert abs(r["tschuprow_t"] - t) < 1e-5
+
+
+def test_collocation_lift_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.text import (
+        COLL_MIN_COUNT,
+        COLL_TOP_K,
+        text_collocation_lift,
+    )
+
+    uni = collections.Counter()
+    big = collections.Counter()
+    n_big = 0
+    for r in read_table(spark, SF, "documents").select("text").collect():
+        toks = r["text"].split(" ")
+        uni.update(toks)
+        for x, y in zip(toks, toks[1:]):
+            big[(x, y)] += 1
+            n_big += 1
+    n_uni = sum(uni.values())
+    scored = []
+    for (x, y), c_xy in big.items():
+        if c_xy < COLL_MIN_COUNT:
+            continue
+        lift = c_xy * n_uni * n_uni / (n_big * uni[x] * uni[y])
+        scored.append((-_round_half_away(lift * 1e6), x, y, c_xy, lift))
+    scored.sort()
+    want = scored[:COLL_TOP_K]
+
+    got = text_collocation_lift(spark, SF).collect()
+    assert len(got) == len(want)
+    for g, (_, x, y, c_xy, lift) in zip(got, want):
+        assert (g["tok_x"], g["tok_y"], g["n_pair"]) == (x, y, c_xy)
+        assert (g["n_x"], g["n_y"]) == (uni[x], uni[y])
+        assert abs(g["lift"] - lift) < 1e-6

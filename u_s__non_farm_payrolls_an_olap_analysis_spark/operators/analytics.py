@@ -4125,3 +4125,249 @@ ORACLE["timeseries_ar2_yule_walker"] = (
     "AS innovation_var_share "
     "FROM f ORDER BY priority"
 )
+
+
+# --- Top user path trigrams (sequential pattern counts) ----------------------------
+
+PATH_TOP_K = 20
+
+
+def events_user_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **top event-type trigram paths** across the per-user
+    event streams (the k=3 special case of sequential pattern mining,
+    Agrawal & Srikant ICDE'95; the order-3 extension of
+    `events_markov_transitions`' first-order matrix): which 3-step
+    behaviors are most common?
+
+    One exchange by user carries BOTH leads (same WindowSpec → one sort,
+    the `sessionize_batch` shape); the trigram table is ≤|types|³ rows.
+    Counts exact; total order (n DESC, path ASC) with LIMIT — a
+    TakeOrdered, no global sort.
+
+    vs reference: no analogue (the reference has no sequence surface
+    beyond lag-1 pct_change, `dashboard_nfp.py:152`)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    return (
+        tri.groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.col("n_paths").desc(), "e1", "e2", "e3")
+        .limit(PATH_TOP_K)
+    )
+
+
+QUERIES["events_user_path_trigrams"] = events_user_path_trigrams
+
+ORACLE["events_user_path_trigrams"] = (
+    "WITH t AS (SELECT event_type AS e1, "
+    "LEAD(event_type, 1) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS e2, "
+    "LEAD(event_type, 2) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS e3 FROM events) "
+    "SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n_paths "
+    "FROM t WHERE e2 IS NOT NULL AND e3 IS NOT NULL "
+    "GROUP BY 1, 2, 3 "
+    f"ORDER BY n_paths DESC, e1, e2, e3 LIMIT {PATH_TOP_K}"
+)
+
+
+# --- Inter-arrival time statistics per event type ----------------------------------
+
+
+def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **inter-arrival time statistics** per event type:
+    the gap distribution between consecutive events of each type (the
+    arrival-process view of the stream — what a capacity planner or
+    anomaly detector reads; the global-per-type complement of
+    `events_sessionish`'s per-user gaps).
+
+    Timestamp discipline per CLAUDE.md rule 6/6a: epoch micros via
+    `epoch_micros_from_ntz` (pure wall arithmetic, session-timezone
+    proof); gaps are exact int64 micro differences ordered by the
+    total (ts, event_id) key; mean is one division of exact ints;
+    median/p90 are Spark ``percentile`` ≡ DuckDB ``quantile_cont`` on
+    the integer gaps (the `agg_percentiles` device). All exposed
+    seconds values descale by 1e6 inside a single `dround` 6.
+
+    Scale: one exchange by event type (k partitions — coarse, but the
+    per-type sort is exactly the arrival-order question; a 100 TB
+    deployment would pre-bucket by type) + one rollup."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id"
+    )
+    us = epoch_micros_from_ntz(F.col("ts"))
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    gaps = (
+        ev.select("event_type", us.alias("us"), "event_id")
+        .select(
+            "event_type",
+            (F.col("us") - F.lag("us").over(w)).alias("gap"),
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap").alias("sum_gap"),
+            F.percentile("gap", F.lit(0.5)).alias("med"),
+            F.percentile("gap", F.lit(0.9)).alias("p90"),
+            F.max("gap").alias("mx"),
+        )
+        .select(
+            "event_type",
+            F.col("n_gaps").cast("long").alias("n_gaps"),
+            dround(
+                F.col("sum_gap").cast("double")
+                / F.col("n_gaps").cast("double")
+                / F.lit(1e6),
+                6,
+            ).alias("mean_gap_s"),
+            dround(F.col("med") / F.lit(1e6), 6).alias("median_gap_s"),
+            dround(F.col("p90") / F.lit(1e6), 6).alias("p90_gap_s"),
+            dround(F.col("mx").cast("double") / F.lit(1e6), 6).alias(
+                "max_gap_s"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["events_inter_arrival_stats"] = events_inter_arrival_stats
+
+ORACLE["events_inter_arrival_stats"] = (
+    "WITH b AS (SELECT event_type, "
+    "epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id FROM events), "
+    "g AS (SELECT event_type, "
+    "us - LAG(us) OVER (PARTITION BY event_type ORDER BY us, event_id) "
+    "AS gap FROM b), "
+    "a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps, "
+    "CAST(SUM(gap) AS BIGINT) AS sum_gap, "
+    "quantile_cont(gap, 0.5) AS med, quantile_cont(gap, 0.9) AS p90, "
+    "CAST(MAX(gap) AS BIGINT) AS mx "
+    "FROM g WHERE gap IS NOT NULL GROUP BY 1) "
+    "SELECT event_type, n_gaps, "
+    "ROUND(CAST(sum_gap AS DOUBLE) / CAST(n_gaps AS DOUBLE) / 1e6, 6) "
+    "AS mean_gap_s, "
+    "ROUND(med / 1e6, 6) AS median_gap_s, "
+    "ROUND(p90 / 1e6, 6) AS p90_gap_s, "
+    "ROUND(CAST(mx AS DOUBLE) / 1e6, 6) AS max_gap_s "
+    "FROM a ORDER BY event_type"
+)
+
+
+# --- Contingency-table effect sizes off the chi-square device ----------------------
+
+
+def agg_contingency_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Categorical effect sizes** for the status × priority
+    contingency table — Cramér's V (1946), Pearson's contingency
+    coefficient C, and Tschuprow's T (1925): the MAGNITUDE layer over
+    `agg_chi_square_independence`'s significance (χ² grows with n even
+    for a trivial association; V/C/T are the n-free strengths a user
+    reports).
+
+    χ² rides the chi-square operator's exact device verbatim (per-cell
+    (n·O − r·c)²/(n·r·c) quantized ×1e6, exact cross-cell sum), so the
+    two operators can never disagree on χ²; each effect size is then
+    ONE fixed-shape double expression off the exact t_s/n/nr/nc —
+    V = √(χ²/(n·min(nr−1,nc−1))), C = √(χ²/(χ²+n)),
+    T = √(χ²/(n·√((nr−1)(nc−1)))) — `dround` 6.
+
+    Scale: identical to the χ² operator (one count aggregate; k²-row
+    algebra)."""
+    orders = read_table(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        F.col("o_orderstatus").alias("s"),
+        F.col("o_orderpriority").alias("p"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rows_m = cells.groupBy("s").agg(F.sum("o").alias("r"))
+    cols_m = cells.groupBy("p").agg(F.sum("o").alias("c"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("s").alias("nr"),
+        F.countDistinct("p").alias("nc"),
+    )
+
+    def d(c):
+        return c.cast("decimal(38,0)")
+
+    joined = (
+        cells.join(rows_m, "s")
+        .join(cols_m, "p")
+        .crossJoin(F.broadcast(tot))
+    )
+    dev = d(F.col("n")) * d(F.col("o")) - d(F.col("r")) * d(F.col("c"))
+    term = (dev * dev).cast("double") / (
+        d(F.col("n")) * d(F.col("r")) * d(F.col("c"))
+    ).cast("double")
+    agg = joined.groupBy("n", "nr", "nc").agg(
+        dsum_scaled(term, CHI2_SCALE).alias("t_s")
+    )
+    chi2 = F.col("t_s").cast("double") / F.lit(float(CHI2_SCALE))
+    n_d = F.col("n").cast("double")
+    m = F.least(F.col("nr"), F.col("nc")) - F.lit(1)
+    return agg.select(
+        F.col("n").cast("long").alias("n_orders"),
+        ((F.col("nr") - F.lit(1)) * (F.col("nc") - F.lit(1)))
+        .cast("int")
+        .alias("df"),
+        dround(chi2, 6).alias("chi2"),
+        dround(F.sqrt(chi2 / (n_d * m.cast("double"))), 6).alias(
+            "cramers_v"
+        ),
+        dround(F.sqrt(chi2 / (chi2 + n_d)), 6).alias("contingency_c"),
+        dround(
+            F.sqrt(
+                chi2
+                / (
+                    n_d
+                    * F.sqrt(
+                        ((F.col("nr") - F.lit(1)) * (F.col("nc") - F.lit(1)))
+                        .cast("double")
+                    )
+                )
+            ),
+            6,
+        ).alias("tschuprow_t"),
+    )
+
+
+QUERIES["agg_contingency_effect_sizes"] = agg_contingency_effect_sizes
+
+ORACLE["agg_contingency_effect_sizes"] = (
+    "WITH cells AS (SELECT o_orderstatus AS s, o_orderpriority AS p, "
+    "CAST(COUNT(*) AS BIGINT) AS o FROM orders GROUP BY 1, 2), "
+    "rm AS (SELECT s, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1), "
+    "cm AS (SELECT p, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1), "
+    "tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n, "
+    "CAST(COUNT(DISTINCT s) AS BIGINT) AS nr, "
+    "CAST(COUNT(DISTINCT p) AS BIGINT) AS nc FROM cells), "
+    "t AS (SELECT n, nr, nc, "
+    "CAST(SUM(CAST(ROUND((CAST((CAST(n AS HUGEINT) * o "
+    "- CAST(r AS HUGEINT) * c) * (CAST(n AS HUGEINT) * o "
+    "- CAST(r AS HUGEINT) * c) AS DOUBLE) "
+    "/ CAST(CAST(n AS HUGEINT) * r * c AS DOUBLE)) "
+    f"* {CHI2_SCALE}) AS BIGINT)) AS BIGINT) AS t_s "
+    "FROM cells JOIN rm USING (s) JOIN cm USING (p), tot "
+    "GROUP BY 1, 2, 3) "
+    "SELECT n AS n_orders, CAST((nr - 1) * (nc - 1) AS INT) AS df, "
+    f"ROUND(CAST(t_s AS DOUBLE) / {float(CHI2_SCALE)}, 6) AS chi2, "
+    f"ROUND(sqrt((CAST(t_s AS DOUBLE) / {float(CHI2_SCALE)}) "
+    "/ (CAST(n AS DOUBLE) * CAST(least(nr, nc) - 1 AS DOUBLE))), 6) "
+    "AS cramers_v, "
+    f"ROUND(sqrt((CAST(t_s AS DOUBLE) / {float(CHI2_SCALE)}) "
+    f"/ ((CAST(t_s AS DOUBLE) / {float(CHI2_SCALE)}) "
+    "+ CAST(n AS DOUBLE))), 6) AS contingency_c, "
+    f"ROUND(sqrt((CAST(t_s AS DOUBLE) / {float(CHI2_SCALE)}) "
+    "/ (CAST(n AS DOUBLE) "
+    "* sqrt(CAST((nr - 1) * (nc - 1) AS DOUBLE)))), 6) AS tschuprow_t "
+    "FROM t"
+)

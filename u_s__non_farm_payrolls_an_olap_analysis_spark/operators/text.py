@@ -1580,3 +1580,118 @@ ORACLE["text_hapax_ratio"] = (
     "AS hapax_token_share "
     "FROM p ORDER BY source"
 )
+
+
+# --- Bigram collocation mining by lift ---------------------------------------------
+
+COLL_MIN_COUNT = 5
+COLL_TOP_K = 30
+COLL_KEY_SCALE = 1_000_000.0  # exact-int sort key: 6-dp lift
+
+
+def text_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **collocation mining**: the corpus's most-associated
+    adjacent token pairs ranked by lift (the PMI family, Church & Hanks
+    CL 1990, with the log dropped so the score stays a RATIO of exact
+    integers — log is monotone, so the ranking is the same and no
+    cross-engine ``ln`` ULP exists, the `graph_link_prediction_ra`
+    posture):
+
+        lift(x,y) = p(x,y) / (p(x)·p(y))
+                  = c_xy · N_uni² / (N_big · c_x · c_y)
+
+    with every count an exact integer (the c_xy·N_uni² product in
+    DECIMAL(38,0) ≡ HUGEINT — ~1e22 at 100x). The exposed lift is ONE
+    division; the sort key is its 6-dp scaled-int quantization with a
+    (tok_x, tok_y) total tiebreaker; min-count 5 is the standard
+    sparse-pair guard (mirrored in the oracle).
+
+    Scale: two map-side-combinable count aggregates off one explode
+    each; the unigram table joins the bigram table token-keyed; top-k
+    is a TakeOrdered."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("x"),
+                F.element_at(toks, i + 1).alias("y"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
+    uni = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    big = (
+        docs.select(F.explode(bigrams).alias("b"))
+        .select("b.x", "b.y")
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= COLL_MIN_COUNT)
+    )
+    tot_u = uni.agg(F.sum("c").alias("n_uni"))
+    tot_b = docs.select(
+        F.greatest(F.size(toks) - 1, F.lit(0)).alias("nb")
+    ).agg(F.sum("nb").alias("n_big"))
+    ux = uni.select(F.col("tok").alias("x"), F.col("c").alias("c_x"))
+    uy = uni.select(F.col("tok").alias("y"), F.col("c").alias("c_y"))
+    j = (
+        big.join(F.broadcast(ux), "x")
+        .join(F.broadcast(uy), "y")
+        .crossJoin(F.broadcast(tot_u))
+        .crossJoin(F.broadcast(tot_b))
+    )
+
+    def d(c):
+        return c.cast("decimal(38,0)")
+
+    lift = (d(F.col("c_xy")) * d(F.col("n_uni")) * F.col("n_uni")).cast(
+        "double"
+    ) / (d(F.col("n_big")) * d(F.col("c_x")) * F.col("c_y")).cast("double")
+    key = dround(F.lit(COLL_KEY_SCALE) * lift, 0).cast("long")
+    return (
+        j.withColumn("k", key)
+        .orderBy(F.col("k").desc(), "x", "y")
+        .limit(COLL_TOP_K)
+        .select(
+            F.col("x").alias("tok_x"),
+            F.col("y").alias("tok_y"),
+            F.col("c_xy").cast("long").alias("n_pair"),
+            F.col("c_x").cast("long").alias("n_x"),
+            F.col("c_y").cast("long").alias("n_y"),
+            dround(lift, 6).alias("lift"),
+        )
+    )
+
+
+QUERIES["text_collocation_lift"] = text_collocation_lift
+
+ORACLE["text_collocation_lift"] = (
+    "WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents), "
+    "uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM ("
+    "SELECT UNNEST(t) AS tok FROM toks) GROUP BY 1), "
+    "big AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c_xy FROM ("
+    "SELECT t[i] AS x, t[i + 1] AS y FROM toks, "
+    "UNNEST(CASE WHEN len(t) >= 2 THEN range(1, len(t)) "
+    "ELSE [] END) AS u(i)) GROUP BY 1, 2 "
+    f"HAVING COUNT(*) >= {COLL_MIN_COUNT}), "
+    "tu AS (SELECT CAST(SUM(c) AS BIGINT) AS n_uni FROM uni), "
+    "tb AS (SELECT CAST(SUM(CASE WHEN len(t) >= 2 THEN len(t) - 1 "
+    "ELSE 0 END) AS BIGINT) AS n_big FROM toks), "
+    "j AS (SELECT big.x, big.y, c_xy, ux.c AS c_x, uy.c AS c_y, "
+    "n_uni, n_big FROM big "
+    "JOIN uni ux ON ux.tok = big.x "
+    "JOIN uni uy ON uy.tok = big.y, tu, tb), "
+    "s AS (SELECT x, y, c_xy, c_x, c_y, "
+    "CAST(CAST(c_xy AS HUGEINT) * n_uni * n_uni AS DOUBLE) "
+    "/ CAST(CAST(n_big AS HUGEINT) * c_x * c_y AS DOUBLE) AS lift "
+    "FROM j) "
+    "SELECT x AS tok_x, y AS tok_y, c_xy AS n_pair, c_x AS n_x, "
+    "c_y AS n_y, ROUND(lift, 6) AS lift FROM s "
+    f"ORDER BY CAST(ROUND({COLL_KEY_SCALE} * lift) AS BIGINT) DESC, x, y "
+    f"LIMIT {COLL_TOP_K}"
+)

@@ -125,6 +125,14 @@ _SAMPLE_PRIORITY = [
     "timeseries_ccf",
     # NEW in round 13 — Yule-Walker AR(2) fit off the exact correlogram
     "timeseries_ar2_yule_walker",
+    # NEW in round 13 — top event-type trigram paths (sequence mining)
+    "events_user_path_trigrams",
+    # NEW in round 13 — inter-arrival gap statistics per event type
+    "events_inter_arrival_stats",
+    # NEW in round 13 — Cramér's V / contingency C / Tschuprow T
+    "agg_contingency_effect_sizes",
+    # NEW in round 13 — bigram collocation mining ranked by exact lift
+    "text_collocation_lift",
     # NEW in round 13 — zero-exchange CEP off the user-bucketed layout
     "events_pattern_match_clustered",
     # NEW in round 13 — sample ACF correlogram, exact-integer z-products
