@@ -741,3 +741,132 @@ def test_collocation_lift_matches_pure_python(spark):
         assert (g["tok_x"], g["tok_y"], g["n_pair"]) == (x, y, c_xy)
         assert (g["n_x"], g["n_y"]) == (uni[x], uni[y])
         assert abs(g["lift"] - lift) < 1e-6
+
+
+def test_gini_customer_revenue_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        agg_gini_customer_revenue,
+    )
+
+    rev = collections.defaultdict(int)
+    for r in (
+        read_table(spark, SF, "orders")
+        .select("o_custkey", "o_totalprice")
+        .collect()
+    ):
+        rev[r["o_custkey"]] += int(_round_half_away(r["o_totalprice"] * 10000))
+    xs = [x for _, x in sorted(rev.items(), key=lambda kv: (kv[1], kv[0]))]
+    n = len(xs)
+    sx = sum(xs)
+    six = sum((i + 1) * x for i, x in enumerate(xs))
+    gini = (2 * six - (n + 1) * sx) / (n * sx)
+    top = sum(xs[n - n // 10 :])
+
+    rows = agg_gini_customer_revenue(spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_customers"] == n
+    assert abs(r["total_revenue"] - sx / 10000.0) < 1e-2
+    assert abs(r["gini"] - gini) < 1e-6
+    assert abs(r["top_decile_share"] - top / sx) < 1e-6
+
+
+def test_completeness_profile_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        _PROFILE_COLS,
+        dq_completeness_profile,
+    )
+
+    rows = read_table(spark, SF, "orders").select(*_PROFILE_COLS).collect()
+    got = {r["column_name"]: r for r in dq_completeness_profile(spark, SF).collect()}
+    assert set(got) == set(_PROFILE_COLS)
+    for c in _PROFILE_COLS:
+        vals = [r[c] for r in rows]
+        nn = sum(1 for v in vals if v is None)
+        nd = len({v for v in vals if v is not None})
+        r = got[c]
+        assert r["n_rows"] == len(vals)
+        assert (r["n_nulls"], r["n_distinct"]) == (nn, nd)
+        assert abs(r["completeness"] - (len(vals) - nn) / len(vals)) < 1e-9
+
+
+def test_dau_mau_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        events_dau_mau_stickiness,
+    )
+
+    monthly = collections.defaultdict(set)
+    daily = collections.defaultdict(set)
+    for r in read_table(spark, SF, "events").select("user_id", "ts").collect():
+        t = r["ts"]
+        monthly[(t.year, t.month)].add(r["user_id"])
+        daily[(t.year, t.month, t.day)].add(r["user_id"])
+
+    got = {
+        (r["month"].year, r["month"].month): r
+        for r in events_dau_mau_stickiness(spark, SF).collect()
+    }
+    assert set(got) == set(monthly)
+    for (y, m), users in monthly.items():
+        days = [d for d in daily if d[:2] == (y, m)]
+        sum_dau = sum(len(daily[d]) for d in days)
+        r = got[(y, m)]
+        assert r["n_days"] == len(days)
+        assert r["mau"] == len(users)
+        assert abs(r["avg_dau"] - sum_dau / len(days)) < 1e-5
+        assert abs(r["stickiness"] - sum_dau / (len(days) * len(users))) < 1e-6
+
+
+def test_cohens_kappa_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.similarity import (
+        sim_eval_cohens_kappa,
+    )
+
+    scored = _pure_centroid_scores(spark)
+    best = {}
+    for vid, true, cls, cos in scored:
+        cur = best.get(vid)
+        if cur is None or (-cos, cls) < (-cur[1], cur[0]):
+            best[vid] = (cls, cos, true)
+    n = len(best)
+    tp = sum(1 for c, _, t in best.values() if c == t)
+    rm = collections.Counter(t for _, _, t in best.values())
+    cm = collections.Counter(c for c, _, _ in best.values())
+    rc = sum(rm[l] * cm.get(l, 0) for l in rm | cm)
+    kappa = (n * tp - rc) / (n * n - rc)
+
+    rows = sim_eval_cohens_kappa(spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_vectors"], r["n_agree"]) == (n, tp)
+    assert abs(r["observed_agreement"] - tp / n) < 1e-6
+    assert abs(r["expected_agreement"] - rc / (n * n)) < 1e-6
+    assert abs(r["cohens_kappa"] - kappa) < 1e-6
+
+
+def test_balanced_downsample_matches_pure_python(spark):
+    import hashlib
+
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.sampling import (
+        sample_balanced_class_downsample,
+    )
+
+    by_label = collections.defaultdict(list)
+    for r in read_table(spark, SF, "embeddings").select("vec_id", "label").collect():
+        h = hashlib.md5(f"bal:{r['vec_id']}".encode()).hexdigest()
+        by_label[r["label"]].append((h, r["vec_id"]))
+    n_min = min(len(v) for v in by_label.values())
+    want = []
+    for lbl, rows in by_label.items():
+        rows.sort()
+        for rank, (_, vid) in enumerate(rows[:n_min], start=1):
+            want.append((lbl, vid, rank))
+    want.sort(key=lambda t: (t[0], t[1]))
+
+    got = sample_balanced_class_downsample(spark, SF).collect()
+    assert len(got) == len(want)
+    # every class kept exactly n_min rows
+    per = collections.Counter(g["label"] for g in got)
+    assert set(per.values()) == {n_min}
+    for g, (lbl, vid, rank) in zip(got, want):
+        assert (g["label"], g["vec_id"], g["pick_rank"]) == (lbl, vid, rank)

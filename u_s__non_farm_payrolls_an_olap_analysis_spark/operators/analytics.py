@@ -4371,3 +4371,250 @@ ORACLE["agg_contingency_effect_sizes"] = (
     "* sqrt(CAST((nr - 1) * (nc - 1) AS DOUBLE)))), 6) AS tschuprow_t "
     "FROM t"
 )
+
+
+# --- Customer revenue concentration: Gini + top-decile share ------------------------
+
+
+def agg_gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Customer revenue concentration** — Gini coefficient (1912) and
+    top-decile share of lifetime revenue per customer: the business-side
+    inequality twin of `corpus_gini_by_source` (token inequality) and
+    the concentration layer over `rfm_segmentation`.
+
+    Exactness (the corpus-gini device): per-customer revenue is an
+    exact scaled-int64 sum; with x_(i) the revenues sorted ASC under
+    the total (revenue, custkey) order, G = (2·Σi·x_i − (n+1)·Σx) /
+    (n·Σx) — ties in the sorted index commute inside Σi·x_i, so the
+    unique tiebreaker cannot flip the value — and the top-decile share
+    counts the n DIV 10 highest ranks. Every term is an exact integer
+    (Σi·x_i in DECIMAL(38,0) ≡ HUGEINT); each exposed ratio is one
+    division, `dround` 6.
+
+    Scale: one map-side-combinable rollup to customer grain, one global
+    rank (range-partitioned sort — the documented cost of exact ranks),
+    one moment aggregate."""
+    orders = read_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        dsum_scaled("o_totalprice").alias("x")
+    )
+    w = Window.partitionBy().orderBy("x", "o_custkey")
+    ranked = per.select(
+        "x", F.row_number().over(w).alias("i")
+    )
+
+    def d(c):
+        return c.cast("decimal(38,0)")
+
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(d(F.col("i")) * F.col("x")).alias("six"),
+    )
+    # top-decile revenue needs the rank cutoff; compute in a second pass
+    tot = ranked.agg(F.count(F.lit(1)).alias("n2"))
+    topd = (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("i")
+            > F.col("n2") - F.floor(F.col("n2") / F.lit(10)).cast("long")
+        )
+        .agg(F.sum("x").alias("top_x"))
+    )
+    g_num = F.lit(2) * d(F.col("six")) - d(F.col("n") + 1) * F.col("sx")
+    g_den = d(F.col("n")) * F.col("sx")
+    return (
+        agg.crossJoin(F.broadcast(topd))
+        .filter(F.col("sx") > 0)
+        .select(
+            F.col("n").cast("long").alias("n_customers"),
+            F.round(
+                F.col("sx").cast("double") / F.lit(10_000.0), 4
+            ).alias("total_revenue"),
+            dround(
+                g_num.cast("double") / g_den.cast("double"), 6
+            ).alias("gini"),
+            dround(
+                F.col("top_x").cast("double")
+                / F.col("sx").cast("double"),
+                6,
+            ).alias("top_decile_share"),
+        )
+    )
+
+
+QUERIES["agg_gini_customer_revenue"] = agg_gini_customer_revenue
+
+ORACLE["agg_gini_customer_revenue"] = (
+    "WITH per AS (SELECT o_custkey, "
+    "CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS BIGINT) "
+    "AS x FROM orders GROUP BY 1), "
+    "r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS i "
+    "FROM per), "
+    "a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(x) AS BIGINT) AS sx, "
+    "CAST(SUM(CAST(i AS HUGEINT) * x) AS HUGEINT) AS six FROM r), "
+    "t AS (SELECT CAST(SUM(x) AS BIGINT) AS top_x FROM r, a "
+    "WHERE i > n - n // 10) "
+    "SELECT n AS n_customers, "
+    "ROUND(CAST(sx AS DOUBLE) / 10000.0, 4) AS total_revenue, "
+    "ROUND(CAST(2 * six - CAST(n + 1 AS HUGEINT) * sx AS DOUBLE) "
+    "/ CAST(CAST(n AS HUGEINT) * sx AS DOUBLE), 6) AS gini, "
+    "ROUND(CAST(top_x AS DOUBLE) / CAST(sx AS DOUBLE), 6) "
+    "AS top_decile_share "
+    "FROM a, t WHERE sx > 0"
+)
+
+
+# --- Column completeness / distinctness profile -------------------------------------
+
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+def dq_completeness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Column profiling** — per-column null counts, distinct
+    cardinality and completeness ratio for the orders table: the
+    first-contact data-quality report (the profile half of `dq_checks`'
+    assertion half).
+
+    One pass computes every column's null count and exact distinct
+    count in a single aggregate (Spark plans multi-distinct via expand;
+    the 100 TB variant swaps `countDistinct` for HLL sketches —
+    `agg_hll_sketch_merge` is that path); the per-column rows are then
+    an inline unpivot of that 1-row frame. Completeness is one division
+    of exact ints, `dround` 6.
+
+    vs reference: `etl.py:44-50` drops NA rows blindly; this measures
+    what WOULD be dropped, per column, before anyone mutates data."""
+    orders = read_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"nn_{c}")
+        )
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    one = orders.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"nn_{c}").cast("long").alias("n_nulls"),
+                F.col(f"nd_{c}").cast("long").alias("n_distinct"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return (
+        one.select("n_rows", F.explode(rows).alias("p"))
+        .select(
+            F.col("p.column_name").alias("column_name"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("p.n_nulls").alias("n_nulls"),
+            F.col("p.n_distinct").alias("n_distinct"),
+            dround(
+                (F.col("n_rows") - F.col("p.n_nulls")).cast("double")
+                / F.col("n_rows").cast("double"),
+                6,
+            ).alias("completeness"),
+        )
+        .orderBy("column_name")
+    )
+
+
+QUERIES["dq_completeness_profile"] = dq_completeness_profile
+
+ORACLE["dq_completeness_profile"] = (
+    "WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "
+    + ", ".join(
+        f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS nn_{c}, CAST(COUNT(DISTINCT {c}) AS BIGINT) AS nd_{c}"
+        for c in _PROFILE_COLS
+    )
+    + " FROM orders) "
+    + " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, n_rows, nn_{c} AS n_nulls, "
+        f"nd_{c} AS n_distinct, "
+        f"ROUND(CAST(n_rows - nn_{c} AS DOUBLE) "
+        f"/ CAST(n_rows AS DOUBLE), 6) AS completeness FROM a"
+        for c in _PROFILE_COLS
+    )
+    + " ORDER BY column_name"
+)
+
+
+# --- DAU/MAU stickiness per month ---------------------------------------------------
+
+
+def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **DAU/MAU stickiness** per month: average daily
+    active users over monthly active users (the classic product
+    engagement ratio), plus the raw actives. The calendar-grain
+    engagement view beside `retention_cohorts` (cohort survival) and
+    `events_sessionish` (session grain).
+
+    Two exact distinct-count aggregates (daily and monthly actives —
+    the 100 TB path swaps in HLL sketch partials, `agg_hll_sketch_merge`);
+    stickiness = Σdau / (n_days·mau) is ONE division of exact integers
+    (`dround` 6). Month emitted as the NTZ wall timestamp (CLAUDE.md
+    rule 6a; the oracle CASTs DuckDB's date_trunc DATE back to
+    TIMESTAMP, rule 4)."""
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    daily = ev.groupBy(
+        F.date_trunc("month", "ts").alias("month"),
+        F.date_trunc("day", "ts").alias("day"),
+    ).agg(F.countDistinct("user_id").alias("dau"))
+    monthly = ev.groupBy(F.date_trunc("month", "ts").alias("month")).agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    per = daily.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("dau").alias("sum_dau"),
+    )
+    return (
+        per.join(monthly, "month")
+        .select(
+            "month",
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("mau").cast("long").alias("mau"),
+            dround(
+                F.col("sum_dau").cast("double")
+                / F.col("n_days").cast("double"),
+                6,
+            ).alias("avg_dau"),
+            dround(
+                F.col("sum_dau").cast("double")
+                / (F.col("n_days") * F.col("mau")).cast("double"),
+                6,
+            ).alias("stickiness"),
+        )
+        .orderBy("month")
+    )
+
+
+QUERIES["events_dau_mau_stickiness"] = events_dau_mau_stickiness
+
+ORACLE["events_dau_mau_stickiness"] = (
+    "WITH daily AS (SELECT date_trunc('month', ts) AS month, "
+    "date_trunc('day', ts) AS day, "
+    "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau "
+    "FROM events GROUP BY 1, 2), "
+    "monthly AS (SELECT date_trunc('month', ts) AS month, "
+    "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau "
+    "FROM events GROUP BY 1), "
+    "per AS (SELECT month, CAST(COUNT(*) AS BIGINT) AS n_days, "
+    "CAST(SUM(dau) AS BIGINT) AS sum_dau FROM daily GROUP BY 1) "
+    "SELECT CAST(per.month AS TIMESTAMP) AS month, n_days, mau, "
+    "ROUND(CAST(sum_dau AS DOUBLE) / CAST(n_days AS DOUBLE), 6) "
+    "AS avg_dau, "
+    "ROUND(CAST(sum_dau AS DOUBLE) / CAST(n_days * mau AS DOUBLE), 6) "
+    "AS stickiness "
+    "FROM per JOIN monthly ON per.month = monthly.month "
+    "ORDER BY month"
+)

@@ -752,3 +752,69 @@ ORACLE["agg_halfsample_ci"] = (
     "/ (CAST(b AS DOUBLE) * 1000000.0 * sqrt(2.0))), 4) AS ci_hi "
     "FROM full_s, st"
 )
+
+
+# --- Deterministic class-balanced downsample ----------------------------------------
+
+
+def sample_balanced_class_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **class-balanced downsampling** of the labelled
+    embedding corpus: every label keeps exactly n_min rows (the
+    smallest class's size), selected by the PORTABLE md5 order — the
+    classifier-training preprocessing step that prevents majority-class
+    domination (the class-label counterpart of
+    `sample_quantile_threshold_cut`'s score-based cut).
+
+    Determinism: selection rank is ROW_NUMBER over (md5('bal:'||vec_id),
+    vec_id) per label — the `agg_halfsample_ci` hash device: no RNG
+    state, reproducible on any cluster layout, and the hex-string
+    comparison is identical in both engines. n_min is an exact MIN over
+    the per-label counts, broadcast back.
+
+    Scale: one count aggregate + one per-label rank window (label is
+    the partition key) + the broadcast threshold filter — no global
+    sort, no shuffle of the vector payloads (ids select; vectors stay
+    put for the downstream trainer)."""
+    from pyspark.sql.window import Window
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        "label",
+        F.md5(
+            F.concat(F.lit("bal:"), F.col("vec_id").cast("string"))
+        ).alias("h"),
+    )
+    nmin = (
+        base.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.min("cnt").alias("n_min"))
+    )
+    w = Window.partitionBy("label").orderBy("h", "vec_id")
+    ranked = base.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.crossJoin(F.broadcast(nmin))
+        .filter(F.col("rn") <= F.col("n_min"))
+        .select(
+            F.col("label").cast("int").alias("label"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("rn").cast("int").alias("pick_rank"),
+        )
+        .orderBy("label", "vec_id")
+    )
+
+
+QUERIES["sample_balanced_class_downsample"] = sample_balanced_class_downsample
+
+ORACLE["sample_balanced_class_downsample"] = (
+    "WITH b AS (SELECT vec_id, label, "
+    "md5('bal:' || CAST(vec_id AS VARCHAR)) AS h FROM embeddings), "
+    "nm AS (SELECT CAST(MIN(cnt) AS BIGINT) AS n_min FROM ("
+    "SELECT label, COUNT(*) AS cnt FROM b GROUP BY 1)), "
+    "r AS (SELECT vec_id, label, "
+    "ROW_NUMBER() OVER (PARTITION BY label ORDER BY h, vec_id) AS rn "
+    "FROM b) "
+    "SELECT CAST(label AS INT) AS label, CAST(vec_id AS BIGINT) AS vec_id, "
+    "CAST(rn AS INT) AS pick_rank "
+    "FROM r, nm WHERE rn <= n_min ORDER BY label, vec_id"
+)

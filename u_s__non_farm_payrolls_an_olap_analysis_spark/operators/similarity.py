@@ -2142,3 +2142,98 @@ ORACLE["sim_eval_roc_auc_ovr"] = (
     "/ (2.0 * CAST(n1 * n0 AS DOUBLE)), 6) AS auc "
     "FROM a WHERE n1 > 0 AND n0 > 0 ORDER BY label"
 )
+
+
+def sim_eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Cohen's κ** (Educ. Psych. Meas. 1960) of the nearest-centroid
+    classifier against the true labels — chance-corrected agreement,
+    the single-number summary of `sim_eval_centroid_confusion`'s
+    matrix (accuracy alone flatters a classifier on skewed classes; κ
+    subtracts what label-frequency matching would score by luck).
+
+    Exact integer form: with tp = Σ diagonal, and r_c/c_c the
+    true/predicted marginals, κ = (n·Σtp − Σ r_c·c_c) /
+    (n² − Σ r_c·c_c) — every term an exact integer (DECIMAL(38,0) ≡
+    HUGEINT at 100x), ONE division, `dround` 6. Observed and expected
+    agreement emitted alongside (each one division).
+
+    Scale: the scored stream + per-vector argmax (the confusion
+    operator's shape); the κ algebra runs on k-row marginals."""
+    scored = _centroid_scored(spark, sf_dir)
+    w_pred = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("cls")
+    )
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w_pred))
+        .filter(F.col("rn") == 1)
+        .select(F.col("label").alias("t"), F.col("cls").alias("p"))
+    )
+    n_true = pred.groupBy(F.col("t").alias("lbl")).agg(
+        F.count(F.lit(1)).alias("r")
+    )
+    n_pred = pred.groupBy(F.col("p").alias("lbl")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    marg = n_true.join(n_pred, "lbl", "full").select(
+        F.coalesce(F.col("r"), F.lit(0)).alias("r"),
+        F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+    )
+
+    def d(c):
+        return c.cast("decimal(38,0)")
+
+    pe_sum = marg.agg(
+        F.sum(d(F.col("r")) * F.col("c")).alias("rc")
+    )
+    base = pred.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("t") == F.col("p"), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+    )
+    j = base.crossJoin(F.broadcast(pe_sum))
+    n, tp, rc = F.col("n"), F.col("tp"), F.col("rc")
+    return j.filter((d(n) * n - rc) != 0).select(
+        n.cast("long").alias("n_vectors"),
+        tp.alias("n_agree"),
+        dround(tp.cast("double") / n.cast("double"), 6).alias(
+            "observed_agreement"
+        ),
+        dround(
+            rc.cast("double") / (d(n) * n).cast("double"), 6
+        ).alias("expected_agreement"),
+        dround(
+            (d(n) * tp - rc).cast("double")
+            / (d(n) * n - rc).cast("double"),
+            6,
+        ).alias("cohens_kappa"),
+    )
+
+
+QUERIES["sim_eval_cohens_kappa"] = sim_eval_cohens_kappa
+
+ORACLE["sim_eval_cohens_kappa"] = (
+    f"WITH {_CENTROID_SQL}, "
+    "pr AS (SELECT label AS t, cls AS p FROM (SELECT label, cls, "
+    "ROW_NUMBER() OVER (PARTITION BY vec_id "
+    "ORDER BY cos DESC, cls) AS rn FROM sc) WHERE rn = 1), "
+    "nt AS (SELECT t AS lbl, CAST(COUNT(*) AS BIGINT) AS r "
+    "FROM pr GROUP BY 1), "
+    "np AS (SELECT p AS lbl, CAST(COUNT(*) AS BIGINT) AS c "
+    "FROM pr GROUP BY 1), "
+    "marg AS (SELECT COALESCE(r, 0) AS r, COALESCE(c, 0) AS c "
+    "FROM nt FULL JOIN np ON nt.lbl = np.lbl), "
+    "pe AS (SELECT CAST(SUM(CAST(r AS HUGEINT) * c) AS HUGEINT) AS rc "
+    "FROM marg), "
+    "b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(CASE WHEN t = p THEN 1 ELSE 0 END) AS BIGINT) AS tp "
+    "FROM pr) "
+    "SELECT n AS n_vectors, tp AS n_agree, "
+    "ROUND(CAST(tp AS DOUBLE) / CAST(n AS DOUBLE), 6) "
+    "AS observed_agreement, "
+    "ROUND(CAST(rc AS DOUBLE) / CAST(CAST(n AS HUGEINT) * n AS DOUBLE), 6) "
+    "AS expected_agreement, "
+    "ROUND(CAST(CAST(n AS HUGEINT) * tp - rc AS DOUBLE) "
+    "/ CAST(CAST(n AS HUGEINT) * n - rc AS DOUBLE), 6) AS cohens_kappa "
+    "FROM b, pe WHERE CAST(n AS HUGEINT) * n - rc <> 0"
+)

@@ -133,6 +133,16 @@ _SAMPLE_PRIORITY = [
     "agg_contingency_effect_sizes",
     # NEW in round 13 — bigram collocation mining ranked by exact lift
     "text_collocation_lift",
+    # NEW in round 13 — customer revenue Gini + top-decile share
+    "agg_gini_customer_revenue",
+    # NEW in round 13 — per-column completeness/distinctness profile
+    "dq_completeness_profile",
+    # NEW in round 13 — DAU/MAU stickiness per month
+    "events_dau_mau_stickiness",
+    # NEW in round 13 — Cohen's kappa of the nearest-centroid classifier
+    "sim_eval_cohens_kappa",
+    # NEW in round 13 — deterministic class-balanced downsample
+    "sample_balanced_class_downsample",
     # NEW in round 13 — zero-exchange CEP off the user-bucketed layout
     "events_pattern_match_clustered",
     # NEW in round 13 — sample ACF correlogram, exact-integer z-products
