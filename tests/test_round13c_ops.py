@@ -870,3 +870,94 @@ def test_balanced_downsample_matches_pure_python(spark):
     assert set(per.values()) == {n_min}
     for g, (lbl, vid, rank) in zip(got, want):
         assert (g["label"], g["vec_id"], g["pick_rank"]) == (lbl, vid, rank)
+
+
+def test_drawdown_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        window_drawdown,
+    )
+
+    got = {r["priority"]: r for r in window_drawdown(spark, SF).collect()}
+    series = _monthly_scaled_c(spark)
+    assert set(got) == set(series)
+    for pri, by_mon in series.items():
+        vals = [by_mon[m] for m in sorted(by_mon)]
+        peak = 0
+        mx = 0.0
+        under = 0
+        for v in vals:
+            peak = max(peak, v)
+            dd = (peak - v) / peak
+            mx = max(mx, dd)
+            if v < peak:
+                under += 1
+        r = got[pri]
+        assert r["n_months"] == len(vals)
+        assert abs(r["max_drawdown"] - mx) < 1e-6
+        assert r["n_underwater"] == under
+
+
+def test_hourly_profile_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        events_hourly_profile,
+    )
+
+    cnt = collections.Counter()
+    tot = collections.Counter()
+    for r in read_table(spark, SF, "events").select("event_type", "ts").collect():
+        cnt[(r["event_type"], r["ts"].hour)] += 1
+        tot[r["event_type"]] += 1
+
+    got = {
+        (r["event_type"], r["hour_of_day"]): r
+        for r in events_hourly_profile(spark, SF).collect()
+    }
+    assert set(got) == set(cnt)
+    for key, n in cnt.items():
+        r = got[key]
+        assert r["n_events"] == n
+        assert abs(r["share_of_type"] - n / tot[key[0]]) < 1e-6
+
+
+def test_pacf_matches_durbin_levinson(spark):
+    """Independent check: the closed Cramer forms must agree with the
+    standard Durbin-Levinson recursion run on the same quantized ACF."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        PACF_SCALE,
+        timeseries_pacf,
+    )
+
+    got = collections.defaultdict(dict)
+    for r in timeseries_pacf(spark, SF).collect():
+        got[r["priority"]][r["lag_k"]] = r["pacf"]
+    series = _monthly_scaled_c(spark)
+    assert set(got) == set(series)
+    for pri, by_mon in series.items():
+        vals = [by_mon[m] for m in sorted(by_mon)]
+        n = len(vals)
+        mean = sum(vals) / n
+        c0 = sum((v - mean) ** 2 for v in vals)
+        r = [1.0]
+        for k in (1, 2, 3):
+            rk = (
+                sum(
+                    (vals[t] - mean) * (vals[t - k] - mean)
+                    for t in range(k, n)
+                )
+                / c0
+            )
+            r.append(_round_half_away(rk * PACF_SCALE) / PACF_SCALE)
+        # Durbin-Levinson
+        phi = {1: {1: r[1]}}
+        v = 1 - r[1] ** 2
+        pacf = {1: r[1]}
+        for k in (2, 3):
+            num = r[k] - sum(phi[k - 1][j] * r[k - j] for j in range(1, k))
+            phi_kk = num / v
+            phi[k] = {k: phi_kk}
+            for j in range(1, k):
+                phi[k][j] = phi[k - 1][j] - phi_kk * phi[k - 1][k - j]
+            v = v * (1 - phi_kk**2)
+            pacf[k] = phi_kk
+        for k in (1, 2, 3):
+            assert abs(got[pri][k] - pacf[k]) < 2e-5, (pri, k)

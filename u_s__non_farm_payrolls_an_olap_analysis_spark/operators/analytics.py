@@ -4618,3 +4618,306 @@ ORACLE["events_dau_mau_stickiness"] = (
     "FROM per JOIN monthly ON per.month = monthly.month "
     "ORDER BY month"
 )
+
+
+# --- Maximum drawdown of the monthly revenue series ---------------------------------
+
+
+def window_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Maximum drawdown** per priority of the monthly revenue series —
+    the worst peak-to-trough decline relative to the running peak (the
+    risk metric quants read off any level series; Magdon-Ismail & Atiya
+    2004 formalize it): dd_t = (peak_t − y_t)/peak_t with
+    peak_t = running max. The summary layer over
+    `window_running_max`'s per-row prior-peak frame.
+
+    Exactness: revenue and running peak are exact scaled ints; each
+    month's dd is one division of exact ints, computed identically in
+    both engines, so the MAX over months picks the same month and the
+    single exposed ratio `dround`s at 6 dp. n_underwater counts months
+    strictly below peak — an exact-integer comparison.
+
+    Scale: one monthly rollup + one per-priority ordered window + one
+    rollup to 5 rows."""
+    orders = read_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("month", "o_orderdate").alias("mon"),
+    ).agg(dsum_scaled("o_totalprice").alias("rev"))
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("mon")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = m.select(
+        "priority",
+        "rev",
+        F.max("rev").over(w).alias("peak"),
+    ).select(
+        "priority",
+        (F.col("peak") - F.col("rev")).cast("double")
+        / F.col("peak").cast("double"),
+        (F.col("rev") < F.col("peak")).alias("under"),
+    )
+    ddc = dd.toDF("priority", "dd", "under")
+    return (
+        ddc.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_months"),
+            F.max("dd").alias("mx"),
+            F.sum(F.when(F.col("under"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_underwater"),
+        )
+        .select(
+            "priority",
+            F.col("n_months").cast("long").alias("n_months"),
+            dround(F.col("mx"), 6).alias("max_drawdown"),
+            "n_underwater",
+        )
+        .orderBy("priority")
+    )
+
+
+QUERIES["window_drawdown"] = window_drawdown
+
+ORACLE["window_drawdown"] = (
+    "WITH m AS (SELECT o_orderpriority AS priority, "
+    "date_trunc('month', o_orderdate) AS mon, "
+    "CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS BIGINT) "
+    "AS rev FROM orders GROUP BY 1, 2), "
+    "d AS (SELECT priority, rev, "
+    "MAX(rev) OVER (PARTITION BY priority ORDER BY mon "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak FROM m) "
+    "SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_months, "
+    "ROUND(MAX(CAST(peak - rev AS DOUBLE) / CAST(peak AS DOUBLE)), 6) "
+    "AS max_drawdown, "
+    "CAST(SUM(CASE WHEN rev < peak THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_underwater "
+    "FROM d GROUP BY 1 ORDER BY 1"
+)
+
+
+# --- Hour-of-day activity profile per event type -------------------------------------
+
+
+def events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **hour-of-day activity profile** per event type:
+    event counts and within-type share by wall-clock hour (the
+    diurnal-pattern view behind load planning and bot detection; the
+    calendar companion of `events_inter_arrival_stats`' gap view).
+
+    Hours come off the NTZ wall timestamp (`F.hour` on TIMESTAMP_NTZ ≡
+    DuckDB `hour()` on the naive fixture walls — no session-timezone
+    dependence, CLAUDE.md rule 6a). Counts exact; share is one division
+    per (type, hour) cell of a ≤|types|·24 frame, `dround` 6.
+
+    Scale: ONE map-side-combinable count aggregate; the share window
+    runs on the tiny profile frame."""
+    ev = read_table(spark, sf_dir, "events").select("event_type", "ts")
+    cells = ev.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hour_of_day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("event_type")
+    return (
+        cells.select(
+            "event_type",
+            "hour_of_day",
+            F.col("n_events").cast("long").alias("n_events"),
+            dround(
+                F.col("n_events").cast("double")
+                / F.sum("n_events").over(w).cast("double"),
+                6,
+            ).alias("share_of_type"),
+        )
+        .orderBy("event_type", "hour_of_day")
+    )
+
+
+QUERIES["events_hourly_profile"] = events_hourly_profile
+
+ORACLE["events_hourly_profile"] = (
+    "WITH c AS (SELECT event_type, "
+    "CAST(hour(ts) AS INT) AS hour_of_day, "
+    "CAST(COUNT(*) AS BIGINT) AS n_events FROM events GROUP BY 1, 2) "
+    "SELECT event_type, hour_of_day, n_events, "
+    "ROUND(CAST(n_events AS DOUBLE) / CAST(SUM(n_events) "
+    "OVER (PARTITION BY event_type) AS DOUBLE), 6) AS share_of_type "
+    "FROM c ORDER BY event_type, hour_of_day"
+)
+
+
+# --- Partial autocorrelation (lags 1-3) via Cramer determinants ---------------------
+
+PACF_SCALE = 1_000_000  # 6-dp quantization of the ACF inputs
+
+
+def timeseries_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Partial autocorrelation function** at lags 1–3 of each
+    priority's monthly revenue (Box & Jenkins 1970 §3.2 — the AR-order
+    identification plot read beside `timeseries_acf`): φ_kk is the
+    last Yule–Walker coefficient of the order-k fit, here in CLOSED
+    Cramer form so the whole computation is exact-integer polynomial
+    algebra rather than a sequential Durbin–Levinson recursion:
+
+        φ11 = a/S,  φ22 = (bS − a²)/(S² − a²),
+        φ33 = (S²c − 2Sab + ab² + a³ − a²c) /
+              (S³ − 2a²S + 2a²b − Sb²)
+
+    with (a,b,c) the lag-1..3 autocorrelations QUANTIZED at S = 1e6
+    (the `timeseries_ar2_yule_walker` device; the ACF numerators and
+    denominator are themselves exact integers). Every polynomial term
+    stays ≤ ~1e18·k (DECIMAL(38,0) ≡ HUGEINT); each φ is ONE double
+    division, `dround` 6. Degenerate denominators filter on the exact
+    integer in both engines.
+
+    Scale: the ACF shape — monthly rollup, ≤3-fanout lag self-join,
+    k-row algebra."""
+    orders = read_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("month", "o_orderdate").alias("mon"),
+    ).agg(dsum_scaled("o_totalprice").alias("rev_s"))
+    wp = Window.partitionBy("priority")
+    wo = Window.partitionBy("priority").orderBy("mon")
+    z = m.select(
+        "priority",
+        F.row_number().over(wo).alias("rn"),
+        (F.count(F.lit(1)).over(wp) * F.col("rev_s") - F.sum("rev_s").over(wp))
+        .cast("decimal(18,0)")
+        .alias("z"),
+    )
+    den = z.groupBy("priority").agg(
+        F.sum(F.col("z") * F.col("z")).alias("den")
+    )
+    a_, b_ = z.alias("a"), z.alias("b")
+    num = (
+        a_.join(
+            b_,
+            (F.col("a.priority") == F.col("b.priority"))
+            & (F.col("a.rn") - F.col("b.rn")).between(1, 3),
+        )
+        .groupBy(
+            F.col("a.priority").alias("priority"),
+            (F.col("a.rn") - F.col("b.rn")).cast("int").alias("lag_k"),
+        )
+        .agg(F.sum(F.col("a.z") * F.col("b.z")).alias("num"))
+    )
+    rq = num.join(den, "priority").select(
+        "priority",
+        "lag_k",
+        dround(
+            F.lit(float(PACF_SCALE))
+            * F.col("num").cast("double")
+            / F.col("den").cast("double"),
+            0,
+        )
+        .cast("long")
+        .alias("rq"),
+    )
+    wide = rq.groupBy("priority").agg(
+        F.sum(F.when(F.col("lag_k") == 1, F.col("rq"))).alias("a"),
+        F.sum(F.when(F.col("lag_k") == 2, F.col("rq"))).alias("b"),
+        F.sum(F.when(F.col("lag_k") == 3, F.col("rq"))).alias("c"),
+    )
+
+    def d(c):
+        return c.cast("decimal(38,0)")
+
+    s = F.lit(PACF_SCALE)
+    a, b, c = F.col("a"), F.col("b"), F.col("c")
+    den2 = d(s) * s - d(a) * a
+    num2 = d(b) * s - d(a) * a
+    den3 = (
+        d(s) * s * s
+        - F.lit(2) * d(a) * a * s
+        + F.lit(2) * d(a) * a * b
+        - d(s) * b * b
+    )
+    num3 = (
+        d(s) * s * c
+        - F.lit(2) * d(s) * a * b
+        + d(a) * b * b
+        + d(a) * a * a
+        - d(a) * a * c
+    )
+    lags = F.array(
+        F.struct(
+            F.lit(1).alias("lag_k"),
+            dround(a.cast("double") / s.cast("double"), 6).alias("pacf"),
+        ),
+        F.struct(
+            F.lit(2).alias("lag_k"),
+            dround(
+                num2.cast("double") / den2.cast("double"), 6
+            ).alias("pacf"),
+        ),
+        F.struct(
+            F.lit(3).alias("lag_k"),
+            dround(
+                num3.cast("double") / den3.cast("double"), 6
+            ).alias("pacf"),
+        ),
+    )
+    return (
+        wide.filter((den2 != 0) & (den3 != 0))
+        .select("priority", F.explode(lags).alias("l"))
+        .select("priority", F.col("l.lag_k").alias("lag_k"), F.col("l.pacf").alias("pacf"))
+        .orderBy("priority", "lag_k")
+    )
+
+
+QUERIES["timeseries_pacf"] = timeseries_pacf
+
+_PACF_BASE = (
+    "WITH m AS (SELECT o_orderpriority AS priority, "
+    "date_trunc('month', o_orderdate) AS mon, "
+    "CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS BIGINT) "
+    "AS rev_s FROM orders GROUP BY 1, 2), "
+    "z AS (SELECT priority, "
+    "ROW_NUMBER() OVER (PARTITION BY priority ORDER BY mon) AS rn, "
+    "CAST(COUNT(*) OVER (PARTITION BY priority) * rev_s "
+    "- SUM(rev_s) OVER (PARTITION BY priority) AS HUGEINT) AS z "
+    "FROM m), "
+    "den AS (SELECT priority, CAST(SUM(z * z) AS HUGEINT) AS den "
+    "FROM z GROUP BY 1), "
+    "num AS (SELECT a.priority, CAST(a.rn - b.rn AS INT) AS lag_k, "
+    "CAST(SUM(a.z * b.z) AS HUGEINT) AS num "
+    "FROM z a JOIN z b ON a.priority = b.priority "
+    "AND a.rn - b.rn BETWEEN 1 AND 3 GROUP BY 1, 2), "
+    "rq AS (SELECT num.priority, lag_k, "
+    f"CAST(ROUND({PACF_SCALE}.0 * CAST(num AS DOUBLE) "
+    "/ CAST(den AS DOUBLE)) AS BIGINT) AS rq "
+    "FROM num JOIN den ON num.priority = den.priority), "
+    "wide AS (SELECT priority, "
+    "CAST(SUM(CASE WHEN lag_k = 1 THEN rq END) AS HUGEINT) AS a, "
+    "CAST(SUM(CASE WHEN lag_k = 2 THEN rq END) AS HUGEINT) AS b, "
+    "CAST(SUM(CASE WHEN lag_k = 3 THEN rq END) AS HUGEINT) AS c "
+    "FROM rq GROUP BY 1), "
+    f"f AS (SELECT priority, a, b, c, CAST({PACF_SCALE} AS HUGEINT) AS s "
+    "FROM wide) "
+)
+
+ORACLE["timeseries_pacf"] = (
+    _PACF_BASE
+    + "SELECT priority, lag_k, pacf FROM ("
+    "SELECT priority, 1 AS lag_k, "
+    "ROUND(CAST(a AS DOUBLE) / CAST(s AS DOUBLE), 6) AS pacf FROM f "
+    "WHERE s * s - a * a <> 0 "
+    "AND s * s * s - 2 * a * a * s + 2 * a * a * b - s * b * b <> 0 "
+    "UNION ALL "
+    "SELECT priority, 2, "
+    "ROUND(CAST(b * s - a * a AS DOUBLE) "
+    "/ CAST(s * s - a * a AS DOUBLE), 6) FROM f "
+    "WHERE s * s - a * a <> 0 "
+    "AND s * s * s - 2 * a * a * s + 2 * a * a * b - s * b * b <> 0 "
+    "UNION ALL "
+    "SELECT priority, 3, "
+    "ROUND(CAST(s * s * c - 2 * s * a * b + a * b * b + a * a * a "
+    "- a * a * c AS DOUBLE) "
+    "/ CAST(s * s * s - 2 * a * a * s + 2 * a * a * b - s * b * b "
+    "AS DOUBLE), 6) FROM f "
+    "WHERE s * s - a * a <> 0 "
+    "AND s * s * s - 2 * a * a * s + 2 * a * a * b - s * b * b <> 0) "
+    "ORDER BY priority, lag_k"
+)

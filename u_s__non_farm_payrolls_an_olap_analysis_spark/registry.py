@@ -143,6 +143,12 @@ _SAMPLE_PRIORITY = [
     "sim_eval_cohens_kappa",
     # NEW in round 13 — deterministic class-balanced downsample
     "sample_balanced_class_downsample",
+    # NEW in round 13 — max drawdown vs running peak per priority
+    "window_drawdown",
+    # NEW in round 13 — hour-of-day activity profile per event type
+    "events_hourly_profile",
+    # NEW in round 13 — PACF lags 1-3 in closed Cramer form
+    "timeseries_pacf",
     # NEW in round 13 — zero-exchange CEP off the user-bucketed layout
     "events_pattern_match_clustered",
     # NEW in round 13 — sample ACF correlogram, exact-integer z-products
