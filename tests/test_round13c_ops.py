@@ -961,3 +961,68 @@ def test_pacf_matches_durbin_levinson(spark):
             pacf[k] = phi_kk
         for k in (1, 2, 3):
             assert abs(got[pri][k] - pacf[k]) < 2e-5, (pri, k)
+
+
+def test_two_proportion_ztest_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        MW_GROUP_A,
+        MW_GROUP_B,
+        agg_two_proportion_ztest,
+    )
+
+    n1 = n2 = x1 = x2 = 0
+    for r in (
+        read_table(spark, SF, "orders")
+        .select("o_orderpriority", "o_orderstatus")
+        .collect()
+    ):
+        if r["o_orderpriority"] == MW_GROUP_A:
+            n1 += 1
+            x1 += r["o_orderstatus"] == "F"
+        elif r["o_orderpriority"] == MW_GROUP_B:
+            n2 += 1
+            x2 += r["o_orderstatus"] == "F"
+    p1, p2 = x1 / n1, x2 / n2
+    pp = (x1 + x2) / (n1 + n2)
+    z = (p1 - p2) / math.sqrt(pp * (1 - pp) * (1 / n1 + 1 / n2))
+
+    rows = agg_two_proportion_ztest(spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_urgent"], r["n_low"], r["x_urgent"], r["x_low"]) == (
+        n1,
+        n2,
+        x1,
+        x2,
+    )
+    assert abs(r["rate_urgent"] - p1) < 1e-6
+    assert abs(r["z_score"] - z) < 1e-5
+
+
+def test_pareto_8020_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        events_pareto_8020,
+    )
+
+    cnt = collections.Counter()
+    for r in read_table(spark, SF, "events").select("user_id").collect():
+        cnt[r["user_id"]] += 1
+    order = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(cnt.values())
+    cum = 0
+    k = None
+    cum_k = None
+    for i, (_, c) in enumerate(order, start=1):
+        cum += c
+        if 5 * cum >= 4 * total:
+            k, cum_k = i, cum
+            break
+
+    rows = events_pareto_8020(spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_users"] == len(cnt)
+    assert r["total_events"] == total
+    assert r["k_users_80"] == k
+    assert abs(r["user_share"] - k / len(cnt)) < 1e-6
+    assert abs(r["event_share"] - cum_k / total) < 1e-6

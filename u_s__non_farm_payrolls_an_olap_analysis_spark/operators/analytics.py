@@ -4921,3 +4921,178 @@ ORACLE["timeseries_pacf"] = (
     "AND s * s * s - 2 * a * a * s + 2 * a * a * b - s * b * b <> 0) "
     "ORDER BY priority, lag_k"
 )
+
+
+# --- Two-proportion z-test ----------------------------------------------------------
+
+
+def agg_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Two-proportion z-test** (the pooled-variance normal
+    approximation; Fleiss, *Statistical Methods for Rates and
+    Proportions*): do URGENT and LOW orders FINISH (status 'F') at the
+    same rate? The binomial member of the testing family — Welch
+    compares means, Mann-Whitney distributions, this compares rates.
+
+    Counts are exact integers from one conditional aggregate; the two
+    rates, the pooled rate and z = (p1−p2)/√(p̂(1−p̂)(1/n1+1/n2)) are
+    fixed-shape double expressions off those integers (`dround` 6).
+    Degenerate pools (p̂ ∈ {0,1}) filter on exact integers: 0 < x1+x2
+    < n1+n2 in both engines.
+
+    Scale: ONE map-side-combinable aggregate over orders."""
+    orders = read_table(spark, sf_dir, "orders")
+    both = orders.filter(
+        F.col("o_orderpriority").isin(MW_GROUP_A, MW_GROUP_B)
+    ).select(
+        (F.col("o_orderpriority") == MW_GROUP_A).alias("is_a"),
+        (F.col("o_orderstatus") == "F").alias("done"),
+    )
+    agg = both.agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+        F.sum(F.when(F.col("is_a") & F.col("done"), 1).otherwise(0))
+        .cast("long")
+        .alias("x1"),
+        F.sum(F.when(~F.col("is_a") & F.col("done"), 1).otherwise(0))
+        .cast("long")
+        .alias("x2"),
+    )
+    n1, n2, x1, x2 = (F.col(c) for c in ("n1", "n2", "x1", "x2"))
+    n1d, n2d = n1.cast("double"), n2.cast("double")
+    p1 = x1.cast("double") / n1d
+    p2 = x2.cast("double") / n2d
+    pp = (x1 + x2).cast("double") / (n1 + n2).cast("double")
+    z = (p1 - p2) / F.sqrt(
+        pp * (F.lit(1.0) - pp) * (F.lit(1.0) / n1d + F.lit(1.0) / n2d)
+    )
+    return agg.filter(
+        ((x1 + x2) > 0) & ((x1 + x2) < (n1 + n2)) & (n1 > 0) & (n2 > 0)
+    ).select(
+        n1.alias("n_urgent"),
+        n2.alias("n_low"),
+        x1.alias("x_urgent"),
+        x2.alias("x_low"),
+        dround(p1, 6).alias("rate_urgent"),
+        dround(p2, 6).alias("rate_low"),
+        dround(z, 6).alias("z_score"),
+    )
+
+
+QUERIES["agg_two_proportion_ztest"] = agg_two_proportion_ztest
+
+ORACLE["agg_two_proportion_ztest"] = (
+    "WITH b AS (SELECT "
+    f"o_orderpriority = '{MW_GROUP_A}' AS is_a, "
+    "o_orderstatus = 'F' AS done FROM orders "
+    f"WHERE o_orderpriority IN ('{MW_GROUP_A}', '{MW_GROUP_B}')), "
+    "a AS (SELECT "
+    "CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n1, "
+    "CAST(SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS n2, "
+    "CAST(SUM(CASE WHEN is_a AND done THEN 1 ELSE 0 END) AS BIGINT) AS x1, "
+    "CAST(SUM(CASE WHEN NOT is_a AND done THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS x2 FROM b) "
+    "SELECT n1 AS n_urgent, n2 AS n_low, x1 AS x_urgent, x2 AS x_low, "
+    "ROUND(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS rate_urgent, "
+    "ROUND(CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE), 6) AS rate_low, "
+    "ROUND((CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) "
+    "- CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE)) "
+    "/ sqrt((CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) "
+    "* (1.0 - CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) "
+    "* (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))), 6) "
+    "AS z_score "
+    "FROM a WHERE x1 + x2 > 0 AND x1 + x2 < n1 + n2 "
+    "AND n1 > 0 AND n2 > 0"
+)
+
+
+# --- Pareto 80/20 concentration of event volume -------------------------------------
+
+
+def events_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **Pareto 80/20 concentration** of event volume over
+    users: the smallest user set covering ≥80% of all events (the
+    "how concentrated is engagement" question;
+    `agg_gini_customer_revenue` gives the index-number view, this the
+    actionable cutoff). k is found by an exact INTEGER comparison
+    (5·cum ≥ 4·total — no FP threshold), counting ranks strictly below
+    the cutoff; event counts and cumulative sums are exact.
+
+    Scale: one count rollup to user grain, one global rank window (the
+    documented exact-rank cost), two tiny aggregates."""
+    ev = read_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy().orderBy(F.col("c").desc(), "user_id")
+    wc = (
+        Window.partitionBy()
+        .orderBy(F.col("c").desc(), "user_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = per.select(
+        "c",
+        F.row_number().over(w).alias("rn"),
+        F.sum("c").over(wc).alias("cum"),
+    )
+    tot = ranked.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.max("cum").alias("total"),
+    )
+    j = ranked.crossJoin(F.broadcast(tot))
+    k_agg = j.agg(
+        (
+            F.sum(
+                F.when(
+                    F.lit(5) * F.col("cum") < F.lit(4) * F.col("total"),
+                    1,
+                ).otherwise(0)
+            )
+            + F.lit(1)
+        )
+        .cast("long")
+        .alias("k")
+    )
+    at_k = (
+        j.crossJoin(F.broadcast(k_agg))
+        .filter(F.col("rn") == F.col("k"))
+        .select(
+            F.col("k"),
+            F.col("n_users").cast("long").alias("n_users"),
+            F.col("total").cast("long").alias("total_events"),
+            F.col("cum").alias("cum_k"),
+        )
+    )
+    return at_k.select(
+        F.col("n_users"),
+        F.col("total_events"),
+        F.col("k").alias("k_users_80"),
+        dround(
+            F.col("k").cast("double") / F.col("n_users").cast("double"),
+            6,
+        ).alias("user_share"),
+        dround(
+            F.col("cum_k").cast("double")
+            / F.col("total_events").cast("double"),
+            6,
+        ).alias("event_share"),
+    )
+
+
+QUERIES["events_pareto_8020"] = events_pareto_8020
+
+ORACLE["events_pareto_8020"] = (
+    "WITH per AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c "
+    "FROM events GROUP BY 1), "
+    "r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, user_id) AS rn, "
+    "CAST(SUM(c) OVER (ORDER BY c DESC, user_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum "
+    "FROM per), "
+    "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users, "
+    "CAST(MAX(cum) AS BIGINT) AS total FROM r), "
+    "ka AS (SELECT CAST(SUM(CASE WHEN 5 * cum < 4 * total "
+    "THEN 1 ELSE 0 END) + 1 AS BIGINT) AS k FROM r, t) "
+    "SELECT n_users, total AS total_events, k AS k_users_80, "
+    "ROUND(CAST(k AS DOUBLE) / CAST(n_users AS DOUBLE), 6) AS user_share, "
+    "ROUND(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) AS event_share "
+    "FROM r, t, ka WHERE rn = k"
+)

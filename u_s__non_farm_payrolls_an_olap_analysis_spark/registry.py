@@ -149,6 +149,10 @@ _SAMPLE_PRIORITY = [
     "events_hourly_profile",
     # NEW in round 13 — PACF lags 1-3 in closed Cramer form
     "timeseries_pacf",
+    # NEW in round 13 — two-proportion z-test of finish rates
+    "agg_two_proportion_ztest",
+    # NEW in round 13 — Pareto 80/20 event-volume concentration
+    "events_pareto_8020",
     # NEW in round 13 — zero-exchange CEP off the user-bucketed layout
     "events_pattern_match_clustered",
     # NEW in round 13 — sample ACF correlogram, exact-integer z-products
