@@ -1026,3 +1026,72 @@ def test_pareto_8020_matches_pure_python(spark):
     assert r["k_users_80"] == k
     assert abs(r["user_share"] - k / len(cnt)) < 1e-6
     assert abs(r["event_share"] - cum_k / total) < 1e-6
+
+
+def test_dedup_rate_by_source_matches_pure_python(spark):
+    import re
+
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.dedup import (
+        dedup_rate_by_source,
+    )
+
+    groups = collections.defaultdict(collections.Counter)
+    for r in read_table(spark, SF, "documents").select("source", "text").collect():
+        nt = re.sub(r"\s+", " ", r["text"].strip().lower())
+        groups[r["source"]][nt] += 1
+
+    got = {r["source"]: r for r in dedup_rate_by_source(spark, SF).collect()}
+    assert set(got) == set(groups)
+    for src, cnt in groups.items():
+        n = sum(cnt.values())
+        u = len(cnt)
+        r = got[src]
+        assert (r["n_docs"], r["n_unique"], r["n_dup_rows"]) == (n, u, n - u)
+        assert abs(r["dup_rate"] - (n - u) / n) < 1e-6
+
+
+def test_scd2_history_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.olap import (
+        scd2_customer_priority_history,
+    )
+
+    per = collections.defaultdict(list)
+    for r in (
+        read_table(spark, SF, "orders")
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority")
+        .collect()
+    ):
+        per[r["o_custkey"]].append(
+            (r["o_orderdate"], r["o_orderkey"], r["o_orderpriority"])
+        )
+    want = {}
+    for ck, rows in per.items():
+        rows.sort()
+        runs = []
+        for dt, _, pri in rows:
+            if not runs or runs[-1][0] != pri:
+                runs.append([pri, dt, 0])
+            runs[-1][2] += 1
+        for v, (pri, start, n) in enumerate(runs, start=1):
+            nxt = runs[v][1] if v < len(runs) else None
+            want[(ck, v)] = (pri, start, nxt, n, 1 if nxt is None else 0)
+
+    got = {
+        (r["custkey"], r["version"]): r
+        for r in scd2_customer_priority_history(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for key, (pri, start, nxt, n, cur) in want.items():
+        r = got[key]
+        assert r["priority"] == pri
+        assert r["valid_from"] == start
+        assert r["n_orders"] == n
+        assert r["is_current"] == cur
+        if nxt is not None:
+            assert r["valid_to"] == nxt
+        else:
+            assert r["valid_to"].year == 2099
+    # intervals tile: every non-current row's valid_to == next valid_from
+    # (already checked via nxt), and exactly one current row per customer
+    cur_counts = collections.Counter(k[0] for k, v in want.items() if v[4])
+    assert set(cur_counts.values()) == {1}

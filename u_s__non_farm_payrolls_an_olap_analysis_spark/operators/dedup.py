@@ -1996,3 +1996,67 @@ ORACLE["dedup_levenshtein_blocked"] = (
     f"FROM c WHERE {LEV_REL_DEN} * lev_dist <= mx "
     "ORDER BY doc_a, doc_b"
 )
+
+
+# --- Duplication-rate report by source ---------------------------------------------
+
+
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **duplication-rate report** per source: docs, exact
+    groups (on normalized text), duplicate rows and the dup rate — the
+    per-source contamination summary a mixture builder reads BEFORE
+    choosing weights (the reporting layer over `dedup_exact`'s keyed
+    dedup and `dedup_cluster_size_histogram`'s global shape).
+
+    All counts exact off ONE (source, norm-hash) aggregate — the text
+    never shuffles twice (md5 fingerprint first, the `dedup_exact`
+    posture); the two ratios are single divisions of exact ints,
+    `dround` 6.
+
+    Scale: fingerprint map → one two-level aggregate, both map-side
+    combinable."""
+    docs = read_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    fp = docs.select("source", F.md5(norm).alias("h"))
+    groups = fp.groupBy("source", "h").agg(F.count(F.lit(1)).alias("c"))
+    per = groups.groupBy("source").agg(
+        F.sum("c").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum(F.col("c") - 1).alias("n_dup_rows"),
+    )
+    return per.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_unique").cast("long").alias("n_unique"),
+        F.col("n_dup_rows").cast("long").alias("n_dup_rows"),
+        dround(
+            F.col("n_dup_rows").cast("double")
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias("dup_rate"),
+        dround(
+            F.col("n_unique").cast("double")
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias("unique_ratio"),
+    ).orderBy("source")
+
+
+QUERIES["dedup_rate_by_source"] = dedup_rate_by_source
+
+ORACLE["dedup_rate_by_source"] = (
+    "WITH fp AS (SELECT source, "
+    "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h "
+    "FROM documents), "
+    "g AS (SELECT source, h, CAST(COUNT(*) AS BIGINT) AS c "
+    "FROM fp GROUP BY 1, 2), "
+    "p AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs, "
+    "CAST(COUNT(*) AS BIGINT) AS n_unique, "
+    "CAST(SUM(c - 1) AS BIGINT) AS n_dup_rows FROM g GROUP BY 1) "
+    "SELECT source, n_docs, n_unique, n_dup_rows, "
+    "ROUND(CAST(n_dup_rows AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) "
+    "AS dup_rate, "
+    "ROUND(CAST(n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) "
+    "AS unique_ratio "
+    "FROM p ORDER BY source"
+)

@@ -692,3 +692,112 @@ ORACLE = {
         "total AS peak_total FROM m ORDER BY peak_total DESC, peak_month LIMIT 1"
     ),
 }
+
+
+# --- SCD Type-2 history build -------------------------------------------------------
+
+SCD2_FAR_FUTURE = "2099-12-31 00:00:00"  # ns-safe sentinel (Arrow ts[ns] caps at 2262)
+
+
+def scd2_customer_priority_history(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """North-star — **slowly-changing-dimension Type-2 history build**
+    (Kimball, *The Data Warehouse Toolkit* ch.5): collapse each
+    customer's order stream into contiguous VALIDITY INTERVALS of their
+    order priority — one row per (customer, priority run) with
+    valid_from / valid_to / is_current — the standard
+    change-data-capture materialization every warehouse maintains for
+    point-in-time joins.
+
+    The run detection is the gaps-and-islands device
+    (`window_gaps_islands`): a change flag (priority ≠ lag) cumulative-
+    sums into a run id inside the SAME (custkey, date, orderkey) window
+    sort, so one exchange per customer produces the whole history.
+    valid_to is the NEXT run's start (lead over runs) with a far-future
+    sentinel for the open row — never NULL (NULL-sort trap, CLAUDE.md
+    rule 2); timestamps emit as TIMESTAMP.
+
+    Scale: one exchange by customer (windows + the run rollup share
+    it); output is bounded by change count, not order count."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    flagged = orders.select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        "o_orderpriority",
+        F.when(
+            F.lag("o_orderpriority").over(w).isNull()
+            | (F.lag("o_orderpriority").over(w) != F.col("o_orderpriority")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    runs = flagged.select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        "o_orderpriority",
+        F.sum("chg")
+        .over(
+            Window.partitionBy("o_custkey")
+            .orderBy("o_orderdate", "o_orderkey")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("run_id"),
+    )
+    hist = runs.groupBy("o_custkey", "run_id", "o_orderpriority").agg(
+        F.min("o_orderdate").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w_next = Window.partitionBy("o_custkey").orderBy("run_id")
+    return (
+        hist.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("run_id").cast("int").alias("version"),
+            F.col("o_orderpriority").alias("priority"),
+            "valid_from",
+            F.coalesce(
+                F.lead("valid_from").over(w_next),
+                F.lit(SCD2_FAR_FUTURE).cast("timestamp"),
+            ).alias("valid_to"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.when(F.lead("valid_from").over(w_next).isNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_current"),
+        )
+        .orderBy("custkey", "version")
+    )
+
+
+QUERIES["scd2_customer_priority_history"] = scd2_customer_priority_history
+
+ORACLE["scd2_customer_priority_history"] = (
+    "WITH f AS (SELECT o_custkey, o_orderdate, o_orderkey, "
+    "o_orderpriority, "
+    "CASE WHEN LAG(o_orderpriority) OVER "
+    "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) "
+    "IS DISTINCT FROM o_orderpriority THEN 1 ELSE 0 END AS chg "
+    "FROM orders), "
+    "r AS (SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority, "
+    "SUM(chg) OVER (PARTITION BY o_custkey "
+    "ORDER BY o_orderdate, o_orderkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id "
+    "FROM f), "
+    "h AS (SELECT o_custkey, run_id, o_orderpriority, "
+    "MIN(o_orderdate) AS valid_from, "
+    "CAST(COUNT(*) AS BIGINT) AS n_orders "
+    "FROM r GROUP BY 1, 2, 3) "
+    "SELECT o_custkey AS custkey, CAST(run_id AS INT) AS version, "
+    "o_orderpriority AS priority, valid_from, "
+    "COALESCE(LEAD(valid_from) OVER "
+    "(PARTITION BY o_custkey ORDER BY run_id), "
+    f"TIMESTAMP '{SCD2_FAR_FUTURE}') AS valid_to, n_orders, "
+    "CAST(CASE WHEN LEAD(valid_from) OVER "
+    "(PARTITION BY o_custkey ORDER BY run_id) IS NULL "
+    "THEN 1 ELSE 0 END AS INT) AS is_current "
+    "FROM h ORDER BY custkey, version"
+)

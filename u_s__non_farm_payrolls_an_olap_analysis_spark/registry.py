@@ -153,6 +153,10 @@ _SAMPLE_PRIORITY = [
     "agg_two_proportion_ztest",
     # NEW in round 13 — Pareto 80/20 event-volume concentration
     "events_pareto_8020",
+    # NEW in round 13 — per-source duplication-rate report
+    "dedup_rate_by_source",
+    # NEW in round 13 — SCD Type-2 priority history build
+    "scd2_customer_priority_history",
     # NEW in round 13 — zero-exchange CEP off the user-bucketed layout
     "events_pattern_match_clustered",
     # NEW in round 13 — sample ACF correlogram, exact-integer z-products
