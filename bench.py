@@ -558,7 +558,14 @@ def _sfn_section(
     cache_tables(
         spark, docs_scale_dir, tables=("documents",), max_partitions=n_cpus
     )
-    docs_keys = ("quality_gopher_rules", "dedup_ngram_jaccard")
+    # round 13 adds dedup_levenshtein_blocked: the blocking+edit-distance
+    # shape (posting-list pairgen, doc-keyed text join) — replicas live in
+    # disjoint token spaces, so blocks scale as independent copies
+    docs_keys = (
+        "quality_gopher_rules",
+        "dedup_ngram_jaccard",
+        "dedup_levenshtein_blocked",
+    )
     for key in docs_keys:
         gq = qs[key]
         gq(spark, docs_scale_dir).toPandas()  # warm

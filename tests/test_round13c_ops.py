@@ -1095,3 +1095,40 @@ def test_scd2_history_matches_pure_python(spark):
     # (already checked via nxt), and exactly one current row per customer
     cur_counts = collections.Counter(k[0] for k, v in want.items() if v[4])
     assert set(cur_counts.values()) == {1}
+
+
+def test_ses_grid_search_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.custom_udf import (
+        SES_ALPHAS,
+        timeseries_ses_grid_search,
+    )
+
+    series = _monthly_scaled_c(spark)
+    got = collections.defaultdict(dict)
+    for r in timeseries_ses_grid_search(spark, SF).collect():
+        got[r["priority"]][r["alpha"]] = r
+    assert set(got) == set(series)
+    for pri, by_mon in series.items():
+        vals = [by_mon[m] / 10000.0 for m in sorted(by_mon)]
+        # match the operator's 4dp-rounded monthly input
+        vals = [_round_half_away(v * 10000.0) / 10000.0 for v in vals]
+        fits = {}
+        for a in SES_ALPHAS:
+            s = None
+            sse = 0.0
+            for x in vals:
+                if s is None:
+                    s = x
+                else:
+                    e = x - s
+                    sse += e * e
+                    s = a * x + (1.0 - a) * s
+            fits[a] = sse
+        best = min(fits, key=lambda a: (fits[a], a))
+        n = len(vals)
+        assert set(got[pri]) == set(SES_ALPHAS)
+        for a in SES_ALPHAS:
+            r = got[pri][a]
+            assert abs(r["rmse"] - math.sqrt(fits[a] / (n - 1))) < 1e-3
+            assert r["is_best"] == (1 if a == best else 0)
+        assert sum(r["is_best"] for r in got[pri].values()) == 1

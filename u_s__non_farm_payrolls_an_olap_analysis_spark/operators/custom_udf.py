@@ -844,3 +844,128 @@ ORACLE["timeseries_holt_winters"] = (
     + " AS forecast "
     "FROM rec ORDER BY 1, 2"
 )
+
+
+# --- SES alpha grid search (model selection by one-step-ahead SSE) -----------
+
+# every grid value is an exact binary fraction (k/8), so each blend step
+# is exact-IEEE reproducible between python floats and DuckDB doubles —
+# the EWMA/Holt oracle contract extended across a GRID
+SES_ALPHAS = (0.25, 0.375, 0.5, 0.625, 0.75)
+
+
+def _ses_grid_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("mon").reset_index(drop=True)
+    xs = list(pdf["revenue"])
+    pri = pdf["priority"].iloc[0]
+    rows = []
+    for a in SES_ALPHAS:
+        s = None
+        sse = 0.0
+        for x in xs:
+            if s is None:
+                s = x
+            else:
+                e = x - s
+                sse = sse + e * e
+                s = a * x + (1.0 - a) * s
+        rows.append((pri, a, sse))
+    best = min(rows, key=lambda t: (t[2], t[1]))
+
+    def r4(v: float) -> float:
+        w = abs(v) * 10000.0
+        return (1.0 if v >= 0 else -1.0) * (int(w + 0.5) // 1) / 10000.0
+
+    import math as _m
+
+    n = len(xs)
+    return pd.DataFrame(
+        [
+            {
+                "priority": pri,
+                "alpha": a,
+                "rmse": r4(_m.sqrt(sse / (n - 1))) if n > 1 else 0.0,
+                "is_best": 1 if (sse, a) == (best[2], best[1]) else 0,
+            }
+            for (_, a, sse) in rows
+        ]
+    )
+
+
+def timeseries_ses_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **model selection for simple exponential smoothing**:
+    grid-search the smoothing constant α over {2/8..6/8} by one-step-
+    ahead forecast SSE per series (the standard SES fitting criterion,
+    Hyndman & Athanasopoulos FPP §8.1), emitting every grid point's
+    RMSE with the winner flagged — the selection layer over
+    `timeseries_ewma_smooth`'s fixed α=0.5.
+
+    Determinism: every α is an exact binary fraction, so each blend
+    s' = α·x + (1−α)·s and each error accumulation is exact-IEEE
+    reproducible between the python grouped-map and DuckDB's recursive
+    CTE (the EWMA contract); the argmin compares those bit-identical
+    SSE doubles with an α tiebreaker, and only the exposed RMSE is
+    rounded (4 dp, half-away). The whole grid for one series runs in
+    ONE grouped-map call — 5 recurrences over an ~84-month list, not 5
+    shuffles.
+
+    Scale: one shuffle on the series key; series count scales out,
+    grid size is a constant factor on bounded series length."""
+    from ..functions.numerics import dsum
+
+    orders = read_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("month", "o_orderdate").alias("mon"),
+    ).agg(F.round(dsum("o_totalprice"), 4).alias("revenue"))
+    return (
+        monthly.groupBy("priority")
+        .applyInPandas(
+            _ses_grid_group,
+            schema="priority string, alpha double, rmse double, "
+            "is_best int",
+        )
+        .orderBy("priority", "alpha")
+    )
+
+
+QUERIES["timeseries_ses_grid_search"] = timeseries_ses_grid_search
+
+ORACLE["timeseries_ses_grid_search"] = (
+    "WITH RECURSIVE m AS (SELECT o_orderpriority AS priority, "
+    "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon, "
+    "ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) "
+    "AS DOUBLE) / 10000.0, 4) AS revenue "
+    "FROM orders GROUP BY 1, 2), "
+    "idx AS (SELECT priority, mon, revenue, "
+    "ROW_NUMBER() OVER (PARTITION BY priority ORDER BY mon) AS i "
+    "FROM m), "
+    "cnt AS (SELECT priority, CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM idx GROUP BY 1), "
+    # CAST anchors to DOUBLE: a recursive CTE's column types bind at the
+    # anchor, and bare decimal literals would type alpha/sse DECIMAL —
+    # the round-11 holt DECIMAL(2,1) trap
+    "grid(alpha) AS (VALUES "
+    + ", ".join(f"(CAST({a} AS DOUBLE))" for a in SES_ALPHAS)
+    + "), "
+    "rec(priority, alpha, i, s, sse) AS ("
+    "SELECT idx.priority, grid.alpha, idx.i, idx.revenue, CAST(0.0 AS DOUBLE) "
+    "FROM idx, grid WHERE idx.i = 1 "
+    "UNION ALL "
+    "SELECT idx.priority, rec.alpha, idx.i, "
+    "rec.alpha * idx.revenue + (1.0 - rec.alpha) * rec.s, "
+    "rec.sse + (idx.revenue - rec.s) * (idx.revenue - rec.s) "
+    "FROM idx JOIN rec ON idx.priority = rec.priority "
+    "AND idx.i = rec.i + 1), "
+    "fin AS (SELECT rec.priority, alpha, sse, n FROM rec "
+    "JOIN cnt ON cnt.priority = rec.priority WHERE rec.i = n), "
+    "rk AS (SELECT priority, alpha, sse, n, "
+    "ROW_NUMBER() OVER (PARTITION BY priority ORDER BY sse, alpha) "
+    "AS r FROM fin) "
+    "SELECT priority, alpha, "
+    "CASE WHEN n > 1 THEN SIGN(sqrt(sse / (n - 1))) "
+    "* FLOOR(ABS(sqrt(sse / (n - 1))) * 10000.0 + 0.5) / 10000.0 "
+    "ELSE 0.0 END AS rmse, "
+    "CAST(CASE WHEN r = 1 THEN 1 ELSE 0 END AS INT) AS is_best "
+    "FROM rk ORDER BY priority, alpha"
+)
