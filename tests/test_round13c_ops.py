@@ -1132,3 +1132,35 @@ def test_ses_grid_search_matches_pure_python(spark):
             assert abs(r["rmse"] - math.sqrt(fits[a] / (n - 1))) < 1e-3
             assert r["is_best"] == (1 if a == best else 0)
         assert sum(r["is_best"] for r in got[pri].values()) == 1
+
+
+def test_margin_reliability_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.similarity import (
+        MARGIN_BIN,
+        MARGIN_NBINS,
+        sim_eval_margin_reliability,
+    )
+
+    scored = _pure_centroid_scores(spark)
+    per_vec = collections.defaultdict(list)
+    for vid, true, cls, cos in scored:
+        per_vec[(vid, true)].append((-cos, cls))
+    bins = collections.defaultdict(lambda: [0, 0, 0])  # n, correct, sum_m
+    for (vid, true), rows in per_vec.items():
+        rows.sort()
+        c1 = int(_round_half_away(-rows[0][0] * 1e6))
+        c2 = int(_round_half_away(-rows[1][0] * 1e6))
+        pred = rows[0][1]
+        m = c1 - c2
+        b = min(m // MARGIN_BIN, MARGIN_NBINS - 1)
+        bins[b][0] += 1
+        bins[b][1] += pred == true
+        bins[b][2] += m
+
+    got = {r["margin_bin"]: r for r in sim_eval_margin_reliability(spark, SF).collect()}
+    assert set(got) == set(bins)
+    for b, (n, ok, sm) in bins.items():
+        r = got[b]
+        assert (r["n_vectors"], r["n_correct"]) == (n, ok)
+        assert abs(r["accuracy"] - ok / n) < 1e-6
+        assert abs(r["avg_margin"] - sm / n / 1e6) < 1e-6

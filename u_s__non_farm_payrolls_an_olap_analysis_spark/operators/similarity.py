@@ -2237,3 +2237,111 @@ ORACLE["sim_eval_cohens_kappa"] = (
     "/ CAST(CAST(n AS HUGEINT) * n - rc AS DOUBLE), 6) AS cohens_kappa "
     "FROM b, pe WHERE CAST(n AS HUGEINT) * n - rc <> 0"
 )
+
+
+# --- Margin-reliability table (confidence calibration by score margin) ------------
+
+MARGIN_BIN = 20_000  # bin width in 1e-6 cosine units (0.02)
+MARGIN_NBINS = 5
+
+
+def sim_eval_margin_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Margin-reliability table** — accuracy of the nearest-centroid
+    prediction as a function of its SCORE MARGIN (top-1 minus top-2
+    cosine): the calibration diagnostic behind selective
+    classification / abstention thresholds (Geifman & El-Yaniv,
+    NeurIPS 2017 frame it as the coverage-risk curve; this is its
+    binned table). If the classifier is well-ordered, accuracy rises
+    monotonically with margin — the property a user checks before
+    trusting margin as a confidence signal.
+
+    Exactness: both cosines are 6-dp quantized, so the margin in 1e-6
+    units is an EXACT integer difference, binning is integer division
+    (width 0.02, top bin open), and accuracy / avg margin are single
+    divisions of exact integers (`dround` 6).
+
+    Scale: the scored stream + one per-vector rank, then a ≤5-row
+    rollup."""
+    scored = _centroid_scored(spark, sf_dir)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("cls")
+    )
+    top2 = (
+        scored.select(
+            "vec_id",
+            "label",
+            "cls",
+            dround(F.col("cos") * F.lit(1e6), 0).cast("long").alias("ci"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 2)
+    )
+    per_vec = top2.groupBy("vec_id", "label").agg(
+        F.sum(F.when(F.col("rn") == 1, F.col("ci"))).alias("c1"),
+        F.sum(F.when(F.col("rn") == 2, F.col("ci"))).alias("c2"),
+        F.sum(F.when(F.col("rn") == 1, F.col("cls"))).alias("pred"),
+    )
+    margin = (F.col("c1") - F.col("c2")).cast("long")
+    binned = per_vec.select(
+        F.least(
+            F.floor(margin / F.lit(MARGIN_BIN)),
+            F.lit(MARGIN_NBINS - 1),
+        )
+        .cast("int")
+        .alias("margin_bin"),
+        margin.alias("m"),
+        F.when(F.col("pred") == F.col("label"), 1).otherwise(0).alias("ok"),
+    )
+    return (
+        binned.groupBy("margin_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("ok").alias("n_correct"),
+            F.sum("m").alias("sm"),
+        )
+        .select(
+            "margin_bin",
+            F.col("n_vectors").cast("long").alias("n_vectors"),
+            F.col("n_correct").cast("long").alias("n_correct"),
+            dround(
+                F.col("n_correct").cast("double")
+                / F.col("n_vectors").cast("double"),
+                6,
+            ).alias("accuracy"),
+            dround(
+                F.col("sm").cast("double")
+                / F.col("n_vectors").cast("double")
+                / F.lit(1e6),
+                6,
+            ).alias("avg_margin"),
+        )
+        .orderBy("margin_bin")
+    )
+
+
+QUERIES["sim_eval_margin_reliability"] = sim_eval_margin_reliability
+
+ORACLE["sim_eval_margin_reliability"] = (
+    f"WITH {_CENTROID_SQL}, "
+    "t2 AS (SELECT vec_id, label, cls, "
+    "CAST(ROUND(cos * 1e6) AS BIGINT) AS ci, rn FROM ("
+    "SELECT vec_id, label, cls, cos, "
+    "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cls) "
+    "AS rn FROM sc) WHERE rn <= 2), "
+    "pv AS (SELECT vec_id, label, "
+    "CAST(SUM(CASE WHEN rn = 1 THEN ci END) AS BIGINT) AS c1, "
+    "CAST(SUM(CASE WHEN rn = 2 THEN ci END) AS BIGINT) AS c2, "
+    "CAST(SUM(CASE WHEN rn = 1 THEN cls END) AS BIGINT) AS pred "
+    "FROM t2 GROUP BY 1, 2), "
+    "b AS (SELECT "
+    f"CAST(least((c1 - c2) // {MARGIN_BIN}, {MARGIN_NBINS - 1}) AS INT) "
+    "AS margin_bin, c1 - c2 AS m, "
+    "CASE WHEN pred = label THEN 1 ELSE 0 END AS ok FROM pv) "
+    "SELECT margin_bin, CAST(COUNT(*) AS BIGINT) AS n_vectors, "
+    "CAST(SUM(ok) AS BIGINT) AS n_correct, "
+    "ROUND(CAST(SUM(ok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) "
+    "AS accuracy, "
+    "ROUND(CAST(SUM(m) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e6, 6) "
+    "AS avg_margin "
+    "FROM b GROUP BY 1 ORDER BY 1"
+)

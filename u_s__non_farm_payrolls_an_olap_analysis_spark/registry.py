@@ -159,6 +159,8 @@ _SAMPLE_PRIORITY = [
     "scd2_customer_priority_history",
     # NEW in round 13 — SES alpha grid search by one-step-ahead SSE
     "timeseries_ses_grid_search",
+    # NEW in round 13 — accuracy-vs-score-margin reliability table
+    "sim_eval_margin_reliability",
     # NEW in round 13 — zero-exchange CEP off the user-bucketed layout
     "events_pattern_match_clustered",
     # NEW in round 13 — sample ACF correlogram, exact-integer z-products
