@@ -5096,3 +5096,535 @@ ORACLE["events_pareto_8020"] = (
     "ROUND(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) AS event_share "
     "FROM r, t, ka WHERE rn = k"
 )
+
+
+# --- Customer-cohort LTV triangle ----------------------------------------------------
+
+
+def rollup_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Cohort LTV triangle** — the revenue companion to
+    `retention_cohorts` (which counts come-backs; this accumulates what
+    they SPEND): customers are cohorted by their first order month, and
+    each (cohort, month-offset) cell reports active customers, the
+    cell's revenue, the cohort's cumulative revenue, and cumulative
+    LTV per cohort member — the curve growth/finance teams read to
+    decide payback windows (Fader & Hardie's CLV primitives, computed
+    the warehouse way).
+
+    Determinism: money via `dsum_scaled` (exact int64 cells), the
+    cumulative sum runs over the SCALED integers and descales once at
+    the end; per-cell money/LTV quotients round via `dround` 4 (rule
+    2 — the triangle is row-per-cell). Cohort size is read off the
+    offset-0 cell with a window MAX(CASE) — every member's first
+    month IS offset 0, so no second scan of orders.
+
+    Scale: one window-min over the customer partition (shuffle by
+    custkey), one cell aggregate, then windows over the ~cohorts ×
+    offsets triangle (tiny). No self-joins, no re-scan.
+
+    vs reference: extends `dashboard_nfp.py`'s single-series rollups
+    to the cohort triangle; no direct analogue."""
+    orders = read_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_custkey",
+        F.date_trunc("month", "o_orderdate").alias("mon"),
+        "o_totalprice",
+    )
+    w_cust = Window.partitionBy("o_custkey")
+    base = o.select(
+        "o_custkey",
+        "mon",
+        "o_totalprice",
+        F.min("mon").over(w_cust).alias("cohort_month"),
+    )
+    cells = base.groupBy(
+        "cohort_month",
+        F.months_between(F.col("mon"), F.col("cohort_month"))
+        .cast("int")
+        .alias("offset_months"),
+    ).agg(
+        dsum_scaled("o_totalprice").alias("rev_s"),
+        F.countDistinct("o_custkey").alias("active_customers"),
+    )
+    w_cum = (
+        Window.partitionBy("cohort_month")
+        .orderBy("offset_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_coh = Window.partitionBy("cohort_month")
+    staged = cells.select(
+        "cohort_month",
+        "offset_months",
+        "active_customers",
+        "rev_s",
+        F.sum("rev_s").over(w_cum).alias("cum_s"),
+        F.max(
+            F.when(F.col("offset_months") == 0, F.col("active_customers"))
+        )
+        .over(w_coh)
+        .alias("cohort_customers"),
+    )
+    return staged.select(
+        "cohort_month",
+        "offset_months",
+        "active_customers",
+        F.col("cohort_customers").cast("long").alias("cohort_customers"),
+        dround(F.col("rev_s").cast("double") / 10000.0, 4).alias(
+            "month_revenue"
+        ),
+        dround(F.col("cum_s").cast("double") / 10000.0, 4).alias(
+            "cum_revenue"
+        ),
+        dround(
+            F.col("cum_s").cast("double")
+            / 10000.0
+            / F.col("cohort_customers").cast("double"),
+            4,
+        ).alias("cum_ltv_per_customer"),
+    ).orderBy("cohort_month", "offset_months")
+
+
+QUERIES["rollup_cohort_ltv"] = rollup_cohort_ltv
+
+ORACLE["rollup_cohort_ltv"] = (
+    "WITH o AS (SELECT o_custkey, "
+    "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon, "
+    "o_totalprice FROM orders), "
+    "b AS (SELECT o_custkey, mon, o_totalprice, "
+    "MIN(mon) OVER (PARTITION BY o_custkey) AS cohort_month FROM o), "
+    "cell AS (SELECT cohort_month, "
+    "CAST(date_diff('month', cohort_month, mon) AS INT) AS offset_months, "
+    "CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS BIGINT) "
+    "AS rev_s, "
+    "CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS active_customers "
+    "FROM b GROUP BY 1, 2), "
+    "w AS (SELECT cohort_month, offset_months, active_customers, rev_s, "
+    "CAST(SUM(rev_s) OVER (PARTITION BY cohort_month ORDER BY "
+    "offset_months ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+    "AS BIGINT) AS cum_s, "
+    "CAST(MAX(CASE WHEN offset_months = 0 THEN active_customers END) "
+    "OVER (PARTITION BY cohort_month) AS BIGINT) AS cohort_customers "
+    "FROM cell) "
+    "SELECT cohort_month, offset_months, active_customers, "
+    "cohort_customers, "
+    "ROUND(CAST(rev_s AS DOUBLE) / 10000.0, 4) AS month_revenue, "
+    "ROUND(CAST(cum_s AS DOUBLE) / 10000.0, 4) AS cum_revenue, "
+    "ROUND(CAST(cum_s AS DOUBLE) / 10000.0 "
+    "/ CAST(cohort_customers AS DOUBLE), 4) AS cum_ltv_per_customer "
+    "FROM w ORDER BY cohort_month, offset_months"
+)
+
+
+# --- Mutual information of the status x priority contingency table -------------------
+
+# per-term c*ln(c) scale for the three exact entropy sums (the
+# corpus_entropy_by_source device); envelope: term*scale must fit int64
+_MI_SCALE = 100_000_000
+
+
+def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Mutual information + normalized MI** of order status x priority
+    (Cover & Thomas ch. 2) — the information-theoretic member of the
+    association family: `agg_chi_square_independence` tests the null,
+    `agg_contingency_effect_sizes` sizes it in chi-square units, this
+    measures it in nats as MI = H(row) + H(col) - H(joint), with
+    NMI = MI / sqrt(H(row)*H(col)) (Strehl & Ghosh 2002).
+
+    Determinism: every entropy uses the factored exact form
+    H = ln N - (SUM c*ln c)/N where the per-TYPE `c*ln c` terms sum as
+    scaled int64 (`dsum_scaled`, associativity-proof). The row/column
+    marginal sums are deduplicated with a per-cell ROW_NUMBER == 1
+    guard so the whole statistic comes from ONE aggregate over the
+    windowed 9-cell frame — one scan of orders, no re-executed
+    subtrees (CLAUDE.md rule 5).
+
+    Scale: one map-side-combinable cell count over orders; everything
+    downstream runs on the #statuses x #priorities frame."""
+    orders = read_table(spark, sf_dir, "orders")
+    cells = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_all = Window.partitionBy()
+    w_r = Window.partitionBy("o_orderstatus")
+    w_c = Window.partitionBy("o_orderpriority")
+    w_rn_r = Window.partitionBy("o_orderstatus").orderBy("o_orderpriority")
+    w_rn_c = Window.partitionBy("o_orderpriority").orderBy("o_orderstatus")
+    x = cells.select(
+        F.col("c"),
+        F.sum("c").over(w_r).alias("r"),
+        F.sum("c").over(w_c).alias("s"),
+        F.sum("c").over(w_all).alias("n"),
+        (F.row_number().over(w_rn_r) == 1).alias("first_of_row"),
+        (F.row_number().over(w_rn_c) == 1).alias("first_of_col"),
+    )
+    ln = F.log
+    agg = x.agg(
+        F.max("n").alias("n"),
+        F.sum(F.when(F.col("first_of_row"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_status"),
+        F.sum(F.when(F.col("first_of_col"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_priority"),
+        dsum_scaled(
+            F.col("c").cast("double") * ln(F.col("c").cast("double")),
+            _MI_SCALE,
+        ).alias("sj"),
+        dsum_scaled(
+            F.when(
+                F.col("first_of_row"),
+                F.col("r").cast("double") * ln(F.col("r").cast("double")),
+            ).otherwise(F.lit(0.0)),
+            _MI_SCALE,
+        ).alias("sr"),
+        dsum_scaled(
+            F.when(
+                F.col("first_of_col"),
+                F.col("s").cast("double") * ln(F.col("s").cast("double")),
+            ).otherwise(F.lit(0.0)),
+            _MI_SCALE,
+        ).alias("sc"),
+    )
+    nd = F.col("n").cast("double")
+    h_joint = ln(nd) - F.col("sj").cast("double") / _MI_SCALE / nd
+    h_row = ln(nd) - F.col("sr").cast("double") / _MI_SCALE / nd
+    h_col = ln(nd) - F.col("sc").cast("double") / _MI_SCALE / nd
+    mi = h_row + h_col - h_joint
+    return agg.filter(F.col("n") > 0).select(
+        F.col("n").cast("long").alias("n_orders"),
+        "n_status",
+        "n_priority",
+        dround(h_row, 6).alias("h_status"),
+        dround(h_col, 6).alias("h_priority"),
+        dround(h_joint, 6).alias("h_joint"),
+        dround(mi, 6).alias("mi_nats"),
+        dround(F.try_divide(mi, F.sqrt(h_row * h_col)), 6).alias("nmi"),
+    )
+
+
+QUERIES["agg_mutual_information"] = agg_mutual_information
+
+ORACLE["agg_mutual_information"] = (
+    "WITH cells AS (SELECT o_orderstatus, o_orderpriority, "
+    "CAST(COUNT(*) AS BIGINT) AS c FROM orders GROUP BY 1, 2), "
+    "x AS (SELECT c, "
+    "SUM(c) OVER (PARTITION BY o_orderstatus) AS r, "
+    "SUM(c) OVER (PARTITION BY o_orderpriority) AS s, "
+    "SUM(c) OVER () AS n, "
+    "ROW_NUMBER() OVER (PARTITION BY o_orderstatus "
+    "ORDER BY o_orderpriority) = 1 AS first_of_row, "
+    "ROW_NUMBER() OVER (PARTITION BY o_orderpriority "
+    "ORDER BY o_orderstatus) = 1 AS first_of_col FROM cells), "
+    "a AS (SELECT CAST(MAX(n) AS BIGINT) AS n, "
+    "CAST(SUM(CASE WHEN first_of_row THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_status, "
+    "CAST(SUM(CASE WHEN first_of_col THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_priority, "
+    "CAST(SUM(CAST(ROUND(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) "
+    f"* {_MI_SCALE}) AS BIGINT)) AS BIGINT) AS sj, "
+    "CAST(SUM(CAST(ROUND(CASE WHEN first_of_row THEN "
+    "CAST(r AS DOUBLE) * ln(CAST(r AS DOUBLE)) ELSE 0.0 END "
+    f"* {_MI_SCALE}) AS BIGINT)) AS BIGINT) AS sr, "
+    "CAST(SUM(CAST(ROUND(CASE WHEN first_of_col THEN "
+    "CAST(s AS DOUBLE) * ln(CAST(s AS DOUBLE)) ELSE 0.0 END "
+    f"* {_MI_SCALE}) AS BIGINT)) AS BIGINT) AS sc FROM x) "
+    "SELECT n AS n_orders, n_status, n_priority, "
+    f"ROUND(ln(CAST(n AS DOUBLE)) - CAST(sr AS DOUBLE) / {_MI_SCALE} "
+    "/ CAST(n AS DOUBLE), 6) AS h_status, "
+    f"ROUND(ln(CAST(n AS DOUBLE)) - CAST(sc AS DOUBLE) / {_MI_SCALE} "
+    "/ CAST(n AS DOUBLE), 6) AS h_priority, "
+    f"ROUND(ln(CAST(n AS DOUBLE)) - CAST(sj AS DOUBLE) / {_MI_SCALE} "
+    "/ CAST(n AS DOUBLE), 6) AS h_joint, "
+    f"ROUND((ln(CAST(n AS DOUBLE)) - CAST(sr AS DOUBLE) / {_MI_SCALE} "
+    "/ CAST(n AS DOUBLE)) "
+    f"+ (ln(CAST(n AS DOUBLE)) - CAST(sc AS DOUBLE) / {_MI_SCALE} "
+    "/ CAST(n AS DOUBLE)) "
+    f"- (ln(CAST(n AS DOUBLE)) - CAST(sj AS DOUBLE) / {_MI_SCALE} "
+    "/ CAST(n AS DOUBLE)), 6) AS mi_nats, "
+    f"ROUND(((ln(CAST(n AS DOUBLE)) - CAST(sr AS DOUBLE) / {_MI_SCALE} "
+    "/ CAST(n AS DOUBLE)) "
+    f"+ (ln(CAST(n AS DOUBLE)) - CAST(sc AS DOUBLE) / {_MI_SCALE} "
+    "/ CAST(n AS DOUBLE)) "
+    f"- (ln(CAST(n AS DOUBLE)) - CAST(sj AS DOUBLE) / {_MI_SCALE} "
+    "/ CAST(n AS DOUBLE))) "
+    f"/ sqrt((ln(CAST(n AS DOUBLE)) - CAST(sr AS DOUBLE) / {_MI_SCALE} "
+    "/ CAST(n AS DOUBLE)) "
+    f"* (ln(CAST(n AS DOUBLE)) - CAST(sc AS DOUBLE) / {_MI_SCALE} "
+    "/ CAST(n AS DOUBLE))), 6) AS nmi "
+    "FROM a WHERE n > 0"
+)
+
+
+# --- AR(1) mean-reversion fit + half-life off the monthly revenue series --------------
+
+
+def timeseries_ar1_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**AR(1) fit + mean-reversion half-life** of the monthly total
+    revenue series: regress y_t on y_{t-1} by OLS, report phi (the
+    lag-1 persistence), the implied intercept, and the Ornstein-
+    Uhlenbeck-style half-life ln(1/2)/ln(phi) — "how many months for a
+    shock to decay halfway back" (Hamilton, *Time Series Analysis*
+    §4; the mean-reversion diagnostic quants run right after the ACF,
+    whose lag-1 bar this turns into months).
+
+    Determinism: with z_x = n*x - SUM(x) (the mean-centering cleared of
+    /n, the `timeseries_acf` device), phi = SUM(z_x*z_y)/SUM(z_x^2) —
+    the n^2 cancels — so numerator and denominator are EXACT integer
+    sums (decimal(18,0) products -> decimal(38) in Spark == HUGEINT in
+    DuckDB). The stationarity gate 0 < phi < 1 filters on the exact
+    integers (0 < num < den), never on a rounded double; each emitted
+    double is one fixed-shape expression off the exact sums (`dround`).
+
+    Scale: corpus-sized work is the monthly rollup (map-side partial
+    over orders); the lag pairing and the five sums run on the
+    ~80-row monthly frame. Same int64 envelope as `timeseries_acf`."""
+    orders = read_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("mon")
+    ).agg(dsum_scaled("o_totalprice").alias("y_s"))
+    w_lag = Window.orderBy("mon")
+    pairs = m.select(
+        F.col("y_s").alias("y"), F.lag("y_s").over(w_lag).alias("x")
+    ).filter(F.col("x").isNotNull())
+    w_all = Window.partitionBy()
+    z = pairs.select(
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        (F.count(F.lit(1)).over(w_all) * F.col("x") - F.sum("x").over(w_all))
+        .cast("decimal(18,0)")
+        .alias("zx"),
+        (F.count(F.lit(1)).over(w_all) * F.col("y") - F.sum("y").over(w_all))
+        .cast("decimal(18,0)")
+        .alias("zy"),
+        F.col("x"),
+        F.col("y"),
+    )
+    s = z.groupBy("n").agg(
+        F.sum(F.col("zx") * F.col("zy")).alias("num"),
+        F.sum(F.col("zx") * F.col("zx")).alias("den"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+    )
+    nd = F.col("n").cast("double")
+    phi = F.col("num").cast("double") / F.col("den").cast("double")
+    intercept = (
+        (F.col("sy").cast("double") - phi * F.col("sx").cast("double"))
+        / nd
+        / 10000.0
+    )
+    # phi/intercept always emitted; the half-life only exists on a
+    # stationary positive-persistence fit, gated in EXACT integer space
+    # (0 < num < den). Spark ln(x<=0) is NULL (never aborts); DuckDB
+    # ln(x<=0) ERRORS, so the oracle gates with a lazy CASE (rule 4).
+    return s.filter(F.col("den") > 0).select(
+        F.col("n").cast("long").alias("n_pairs"),
+        dround(phi, 6).alias("phi"),
+        dround(intercept, 4).alias("intercept_monthly"),
+        dround(
+            F.when(
+                (F.col("num") > 0) & (F.col("num") < F.col("den")),
+                F.log(F.lit(0.5)) / F.log(phi),
+            ),
+            6,
+        ).alias("halflife_months"),
+    )
+
+
+QUERIES["timeseries_ar1_halflife"] = timeseries_ar1_halflife
+
+ORACLE["timeseries_ar1_halflife"] = (
+    "WITH m AS (SELECT date_trunc('month', o_orderdate) AS mon, "
+    "CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS BIGINT) "
+    "AS y_s FROM orders GROUP BY 1), "
+    "p AS (SELECT y_s AS y, LAG(y_s) OVER (ORDER BY mon) AS x FROM m), "
+    "q AS (SELECT x, y FROM p WHERE x IS NOT NULL), "
+    "z AS (SELECT COUNT(*) OVER () AS n, "
+    "CAST(COUNT(*) OVER () * x - SUM(x) OVER () AS HUGEINT) AS zx, "
+    "CAST(COUNT(*) OVER () * y - SUM(y) OVER () AS HUGEINT) AS zy, "
+    "x, y FROM q), "
+    "s AS (SELECT n, SUM(zx * zy) AS num, SUM(zx * zx) AS den, "
+    "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy "
+    "FROM z GROUP BY n) "
+    "SELECT CAST(n AS BIGINT) AS n_pairs, "
+    "ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS phi, "
+    "ROUND((CAST(sy AS DOUBLE) - CAST(num AS DOUBLE) "
+    "/ CAST(den AS DOUBLE) * CAST(sx AS DOUBLE)) "
+    "/ CAST(n AS DOUBLE) / 10000.0, 4) AS intercept_monthly, "
+    "ROUND(CASE WHEN num > 0 AND num < den THEN "
+    "ln(0.5) / ln(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) END, 6) "
+    "AS halflife_months "
+    "FROM s WHERE den > 0"
+)
+
+
+# --- Candidate-key uniqueness profile (one GROUPING SETS pass) ------------------------
+
+
+def dq_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Candidate-key uniqueness profile** — the data-contract check
+    run before declaring a primary key or a merge key: for each
+    candidate (the declared PK `o_orderkey`, and the business key
+    `(o_custkey, o_orderdate)` an upsert pipeline might be tempted to
+    merge on), report group counts, duplicate groups/rows and max
+    multiplicity. Completes the dq pack: `dq_completeness_profile`
+    profiles NULLs per column, this profiles uniqueness per KEY.
+
+    Both candidates are counted in ONE scan via GROUPING SETS
+    (Spark 4's `DataFrame.groupingSets` == DuckDB `GROUP BY GROUPING
+    SETS`) — the one-groupby-per-candidate alternative re-reads the
+    fact table once per key (CLAUDE.md rule 5). All outputs exact
+    integers; `is_unique` compares them in integer space.
+
+    Scale: one expanded aggregate (map-side combinable per set);
+    the per-candidate rollup runs on group-count rows."""
+    orders = read_table(spark, sf_dir, "orders")
+    g = orders.groupingSets(
+        [[F.col("o_orderkey")], [F.col("o_custkey"), F.col("o_orderdate")]],
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_orderdate"),
+    ).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.grouping("o_orderkey").alias("g_ok"),
+    )
+    prof = g.groupBy(
+        F.when(F.col("g_ok") == 0, F.lit("o_orderkey"))
+        .otherwise(F.lit("o_custkey,o_orderdate"))
+        .alias("candidate_key")
+    ).agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("dup_groups"),
+        F.sum(F.when(F.col("c") > 1, F.col("c") - 1).otherwise(0))
+        .cast("long")
+        .alias("dup_rows"),
+        F.max("c").alias("max_multiplicity"),
+    )
+    return prof.select(
+        "candidate_key",
+        "n_rows",
+        "n_groups",
+        "dup_groups",
+        "dup_rows",
+        "max_multiplicity",
+        F.when(F.col("n_groups") == F.col("n_rows"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_unique"),
+    ).orderBy("candidate_key")
+
+
+QUERIES["dq_key_uniqueness"] = dq_key_uniqueness
+
+ORACLE["dq_key_uniqueness"] = (
+    "WITH g AS (SELECT CAST(COUNT(*) AS BIGINT) AS c, "
+    "GROUPING(o_orderkey) AS g_ok FROM orders "
+    "GROUP BY GROUPING SETS ((o_orderkey), (o_custkey, o_orderdate))), "
+    "p AS (SELECT CASE WHEN g_ok = 0 THEN 'o_orderkey' "
+    "ELSE 'o_custkey,o_orderdate' END AS candidate_key, "
+    "CAST(SUM(c) AS BIGINT) AS n_rows, "
+    "CAST(COUNT(*) AS BIGINT) AS n_groups, "
+    "CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS dup_groups, "
+    "CAST(SUM(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT) "
+    "AS dup_rows, "
+    "CAST(MAX(c) AS BIGINT) AS max_multiplicity FROM g GROUP BY 1) "
+    "SELECT candidate_key, n_rows, n_groups, dup_groups, dup_rows, "
+    "max_multiplicity, "
+    "CASE WHEN n_groups = n_rows THEN 1 ELSE 0 END AS is_unique "
+    "FROM p ORDER BY candidate_key"
+)
+
+
+# --- Rolling 6-month OLS trend slope per priority -------------------------------------
+
+
+def window_rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Rolling OLS trend slope** — the windowed member of the trend
+    family (`agg_linear_trend` fits one global line; this fits a
+    6-month line ENDING AT EVERY MONTH, per priority): the local
+    trend/momentum signal (slope in $/month) analysts overlay on the
+    monthly series, with the window mean as its level companion.
+
+    Determinism: x is the month ordinal (ROW_NUMBER over the monthly
+    frame), y the scaled-int64 monthly revenue, so the five trailing
+    sums (n, Σx, Σy, Σxy, Σx²) are EXACT integers; the slope
+    (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) is one division of exact values per row
+    (`dround` 4 after descaling). Only full windows emit (n = 6,
+    integer compare), so the denominator is the fixed positive
+    constant of six distinct x's — no zero-division branch at all.
+
+    The trailing-sum windows order by `mon` — the ORIGINAL key the
+    row-number was numbered over — never by the derived `x`
+    (CLAUDE.md rule 5: Catalyst cannot prove the aliases equivalent
+    and would re-sort between the stacked windows).
+
+    Scale: one monthly rollup (map-side partial over orders), then
+    two stacked windows sharing ONE sort per priority partition."""
+    orders = read_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("month", "o_orderdate").alias("mon"),
+    ).agg(dsum_scaled("o_totalprice").alias("y_s"))
+    w_rn = Window.partitionBy("priority").orderBy("mon")
+    t = m.select(
+        "priority",
+        "mon",
+        "y_s",
+        F.row_number().over(w_rn).cast("long").alias("x"),
+    )
+    w6 = (
+        Window.partitionBy("priority")
+        .orderBy("mon")
+        .rowsBetween(-5, Window.currentRow)
+    )
+    s = t.select(
+        "priority",
+        "mon",
+        F.count(F.lit(1)).over(w6).alias("n"),
+        F.sum("x").over(w6).alias("sx"),
+        F.sum("y_s").over(w6).alias("sy"),
+        F.sum(F.col("x") * F.col("y_s")).over(w6).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w6).alias("sx2"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    return s.filter(F.col("n") == 6).select(
+        "priority",
+        F.col("mon").alias("month"),
+        dround(
+            num.cast("double") / den.cast("double") / 10000.0, 4
+        ).alias("slope_monthly"),
+        dround(
+            F.col("sy").cast("double") / F.col("n").cast("double") / 10000.0,
+            4,
+        ).alias("mean_monthly"),
+    ).orderBy("priority", "month")
+
+
+QUERIES["window_rolling_ols_slope"] = window_rolling_ols_slope
+
+ORACLE["window_rolling_ols_slope"] = (
+    "WITH m AS (SELECT o_orderpriority AS priority, "
+    "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon, "
+    "CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS BIGINT) "
+    "AS y_s FROM orders GROUP BY 1, 2), "
+    "t AS (SELECT priority, mon, y_s, "
+    "CAST(ROW_NUMBER() OVER (PARTITION BY priority ORDER BY mon) "
+    "AS BIGINT) AS x FROM m), "
+    "s AS (SELECT priority, mon, "
+    "CAST(COUNT(*) OVER w6 AS BIGINT) AS n, "
+    "CAST(SUM(x) OVER w6 AS BIGINT) AS sx, "
+    "CAST(SUM(y_s) OVER w6 AS BIGINT) AS sy, "
+    "CAST(SUM(x * y_s) OVER w6 AS BIGINT) AS sxy, "
+    "CAST(SUM(x * x) OVER w6 AS BIGINT) AS sx2 FROM t "
+    "WINDOW w6 AS (PARTITION BY priority ORDER BY mon "
+    "ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)) "
+    "SELECT priority, mon AS month, "
+    "ROUND(CAST(n * sxy - sx * sy AS DOUBLE) "
+    "/ CAST(n * sx2 - sx * sx AS DOUBLE) / 10000.0, 4) AS slope_monthly, "
+    "ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0, 4) "
+    "AS mean_monthly "
+    "FROM s WHERE n = 6 ORDER BY priority, month"
+)

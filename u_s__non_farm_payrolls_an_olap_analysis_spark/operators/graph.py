@@ -1113,3 +1113,114 @@ ORACLE["graph_link_prediction_jaccard"] = (
     ") AS BIGINT) DESC, token_a, token_b "
     f"LIMIT {JC_TOP_K}"
 )
+
+
+# --- BFS hop distance from the hub part over the co-purchase graph -----------
+
+BFS_MAX_ROUNDS = 50
+
+
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Single-source BFS hop distance** over the support-filtered
+    part co-purchase graph (the `graph_connected_components` edge
+    relation): unweighted shortest-path hops from the graph's minimum
+    part key — "how many substitution steps from the hub part" (the
+    ego-network radius question; Pregel/GraphX's canonical example,
+    here as iterative frontier expansion in plain DataFrames).
+
+    Algorithm: classic frontier BFS — each round joins the CURRENT
+    frontier (last round's newly-reached nodes, never the whole
+    distance table) to the edge list, anti-joins already-settled
+    nodes, and stamps the round number as the hop count. Each round's
+    frames are **eagerly localCheckpoint-ed** (CLAUDE.md rule 5: the
+    loop references the previous generation twice — neighbor lookup +
+    anti-join — so a cache alone leaves a plan tree that doubles per
+    round). Terminates when a frontier is empty (rounds needed = the
+    component's eccentricity from the seed); non-convergence within
+    ``BFS_MAX_ROUNDS`` raises.
+
+    Determinism: integer node keys and hop counts only; the seed (MIN
+    part key) is computed as a 1-row aggregate broadcast-joined in —
+    no driver-side collect. Fully hash-checked against a recursive-CTE
+    oracle that enumerates (node, hops) pairs with UNION-dedup and
+    takes MIN(hops) per node.
+
+    Scale: per-round shuffle is O(frontier x avg-degree) — frontier
+    BFS's whole point at 100 TB (joining the full distance table
+    every round would be O(V) per round); the anti-join keys on
+    integer part keys. AQE handles the late-round hub skew.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .groupBy(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= CC_MIN_SUPPORT)
+        .select("pa", "pb")
+    )
+    edges = (
+        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+        )
+        .cache()
+    )
+    dist = (
+        edges.agg(F.min("src").alias("part"))
+        .select("part", F.lit(0).alias("hops"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    converged = False
+    for hop in range(1, BFS_MAX_ROUNDS + 1):
+        cand = (
+            edges.join(frontier, edges.src == frontier.part)
+            .select(F.col("dst").alias("part"))
+            .distinct()
+        )
+        new = (
+            cand.join(dist, "part", "left_anti")
+            .select("part", F.lit(hop).alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        if new.count() == 0:
+            converged = True
+            break
+        dist = dist.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"graph_bfs_hops: no convergence in {BFS_MAX_ROUNDS} rounds"
+        )
+    return dist.select("part", F.col("hops").cast("int")).orderBy("part")
+
+
+QUERIES["graph_bfs_hops"] = graph_bfs_hops
+
+# oracle: recursive (node, hops) enumeration with UNION dedup — hops
+# strictly increases and is capped, so the recursion terminates; the
+# MIN(hops) per node is the BFS distance
+ORACLE["graph_bfs_hops"] = (
+    "WITH RECURSIVE pr AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb "
+    "FROM lineitem a JOIN lineitem b "
+    "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+    f"GROUP BY 1, 2 HAVING COUNT(*) >= {CC_MIN_SUPPORT}), "
+    "e AS (SELECT pa AS src, pb AS dst FROM pr "
+    "UNION ALL SELECT pb, pa FROM pr), "
+    "seed AS (SELECT MIN(src) AS s FROM e), "
+    "walk(node, hops) AS ("
+    "SELECT s, 0 FROM seed "
+    "UNION "
+    "SELECT e.dst, w.hops + 1 FROM walk w JOIN e ON e.src = w.node "
+    f"WHERE w.hops < {BFS_MAX_ROUNDS}) "
+    "SELECT node AS part, CAST(MIN(hops) AS INT) AS hops "
+    "FROM walk GROUP BY node ORDER BY part"
+)

@@ -1695,3 +1695,181 @@ ORACLE["text_collocation_lift"] = (
     f"ORDER BY CAST(ROUND({COLL_KEY_SCALE} * lift) AS BIGINT) DESC, x, y "
     f"LIMIT {COLL_TOP_K}"
 )
+
+
+# --- Flesch readability per source ---------------------------------------------------
+
+
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Flesch reading ease per source** (Flesch 1948; the readability
+    screen corpus builders run next to `text_quality_score` — academic
+    sources score low/dense, chat-like sources high/simple):
+    FRE = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/word),
+    with words = whitespace tokens (the corpus-wide `split(text,' ')`
+    convention), sentences = `[.!?]+` runs, syllables = vowel-group
+    runs `[aeiouyAEIOUY]+` (the standard regex heuristic — both
+    engines count the SAME matches, so the counts are exact integers).
+    Punctuation-free documents (transcripts — and this fixture's
+    synthetic token streams) fall back to ceil(words/20) pseudo-
+    sentences, the readability-literature practice for unpunctuated
+    text; the fallback is pure integer math ((w+19) div 20), identical
+    in both engines.
+
+    Per-doc counts sum per source; the three exposed ratios are
+    fixed-shape divisions of exact integer sums (`dround`), with the
+    sentence-starved source NULL-gated in INTEGER space (n_sentences
+    > 0) in both engines — doubles can't abort, but −inf must not
+    leak where the oracle CASE yields NULL.
+
+    Scale: one regexp projection (JVM codegen, no UDF) → one
+    map-side-combinable aggregate; 5 output rows."""
+    docs = read_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("w"),
+        F.regexp_count("text", F.lit(r"[.!?]+")).cast("long").alias("s_raw"),
+        F.regexp_count("text", F.lit(r"[aeiouyAEIOUY]+"))
+        .cast("long")
+        .alias("syl"),
+    ).select(
+        "source",
+        "w",
+        "syl",
+        F.when(F.col("s_raw") > 0, F.col("s_raw"))
+        .otherwise(F.expr("(w + 19) div 20"))
+        .alias("s"),
+    )
+    per_src = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("w").alias("n_words"),
+        F.sum("s").alias("n_sentences"),
+        F.sum("syl").alias("n_syllables"),
+    )
+    wd = F.col("n_words").cast("double")
+    sd = F.col("n_sentences").cast("double")
+    yd = F.col("n_syllables").cast("double")
+    fre = (
+        F.lit(206.835) - F.lit(1.015) * (wd / sd) - F.lit(84.6) * (yd / wd)
+    )
+    return per_src.select(
+        "source",
+        "n_docs",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        dround(F.when(F.col("n_sentences") > 0, wd / sd), 6).alias(
+            "words_per_sentence"
+        ),
+        dround(yd / wd, 6).alias("syllables_per_word"),
+        dround(F.when(F.col("n_sentences") > 0, fre), 4).alias(
+            "flesch_reading_ease"
+        ),
+    ).orderBy("source")
+
+
+QUERIES["text_readability"] = text_readability
+
+ORACLE["text_readability"] = (
+    "WITH d0 AS (SELECT source, "
+    "CAST(len(string_split(text, ' ')) AS BIGINT) AS w, "
+    "CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS s_raw, "
+    "CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT) "
+    "AS syl FROM documents), "
+    "d AS (SELECT source, w, syl, "
+    "CASE WHEN s_raw > 0 THEN s_raw ELSE (w + 19) // 20 END AS s "
+    "FROM d0), "
+    "a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(w) AS BIGINT) AS n_words, "
+    "CAST(SUM(s) AS BIGINT) AS n_sentences, "
+    "CAST(SUM(syl) AS BIGINT) AS n_syllables FROM d GROUP BY 1) "
+    "SELECT source, n_docs, n_words, n_sentences, n_syllables, "
+    "ROUND(CASE WHEN n_sentences > 0 THEN "
+    "CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE) END, 6) "
+    "AS words_per_sentence, "
+    "ROUND(CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE), 6) "
+    "AS syllables_per_word, "
+    "ROUND(CASE WHEN n_sentences > 0 THEN 206.835 "
+    "- 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) "
+    "- 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) "
+    "END, 4) AS flesch_reading_ease "
+    "FROM a ORDER BY source"
+)
+
+
+# --- Lexicon-based sentiment scoring --------------------------------------------------
+
+# placeholder connotation lexicon over the fixture vocabulary — swap for
+# AFINN/VADER word lists on a real corpus; the MECHANISM (array-filter
+# counts, no explode, integer-gated ratios) is the operator under test
+_SENT_POS = ("fast", "small")
+_SENT_NEG = ("slow", "big")
+
+
+def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Lexicon sentiment scoring** per document (the AFINN/VADER
+    counting core, Hutto & Gilbert 2014 minus the intensifier rules):
+    polarity = (pos−neg)/(pos+neg) and subjectivity =
+    (pos+neg)/tokens from positive/negative word-list hits — the
+    corpus-curation knob next to `text_quality_score` (e.g. drop or
+    rebalance strongly-polarized sources before pretraining).
+
+    No explode: hits count via `filter()` ON THE TOKEN ARRAY inside
+    one codegen'd projection (`size(filter(split(...)))` ≡ DuckDB
+    `len(list_filter(string_split(...)))`), so the per-doc cost is
+    O(tokens) with zero shuffle. Counts are exact ints; the two
+    per-doc ratios gate on integers (n_pos+n_neg > 0) and round via
+    `dround` 6 (rule 2 — one ratio per doc).
+
+    Scale: embarrassingly parallel scan; the lexicon is a literal in
+    the plan (broadcast-free)."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    c = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: t.isin(*_SENT_POS))).alias("n_pos"),
+        F.size(F.filter(toks, lambda t: t.isin(*_SENT_NEG))).alias("n_neg"),
+    )
+    hits = F.col("n_pos") + F.col("n_neg")
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "n_pos",
+        "n_neg",
+        dround(
+            F.when(
+                hits > 0,
+                (F.col("n_pos") - F.col("n_neg")).cast("double")
+                / hits.cast("double"),
+            ),
+            6,
+        ).alias("polarity"),
+        dround(
+            hits.cast("double") / F.col("n_tokens").cast("double"), 6
+        ).alias("subjectivity"),
+    ).orderBy("doc_id")
+
+
+QUERIES["text_sentiment_lexicon"] = text_sentiment_lexicon
+
+_POS_IN = ", ".join(f"'{w}'" for w in _SENT_POS)
+_NEG_IN = ", ".join(f"'{w}'" for w in _SENT_NEG)
+
+ORACLE["text_sentiment_lexicon"] = (
+    "WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks "
+    "FROM documents), "
+    "c AS (SELECT doc_id, source, CAST(len(toks) AS INT) AS n_tokens, "
+    f"CAST(len(list_filter(toks, x -> x IN ({_POS_IN}))) AS INT) "
+    "AS n_pos, "
+    f"CAST(len(list_filter(toks, x -> x IN ({_NEG_IN}))) AS INT) "
+    "AS n_neg FROM t) "
+    "SELECT doc_id, source, n_tokens, n_pos, n_neg, "
+    "ROUND(CASE WHEN n_pos + n_neg > 0 THEN "
+    "CAST(n_pos - n_neg AS DOUBLE) / CAST(n_pos + n_neg AS DOUBLE) END, "
+    "6) AS polarity, "
+    "ROUND(CAST(n_pos + n_neg AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) "
+    "AS subjectivity "
+    "FROM c ORDER BY doc_id"
+)

@@ -217,6 +217,22 @@ _SAMPLE_PRIORITY = [
     "window_bollinger_bands",
     # NEW in round 13 — per-doc TTR + Guiraud lexical diversity
     "text_lexical_diversity",
+    # NEW in round 13 — customer-cohort LTV triangle (cumulative revenue)
+    "rollup_cohort_ltv",
+    # NEW in round 13 — mutual information / NMI of status x priority
+    "agg_mutual_information",
+    # NEW in round 13 — AR(1) fit + mean-reversion half-life
+    "timeseries_ar1_halflife",
+    # NEW in round 13 — candidate-key uniqueness profile (GROUPING SETS)
+    "dq_key_uniqueness",
+    # NEW in round 13 — rolling 6-month OLS trend slope per priority
+    "window_rolling_ols_slope",
+    # NEW in round 13 — Flesch reading-ease readability per source
+    "text_readability",
+    # NEW in round 13 — frontier BFS hop distance from the hub part
+    "graph_bfs_hops",
+    # NEW in round 13 — lexicon sentiment polarity/subjectivity per doc
+    "text_sentiment_lexicon",
     # NEW in round 13 — Kruskal–Wallis H across all priorities
     "agg_kruskal_wallis",
     # NEW in round 13 — Newman degree assortativity coefficient
