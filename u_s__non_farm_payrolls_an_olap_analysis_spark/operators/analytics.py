@@ -5628,3 +5628,260 @@ ORACLE["window_rolling_ols_slope"] = (
     "AS mean_monthly "
     "FROM s WHERE n = 6 ORDER BY priority, month"
 )
+
+
+# --- Log-log price elasticity of demand per brand --------------------------------------
+
+_ELAST_SCALE = 1_000_000_000  # per-row ln() values scaled to int64 (9 dp)
+
+
+def agg_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Price elasticity of demand** per part brand — the log-log OLS
+    slope d ln(quantity)/d ln(unit price) over lineitems (the
+    econometrics-101 estimate; elasticity < -1 = elastic demand), with
+    r² as the fit diagnostic — the pricing-analytics question an OLAP
+    engine over a sales fact table exists to answer.
+
+    Determinism: per-row ln(unit price) and ln(quantity) scale to
+    int64 at 9 dp (`_nearest_long_away`, bitwise == DuckDB
+    ROUND(x*1e9)); per-brand Σx, Σy, Σxy, Σx², Σy² are then EXACT
+    (products as decimal(18,0)² -> decimal(38) ≡ HUGEINT — a single
+    product already exceeds int64). Slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²)
+    — the per-row scale cancels — is one division of exact values;
+    r² = num²/(den_x·den_y) evaluates in fixed-shape doubles (num² at
+    ~1e60 exceeds every exact type). `dround` 6 on both.
+
+    Scale: broadcast the part dim (25 brands), one map-side-combinable
+    aggregate over the fact scan — no windows, no self-joins; the
+    sargable positivity filters reach the parquet scan."""
+    from ..functions.numerics import _nearest_long_away
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    ).filter((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0))
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    xs = _nearest_long_away(
+        F.log(F.col("l_extendedprice") / F.col("l_quantity"))
+        * _ELAST_SCALE
+    ).cast("decimal(18,0)")
+    ys = _nearest_long_away(
+        F.log(F.col("l_quantity")) * _ELAST_SCALE
+    ).cast("decimal(18,0)")
+    s = j.select(F.col("p_brand").alias("brand"), xs.alias("x"), ys.alias("y")).groupBy(
+        "brand"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n_dec = F.col("n").cast("decimal(12,0)")
+    num = n_dec * F.col("sxy") - F.col("sx") * F.col("sy")
+    den_x = n_dec * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = n_dec * F.col("syy") - F.col("sy") * F.col("sy")
+    num_d, denx_d, deny_d = (
+        num.cast("double"),
+        den_x.cast("double"),
+        den_y.cast("double"),
+    )
+    return s.filter((den_x > 0) & (den_y > 0)).select(
+        "brand",
+        F.col("n").cast("long").alias("n_items"),
+        dround(num_d / denx_d, 6).alias("elasticity"),
+        dround(num_d * num_d / (denx_d * deny_d), 6).alias("r2"),
+    ).orderBy("brand")
+
+
+QUERIES["agg_price_elasticity"] = agg_price_elasticity
+
+ORACLE["agg_price_elasticity"] = (
+    "WITH j AS (SELECT p.p_brand AS brand, "
+    f"CAST(ROUND(ln(l_extendedprice / l_quantity) * {_ELAST_SCALE}) "
+    "AS HUGEINT) AS x, "
+    f"CAST(ROUND(ln(l_quantity) * {_ELAST_SCALE}) AS HUGEINT) AS y "
+    "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+    "WHERE l_quantity > 0 AND l_extendedprice > 0), "
+    "s AS (SELECT brand, CAST(COUNT(*) AS HUGEINT) AS n, "
+    "SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, "
+    "SUM(x * x) AS sxx, SUM(y * y) AS syy FROM j GROUP BY 1), "
+    "d AS (SELECT brand, n, n * sxy - sx * sy AS num, "
+    "n * sxx - sx * sx AS den_x, n * syy - sy * sy AS den_y FROM s) "
+    "SELECT brand, CAST(n AS BIGINT) AS n_items, "
+    "ROUND(CAST(num AS DOUBLE) / CAST(den_x AS DOUBLE), 6) AS elasticity, "
+    "ROUND(CAST(num AS DOUBLE) * CAST(num AS DOUBLE) "
+    "/ (CAST(den_x AS DOUBLE) * CAST(den_y AS DOUBLE)), 6) AS r2 "
+    "FROM d WHERE den_x > 0 AND den_y > 0 ORDER BY brand"
+)
+
+
+# --- Benjamini-Hochberg FDR over the per-year rate-difference tests -------------------
+
+_BH_Q = 0.10  # target false-discovery rate
+# Abramowitz & Stegun 26.2.17 Phi(z) polynomial (|error| < 7.5e-8)
+_AS_T = 0.2316419
+_AS_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def agg_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Benjamini-Hochberg FDR control** (Benjamini & Hochberg 1995)
+    over a FAMILY of hypotheses — the multiple-testing discipline the
+    per-test operators (`agg_two_proportion_ztest` et al.) need the
+    moment they run per-group: here, one URGENT-vs-LOW finish-rate
+    z-test PER SHIP YEAR, p-values via the Abramowitz-Stegun 26.2.17
+    normal-CDF polynomial (|err| < 7.5e-8; closed-form, so BOTH engines
+    evaluate the identical double expression — no stats library), then
+    the BH step-up: sort p ascending, reject all ranks <= the largest i
+    with p_(i) <= (i/m)q.
+
+    Determinism: counts are exact integers per year; z, p and the BH
+    threshold are fixed-shape double expressions off those integers —
+    the step-up comparison runs on the UNROUNDED doubles identically in
+    both engines; displayed values `dround` 6. Degenerate years filter
+    in integer space first, so m is the tested-family size.
+
+    Scale: one conditional aggregate over orders; the BH machinery
+    runs on the ~7-row family."""
+    orders = read_table(spark, sf_dir, "orders")
+    both = orders.filter(
+        F.col("o_orderpriority").isin(MW_GROUP_A, MW_GROUP_B)
+    ).select(
+        F.year("o_orderdate").cast("int").alias("ship_year"),
+        (F.col("o_orderpriority") == MW_GROUP_A).alias("is_a"),
+        (F.col("o_orderstatus") == "F").alias("done"),
+    )
+    agg = both.groupBy("ship_year").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+        F.sum(F.when(F.col("is_a") & F.col("done"), 1).otherwise(0))
+        .cast("long")
+        .alias("x1"),
+        F.sum(F.when(~F.col("is_a") & F.col("done"), 1).otherwise(0))
+        .cast("long")
+        .alias("x2"),
+    )
+    n1, n2, x1, x2 = (F.col(c) for c in ("n1", "n2", "x1", "x2"))
+    tested = agg.filter(
+        ((x1 + x2) > 0) & ((x1 + x2) < (n1 + n2)) & (n1 > 0) & (n2 > 0)
+    )
+    n1d, n2d = n1.cast("double"), n2.cast("double")
+    p1 = x1.cast("double") / n1d
+    p2 = x2.cast("double") / n2d
+    pp = (x1 + x2).cast("double") / (n1 + n2).cast("double")
+    z = (p1 - p2) / F.sqrt(
+        pp * (F.lit(1.0) - pp) * (F.lit(1.0) / n1d + F.lit(1.0) / n2d)
+    )
+    za = F.abs(z)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_AS_T) * za)
+    poly = (
+        F.lit(_AS_B[0]) * t
+        + F.lit(_AS_B[1]) * t * t
+        + F.lit(_AS_B[2]) * t * t * t
+        + F.lit(_AS_B[3]) * t * t * t * t
+        + F.lit(_AS_B[4]) * t * t * t * t * t
+    )
+    pdf = F.lit(_INV_SQRT_2PI) * F.exp(F.lit(-0.5) * za * za)
+    pval = F.lit(2.0) * pdf * poly
+    scored = tested.select(
+        "ship_year", "n1", "n2", "x1", "x2",
+        z.alias("z"), pval.alias("p"),
+    )
+    w_rank = Window.orderBy(F.col("p").asc(), "ship_year")
+    w_all = Window.partitionBy()
+    ranked = scored.select(
+        "*",
+        F.row_number().over(w_rank).alias("p_rank"),
+        F.count(F.lit(1)).over(w_all).alias("m"),
+    )
+    crit = (
+        F.col("p_rank").cast("double")
+        / F.col("m").cast("double")
+        * F.lit(_BH_Q)
+    )
+    flagged = ranked.select(
+        "*",
+        crit.alias("crit"),
+        F.max(F.when(F.col("p") <= crit, F.col("p_rank"))).over(w_all).alias(
+            "k_max"
+        ),
+    )
+    return flagged.select(
+        "ship_year",
+        "n1",
+        "n2",
+        "x1",
+        "x2",
+        dround(F.col("z"), 6).alias("z_score"),
+        dround(F.col("p"), 6).alias("p_value"),
+        F.col("p_rank").cast("int").alias("p_rank"),
+        F.col("m").cast("long").alias("m_tests"),
+        dround(F.col("crit"), 6).alias("bh_crit"),
+        F.when(F.col("p_rank") <= F.col("k_max"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("rejected"),
+    ).orderBy("ship_year")
+
+
+QUERIES["agg_benjamini_hochberg"] = agg_benjamini_hochberg
+
+_BH_Z = (
+    "(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) "
+    "- CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE)) "
+    "/ sqrt((CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) "
+    "* (1.0 - CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) "
+    "* (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))"
+)
+
+ORACLE["agg_benjamini_hochberg"] = (
+    "WITH b AS (SELECT CAST(year(o_orderdate) AS INT) AS ship_year, "
+    f"o_orderpriority = '{MW_GROUP_A}' AS is_a, "
+    "o_orderstatus = 'F' AS done FROM orders "
+    f"WHERE o_orderpriority IN ('{MW_GROUP_A}', '{MW_GROUP_B}')), "
+    "a AS (SELECT ship_year, "
+    "CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n1, "
+    "CAST(SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS n2, "
+    "CAST(SUM(CASE WHEN is_a AND done THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS x1, "
+    "CAST(SUM(CASE WHEN NOT is_a AND done THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS x2 FROM b GROUP BY 1), "
+    "tested AS (SELECT * FROM a WHERE x1 + x2 > 0 "
+    "AND x1 + x2 < n1 + n2 AND n1 > 0 AND n2 > 0), "
+    f"sc AS (SELECT ship_year, n1, n2, x1, x2, {_BH_Z} AS z FROM tested), "
+    f"pv AS (SELECT *, 2.0 * ({_INV_SQRT_2PI} "
+    "* exp(-0.5 * abs(z) * abs(z))) * ("
+    f"{_AS_B[0]} * (1.0 / (1.0 + {_AS_T} * abs(z))) "
+    f"+ {_AS_B[1]} * (1.0 / (1.0 + {_AS_T} * abs(z))) "
+    f"* (1.0 / (1.0 + {_AS_T} * abs(z))) "
+    f"+ {_AS_B[2]} * (1.0 / (1.0 + {_AS_T} * abs(z))) "
+    f"* (1.0 / (1.0 + {_AS_T} * abs(z))) "
+    f"* (1.0 / (1.0 + {_AS_T} * abs(z))) "
+    f"+ {_AS_B[3]} * (1.0 / (1.0 + {_AS_T} * abs(z))) "
+    f"* (1.0 / (1.0 + {_AS_T} * abs(z))) "
+    f"* (1.0 / (1.0 + {_AS_T} * abs(z))) "
+    f"* (1.0 / (1.0 + {_AS_T} * abs(z))) "
+    f"+ {_AS_B[4]} * (1.0 / (1.0 + {_AS_T} * abs(z))) "
+    f"* (1.0 / (1.0 + {_AS_T} * abs(z))) "
+    f"* (1.0 / (1.0 + {_AS_T} * abs(z))) "
+    f"* (1.0 / (1.0 + {_AS_T} * abs(z))) "
+    f"* (1.0 / (1.0 + {_AS_T} * abs(z)))) AS p FROM sc), "
+    "rk AS (SELECT *, "
+    "ROW_NUMBER() OVER (ORDER BY p ASC, ship_year) AS p_rank, "
+    "COUNT(*) OVER () AS m FROM pv), "
+    "fl AS (SELECT *, "
+    f"CAST(p_rank AS DOUBLE) / CAST(m AS DOUBLE) * {_BH_Q} AS crit, "
+    "MAX(CASE WHEN p <= CAST(p_rank AS DOUBLE) / CAST(m AS DOUBLE) "
+    f"* {_BH_Q} THEN p_rank END) OVER () AS k_max FROM rk) "
+    "SELECT ship_year, n1, n2, x1, x2, "
+    "ROUND(z, 6) AS z_score, ROUND(p, 6) AS p_value, "
+    "CAST(p_rank AS INT) AS p_rank, CAST(m AS BIGINT) AS m_tests, "
+    "ROUND(crit, 6) AS bh_crit, "
+    "CAST(CASE WHEN p_rank <= k_max THEN 1 ELSE 0 END AS INT) "
+    "AS rejected "
+    "FROM fl ORDER BY ship_year"
+)

@@ -801,3 +801,92 @@ ORACLE["scd2_customer_priority_history"] = (
     "THEN 1 ELSE 0 END AS INT) AS is_current "
     "FROM h ORDER BY custkey, version"
 )
+
+
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Point-in-time (temporal) join against the SCD2 history** — the
+    consumer side of `scd2_customer_priority_history`, and the
+    correctness discipline every feature store / training-data build
+    lives or dies by: each lineitem is attributed to the priority
+    regime its CUSTOMER was in WHEN THE ITEM SHIPPED (`valid_from <=
+    l_shipdate < valid_to`), never to the current row — the classic
+    leakage bug a plain dim join commits. Rolled up to (priority-at-
+    ship, ship year) so the output is compact and fully hash-checked.
+
+    Every ship date falls in EXACTLY one interval (intervals partition
+    the timeline from the customer's first order, ship >= order date),
+    so the join is fan-out-1 by construction. Money via `dsum` 4 dp.
+
+    Scale: the orderkey join is the TPC-H fact join (shuffles on
+    integer keys, AQE-handled); the history side is bounded by CHANGE
+    count, not order count, and joins customer-keyed with the range
+    predicate applied as a post-filter on the ~runs-per-customer
+    fan-out (never a cross product).
+
+    vs reference: no analogue (the reference keeps no history);
+    completes the repo's Kimball pair (build + point-in-time read)."""
+    hist = scd2_customer_priority_history(spark, sf_dir).select(
+        "custkey",
+        F.col("priority").alias("priority_at_ship"),
+        "valid_from",
+        "valid_to",
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice"
+    )
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    fact = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_custkey", "l_shipdate", "l_extendedprice"
+    )
+    pit = fact.join(
+        hist,
+        (fact.o_custkey == hist.custkey)
+        & (fact.l_shipdate >= hist.valid_from)
+        & (fact.l_shipdate < hist.valid_to),
+    )
+    return (
+        pit.groupBy(
+            "priority_at_ship",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(dsum("l_extendedprice"), 4).alias("revenue"),
+        )
+        .orderBy("priority_at_ship", "ship_year")
+    )
+
+
+QUERIES["scd2_point_in_time_join"] = scd2_point_in_time_join
+
+ORACLE["scd2_point_in_time_join"] = (
+    "WITH f AS (SELECT o_custkey, o_orderdate, o_orderkey, "
+    "o_orderpriority, "
+    "CASE WHEN LAG(o_orderpriority) OVER "
+    "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) "
+    "IS DISTINCT FROM o_orderpriority THEN 1 ELSE 0 END AS chg "
+    "FROM orders), "
+    "r AS (SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority, "
+    "SUM(chg) OVER (PARTITION BY o_custkey "
+    "ORDER BY o_orderdate, o_orderkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id "
+    "FROM f), "
+    "h AS (SELECT o_custkey, run_id, o_orderpriority, "
+    "MIN(o_orderdate) AS valid_from FROM r GROUP BY 1, 2, 3), "
+    "hist AS (SELECT o_custkey AS custkey, "
+    "o_orderpriority AS priority_at_ship, valid_from, "
+    "COALESCE(LEAD(valid_from) OVER "
+    "(PARTITION BY o_custkey ORDER BY run_id), "
+    f"TIMESTAMP '{SCD2_FAR_FUTURE}') AS valid_to FROM h), "
+    "fact AS (SELECT o.o_custkey, l.l_shipdate, l.l_extendedprice "
+    "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey) "
+    "SELECT hist.priority_at_ship, "
+    "CAST(year(fact.l_shipdate) AS INT) AS ship_year, "
+    "CAST(COUNT(*) AS BIGINT) AS n_items, "
+    "ROUND((CAST(SUM(CAST(ROUND(l_extendedprice * 10000) AS BIGINT)) "
+    "AS DOUBLE) / 10000.0), 4) AS revenue "
+    "FROM fact JOIN hist ON fact.o_custkey = hist.custkey "
+    "AND fact.l_shipdate >= hist.valid_from "
+    "AND fact.l_shipdate < hist.valid_to "
+    "GROUP BY 1, 2 ORDER BY priority_at_ship, ship_year"
+)

@@ -2345,3 +2345,155 @@ ORACLE["sim_eval_margin_reliability"] = (
     "AS avg_margin "
     "FROM b GROUP BY 1 ORDER BY 1"
 )
+
+
+# --- Two-stage cascade: int8 coarse retrieve -> exact float rerank -----------------
+
+CASCADE_L1 = 20  # coarse-stage survivors per query
+
+
+def sim_search_cascade_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Retrieve-then-rerank cascade** — the production ANN serving
+    pattern (every vector DB's default): a cheap memory-resident tier
+    scans EVERYTHING (here the `embedding_quantize_int8` codes with the
+    exact integer dot of `sim_search_int8_mips`), keeps ``CASCADE_L1``
+    survivors per query, and only those re-touch the full float vectors
+    for the exact-cosine rerank to ``TOP_K``. The operator composes the
+    repo's quantize + MIPS + cosine pieces into the two-stage plan and
+    exposes BOTH ranks, so the coarse-vs-exact disagreement (the
+    cascade's quality risk) is directly visible in the output.
+
+    Determinism: stage 1 scores are exact-integer dots rescaled and
+    `dround`ed (the MIPS convention, neighbor-id tiebreak); stage 2 is
+    the shared left-fold cosine (`functions/vectors.py`) `dround`ed at
+    6 dp — both stages fully oracle-checked.
+
+    Scale: stage 1 reads only int8 codes (4x smaller scans) with a
+    10-query broadcast; stage 2's float-vector join is driven by the
+    BROADCAST survivor set (queries x L1 rows), so the expensive
+    vectors are fetched for ~200 rows, not the corpus — that asymmetry
+    is the entire economics of cascaded retrieval at billion-vector
+    scale."""
+    from ..functions.numerics import dround
+    from ..functions.vectors import cosine
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    scaled = emb.select(
+        "vec_id",
+        "embedding",
+        (
+            F.array_max(
+                F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+            )
+            / 127.0
+        ).alias("scale"),
+    ).filter(F.col("scale") > 0)
+    codes = scaled.select(
+        "vec_id",
+        "scale",
+        F.transform(
+            F.col("embedding"),
+            lambda x: dround(x.cast("double") / F.col("scale"), 0).cast("long"),
+        ).alias("code"),
+    )
+    q = codes.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("scale").alias("qs"),
+        F.col("code").alias("qc"),
+    )
+    c = codes.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("scale").alias("cs"),
+        F.col("code").alias("cc"),
+    )
+    int_dot = F.aggregate(
+        F.zip_with(F.col("qc"), F.col("cc"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored1 = c.join(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        dround(int_dot.cast("double") * F.col("qs") * F.col("cs"), 6).alias(
+            "coarse_score"
+        ),
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("coarse_score").desc(), "neighbor_id"
+    )
+    survivors = (
+        scored1.withColumn("coarse_rank", F.row_number().over(w1))
+        .filter(F.col("coarse_rank") <= CASCADE_L1)
+    )
+    qe = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    ce = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+    )
+    # survivor set (queries x L1) broadcasts; the float-vector scan stays
+    # on the probe side and is pruned to the survivors by the join
+    reranked = ce.join(
+        F.broadcast(survivors.join(F.broadcast(qe), "query_id")),
+        "neighbor_id",
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "coarse_score",
+        F.col("coarse_rank").cast("int").alias("coarse_rank"),
+        dround(cosine(F.col("qe"), F.col("ce")), 6).alias("cosine"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    return (
+        reranked.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            "coarse_score",
+            "coarse_rank",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+QUERIES["sim_search_cascade_rerank"] = sim_search_cascade_rerank
+
+ORACLE["sim_search_cascade_rerank"] = (
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb "
+    "FROM embeddings), "
+    "s AS (SELECT vec_id, emb, "
+    "list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale "
+    "FROM e WHERE list_max(list_transform(emb, x -> abs(x))) > 0), "
+    "codes AS (SELECT vec_id, scale, "
+    "list_transform(emb, x -> CAST(ROUND(x / scale) AS BIGINT)) AS code "
+    "FROM s), "
+    f"q AS (SELECT vec_id AS query_id, scale AS qs, code AS qc "
+    f"FROM codes WHERE vec_id < {N_QUERIES}), "
+    f"c AS (SELECT vec_id AS neighbor_id, scale AS cs, code AS cc "
+    f"FROM codes WHERE vec_id >= {N_QUERIES}), "
+    "sc AS (SELECT query_id, neighbor_id, "
+    "ROUND(list_dot_product(qc, cc) * qs * cs, 6) AS coarse_score "
+    "FROM q CROSS JOIN c), "
+    "r1 AS (SELECT query_id, neighbor_id, coarse_score, "
+    "ROW_NUMBER() OVER (PARTITION BY query_id "
+    "ORDER BY coarse_score DESC, neighbor_id) AS coarse_rank FROM sc), "
+    f"surv AS (SELECT * FROM r1 WHERE coarse_rank <= {CASCADE_L1}), "
+    f"qe AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings "
+    f"WHERE vec_id < {N_QUERIES}), "
+    f"ce AS (SELECT vec_id AS neighbor_id, embedding AS cv "
+    f"FROM embeddings WHERE vec_id >= {N_QUERIES}), "
+    "rr AS (SELECT sv.query_id, sv.neighbor_id, sv.coarse_score, "
+    "CAST(sv.coarse_rank AS INT) AS coarse_rank, "
+    f"ROUND({cosine_sql('qe.qv', 'ce.cv')}, 6) AS cosine "
+    "FROM surv sv JOIN qe ON sv.query_id = qe.query_id "
+    "JOIN ce ON sv.neighbor_id = ce.neighbor_id), "
+    "r2 AS (SELECT query_id, neighbor_id, cosine, coarse_score, "
+    "coarse_rank, ROW_NUMBER() OVER (PARTITION BY query_id "
+    "ORDER BY cosine DESC, neighbor_id) AS rank FROM rr) "
+    "SELECT query_id, neighbor_id, cosine, coarse_score, coarse_rank, "
+    f"CAST(rank AS INT) AS rank FROM r2 WHERE rank <= {TOP_K}"
+)

@@ -233,6 +233,14 @@ _SAMPLE_PRIORITY = [
     "graph_bfs_hops",
     # NEW in round 13 — lexicon sentiment polarity/subjectivity per doc
     "text_sentiment_lexicon",
+    # NEW in round 13 — point-in-time join against the SCD2 history
+    "scd2_point_in_time_join",
+    # NEW in round 13 — log-log price elasticity of demand per brand
+    "agg_price_elasticity",
+    # NEW in round 13 — int8-coarse -> exact-cosine cascade rerank
+    "sim_search_cascade_rerank",
+    # NEW in round 13 — Benjamini-Hochberg FDR over per-year z-tests
+    "agg_benjamini_hochberg",
     # NEW in round 13 — Kruskal–Wallis H across all priorities
     "agg_kruskal_wallis",
     # NEW in round 13 — Newman degree assortativity coefficient
