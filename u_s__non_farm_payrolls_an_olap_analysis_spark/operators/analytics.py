@@ -5885,3 +5885,435 @@ ORACLE["agg_benjamini_hochberg"] = (
     "AS rejected "
     "FROM fl ORDER BY ship_year"
 )
+
+
+# --- Exact 10%-trimmed mean per year ---------------------------------------------------
+
+
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Exact trimmed mean** (10% per tail) of order value per year —
+    the robust-location companion to `agg_percentiles` (median) and
+    `norm_winsorize_clip` (which CLAMPS the tails; trimming DROPS
+    them): rank each year's orders, discard exactly k = floor(n/10)
+    rows from each tail, average the middle — the robust KPI that
+    survives the mega-order outliers `dq_anomaly_mad` flags.
+
+    Determinism: the trim boundary is pure integer logic on a
+    ROW_NUMBER that tiebreaks on the unique order key (k from n by
+    integer division — no interpolation, no percentile edge cases);
+    the surviving rows sum via `dsum` (exact scaled int64). The plain
+    mean is emitted alongside so the outlier pull (mean − trimmed) is
+    visible per year.
+
+    Scale: one exchange per year partition (rank window + conditional
+    aggregate share it)."""
+    orders = read_table(spark, sf_dir, "orders")
+    w_rank = Window.partitionBy(F.year("o_orderdate")).orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    w_n = Window.partitionBy(F.year("o_orderdate"))
+    r = orders.select(
+        F.year("o_orderdate").cast("int").alias("year"),
+        "o_totalprice",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    k = F.floor(F.col("n") / 10)
+    kept = F.col("o_totalprice").isNotNull() & (F.col("rn") > k) & (
+        F.col("rn") <= F.col("n") - k
+    )
+    agg = r.groupBy("year").agg(
+        F.max("n").alias("n_orders"),
+        F.max(k).alias("k_trim"),
+        dsum_scaled(F.when(kept, F.col("o_totalprice")).otherwise(F.lit(0.0)))
+        .alias("kept_s"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+        dsum_scaled("o_totalprice").alias("all_s"),
+    )
+    return agg.select(
+        "year",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("k_trim").cast("long").alias("k_trim"),
+        dround(
+            F.col("all_s").cast("double")
+            / 10000.0
+            / F.col("n_orders").cast("double"),
+            4,
+        ).alias("mean_price"),
+        dround(
+            F.col("kept_s").cast("double")
+            / 10000.0
+            / F.col("n_kept").cast("double"),
+            4,
+        ).alias("trimmed_mean_price"),
+    ).orderBy("year")
+
+
+QUERIES["agg_trimmed_mean"] = agg_trimmed_mean
+
+ORACLE["agg_trimmed_mean"] = (
+    "WITH r AS (SELECT CAST(year(o_orderdate) AS INT) AS year, "
+    "o_totalprice, "
+    "ROW_NUMBER() OVER (PARTITION BY year(o_orderdate) "
+    "ORDER BY o_totalprice, o_orderkey) AS rn, "
+    "COUNT(*) OVER (PARTITION BY year(o_orderdate)) AS n FROM orders), "
+    "a AS (SELECT year, CAST(MAX(n) AS BIGINT) AS n_orders, "
+    "CAST(MAX(n // 10) AS BIGINT) AS k_trim, "
+    "CAST(SUM(CAST(ROUND(CASE WHEN o_totalprice IS NOT NULL "
+    "AND rn > n // 10 AND rn <= n - n // 10 THEN o_totalprice "
+    "ELSE 0.0 END * 10000) AS BIGINT)) AS BIGINT) AS kept_s, "
+    "CAST(SUM(CASE WHEN o_totalprice IS NOT NULL AND rn > n // 10 "
+    "AND rn <= n - n // 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, "
+    "CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS BIGINT) "
+    "AS all_s FROM r GROUP BY 1) "
+    "SELECT year, n_orders, k_trim, "
+    "ROUND(CAST(all_s AS DOUBLE) / 10000.0 "
+    "/ CAST(n_orders AS DOUBLE), 4) AS mean_price, "
+    "ROUND(CAST(kept_s AS DOUBLE) / 10000.0 "
+    "/ CAST(n_kept AS DOUBLE), 4) AS trimmed_mean_price "
+    "FROM a ORDER BY year"
+)
+
+
+# --- FPP seasonal/trend strength off the classical decomposition ----------------------
+
+
+def timeseries_seasonal_strength(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """**Trend and seasonal strength** (Hyndman & Athanasopoulos FPP
+    §4.3; the STL-features pair every forecasting triage starts with):
+    F_trend = max(0, 1 − Var(R)/Var(T+R)) and F_seasonal = max(0,
+    1 − Var(R)/Var(S+R)) per priority, computed off the SAME exact
+    integer components as `timeseries_classical_decompose` (T+R = the
+    deseasonalized series, S+R = the detrended series — both already
+    exact by that operator's construction).
+
+    Determinism: all three series re-express in ONE common integer
+    unit (1/(6e6·n_moy) dollars — the lcm of the trend's 24·1e4 and
+    the centered seasonal's n_moy·1e6 scales), so each variance
+    numerator n·Σv²−(Σv)² is EXACT (decimal(18,0)² -> decimal(38) ≡
+    HUGEINT; the common n cancels in the ratio); each strength is one
+    division + `greatest(0, 1−·)` of fixed-shape doubles, `dround` 6.
+    Degenerate variances filter on the exact integers.
+
+    Scale: identical physical shape to the decompose (one monthly
+    rollup, one window exchange per series, a broadcast seasonal
+    join); the variance rollup adds one map-side-combinable
+    aggregate over the ~80-row overlap frame."""
+    orders = read_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("month", "o_orderdate").alias("mon"),
+    ).agg(dsum_scaled("o_totalprice").alias("rev_s"))
+    wo = Window.partitionBy("priority").orderBy("mon")
+    w11 = wo.rowsBetween(-5, 5)
+    w = m.select(
+        "priority",
+        "mon",
+        "rev_s",
+        F.count(F.lit(1)).over(w11).alias("cnt11"),
+        F.sum("rev_s").over(w11).alias("sum11"),
+        F.lag("rev_s", 6).over(wo).alias("lag6"),
+        F.lead("rev_s", 6).over(wo).alias("lead6"),
+    )
+    t = (
+        w.filter(
+            (F.col("cnt11") == 11)
+            & F.col("lag6").isNotNull()
+            & F.col("lead6").isNotNull()
+        )
+        .select(
+            "priority",
+            "mon",
+            "rev_s",
+            F.month("mon").alias("moy"),
+            (2 * F.col("sum11") + F.col("lag6") + F.col("lead6")).alias("t24"),
+        )
+        .withColumn("d24", 24 * F.col("rev_s") - F.col("t24"))
+    )
+    s = t.groupBy("priority", "moy").agg(
+        F.sum("d24").alias("sum_d"), F.count(F.lit(1)).alias("cnt")
+    )
+    mag = F.expr("(2 * abs(25 * sum_d) + 6 * cnt) DIV (12 * cnt)")
+    sm = s.select(
+        "priority",
+        "moy",
+        F.when(F.col("sum_d") >= 0, mag).otherwise(-mag).alias("s_micro"),
+    )
+    wp = Window.partitionBy("priority")
+    sc = sm.select(
+        "priority",
+        "moy",
+        "s_micro",
+        F.count(F.lit(1)).over(wp).alias("n_moy"),
+        F.sum("s_micro").over(wp).alias("tot_micro"),
+    )
+    joined = t.join(F.broadcast(sc), ["priority", "moy"])
+    s_cent = F.col("n_moy") * F.col("s_micro") - F.col("tot_micro")
+    u = joined.select(
+        "priority",
+        (25 * F.col("n_moy") * F.col("d24") - 6 * s_cent)
+        .cast("decimal(18,0)")
+        .alias("r_u"),
+        (25 * F.col("n_moy") * F.col("d24")).cast("decimal(18,0)").alias("d_u"),
+        (600 * F.col("n_moy") * F.col("rev_s") - 6 * s_cent)
+        .cast("decimal(18,0)")
+        .alias("ys_u"),
+    )
+    a = u.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r_u").alias("sr"),
+        F.sum(F.col("r_u") * F.col("r_u")).alias("srr"),
+        F.sum("d_u").alias("sd"),
+        F.sum(F.col("d_u") * F.col("d_u")).alias("sdd"),
+        F.sum("ys_u").alias("sy"),
+        F.sum(F.col("ys_u") * F.col("ys_u")).alias("syy"),
+    )
+    n_dec = F.col("n").cast("decimal(12,0)")
+    var_r = n_dec * F.col("srr") - F.col("sr") * F.col("sr")
+    var_d = n_dec * F.col("sdd") - F.col("sd") * F.col("sd")
+    var_ys = n_dec * F.col("syy") - F.col("sy") * F.col("sy")
+    return a.filter((var_d > 0) & (var_ys > 0)).select(
+        "priority",
+        F.col("n").cast("long").alias("n_months"),
+        dround(
+            F.greatest(
+                F.lit(0.0),
+                F.lit(1.0) - var_r.cast("double") / var_ys.cast("double"),
+            ),
+            6,
+        ).alias("f_trend"),
+        dround(
+            F.greatest(
+                F.lit(0.0),
+                F.lit(1.0) - var_r.cast("double") / var_d.cast("double"),
+            ),
+            6,
+        ).alias("f_seasonal"),
+    ).orderBy("priority")
+
+
+QUERIES["timeseries_seasonal_strength"] = timeseries_seasonal_strength
+
+ORACLE["timeseries_seasonal_strength"] = (
+    "WITH m AS (SELECT o_orderpriority AS priority, "
+    "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon, "
+    "CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS BIGINT) "
+    "AS rev_s FROM orders GROUP BY 1, 2), "
+    "w AS (SELECT priority, mon, rev_s, "
+    "COUNT(*) OVER win11 AS cnt11, "
+    "CAST(SUM(rev_s) OVER win11 AS BIGINT) AS sum11, "
+    "LAG(rev_s, 6) OVER wino AS lag6, "
+    "LEAD(rev_s, 6) OVER wino AS lead6 "
+    "FROM m WINDOW wino AS (PARTITION BY priority ORDER BY mon), "
+    "win11 AS (PARTITION BY priority ORDER BY mon "
+    "ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)), "
+    "t AS (SELECT priority, mon, rev_s, MONTH(mon) AS moy, "
+    "24 * rev_s - (2 * sum11 + lag6 + lead6) AS d24 "
+    "FROM w WHERE cnt11 = 11 AND lag6 IS NOT NULL "
+    "AND lead6 IS NOT NULL), "
+    "s AS (SELECT priority, moy, CAST(SUM(d24) AS BIGINT) AS sum_d, "
+    "COUNT(*) AS cnt FROM t GROUP BY 1, 2), "
+    "sm AS (SELECT priority, moy, CASE WHEN sum_d >= 0 "
+    "THEN (2 * abs(25 * sum_d) + 6 * cnt) // (12 * cnt) "
+    "ELSE -((2 * abs(25 * sum_d) + 6 * cnt) // (12 * cnt)) END "
+    "AS s_micro FROM s), "
+    "sc AS (SELECT priority, moy, s_micro, "
+    "COUNT(*) OVER (PARTITION BY priority) AS n_moy, "
+    "CAST(SUM(s_micro) OVER (PARTITION BY priority) AS BIGINT) "
+    "AS tot_micro FROM sm), "
+    "u AS (SELECT t.priority, "
+    "CAST(25 * sc.n_moy * t.d24 "
+    "- 6 * (sc.n_moy * sc.s_micro - sc.tot_micro) AS HUGEINT) AS r_u, "
+    "CAST(25 * sc.n_moy * t.d24 AS HUGEINT) AS d_u, "
+    "CAST(600 * sc.n_moy * t.rev_s "
+    "- 6 * (sc.n_moy * sc.s_micro - sc.tot_micro) AS HUGEINT) AS ys_u "
+    "FROM t JOIN sc ON t.priority = sc.priority AND t.moy = sc.moy), "
+    "a AS (SELECT priority, CAST(COUNT(*) AS HUGEINT) AS n, "
+    "SUM(r_u) AS sr, SUM(r_u * r_u) AS srr, "
+    "SUM(d_u) AS sd, SUM(d_u * d_u) AS sdd, "
+    "SUM(ys_u) AS sy, SUM(ys_u * ys_u) AS syy FROM u GROUP BY 1), "
+    "v AS (SELECT priority, n, "
+    "n * srr - sr * sr AS var_r, "
+    "n * sdd - sd * sd AS var_d, "
+    "n * syy - sy * sy AS var_ys FROM a) "
+    "SELECT priority, CAST(n AS BIGINT) AS n_months, "
+    "ROUND(GREATEST(0.0, 1.0 - CAST(var_r AS DOUBLE) "
+    "/ CAST(var_ys AS DOUBLE)), 6) AS f_trend, "
+    "ROUND(GREATEST(0.0, 1.0 - CAST(var_r AS DOUBLE) "
+    "/ CAST(var_d AS DOUBLE)), 6) AS f_seasonal "
+    "FROM v WHERE var_d > 0 AND var_ys > 0 ORDER BY priority"
+)
+
+
+# --- Rescaled-range (R/S) Hurst exponent of the monthly revenue series -----------------
+
+_HURST_SIZES = (8, 16, 32)  # block sizes; H = slope of ln(R/S) on ln(b)
+_HURST_SCALE = 1_000_000_000  # per-block R/S doubles sum as scaled int64
+
+
+def agg_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Hurst exponent by rescaled-range (R/S) analysis** (Hurst 1951;
+    Mandelbrot & Wallis 1969) of the monthly total-revenue series — the
+    long-range-dependence diagnostic (H > 0.5 persistent, < 0.5
+    mean-reverting) that complements the short-memory family
+    (`timeseries_acf`, `timeseries_ar1_halflife`): for each block size
+    b ∈ {8,16,32} months, split the series into ⌊T/b⌋ full blocks,
+    compute each block's rescaled range R/S (range of mean-adjusted
+    cumulative deviations over the population std), average per size,
+    and read H off the log-log line — which for the dyadic size grid
+    collapses to the closed form H = ln(avg₃₂/avg₈)/(2·ln 2).
+
+    Determinism: within a block, z_t = b·cumsum(y) − t·Σy is EXACT
+    int64 (the mean cleared of /b), so R = max z − min z is exact and
+    R/S = R/√(b·Σy²−(Σy)²) — the scale AND the /b cancel — is one
+    fixed-shape double off exact integers (y² products as decimal ≡
+    HUGEINT); per-size averages sum those doubles as scaled int64
+    (associativity-proof); degenerate blocks (constant series) filter
+    on the exact denominator. The three-size explode happens AFTER the
+    corpus-sized monthly rollup — one scan, no re-executed subtrees
+    (CLAUDE.md rule 5).
+
+    Scale: corpus work is the monthly rollup; the R/S machinery runs
+    on sizes × months ≈ 240 rows."""
+    orders = read_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("mon")
+    ).agg(dsum_scaled("o_totalprice").alias("y"))
+    w_rn = Window.orderBy("mon")
+    w_all = Window.partitionBy()
+    t = m.select(
+        "y",
+        F.row_number().over(w_rn).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("t_months"),
+    )
+    e = t.select(
+        "*",
+        F.explode(
+            F.array(*[F.lit(b) for b in _HURST_SIZES])
+        ).alias("b"),
+    ).filter(F.col("rn") <= (F.col("t_months").cast("long") / F.col("b")).cast("long") * F.col("b"))
+    blk = e.select(
+        "y",
+        "b",
+        "t_months",
+        ((F.col("rn") - 1) / F.col("b")).cast("long").alias("blk"),
+        (F.col("rn") - ((F.col("rn") - 1) / F.col("b")).cast("long") * F.col("b")).alias("pos"),
+        "rn",
+    )
+    w_blk = Window.partitionBy("b", "blk")
+    w_cum = (
+        Window.partitionBy("b", "blk")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    z = blk.select(
+        "b",
+        "blk",
+        "t_months",
+        "y",
+        (
+            F.col("b") * F.sum("y").over(w_cum)
+            - F.col("pos") * F.sum("y").over(w_blk)
+        ).alias("z"),
+    )
+    per_block = z.groupBy("b", "blk").agg(
+        F.max("t_months").alias("t_months"),
+        F.count(F.lit(1)).alias("nb"),
+        (F.max("z") - F.min("z")).alias("r_int"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y").cast("decimal(18,0)") * F.col("y").cast("decimal(18,0)")).alias("syy"),
+    )
+    den = (
+        F.col("b").cast("decimal(12,0)") * F.col("syy")
+        - F.col("sy").cast("decimal(18,0)") * F.col("sy").cast("decimal(18,0)")
+    )
+    rs = F.col("r_int").cast("double") / F.sqrt(den.cast("double"))
+    scored = per_block.filter(
+        (F.col("nb") == F.col("b")) & (den > 0)
+    ).select("b", "t_months", rs.alias("rs"))
+    per_size = scored.groupBy("b").agg(
+        F.max("t_months").alias("t_months"),
+        F.count(F.lit(1)).alias("n_blocks"),
+        dsum_scaled("rs", _HURST_SCALE).alias("rs_s"),
+    )
+    avg = (
+        F.col("rs_s").cast("double")
+        / _HURST_SCALE
+        / F.col("n_blocks").cast("double")
+    )
+    one = per_size.select("b", "t_months", "n_blocks", avg.alias("avg_rs")).agg(
+        F.max("t_months").cast("long").alias("n_months"),
+        F.max(F.when(F.col("b") == 8, F.col("n_blocks"))).cast("long").alias("n_blocks_8"),
+        F.max(F.when(F.col("b") == 16, F.col("n_blocks"))).cast("long").alias("n_blocks_16"),
+        F.max(F.when(F.col("b") == 32, F.col("n_blocks"))).cast("long").alias("n_blocks_32"),
+        F.max(F.when(F.col("b") == 8, F.col("avg_rs"))).alias("a8"),
+        F.max(F.when(F.col("b") == 16, F.col("avg_rs"))).alias("a16"),
+        F.max(F.when(F.col("b") == 32, F.col("avg_rs"))).alias("a32"),
+    )
+    return one.select(
+        "n_months",
+        "n_blocks_8",
+        "n_blocks_16",
+        "n_blocks_32",
+        dround(F.col("a8"), 6).alias("avg_rs_8"),
+        dround(F.col("a16"), 6).alias("avg_rs_16"),
+        dround(F.col("a32"), 6).alias("avg_rs_32"),
+        dround(
+            F.log(F.col("a32") / F.col("a8"))
+            / (F.lit(2.0) * F.log(F.lit(2.0))),
+            6,
+        ).alias("hurst"),
+    )
+
+
+QUERIES["agg_hurst_rs"] = agg_hurst_rs
+
+ORACLE["agg_hurst_rs"] = (
+    "WITH m AS (SELECT date_trunc('month', o_orderdate) AS mon, "
+    "CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS BIGINT) "
+    "AS y FROM orders GROUP BY 1), "
+    "t AS (SELECT y, ROW_NUMBER() OVER (ORDER BY mon) AS rn, "
+    "COUNT(*) OVER () AS t_months FROM m), "
+    "e AS (SELECT t.y, t.rn, t.t_months, u.b FROM t, "
+    "UNNEST([8, 16, 32]) AS u(b) "
+    "WHERE t.rn <= (t.t_months // u.b) * u.b), "
+    "blk AS (SELECT y, b, t_months, (rn - 1) // b AS blk, "
+    "rn - ((rn - 1) // b) * b AS pos, rn FROM e), "
+    "z AS (SELECT b, blk, t_months, y, "
+    "b * SUM(y) OVER (PARTITION BY b, blk ORDER BY rn "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+    "- pos * SUM(y) OVER (PARTITION BY b, blk) AS z FROM blk), "
+    "pb AS (SELECT b, blk, MAX(t_months) AS t_months, "
+    "COUNT(*) AS nb, CAST(MAX(z) - MIN(z) AS BIGINT) AS r_int, "
+    "CAST(SUM(y) AS BIGINT) AS sy, "
+    "SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy "
+    "FROM z GROUP BY 1, 2), "
+    "sc AS (SELECT b, t_months, "
+    "CAST(r_int AS DOUBLE) / sqrt(CAST(CAST(b AS HUGEINT) * syy "
+    "- CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE)) AS rs "
+    "FROM pb WHERE nb = b AND CAST(b AS HUGEINT) * syy "
+    "- CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) > 0), "
+    "ps AS (SELECT b, MAX(t_months) AS t_months, "
+    "CAST(COUNT(*) AS BIGINT) AS n_blocks, "
+    f"CAST(SUM(CAST(ROUND(rs * {_HURST_SCALE}) AS BIGINT)) AS BIGINT) "
+    "AS rs_s FROM sc GROUP BY 1), "
+    "av AS (SELECT b, t_months, n_blocks, "
+    f"CAST(rs_s AS DOUBLE) / {_HURST_SCALE} "
+    "/ CAST(n_blocks AS DOUBLE) AS avg_rs FROM ps), "
+    "one AS (SELECT CAST(MAX(t_months) AS BIGINT) AS n_months, "
+    "CAST(MAX(CASE WHEN b = 8 THEN n_blocks END) AS BIGINT) "
+    "AS n_blocks_8, "
+    "CAST(MAX(CASE WHEN b = 16 THEN n_blocks END) AS BIGINT) "
+    "AS n_blocks_16, "
+    "CAST(MAX(CASE WHEN b = 32 THEN n_blocks END) AS BIGINT) "
+    "AS n_blocks_32, "
+    "MAX(CASE WHEN b = 8 THEN avg_rs END) AS a8, "
+    "MAX(CASE WHEN b = 16 THEN avg_rs END) AS a16, "
+    "MAX(CASE WHEN b = 32 THEN avg_rs END) AS a32 FROM av) "
+    "SELECT n_months, n_blocks_8, n_blocks_16, n_blocks_32, "
+    "ROUND(a8, 6) AS avg_rs_8, ROUND(a16, 6) AS avg_rs_16, "
+    "ROUND(a32, 6) AS avg_rs_32, "
+    "ROUND(ln(a32 / a8) / (2.0 * ln(2.0)), 6) AS hurst FROM one"
+)

@@ -1873,3 +1873,115 @@ ORACLE["text_sentiment_lexicon"] = (
     "AS subjectivity "
     "FROM c ORDER BY doc_id"
 )
+
+
+# --- Heaps-law vocabulary-growth fit across sources -----------------------------------
+
+_HEAPS_SCALE = 1_000_000_000  # per-point ln() values scaled to int64 (9 dp)
+
+
+def corpus_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Heaps-law fit** V = K·n^beta across sources (Heaps 1978; the
+    vocabulary-growth law that prices tokenizer/vocab decisions at
+    corpus scale — beta ~ 0.5 means doubling the corpus grows the
+    vocabulary ~41%): each source contributes one (ln n_tokens,
+    ln vocab) point from the SAME (source, token) count aggregate the
+    distribution family shares (`corpus_zipf_fit` fits the
+    within-source rank curve; this fits the ACROSS-source growth
+    curve), then OLS in log-log space gives beta (slope) and
+    K = exp(intercept).
+
+    Determinism: the per-point ln values scale to int64 at 9 dp
+    (`_nearest_long_away` == DuckDB ROUND), the five OLS sums are
+    exact (decimal(18,0)² -> decimal(38) ≡ HUGEINT), and beta / K /
+    r² are fixed-shape double expressions off the exact sums
+    (`dround`). Degenerate families (all sources the same size)
+    filter on the exact den > 0.
+
+    Scale: one explode -> one map-side-combinable count -> one
+    per-source rollup; the regression runs on #sources points."""
+    from ..functions.numerics import _nearest_long_away
+
+    docs = read_table(spark, sf_dir, "documents")
+    per_src = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("source")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab"),
+        )
+    )
+    pts = per_src.select(
+        _nearest_long_away(
+            F.log(F.col("n_tokens").cast("double")) * _HEAPS_SCALE
+        )
+        .cast("decimal(18,0)")
+        .alias("x"),
+        _nearest_long_away(
+            F.log(F.col("vocab").cast("double")) * _HEAPS_SCALE
+        )
+        .cast("decimal(18,0)")
+        .alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n_dec = F.col("n").cast("decimal(12,0)")
+    num = n_dec * F.col("sxy") - F.col("sx") * F.col("sy")
+    den_x = n_dec * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = n_dec * F.col("syy") - F.col("sy") * F.col("sy")
+    num_d, denx_d, deny_d = (
+        num.cast("double"),
+        den_x.cast("double"),
+        den_y.cast("double"),
+    )
+    beta = num_d / denx_d
+    ln_k = (
+        (F.col("sy").cast("double") - beta * F.col("sx").cast("double"))
+        / F.col("n").cast("double")
+        / _HEAPS_SCALE
+    )
+    return s.filter((den_x > 0) & (den_y > 0)).select(
+        F.col("n").cast("long").alias("n_sources"),
+        dround(beta, 6).alias("beta"),
+        dround(F.exp(ln_k), 4).alias("k_coeff"),
+        dround(num_d * num_d / (denx_d * deny_d), 6).alias("r2"),
+    )
+
+
+QUERIES["corpus_heaps_law_fit"] = corpus_heaps_law_fit
+
+ORACLE["corpus_heaps_law_fit"] = (
+    "WITH tk AS (SELECT source, u.tok FROM (SELECT source, "
+    "string_split(text, ' ') AS toks FROM documents), "
+    "UNNEST(toks) AS u(tok)), "
+    "c AS (SELECT source, tok, COUNT(*) AS c FROM tk GROUP BY 1, 2), "
+    "p AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens, "
+    "CAST(COUNT(*) AS BIGINT) AS vocab FROM c GROUP BY 1), "
+    "pts AS (SELECT "
+    "CAST(ROUND(ln(CAST(n_tokens AS DOUBLE)) "
+    f"* {_HEAPS_SCALE}) AS HUGEINT) AS x, "
+    "CAST(ROUND(ln(CAST(vocab AS DOUBLE)) "
+    f"* {_HEAPS_SCALE}) AS HUGEINT) AS y FROM p), "
+    "s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, "
+    "SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, "
+    "SUM(x * x) AS sxx, SUM(y * y) AS syy FROM pts), "
+    "d AS (SELECT n, n * sxy - sx * sy AS num, "
+    "n * sxx - sx * sx AS den_x, n * syy - sy * sy AS den_y, sx, sy "
+    "FROM s) "
+    "SELECT CAST(n AS BIGINT) AS n_sources, "
+    "ROUND(CAST(num AS DOUBLE) / CAST(den_x AS DOUBLE), 6) AS beta, "
+    "ROUND(exp((CAST(sy AS DOUBLE) - CAST(num AS DOUBLE) "
+    "/ CAST(den_x AS DOUBLE) * CAST(sx AS DOUBLE)) "
+    f"/ CAST(n AS DOUBLE) / {_HEAPS_SCALE}), 4) AS k_coeff, "
+    "ROUND(CAST(num AS DOUBLE) * CAST(num AS DOUBLE) "
+    "/ (CAST(den_x AS DOUBLE) * CAST(den_y AS DOUBLE)), 6) AS r2 "
+    "FROM d WHERE den_x > 0 AND den_y > 0"
+)

@@ -241,6 +241,14 @@ _SAMPLE_PRIORITY = [
     "sim_search_cascade_rerank",
     # NEW in round 13 — Benjamini-Hochberg FDR over per-year z-tests
     "agg_benjamini_hochberg",
+    # NEW in round 13 — exact 10%-trimmed mean per year
+    "agg_trimmed_mean",
+    # NEW in round 13 — Heaps-law vocabulary-growth fit across sources
+    "corpus_heaps_law_fit",
+    # NEW in round 13 — FPP trend/seasonal strength off the decompose
+    "timeseries_seasonal_strength",
+    # NEW in round 13 — rescaled-range (R/S) Hurst exponent
+    "agg_hurst_rs",
     # NEW in round 13 — Kruskal–Wallis H across all priorities
     "agg_kruskal_wallis",
     # NEW in round 13 — Newman degree assortativity coefficient
