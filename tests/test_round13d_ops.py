@@ -276,17 +276,20 @@ def _support_edges(spark):
         CC_MIN_SUPPORT,
     )
 
-    baskets = collections.defaultdict(set)
+    # ROW-pair support, not set-pair: the operator self-joins lineitem
+    # rows, so duplicate part rows within an order count multiply
+    baskets = collections.defaultdict(list)
     for r in (
         read_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey").collect()
     ):
-        baskets[r["l_orderkey"]].add(r["l_partkey"])
+        baskets[r["l_orderkey"]].append(r["l_partkey"])
     sup = collections.Counter()
     for parts in baskets.values():
-        ps = sorted(parts)
-        for i in range(len(ps)):
-            for j in range(i + 1, len(ps)):
-                sup[(ps[i], ps[j])] += 1
+        mult = collections.Counter(parts)
+        ks = sorted(mult)
+        for i in range(len(ks)):
+            for j in range(i + 1, len(ks)):
+                sup[(ks[i], ks[j])] += mult[ks[i]] * mult[ks[j]]
     adj = collections.defaultdict(set)
     for (a, b), c in sup.items():
         if c >= CC_MIN_SUPPORT:
@@ -336,7 +339,8 @@ def _scd2_intervals(rows):
         iv = []
         for i, (p, start) in enumerate(runs):
             end = runs[i + 1][1] if i + 1 < len(runs) else None
-            iv.append((p, start, end))
+            # Kimball first-row convention: version 1 covers all history
+            iv.append((p, None if i == 0 else start, end))
         out[k] = iv
     return out
 
@@ -359,7 +363,9 @@ def test_scd2_point_in_time_join_matches_pure_python(spark):
         ship = r["l_shipdate"]
         hit = None
         for p, start, end in intervals[cust]:
-            if ship >= start and (end is None or ship < end):
+            if (start is None or ship >= start) and (
+                end is None or ship < end
+            ):
                 hit = p
                 break
         assert hit is not None

@@ -1942,18 +1942,45 @@ def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ln").alias("len_b"),
     )
     cand = pairs.join(ta, "doc_a").join(tb, "doc_b")
-    led = F.levenshtein(F.col("ta"), F.col("tb"))
+    # two exact prunes before/inside the O(len*k) kernel (round-13 bench:
+    # full-matrix levenshtein was the 4-5x-vs-DuckDB hot spot at 30x/100x):
+    # (1) lev >= |len_a - len_b|, so pairs whose LENGTH GAP alone exceeds
+    #     the 20% bound skip the kernel entirely (integer filter);
+    # (2) the kernel runs BANDED with per-pair threshold floor(mx/5)
+    #     (Spark's 3-arg levenshtein; returns -1 above the bound) —
+    #     led >= 0 is then EXACTLY the 5*lev <= mx predicate, and the
+    #     returned distance is exact for every kept pair.
     mx = F.greatest(F.col("len_a"), F.col("len_b"))
+    pre = cand.select(
+        "doc_a",
+        "doc_b",
+        "ta",
+        "tb",
+        "len_a",
+        "len_b",
+        mx.alias("mx"),
+    ).filter(
+        F.lit(LEV_REL_DEN) * F.abs(F.col("len_a") - F.col("len_b"))
+        <= F.col("mx")
+    )
+    # the banded kernel is CPU-bound, not shuffle-bound — spread the
+    # surviving pairs over every core before it (the pair frame inherits
+    # the join's shuffle-partition count, sized for MB-scale exchanges;
+    # a kernel stage wants one partition per core, and the extra
+    # exchange moves only id+text rows for the survivors)
+    par = spark.sparkContext.defaultParallelism
+    pre = pre.repartition(par)
+    led = F.expr(f"levenshtein(ta, tb, CAST(mx DIV {LEV_REL_DEN} AS INT))")
     return (
-        cand.select(
+        pre.select(
             "doc_a",
             "doc_b",
             led.alias("lev_dist"),
             F.col("len_a").cast("int").alias("len_a"),
             F.col("len_b").cast("int").alias("len_b"),
-            mx.alias("mx"),
+            "mx",
         )
-        .filter(F.lit(LEV_REL_DEN) * F.col("lev_dist") <= F.col("mx"))
+        .filter(F.col("lev_dist") >= 0)
         .select(
             "doc_a",
             "doc_b",

@@ -697,6 +697,7 @@ ORACLE = {
 # --- SCD Type-2 history build -------------------------------------------------------
 
 SCD2_FAR_FUTURE = "2099-12-31 00:00:00"  # ns-safe sentinel (Arrow ts[ns] caps at 2262)
+SCD2_FAR_PAST = "1900-01-01 00:00:00"  # version-1 lower bound (Kimball first-row convention)
 
 
 def scd2_customer_priority_history(
@@ -813,9 +814,12 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     leakage bug a plain dim join commits. Rolled up to (priority-at-
     ship, ship year) so the output is compact and fully hash-checked.
 
-    Every ship date falls in EXACTLY one interval (intervals partition
-    the timeline from the customer's first order, ship >= order date),
-    so the join is fan-out-1 by construction. Money via `dsum` 4 dp.
+    Every ship date falls in EXACTLY one interval: version 1's
+    validity extends back to the `SCD2_FAR_PAST` sentinel (the Kimball
+    first-row convention), so the intervals partition the whole
+    timeline and the join is fan-out-1 by construction — no silent
+    drops even where the fixture ships items before their order date.
+    Money via `dsum` 4 dp.
 
     Scale: the orderkey join is the TPC-H fact join (shuffles on
     integer keys, AQE-handled); the history side is bounded by CHANGE
@@ -825,10 +829,20 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vs reference: no analogue (the reference keeps no history);
     completes the repo's Kimball pair (build + point-in-time read)."""
+    # Kimball convention: version 1's validity extends back to a low
+    # sentinel, so rows timestamped BEFORE the first observed change
+    # (this fixture ships ~half its lineitems before their order date)
+    # attribute to the earliest known state instead of silently
+    # dropping out of the inner join
     hist = scd2_customer_priority_history(spark, sf_dir).select(
         "custkey",
         F.col("priority").alias("priority_at_ship"),
-        "valid_from",
+        F.when(
+            F.col("version") == 1,
+            F.lit(SCD2_FAR_PAST).cast("timestamp"),
+        )
+        .otherwise(F.col("valid_from"))
+        .alias("valid_from"),
         "valid_to",
     )
     li = read_table(spark, sf_dir, "lineitem").select(
@@ -874,7 +888,9 @@ ORACLE["scd2_point_in_time_join"] = (
     "h AS (SELECT o_custkey, run_id, o_orderpriority, "
     "MIN(o_orderdate) AS valid_from FROM r GROUP BY 1, 2, 3), "
     "hist AS (SELECT o_custkey AS custkey, "
-    "o_orderpriority AS priority_at_ship, valid_from, "
+    "o_orderpriority AS priority_at_ship, "
+    f"CASE WHEN run_id = 1 THEN TIMESTAMP '{SCD2_FAR_PAST}' "
+    "ELSE valid_from END AS valid_from, "
     "COALESCE(LEAD(valid_from) OVER "
     "(PARTITION BY o_custkey ORDER BY run_id), "
     f"TIMESTAMP '{SCD2_FAR_FUTURE}') AS valid_to FROM h), "
