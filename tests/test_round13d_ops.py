@@ -698,3 +698,116 @@ def test_hurst_rs_matches_pure_python(spark):
     if 8 in avg_rs and 32 in avg_rs:
         h = math.log(avg_rs[32] / avg_rs[8]) / (2 * math.log(2))
         assert abs(g["hurst"] - h) < 1e-4
+
+
+# --- wave 7 ---------------------------------------------------------------------------
+
+
+def test_ndcg_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.similarity import (
+        _NDCG_SCALE,
+        EVAL_K,
+        N_QUERIES,
+        sim_eval_ndcg,
+    )
+
+    rows = (
+        read_table(spark, SF, "embeddings")
+        .select("vec_id", "embedding", "label")
+        .collect()
+    )
+    vecs = {r["vec_id"]: [float(v) for v in r["embedding"]] for r in rows}
+    labels = {r["vec_id"]: r["label"] for r in rows}
+    cands = sorted(v for v in vecs if v >= N_QUERIES)
+    label_tot = collections.Counter(labels[c] for c in cands)
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return dot / (na * nb)
+
+    got = {r["query_id"]: r for r in sim_eval_ndcg(spark, SF).collect()}
+    for q in range(N_QUERIES):
+        ranked = sorted(
+            ((round(cos(vecs[q], vecs[c]), 6), c) for c in cands),
+            key=lambda t: (-t[0], t[1]),
+        )[:EVAL_K]
+        dcg_s = sum(
+            _round_half_away(_NDCG_SCALE / math.log2(i + 1))
+            for i, (_, c) in enumerate(ranked, 1)
+            if labels[c] == labels[q]
+        )
+        m = min(EVAL_K, label_tot[labels[q]])
+        idcg_s = sum(
+            _round_half_away(_NDCG_SCALE / math.log2(i + 1))
+            for i in range(1, m + 1)
+        )
+        g = got[q]
+        assert g["n_hits"] == sum(
+            1 for _, c in ranked if labels[c] == labels[q]
+        )
+        assert g["n_rel_total"] == label_tot[labels[q]]
+        assert abs(g["dcg"] - dcg_s / _NDCG_SCALE) < 1e-5
+        assert abs(g["idcg"] - idcg_s / _NDCG_SCALE) < 1e-5
+        assert abs(g["ndcg"] - dcg_s / idcg_s) < 1e-5
+
+
+def _quantile_cont(sorted_vals, f):
+    """DuckDB quantile_cont / Spark percentile linear interpolation."""
+    n = len(sorted_vals)
+    pos = (n - 1) * f
+    lo = int(math.floor(pos))
+    hi = min(lo + 1, n - 1)
+    frac = pos - lo
+    return sorted_vals[lo] + (sorted_vals[hi] - sorted_vals[lo]) * frac
+
+
+def test_iqr_fences_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        dq_outlier_iqr_fences,
+    )
+
+    per_year = collections.defaultdict(list)
+    for r in _orders(spark):
+        per_year[r["o_orderdate"].year].append(r["o_totalprice"])
+    got = {r["year"]: r for r in dq_outlier_iqr_fences(spark, SF).collect()}
+    assert set(got) == set(per_year)
+    for y, vals in per_year.items():
+        vals.sort()
+        q1 = _quantile_cont(vals, 0.25)
+        q3 = _quantile_cont(vals, 0.75)
+        lo = q1 - 1.5 * (q3 - q1)
+        hi = q3 + 1.5 * (q3 - q1)
+        g = got[y]
+        assert g["n_orders"] == len(vals)
+        assert abs(g["q1"] - q1) < 1e-3
+        assert abs(g["q3"] - q3) < 1e-3
+        assert g["n_below"] == sum(1 for v in vals if v < lo)
+        assert g["n_above"] == sum(1 for v in vals if v > hi)
+
+
+def test_kl_divergence_matches_textbook(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.text import (
+        text_kl_divergence_by_source,
+    )
+
+    per_src = collections.defaultdict(collections.Counter)
+    corpus = collections.Counter()
+    for r in read_table(spark, SF, "documents").select("source", "text").collect():
+        toks = r["text"].split(" ")
+        per_src[r["source"]].update(toks)
+        corpus.update(toks)
+    n = sum(corpus.values())
+    got = {r["source"]: r for r in text_kl_divergence_by_source(spark, SF).collect()}
+    assert set(got) == set(per_src)
+    for src, cnt in per_src.items():
+        ns = sum(cnt.values())
+        kl = sum(
+            c / ns * math.log((c / ns) / (corpus[t] / n))
+            for t, c in cnt.items()
+        )
+        g = got[src]
+        assert g["n_tokens"] == ns
+        assert g["vocab"] == len(cnt)
+        assert abs(g["kl_nats"] - kl) < 1e-5

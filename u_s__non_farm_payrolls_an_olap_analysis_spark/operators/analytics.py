@@ -6317,3 +6317,94 @@ ORACLE["agg_hurst_rs"] = (
     "ROUND(a32, 6) AS avg_rs_32, "
     "ROUND(ln(a32 / a8) / (2.0 * ln(2.0)), 6) AS hurst FROM one"
 )
+
+
+# --- Tukey IQR outlier fences per year -------------------------------------------------
+
+
+def dq_outlier_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Tukey boxplot fences** per year (Tukey, *EDA* 1977): q1/q3 by
+    exact interpolated quantiles, the 1.5·IQR inner fences, and the
+    count/share of orders outside them — the third member of the
+    outlier-screen family (`dq_anomaly_zscore` assumes normality,
+    `dq_anomaly_mad` robust location; the IQR fence is the
+    distribution-free boxplot rule every data-profiling report leads
+    with).
+
+    Determinism: Spark `percentile` ≡ DuckDB `quantile_cont` (same
+    linear interpolation over the identical sorted multiset), both
+    computed as WINDOW aggregates so every row compares against its
+    year's fence IN THE SAME ENGINE-IDENTICAL double — outlier counts
+    are then exact integers, ratios single divisions (`dround` 6;
+    fence values display at 4 dp money).
+
+    Scale: one exchange per year partition (the quantile window and
+    the flag rollup share it)."""
+    orders = read_table(spark, sf_dir, "orders")
+    w_y = Window.partitionBy(F.year("o_orderdate"))
+    flagged = orders.select(
+        F.year("o_orderdate").cast("int").alias("year"),
+        "o_totalprice",
+        F.percentile("o_totalprice", F.lit(0.25)).over(w_y).alias("q1"),
+        F.percentile("o_totalprice", F.lit(0.75)).over(w_y).alias("q3"),
+    ).select(
+        "year",
+        "o_totalprice",
+        "q1",
+        "q3",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    agg = flagged.groupBy("year").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max("q1").alias("q1"),
+        F.max("q3").alias("q3"),
+        F.max("lo").alias("lo"),
+        F.max("hi").alias("hi"),
+        F.sum(F.when(F.col("o_totalprice") < F.col("lo"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_below"),
+        F.sum(F.when(F.col("o_totalprice") > F.col("hi"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_above"),
+    )
+    return agg.select(
+        "year",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        dround(F.col("q1"), 4).alias("q1"),
+        dround(F.col("q3"), 4).alias("q3"),
+        dround(F.col("lo"), 4).alias("fence_lo"),
+        dround(F.col("hi"), 4).alias("fence_hi"),
+        "n_below",
+        "n_above",
+        dround(
+            (F.col("n_below") + F.col("n_above")).cast("double")
+            / F.col("n_orders").cast("double"),
+            6,
+        ).alias("outlier_share"),
+    ).orderBy("year")
+
+
+QUERIES["dq_outlier_iqr_fences"] = dq_outlier_iqr_fences
+
+ORACLE["dq_outlier_iqr_fences"] = (
+    "WITH f AS (SELECT CAST(year(o_orderdate) AS INT) AS year, "
+    "o_totalprice, "
+    "quantile_cont(o_totalprice, 0.25) OVER wy AS q1, "
+    "quantile_cont(o_totalprice, 0.75) OVER wy AS q3 "
+    "FROM orders WINDOW wy AS (PARTITION BY year(o_orderdate))), "
+    "g AS (SELECT year, o_totalprice, q1, q3, "
+    "q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM f), "
+    "a AS (SELECT year, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+    "MAX(q1) AS q1, MAX(q3) AS q3, MAX(lo) AS lo, MAX(hi) AS hi, "
+    "CAST(SUM(CASE WHEN o_totalprice < lo THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_below, "
+    "CAST(SUM(CASE WHEN o_totalprice > hi THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_above FROM g GROUP BY 1) "
+    "SELECT year, n_orders, ROUND(q1, 4) AS q1, ROUND(q3, 4) AS q3, "
+    "ROUND(lo, 4) AS fence_lo, ROUND(hi, 4) AS fence_hi, "
+    "n_below, n_above, "
+    "ROUND(CAST(n_below + n_above AS DOUBLE) "
+    "/ CAST(n_orders AS DOUBLE), 6) AS outlier_share "
+    "FROM a ORDER BY year"
+)

@@ -2497,3 +2497,129 @@ ORACLE["sim_search_cascade_rerank"] = (
     "SELECT query_id, neighbor_id, cosine, coarse_score, coarse_rank, "
     f"CAST(rank AS INT) AS rank FROM r2 WHERE rank <= {TOP_K}"
 )
+
+
+# --- NDCG@k retrieval evaluation ----------------------------------------------------
+
+_NDCG_SCALE = 1_000_000_000  # per-rank 1/log2(i+1) gains as scaled int64
+
+
+def sim_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**NDCG@k** of the exact cosine retriever (Järvelin & Kekäläinen
+    2002) with binary relevance (neighbor shares the query's label) —
+    the position-discounted member of the retrieval-eval family
+    (`sim_eval_mrr_recall` scores the FIRST hit and the hit COUNT;
+    NDCG scores the whole ranking's ORDER): DCG@k = Σ rel_i/log2(i+1),
+    normalized by the ideal DCG of min(k, total relevant) front-loaded
+    hits.
+
+    Determinism: the per-rank discount gains 1/log2(i+1) quantize to
+    scaled int64 per TERM (round(1e9/log2(i+1)) — both engines round
+    the identical double), so DCG and IDCG are exact integer sums
+    (associativity-proof; IDCG's closed list builds via sequence/
+    generate_series, always non-empty because the label-total join is
+    INNER — sequence(1, m) with m >= 1, rule-3 safe). NDCG is one
+    division of two exact ints, `dround` 6.
+
+    Scale: same physical shape as `sim_eval_mrr_recall` — one
+    broadcast-scored pass, per-query rank window, a broadcast label
+    rollup onto the eval rows."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("q_label"),
+    )
+    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("label").alias("c_label"),
+    )
+    scored = c.join(F.broadcast(q)).select(
+        "query_id",
+        "q_label",
+        "neighbor_id",
+        "c_label",
+        dround(cosine(F.col("qe"), F.col("ce")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    topk = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= EVAL_K
+    )
+    from ..functions.numerics import _nearest_long_away
+
+    gain = _nearest_long_away(
+        F.lit(float(_NDCG_SCALE))
+        / F.log2(F.col("rank").cast("double") + F.lit(1.0))
+    )
+    rel = F.col("c_label") == F.col("q_label")
+    per_q = topk.groupBy("query_id", "q_label").agg(
+        F.sum(F.when(rel, gain).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("dcg_s"),
+        F.sum(F.when(rel, 1).otherwise(0)).cast("long").alias("n_hits"),
+    )
+    label_tot = c.groupBy(F.col("c_label").alias("q_label")).agg(
+        F.count(F.lit(1)).alias("n_rel_total")
+    )
+    j = per_q.join(F.broadcast(label_tot), "q_label")
+    m = F.least(F.lit(EVAL_K).cast("long"), F.col("n_rel_total"))
+    idcg_s = F.aggregate(
+        F.sequence(F.lit(1).cast("long"), m),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + _nearest_long_away(
+            F.lit(float(_NDCG_SCALE))
+            / F.log2(i.cast("double") + F.lit(1.0))
+        ),
+    )
+    return j.select(
+        "query_id",
+        "q_label",
+        "n_hits",
+        F.col("n_rel_total").cast("long").alias("n_rel_total"),
+        dround(
+            F.col("dcg_s").cast("double") / float(_NDCG_SCALE), 6
+        ).alias("dcg"),
+        dround(idcg_s.cast("double") / float(_NDCG_SCALE), 6).alias("idcg"),
+        dround(
+            F.col("dcg_s").cast("double") / idcg_s.cast("double"), 6
+        ).alias("ndcg"),
+    ).orderBy("query_id")
+
+
+QUERIES["sim_eval_ndcg"] = sim_eval_ndcg
+
+ORACLE["sim_eval_ndcg"] = (
+    f"WITH q AS (SELECT vec_id AS query_id, embedding AS qe, "
+    f"label AS q_label FROM embeddings WHERE vec_id < {N_QUERIES}), "
+    f"c AS (SELECT vec_id AS neighbor_id, embedding AS ce, "
+    f"label AS c_label FROM embeddings WHERE vec_id >= {N_QUERIES}), "
+    "s AS (SELECT query_id, q_label, neighbor_id, c_label, "
+    f"ROUND({cosine_sql('q.qe', 'c.ce')}, 6) AS cosine "
+    "FROM q CROSS JOIN c), "
+    "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
+    "ORDER BY cosine DESC, neighbor_id) AS rank FROM s), "
+    f"tk AS (SELECT * FROM r WHERE rank <= {EVAL_K}), "
+    "pq AS (SELECT query_id, q_label, "
+    "CAST(SUM(CASE WHEN c_label = q_label THEN "
+    f"CAST(ROUND({_NDCG_SCALE}.0 / log2(CAST(rank AS DOUBLE) + 1.0)) "
+    "AS BIGINT) ELSE 0 END) AS BIGINT) AS dcg_s, "
+    "CAST(SUM(CASE WHEN c_label = q_label THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_hits FROM tk GROUP BY 1, 2), "
+    "lt AS (SELECT c_label AS q_label, CAST(COUNT(*) AS BIGINT) "
+    "AS n_rel_total FROM c GROUP BY 1), "
+    "j AS (SELECT pq.*, lt.n_rel_total, "
+    "CAST(list_sum(list_transform(generate_series(1, "
+    f"CAST(LEAST({EVAL_K}, lt.n_rel_total) AS BIGINT)), "
+    f"i -> CAST(ROUND({_NDCG_SCALE}.0 "
+    "/ log2(CAST(i AS DOUBLE) + 1.0)) AS BIGINT))) AS BIGINT) "
+    "AS idcg_s FROM pq JOIN lt USING (q_label)) "
+    "SELECT query_id, q_label, n_hits, n_rel_total, "
+    f"ROUND(CAST(dcg_s AS DOUBLE) / {_NDCG_SCALE}.0, 6) AS dcg, "
+    f"ROUND(CAST(idcg_s AS DOUBLE) / {_NDCG_SCALE}.0, 6) AS idcg, "
+    "ROUND(CAST(dcg_s AS DOUBLE) / CAST(idcg_s AS DOUBLE), 6) AS ndcg "
+    "FROM j ORDER BY query_id"
+)

@@ -1985,3 +1985,96 @@ ORACLE["corpus_heaps_law_fit"] = (
     "/ (CAST(den_x AS DOUBLE) * CAST(den_y AS DOUBLE)), 6) AS r2 "
     "FROM d WHERE den_x > 0 AND den_y > 0"
 )
+
+
+# --- Per-source KL divergence from the corpus unigram distribution --------------------
+
+_KL_SCALE = 100_000_000  # per-type c*ln(...) terms as scaled int64
+
+
+def text_kl_divergence_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """**Per-source KL divergence** from the corpus unigram mixture —
+    KL(P_src ‖ P_corpus) = Σ (c_s/N_s)·ln((c_s·N)/(N_s·c_t)) — the
+    domain-shift measure mixture builders read next to
+    `corpus_entropy_by_source` (entropy says how DIVERSE a source is;
+    KL says how far it sits FROM THE BLEND — the quantity DoReMi-style
+    reweighting and importance-sampling curation act on). Always
+    finite here: every source token is by construction in the corpus
+    (c_t >= c_s > 0).
+
+    Determinism: each per-TYPE term c_s·ln((c_s·N)/(N_s·c_t)) is one
+    double off four exact integers, summed as scaled int64
+    (`dsum_scaled` — the entropy-family device); KL is the descaled
+    sum over one exact division. The marginals attach via three
+    windows over the (source, token) count frame — no re-executed
+    corpus subtrees (CLAUDE.md rule 5).
+
+    Scale: one explode → one (source, token) count aggregate; the
+    token-marginal window shuffles the VOCAB-sized frame by token,
+    never the corpus."""
+    from ..functions.numerics import dsum_scaled
+
+    docs = read_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_tok = Window.partitionBy("tok")
+    w_src = Window.partitionBy("source")
+    w_all = Window.partitionBy()
+    x = counts.select(
+        "source",
+        "c",
+        F.sum("c").over(w_tok).alias("ct"),
+        F.sum("c").over(w_src).alias("ns"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    term = F.col("c").cast("double") * F.log(
+        (F.col("c").cast("double") * F.col("n").cast("double"))
+        / (F.col("ns").cast("double") * F.col("ct").cast("double"))
+    )
+    agg = x.groupBy("source").agg(
+        F.max("ns").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        dsum_scaled(term, _KL_SCALE).alias("s_term"),
+    )
+    return agg.select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("vocab").cast("long").alias("vocab"),
+        dround(
+            F.col("s_term").cast("double")
+            / _KL_SCALE
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("kl_nats"),
+    ).orderBy("source")
+
+
+QUERIES["text_kl_divergence_by_source"] = text_kl_divergence_by_source
+
+ORACLE["text_kl_divergence_by_source"] = (
+    "WITH tk AS (SELECT source, u.tok FROM (SELECT source, "
+    "string_split(text, ' ') AS toks FROM documents), "
+    "UNNEST(toks) AS u(tok)), "
+    "cc AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c "
+    "FROM tk GROUP BY 1, 2), "
+    "x AS (SELECT source, c, "
+    "SUM(c) OVER (PARTITION BY tok) AS ct, "
+    "SUM(c) OVER (PARTITION BY source) AS ns, "
+    "SUM(c) OVER () AS n FROM cc), "
+    "a AS (SELECT source, CAST(MAX(ns) AS BIGINT) AS n_tokens, "
+    "CAST(COUNT(*) AS BIGINT) AS vocab, "
+    "CAST(SUM(CAST(ROUND(CAST(c AS DOUBLE) "
+    "* ln((CAST(c AS DOUBLE) * CAST(n AS DOUBLE)) "
+    "/ (CAST(ns AS DOUBLE) * CAST(ct AS DOUBLE))) "
+    f"* {_KL_SCALE}) AS BIGINT)) AS BIGINT) AS s_term FROM x "
+    "GROUP BY 1) "
+    "SELECT source, n_tokens, vocab, "
+    f"ROUND(CAST(s_term AS DOUBLE) / {_KL_SCALE} "
+    "/ CAST(n_tokens AS DOUBLE), 6) AS kl_nats "
+    "FROM a ORDER BY source"
+)

@@ -249,6 +249,12 @@ _SAMPLE_PRIORITY = [
     "timeseries_seasonal_strength",
     # NEW in round 13 — rescaled-range (R/S) Hurst exponent
     "agg_hurst_rs",
+    # NEW in round 13 — NDCG@k position-discounted retrieval eval
+    "sim_eval_ndcg",
+    # NEW in round 13 — Tukey IQR boxplot fences per year
+    "dq_outlier_iqr_fences",
+    # NEW in round 13 — per-source KL divergence from the corpus blend
+    "text_kl_divergence_by_source",
     # NEW in round 13 — Kruskal–Wallis H across all priorities
     "agg_kruskal_wallis",
     # NEW in round 13 — Newman degree assortativity coefficient
