@@ -811,3 +811,95 @@ def test_kl_divergence_matches_textbook(spark):
         assert g["n_tokens"] == ns
         assert g["vocab"] == len(cnt)
         assert abs(g["kl_nats"] - kl) < 1e-5
+
+
+# --- wave 8 ---------------------------------------------------------------------------
+
+
+def test_entropy_rate_matches_textbook(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        events_entropy_rate_markov,
+    )
+
+    per_user = collections.defaultdict(list)
+    for r in (
+        read_table(spark, SF, "events")
+        .select("user_id", "ts", "event_type", "event_id")
+        .collect()
+    ):
+        per_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    cells = collections.Counter()
+    for evs in per_user.values():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            cells[(a, b)] += 1
+    n = sum(cells.values())
+    rows = collections.Counter()
+    for (a, _), c in cells.items():
+        rows[a] += c
+    h = -sum(c / n * math.log(c / rows[a]) for (a, _), c in cells.items())
+    g = events_entropy_rate_markov(spark, SF).collect()[0]
+    assert g["n_transitions"] == n
+    assert g["n_states"] == len(rows)
+    assert g["n_cells"] == len(cells)
+    assert abs(g["entropy_rate_nats"] - h) < 1e-5
+    assert abs(g["max_entropy_nats"] - math.log(len(rows))) < 1e-5
+    assert abs(g["efficiency"] - h / math.log(len(rows))) < 1e-5
+
+
+def test_cohens_d_matches_textbook(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        MW_GROUP_A,
+        MW_GROUP_B,
+        agg_cohens_d_effect_size,
+    )
+
+    ga, gb = [], []
+    for r in _orders(spark):
+        v = _round_half_away(r["o_totalprice"] * 10000)
+        if r["o_orderpriority"] == MW_GROUP_A:
+            ga.append(v)
+        elif r["o_orderpriority"] == MW_GROUP_B:
+            gb.append(v)
+    n1, n2 = len(ga), len(gb)
+    m1, m2 = sum(ga) / n1, sum(gb) / n2
+    ss1 = sum(v * v for v in ga) - m1 * sum(ga)
+    ss2 = sum(v * v for v in gb) - m2 * sum(gb)
+    sp = math.sqrt((ss1 + ss2) / (n1 + n2 - 2))
+    d = (m1 - m2) / sp
+    gfac = 1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)
+    g = agg_cohens_d_effect_size(spark, SF).collect()[0]
+    assert (g["n1"], g["n2"]) == (n1, n2)
+    assert abs(g["mean_urgent"] - m1 / 10000.0) < 1e-3
+    assert abs(g["pooled_sd"] - sp / 10000.0) < 1e-3
+    assert abs(g["cohens_d"] - d) < 1e-5
+    assert abs(g["hedges_g"] - d * gfac) < 1e-5
+
+
+def test_burstiness_fano_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.text import (
+        BURST_TOP_K,
+        text_burstiness_fano,
+    )
+
+    docs = read_table(spark, SF, "documents").select("doc_id", "text").collect()
+    d = len(docs)
+    per_tok_doc = collections.Counter()
+    for r in docs:
+        for t in r["text"].split(" "):
+            per_tok_doc[(t, r["doc_id"])] += 1
+    agg = collections.defaultdict(lambda: [0, 0, 0])  # df, s, q
+    for (t, _), c in per_tok_doc.items():
+        a = agg[t]
+        a[0] += 1
+        a[1] += c
+        a[2] += c * c
+    ranked = sorted(agg.items(), key=lambda kv: (-kv[1][1], kv[0]))[
+        :BURST_TOP_K
+    ]
+    got = text_burstiness_fano(spark, SF).collect()
+    assert [r["tok"] for r in got] == [t for t, _ in ranked]
+    for g, (t, (df, s, q)) in zip(got, ranked):
+        assert (g["doc_freq"], g["total_count"], g["n_docs"]) == (df, s, d)
+        assert abs(g["mean_per_doc"] - s / d) < 1e-5
+        assert abs(g["fano"] - (d * q - s * s) / (d * s)) < 1e-5

@@ -6408,3 +6408,229 @@ ORACLE["dq_outlier_iqr_fences"] = (
     "/ CAST(n_orders AS DOUBLE), 6) AS outlier_share "
     "FROM a ORDER BY year"
 )
+
+
+# --- Entropy rate of the event-stream Markov chain -------------------------------------
+
+_ENTR_SCALE = 100_000_000
+
+
+def events_entropy_rate_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Entropy rate of the first-order event Markov chain** (Cover &
+    Thomas §4.2, with the empirical transition counts as the chain):
+    H = −Σ_ij (n_ij/N)·ln(n_ij/n_i) — how many nats of surprise the
+    NEXT event carries given the current one. The sequence-level
+    summary of `events_markov_transitions` (which emits the matrix;
+    this scores its predictability), read against ln(k) (i.i.d.
+    ceiling): efficiency near 1 means the stream is memoryless, near 0
+    means paths are deterministic — the signal that decides whether
+    sequence features are worth mining.
+
+    Determinism: H factors as (Σ_i n_i·ln n_i − Σ_ij n_ij·ln n_ij)/N
+    where both sums quantize per TERM to scaled int64 (the entropy-
+    family device; row marginals deduplicate with a ROW_NUMBER == 1
+    guard inside the ONE aggregate over the k²-cell frame). Exposed
+    doubles are fixed-shape expressions off the exact sums, `dround` 6.
+
+    Scale: one per-user ordering exchange (the `sessionize_batch`
+    shape) carries the lag; everything after runs on the k²-cell
+    transition frame."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"), "event_type"
+    ).filter(F.col("prev_type").isNotNull())
+    cells = pairs.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_row = Window.partitionBy("prev_type")
+    w_all = Window.partitionBy()
+    w_rn = Window.partitionBy("prev_type").orderBy("event_type")
+    x = cells.select(
+        "c",
+        F.sum("c").over(w_row).alias("r"),
+        F.sum("c").over(w_all).alias("n"),
+        (F.row_number().over(w_rn) == 1).alias("first_of_row"),
+    )
+    ln = F.log
+    agg = x.agg(
+        F.max("n").alias("n"),
+        F.sum(F.when(F.col("first_of_row"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_states"),
+        F.count(F.lit(1)).alias("n_cells"),
+        dsum_scaled(
+            F.col("c").cast("double") * ln(F.col("c").cast("double")),
+            _ENTR_SCALE,
+        ).alias("sc"),
+        dsum_scaled(
+            F.when(
+                F.col("first_of_row"),
+                F.col("r").cast("double") * ln(F.col("r").cast("double")),
+            ).otherwise(F.lit(0.0)),
+            _ENTR_SCALE,
+        ).alias("sr"),
+    )
+    nd = F.col("n").cast("double")
+    h = (
+        F.col("sr").cast("double") - F.col("sc").cast("double")
+    ) / _ENTR_SCALE / nd
+    hmax = ln(F.col("n_states").cast("double"))
+    return agg.filter(F.col("n") > 0).select(
+        F.col("n").cast("long").alias("n_transitions"),
+        "n_states",
+        F.col("n_cells").cast("long").alias("n_cells"),
+        dround(h, 6).alias("entropy_rate_nats"),
+        dround(hmax, 6).alias("max_entropy_nats"),
+        dround(F.try_divide(h, hmax), 6).alias("efficiency"),
+    )
+
+
+QUERIES["events_entropy_rate_markov"] = events_entropy_rate_markov
+
+ORACLE["events_entropy_rate_markov"] = (
+    "WITH p AS (SELECT LAG(event_type) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_type, "
+    "event_type FROM events), "
+    "cells AS (SELECT prev_type, event_type, "
+    "CAST(COUNT(*) AS BIGINT) AS c FROM p "
+    "WHERE prev_type IS NOT NULL GROUP BY 1, 2), "
+    "x AS (SELECT c, "
+    "SUM(c) OVER (PARTITION BY prev_type) AS r, "
+    "SUM(c) OVER () AS n, "
+    "ROW_NUMBER() OVER (PARTITION BY prev_type ORDER BY event_type) = 1 "
+    "AS first_of_row FROM cells), "
+    "a AS (SELECT CAST(MAX(n) AS BIGINT) AS n, "
+    "CAST(SUM(CASE WHEN first_of_row THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_states, "
+    "CAST(COUNT(*) AS BIGINT) AS n_cells, "
+    "CAST(SUM(CAST(ROUND(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) "
+    f"* {_ENTR_SCALE}) AS BIGINT)) AS BIGINT) AS sc, "
+    "CAST(SUM(CAST(ROUND(CASE WHEN first_of_row THEN "
+    "CAST(r AS DOUBLE) * ln(CAST(r AS DOUBLE)) ELSE 0.0 END "
+    f"* {_ENTR_SCALE}) AS BIGINT)) AS BIGINT) AS sr FROM x) "
+    "SELECT n AS n_transitions, n_states, n_cells, "
+    f"ROUND((CAST(sr AS DOUBLE) - CAST(sc AS DOUBLE)) / {_ENTR_SCALE} "
+    "/ CAST(n AS DOUBLE), 6) AS entropy_rate_nats, "
+    "ROUND(ln(CAST(n_states AS DOUBLE)), 6) AS max_entropy_nats, "
+    f"ROUND(((CAST(sr AS DOUBLE) - CAST(sc AS DOUBLE)) / {_ENTR_SCALE} "
+    "/ CAST(n AS DOUBLE)) / ln(CAST(n_states AS DOUBLE)), 6) "
+    "AS efficiency "
+    "FROM a WHERE n > 0"
+)
+
+
+# --- Cohen's d / Hedges' g effect size (URGENT vs LOW order value) ---------------------
+
+
+def agg_cohens_d_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Cohen's d and Hedges' g** for the URGENT-vs-LOW order-value
+    contrast (Cohen 1988; Hedges 1981) — the EFFECT-SIZE companion to
+    `agg_welch_ttest` (significance says the difference is real;
+    d says whether it is big enough to matter — the value a dashboard
+    should surface next to any p-value): d = (m1−m2)/s_pooled with the
+    (n−1)-weighted pooled SD, g = d·(1 − 3/(4(n1+n2)−9)).
+
+    Determinism: per-group Σv and Σv² accumulate over the 1e4-scaled
+    integer prices (exact, decimal ≡ HUGEINT squares); every exposed
+    double is a fixed-shape expression off those exact sums, `dround`.
+    Degenerate pools (pooled variance 0) filter on the exact integers.
+
+    Scale: ONE conditional map-side-combinable aggregate over orders."""
+    from ..functions.numerics import _nearest_long_away
+
+    orders = read_table(spark, sf_dir, "orders")
+    v = F.col("v").cast("decimal(18,0)")
+    both = orders.filter(
+        F.col("o_orderpriority").isin(MW_GROUP_A, MW_GROUP_B)
+    ).select(
+        (F.col("o_orderpriority") == MW_GROUP_A).alias("is_a"),
+        _nearest_long_away(F.col("o_totalprice") * 10000).alias("v"),
+    )
+    agg = both.agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+        F.sum(F.when(F.col("is_a"), F.col("v")).otherwise(F.lit(0)))
+        .cast("decimal(18,0)")
+        .alias("s1"),
+        F.sum(F.when(~F.col("is_a"), F.col("v")).otherwise(F.lit(0)))
+        .cast("decimal(18,0)")
+        .alias("s2"),
+        F.sum(F.when(F.col("is_a"), v * v).otherwise(F.lit(0).cast("decimal(37,0)")))
+        .alias("q1"),
+        F.sum(F.when(~F.col("is_a"), v * v).otherwise(F.lit(0).cast("decimal(37,0)")))
+        .alias("q2"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    m1 = F.col("s1").cast("double") / n1d
+    m2 = F.col("s2").cast("double") / n2d
+    ss1 = F.col("q1").cast("double") - m1 * F.col("s1").cast("double")
+    ss2 = F.col("q2").cast("double") - m2 * F.col("s2").cast("double")
+    sp = F.sqrt((ss1 + ss2) / (n1d + n2d - F.lit(2.0)))
+    d = (m1 - m2) / sp
+    g = d * (
+        F.lit(1.0)
+        - F.lit(3.0) / (F.lit(4.0) * (n1d + n2d) - F.lit(9.0))
+    )
+    return agg.filter((F.col("n1") > 1) & (F.col("n2") > 1)).select(
+        "n1",
+        "n2",
+        dround(m1 / 10000.0, 4).alias("mean_urgent"),
+        dround(m2 / 10000.0, 4).alias("mean_low"),
+        dround(sp / 10000.0, 4).alias("pooled_sd"),
+        dround(d, 6).alias("cohens_d"),
+        dround(g, 6).alias("hedges_g"),
+    )
+
+
+QUERIES["agg_cohens_d_effect_size"] = agg_cohens_d_effect_size
+
+ORACLE["agg_cohens_d_effect_size"] = (
+    "WITH b AS (SELECT "
+    f"o_orderpriority = '{MW_GROUP_A}' AS is_a, "
+    "CAST(ROUND(o_totalprice * 10000) AS BIGINT) AS v FROM orders "
+    f"WHERE o_orderpriority IN ('{MW_GROUP_A}', '{MW_GROUP_B}')), "
+    "a AS (SELECT "
+    "CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n1, "
+    "CAST(SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS n2, "
+    "CAST(SUM(CASE WHEN is_a THEN v ELSE 0 END) AS HUGEINT) AS s1, "
+    "CAST(SUM(CASE WHEN NOT is_a THEN v ELSE 0 END) AS HUGEINT) AS s2, "
+    "SUM(CASE WHEN is_a THEN CAST(v AS HUGEINT) * CAST(v AS HUGEINT) "
+    "ELSE CAST(0 AS HUGEINT) END) AS q1, "
+    "SUM(CASE WHEN NOT is_a THEN CAST(v AS HUGEINT) * CAST(v AS HUGEINT) "
+    "ELSE CAST(0 AS HUGEINT) END) AS q2 FROM b) "
+    "SELECT n1, n2, "
+    "ROUND(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 10000.0, 4) "
+    "AS mean_urgent, "
+    "ROUND(CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 10000.0, 4) "
+    "AS mean_low, "
+    "ROUND(sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) "
+    "/ CAST(n1 AS DOUBLE) * CAST(s1 AS DOUBLE)) "
+    "+ (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) "
+    "* CAST(s2 AS DOUBLE))) "
+    "/ (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0)) / 10000.0, 4) "
+    "AS pooled_sd, "
+    "ROUND((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) "
+    "- CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) "
+    "/ sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) "
+    "/ CAST(n1 AS DOUBLE) * CAST(s1 AS DOUBLE)) "
+    "+ (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) "
+    "* CAST(s2 AS DOUBLE))) "
+    "/ (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0)), 6) "
+    "AS cohens_d, "
+    "ROUND(((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) "
+    "- CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) "
+    "/ sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) "
+    "/ CAST(n1 AS DOUBLE) * CAST(s1 AS DOUBLE)) "
+    "+ (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) "
+    "* CAST(s2 AS DOUBLE))) "
+    "/ (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0))) "
+    "* (1.0 - 3.0 / (4.0 * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) "
+    "- 9.0)), 6) AS hedges_g "
+    "FROM a WHERE n1 > 1 AND n2 > 1"
+)

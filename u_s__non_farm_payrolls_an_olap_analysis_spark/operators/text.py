@@ -2078,3 +2078,87 @@ ORACLE["text_kl_divergence_by_source"] = (
     "/ CAST(n_tokens AS DOUBLE), 6) AS kl_nats "
     "FROM a ORDER BY source"
 )
+
+
+# --- Fano-factor burstiness of the top corpus terms -----------------------------------
+
+BURST_TOP_K = 30
+
+
+def text_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Term burstiness by Fano factor** (Church & Gale 1995; the
+    variance-to-mean ratio of a term's per-document counts, zeros
+    included): Fano = 1 is Poisson scatter; >> 1 means the term CLUMPS
+    into few documents — the content-word signature (function words sit
+    near 1), the signal behind burstiness-aware term weighting and
+    template detection, for the corpus's ``BURST_TOP_K`` most frequent
+    terms.
+
+    Determinism: with D total docs, S = Σc and Q = Σc² exact integers
+    per term (zero docs contribute algebraically — no dense D×V frame:
+    Fano = (D·Q − S²)/(D·S)), every ratio is one division of exact
+    integers (decimal ≡ HUGEINT products), `dround` 6. The top-k cut
+    has a total ORDER BY with the term as unique tiebreaker (rule 2).
+
+    Scale: one explode → one (token, doc) count → one per-token
+    rollup; D is a 1-row broadcast. The candidate-frame cost is the
+    corpus's token mass, same as every distribution operator here."""
+    docs = read_table(spark, sf_dir, "documents")
+    d_tot = docs.agg(F.count(F.lit(1)).alias("d"))
+    per_doc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_tok = per_doc.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("c").alias("s"),
+        F.sum(
+            F.col("c").cast("decimal(18,0)") * F.col("c").cast("decimal(18,0)")
+        ).alias("q"),
+    )
+    j = per_tok.crossJoin(F.broadcast(d_tot))
+    dd = F.col("d").cast("decimal(12,0)")
+    s_dec = F.col("s").cast("decimal(18,0)")
+    fano_num = dd * F.col("q") - s_dec * s_dec
+    fano_den = dd * s_dec
+    return (
+        j.select(
+            "tok",
+            F.col("df").cast("long").alias("doc_freq"),
+            F.col("s").cast("long").alias("total_count"),
+            F.col("d").cast("long").alias("n_docs"),
+            dround(
+                F.col("s").cast("double") / F.col("d").cast("double"), 6
+            ).alias("mean_per_doc"),
+            dround(
+                fano_num.cast("double") / fano_den.cast("double"), 6
+            ).alias("fano"),
+        )
+        .orderBy(F.col("total_count").desc(), "tok")
+        .limit(BURST_TOP_K)
+    )
+
+
+QUERIES["text_burstiness_fano"] = text_burstiness_fano
+
+ORACLE["text_burstiness_fano"] = (
+    "WITH tk AS (SELECT doc_id, u.tok FROM (SELECT doc_id, "
+    "string_split(text, ' ') AS toks FROM documents), "
+    "UNNEST(toks) AS u(tok)), "
+    "pd AS (SELECT tok, doc_id, CAST(COUNT(*) AS BIGINT) AS c "
+    "FROM tk GROUP BY 1, 2), "
+    "pt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df, "
+    "CAST(SUM(c) AS BIGINT) AS s, "
+    "SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS q "
+    "FROM pd GROUP BY 1), "
+    "d AS (SELECT CAST(COUNT(*) AS BIGINT) AS d FROM documents) "
+    "SELECT tok, df AS doc_freq, s AS total_count, d.d AS n_docs, "
+    "ROUND(CAST(s AS DOUBLE) / CAST(d.d AS DOUBLE), 6) AS mean_per_doc, "
+    "ROUND(CAST(CAST(d.d AS HUGEINT) * q "
+    "- CAST(s AS HUGEINT) * CAST(s AS HUGEINT) AS DOUBLE) "
+    "/ CAST(CAST(d.d AS HUGEINT) * CAST(s AS HUGEINT) AS DOUBLE), 6) "
+    "AS fano "
+    "FROM pt, d ORDER BY total_count DESC, tok "
+    f"LIMIT {BURST_TOP_K}"
+)

@@ -255,6 +255,12 @@ _SAMPLE_PRIORITY = [
     "dq_outlier_iqr_fences",
     # NEW in round 13 — per-source KL divergence from the corpus blend
     "text_kl_divergence_by_source",
+    # NEW in round 13 — entropy rate of the event Markov chain
+    "events_entropy_rate_markov",
+    # NEW in round 13 — Cohen's d / Hedges' g effect size
+    "agg_cohens_d_effect_size",
+    # NEW in round 13 — Fano-factor term burstiness (top-30 terms)
+    "text_burstiness_fano",
     # NEW in round 13 — Kruskal–Wallis H across all priorities
     "agg_kruskal_wallis",
     # NEW in round 13 — Newman degree assortativity coefficient
