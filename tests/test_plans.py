@@ -753,3 +753,75 @@ def test_kneser_ney_model_tables_broadcast(spark):
     assert "SortMergeJoin" not in kinds, kinds
     assert "ShuffledHashJoin" not in kinds, kinds
     assert "BroadcastHashJoin" in kinds or "BroadcastNestedLoopJoin" in kinds
+
+
+def test_cascade_rerank_all_broadcast_no_smj(spark):
+    # round-13 wave 5: both cascade stages must stay broadcast-driven —
+    # the survivor set (queries x L1) and the query codes are tiny by
+    # construction; a SortMergeJoin here means the broadcast hints broke
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import (
+        similarity,
+    )
+
+    df = similarity.sim_search_cascade_rerank(spark, SF)
+    kinds = join_kinds(df)
+    assert "SortMergeJoin" not in kinds
+    assert "CartesianProduct" not in kinds
+    # only the two rank windows shuffle
+    assert exchange_count(df) <= 2
+
+
+def test_key_uniqueness_single_scan_grouping_sets(spark):
+    # both candidate keys count in ONE expanded pass — a second orders
+    # scan would mean the GROUPING SETS collapsed into per-key groupbys
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import (
+        analytics,
+    )
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.plans.explain import (
+        formatted_plan,
+    )
+
+    import re
+
+    df = analytics.dq_key_uniqueness(spark, SF)
+    plan = formatted_plan(df)
+    # detail-section headers "(N) Scan parquet" — one per physical scan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Expand" in plan
+
+
+def test_mutual_information_single_scan(spark):
+    # joint + both marginal entropies derive from ONE windowed cell
+    # frame — rule-5 regression guard against re-executed subtrees
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import (
+        analytics,
+    )
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.plans.explain import (
+        formatted_plan,
+    )
+
+    import re
+
+    df = analytics.agg_mutual_information(spark, SF)
+    assert len(
+        re.findall(r"\(\d+\) Scan parquet", formatted_plan(df))
+    ) == 1
+
+
+def test_levenshtein_kernel_is_banded(spark):
+    # the 3-arg threshold kernel + length-gap prefilter (round-13 bench
+    # fix, SCALE.md) — a plain 2-arg levenshtein would silently revert
+    # to the full O(n*m) matrix
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import (
+        dedup,
+    )
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.plans.explain import (
+        formatted_plan,
+    )
+
+    df = dedup.dedup_levenshtein_blocked(spark, SF)
+    plan = formatted_plan(df)
+    # the threshold renders as the third operand: levenshtein(a, b, Some(..))
+    assert "levenshtein" in plan
+    lev_lines = [l for l in plan.splitlines() if "levenshtein" in l]
+    assert lev_lines and all("Some(" in l for l in lev_lines)
