@@ -6634,3 +6634,373 @@ ORACLE["agg_cohens_d_effect_size"] = (
     "- 9.0)), 6) AS hedges_g "
     "FROM a WHERE n1 > 1 AND n2 > 1"
 )
+
+
+# --- Brown-Forsythe robust equality-of-variances test ----------------------------------
+
+BF_DESCALE = 20_000.0  # |2v - 2*median| is in DOUBLED 1e4-scaled price units
+BF_SSB_SCALE = 10_000  # per-group between-SS term quantization
+BF_SSW_SCALE = 1.0  # per-group within-SS terms are ~1e13+; unit quantization
+
+
+def agg_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Brown-Forsythe test** (Brown & Forsythe 1974 — Levene's test
+    with the group MEDIAN center, the robust recommendation) for
+    equality of order-value spread across the five priorities: a
+    one-way ANOVA on z = |x − median_g|. The DISPERSION member of the
+    testing family — `agg_oneway_anova` asks whether the priority
+    MEANS differ; this asks whether their VARIABILITY does (the
+    homoscedasticity check that decides whether the pooled-variance
+    tests upstream are even applicable).
+
+    Determinism: v is the 1e4-scaled integer price; 2·median_g is an
+    exact integer for any group size (the interpolated median of
+    integers is k or k+0.5, and Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont`` — identical linear interpolation, exact in IEEE
+    below 2^53), so z = |2v − 2med| is an exact int64 and the
+    per-group Σz / Σz² accumulate in DECIMAL(38,0) ≡ HUGEINT. The
+    between/within sum-of-squares terms are fixed-shape doubles off
+    those exact sums, quantized PER GROUP to scaled int64 before the
+    exact cross-group sum (the `agg_kruskal_wallis` device), so no
+    float accumulation is order-dependent. W is one division off the
+    exact quantized sums.
+
+    Scale: one broadcast of the 5-row median table back onto orders,
+    one map-side-combinable conditional aggregate, then all algebra on
+    the 5-row group frame (two tiny windows)."""
+    from ..functions.numerics import _nearest_long_away
+
+    orders = read_table(spark, sf_dir, "orders")
+    s = orders.select(
+        F.col("o_orderpriority").alias("g"),
+        _nearest_long_away(F.col("o_totalprice") * 10000).alias("v"),
+    )
+    med = s.groupBy("g").agg(
+        (F.lit(2.0) * F.percentile("v", F.lit(0.5)))
+        .cast("long")
+        .alias("m2")
+    )
+    z = s.join(F.broadcast(med), "g").select(
+        "g", F.abs(F.lit(2) * F.col("v") - F.col("m2")).alias("z")
+    )
+    zd = F.col("z").cast("decimal(18,0)")
+    pg = z.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum(zd).cast("decimal(38,0)").alias("sz"),
+        F.sum(zd * zd).cast("decimal(38,0)").alias("qz"),
+    )
+    w_all = Window.partitionBy()
+    t = pg.select(
+        "n_g",
+        "sz",
+        "qz",
+        F.sum("n_g").over(w_all).alias("nn"),
+        F.sum("sz").over(w_all).alias("szz"),
+    )
+    n_g_d = F.col("n_g").cast("double")
+    sz_d = F.col("sz").cast("double")
+    qz_d = F.col("qz").cast("double")
+    nn_d = F.col("nn").cast("double")
+    szz_d = F.col("szz").cast("double")
+    diff = sz_d / n_g_d / F.lit(BF_DESCALE) - szz_d / nn_d / F.lit(
+        BF_DESCALE
+    )
+    ssb_term = n_g_d * diff * diff
+    ssw_term = (qz_d - sz_d / n_g_d * sz_d) / F.lit(
+        BF_DESCALE * BF_DESCALE
+    )
+    q = t.agg(
+        F.max("nn").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(_nearest_long_away(ssb_term * F.lit(float(BF_SSB_SCALE))))
+        .cast("long")
+        .alias("ssb_s"),
+        F.sum(_nearest_long_away(ssw_term * F.lit(BF_SSW_SCALE)))
+        .cast("long")
+        .alias("ssw_s"),
+    )
+    ssb = F.col("ssb_s").cast("double") / F.lit(float(BF_SSB_SCALE))
+    ssw = F.col("ssw_s").cast("double") / F.lit(BF_SSW_SCALE)
+    n_d = F.col("n").cast("double")
+    k_d = F.col("k").cast("double")
+    w_stat = (ssb / (k_d - F.lit(1.0))) / (ssw / (n_d - k_d))
+    return q.filter((F.col("ssw_s") > 0) & (F.col("n") > F.col("k"))).select(
+        F.col("n").alias("n_orders"),
+        F.col("k").cast("int").alias("k_groups"),
+        dround(ssb, 4).alias("ss_between"),
+        dround(ssw, 4).alias("ss_within"),
+        dround(w_stat, 6).alias("bf_w"),
+    )
+
+
+QUERIES["agg_levene_brown_forsythe"] = agg_levene_brown_forsythe
+
+ORACLE["agg_levene_brown_forsythe"] = (
+    "WITH s AS (SELECT o_orderpriority AS g, "
+    "CAST(ROUND(o_totalprice * 10000) AS BIGINT) AS v FROM orders), "
+    "med AS (SELECT g, CAST(2.0 * quantile_cont(v, 0.5) AS BIGINT) AS m2 "
+    "FROM s GROUP BY 1), "
+    "z AS (SELECT s.g, ABS(2 * s.v - med.m2) AS z "
+    "FROM s JOIN med USING (g)), "
+    "pg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g, "
+    "CAST(SUM(CAST(z AS HUGEINT)) AS HUGEINT) AS sz, "
+    "SUM(CAST(z AS HUGEINT) * z) AS qz FROM z GROUP BY 1), "
+    "t AS (SELECT n_g, sz, qz, SUM(n_g) OVER () AS nn, "
+    "SUM(sz) OVER () AS szz FROM pg), "
+    "q AS (SELECT CAST(MAX(nn) AS BIGINT) AS n, "
+    "CAST(COUNT(*) AS BIGINT) AS k, "
+    "CAST(SUM(CAST(ROUND(CAST(n_g AS DOUBLE) "
+    "* (CAST(sz AS DOUBLE) / CAST(n_g AS DOUBLE) / 20000.0 "
+    "- CAST(szz AS DOUBLE) / CAST(nn AS DOUBLE) / 20000.0) "
+    "* (CAST(sz AS DOUBLE) / CAST(n_g AS DOUBLE) / 20000.0 "
+    "- CAST(szz AS DOUBLE) / CAST(nn AS DOUBLE) / 20000.0) "
+    f"* {float(BF_SSB_SCALE)}) AS BIGINT)) AS BIGINT) AS ssb_s, "
+    "CAST(SUM(CAST(ROUND((CAST(qz AS DOUBLE) "
+    "- CAST(sz AS DOUBLE) / CAST(n_g AS DOUBLE) * CAST(sz AS DOUBLE)) "
+    f"/ 400000000.0 * {BF_SSW_SCALE}) AS BIGINT)) AS BIGINT) AS ssw_s "
+    "FROM t) "
+    "SELECT n AS n_orders, CAST(k AS INT) AS k_groups, "
+    f"ROUND(CAST(ssb_s AS DOUBLE) / {float(BF_SSB_SCALE)}, 4) "
+    "AS ss_between, "
+    f"ROUND(CAST(ssw_s AS DOUBLE) / {BF_SSW_SCALE}, 4) AS ss_within, "
+    f"ROUND((CAST(ssb_s AS DOUBLE) / {float(BF_SSB_SCALE)} "
+    "/ (CAST(k AS DOUBLE) - 1.0)) "
+    f"/ (CAST(ssw_s AS DOUBLE) / {BF_SSW_SCALE} "
+    "/ (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6) AS bf_w "
+    "FROM q WHERE ssw_s > 0 AND n > k"
+)
+
+
+# --- Mood's median test ----------------------------------------------------------------
+
+MOOD_SCALE = 1_000_000  # per-cell chi-square term quantization
+
+
+def agg_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Mood's median test** (Mood 1950) across the five priorities:
+    dichotomize every order at the GRAND median price and chi-square
+    the resulting 2×k table — the nonparametric location test that
+    survives arbitrary outliers (50% breakdown), the blunter, more
+    robust sibling of `agg_kruskal_wallis` (which uses full ranks).
+
+    Determinism: the grand median doubles to an exact integer (the
+    `agg_levene_brown_forsythe` device), so every above/below count is
+    an exact integer classification; the 2×k chi-square runs in the
+    `agg_chi_square_independence` exact form — each cell's (O−E)²/E as
+    (n·O − r·c)²/(n·r·c) off exact integers, quantized per cell to
+    scaled int64 before the exact cross-cell sum. Both margins are
+    strictly positive by construction (the median is interior), so the
+    divisions are total.
+
+    Scale: one global exact-percentile aggregate broadcast onto orders,
+    one map-side-combinable count aggregate, then all algebra on the
+    k-row frame."""
+    from ..functions.numerics import _nearest_long_away
+
+    orders = read_table(spark, sf_dir, "orders")
+    s = orders.select(
+        F.col("o_orderpriority").alias("g"),
+        _nearest_long_away(F.col("o_totalprice") * 10000).alias("v"),
+    )
+    gm = s.agg(
+        (F.lit(2.0) * F.percentile("v", F.lit(0.5)))
+        .cast("long")
+        .alias("m2")
+    )
+    cells = (
+        s.crossJoin(F.broadcast(gm))
+        .select(
+            "g",
+            F.when(F.lit(2) * F.col("v") > F.col("m2"), 1)
+            .otherwise(0)
+            .alias("above"),
+        )
+        .groupBy("g")
+        .agg(
+            F.sum("above").cast("long").alias("n_above"),
+            F.sum(F.lit(1) - F.col("above")).cast("long").alias("n_le"),
+        )
+    )
+    w_all = Window.partitionBy()
+    t = cells.select(
+        "g",
+        "n_above",
+        "n_le",
+        (F.col("n_above") + F.col("n_le")).alias("r"),
+        F.sum("n_above").over(w_all).alias("c_ab"),
+        F.sum("n_le").over(w_all).alias("c_le"),
+        F.sum(F.col("n_above") + F.col("n_le")).over(w_all).alias("n"),
+    )
+
+    def dd(c):
+        return c.cast("decimal(38,0)")
+
+    def cell_term(o, c):
+        dev = dd(F.col("n")) * dd(o) - dd(F.col("r")) * dd(c)
+        return (dev * dev).cast("double") / (
+            dd(F.col("n")) * dd(F.col("r")) * dd(c)
+        ).cast("double")
+
+    from ..functions.numerics import _nearest_long_away as _nla
+
+    stat = t.agg(
+        F.max("n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(
+            _nla(
+                (
+                    cell_term(F.col("n_above"), F.col("c_ab"))
+                    + cell_term(F.col("n_le"), F.col("c_le"))
+                )
+                * F.lit(float(MOOD_SCALE))
+            )
+        )
+        .cast("long")
+        .alias("t_s"),
+    )
+    out = cells.crossJoin(F.broadcast(stat))
+    return out.select(
+        F.col("g").alias("priority"),
+        "n_above",
+        F.col("n_le").alias("n_below_eq"),
+        dround(
+            F.col("n_above").cast("double")
+            / (F.col("n_above") + F.col("n_le")).cast("double"),
+            6,
+        ).alias("share_above"),
+        dround(
+            F.col("t_s").cast("double") / F.lit(float(MOOD_SCALE)), 6
+        ).alias("chi2"),
+        (F.col("k") - F.lit(1)).cast("int").alias("df"),
+    ).orderBy("priority")
+
+
+QUERIES["agg_mood_median_test"] = agg_mood_median_test
+
+ORACLE["agg_mood_median_test"] = (
+    "WITH s AS (SELECT o_orderpriority AS g, "
+    "CAST(ROUND(o_totalprice * 10000) AS BIGINT) AS v FROM orders), "
+    "gm AS (SELECT CAST(2.0 * quantile_cont(v, 0.5) AS BIGINT) AS m2 "
+    "FROM s), "
+    "cells AS (SELECT g, "
+    "CAST(SUM(CASE WHEN 2 * v > m2 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_above, "
+    "CAST(SUM(CASE WHEN 2 * v > m2 THEN 0 ELSE 1 END) AS BIGINT) "
+    "AS n_le FROM s, gm GROUP BY 1), "
+    "t AS (SELECT g, n_above, n_le, n_above + n_le AS r, "
+    "SUM(n_above) OVER () AS c_ab, SUM(n_le) OVER () AS c_le, "
+    "SUM(n_above + n_le) OVER () AS n FROM cells), "
+    "stat AS (SELECT CAST(MAX(n) AS BIGINT) AS n, "
+    "CAST(COUNT(*) AS BIGINT) AS k, "
+    "CAST(SUM(CAST(ROUND(("
+    "CAST((CAST(n AS HUGEINT) * n_above - CAST(r AS HUGEINT) * c_ab) "
+    "* (CAST(n AS HUGEINT) * n_above - CAST(r AS HUGEINT) * c_ab) "
+    "AS DOUBLE) / CAST(CAST(n AS HUGEINT) * r * c_ab AS DOUBLE) "
+    "+ CAST((CAST(n AS HUGEINT) * n_le - CAST(r AS HUGEINT) * c_le) "
+    "* (CAST(n AS HUGEINT) * n_le - CAST(r AS HUGEINT) * c_le) "
+    "AS DOUBLE) / CAST(CAST(n AS HUGEINT) * r * c_le AS DOUBLE)) "
+    f"* {float(MOOD_SCALE)}) AS BIGINT)) AS BIGINT) AS t_s FROM t) "
+    "SELECT g AS priority, n_above, n_le AS n_below_eq, "
+    "ROUND(CAST(n_above AS DOUBLE) / CAST(n_above + n_le AS DOUBLE), 6) "
+    "AS share_above, "
+    f"ROUND(CAST(t_s AS DOUBLE) / {float(MOOD_SCALE)}, 6) AS chi2, "
+    "CAST(k - 1 AS INT) AS df "
+    "FROM cells, stat ORDER BY priority"
+)
+
+
+# --- Grubbs maximum-studentized-deviate outlier test -----------------------------------
+
+
+def agg_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Grubbs' test statistic** (Grubbs 1950) on the monthly total-
+    revenue series: G = max|x − x̄| / s — which single month is the
+    most anomalous, and how many sample standard deviations out it
+    sits. The SERIES-level outlier test beside `dq_anomaly_zscore`'s
+    per-row flags and `dq_anomaly_mad`'s robust companion (Grubbs is
+    the classical normal-theory statistic dashboards quote).
+
+    Determinism: monthly revenue is an exact 1e4-scaled int64 sum; the
+    deviation ARGMAX runs over exact integers — |n·x − S| in
+    DECIMAL(38,0) ≡ HUGEINT, so the suspect month is found without a
+    single float compare (ties break on the month key); mean, sample
+    sd (via n·Q − S² exact) and G are fixed-shape doubles off the
+    exact integers, `dround`ed.
+
+    Scale: one corpus-sized monthly rollup (map-side combinable);
+    everything after runs on the ~month-count frame (two tiny
+    windows)."""
+    orders = read_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("mon")
+    ).agg(dsum_scaled("o_totalprice").alias("rev_s"))
+    w_all = Window.partitionBy()
+    vd = F.col("rev_s").cast("decimal(38,0)")
+    t = m.select(
+        "mon",
+        "rev_s",
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum(vd).over(w_all).alias("s1"),
+        F.sum(vd * F.col("rev_s")).over(w_all).alias("q2"),
+    )
+    dev = F.abs(
+        F.col("n").cast("decimal(38,0)") * vd - F.col("s1")
+    ).alias("dev")
+    t2 = t.select("mon", "rev_s", "n", "s1", "q2", dev)
+    w_rank = Window.partitionBy().orderBy(
+        F.col("dev").desc(), F.col("mon").asc()
+    )
+    top = t2.select(
+        "*", F.row_number().over(w_rank).alias("rn")
+    ).filter(F.col("rn") == 1)
+    n_d = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / n_d / F.lit(10_000.0)
+    m2 = (
+        F.col("n").cast("decimal(38,0)") * F.col("q2")
+        - F.col("s1") * F.col("s1")
+    )
+    sd = F.sqrt(
+        m2.cast("double") / (n_d * (n_d - F.lit(1.0)))
+    ) / F.lit(10_000.0)
+    g = (
+        F.col("dev").cast("double") / n_d / F.lit(10_000.0)
+    ) / sd
+    return top.filter(F.col("n") > 2).select(
+        F.col("n").cast("long").alias("n_months"),
+        dround(mean, 4).alias("mean_revenue"),
+        dround(sd, 4).alias("sd_revenue"),
+        F.col("mon").alias("suspect_month"),
+        F.round(F.col("rev_s") / 10_000.0, 4).alias("suspect_revenue"),
+        dround(g, 6).alias("g_stat"),
+    )
+
+
+QUERIES["agg_grubbs_outlier"] = agg_grubbs_outlier
+
+ORACLE["agg_grubbs_outlier"] = (
+    "WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) "
+    "AS TIMESTAMP) AS mon, "
+    "CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS BIGINT) "
+    "AS rev_s FROM orders GROUP BY 1), "
+    "t AS (SELECT mon, rev_s, "
+    "CAST(COUNT(*) OVER () AS BIGINT) AS n, "
+    "SUM(CAST(rev_s AS HUGEINT)) OVER () AS s1, "
+    "SUM(CAST(rev_s AS HUGEINT) * rev_s) OVER () AS q2 FROM m), "
+    "t2 AS (SELECT mon, rev_s, n, s1, q2, "
+    "ABS(CAST(n AS HUGEINT) * rev_s - s1) AS dev FROM t), "
+    "top AS (SELECT *, ROW_NUMBER() OVER (ORDER BY dev DESC, mon ASC) "
+    "AS rn FROM t2) "
+    "SELECT n AS n_months, "
+    "ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0, 4) "
+    "AS mean_revenue, "
+    "ROUND(sqrt(CAST(CAST(n AS HUGEINT) * q2 - s1 * s1 AS DOUBLE) "
+    "/ (CAST(n AS DOUBLE) "
+    "* (CAST(n AS DOUBLE) - 1.0))) / 10000.0, 4) AS sd_revenue, "
+    "mon AS suspect_month, "
+    "ROUND(CAST(rev_s AS DOUBLE) / 10000.0, 4) AS suspect_revenue, "
+    "ROUND((CAST(dev AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0) "
+    "/ (sqrt(CAST(CAST(n AS HUGEINT) * q2 - s1 * s1 AS DOUBLE) "
+    "/ (CAST(n AS DOUBLE) "
+    "* (CAST(n AS DOUBLE) - 1.0))) / 10000.0), 6) AS g_stat "
+    "FROM top WHERE rn = 1 AND n > 2"
+)

@@ -2162,3 +2162,86 @@ ORACLE["text_burstiness_fano"] = (
     "FROM pt, d ORDER BY total_count DESC, tok "
     f"LIMIT {BURST_TOP_K}"
 )
+
+
+# --- Simpson diversity of the token distribution ------------------------------
+
+
+def corpus_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **Simpson diversity** of each source's token
+    distribution (Simpson 1949): λ = Σ c(c−1) / (N(N−1)) — the
+    probability two tokens drawn WITHOUT replacement are the same type
+    — plus Gini-Simpson 1−λ, inverse Simpson N²/Σc² (Hill number ²D,
+    the "effective vocabulary" under squared weighting) and Simpson
+    evenness ²D/vocab. The DOMINANCE-weighted member of the corpus-
+    profile triple: `corpus_entropy_by_source` weights all types
+    log-proportionally, Simpson squares the weights so it reacts to
+    the few dominant boilerplate types first — the pair diverging is
+    itself the template-heavy-source signal mixture builders read.
+
+    Determinism: every sum is an exact integer — Σc, Σc², Σc(c−1) in
+    DECIMAL(38,0) ≡ HUGEINT off the (source, token) count frame — and
+    each exposed ratio is a single fixed-shape double division,
+    `dround`ed at 6 dp (N² forms as a double PRODUCT of the same exact
+    N both engines hold, so no 128-bit path is needed).
+
+    Scale: one corpus explode → one (source, token) count aggregate
+    (map-side combinable) → one per-source rollup; identical shape to
+    the entropy/Gini siblings, so all three share the plan idiom."""
+    docs = read_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cd = F.col("c").cast("decimal(38,0)")
+    per = counts.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(cd * F.col("c")).alias("sc2"),
+        F.sum(cd * (F.col("c") - F.lit(1))).alias("scc1"),
+    )
+    n_d = F.col("n_tokens").cast("double")
+    lam = F.col("scc1").cast("double") / (n_d * (n_d - F.lit(1.0)))
+    inv = n_d * n_d / F.col("sc2").cast("double")
+    return (
+        per.filter(F.col("n_tokens") > 1)
+        .select(
+            "source",
+            "n_tokens",
+            "vocab",
+            dround(lam, 6).alias("simpson_lambda"),
+            dround(F.lit(1.0) - lam, 6).alias("gini_simpson"),
+            dround(inv, 6).alias("inv_simpson"),
+            dround(
+                inv / F.col("vocab").cast("double"), 6
+            ).alias("simpson_evenness"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["corpus_simpson_diversity"] = corpus_simpson_diversity
+
+ORACLE["corpus_simpson_diversity"] = (
+    "WITH tk AS (SELECT source, u.tok FROM (SELECT source, "
+    "string_split(text, ' ') AS toks FROM documents), "
+    "UNNEST(toks) AS u(tok)), "
+    "c AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c "
+    "FROM tk GROUP BY 1, 2), "
+    "s AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens, "
+    "CAST(COUNT(*) AS BIGINT) AS vocab, "
+    "SUM(CAST(c AS HUGEINT) * c) AS sc2, "
+    "SUM(CAST(c AS HUGEINT) * (c - 1)) AS scc1 FROM c GROUP BY 1) "
+    "SELECT source, n_tokens, vocab, "
+    "ROUND(CAST(scc1 AS DOUBLE) / (CAST(n_tokens AS DOUBLE) "
+    "* (CAST(n_tokens AS DOUBLE) - 1.0)), 6) AS simpson_lambda, "
+    "ROUND(1.0 - CAST(scc1 AS DOUBLE) / (CAST(n_tokens AS DOUBLE) "
+    "* (CAST(n_tokens AS DOUBLE) - 1.0)), 6) AS gini_simpson, "
+    "ROUND(CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE) "
+    "/ CAST(sc2 AS DOUBLE), 6) AS inv_simpson, "
+    "ROUND(CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE) "
+    "/ CAST(sc2 AS DOUBLE) / CAST(vocab AS DOUBLE), 6) "
+    "AS simpson_evenness "
+    "FROM s WHERE n_tokens > 1 ORDER BY source"
+)

@@ -269,6 +269,14 @@ _SAMPLE_PRIORITY = [
     "agg_ks_two_sample",
     # NEW in round 13 — Spearman rank correlation (price vs line count)
     "agg_spearman_rank_corr",
+    # NEW in round 13 — Brown-Forsythe robust equality-of-variances test
+    "agg_levene_brown_forsythe",
+    # NEW in round 13 — Mood's median test at the grand median
+    "agg_mood_median_test",
+    # NEW in round 13 — Grubbs max-studentized-deviate outlier test
+    "agg_grubbs_outlier",
+    # NEW in round 13 — Simpson/Gini-Simpson/inverse-Simpson diversity
+    "corpus_simpson_diversity",
     # latest driver row r6 — oldest surviving evidence, in r6 order
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
