@@ -194,3 +194,238 @@ def test_simpson_diversity_matches_pure_python(spark):
         # Hill-number ordering: effective types under squared weights
         # never exceed the raw vocabulary
         assert 1.0 <= row["inv_simpson"] <= len(c) + 1e-9
+
+
+# --- wave 10 --------------------------------------------------------------------------
+
+
+def test_average_precision_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.similarity import (
+        EVAL_K,
+        N_QUERIES,
+        sim_eval_average_precision,
+    )
+
+    emb = read_table(spark, SF, "embeddings").select(
+        "vec_id", "embedding", "label"
+    ).collect()
+    queries = [r for r in emb if r["vec_id"] < N_QUERIES]
+    cands = [r for r in emb if r["vec_id"] >= N_QUERIES]
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        da = math.sqrt(sum(x * x for x in a))
+        db = math.sqrt(sum(x * x for x in b))
+        return num / (da * db)
+
+    got = {r["query_id"]: r for r in sim_eval_average_precision(spark, SF).collect()}
+    assert set(got) == {q["vec_id"] for q in queries}
+    label_tot = collections.Counter(c["label"] for c in cands)
+    for q in queries:
+        scored = sorted(
+            (
+                (_round6(cos(q["embedding"], c["embedding"])), c)
+                for c in cands
+            ),
+            key=lambda t: (-t[0], t[1]["vec_id"]),
+        )[:EVAL_K]
+        hits = 0
+        ap_s = 0
+        for i, (_, c) in enumerate(scored, start=1):
+            if c["label"] == q["label"]:
+                hits += 1
+                ap_s += _round_half_away(1e9 * hits / i)
+        n_rel = label_tot[q["label"]]
+        row = got[q["vec_id"]]
+        assert row["n_hits"] == hits
+        assert row["n_rel_total"] == n_rel
+        assert row["precision_at_k"] == _round6(hits / EVAL_K)
+        assert row["average_precision"] == _round6(
+            ap_s / 1e9 / min(EVAL_K, n_rel)
+        )
+        # AP is bounded by precision@k's best achievable front-loading
+        assert 0.0 <= row["average_precision"] <= 1.0
+
+
+def test_holt_damped_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.custom_udf import (
+        HOLT_ALPHA,
+        HOLT_BETA,
+        HOLT_PHI,
+        HOLT_PHI_CUM,
+        timeseries_holt_damped,
+    )
+
+    rows = (
+        read_table(spark, SF, "orders")
+        .select("o_orderpriority", "o_orderdate", "o_totalprice")
+        .collect()
+    )
+    monthly = collections.defaultdict(int)
+    for r in rows:
+        key = (
+            r["o_orderpriority"],
+            (r["o_orderdate"].year, r["o_orderdate"].month),
+        )
+        monthly[key] += _round_half_away(r["o_totalprice"] * 10000)
+    series = collections.defaultdict(list)
+    for (g, mon), s in sorted(monthly.items()):
+        series[g].append((mon, _round4(s / 10000.0)))
+
+    expect = {}
+    for g, pts in series.items():
+        lvl = trend = None
+        for mon, x in pts:
+            if lvl is None:
+                lvl, trend = x, 0.0
+            else:
+                prev = lvl
+                lvl = HOLT_ALPHA * x + (1.0 - HOLT_ALPHA) * (
+                    prev + HOLT_PHI * trend
+                )
+                trend = HOLT_BETA * (lvl - prev) + (1.0 - HOLT_BETA) * (
+                    HOLT_PHI * trend
+                )
+            expect[(g, mon)] = (
+                _round4(lvl),
+                _round4(trend),
+                _round4(lvl + HOLT_PHI * trend),
+                _round4(lvl + HOLT_PHI_CUM * trend),
+            )
+
+    got = timeseries_holt_damped(spark, SF).collect()
+    assert len(got) == len(expect)
+    for r in got:
+        key = (r["priority"], (r["mon"].year, r["mon"].month))
+        lvl, trend, f1, fh = expect[key]
+        assert r["level"] == lvl
+        assert r["trend"] == trend
+        assert r["forecast_1"] == f1
+        assert r["forecast_h"] == fh
+    # damping contracts the horizon: |f_h - level| <= cum_sum * |trend|
+    assert HOLT_PHI_CUM < HOLT_PHI / (1.0 - HOLT_PHI) + 1e-12
+
+
+def test_delta_method_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        agg_delta_method_ratio_ci,
+    )
+
+    orders = {
+        r["o_orderkey"]: r["o_orderpriority"]
+        for r in read_table(spark, SF, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .collect()
+    }
+    li = (
+        read_table(spark, SF, "lineitem")
+        .select("l_orderkey", "l_extendedprice")
+        .collect()
+    )
+    per_order = collections.defaultdict(lambda: [0, 0])
+    for r in li:
+        cell = per_order[r["l_orderkey"]]
+        cell[0] += 1
+        cell[1] += _round_half_away(r["l_extendedprice"] * 10000)
+    groups = collections.defaultdict(list)
+    for ok, (x, y) in per_order.items():
+        if ok in orders:
+            groups[orders[ok]].append((x, y))
+
+    got = {r["priority"]: r for r in agg_delta_method_ratio_ci(spark, SF).collect()}
+    assert set(got) == {g for g, pts in groups.items() if len(pts) > 1}
+    for g, pts in groups.items():
+        if len(pts) <= 1:
+            continue
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        qx = sum(x * x for x, _ in pts)
+        qy = sum(y * y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        r_s = sy / sx
+        xbar = sx / n
+        sy2 = (qy - sy / n * sy) / (n - 1)
+        sx2 = (qx - sx / n * sx) / (n - 1)
+        cxy = (sxy - sx / n * sy) / (n - 1)
+        var_r = (sy2 - 2.0 * r_s * cxy + r_s * r_s * sx2) / (
+            n * xbar * xbar
+        )
+        se = math.sqrt(var_r)
+        row = got[g]
+        assert row["n_orders"] == n
+        assert row["n_lines"] == sx
+        assert row["revenue_per_line"] == _round4(r_s / 10000.0)
+        assert row["se"] == _round6(se / 10000.0)
+        assert row["ci_lo"] == _round4((r_s - 1.96 * se) / 10000.0)
+        assert row["ci_hi"] == _round4((r_s + 1.96 * se) / 10000.0)
+        # the interval brackets the point estimate
+        assert row["ci_lo"] <= row["revenue_per_line"] <= row["ci_hi"]
+
+
+def test_hits_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.graph import (
+        HITS_ITERS,
+        HITS_SCALE,
+        HITS_TOP_K,
+        graph_hits_scores,
+    )
+
+    orders = {
+        r["o_orderkey"]: r["o_custkey"]
+        for r in read_table(spark, SF, "orders")
+        .select("o_orderkey", "o_custkey")
+        .collect()
+    }
+    li = (
+        read_table(spark, SF, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    edges = sorted(
+        {
+            (orders[r["l_orderkey"]], r["l_partkey"])
+            for r in li
+            if r["l_orderkey"] in orders
+        }
+    )
+    custs = sorted({c for c, _ in edges})
+    h = {c: _round_half_away(HITS_SCALE / len(custs)) for c in custs}
+    a = {}
+    for _ in range(HITS_ITERS):
+        raw = collections.defaultdict(int)
+        for c, p in edges:
+            raw[p] += h[c]
+        t = sum(raw.values())
+        a = {
+            p: _round_half_away(r / t * HITS_SCALE)
+            for p, r in raw.items()
+        }
+        raw_h = collections.defaultdict(int)
+        for c, p in edges:
+            raw_h[c] += a[p]
+        th = sum(raw_h.values())
+        h = {
+            c: _round_half_away(r / th * HITS_SCALE)
+            for c, r in raw_h.items()
+        }
+
+    def topk(scores):
+        return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :HITS_TOP_K
+        ]
+
+    got = graph_hits_scores(spark, SF).collect()
+    by_side = collections.defaultdict(list)
+    for r in got:
+        by_side[r["side"]].append(r)
+    for side, scores in (("authority", a), ("hub", h)):
+        rows = sorted(by_side[side], key=lambda r: r["pos"])
+        expect = topk(scores)
+        assert len(rows) == min(HITS_TOP_K, len(expect))
+        for row, (node, q) in zip(rows, expect):
+            assert row["node_id"] == node
+            assert row["score"] == _round6(q / HITS_SCALE)
+    # L1 normalization: each side's full score mass is ~1 in pico-units
+    assert abs(sum(a.values()) - HITS_SCALE) <= len(a)
+    assert abs(sum(h.values()) - HITS_SCALE) <= len(h)

@@ -7004,3 +7004,141 @@ ORACLE["agg_grubbs_outlier"] = (
     "* (CAST(n AS DOUBLE) - 1.0))) / 10000.0), 6) AS g_stat "
     "FROM top WHERE rn = 1 AND n > 2"
 )
+
+
+# --- Delta-method CI for a ratio metric (revenue per line, order-randomized) -----------
+
+
+def agg_delta_method_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Delta-method standard error for a ratio metric** (Deng, Knoblich
+    & Lu KDD'18; Fieller 1954 lineage): revenue-per-LINE with the ORDER
+    as the randomization unit — the A/B-testing estimator experiment
+    platforms need whenever the analysis unit (line) is finer than the
+    assignment unit (order), where the naive per-line variance is badly
+    anti-conservative because lines within an order correlate:
+    R = Σy_i/Σx_i over orders i, Var(R) ≈ (s_y² − 2R·s_xy + R²·s_x²)
+    / (n·x̄²), CI = R ± 1.96·SE.
+
+    Determinism: per-order y (1e4-scaled line revenue) and x (line
+    count) are exact int64; all five moment sums accumulate in
+    DECIMAL(38,0) ≡ HUGEINT (y² ~ 1e19 exceeds int64); every exposed
+    double is a fixed-shape expression off those exact sums, `dround`ed
+    (4 dp money, 6 dp SE). The z literal 1.96 is shared text.
+
+    Scale: one lineitem-sized keyed aggregate (map-side combinable),
+    one orderkey equi-join (co-partitioned fact-fact), one 5-row
+    priority rollup."""
+    from ..functions.numerics import dsum_scaled
+
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        dsum_scaled("l_extendedprice").alias("y"),
+    )
+    j = orders.select("o_orderkey", "o_orderpriority").join(
+        per_order, "o_orderkey"
+    )
+
+    def dd(c):
+        return c.cast("decimal(38,0)")
+
+    per_g = j.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dd(F.col("x"))).alias("sx"),
+        F.sum(dd(F.col("y"))).alias("sy"),
+        F.sum(dd(F.col("x")) * F.col("x")).alias("qx"),
+        F.sum(dd(F.col("y")) * F.col("y")).alias("qy"),
+        F.sum(dd(F.col("x")) * F.col("y")).alias("sxy"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sy_d = F.col("sy").cast("double")
+    r_s = sy_d / sx_d
+    xbar = sx_d / n_d
+    sy2 = (F.col("qy").cast("double") - sy_d / n_d * sy_d) / (
+        n_d - F.lit(1.0)
+    )
+    sx2 = (F.col("qx").cast("double") - sx_d / n_d * sx_d) / (
+        n_d - F.lit(1.0)
+    )
+    sxy = (F.col("sxy").cast("double") - sx_d / n_d * sy_d) / (
+        n_d - F.lit(1.0)
+    )
+    var_r = (
+        sy2 - F.lit(2.0) * r_s * sxy + r_s * r_s * sx2
+    ) / (n_d * xbar * xbar)
+    se_s = F.sqrt(var_r)
+    return (
+        per_g.filter((F.col("n") > 1) & (F.col("sx") > 0))
+        .select(
+            "priority",
+            F.col("n").alias("n_orders"),
+            F.col("sx").cast("long").alias("n_lines"),
+            dround(r_s / F.lit(10_000.0), 4).alias("revenue_per_line"),
+            dround(se_s / F.lit(10_000.0), 6).alias("se"),
+            dround(
+                (r_s - F.lit(1.96) * se_s) / F.lit(10_000.0), 4
+            ).alias("ci_lo"),
+            dround(
+                (r_s + F.lit(1.96) * se_s) / F.lit(10_000.0), 4
+            ).alias("ci_hi"),
+        )
+        .orderBy("priority")
+    )
+
+
+QUERIES["agg_delta_method_ratio_ci"] = agg_delta_method_ratio_ci
+
+ORACLE["agg_delta_method_ratio_ci"] = (
+    "WITH po AS (SELECT l_orderkey AS o_orderkey, "
+    "CAST(COUNT(*) AS BIGINT) AS x, "
+    "CAST(SUM(CAST(ROUND(l_extendedprice * 10000) AS BIGINT)) AS BIGINT) "
+    "AS y FROM lineitem GROUP BY 1), "
+    "j AS (SELECT o.o_orderpriority AS priority, po.x, po.y "
+    "FROM orders o JOIN po USING (o_orderkey)), "
+    "g AS (SELECT priority, CAST(COUNT(*) AS BIGINT) AS n, "
+    "SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy, "
+    "SUM(CAST(x AS HUGEINT) * x) AS qx, "
+    "SUM(CAST(y AS HUGEINT) * y) AS qy, "
+    "SUM(CAST(x AS HUGEINT) * y) AS sxy FROM j GROUP BY 1) "
+    "SELECT priority, n AS n_orders, CAST(sx AS BIGINT) AS n_lines, "
+    "ROUND(CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE) / 10000.0, 4) "
+    "AS revenue_per_line, "
+    "ROUND(sqrt(((CAST(qy AS DOUBLE) - CAST(sy AS DOUBLE) "
+    "/ CAST(n AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) "
+    "- 1.0) - 2.0 * (CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE)) "
+    "* ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) "
+    "* CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) "
+    "+ (CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE)) * (CAST(sy AS DOUBLE) "
+    "/ CAST(sx AS DOUBLE)) * ((CAST(qx AS DOUBLE) - CAST(sx AS DOUBLE) "
+    "/ CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) / (CAST(n AS DOUBLE) "
+    "- 1.0))) / (CAST(n AS DOUBLE) * (CAST(sx AS DOUBLE) "
+    "/ CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))) "
+    "/ 10000.0, 6) AS se, "
+    "ROUND((CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE) "
+    "- 1.96 * sqrt(((CAST(qy AS DOUBLE) - CAST(sy AS DOUBLE) "
+    "/ CAST(n AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) "
+    "- 1.0) - 2.0 * (CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE)) "
+    "* ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) "
+    "* CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) "
+    "+ (CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE)) * (CAST(sy AS DOUBLE) "
+    "/ CAST(sx AS DOUBLE)) * ((CAST(qx AS DOUBLE) - CAST(sx AS DOUBLE) "
+    "/ CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) / (CAST(n AS DOUBLE) "
+    "- 1.0))) / (CAST(n AS DOUBLE) * (CAST(sx AS DOUBLE) "
+    "/ CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))))) "
+    "/ 10000.0, 4) AS ci_lo, "
+    "ROUND((CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE) "
+    "+ 1.96 * sqrt(((CAST(qy AS DOUBLE) - CAST(sy AS DOUBLE) "
+    "/ CAST(n AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) "
+    "- 1.0) - 2.0 * (CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE)) "
+    "* ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) "
+    "* CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) "
+    "+ (CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE)) * (CAST(sy AS DOUBLE) "
+    "/ CAST(sx AS DOUBLE)) * ((CAST(qx AS DOUBLE) - CAST(sx AS DOUBLE) "
+    "/ CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) / (CAST(n AS DOUBLE) "
+    "- 1.0))) / (CAST(n AS DOUBLE) * (CAST(sx AS DOUBLE) "
+    "/ CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))))) "
+    "/ 10000.0, 4) AS ci_hi "
+    "FROM g WHERE n > 1 AND sx > 0 ORDER BY priority"
+)

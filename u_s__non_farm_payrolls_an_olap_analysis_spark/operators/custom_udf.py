@@ -969,3 +969,135 @@ ORACLE["timeseries_ses_grid_search"] = (
     "CAST(CASE WHEN r = 1 THEN 1 ELSE 0 END AS INT) AS is_best "
     "FROM rk ORDER BY priority, alpha"
 )
+
+
+# --- Damped-trend Holt smoothing via grouped-map recurrence ------------------
+
+HOLT_PHI = 0.75  # damping: exact binary fraction (3/4), identical IEEE
+# cumulative damped-sum Σ φ^j, j=1..6 — built by the SAME sequential adds
+# both engines' literals come from, embedded as one shared double constant
+HOLT_PHI_H = 6
+_phi_cum = 0.0
+_phi_pow = 1.0
+for _ in range(HOLT_PHI_H):
+    _phi_pow *= HOLT_PHI
+    _phi_cum += _phi_pow
+HOLT_PHI_CUM = _phi_cum
+del _phi_cum, _phi_pow
+
+
+def _holt_damped_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("mon").reset_index(drop=True)
+    lvl = trend = None
+    out = []
+    for x in pdf["revenue"]:
+        if lvl is None:
+            lvl, trend = x, 0.0
+        else:
+            prev = lvl
+            lvl = HOLT_ALPHA * x + (1.0 - HOLT_ALPHA) * (
+                prev + HOLT_PHI * trend
+            )
+            trend = HOLT_BETA * (lvl - prev) + (1.0 - HOLT_BETA) * (
+                HOLT_PHI * trend
+            )
+        out.append(
+            (
+                lvl,
+                trend,
+                lvl + HOLT_PHI * trend,
+                lvl + HOLT_PHI_CUM * trend,
+            )
+        )
+
+    def r4(s: float) -> float:
+        v = abs(s) * 10000.0
+        return (1.0 if s >= 0 else -1.0) * (int(v + 0.5) // 1) / 10000.0
+
+    pdf["level"] = [r4(a) for a, _, _, _ in out]
+    pdf["trend"] = [r4(b) for _, b, _, _ in out]
+    pdf["forecast_1"] = [r4(f) for _, _, f, _ in out]
+    pdf["forecast_h"] = [r4(f) for _, _, _, f in out]
+    return pdf
+
+
+def timeseries_holt_damped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **damped-trend Holt smoothing** (Gardner & McKenzie
+    1985; FPP §8.2 — the method M3-competition forecasting practice
+    actually defaults to, because an undamped linear trend extrapolates
+    implausibly at long horizons):
+    ``l_t = α·x_t + (1−α)(l_{t−1} + φ·b_{t−1})``,
+    ``b_t = β(l_t − l_{t−1}) + (1−β)·φ·b_{t−1}``, forecasts
+    ``ŷ_{t+1} = l_t + φ·b_t`` and ``ŷ_{t+6} = l_t + (Σ_{j≤6} φ^j)·b_t``
+    — completing the exponential-smoothing ladder (EWMA → Holt →
+    damped Holt → Holt-Winters) with the flattening-horizon member.
+
+    Determinism: the `timeseries_holt_linear` device — α = β = ½
+    (halvings) and φ = ¾ are exact binary fractions, every update is
+    the same short IEEE op sequence in the grouped-map kernel and the
+    DuckDB recursive-CTE replay, so the 4-dp outputs hash-match with
+    zero tolerance; the horizon-6 damped sum is ONE shared python-built
+    double constant embedded in both engines.
+
+    Scale: one shuffle on the series key; series count scales out,
+    monthly length bounded (the grouped-map recurrence posture).
+
+    Reference scope: the recurrence family the reference's monthly
+    NFP series analysis motivates (`dashboard_nfp.py` trend charts);
+    no reference code is reused."""
+    from ..functions.numerics import dsum
+
+    orders = read_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("month", "o_orderdate").alias("mon"),
+    ).agg(F.round(dsum("o_totalprice"), 4).alias("revenue"))
+    return (
+        monthly.groupBy("priority")
+        .applyInPandas(
+            _holt_damped_group,
+            schema="priority string, mon timestamp, revenue double, "
+            "level double, trend double, forecast_1 double, "
+            "forecast_h double",
+        )
+        .orderBy("priority", "mon")
+    )
+
+
+QUERIES["timeseries_holt_damped"] = timeseries_holt_damped
+
+ORACLE["timeseries_holt_damped"] = (
+    "WITH RECURSIVE m AS (SELECT o_orderpriority AS priority, "
+    "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon, "
+    "ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) "
+    "AS DOUBLE) / 10000.0, 4) AS revenue "
+    "FROM orders GROUP BY 1, 2), "
+    "idx AS (SELECT priority, mon, revenue, "
+    "ROW_NUMBER() OVER (PARTITION BY priority ORDER BY mon) AS i "
+    "FROM m), "
+    "rec(priority, mon, revenue, i, l, b) AS ("
+    "SELECT priority, mon, revenue, i, CAST(revenue AS DOUBLE), "
+    "CAST(0.0 AS DOUBLE) FROM idx WHERE i = 1 "
+    "UNION ALL "
+    "SELECT idx.priority, idx.mon, idx.revenue, idx.i, "
+    f"CAST({HOLT_ALPHA} AS DOUBLE) * idx.revenue "
+    f"+ CAST({1.0 - HOLT_ALPHA} AS DOUBLE) * (rec.l "
+    f"+ CAST({HOLT_PHI} AS DOUBLE) * rec.b), "
+    f"CAST({HOLT_BETA} AS DOUBLE) * ((CAST({HOLT_ALPHA} AS DOUBLE) "
+    f"* idx.revenue + CAST({1.0 - HOLT_ALPHA} AS DOUBLE) * (rec.l "
+    f"+ CAST({HOLT_PHI} AS DOUBLE) * rec.b)) - rec.l) "
+    f"+ CAST({1.0 - HOLT_BETA} AS DOUBLE) "
+    f"* (CAST({HOLT_PHI} AS DOUBLE) * rec.b) "
+    "FROM idx JOIN rec ON idx.priority = rec.priority "
+    "AND idx.i = rec.i + 1) "
+    "SELECT priority, mon, revenue, "
+    + _HOLT_R4.format("l")
+    + " AS level, "
+    + _HOLT_R4.format("b")
+    + " AS trend, "
+    + _HOLT_R4.format(f"l + CAST({HOLT_PHI} AS DOUBLE) * b")
+    + " AS forecast_1, "
+    + _HOLT_R4.format(f"l + CAST({HOLT_PHI_CUM!r} AS DOUBLE) * b")
+    + " AS forecast_h "
+    "FROM rec ORDER BY 1, 2"
+)

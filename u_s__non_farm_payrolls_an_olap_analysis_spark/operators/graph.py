@@ -1224,3 +1224,192 @@ ORACLE["graph_bfs_hops"] = (
     "SELECT node AS part, CAST(MIN(hops) AS INT) AS hops "
     "FROM walk GROUP BY node ORDER BY part"
 )
+
+
+# --- HITS hubs & authorities on the customer->part purchase graph -----------
+
+HITS_ITERS = 4
+HITS_SCALE = 1_000_000_000_000.0  # L1-normalized scores as pico-units
+HITS_TOP_K = 50
+
+
+def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **HITS hubs and authorities** (Kleinberg, JACM
+    1999) on the bipartite customer→part purchase graph: authority(p)
+    = Σ_{c→p} hub(c), hub(c) = Σ_{c→p} authority(p), each side
+    L1-normalized per half-step — ``HITS_ITERS`` fixed unrolled
+    iterations. The mutual-reinforcement ranking beside
+    `graph_pagerank_tokens`' random-walk ranking: authorities are
+    parts bought by broad-basket customers, hubs are customers whose
+    baskets span authoritative parts (the two-sided "power user /
+    staple product" view a merchandiser reads).
+
+    Determinism: after every normalization the scores quantize to
+    scaled int64 (round((raw/Σraw)·1e12) — both engines round the
+    identical double off exact integer sums), so each half-step's
+    contribution sums are EXACT integer aggregates in DECIMAL(38,0) ≡
+    HUGEINT and the whole iteration is bit-stable at any partition
+    count. Top-k per side under a (score desc, node id) total order.
+
+    Scale: the edge list builds once (orderkey equi-join, distinct)
+    and is localCheckpoint-ed; each half-step is one node-keyed join +
+    one map-side-combinable sum — O(|E|) shuffle per step, the
+    `graph_pagerank_tokens` posture — and each node-sized score frame
+    localCheckpoints to cut the unrolled lineage (CLAUDE.md rule 5).
+
+    vs reference: no analogue (no graph surface in `dashboard_nfp.py`).
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.numerics import _nearest_long_away
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.col("l_partkey").alias("part"),
+    )
+    edges = (
+        orders.join(li, "o_orderkey")
+        .select(F.col("o_custkey").alias("cust"), "part")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    custs = edges.select("cust").distinct()
+    nc = custs.agg(F.count(F.lit(1)).alias("n"))
+    h = custs.crossJoin(F.broadcast(nc)).select(
+        "cust",
+        _nearest_long_away(
+            F.lit(HITS_SCALE) / F.col("n").cast("double")
+        ).alias("q"),
+    )
+
+    def dd(c):
+        return c.cast("decimal(38,0)")
+
+    a = None
+    for _i in range(HITS_ITERS):
+        a_raw = (
+            edges.join(h, "cust")
+            .groupBy("part")
+            .agg(F.sum(dd(F.col("q"))).alias("raw"))
+        )
+        a_tot = a_raw.agg(F.sum("raw").alias("t"))
+        a = (
+            a_raw.crossJoin(F.broadcast(a_tot))
+            .select(
+                "part",
+                _nearest_long_away(
+                    F.col("raw").cast("double")
+                    / F.col("t").cast("double")
+                    * F.lit(HITS_SCALE)
+                ).alias("q"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        h_raw = (
+            edges.join(a, "part")
+            .groupBy("cust")
+            .agg(F.sum(dd(F.col("q"))).alias("raw"))
+        )
+        h_tot = h_raw.agg(F.sum("raw").alias("t"))
+        h = (
+            h_raw.crossJoin(F.broadcast(h_tot))
+            .select(
+                "cust",
+                _nearest_long_away(
+                    F.col("raw").cast("double")
+                    / F.col("t").cast("double")
+                    * F.lit(HITS_SCALE)
+                ).alias("q"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    wa = Window.orderBy(F.col("q").desc(), "part")
+    wh = Window.orderBy(F.col("q").desc(), "cust")
+    auth = (
+        a.select(
+            F.lit("authority").alias("side"),
+            F.col("part").cast("long").alias("node_id"),
+            "q",
+            F.row_number().over(wa).alias("pos"),
+        )
+        .filter(F.col("pos") <= HITS_TOP_K)
+    )
+    hubs = (
+        h.select(
+            F.lit("hub").alias("side"),
+            F.col("cust").cast("long").alias("node_id"),
+            "q",
+            F.row_number().over(wh).alias("pos"),
+        )
+        .filter(F.col("pos") <= HITS_TOP_K)
+    )
+    return (
+        auth.unionByName(hubs)
+        .select(
+            "side",
+            "node_id",
+            dround(F.col("q").cast("double") / F.lit(HITS_SCALE), 6).alias(
+                "score"
+            ),
+            F.col("pos").cast("int").alias("pos"),
+        )
+        .orderBy("side", "pos")
+    )
+
+
+QUERIES["graph_hits_scores"] = graph_hits_scores
+
+
+def _hits_oracle_sql() -> str:
+    s = f"{HITS_SCALE:.1f}"
+    sql = (
+        "WITH e AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS cust, "
+        "l.l_partkey AS part FROM orders o JOIN lineitem l "
+        "ON l.l_orderkey = o.o_orderkey), "
+        "nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM "
+        "(SELECT DISTINCT cust FROM e)), "
+        "h0 AS MATERIALIZED (SELECT cust, "
+        f"CAST(ROUND({s} / CAST(n AS DOUBLE)) AS BIGINT) AS q "
+        "FROM (SELECT DISTINCT cust FROM e), nc)"
+    )
+    prev_h = "h0"
+    for i in range(1, HITS_ITERS + 1):
+        sql += (
+            f", ar{i} AS MATERIALIZED (SELECT part, "
+            f"SUM(CAST(q AS HUGEINT)) AS raw FROM e "
+            f"JOIN {prev_h} USING (cust) GROUP BY 1), "
+            f"at{i} AS (SELECT SUM(raw) AS t FROM ar{i}), "
+            f"a{i} AS MATERIALIZED (SELECT part, "
+            "CAST(ROUND(CAST(raw AS DOUBLE) / CAST(t AS DOUBLE) "
+            f"* {s}) AS BIGINT) AS q FROM ar{i}, at{i}), "
+            f"hr{i} AS MATERIALIZED (SELECT cust, "
+            f"SUM(CAST(q AS HUGEINT)) AS raw FROM e "
+            f"JOIN a{i} USING (part) GROUP BY 1), "
+            f"ht{i} AS (SELECT SUM(raw) AS t FROM hr{i}), "
+            f"h{i} AS MATERIALIZED (SELECT cust, "
+            "CAST(ROUND(CAST(raw AS DOUBLE) / CAST(t AS DOUBLE) "
+            f"* {s}) AS BIGINT) AS q FROM hr{i}, ht{i})"
+        )
+        prev_h = f"h{i}"
+    last = HITS_ITERS
+    sql += (
+        f", auth AS (SELECT 'authority' AS side, "
+        f"CAST(part AS BIGINT) AS node_id, q, "
+        f"ROW_NUMBER() OVER (ORDER BY q DESC, part) AS pos FROM a{last}), "
+        f"hub AS (SELECT 'hub' AS side, CAST(cust AS BIGINT) AS node_id, "
+        f"q, ROW_NUMBER() OVER (ORDER BY q DESC, cust) AS pos "
+        f"FROM h{last}) "
+        "SELECT side, node_id, "
+        f"ROUND(CAST(q AS DOUBLE) / {s}, 6) AS score, "
+        "CAST(pos AS INT) AS pos FROM "
+        f"(SELECT * FROM auth WHERE pos <= {HITS_TOP_K} "
+        f"UNION ALL SELECT * FROM hub WHERE pos <= {HITS_TOP_K}) "
+        "ORDER BY side, pos"
+    )
+    return sql
+
+
+ORACLE["graph_hits_scores"] = _hits_oracle_sql()

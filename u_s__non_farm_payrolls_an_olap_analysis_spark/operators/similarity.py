@@ -2623,3 +2623,128 @@ ORACLE["sim_eval_ndcg"] = (
     "ROUND(CAST(dcg_s AS DOUBLE) / CAST(idcg_s AS DOUBLE), 6) AS ndcg "
     "FROM j ORDER BY query_id"
 )
+
+
+# --- Average precision (MAP) retrieval eval -------------------------------------------
+
+_AP_SCALE = 1_000_000_000  # per-rank precision@i terms as scaled int64
+
+
+def sim_eval_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Average precision @ k** of the exact cosine retriever (the
+    per-query summand of MAP — Manning, Raghavan & Schütze IR §8.4)
+    with binary relevance (neighbor shares the query's label):
+    AP@k = Σ_{i≤k} rel_i·P@i / min(k, R) where P@i is the running
+    precision at rank i. Completes the retrieval-eval family's three
+    classical views — `sim_eval_mrr_recall` scores the first hit,
+    `sim_eval_ndcg` the discounted order, AP the precision profile
+    (it is the area under the uninterpolated P-R curve, the number
+    retrieval papers actually quote).
+
+    Determinism: the running hit count h_i is an exact integer window
+    sum over the (cosine desc, neighbor_id) ranking (ties broken by
+    id, same total order both engines); each rel-weighted P@i = h_i/i
+    term quantizes to scaled int64 (both engines round the identical
+    double h_i/i off exact sub-2^53 ints), so the cross-rank sum is
+    exact and AP is one division of exact integers, `dround` 6.
+
+    Scale: same physical shape as `sim_eval_ndcg` — one broadcast-
+    scored pass, one per-query rank window (the running sum rides the
+    SAME window sort), a broadcast label rollup."""
+    from ..functions.numerics import _nearest_long_away
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("q_label"),
+    )
+    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("label").alias("c_label"),
+    )
+    scored = c.join(F.broadcast(q)).select(
+        "query_id",
+        "q_label",
+        "neighbor_id",
+        "c_label",
+        dround(cosine(F.col("qe"), F.col("ce")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    rel = (F.col("c_label") == F.col("q_label")).cast("long")
+    ranked = scored.select(
+        "query_id",
+        "q_label",
+        F.row_number().over(w).alias("rank"),
+        rel.alias("rel"),
+        F.sum(rel).over(w).alias("h"),
+    ).filter(F.col("rank") <= EVAL_K)
+    term = F.when(
+        F.col("rel") == 1,
+        _nearest_long_away(
+            F.lit(float(_AP_SCALE))
+            * F.col("h").cast("double")
+            / F.col("rank").cast("double")
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    per_q = ranked.groupBy("query_id", "q_label").agg(
+        F.sum(term).cast("long").alias("ap_s"),
+        F.sum("rel").cast("long").alias("n_hits"),
+    )
+    label_tot = c.groupBy(F.col("c_label").alias("q_label")).agg(
+        F.count(F.lit(1)).alias("n_rel_total")
+    )
+    j = per_q.join(F.broadcast(label_tot), "q_label")
+    denom = F.least(F.lit(EVAL_K).cast("long"), F.col("n_rel_total"))
+    return j.select(
+        "query_id",
+        "q_label",
+        "n_hits",
+        F.col("n_rel_total").cast("long").alias("n_rel_total"),
+        dround(
+            F.col("n_hits").cast("double") / F.lit(float(EVAL_K)), 6
+        ).alias("precision_at_k"),
+        dround(
+            F.col("ap_s").cast("double")
+            / F.lit(float(_AP_SCALE))
+            / denom.cast("double"),
+            6,
+        ).alias("average_precision"),
+    ).orderBy("query_id")
+
+
+QUERIES["sim_eval_average_precision"] = sim_eval_average_precision
+
+ORACLE["sim_eval_average_precision"] = (
+    f"WITH q AS (SELECT vec_id AS query_id, embedding AS qe, "
+    f"label AS q_label FROM embeddings WHERE vec_id < {N_QUERIES}), "
+    f"c AS (SELECT vec_id AS neighbor_id, embedding AS ce, "
+    f"label AS c_label FROM embeddings WHERE vec_id >= {N_QUERIES}), "
+    "s AS (SELECT query_id, q_label, neighbor_id, c_label, "
+    f"ROUND({cosine_sql('q.qe', 'c.ce')}, 6) AS cosine "
+    "FROM q CROSS JOIN c), "
+    "r AS (SELECT query_id, q_label, "
+    "ROW_NUMBER() OVER w AS rank, "
+    "CAST(c_label = q_label AS BIGINT) AS rel, "
+    "SUM(CAST(c_label = q_label AS BIGINT)) OVER w AS h "
+    "FROM s WINDOW w AS (PARTITION BY query_id "
+    "ORDER BY cosine DESC, neighbor_id)), "
+    f"tk AS (SELECT * FROM r WHERE rank <= {EVAL_K}), "
+    "pq AS (SELECT query_id, q_label, "
+    "CAST(SUM(CASE WHEN rel = 1 THEN "
+    f"CAST(ROUND({_AP_SCALE}.0 * CAST(h AS DOUBLE) "
+    "/ CAST(rank AS DOUBLE)) AS BIGINT) ELSE 0 END) AS BIGINT) AS ap_s, "
+    "CAST(SUM(rel) AS BIGINT) AS n_hits FROM tk GROUP BY 1, 2), "
+    "lt AS (SELECT c_label AS q_label, CAST(COUNT(*) AS BIGINT) "
+    "AS n_rel_total FROM c GROUP BY 1) "
+    "SELECT query_id, q_label, n_hits, n_rel_total, "
+    f"ROUND(CAST(n_hits AS DOUBLE) / {float(EVAL_K)}, 6) "
+    "AS precision_at_k, "
+    f"ROUND(CAST(ap_s AS DOUBLE) / {_AP_SCALE}.0 "
+    f"/ CAST(LEAST({EVAL_K}, n_rel_total) AS DOUBLE), 6) "
+    "AS average_precision "
+    "FROM pq JOIN lt USING (q_label) ORDER BY query_id"
+)

@@ -277,6 +277,14 @@ _SAMPLE_PRIORITY = [
     "agg_grubbs_outlier",
     # NEW in round 13 — Simpson/Gini-Simpson/inverse-Simpson diversity
     "corpus_simpson_diversity",
+    # NEW in round 13 — average precision @ k retrieval eval
+    "sim_eval_average_precision",
+    # NEW in round 13 — damped-trend Holt smoothing (Gardner-McKenzie)
+    "timeseries_holt_damped",
+    # NEW in round 13 — delta-method SE/CI for the ratio metric
+    "agg_delta_method_ratio_ci",
+    # NEW in round 13 — HITS hubs/authorities on the purchase graph
+    "graph_hits_scores",
     # latest driver row r6 — oldest surviving evidence, in r6 order
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
