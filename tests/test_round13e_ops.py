@@ -429,3 +429,162 @@ def test_hits_matches_pure_python(spark):
     # L1 normalization: each side's full score mass is ~1 in pico-units
     assert abs(sum(a.values()) - HITS_SCALE) <= len(a)
     assert abs(sum(h.values()) - HITS_SCALE) <= len(h)
+
+
+# --- wave 11 --------------------------------------------------------------------------
+
+
+def test_cochran_armitage_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        agg_cochran_armitage_trend,
+    )
+
+    rows = (
+        read_table(spark, SF, "orders")
+        .select("o_orderpriority", "o_orderstatus")
+        .collect()
+    )
+    cells = collections.defaultdict(lambda: [0, 0])
+    for r in rows:
+        cell = cells[r["o_orderpriority"]]
+        cell[0] += 1
+        if r["o_orderstatus"] == "F":
+            cell[1] += 1
+    nn = sum(c[0] for c in cells.values())
+    rr = sum(c[1] for c in cells.values())
+    ssr = sum(int(g[0]) * c[1] for g, c in cells.items())
+    ssn = sum(int(g[0]) * c[0] for g, c in cells.items())
+    sns2 = sum(int(g[0]) ** 2 * c[0] for g, c in cells.items())
+    a = nn * ssr - rr * ssn
+    b = rr * (nn - rr)
+    c_ = nn * sns2 - ssn * ssn
+    z = a / math.sqrt(b * c_ / nn)
+
+    got = {r["priority"]: r for r in agg_cochran_armitage_trend(spark, SF).collect()}
+    assert set(got) == set(cells)
+    for g, (n_g, r_g) in cells.items():
+        row = got[g]
+        assert row["s"] == int(g[0])
+        assert row["n_orders"] == n_g
+        assert row["n_finished"] == r_g
+        assert row["finish_rate"] == _round6(r_g / n_g)
+        assert row["ca_z"] == _round6(z)
+        assert row["ca_chi2"] == _round6(z * z)
+    # the trend chi2 is one df of the full-table chi-square: bounded by it
+    assert 0.0 <= z * z
+
+
+def test_kpss_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        timeseries_kpss_stat,
+    )
+
+    rows = (
+        read_table(spark, SF, "orders")
+        .select("o_orderpriority", "o_orderdate", "o_totalprice")
+        .collect()
+    )
+    monthly = collections.defaultdict(int)
+    for r in rows:
+        key = (
+            r["o_orderpriority"],
+            (r["o_orderdate"].year, r["o_orderdate"].month),
+        )
+        monthly[key] += _round_half_away(r["o_totalprice"] * 10000)
+    series = collections.defaultdict(list)
+    for (g, mon), v in sorted(monthly.items()):
+        series[g].append(v)
+
+    got = {r["priority"]: r for r in timeseries_kpss_stat(spark, SF).collect()}
+    assert set(got) == set(series)
+    for g, ys in series.items():
+        n = len(ys)
+        sy = sum(ys)
+        ne = [n * y - sy for y in ys]
+        ns = []
+        acc = 0
+        for e in ne:
+            acc += e
+            ns.append(acc)
+        q_ns = sum(v * v for v in ns)
+        q_ne = sum(v * v for v in ne)
+        eta = q_ns / (n * q_ne)
+        row = got[g]
+        assert row["n_months"] == n
+        assert row["kpss_eta"] == _round6(eta)
+        assert row["crit_5pct"] == 0.463
+        assert row["reject_level_stat"] == (1 if eta > 0.463 else 0)
+        # the final partial sum is exactly zero by construction
+        assert ns[-1] == 0
+
+
+def test_gtest_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        agg_gtest_independence,
+    )
+
+    rows = (
+        read_table(spark, SF, "orders")
+        .select("o_orderstatus", "o_orderpriority")
+        .collect()
+    )
+    cells = collections.Counter(
+        (r["o_orderstatus"], r["o_orderpriority"]) for r in rows
+    )
+    rm = collections.Counter()
+    cm = collections.Counter()
+    for (s, p), o in cells.items():
+        rm[s] += o
+        cm[p] += o
+    n = sum(cells.values())
+    t_s = 0
+    for (s, p), o in cells.items():
+        t_s += _round_half_away(o * math.log(n * o / (rm[s] * cm[p])) * 1e6)
+    g_stat = _round6(2.0 * t_s / 1e6)
+
+    got = agg_gtest_independence(spark, SF).collect()
+    assert len(got) == 1
+    row = got[0]
+    assert row["n_orders"] == n
+    assert row["df"] == (len(rm) - 1) * (len(cm) - 1)
+    assert row["g_stat"] == g_stat
+    # G >= 0 (it is 2N times a KL divergence)
+    assert row["g_stat"] >= 0.0
+
+
+def test_winsorized_mean_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        agg_winsorized_mean,
+    )
+
+    rows = (
+        read_table(spark, SF, "orders")
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .collect()
+    )
+    by_year = collections.defaultdict(list)
+    for r in rows:
+        by_year[r["o_orderdate"].year].append(
+            (_round_half_away(r["o_totalprice"] * 10000), r["o_orderkey"])
+        )
+    got = {r["year"]: r for r in agg_winsorized_mean(spark, SF).collect()}
+    assert set(got) == set(by_year)
+    for y, vals in by_year.items():
+        vals.sort()
+        n = len(vals)
+        k = n // 10
+        lo = vals[k][0]
+        hi = vals[n - k - 1][0]
+        mid = sum(v for v, _ in vals[k : n - k])
+        win = k * lo + mid + k * hi
+        row = got[y]
+        assert row["n_orders"] == n
+        assert row["k_wins"] == k
+        assert row["lo_clamp"] == _round4(lo / 10000.0)
+        assert row["hi_clamp"] == _round4(hi / 10000.0)
+        assert row["mean_price"] == _round4(
+            sum(v for v, _ in vals) / 10000.0 / n
+        )
+        assert row["winsorized_mean_price"] == _round4(win / 10000.0 / n)
+        # clamping pulls the mean toward the median but never past the clamps
+        assert lo / 10000.0 <= row["winsorized_mean_price"] <= hi / 10000.0

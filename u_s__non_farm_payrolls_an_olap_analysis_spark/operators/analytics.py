@@ -7142,3 +7142,406 @@ ORACLE["agg_delta_method_ratio_ci"] = (
     "/ 10000.0, 4) AS ci_hi "
     "FROM g WHERE n > 1 AND sx > 0 ORDER BY priority"
 )
+
+
+# --- Cochran-Armitage trend test across ordered priorities -----------------------------
+
+
+def agg_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Cochran-Armitage trend test** (Cochran 1954; Armitage 1955)
+    for a monotone trend in the order FINISH rate across the ORDERED
+    priority scale (scores s = 1..5 parsed from the priority prefix) —
+    the ordered-alternative upgrade of `agg_chi_square_independence`
+    (which ignores the ordering and spends df on every deviation; CA
+    spends one df on the linear trend, the question "does urgency
+    actually predict completion?" a dashboard wants answered).
+
+    Determinism: the core statistic clears denominators to three exact
+    integers — a = N·Σs·r − R·Σs·n (the numerator N·T), b = R(N−R),
+    c = N·Σn·s² − (Σn·s)² — accumulated in DECIMAL(38,0) ≡ HUGEINT;
+    z = a/√(b·c/N) is one fixed-shape double expression off exact
+    ints, `dround` 6. Both margins are interior on any mixed-status
+    fixture (b > 0 filtered on the exact integer).
+
+    Scale: one map-side-combinable conditional count aggregate over
+    orders; all algebra on the 5-row group frame."""
+    orders = read_table(spark, sf_dir, "orders")
+    g = orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("long")
+        .alias("r_g"),
+    )
+    g = g.select(
+        "priority",
+        F.substring("priority", 1, 1).cast("int").alias("s"),
+        "n_g",
+        "r_g",
+    )
+    w_all = Window.partitionBy()
+
+    def dd(c):
+        return c.cast("decimal(38,0)")
+
+    t = g.select(
+        "priority",
+        "s",
+        "n_g",
+        "r_g",
+        F.sum("n_g").over(w_all).alias("nn"),
+        F.sum("r_g").over(w_all).alias("rr"),
+        F.sum(F.col("s").cast("long") * F.col("r_g")).over(w_all).alias("ssr"),
+        F.sum(F.col("s").cast("long") * F.col("n_g")).over(w_all).alias("ssn"),
+        F.sum(
+            F.col("s").cast("long") * F.col("s") * F.col("n_g")
+        )
+        .over(w_all)
+        .alias("sns2"),
+    )
+    a = dd(F.col("nn")) * dd(F.col("ssr")) - dd(F.col("rr")) * dd(
+        F.col("ssn")
+    )
+    b = dd(F.col("rr")) * (dd(F.col("nn")) - dd(F.col("rr")))
+    c = dd(F.col("nn")) * dd(F.col("sns2")) - dd(F.col("ssn")) * dd(
+        F.col("ssn")
+    )
+    z = a.cast("double") / F.sqrt(
+        b.cast("double") * c.cast("double") / F.col("nn").cast("double")
+    )
+    return (
+        t.filter((b > 0) & (c > 0))
+        .select(
+            "priority",
+            "s",
+            F.col("n_g").alias("n_orders"),
+            F.col("r_g").alias("n_finished"),
+            dround(
+                F.col("r_g").cast("double") / F.col("n_g").cast("double"),
+                6,
+            ).alias("finish_rate"),
+            dround(z, 6).alias("ca_z"),
+            dround(z * z, 6).alias("ca_chi2"),
+        )
+        .orderBy("priority")
+    )
+
+
+QUERIES["agg_cochran_armitage_trend"] = agg_cochran_armitage_trend
+
+ORACLE["agg_cochran_armitage_trend"] = (
+    "WITH g AS (SELECT o_orderpriority AS priority, "
+    "CAST(SUBSTRING(o_orderpriority, 1, 1) AS INT) AS s, "
+    "CAST(COUNT(*) AS BIGINT) AS n_g, "
+    "CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS r_g FROM orders GROUP BY 1, 2), "
+    "t AS (SELECT priority, s, n_g, r_g, "
+    "SUM(n_g) OVER () AS nn, SUM(r_g) OVER () AS rr, "
+    "SUM(CAST(s AS BIGINT) * r_g) OVER () AS ssr, "
+    "SUM(CAST(s AS BIGINT) * n_g) OVER () AS ssn, "
+    "SUM(CAST(s AS BIGINT) * s * n_g) OVER () AS sns2 FROM g) "
+    "SELECT priority, s, n_g AS n_orders, r_g AS n_finished, "
+    "ROUND(CAST(r_g AS DOUBLE) / CAST(n_g AS DOUBLE), 6) "
+    "AS finish_rate, "
+    "ROUND(CAST(CAST(nn AS HUGEINT) * ssr "
+    "- CAST(rr AS HUGEINT) * ssn AS DOUBLE) "
+    "/ sqrt(CAST(CAST(rr AS HUGEINT) * (CAST(nn AS HUGEINT) - rr) "
+    "AS DOUBLE) * CAST(CAST(nn AS HUGEINT) * sns2 "
+    "- CAST(ssn AS HUGEINT) * ssn AS DOUBLE) "
+    "/ CAST(nn AS DOUBLE)), 6) AS ca_z, "
+    "ROUND((CAST(CAST(nn AS HUGEINT) * ssr "
+    "- CAST(rr AS HUGEINT) * ssn AS DOUBLE) "
+    "/ sqrt(CAST(CAST(rr AS HUGEINT) * (CAST(nn AS HUGEINT) - rr) "
+    "AS DOUBLE) * CAST(CAST(nn AS HUGEINT) * sns2 "
+    "- CAST(ssn AS HUGEINT) * ssn AS DOUBLE) "
+    "/ CAST(nn AS DOUBLE))) * (CAST(CAST(nn AS HUGEINT) * ssr "
+    "- CAST(rr AS HUGEINT) * ssn AS DOUBLE) "
+    "/ sqrt(CAST(CAST(rr AS HUGEINT) * (CAST(nn AS HUGEINT) - rr) "
+    "AS DOUBLE) * CAST(CAST(nn AS HUGEINT) * sns2 "
+    "- CAST(ssn AS HUGEINT) * ssn AS DOUBLE) "
+    "/ CAST(nn AS DOUBLE))), 6) AS ca_chi2 "
+    "FROM t WHERE CAST(rr AS HUGEINT) * (CAST(nn AS HUGEINT) - rr) > 0 "
+    "AND CAST(nn AS HUGEINT) * sns2 - CAST(ssn AS HUGEINT) * ssn > 0 "
+    "ORDER BY priority"
+)
+
+
+# --- KPSS level-stationarity statistic per priority ------------------------------------
+
+
+def timeseries_kpss_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**KPSS level-stationarity statistic** (Kwiatkowski, Phillips,
+    Schmidt & Shin 1992) per monthly revenue series: η = Σ S_t² /
+    (n²·σ̂²) with S_t the partial sums of demeaned revenue — the
+    stationarity-null counterpart of the unit-root view
+    (`timeseries_ar1_halflife` fits mean reversion; KPSS asks whether
+    the level is stable at all — the triage that decides differencing
+    before any ARIMA-family fit). Lag-0 (i.i.d.) long-run variance by
+    CONTRACT — deterministic, no HAC bandwidth choice; the classical
+    5% critical value 0.463 is emitted with a reject flag.
+
+    Determinism: denominators clear by n — n·e_t = n·y_t − Σy and its
+    partial sums are exact integers (DECIMAL(38,0) ≡ HUGEINT), and
+    η = Σ(n·S_t)² / (n · Σ(n·e_t)²) algebraically, so the statistic
+    is ONE division of exact integers, `dround` 6; the reject flag
+    compares the identical unrounded double in both engines.
+
+    Scale: one corpus-sized monthly rollup; one window
+    exchange+sort per priority serves both the totals and the running
+    partial sum."""
+    orders = read_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("month", "o_orderdate").alias("mon"),
+    ).agg(dsum_scaled("o_totalprice").alias("rev_s"))
+    w_n = Window.partitionBy("priority")
+    t = m.select(
+        "priority",
+        "mon",
+        "rev_s",
+        F.count(F.lit(1)).over(w_n).alias("n"),
+        F.sum(F.col("rev_s").cast("decimal(38,0)")).over(w_n).alias("sy"),
+    )
+    ne = (
+        F.col("n").cast("decimal(38,0)") * F.col("rev_s") - F.col("sy")
+    ).alias("ne")
+    t2 = t.select("priority", "mon", "n", ne)
+    w_cum = Window.partitionBy("priority").orderBy("mon")
+    t3 = t2.select(
+        "priority",
+        "n",
+        "ne",
+        F.sum("ne").over(w_cum).alias("ns"),
+    )
+    agg = t3.groupBy("priority").agg(
+        F.max("n").cast("long").alias("n_months"),
+        F.sum(F.col("ns") * F.col("ns")).alias("q_ns"),
+        F.sum(F.col("ne") * F.col("ne")).alias("q_ne"),
+    )
+    eta = F.col("q_ns").cast("double") / (
+        F.col("n_months").cast("double") * F.col("q_ne").cast("double")
+    )
+    return (
+        agg.filter(F.col("q_ne") > 0)
+        .select(
+            "priority",
+            "n_months",
+            dround(eta, 6).alias("kpss_eta"),
+            F.lit(0.463).alias("crit_5pct"),
+            (eta > F.lit(0.463)).cast("int").alias("reject_level_stat"),
+        )
+        .orderBy("priority")
+    )
+
+
+QUERIES["timeseries_kpss_stat"] = timeseries_kpss_stat
+
+ORACLE["timeseries_kpss_stat"] = (
+    "WITH m AS (SELECT o_orderpriority AS priority, "
+    "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon, "
+    "CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS BIGINT) "
+    "AS rev_s FROM orders GROUP BY 1, 2), "
+    "t AS (SELECT priority, mon, rev_s, "
+    "CAST(COUNT(*) OVER (PARTITION BY priority) AS BIGINT) AS n, "
+    "SUM(CAST(rev_s AS HUGEINT)) OVER (PARTITION BY priority) AS sy "
+    "FROM m), "
+    "t2 AS (SELECT priority, mon, n, "
+    "CAST(n AS HUGEINT) * rev_s - sy AS ne FROM t), "
+    "t3 AS (SELECT priority, n, ne, "
+    "SUM(ne) OVER (PARTITION BY priority ORDER BY mon) AS ns FROM t2), "
+    "a AS (SELECT priority, CAST(MAX(n) AS BIGINT) AS n_months, "
+    "SUM(ns * ns) AS q_ns, SUM(ne * ne) AS q_ne FROM t3 GROUP BY 1) "
+    "SELECT priority, n_months, "
+    "ROUND(CAST(q_ns AS DOUBLE) / (CAST(n_months AS DOUBLE) "
+    "* CAST(q_ne AS DOUBLE)), 6) AS kpss_eta, "
+    "0.463 AS crit_5pct, "
+    "CAST(CAST(q_ns AS DOUBLE) / (CAST(n_months AS DOUBLE) "
+    "* CAST(q_ne AS DOUBLE)) > 0.463 AS INT) AS reject_level_stat "
+    "FROM a WHERE q_ne > 0 ORDER BY priority"
+)
+
+
+# --- G-test (likelihood-ratio) independence --------------------------------------------
+
+GTEST_SCALE = 1_000_000  # per-cell term quantization
+
+
+def agg_gtest_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**G-test of independence** (Sokal & Rohlf; Woolf 1957) between
+    order STATUS and PRIORITY: G = 2·Σ O·ln(N·O/(r·c)) — the
+    likelihood-ratio twin of `agg_chi_square_independence` (additively
+    decomposable across table partitions, which Pearson χ² is not;
+    the version information-theoretic pipelines prefer since G =
+    2N·MI in nats — the bridge to `agg_mutual_information`).
+
+    Determinism: the margins/total join is the chi-square device; each
+    cell's O·ln(N·O/(r·c)) double (one ln of a ratio of exact sub-2^53
+    integers) quantizes to scaled int64 per CELL before the exact
+    cross-cell sum, and G is one descale+double, `dround` 6.
+
+    Scale: one map-side-combinable count aggregate over orders;
+    margins broadcast back; cell algebra on the R×C frame."""
+    orders = read_table(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        F.col("o_orderstatus").alias("s"),
+        F.col("o_orderpriority").alias("p"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rows_m = cells.groupBy("s").agg(F.sum("o").alias("r"))
+    cols_m = cells.groupBy("p").agg(F.sum("o").alias("c"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("s").alias("nr"),
+        F.countDistinct("p").alias("nc"),
+    )
+    joined = (
+        cells.join(F.broadcast(rows_m), "s")
+        .join(F.broadcast(cols_m), "p")
+        .crossJoin(F.broadcast(tot))
+    )
+    o_d = F.col("o").cast("double")
+    term = o_d * F.log(
+        F.col("n").cast("double")
+        * o_d
+        / (F.col("r").cast("double") * F.col("c").cast("double"))
+    )
+    return (
+        joined.groupBy("n", "nr", "nc")
+        .agg(dsum_scaled(term, GTEST_SCALE).alias("t_s"))
+        .select(
+            F.col("n").cast("long").alias("n_orders"),
+            ((F.col("nr") - F.lit(1)) * (F.col("nc") - F.lit(1)))
+            .cast("int")
+            .alias("df"),
+            dround(
+                F.lit(2.0)
+                * F.col("t_s").cast("double")
+                / F.lit(float(GTEST_SCALE)),
+                6,
+            ).alias("g_stat"),
+        )
+    )
+
+
+QUERIES["agg_gtest_independence"] = agg_gtest_independence
+
+ORACLE["agg_gtest_independence"] = (
+    "WITH cells AS (SELECT o_orderstatus AS s, o_orderpriority AS p, "
+    "CAST(COUNT(*) AS BIGINT) AS o FROM orders GROUP BY 1, 2), "
+    "rm AS (SELECT s, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1), "
+    "cm AS (SELECT p, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1), "
+    "tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n, "
+    "CAST(COUNT(DISTINCT s) AS BIGINT) AS nr, "
+    "CAST(COUNT(DISTINCT p) AS BIGINT) AS nc FROM cells), "
+    "t AS (SELECT n, nr, nc, "
+    "CAST(SUM(CAST(ROUND(CAST(o AS DOUBLE) "
+    "* ln(CAST(n AS DOUBLE) * CAST(o AS DOUBLE) "
+    "/ (CAST(r AS DOUBLE) * CAST(c AS DOUBLE))) "
+    f"* {GTEST_SCALE}) AS BIGINT)) AS BIGINT) AS t_s "
+    "FROM cells JOIN rm USING (s) JOIN cm USING (p), tot "
+    "GROUP BY 1, 2, 3) "
+    "SELECT n AS n_orders, CAST((nr - 1) * (nc - 1) AS INT) AS df, "
+    f"ROUND(2.0 * CAST(t_s AS DOUBLE) / {float(GTEST_SCALE)}, 6) "
+    "AS g_stat FROM t"
+)
+
+
+# --- Winsorized mean (10% per tail clamped, not dropped) -------------------------------
+
+
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Exact winsorized mean** (10% per tail — Winsor via Tukey 1962)
+    of order value per year: rank each year's orders, CLAMP the k =
+    floor(n/10) most extreme values at each tail to the boundary order
+    statistics v₍k+1₎ / v₍n−k₎, average all n — the robust-location
+    estimator that (unlike `agg_trimmed_mean`, which drops the tails)
+    keeps n constant and so composes with downstream per-year counts;
+    the rank-based batch form of `norm_winsorize_clip`'s fixed-quantile
+    clamp.
+
+    Determinism: pure integer logic — the clamp boundary is a
+    ROW_NUMBER with the unique order-key tiebreak, boundary values are
+    exact scaled int64 picked by rank equality, and the winsorized sum
+    k·v₍k+1₎ + Σ_middle + k·v₍n−k₎ is exact integer arithmetic end to
+    end; means are single divisions, 4-dp.
+
+    Scale: one exchange per year partition (rank window + conditional
+    aggregate share it) — the `agg_trimmed_mean` posture."""
+    from ..functions.numerics import _nearest_long_away
+
+    orders = read_table(spark, sf_dir, "orders")
+    w_rank = Window.partitionBy(F.year("o_orderdate")).orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    w_n = Window.partitionBy(F.year("o_orderdate"))
+    r = orders.select(
+        F.year("o_orderdate").cast("int").alias("year"),
+        _nearest_long_away(F.col("o_totalprice") * 10000).alias("v"),
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    k = F.floor(F.col("n") / 10)
+    mid = (F.col("rn") > k) & (F.col("rn") <= F.col("n") - k)
+    agg = r.groupBy("year").agg(
+        F.max("n").cast("long").alias("n_orders"),
+        F.max(k).cast("long").alias("k_wins"),
+        F.max(F.when(F.col("rn") == k + 1, F.col("v"))).alias("lo_s"),
+        F.max(F.when(F.col("rn") == F.col("n") - k, F.col("v"))).alias(
+            "hi_s"
+        ),
+        F.sum(F.when(mid, F.col("v")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("mid_s"),
+        F.sum("v").cast("long").alias("all_s"),
+    )
+    win_s = (
+        F.col("k_wins") * F.col("lo_s")
+        + F.col("mid_s")
+        + F.col("k_wins") * F.col("hi_s")
+    )
+    return agg.select(
+        "year",
+        "n_orders",
+        "k_wins",
+        F.round(F.col("lo_s") / 10_000.0, 4).alias("lo_clamp"),
+        F.round(F.col("hi_s") / 10_000.0, 4).alias("hi_clamp"),
+        dround(
+            F.col("all_s").cast("double")
+            / 10_000.0
+            / F.col("n_orders").cast("double"),
+            4,
+        ).alias("mean_price"),
+        dround(
+            win_s.cast("double")
+            / 10_000.0
+            / F.col("n_orders").cast("double"),
+            4,
+        ).alias("winsorized_mean_price"),
+    ).orderBy("year")
+
+
+QUERIES["agg_winsorized_mean"] = agg_winsorized_mean
+
+ORACLE["agg_winsorized_mean"] = (
+    "WITH r AS (SELECT CAST(year(o_orderdate) AS INT) AS year, "
+    "CAST(ROUND(o_totalprice * 10000) AS BIGINT) AS v, "
+    "ROW_NUMBER() OVER (PARTITION BY year(o_orderdate) "
+    "ORDER BY o_totalprice, o_orderkey) AS rn, "
+    "COUNT(*) OVER (PARTITION BY year(o_orderdate)) AS n FROM orders), "
+    "a AS (SELECT year, CAST(MAX(n) AS BIGINT) AS n_orders, "
+    "CAST(MAX(n // 10) AS BIGINT) AS k_wins, "
+    "CAST(MAX(CASE WHEN rn = n // 10 + 1 THEN v END) AS BIGINT) "
+    "AS lo_s, "
+    "CAST(MAX(CASE WHEN rn = n - n // 10 THEN v END) AS BIGINT) "
+    "AS hi_s, "
+    "CAST(SUM(CASE WHEN rn > n // 10 AND rn <= n - n // 10 "
+    "THEN v ELSE 0 END) AS BIGINT) AS mid_s, "
+    "CAST(SUM(v) AS BIGINT) AS all_s FROM r GROUP BY 1) "
+    "SELECT year, n_orders, k_wins, "
+    "ROUND(CAST(lo_s AS DOUBLE) / 10000.0, 4) AS lo_clamp, "
+    "ROUND(CAST(hi_s AS DOUBLE) / 10000.0, 4) AS hi_clamp, "
+    "ROUND(CAST(all_s AS DOUBLE) / 10000.0 "
+    "/ CAST(n_orders AS DOUBLE), 4) AS mean_price, "
+    "ROUND(CAST(k_wins * lo_s + mid_s + k_wins * hi_s AS DOUBLE) "
+    "/ 10000.0 / CAST(n_orders AS DOUBLE), 4) "
+    "AS winsorized_mean_price "
+    "FROM a ORDER BY year"
+)

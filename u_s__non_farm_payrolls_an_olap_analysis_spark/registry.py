@@ -285,6 +285,14 @@ _SAMPLE_PRIORITY = [
     "agg_delta_method_ratio_ci",
     # NEW in round 13 — HITS hubs/authorities on the purchase graph
     "graph_hits_scores",
+    # NEW in round 13 — Cochran-Armitage ordered trend test
+    "agg_cochran_armitage_trend",
+    # NEW in round 13 — KPSS level-stationarity statistic per priority
+    "timeseries_kpss_stat",
+    # NEW in round 13 — G-test (likelihood-ratio) independence
+    "agg_gtest_independence",
+    # NEW in round 13 — exact 10%-winsorized mean per year
+    "agg_winsorized_mean",
     # latest driver row r6 — oldest surviving evidence, in r6 order
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
