@@ -588,3 +588,199 @@ def test_winsorized_mean_matches_pure_python(spark):
         assert row["winsorized_mean_price"] == _round4(win / 10000.0 / n)
         # clamping pulls the mean toward the median but never past the clamps
         assert lo / 10000.0 <= row["winsorized_mean_price"] <= hi / 10000.0
+
+
+# --- wave 12 --------------------------------------------------------------------------
+
+
+def test_silhouette_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.similarity import (
+        IVF_K,
+        KMEANS_ITERS,
+        N_QUERIES,
+        sim_eval_silhouette,
+    )
+
+    emb = (
+        read_table(spark, SF, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cand = sorted(
+        ((r["vec_id"], [float(x) for x in r["embedding"]]) for r in emb
+         if r["vec_id"] >= N_QUERIES)
+    )
+
+    def cos6(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        da = math.sqrt(sum(x * x for x in a))
+        db = math.sqrt(sum(x * x for x in b))
+        return _round6(num / (da * db))
+
+    # replicate the deterministic Lloyd's codebook (first-k init,
+    # 6-dp-cosine argmax assign, scaled-int64 micro-unit mean update)
+    cent = {cid: list(ce) for cid, ce in cand[:IVF_K]}
+    for _ in range(KMEANS_ITERS):
+        members = collections.defaultdict(list)
+        for vid, ce in cand:
+            best = max(
+                cent.items(), key=lambda kv: (cos6(ce, kv[1]), -kv[0])
+            )
+            members[best[0]].append(ce)
+        cent = {}
+        for cid, ms in members.items():
+            dims = len(ms[0])
+            cent[cid] = [
+                sum(_round_half_away(m[d] * 1e6) for m in ms)
+                / len(ms)
+                / 1e6
+                for d in range(dims)
+            ]
+
+    per = collections.defaultdict(lambda: [0, 0, 0])
+    for vid, ce in cand:
+        scored = sorted(
+            ((cos6(ce, e), -cid) for cid, e in cent.items()), reverse=True
+        )
+        cc1, cc2 = scored[0][0], scored[1][0]
+        cluster = -scored[0][1]
+        denom = max(1.0 - cc1, 1.0 - cc2)
+        s = (cc1 - cc2) / denom if denom > 0 else 0.0
+        sq = _round_half_away(s * 1e9)
+        cell = per[cluster]
+        cell[0] += 1
+        cell[1] += 1 if sq < 0 else 0
+        cell[2] += sq
+
+    got = {r["cluster"]: r for r in sim_eval_silhouette(spark, SF).collect()}
+    assert set(got) == set(per)
+    for cid, (n, neg, ssum) in per.items():
+        row = got[cid]
+        assert row["n_members"] == n
+        assert row["n_negative"] == neg
+        assert row["avg_silhouette"] == _round6(ssum / n / 1e9)
+        # silhouette lives in [-1, 1]
+        assert -1.0 <= row["avg_silhouette"] <= 1.0
+
+
+def test_ytd_vs_prior_year_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        window_ytd_vs_prior_year,
+    )
+
+    rows = (
+        read_table(spark, SF, "orders")
+        .select("o_orderpriority", "o_orderdate", "o_totalprice")
+        .collect()
+    )
+    monthly = collections.defaultdict(int)
+    for r in rows:
+        key = (
+            r["o_orderpriority"],
+            r["o_orderdate"].year,
+            r["o_orderdate"].month,
+        )
+        monthly[key] += _round_half_away(r["o_totalprice"] * 10000)
+    ytd = {}
+    acc = collections.defaultdict(int)
+    for (g, y, m), v in sorted(monthly.items()):
+        acc[(g, y)] += v
+        ytd[(g, y, m)] = (v, acc[(g, y)])
+
+    got = {
+        (r["priority"], r["mon"].year, r["mon"].month): r
+        for r in window_ytd_vs_prior_year(spark, SF).collect()
+    }
+    expect = {
+        (g, y, m)
+        for (g, y, m) in ytd
+        if (g, y - 1, m) in ytd and ytd[(g, y - 1, m)][1] > 0
+    }
+    assert set(got) == expect
+    for g, y, m in expect:
+        v, t = ytd[(g, y, m)]
+        _, p = ytd[(g, y - 1, m)]
+        row = got[(g, y, m)]
+        assert row["revenue"] == _round4(v / 10000.0)
+        assert row["ytd_revenue"] == _round4(t / 10000.0)
+        assert row["prior_ytd_revenue"] == _round4(p / 10000.0)
+        assert row["yoy_ytd_growth"] == _round6((t - p) / p)
+        # December row equals the plain full-year YoY comparison
+        assert row["ytd_revenue"] >= row["revenue"] - 1e-9
+
+
+def test_srm_check_matches_pure_python(spark):
+    import hashlib
+
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        agg_srm_assignment_check,
+    )
+
+    rows = (
+        read_table(spark, SF, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+    )
+    arms = collections.defaultdict(lambda: [0, 0])
+    for r in rows:
+        h = hashlib.md5(f"ab:{r['o_orderkey']}".encode()).hexdigest()
+        arm = (
+            "control" if int(h[:8], 16) % 2 == 0 else "treatment"
+        )
+        cell = arms[arm]
+        cell[0] += 1
+        cell[1] += _round_half_away(r["o_totalprice"] * 10000)
+    n = sum(c[0] for c in arms.values())
+    got = {r["arm"]: r for r in agg_srm_assignment_check(spark, SF).collect()}
+    assert set(got) == set(arms)
+    for arm, (n_g, s_g) in arms.items():
+        row = got[arm]
+        chi2 = (2 * n_g - n) ** 2 / n
+        assert row["n_assigned"] == n_g
+        assert row["share"] == _round6(n_g / n)
+        assert row["mean_price"] == _round4(s_g / 10000.0 / n_g)
+        assert row["srm_chi2"] == _round6(chi2)
+        assert row["srm_flag"] == (1 if chi2 > 3.841 else 0)
+    # the statistic is arm-symmetric and the shares are a partition
+    # (the sf0.001 fixture happens to sit at a genuine 2.3-sigma split —
+    # chi2 = 5.4 — so the flag firing IS the correct output there)
+    assert got["control"]["srm_chi2"] == got["treatment"]["srm_chi2"]
+    assert (
+        abs(got["control"]["share"] + got["treatment"]["share"] - 1.0)
+        <= 2e-6
+    )
+
+
+def test_stream_interarrival_ewma_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.streaming.stateful import (
+        stream_interarrival_ewma,
+    )
+
+    ev = (
+        read_table(spark, SF, "events")
+        .select("user_id", "ts", "event_id")
+        .collect()
+    )
+    by_user = collections.defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append((r["ts"], r["event_id"]))
+    expect = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        last = None
+        ewma = 0.0
+        for i, (ts, eid) in enumerate(evs):
+            if i > 0:
+                gap = int((ts - last).total_seconds() * 1_000_000 + 0.5)
+                ewma = float(gap) if i == 1 else 0.5 * gap + 0.5 * ewma
+                expect[(u, eid)] = (gap, _round4(ewma))
+            last = ts
+
+    got = stream_interarrival_ewma(spark, SF).collect()
+    assert len(got) == len(expect)
+    for r in got:
+        gap, ewma = expect[(r["user_id"], r["event_id"])]
+        assert r["gap_us"] == gap
+        assert r["ewma_gap_us"] == ewma
+    # smoothing is a convex blend: EWMA stays within the running gap range
+    assert all(r["ewma_gap_us"] >= 0 for r in got)

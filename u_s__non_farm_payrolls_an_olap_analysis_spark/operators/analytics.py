@@ -7545,3 +7545,205 @@ ORACLE["agg_winsorized_mean"] = (
     "AS winsorized_mean_price "
     "FROM a ORDER BY year"
 )
+
+
+# --- YTD running revenue vs prior-year YTD ---------------------------------------------
+
+
+def window_ytd_vs_prior_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**YTD vs prior-year YTD** per priority — the fiscal-calendar
+    running comparison every finance dashboard leads with (Kimball's
+    "year-to-date vs same period last year"): cumulative revenue
+    within the year at each month, joined against the SAME month
+    offset of the previous year, with the YoY-YTD growth rate. The
+    calendar-anchored member of the window family — `window_drawdown`
+    compares against the running peak, `window_share_of_total` against
+    the year total; this compares against LAST YEAR's partial total
+    (which no single window frame expresses — it is a cumsum + a
+    calendar self-join).
+
+    Determinism: YTD is an exact int64 cumulative sum of the 1e4-scaled
+    monthly revenue; the prior-year lookup is an integer equi-join on
+    (priority, month-of-year, year−1) — no frame arithmetic, so missing
+    months can never silently shift the comparison; growth is one
+    division of exact ints, `dround` 6 (prior YTD > 0 always on this
+    fixture; the join is INNER so year 1 rows without a comparator
+    drop, keeping the output NULL-free).
+
+    Scale: one corpus-sized monthly rollup, ONE window exchange per
+    priority for the cumsum, then a dim-sized self-join (month-count
+    rows) — broadcast-able."""
+    orders = read_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("month", "o_orderdate").alias("mon"),
+    ).agg(dsum_scaled("o_totalprice").alias("rev_s"))
+    w_cum = (
+        Window.partitionBy("priority", F.year("mon"))
+        .orderBy("mon")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = m.select(
+        "priority",
+        "mon",
+        F.year("mon").cast("int").alias("yr"),
+        F.month("mon").cast("int").alias("monum"),
+        "rev_s",
+        F.sum("rev_s").over(w_cum).alias("ytd_s"),
+    )
+    prior = t.select(
+        F.col("priority").alias("p_priority"),
+        (F.col("yr") + F.lit(1)).alias("p_yr"),
+        F.col("monum").alias("p_monum"),
+        F.col("ytd_s").alias("p_ytd_s"),
+    )
+    j = t.join(
+        prior,
+        (F.col("priority") == F.col("p_priority"))
+        & (F.col("yr") == F.col("p_yr"))
+        & (F.col("monum") == F.col("p_monum")),
+    )
+    return (
+        j.filter(F.col("p_ytd_s") > 0)
+        .select(
+            "priority",
+            "mon",
+            F.round(F.col("rev_s") / 10_000.0, 4).alias("revenue"),
+            F.round(F.col("ytd_s") / 10_000.0, 4).alias("ytd_revenue"),
+            F.round(F.col("p_ytd_s") / 10_000.0, 4).alias(
+                "prior_ytd_revenue"
+            ),
+            dround(
+                (
+                    F.col("ytd_s").cast("double")
+                    - F.col("p_ytd_s").cast("double")
+                )
+                / F.col("p_ytd_s").cast("double"),
+                6,
+            ).alias("yoy_ytd_growth"),
+        )
+        .orderBy("priority", "mon")
+    )
+
+
+QUERIES["window_ytd_vs_prior_year"] = window_ytd_vs_prior_year
+
+ORACLE["window_ytd_vs_prior_year"] = (
+    "WITH m AS (SELECT o_orderpriority AS priority, "
+    "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon, "
+    "CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS BIGINT) "
+    "AS rev_s FROM orders GROUP BY 1, 2), "
+    "t AS (SELECT priority, mon, "
+    "CAST(year(mon) AS INT) AS yr, CAST(month(mon) AS INT) AS monum, "
+    "rev_s, CAST(SUM(rev_s) OVER (PARTITION BY priority, year(mon) "
+    "ORDER BY mon ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+    "AS BIGINT) AS ytd_s FROM m) "
+    "SELECT t.priority, t.mon, "
+    "ROUND(CAST(t.rev_s AS DOUBLE) / 10000.0, 4) AS revenue, "
+    "ROUND(CAST(t.ytd_s AS DOUBLE) / 10000.0, 4) AS ytd_revenue, "
+    "ROUND(CAST(p.ytd_s AS DOUBLE) / 10000.0, 4) AS prior_ytd_revenue, "
+    "ROUND((CAST(t.ytd_s AS DOUBLE) - CAST(p.ytd_s AS DOUBLE)) "
+    "/ CAST(p.ytd_s AS DOUBLE), 6) AS yoy_ytd_growth "
+    "FROM t JOIN t p ON p.priority = t.priority "
+    "AND t.yr = p.yr + 1 AND t.monum = p.monum "
+    "WHERE p.ytd_s > 0 ORDER BY t.priority, t.mon"
+)
+
+
+# --- Deterministic A/B assignment + sample-ratio-mismatch check ------------------------
+
+
+def agg_srm_assignment_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Hash-bucketed A/B assignment with a sample-ratio-mismatch
+    (SRM) guardrail** (Fabijan et al. KDD'19 — the first diagnostic
+    every experimentation platform runs): assign each order to
+    control/treatment by a PORTABLE salted-md5 parity (the
+    `agg_halfsample_ci` device — no RNG state, reproducible on any
+    cluster layout), then chi-square the realized split against the
+    designed 50/50. For two cells the statistic collapses to
+    (n₀−n₁)²/n — ONE division of exact integers (and it is symmetric
+    in the arms, so both rows carry the same value). The per-arm mean
+    of the metric is emitted beside it — the table a reviewer reads
+    before trusting any downstream test (`agg_delta_method_ratio_ci`,
+    `agg_welch_ttest`).
+
+    Determinism: assignment is a pure function of the order key; every
+    count is exact; means divide exact scaled-int sums; the flag
+    compares the identical unrounded double to the 1-df 5% critical
+    value 3.841 in both engines.
+
+    Scale: one map-side-combinable conditional aggregate over orders;
+    all algebra on the 2-row arm frame."""
+    from ..functions.numerics import _nearest_long_away
+
+    orders = read_table(spark, sf_dir, "orders")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("ab:"), F.col("o_orderkey").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    g = orders.select(
+        F.when(arm == 0, "control").otherwise("treatment").alias("arm"),
+        _nearest_long_away(F.col("o_totalprice") * 10000).alias("v"),
+    ).groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("v").cast("long").alias("s_g"),
+    )
+    w_all = Window.partitionBy()
+    t = g.select(
+        "arm",
+        "n_g",
+        "s_g",
+        F.sum("n_g").over(w_all).alias("n"),
+    )
+    diff = F.lit(2) * F.col("n_g") - F.col("n")
+    chi2 = (diff * diff).cast("double") / F.col("n").cast("double")
+    return t.select(
+        "arm",
+        F.col("n_g").alias("n_assigned"),
+        dround(
+            F.col("n_g").cast("double") / F.col("n").cast("double"), 6
+        ).alias("share"),
+        dround(
+            F.col("s_g").cast("double")
+            / 10_000.0
+            / F.col("n_g").cast("double"),
+            4,
+        ).alias("mean_price"),
+        dround(chi2, 6).alias("srm_chi2"),
+        (chi2 > F.lit(3.841)).cast("int").alias("srm_flag"),
+    ).orderBy("arm")
+
+
+QUERIES["agg_srm_assignment_check"] = agg_srm_assignment_check
+
+ORACLE["agg_srm_assignment_check"] = (
+    "WITH g AS (SELECT CASE WHEN "
+    "CAST(('0x' || substr(md5('ab:' || CAST(o_orderkey AS VARCHAR)), "
+    "1, 8)) AS BIGINT) % 2 = 0 THEN 'control' ELSE 'treatment' END "
+    "AS arm, "
+    "CAST(COUNT(*) AS BIGINT) AS n_g, "
+    "CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS BIGINT) "
+    "AS s_g FROM orders GROUP BY 1), "
+    "t AS (SELECT arm, n_g, s_g, SUM(n_g) OVER () AS n FROM g) "
+    "SELECT arm, n_g AS n_assigned, "
+    "ROUND(CAST(n_g AS DOUBLE) / CAST(n AS DOUBLE), 6) AS share, "
+    "ROUND(CAST(s_g AS DOUBLE) / 10000.0 / CAST(n_g AS DOUBLE), 4) "
+    "AS mean_price, "
+    "ROUND(CAST((2 * n_g - n) * (2 * n_g - n) AS DOUBLE) "
+    "/ CAST(n AS DOUBLE), 6) AS srm_chi2, "
+    "CAST(CAST((2 * n_g - n) * (2 * n_g - n) AS DOUBLE) "
+    "/ CAST(n AS DOUBLE) > 3.841 AS INT) AS srm_flag "
+    "FROM t ORDER BY arm"
+)

@@ -2748,3 +2748,125 @@ ORACLE["sim_eval_average_precision"] = (
     "AS average_precision "
     "FROM pq JOIN lt USING (q_label) ORDER BY query_id"
 )
+
+
+# --- Simplified (centroid) silhouette of the k-means codebook partition ---------------
+
+SIL_SCALE = 1_000_000_000.0  # per-point silhouette terms as nano-units
+
+
+def sim_eval_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Simplified silhouette** (Rousseeuw 1987; the centroid-distance
+    form of Hruschka et al. 2004 — the O(n·k) variant production
+    clustering evals use, since the classic pairwise silhouette is
+    O(n²)) of the deterministic k-means codebook partition: per point,
+    a = cosine distance to its OWN centroid, b = distance to the
+    nearest OTHER centroid, s = (b−a)/max(a,b) — aggregated per
+    cluster. The GEOMETRIC cluster-quality view beside
+    `sim_eval_cluster_purity`'s label-based view (purity needs ground
+    truth; silhouette doesn't — it is the eval you can run on any
+    unlabeled corpus before trusting the IVF routing).
+
+    Determinism: the trained codebook is the scaled-int64-exact
+    Lloyd's codebook (`_train_kmeans_codebook_exact`); distances come
+    from the SAME 6-dp rounded cosines both engines rank identically,
+    so a = 1−cc₁, b = 1−cc₂ off the rank-1/rank-2 window rows, and
+    each point's s quantizes to scaled int64 before the exact
+    per-cluster sum. Zero-denominator points (duplicate of the
+    centroid with a tie) define s = 0, guarded identically.
+
+    Scale: one broadcast-codebook scan (n·k scored rows), one
+    per-point rank window, one cluster-count rollup — no pairwise
+    work anywhere."""
+    from ..functions.numerics import _nearest_long_away
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cand = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+    )
+    cent = _train_kmeans_codebook_exact(cand, IVF_K, KMEANS_ITERS)
+    scored = cand.join(F.broadcast(cent)).select(
+        "neighbor_id",
+        "cent_id",
+        dround(cosine(F.col("ce"), F.col("cent_e")), 6).alias("cc"),
+    )
+    w = Window.partitionBy("neighbor_id").orderBy(
+        F.col("cc").desc(), "cent_id"
+    )
+    r2 = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 2
+    )
+    pv = r2.groupBy("neighbor_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("cent_id"))).alias("cluster"),
+        F.max(F.when(F.col("rn") == 1, F.col("cc"))).alias("cc1"),
+        F.max(F.when(F.col("rn") == 2, F.col("cc"))).alias("cc2"),
+    )
+    denom = F.greatest(
+        F.lit(1.0) - F.col("cc1"), F.lit(1.0) - F.col("cc2")
+    )
+    s = F.when(
+        denom > 0, (F.col("cc1") - F.col("cc2")) / denom
+    ).otherwise(F.lit(0.0))
+    q = pv.select(
+        "cluster", _nearest_long_away(s * F.lit(SIL_SCALE)).alias("sq")
+    )
+    per = q.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum(F.when(F.col("sq") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_negative"),
+        F.sum("sq").cast("long").alias("s_sum"),
+    )
+    return per.select(
+        F.col("cluster").cast("long").alias("cluster"),
+        "n_members",
+        "n_negative",
+        dround(
+            F.col("s_sum").cast("double")
+            / F.col("n_members").cast("double")
+            / F.lit(SIL_SCALE),
+            6,
+        ).alias("avg_silhouette"),
+    ).orderBy("cluster")
+
+
+QUERIES["sim_eval_silhouette"] = sim_eval_silhouette
+
+
+def _silhouette_oracle_sql() -> str:
+    cos_cc = cosine_sql("ce", "cent_e")
+    parts = [
+        f"cand AS (SELECT vec_id AS neighbor_id, embedding AS ce "
+        f"FROM embeddings WHERE vec_id >= {N_QUERIES})",
+    ]
+    unroll, prev = kmeans_unroll_parts(IVF_K, KMEANS_ITERS)
+    parts += unroll
+    parts += [
+        "cs AS (SELECT neighbor_id, cent_id, "
+        f"ROUND({cos_cc}, 6) AS cc, "
+        "ROW_NUMBER() OVER (PARTITION BY neighbor_id "
+        f"ORDER BY ROUND({cos_cc}, 6) DESC, cent_id) AS rn "
+        f"FROM cand CROSS JOIN {prev})",
+        "pv AS (SELECT neighbor_id, "
+        "MAX(CASE WHEN rn = 1 THEN cent_id END) AS cluster, "
+        "MAX(CASE WHEN rn = 1 THEN cc END) AS cc1, "
+        "MAX(CASE WHEN rn = 2 THEN cc END) AS cc2 "
+        "FROM cs WHERE rn <= 2 GROUP BY 1)",
+        "q AS (SELECT cluster, CAST(ROUND(CASE WHEN "
+        "GREATEST(1.0 - cc1, 1.0 - cc2) > 0 THEN (cc1 - cc2) "
+        "/ GREATEST(1.0 - cc1, 1.0 - cc2) ELSE 0.0 END "
+        f"* {SIL_SCALE:.1f}) AS BIGINT) AS sq FROM pv)",
+    ]
+    return (
+        "WITH " + ", ".join(parts)
+        + " SELECT CAST(cluster AS BIGINT) AS cluster, "
+        "CAST(COUNT(*) AS BIGINT) AS n_members, "
+        "CAST(SUM(CASE WHEN sq < 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_negative, "
+        "ROUND(CAST(SUM(sq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) "
+        f"/ {SIL_SCALE:.1f}, 6) AS avg_silhouette "
+        "FROM q GROUP BY 1 ORDER BY 1"
+    )
+
+
+ORACLE["sim_eval_silhouette"] = _silhouette_oracle_sql()

@@ -293,6 +293,14 @@ _SAMPLE_PRIORITY = [
     "agg_gtest_independence",
     # NEW in round 13 — exact 10%-winsorized mean per year
     "agg_winsorized_mean",
+    # NEW in round 13 — simplified (centroid) silhouette per cluster
+    "sim_eval_silhouette",
+    # NEW in round 13 — YTD vs prior-year YTD with YoY growth
+    "window_ytd_vs_prior_year",
+    # NEW in round 13 — hash A/B assignment + sample-ratio-mismatch check
+    "agg_srm_assignment_check",
+    # NEW in round 13 — streaming per-user inter-arrival EWMA (stateful)
+    "stream_interarrival_ewma",
     # latest driver row r6 — oldest surviving evidence, in r6 order
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",

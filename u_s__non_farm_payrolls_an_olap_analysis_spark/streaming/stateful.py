@@ -479,3 +479,141 @@ QUERIES["stream_pattern_match"] = stream_pattern_match
 from ..operators.analytics import ORACLE as _ANALYTICS_ORACLE  # noqa: E402
 
 ORACLE["stream_pattern_match"] = _ANALYTICS_ORACLE["events_pattern_match"]
+
+
+# --- Streaming inter-arrival EWMA per user ----------------------------------
+
+_IA_OUTPUT_SCHEMA = (
+    "user_id long, ts_us long, event_id long, gap_us long, ewma double"
+)
+_IA_STATE_SCHEMA = "last_us long, ewma double, n long"
+
+
+def _interarrival_update(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user EWMA of inter-arrival gaps as explicit group state
+    (last event time, current smoothed gap, events seen): each arriving
+    event after the first emits its raw gap and the α=½ blend — the
+    streaming health signal behind rate-anomaly alerting ("this user's
+    cadence halved"). α=½ keeps every update a halving+add of exact
+    integer microsecond gaps — the `timeseries_ewma_smooth` IEEE
+    device — so the stream output hash-matches the batch recursive
+    replay bit for bit."""
+    last_us, ewma, n = state.get if state.exists else (0, 0.0, 0)
+    out: dict[str, list] = {
+        "user_id": [],
+        "ts_us": [],
+        "event_id": [],
+        "gap_us": [],
+        "ewma": [],
+    }
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        for ts_us, eid in zip(
+            pdf["ts_us"].to_numpy("int64"),
+            pdf["event_id"].to_numpy("int64"),
+        ):
+            if n > 0:
+                gap = int(ts_us) - int(last_us)
+                ewma = (
+                    float(gap)
+                    if n == 1
+                    else 0.5 * float(gap) + 0.5 * ewma
+                )
+                out["user_id"].append(int(key[0]))
+                out["ts_us"].append(int(ts_us))
+                out["event_id"].append(int(eid))
+                out["gap_us"].append(gap)
+                out["ewma"].append(ewma)
+            last_us = int(ts_us)
+            n += 1
+    state.update((int(last_us), float(ewma), int(n)))
+    yield pd.DataFrame(
+        {
+            "user_id": pd.Series(out["user_id"], dtype="int64"),
+            "ts_us": pd.Series(out["ts_us"], dtype="int64"),
+            "event_id": pd.Series(out["event_id"], dtype="int64"),
+            "gap_us": pd.Series(out["gap_us"], dtype="int64"),
+            "ewma": pd.Series(out["ewma"], dtype="float64"),
+        }
+    )
+
+
+def stream_interarrival_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **streaming inter-arrival EWMA** per user: the
+    stateful-recurrence member of the stream pack (the
+    `stream_pattern_match` batch→stream translation applied to a
+    NUMERIC recurrence instead of a CEP anchor): whatever the batch
+    recursion carries from the past — here (last timestamp, smoothed
+    gap) — the stream carries as O(1) group state, and each event
+    emits its update on arrival (append mode, no watermark
+    dependency, so the bounded replay is complete without horizon
+    staging).
+
+    Determinism: gaps are exact epoch-microsecond int64 differences
+    (timestamps ride as longs end-to-end — CLAUDE.md rule 6); α=½
+    makes every EWMA update a halving + add on identical doubles, so
+    the DuckDB recursive-CTE replay of the same recurrence
+    hash-matches at 4 dp with zero tolerance. Emission starts at each
+    user's SECOND event (the first has no gap).
+
+    Scale: state is two scalars per user regardless of stream length;
+    per-user time-ordered arrival between micro-batches is the same
+    contract as the CEP twin (Kafka key-partitioned logs satisfy it;
+    the fixture replay does)."""
+    from pyspark.sql import functions as F
+
+    ev = _events_stream(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    )
+    smoothed = ev.groupBy("user_id").applyInPandasWithState(
+        _interarrival_update,
+        outputStructType=_IA_OUTPUT_SCHEMA,
+        stateStructType=_IA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _drain_to_memory(smoothed, spark, output_mode="append")
+    from ..functions.numerics import dround
+
+    return (
+        out.select(
+            "user_id",
+            ntz_from_epoch_micros("ts_us").alias("ts"),
+            "event_id",
+            "gap_us",
+            dround("ewma", 4).alias("ewma_gap_us"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+QUERIES["stream_interarrival_ewma"] = stream_interarrival_ewma
+
+ORACLE["stream_interarrival_ewma"] = (
+    "WITH RECURSIVE g AS (SELECT user_id, ts, event_id, "
+    "epoch_us(ts) AS ts_us, "
+    "LAG(epoch_us(ts)) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id) AS prev_us FROM events), "
+    "i AS (SELECT user_id, ts, event_id, "
+    "CAST(ts_us - prev_us AS BIGINT) AS gap_us, "
+    "CAST(ROW_NUMBER() OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id) AS BIGINT) AS i "
+    "FROM g WHERE prev_us IS NOT NULL), "
+    "rec(user_id, ts, event_id, gap_us, i, e) AS ("
+    "SELECT user_id, ts, event_id, gap_us, i, CAST(gap_us AS DOUBLE) "
+    "FROM i WHERE i = 1 "
+    "UNION ALL "
+    "SELECT i.user_id, i.ts, i.event_id, i.gap_us, i.i, "
+    "CAST(0.5 AS DOUBLE) * CAST(i.gap_us AS DOUBLE) "
+    "+ CAST(0.5 AS DOUBLE) * rec.e "
+    "FROM i JOIN rec ON i.user_id = rec.user_id AND i.i = rec.i + 1) "
+    "SELECT user_id, ts, event_id, gap_us, "
+    "ROUND(e, 4) AS ewma_gap_us "
+    "FROM rec ORDER BY user_id, ts, event_id"
+)
