@@ -784,3 +784,168 @@ def test_stream_interarrival_ewma_matches_pure_python(spark):
         assert r["ewma_gap_us"] == ewma
     # smoothing is a convex blend: EWMA stays within the running gap range
     assert all(r["ewma_gap_us"] >= 0 for r in got)
+
+
+# --- wave 13 --------------------------------------------------------------------------
+
+
+def test_gumbel_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        GUMBEL_GAMMA,
+        GUMBEL_PI,
+        agg_extreme_value_gumbel,
+    )
+
+    rows = (
+        read_table(spark, SF, "orders")
+        .select("o_orderdate", "o_totalprice")
+        .collect()
+    )
+    daily = collections.defaultdict(int)
+    for r in rows:
+        d = r["o_orderdate"]
+        daily[(d.year, d.month, d.day)] += _round_half_away(
+            r["o_totalprice"] * 10000
+        )
+    block = collections.defaultdict(int)
+    for (y, m, _), v in daily.items():
+        block[(y, m)] = max(block[(y, m)], v)
+    mx = list(block.values())
+    n = len(mx)
+    s1 = sum(mx)
+    q2 = sum(v * v for v in mx)
+    mean = s1 / n / 10000.0
+    sd = math.sqrt((n * q2 - s1 * s1) / (n * (n - 1))) / 10000.0
+    beta = sd * math.sqrt(6.0) / GUMBEL_PI
+    mu = mean - GUMBEL_GAMMA * beta
+    rl = mu - beta * math.log(-math.log(11.0 / 12.0))
+
+    got = agg_extreme_value_gumbel(spark, SF).collect()
+    assert len(got) == 1
+    row = got[0]
+    assert row["n_blocks"] == n
+    assert row["mean_block_max"] == _round4(mean)
+    assert row["sd_block_max"] == _round4(sd)
+    assert row["gumbel_mu"] == _round4(mu)
+    assert row["gumbel_beta"] == _round4(beta)
+    assert row["return_level_12"] == _round4(rl)
+    # the 12-block return level sits above the fitted location
+    assert row["return_level_12"] > row["gumbel_mu"]
+
+
+def _yearly_activity(spark):
+    rows = (
+        read_table(spark, SF, "orders")
+        .select("o_custkey", "o_orderdate")
+        .collect()
+    )
+    act = collections.defaultdict(set)
+    for r in rows:
+        act[r["o_orderdate"].year].add(r["o_custkey"])
+    return act
+
+
+def test_mcnemar_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        agg_mcnemar_yearly_activity,
+    )
+
+    act = _yearly_activity(spark)
+    years = sorted(act)
+    got = {r["year_from"]: r for r in agg_mcnemar_yearly_activity(spark, SF).collect()}
+    expect_years = [
+        y
+        for y in years[:-1]
+        if len(act[y] - act[y + 1]) + len(act[y + 1] - act[y]) > 0
+    ]
+    assert sorted(got) == expect_years
+    for y in expect_years:
+        both = len(act[y] & act[y + 1])
+        b = len(act[y] - act[y + 1])
+        c = len(act[y + 1] - act[y])
+        row = got[y]
+        assert row["year_to"] == y + 1
+        assert row["n_both"] == both
+        assert row["n_churned"] == b
+        assert row["n_acquired"] == c
+        assert row["mcnemar_chi2"] == _round6((b - c) ** 2 / (b + c))
+        assert row["mcnemar_cc_chi2"] == _round6(
+            max(abs(b - c) - 1, 0) ** 2 / (b + c)
+        )
+        # continuity correction never increases the statistic
+        assert row["mcnemar_cc_chi2"] <= row["mcnemar_chi2"] + 1e-12
+
+
+def test_bounce_rate_matches_pure_python(spark):
+    import datetime
+
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        events_bounce_rate_daily,
+    )
+
+    ev = read_table(spark, SF, "events").select("user_id", "ts").collect()
+    by_user = collections.defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append(r["ts"])
+    sessions = []
+    gap = datetime.timedelta(minutes=30)
+    for u, tss in by_user.items():
+        tss.sort()
+        start, count, last = None, 0, None
+        for ts in tss:
+            if last is None or ts - last >= gap:
+                if start is not None:
+                    sessions.append((start, count))
+                start, count = ts, 1
+            else:
+                count += 1
+            last = ts
+        sessions.append((start, count))
+    days = collections.defaultdict(lambda: [0, 0, 0])
+    for start, count in sessions:
+        d = (start.year, start.month, start.day)
+        cell = days[d]
+        cell[0] += 1
+        cell[1] += 1 if count == 1 else 0
+        cell[2] += count
+
+    got = {
+        (r["day"].year, r["day"].month, r["day"].day): r
+        for r in events_bounce_rate_daily(spark, SF).collect()
+    }
+    assert set(got) == set(days)
+    for d, (n, b, tot) in days.items():
+        row = got[d]
+        assert row["n_sessions"] == n
+        assert row["n_bounces"] == b
+        assert row["bounce_rate"] == _round6(b / n)
+        assert row["avg_session_depth"] == _round6(tot / n)
+        # depth is at least 1 and bounces are a subset of sessions
+        assert row["avg_session_depth"] >= 1.0
+        assert 0.0 <= row["bounce_rate"] <= 1.0
+
+
+def test_capture_recapture_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        agg_capture_recapture_customers,
+    )
+
+    act = _yearly_activity(spark)
+    n_catalog = read_table(spark, SF, "customer").count()
+    years = sorted(act)
+    got = {r["year_from"]: r for r in agg_capture_recapture_customers(spark, SF).collect()}
+    assert sorted(got) == years[:-1]
+    for y in years[:-1]:
+        n1, n2 = len(act[y]), len(act[y + 1])
+        m = len(act[y] & act[y + 1])
+        chapman = (n1 + 1) * (n2 + 1) / (m + 1) - 1.0
+        row = got[y]
+        assert row["n_active_from"] == n1
+        assert row["n_active_to"] == n2
+        assert row["n_overlap"] == m
+        assert row["n_union_observed"] == n1 + n2 - m
+        assert row["chapman_est"] == _round4(chapman)
+        assert row["n_catalog"] == n_catalog
+        assert row["est_coverage"] == _round6(chapman / n_catalog)
+        # the estimate can never undershoot the observed union
+        assert row["chapman_est"] >= row["n_union_observed"] - 1.0

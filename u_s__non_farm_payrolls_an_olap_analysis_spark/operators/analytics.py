@@ -7747,3 +7747,386 @@ ORACLE["agg_srm_assignment_check"] = (
     "/ CAST(n AS DOUBLE) > 3.841 AS INT) AS srm_flag "
     "FROM t ORDER BY arm"
 )
+
+
+# --- Gumbel extreme-value fit of monthly block maxima ----------------------------------
+
+GUMBEL_GAMMA = 0.5772156649015329  # Euler-Mascheroni, shared literal
+GUMBEL_PI = 3.141592653589793
+
+
+def agg_extreme_value_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Gumbel extreme-value fit** (Gumbel 1958; the method-of-moments
+    fit of Coles §3) of MONTHLY BLOCK MAXIMA of daily revenue: β =
+    s·√6/π, μ = m − γ·β, and the T=12-block return level x_T = μ −
+    β·ln(−ln(1−1/T)) — "the daily revenue spike you should expect
+    about once a year". The tail-risk member of the profile family:
+    `agg_percentiles` describes the bulk, `dq_outlier_iqr_fences`
+    flags today's outliers, the Gumbel fit EXTRAPOLATES the maxima
+    process (capacity planning reads x_T, not p99).
+
+    Determinism: block maxima are exact int64 (max of 1e4-scaled daily
+    sums); the moment sums n/Σ/Σ² accumulate in DECIMAL(38,0) ≡
+    HUGEINT; β/μ/x_T are fixed-shape doubles off the exact integers
+    with γ and π as shared literals (√6 and the double-ln are single
+    correctly-rounded IEEE ops), `dround`ed.
+
+    Scale: one corpus-sized daily rollup (map-side combinable), one
+    tiny monthly max, one 1-row moment aggregate."""
+    orders = read_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day")
+    ).agg(dsum_scaled("o_totalprice").alias("d_s"))
+    bm = daily.groupBy(
+        F.date_trunc("month", "day").alias("mon")
+    ).agg(F.max("d_s").alias("mx"))
+    mxd = F.col("mx").cast("decimal(38,0)")
+    stats = bm.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(mxd).alias("s1"),
+        F.sum(mxd * F.col("mx")).alias("q2"),
+    )
+    n_d = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / n_d / F.lit(10_000.0)
+    m2 = (
+        F.col("n").cast("decimal(38,0)") * F.col("q2")
+        - F.col("s1") * F.col("s1")
+    )
+    sd = F.sqrt(
+        m2.cast("double") / (n_d * (n_d - F.lit(1.0)))
+    ) / F.lit(10_000.0)
+    beta = sd * F.sqrt(F.lit(6.0)) / F.lit(GUMBEL_PI)
+    mu = mean - F.lit(GUMBEL_GAMMA) * beta
+    rl12 = mu - beta * F.log(-F.log(F.lit(11.0) / F.lit(12.0)))
+    return stats.filter(F.col("n") > 2).select(
+        F.col("n").alias("n_blocks"),
+        dround(mean, 4).alias("mean_block_max"),
+        dround(sd, 4).alias("sd_block_max"),
+        dround(mu, 4).alias("gumbel_mu"),
+        dround(beta, 4).alias("gumbel_beta"),
+        dround(rl12, 4).alias("return_level_12"),
+    )
+
+
+QUERIES["agg_extreme_value_gumbel"] = agg_extreme_value_gumbel
+
+ORACLE["agg_extreme_value_gumbel"] = (
+    "WITH d AS (SELECT CAST(date_trunc('day', o_orderdate) "
+    "AS TIMESTAMP) AS day, "
+    "CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS BIGINT) "
+    "AS d_s FROM orders GROUP BY 1), "
+    "bm AS (SELECT CAST(date_trunc('month', day) AS TIMESTAMP) AS mon, "
+    "CAST(MAX(d_s) AS BIGINT) AS mx FROM d GROUP BY 1), "
+    "st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+    "SUM(CAST(mx AS HUGEINT)) AS s1, "
+    "SUM(CAST(mx AS HUGEINT) * mx) AS q2 FROM bm) "
+    "SELECT n AS n_blocks, "
+    "ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0, 4) "
+    "AS mean_block_max, "
+    "ROUND(sqrt(CAST(CAST(n AS HUGEINT) * q2 - s1 * s1 AS DOUBLE) "
+    "/ (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) / 10000.0, 4) "
+    "AS sd_block_max, "
+    "ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0 "
+    f"- {GUMBEL_GAMMA!r} * (sqrt(CAST(CAST(n AS HUGEINT) * q2 "
+    "- s1 * s1 AS DOUBLE) / (CAST(n AS DOUBLE) "
+    "* (CAST(n AS DOUBLE) - 1.0))) / 10000.0 * sqrt(6.0) "
+    f"/ {GUMBEL_PI!r}), 4) AS gumbel_mu, "
+    "ROUND(sqrt(CAST(CAST(n AS HUGEINT) * q2 - s1 * s1 AS DOUBLE) "
+    "/ (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) / 10000.0 "
+    f"* sqrt(6.0) / {GUMBEL_PI!r}, 4) AS gumbel_beta, "
+    "ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0 "
+    f"- {GUMBEL_GAMMA!r} * (sqrt(CAST(CAST(n AS HUGEINT) * q2 "
+    "- s1 * s1 AS DOUBLE) / (CAST(n AS DOUBLE) "
+    "* (CAST(n AS DOUBLE) - 1.0))) / 10000.0 * sqrt(6.0) "
+    f"/ {GUMBEL_PI!r}) "
+    "- (sqrt(CAST(CAST(n AS HUGEINT) * q2 - s1 * s1 AS DOUBLE) "
+    "/ (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) / 10000.0 "
+    f"* sqrt(6.0) / {GUMBEL_PI!r}) * ln(-ln(11.0 / 12.0)), 4) "
+    "AS return_level_12 "
+    "FROM st WHERE n > 2"
+)
+
+
+# --- McNemar test of year-over-year customer activity ----------------------------------
+
+
+def agg_mcnemar_yearly_activity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """**McNemar's test** (McNemar 1947) on PAIRED year-over-year
+    customer activity: for each consecutive year pair, every customer
+    is a matched pair (active-in-y, active-in-y+1), and the test asks
+    whether churn (active→inactive) and acquisition (inactive→active)
+    are balanced — marginal homogeneity, χ² = (b−c)²/(b+c) on the
+    discordant counts only. The PAIRED member of the testing family
+    (`agg_two_proportion_ztest` compares independent groups; customer
+    activity across adjacent years is anything but independent), and
+    the significance layer over `retention_cohorts`' descriptive
+    rates. The continuity-corrected form (max(|b−c|−1,0))²/(b+c) is
+    emitted beside the raw statistic.
+
+    Determinism: activity is a distinct (customer, year) projection;
+    all four pair-cell counts are exact integers off ONE full outer
+    join of the activity set with itself shifted by a year; both
+    statistics are single divisions of exact ints, `dround` 6.
+
+    Scale: one distinct aggregate, one (customer, year) equi-join
+    (co-partitioned), one year-count rollup."""
+    orders = read_table(spark, sf_dir, "orders")
+    act = orders.select(
+        F.col("o_custkey").alias("cust"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+    ).distinct()
+    nxt = act.select(
+        "cust", (F.col("yr") - F.lit(1)).alias("yr"), F.lit(1).alias("b")
+    )
+    cur = act.select("cust", "yr", F.lit(1).alias("a"))
+    j = cur.join(nxt, ["cust", "yr"], "full").select(
+        "yr",
+        F.coalesce(F.col("a"), F.lit(0)).alias("a"),
+        F.coalesce(F.col("b"), F.lit(0)).alias("b"),
+    )
+    bounds = act.agg(
+        F.min("yr").alias("y_min"), F.max("yr").alias("y_max")
+    )
+    g = (
+        j.groupBy("yr")
+        .agg(
+            F.sum(F.col("a") * F.col("b")).cast("long").alias("n_both"),
+            F.sum(F.col("a") * (F.lit(1) - F.col("b")))
+            .cast("long")
+            .alias("n_churned"),
+            F.sum((F.lit(1) - F.col("a")) * F.col("b"))
+            .cast("long")
+            .alias("n_acquired"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("yr") >= F.col("y_min")) & (F.col("yr") < F.col("y_max"))
+        )
+    )
+    b = F.col("n_churned")
+    c = F.col("n_acquired")
+    disc = (b + c).cast("double")
+    chi2 = ((b - c) * (b - c)).cast("double") / disc
+    cc_num = F.greatest(F.abs(b - c) - F.lit(1), F.lit(0)).cast("long")
+    cc = (cc_num * cc_num).cast("double") / disc
+    return (
+        g.filter((b + c) > 0)
+        .select(
+            F.col("yr").alias("year_from"),
+            (F.col("yr") + F.lit(1)).cast("int").alias("year_to"),
+            "n_both",
+            "n_churned",
+            "n_acquired",
+            dround(chi2, 6).alias("mcnemar_chi2"),
+            dround(cc, 6).alias("mcnemar_cc_chi2"),
+        )
+        .orderBy("year_from")
+    )
+
+
+QUERIES["agg_mcnemar_yearly_activity"] = agg_mcnemar_yearly_activity
+
+ORACLE["agg_mcnemar_yearly_activity"] = (
+    "WITH act AS (SELECT DISTINCT o_custkey AS cust, "
+    "CAST(year(o_orderdate) AS INT) AS yr FROM orders), "
+    "cur AS (SELECT cust, yr, 1 AS a FROM act), "
+    "nxt AS (SELECT cust, yr - 1 AS yr, 1 AS b FROM act), "
+    "j AS (SELECT COALESCE(cur.yr, nxt.yr) AS yr, "
+    "COALESCE(a, 0) AS a, COALESCE(b, 0) AS b "
+    "FROM cur FULL OUTER JOIN nxt "
+    "ON cur.cust = nxt.cust AND cur.yr = nxt.yr), "
+    "bounds AS (SELECT MIN(yr) AS y_min, MAX(yr) AS y_max FROM act), "
+    "g AS (SELECT yr, CAST(SUM(a * b) AS BIGINT) AS n_both, "
+    "CAST(SUM(a * (1 - b)) AS BIGINT) AS n_churned, "
+    "CAST(SUM((1 - a) * b) AS BIGINT) AS n_acquired "
+    "FROM j GROUP BY 1) "
+    "SELECT yr AS year_from, CAST(yr + 1 AS INT) AS year_to, "
+    "n_both, n_churned, n_acquired, "
+    "ROUND(CAST((n_churned - n_acquired) * (n_churned - n_acquired) "
+    "AS DOUBLE) / CAST(n_churned + n_acquired AS DOUBLE), 6) "
+    "AS mcnemar_chi2, "
+    "ROUND(CAST(GREATEST(ABS(n_churned - n_acquired) - 1, 0) "
+    "* GREATEST(ABS(n_churned - n_acquired) - 1, 0) AS DOUBLE) "
+    "/ CAST(n_churned + n_acquired AS DOUBLE), 6) AS mcnemar_cc_chi2 "
+    "FROM g, bounds WHERE yr >= y_min AND yr < y_max "
+    "AND n_churned + n_acquired > 0 ORDER BY year_from"
+)
+
+
+# --- Daily bounce rate off the 30-minute sessionization --------------------------------
+
+
+def events_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Daily bounce rate** off the shared 30-minute gap
+    sessionization: share of sessions with exactly one event, per
+    session-start day, beside the mean session depth — THE standard
+    engagement KPI pair a web-analytics dashboard leads with, and the
+    daily-grain consumer of `sessionize_batch`'s session frame
+    (`events_dau_mau_stickiness` counts users; this scores their
+    visits).
+
+    Determinism: sessions come from the exact NTZ-interval gap logic
+    (shared `_sessionize_events` — identical boundaries in both
+    engines); counts are exact integers; the two exposed ratios are
+    single divisions, `dround` 6.
+
+    Scale: one window exchange by user (the sessionize shape), then
+    one day-keyed map-side-combinable rollup."""
+    from .custom_udf import _sessionize_events
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    s = _sessionize_events(ev)
+    g = s.groupBy(
+        F.date_trunc("day", "session_start").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bounces"),
+        F.sum("n_events").cast("long").alias("n_events_total"),
+    )
+    return g.select(
+        "day",
+        "n_sessions",
+        "n_bounces",
+        dround(
+            F.col("n_bounces").cast("double")
+            / F.col("n_sessions").cast("double"),
+            6,
+        ).alias("bounce_rate"),
+        dround(
+            F.col("n_events_total").cast("double")
+            / F.col("n_sessions").cast("double"),
+            6,
+        ).alias("avg_session_depth"),
+    ).orderBy("day")
+
+
+QUERIES["events_bounce_rate_daily"] = events_bounce_rate_daily
+
+ORACLE["events_bounce_rate_daily"] = (
+    "WITH e AS (SELECT user_id, ts, "
+    "CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+    "OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) "
+    ">= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM events), "
+    "s AS (SELECT user_id, ts, SUM(new_s) OVER (PARTITION BY user_id "
+    "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM e), "
+    "sess AS (SELECT user_id, sid, MIN(ts) AS session_start, "
+    "CAST(COUNT(*) AS BIGINT) AS n_events FROM s GROUP BY 1, 2), "
+    "g AS (SELECT CAST(date_trunc('day', session_start) AS TIMESTAMP) "
+    "AS day, CAST(COUNT(*) AS BIGINT) AS n_sessions, "
+    "CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_bounces, "
+    "CAST(SUM(n_events) AS BIGINT) AS n_events_total FROM sess "
+    "GROUP BY 1) "
+    "SELECT day, n_sessions, n_bounces, "
+    "ROUND(CAST(n_bounces AS DOUBLE) / CAST(n_sessions AS DOUBLE), 6) "
+    "AS bounce_rate, "
+    "ROUND(CAST(n_events_total AS DOUBLE) "
+    "/ CAST(n_sessions AS DOUBLE), 6) AS avg_session_depth "
+    "FROM g ORDER BY day"
+)
+
+
+# --- Lincoln-Petersen / Chapman capture-recapture coverage estimate --------------------
+
+
+def agg_capture_recapture_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """**Capture-recapture population estimation** (Lincoln 1930;
+    Petersen 1896; the bias-corrected Chapman 1951 form): treat each
+    consecutive year's active-customer set as a capture occasion and
+    estimate the reachable customer population from the overlap —
+    N̂ = (n₁+1)(n₂+1)/(m+1) − 1 — then compare against the CATALOG
+    truth (the customer dimension's row count, which a marketplace
+    normally cannot observe; here the fixture makes the estimator's
+    error measurable). The estimation-theory member of the customer
+    family: `retention_cohorts` describes the observed overlap, this
+    extrapolates to the unobserved.
+
+    Determinism: all capture counts are exact integers off distinct
+    projections and one (customer, year) equi-join; the Chapman
+    estimate and coverage ratio are fixed-shape doubles off exact
+    ints, `dround`ed (4 dp estimate, 6 dp ratio).
+
+    Scale: one distinct aggregate, one co-partitioned self-join, one
+    year-count rollup, a broadcast 1-row catalog count."""
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    act = orders.select(
+        F.col("o_custkey").alias("cust"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+    ).distinct()
+    n1f = act.groupBy("yr").agg(F.count(F.lit(1)).cast("long").alias("n1"))
+    n2f = n1f.select(
+        (F.col("yr") - F.lit(1)).alias("yr"), F.col("n1").alias("n2")
+    )
+    pairs = act.join(
+        act.select("cust", (F.col("yr") - F.lit(1)).alias("yr")),
+        ["cust", "yr"],
+    )
+    mf = pairs.groupBy("yr").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    total = cust.agg(F.count(F.lit(1)).cast("long").alias("n_catalog"))
+    j = (
+        n1f.join(n2f, "yr")
+        .join(mf, "yr", "left")
+        .select(
+            "yr",
+            "n1",
+            "n2",
+            F.coalesce(F.col("m"), F.lit(0).cast("long")).alias("m"),
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    chapman = (
+        (F.col("n1") + F.lit(1)).cast("double")
+        * (F.col("n2") + F.lit(1)).cast("double")
+        / (F.col("m") + F.lit(1)).cast("double")
+        - F.lit(1.0)
+    )
+    return j.select(
+        F.col("yr").alias("year_from"),
+        (F.col("yr") + F.lit(1)).cast("int").alias("year_to"),
+        F.col("n1").alias("n_active_from"),
+        F.col("n2").alias("n_active_to"),
+        F.col("m").alias("n_overlap"),
+        (F.col("n1") + F.col("n2") - F.col("m")).alias("n_union_observed"),
+        dround(chapman, 4).alias("chapman_est"),
+        F.col("n_catalog"),
+        dround(
+            chapman / F.col("n_catalog").cast("double"), 6
+        ).alias("est_coverage"),
+    ).orderBy("year_from")
+
+
+QUERIES["agg_capture_recapture_customers"] = agg_capture_recapture_customers
+
+ORACLE["agg_capture_recapture_customers"] = (
+    "WITH act AS (SELECT DISTINCT o_custkey AS cust, "
+    "CAST(year(o_orderdate) AS INT) AS yr FROM orders), "
+    "n1f AS (SELECT yr, CAST(COUNT(*) AS BIGINT) AS n1 FROM act "
+    "GROUP BY 1), "
+    "n2f AS (SELECT yr - 1 AS yr, n1 AS n2 FROM n1f), "
+    "mf AS (SELECT a.yr, CAST(COUNT(*) AS BIGINT) AS m FROM act a "
+    "JOIN act b ON b.cust = a.cust AND b.yr = a.yr + 1 GROUP BY 1), "
+    "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_catalog "
+    "FROM customer), "
+    "j AS (SELECT n1f.yr, n1, n2, COALESCE(m, 0) AS m, n_catalog "
+    "FROM n1f JOIN n2f ON n2f.yr = n1f.yr "
+    "LEFT JOIN mf ON mf.yr = n1f.yr, tot) "
+    "SELECT yr AS year_from, CAST(yr + 1 AS INT) AS year_to, "
+    "n1 AS n_active_from, n2 AS n_active_to, m AS n_overlap, "
+    "n1 + n2 - m AS n_union_observed, "
+    "ROUND(CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE) "
+    "/ CAST(m + 1 AS DOUBLE) - 1.0, 4) AS chapman_est, "
+    "n_catalog, "
+    "ROUND((CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE) "
+    "/ CAST(m + 1 AS DOUBLE) - 1.0) / CAST(n_catalog AS DOUBLE), 6) "
+    "AS est_coverage "
+    "FROM j ORDER BY year_from"
+)

@@ -301,6 +301,14 @@ _SAMPLE_PRIORITY = [
     "agg_srm_assignment_check",
     # NEW in round 13 — streaming per-user inter-arrival EWMA (stateful)
     "stream_interarrival_ewma",
+    # NEW in round 13 — Gumbel block-maxima fit + 12-block return level
+    "agg_extreme_value_gumbel",
+    # NEW in round 13 — McNemar paired year-over-year activity test
+    "agg_mcnemar_yearly_activity",
+    # NEW in round 13 — daily bounce rate off the 30-min sessionization
+    "events_bounce_rate_daily",
+    # NEW in round 13 — Chapman capture-recapture coverage estimate
+    "agg_capture_recapture_customers",
     # latest driver row r6 — oldest surviving evidence, in r6 order
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
