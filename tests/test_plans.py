@@ -825,3 +825,113 @@ def test_levenshtein_kernel_is_banded(spark):
     assert "levenshtein" in plan
     lev_lines = [l for l in plan.splitlines() if "levenshtein" in l]
     assert lev_lines and all("Some(" in l for l in lev_lines)
+
+
+def test_ytd_prior_year_single_scan(spark):
+    # round-13 wave 12: the prior-year comparison is a month-of-year LAG
+    # window, not a self-join of two copies of the corpus rollup — the
+    # join form re-executes the orders scan per side (rule 5)
+    import re
+
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import (
+        analytics,
+    )
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.plans.explain import (
+        formatted_plan,
+    )
+
+    df = analytics.window_ytd_vs_prior_year(spark, SF)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_delta_method_prunes_lineitem_scan(spark):
+    # the ratio-metric moments need exactly two lineitem columns; a scan
+    # decoding more means pruning broke through the per-order aggregate
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import (
+        analytics,
+    )
+
+    df = analytics.agg_delta_method_ratio_ci(spark, SF)
+    li_schemas = [s for s in read_schemas(df) if "l_orderkey" in s]
+    assert li_schemas
+    assert all("l_quantity" not in s for s in li_schemas)
+    assert all("l_shipdate" not in s for s in li_schemas)
+    assert "CartesianProduct" not in join_kinds(df)
+
+
+def test_brown_forsythe_median_broadcasts(spark):
+    # the 5-row per-group median table must come back as a broadcast,
+    # never a shuffle of the orders side
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import (
+        analytics,
+    )
+
+    df = analytics.agg_levene_brown_forsythe(spark, SF)
+    kinds = join_kinds(df)
+    assert "BroadcastHashJoin" in kinds
+    assert "SortMergeJoin" not in kinds
+
+
+def test_mood_median_scalar_broadcast_only(spark):
+    # the grand median rides a 1-row broadcast cross join (the scalar
+    # pattern); any other join kind means the orders side shuffled
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import (
+        analytics,
+    )
+
+    df = analytics.agg_mood_median_test(spark, SF)
+    kinds = join_kinds(df)
+    assert "SortMergeJoin" not in kinds
+    assert "ShuffledHashJoin" not in kinds
+    assert "CartesianProduct" not in kinds
+
+
+def test_average_precision_broadcast_scored(spark):
+    # the 10-query side broadcasts onto the candidate scan; the running
+    # precision rides the SAME window sort as the rank
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import (
+        similarity,
+    )
+
+    df = similarity.sim_eval_average_precision(spark, SF)
+    kinds = join_kinds(df)
+    assert "SortMergeJoin" not in kinds
+    assert "CartesianProduct" not in kinds
+    assert exchange_count(df) <= 3
+
+
+def test_bounce_rate_one_user_exchange(spark):
+    # sessionize shape: one exchange by user for both windows, one for
+    # the day rollup, one range exchange for the output order — no more
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import (
+        analytics,
+    )
+
+    df = analytics.events_bounce_rate_daily(spark, SF)
+    assert exchange_count(df) <= 3
+    assert "Join" not in formatted_plan_for(df)
+
+
+def formatted_plan_for(df):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.plans.explain import (
+        formatted_plan,
+    )
+
+    return formatted_plan(df)
+
+
+def test_gumbel_single_scan_no_join(spark):
+    # daily rollup -> monthly max -> 1-row moments: a straight-line
+    # aggregate chain; any join means the scalar stats were rejoined
+    import re
+
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import (
+        analytics,
+    )
+
+    df = analytics.agg_extreme_value_gumbel(spark, SF)
+    plan = formatted_plan_for(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan

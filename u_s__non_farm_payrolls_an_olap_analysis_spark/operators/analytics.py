@@ -7591,20 +7591,25 @@ def window_ytd_vs_prior_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rev_s",
         F.sum("rev_s").over(w_cum).alias("ytd_s"),
     )
-    prior = t.select(
-        F.col("priority").alias("p_priority"),
-        (F.col("yr") + F.lit(1)).alias("p_yr"),
-        F.col("monum").alias("p_monum"),
-        F.col("ytd_s").alias("p_ytd_s"),
-    )
-    j = t.join(
-        prior,
-        (F.col("priority") == F.col("p_priority"))
-        & (F.col("yr") == F.col("p_yr"))
-        & (F.col("monum") == F.col("p_monum")),
+    # prior-year lookup as a SECOND WINDOW over the month-count frame
+    # (partition by calendar month, lag one year) instead of a self-join
+    # of two copies of the corpus-sized rollup subtree — Spark shares no
+    # subtrees, so the join form would scan orders twice (rule 5)
+    w_moy = Window.partitionBy("priority", "monum").orderBy("yr")
+    j = t.select(
+        "priority",
+        "mon",
+        "yr",
+        "rev_s",
+        "ytd_s",
+        F.lag("yr").over(w_moy).alias("p_yr"),
+        F.lag("ytd_s").over(w_moy).alias("p_ytd_s"),
     )
     return (
-        j.filter(F.col("p_ytd_s") > 0)
+        j.filter(
+            (F.col("p_yr") == F.col("yr") - F.lit(1))
+            & (F.col("p_ytd_s") > 0)
+        )
         .select(
             "priority",
             "mon",
@@ -7637,16 +7642,18 @@ ORACLE["window_ytd_vs_prior_year"] = (
     "CAST(year(mon) AS INT) AS yr, CAST(month(mon) AS INT) AS monum, "
     "rev_s, CAST(SUM(rev_s) OVER (PARTITION BY priority, year(mon) "
     "ORDER BY mon ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
-    "AS BIGINT) AS ytd_s FROM m) "
-    "SELECT t.priority, t.mon, "
-    "ROUND(CAST(t.rev_s AS DOUBLE) / 10000.0, 4) AS revenue, "
-    "ROUND(CAST(t.ytd_s AS DOUBLE) / 10000.0, 4) AS ytd_revenue, "
-    "ROUND(CAST(p.ytd_s AS DOUBLE) / 10000.0, 4) AS prior_ytd_revenue, "
-    "ROUND((CAST(t.ytd_s AS DOUBLE) - CAST(p.ytd_s AS DOUBLE)) "
-    "/ CAST(p.ytd_s AS DOUBLE), 6) AS yoy_ytd_growth "
-    "FROM t JOIN t p ON p.priority = t.priority "
-    "AND t.yr = p.yr + 1 AND t.monum = p.monum "
-    "WHERE p.ytd_s > 0 ORDER BY t.priority, t.mon"
+    "AS BIGINT) AS ytd_s FROM m), "
+    "j AS (SELECT priority, mon, yr, rev_s, ytd_s, "
+    "LAG(yr) OVER w AS p_yr, LAG(ytd_s) OVER w AS p_ytd_s FROM t "
+    "WINDOW w AS (PARTITION BY priority, monum ORDER BY yr)) "
+    "SELECT priority, mon, "
+    "ROUND(CAST(rev_s AS DOUBLE) / 10000.0, 4) AS revenue, "
+    "ROUND(CAST(ytd_s AS DOUBLE) / 10000.0, 4) AS ytd_revenue, "
+    "ROUND(CAST(p_ytd_s AS DOUBLE) / 10000.0, 4) AS prior_ytd_revenue, "
+    "ROUND((CAST(ytd_s AS DOUBLE) - CAST(p_ytd_s AS DOUBLE)) "
+    "/ CAST(p_ytd_s AS DOUBLE), 6) AS yoy_ytd_growth "
+    "FROM j WHERE p_yr = yr - 1 AND p_ytd_s > 0 "
+    "ORDER BY priority, mon"
 )
 
 
@@ -7873,10 +7880,16 @@ def agg_mcnemar_yearly_activity(
     Scale: one distinct aggregate, one (customer, year) equi-join
     (co-partitioned), one year-count rollup."""
     orders = read_table(spark, sf_dir, "orders")
-    act = orders.select(
-        F.col("o_custkey").alias("cust"),
-        F.year("o_orderdate").cast("int").alias("yr"),
-    ).distinct()
+    act = (
+        orders.select(
+            F.col("o_custkey").alias("cust"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+        )
+        .distinct()
+        # consumed three times (cur, shifted, bounds) — materialize once
+        # instead of re-running the corpus distinct per consumer (rule 5)
+        .localCheckpoint(eager=True)
+    )
     nxt = act.select(
         "cust", (F.col("yr") - F.lit(1)).alias("yr"), F.lit(1).alias("b")
     )
@@ -8056,10 +8069,15 @@ def agg_capture_recapture_customers(
     year-count rollup, a broadcast 1-row catalog count."""
     orders = read_table(spark, sf_dir, "orders")
     cust = read_table(spark, sf_dir, "customer")
-    act = orders.select(
-        F.col("o_custkey").alias("cust"),
-        F.year("o_orderdate").cast("int").alias("yr"),
-    ).distinct()
+    act = (
+        orders.select(
+            F.col("o_custkey").alias("cust"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+        )
+        .distinct()
+        # three consumers (year counts, both self-join sides) — rule 5
+        .localCheckpoint(eager=True)
+    )
     n1f = act.groupBy("yr").agg(F.count(F.lit(1)).cast("long").alias("n1"))
     n2f = n1f.select(
         (F.col("yr") - F.lit(1)).alias("yr"), F.col("n1").alias("n2")
