@@ -949,3 +949,172 @@ def test_capture_recapture_matches_pure_python(spark):
         assert row["est_coverage"] == _round6(chapman / n_catalog)
         # the estimate can never undershoot the observed union
         assert row["chapman_est"] >= row["n_union_observed"] - 1.0
+
+
+# --- wave 14 --------------------------------------------------------------------------
+
+
+def test_theta_forecast_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.custom_udf import (
+        timeseries_theta_forecast,
+    )
+
+    rows = (
+        read_table(spark, SF, "orders")
+        .select("o_orderpriority", "o_orderdate", "o_totalprice")
+        .collect()
+    )
+    monthly = collections.defaultdict(int)
+    for r in rows:
+        key = (
+            r["o_orderpriority"],
+            (r["o_orderdate"].year, r["o_orderdate"].month),
+        )
+        monthly[key] += _round_half_away(r["o_totalprice"] * 10000)
+    series = collections.defaultdict(list)
+    for (g, mon), v in sorted(monthly.items()):
+        series[g].append((mon, v))
+
+    expect = {}
+    for g, pts in series.items():
+        ys = [v for _, v in pts]
+        n = len(ys)
+        st = n * (n + 1) // 2
+        st2 = n * (n + 1) * (2 * n + 1) // 6
+        sy = sum(ys)
+        sty = sum((i + 1) * y for i, y in enumerate(ys))
+        b_s = float(n * sty - st * sy) / float(n * st2 - st * st)
+        a_s = (float(sy) - b_s * float(st)) / float(n)
+        lvl = None
+        for i, (mon, y) in enumerate(pts, start=1):
+            line = a_s + b_s * float(i)
+            z = 2.0 * float(y) - line
+            lvl = z if lvl is None else 0.5 * z + 0.5 * lvl
+            nxt = a_s + b_s * float(i + 1)
+            expect[(g, mon)] = (
+                _round4(line / 10000.0),
+                _round4(z / 10000.0),
+                _round4(lvl / 10000.0),
+                _round4((lvl + nxt) / 2.0 / 10000.0),
+            )
+
+    got = timeseries_theta_forecast(spark, SF).collect()
+    assert len(got) == len(expect)
+    for r in got:
+        key = (r["priority"], (r["mon"].year, r["mon"].month))
+        line, z, lvl, fc = expect[key]
+        assert r["linear_fit"] == line
+        assert r["theta2"] == z
+        assert r["ses_level"] == lvl
+        assert r["forecast_next"] == fc
+    # theta identity: the theta-2 line averages back to the original
+    # series around the trend (z + line == 2y)
+    sample = got[0]
+    assert (
+        abs(sample["theta2"] + sample["linear_fit"] - 2 * sample["revenue"])
+        < 2e-4
+    )
+
+
+def test_markov_stationary_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        MKV_ITERS,
+        MKV_SCALE,
+        events_markov_stationary,
+    )
+
+    ev = (
+        read_table(spark, SF, "events")
+        .select("user_id", "ts", "event_type", "event_id")
+        .collect()
+    )
+    by_user = collections.defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    cells = collections.Counter()
+    for u, evs in by_user.items():
+        evs.sort()
+        for prev, cur in zip(evs, evs[1:]):
+            cells[(prev[2], cur[2])] += 1
+    states = sorted({p for p, _ in cells})
+    cells_in = {
+        (p, q): n for (p, q), n in cells.items() if q in set(states)
+    }
+    row_tot = collections.Counter()
+    for (p, _), n in cells_in.items():
+        row_tot[p] += n
+    pq = {
+        (p, q): _round_half_away(n / row_tot[p] * MKV_SCALE)
+        for (p, q), n in cells_in.items()
+    }
+    k = len(states)
+    pi = {s: _round_half_away(MKV_SCALE / k) for s in states}
+    for _ in range(MKV_ITERS):
+        raw = collections.defaultdict(int)
+        for (p, q), w in pq.items():
+            raw[q] += pi[p] * w
+        t = sum(raw.values())
+        pi = {
+            s: _round_half_away(r / t * MKV_SCALE)
+            for s, r in raw.items()
+        }
+    n_in = collections.Counter()
+    for (_, q), n in cells_in.items():
+        n_in[q] += n
+    n_tot = sum(n_in.values())
+
+    got = {r["event_type"]: r for r in events_markov_stationary(spark, SF).collect()}
+    assert set(got) == set(pi)
+    for s in pi:
+        row = got[s]
+        assert row["n_in"] == n_in[s]
+        assert row["stationary_prob"] == _round6(pi[s] / MKV_SCALE)
+        assert row["empirical_share"] == _round6(n_in[s] / n_tot)
+        assert row["delta"] == _round6(
+            pi[s] / MKV_SCALE - n_in[s] / n_tot
+        )
+    # pi is a (quantized) probability vector
+    assert abs(sum(pi.values()) - MKV_SCALE) <= k
+
+
+def test_lorenz_deciles_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        agg_lorenz_curve_deciles,
+    )
+
+    rows = (
+        read_table(spark, SF, "orders")
+        .select("o_custkey", "o_totalprice")
+        .collect()
+    )
+    per_c = collections.defaultdict(int)
+    for r in rows:
+        per_c[r["o_custkey"]] += _round_half_away(r["o_totalprice"] * 10000)
+    ranked = sorted(per_c.items(), key=lambda kv: (kv[1], kv[0]))
+    n = len(ranked)
+    dec = collections.defaultdict(lambda: [0, 0])
+    for rn, (_, rev) in enumerate(ranked, start=1):
+        d = math.ceil(10 * rn / n)
+        cell = dec[d]
+        cell[0] += 1
+        cell[1] += rev
+    tot = sum(c[1] for c in dec.values())
+
+    got = {r["decile"]: r for r in agg_lorenz_curve_deciles(spark, SF).collect()}
+    assert sorted(got) == sorted(dec)
+    cum_n = cum_rev = 0
+    prev_share = -1.0
+    for d in sorted(dec):
+        n_c, rev = dec[d]
+        cum_n += n_c
+        cum_rev += rev
+        row = got[d]
+        assert row["n_customers"] == n_c
+        assert row["decile_revenue"] == _round4(rev / 10000.0)
+        assert row["cum_pop_share"] == _round6(cum_n / n)
+        assert row["cum_revenue_share"] == _round6(cum_rev / tot)
+        # the Lorenz curve is convex-increasing and below the diagonal
+        assert row["cum_revenue_share"] >= prev_share
+        assert row["cum_revenue_share"] <= row["cum_pop_share"] + 1e-9
+        prev_share = row["cum_revenue_share"]
+    assert got[10]["cum_revenue_share"] == 1.0

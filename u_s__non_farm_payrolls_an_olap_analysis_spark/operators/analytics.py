@@ -8148,3 +8148,258 @@ ORACLE["agg_capture_recapture_customers"] = (
     "AS est_coverage "
     "FROM j ORDER BY year_from"
 )
+
+
+# --- Stationary distribution of the event Markov chain ---------------------------------
+
+MKV_ITERS = 6
+MKV_SCALE = 1_000_000_000_000.0  # probabilities as pico-units
+
+
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Stationary distribution of the event Markov chain** — π with
+    π = πP, found by ``MKV_ITERS`` unrolled power iterations from the
+    uniform start (the long-run occupancy the chain converges to): the
+    EQUILIBRIUM view completing the sequence-model family —
+    `events_markov_transitions` emits the one-step dynamics,
+    `events_entropy_rate_markov` their predictability, this their
+    long-run destination — read against the EMPIRICAL state shares (a
+    large stationary-vs-empirical delta is the non-ergodicity /
+    drifting-usage signal).
+
+    Contract: the state space is the types appearing as transition
+    SOURCES (every type on this fixture); transitions into
+    out-of-space states are dropped before row-normalization.
+
+    Determinism: the transition matrix quantizes row-stochastically to
+    scaled int64 cells; each π update is an exact DECIMAL(38,0) ≡
+    HUGEINT dot product of quantized vectors followed by one
+    normalize-and-quantize (both engines round the identical double),
+    so every iteration is bit-stable at any partition count.
+
+    Scale: ONE corpus exchange (the per-user lag); every iteration
+    runs on the k-row / k²-cell frames."""
+    from ..functions.numerics import _nearest_long_away
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"), "event_type"
+    ).filter(F.col("prev_type").isNotNull())
+    cells = pairs.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    states = cells.select(
+        F.col("prev_type").alias("state")
+    ).distinct().localCheckpoint(eager=True)
+    cells_in = cells.join(
+        F.broadcast(states.select(F.col("state").alias("event_type"))),
+        "event_type",
+    ).localCheckpoint(eager=True)
+    w_row = Window.partitionBy("prev_type")
+    p = cells_in.select(
+        "prev_type",
+        "event_type",
+        "n",
+        _nearest_long_away(
+            F.col("n").cast("double")
+            / F.sum("n").over(w_row).cast("double")
+            * F.lit(MKV_SCALE)
+        ).alias("pq"),
+    ).localCheckpoint(eager=True)
+    kc = states.agg(F.count(F.lit(1)).alias("k"))
+    pi = states.crossJoin(F.broadcast(kc)).select(
+        "state",
+        _nearest_long_away(
+            F.lit(MKV_SCALE) / F.col("k").cast("double")
+        ).alias("piq"),
+    )
+    for _i in range(MKV_ITERS):
+        raw = (
+            p.join(pi, p["prev_type"] == pi["state"])
+            .groupBy(F.col("event_type").alias("state"))
+            .agg(
+                F.sum(
+                    F.col("piq").cast("decimal(38,0)") * F.col("pq")
+                ).alias("raw")
+            )
+        )
+        tot = raw.agg(F.sum("raw").alias("t"))
+        pi = raw.crossJoin(F.broadcast(tot)).select(
+            "state",
+            _nearest_long_away(
+                F.col("raw").cast("double")
+                / F.col("t").cast("double")
+                * F.lit(MKV_SCALE)
+            ).alias("piq"),
+        )
+    emp = cells_in.groupBy(F.col("event_type").alias("state")).agg(
+        F.sum("n").cast("long").alias("n_in")
+    )
+    w_all = Window.partitionBy()
+    emp2 = emp.select(
+        "state", "n_in", F.sum("n_in").over(w_all).alias("n_tot")
+    )
+    j = pi.join(emp2, "state")
+    stat = F.col("piq").cast("double") / F.lit(MKV_SCALE)
+    empd = F.col("n_in").cast("double") / F.col("n_tot").cast("double")
+    return j.select(
+        F.col("state").alias("event_type"),
+        "n_in",
+        dround(stat, 6).alias("stationary_prob"),
+        dround(empd, 6).alias("empirical_share"),
+        dround(stat - empd, 6).alias("delta"),
+    ).orderBy("event_type")
+
+
+QUERIES["events_markov_stationary"] = events_markov_stationary
+
+
+def _markov_stationary_oracle_sql() -> str:
+    s = f"{MKV_SCALE:.1f}"
+    sql = (
+        "WITH pr AS (SELECT LAG(event_type) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id) AS prev_type, "
+        "event_type FROM events), "
+        "cells AS (SELECT prev_type, event_type, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM pr "
+        "WHERE prev_type IS NOT NULL GROUP BY 1, 2), "
+        "states AS (SELECT DISTINCT prev_type AS state FROM cells), "
+        "ci AS MATERIALIZED (SELECT c.* FROM cells c "
+        "JOIN states s ON s.state = c.event_type), "
+        "p AS MATERIALIZED (SELECT prev_type, event_type, n, "
+        "CAST(ROUND(CAST(n AS DOUBLE) / CAST(SUM(n) OVER ("
+        f"PARTITION BY prev_type) AS DOUBLE) * {s}) AS BIGINT) AS pq "
+        "FROM ci), "
+        "kc AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM states), "
+        "pi0 AS (SELECT state, "
+        f"CAST(ROUND({s} / CAST(k AS DOUBLE)) AS BIGINT) AS piq "
+        "FROM states, kc)"
+    )
+    prev = "pi0"
+    for i in range(1, MKV_ITERS + 1):
+        sql += (
+            f", r{i} AS MATERIALIZED (SELECT p.event_type AS state, "
+            "SUM(CAST(piq AS HUGEINT) * pq) AS raw "
+            f"FROM p JOIN {prev} ON {prev}.state = p.prev_type "
+            "GROUP BY 1), "
+            f"t{i} AS (SELECT SUM(raw) AS t FROM r{i}), "
+            f"pi{i} AS (SELECT state, "
+            "CAST(ROUND(CAST(raw AS DOUBLE) / CAST(t AS DOUBLE) "
+            f"* {s}) AS BIGINT) AS piq FROM r{i}, t{i})"
+        )
+        prev = f"pi{i}"
+    sql += (
+        ", emp AS (SELECT event_type AS state, "
+        "CAST(SUM(n) AS BIGINT) AS n_in FROM ci GROUP BY 1), "
+        "emp2 AS (SELECT state, n_in, SUM(n_in) OVER () AS n_tot "
+        "FROM emp) "
+        "SELECT state AS event_type, n_in, "
+        f"ROUND(CAST(piq AS DOUBLE) / {s}, 6) AS stationary_prob, "
+        "ROUND(CAST(n_in AS DOUBLE) / CAST(n_tot AS DOUBLE), 6) "
+        "AS empirical_share, "
+        f"ROUND(CAST(piq AS DOUBLE) / {s} "
+        "- CAST(n_in AS DOUBLE) / CAST(n_tot AS DOUBLE), 6) AS delta "
+        f"FROM {prev} JOIN emp2 USING (state) ORDER BY event_type"
+    )
+    return sql
+
+
+ORACLE["events_markov_stationary"] = _markov_stationary_oracle_sql()
+
+
+# --- Lorenz curve deciles of customer revenue ------------------------------------------
+
+
+def agg_lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Lorenz curve, tabulated at customer deciles** (Lorenz 1905):
+    rank customers by lifetime revenue ascending, cut into 10 integer-
+    rank deciles, and emit each decile's revenue and the CUMULATIVE
+    population/revenue shares — the plottable curve behind
+    `agg_gini_customer_revenue`'s scalar (the Gini is twice the area
+    between this curve and the diagonal; dashboards show the curve).
+
+    Determinism: deciles are pure integer logic — d = ceil(10·rn/n)
+    off a ROW_NUMBER with the unique customer-key tiebreak (no ntile
+    edge semantics); per-decile sums and the running totals are exact
+    int64; shares are single divisions, `dround` 6.
+
+    Scale: one customer rollup (map-side combinable), one rank
+    window over the customer dimension, one 10-row cumulative
+    window."""
+    orders = read_table(spark, sf_dir, "orders")
+    per_c = orders.groupBy(F.col("o_custkey").alias("cust")).agg(
+        dsum_scaled("o_totalprice").alias("rev_s")
+    )
+    w_rank = Window.partitionBy().orderBy("rev_s", "cust")
+    w_n = Window.partitionBy()
+    r = per_c.select(
+        "rev_s",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    dec = F.ceil(F.lit(10) * F.col("rn") / F.col("n")).cast("int")
+    g = r.groupBy(dec.alias("decile")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("rev_s").cast("long").alias("d_rev_s"),
+        F.max("n").cast("long").alias("n"),
+    )
+    w_cum = Window.partitionBy().orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_tot = Window.partitionBy()
+    t = g.select(
+        "decile",
+        "n_customers",
+        "d_rev_s",
+        "n",
+        F.sum("n_customers").over(w_cum).alias("cum_n"),
+        F.sum("d_rev_s").over(w_cum).alias("cum_rev"),
+        F.sum("d_rev_s").over(w_tot).alias("tot_rev"),
+    )
+    return t.select(
+        "decile",
+        "n_customers",
+        F.round(F.col("d_rev_s") / 10_000.0, 4).alias("decile_revenue"),
+        dround(
+            F.col("cum_n").cast("double") / F.col("n").cast("double"), 6
+        ).alias("cum_pop_share"),
+        dround(
+            F.col("cum_rev").cast("double")
+            / F.col("tot_rev").cast("double"),
+            6,
+        ).alias("cum_revenue_share"),
+    ).orderBy("decile")
+
+
+QUERIES["agg_lorenz_curve_deciles"] = agg_lorenz_curve_deciles
+
+ORACLE["agg_lorenz_curve_deciles"] = (
+    "WITH pc AS (SELECT o_custkey AS cust, "
+    "CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS BIGINT) "
+    "AS rev_s FROM orders GROUP BY 1), "
+    "r AS (SELECT rev_s, "
+    "ROW_NUMBER() OVER (ORDER BY rev_s, cust) AS rn, "
+    "COUNT(*) OVER () AS n FROM pc), "
+    "g AS (SELECT CAST(CEIL(10 * rn / CAST(n AS DOUBLE)) AS INT) "
+    "AS decile, CAST(COUNT(*) AS BIGINT) AS n_customers, "
+    "CAST(SUM(rev_s) AS BIGINT) AS d_rev_s, "
+    "CAST(MAX(n) AS BIGINT) AS n FROM r GROUP BY 1), "
+    "t AS (SELECT decile, n_customers, d_rev_s, n, "
+    "CAST(SUM(n_customers) OVER (ORDER BY decile "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+    "AS cum_n, "
+    "CAST(SUM(d_rev_s) OVER (ORDER BY decile "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+    "AS cum_rev, "
+    "CAST(SUM(d_rev_s) OVER () AS BIGINT) AS tot_rev FROM g) "
+    "SELECT decile, n_customers, "
+    "ROUND(CAST(d_rev_s AS DOUBLE) / 10000.0, 4) AS decile_revenue, "
+    "ROUND(CAST(cum_n AS DOUBLE) / CAST(n AS DOUBLE), 6) "
+    "AS cum_pop_share, "
+    "ROUND(CAST(cum_rev AS DOUBLE) / CAST(tot_rev AS DOUBLE), 6) "
+    "AS cum_revenue_share "
+    "FROM t ORDER BY decile"
+)

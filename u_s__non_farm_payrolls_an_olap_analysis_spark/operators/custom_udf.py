@@ -1101,3 +1101,136 @@ ORACLE["timeseries_holt_damped"] = (
     + " AS forecast_h "
     "FROM rec ORDER BY 1, 2"
 )
+
+
+# --- Theta-method forecast (OLS theta-0 line + SES on the theta-2 line) ------
+
+
+def _theta_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("mon").reset_index(drop=True)
+    # recover the exact scaled-int series (revenue is a 4-dp rounded
+    # double) and build the OLS normal-equation sums as exact python
+    # ints; float() of a big int is correctly rounded — the same value
+    # DuckDB's CAST(HUGEINT AS DOUBLE) yields
+    ys = [
+        int(abs(x) * 10000.0 + 0.5) * (1 if x >= 0 else -1)
+        for x in pdf["revenue"]
+    ]
+    n = len(ys)
+    st = n * (n + 1) // 2
+    st2 = n * (n + 1) * (2 * n + 1) // 6
+    sy = sum(ys)
+    sty = sum((i + 1) * y for i, y in enumerate(ys))
+    b_s = float(n * sty - st * sy) / float(n * st2 - st * st)
+    a_s = (float(sy) - b_s * float(st)) / float(n)
+    lvl = None
+    out = []
+    for i, y in enumerate(ys, start=1):
+        line = a_s + b_s * float(i)
+        z = 2.0 * float(y) - line
+        lvl = z if lvl is None else 0.5 * z + 0.5 * lvl
+        nxt = a_s + b_s * float(i + 1)
+        out.append((line, z, lvl, (lvl + nxt) / 2.0))
+
+    def r4(s: float) -> float:
+        v = abs(s) * 10000.0
+        return (1.0 if s >= 0 else -1.0) * (int(v + 0.5) // 1) / 10000.0
+
+    pdf["linear_fit"] = [r4(a / 10000.0) for a, _, _, _ in out]
+    pdf["theta2"] = [r4(b / 10000.0) for _, b, _, _ in out]
+    pdf["ses_level"] = [r4(c / 10000.0) for _, _, c, _ in out]
+    pdf["forecast_next"] = [r4(d / 10000.0) for _, _, _, d in out]
+    return pdf
+
+
+def timeseries_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — the **Theta method** (Assimakopoulos &
+    Nikolopoulos 2000 — the M3-competition winner; Hyndman & Billah
+    2003 show it is SES-with-drift): decompose each monthly series
+    into the θ=0 line (the OLS trend, all long-run signal) and the
+    θ=2 line z_t = 2y_t − line_t (doubled curvature), smooth the θ=2
+    line with SES (α=½), and forecast the average of the SES level and
+    the extrapolated trend — the forecasting-ladder member that
+    combines `agg_linear_trend`'s regression with
+    `timeseries_ewma_smooth`'s recurrence.
+
+    Determinism: the OLS normal equations build from EXACT integer
+    sums (the kernel recovers the scaled ints from the 4-dp revenue
+    and sums arbitrary-precision python ints; DuckDB accumulates the
+    same sums in HUGEINT — float()/CAST both round nearest), so a and
+    b are the identical doubles; every SES step is a halving+add on
+    identical doubles; the DuckDB recursive-CTE replay hash-matches at
+    4 dp with zero tolerance.
+
+    Scale: one shuffle on the series key (grouped-map recurrence
+    posture); series count scales out, monthly length bounded."""
+    from ..functions.numerics import dsum
+
+    orders = read_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("month", "o_orderdate").alias("mon"),
+    ).agg(F.round(dsum("o_totalprice"), 4).alias("revenue"))
+    return (
+        monthly.groupBy("priority")
+        .applyInPandas(
+            _theta_group,
+            schema="priority string, mon timestamp, revenue double, "
+            "linear_fit double, theta2 double, ses_level double, "
+            "forecast_next double",
+        )
+        .orderBy("priority", "mon")
+    )
+
+
+QUERIES["timeseries_theta_forecast"] = timeseries_theta_forecast
+
+ORACLE["timeseries_theta_forecast"] = (
+    "WITH RECURSIVE m AS (SELECT o_orderpriority AS priority, "
+    "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon, "
+    "CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS BIGINT) "
+    "AS ys FROM orders GROUP BY 1, 2), "
+    "idx AS (SELECT priority, mon, ys, "
+    "CAST(ROW_NUMBER() OVER (PARTITION BY priority ORDER BY mon) "
+    "AS BIGINT) AS i FROM m), "
+    "ols AS (SELECT priority, CAST(COUNT(*) AS HUGEINT) AS n, "
+    "CAST(SUM(i) AS HUGEINT) AS st, "
+    "CAST(SUM(i * i) AS HUGEINT) AS st2, "
+    "CAST(SUM(CAST(ys AS HUGEINT)) AS HUGEINT) AS sy, "
+    "CAST(SUM(CAST(i AS HUGEINT) * ys) AS HUGEINT) AS sty "
+    "FROM idx GROUP BY 1), "
+    "ab AS (SELECT priority, "
+    "CAST(n * sty - st * sy AS DOUBLE) "
+    "/ CAST(n * st2 - st * st AS DOUBLE) AS b_s, "
+    "(CAST(sy AS DOUBLE) - CAST(n * sty - st * sy AS DOUBLE) "
+    "/ CAST(n * st2 - st * st AS DOUBLE) * CAST(st AS DOUBLE)) "
+    "/ CAST(n AS DOUBLE) AS a_s FROM ols), "
+    "rec(priority, mon, ys, i, a_s, b_s, l) AS ("
+    "SELECT idx.priority, mon, ys, i, a_s, b_s, "
+    "2.0 * CAST(ys AS DOUBLE) "
+    "- (a_s + b_s * CAST(i AS DOUBLE)) "
+    "FROM idx JOIN ab ON ab.priority = idx.priority WHERE i = 1 "
+    "UNION ALL "
+    "SELECT idx.priority, idx.mon, idx.ys, idx.i, rec.a_s, rec.b_s, "
+    "CAST(0.5 AS DOUBLE) * (2.0 * CAST(idx.ys AS DOUBLE) "
+    "- (rec.a_s + rec.b_s * CAST(idx.i AS DOUBLE))) "
+    "+ CAST(0.5 AS DOUBLE) * rec.l "
+    "FROM idx JOIN rec ON idx.priority = rec.priority "
+    "AND idx.i = rec.i + 1) "
+    "SELECT priority, mon, "
+    "ROUND(CAST(ys AS DOUBLE) / 10000.0, 4) AS revenue, "
+    + _HOLT_R4.format("(a_s + b_s * CAST(i AS DOUBLE)) / 10000.0")
+    + " AS linear_fit, "
+    + _HOLT_R4.format(
+        "(2.0 * CAST(ys AS DOUBLE) - (a_s + b_s * CAST(i AS DOUBLE))) "
+        "/ 10000.0"
+    )
+    + " AS theta2, "
+    + _HOLT_R4.format("l / 10000.0")
+    + " AS ses_level, "
+    + _HOLT_R4.format(
+        "((l + (a_s + b_s * CAST(i + 1 AS DOUBLE))) / 2.0) / 10000.0"
+    )
+    + " AS forecast_next "
+    "FROM rec ORDER BY 1, 2"
+)

@@ -309,6 +309,12 @@ _SAMPLE_PRIORITY = [
     "events_bounce_rate_daily",
     # NEW in round 13 — Chapman capture-recapture coverage estimate
     "agg_capture_recapture_customers",
+    # NEW in round 13 — Theta-method forecast (OLS line + SES blend)
+    "timeseries_theta_forecast",
+    # NEW in round 13 — stationary distribution of the event chain
+    "events_markov_stationary",
+    # NEW in round 13 — Lorenz curve tabulated at customer deciles
+    "agg_lorenz_curve_deciles",
     # latest driver row r6 — oldest surviving evidence, in r6 order
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
