@@ -1118,3 +1118,140 @@ def test_lorenz_deciles_matches_pure_python(spark):
         assert row["cum_revenue_share"] <= row["cum_pop_share"] + 1e-9
         prev_share = row["cum_revenue_share"]
     assert got[10]["cum_revenue_share"] == 1.0
+
+
+# --- wave 15 --------------------------------------------------------------------------
+
+
+def test_js_divergence_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.text import (
+        _JS_SCALE,
+        text_js_divergence_by_source,
+    )
+
+    docs = read_table(spark, SF, "documents").select("source", "text").collect()
+    counts = collections.defaultdict(collections.Counter)
+    glob = collections.Counter()
+    for r in docs:
+        toks = r["text"].split(" ")
+        counts[r["source"]].update(toks)
+        glob.update(toks)
+    n_all = sum(glob.values())
+
+    got = {r["source"]: r for r in text_js_divergence_by_source(spark, SF).collect()}
+    expect_sources = {
+        s for s, c in counts.items() if n_all - sum(c.values()) > 0
+    }
+    assert set(got) == expect_sources
+    for s in expect_sources:
+        c = counts[s]
+        aa = sum(c.values())
+        bb = n_all - aa
+        sp = sq = sb = 0
+        for tok, a in c.items():
+            b = glob[tok] - a
+            sb += b
+            den = a * bb + b * aa
+            sp += _round_half_away(
+                a * math.log(2.0 * (a * bb) / den) * _JS_SCALE
+            )
+            if b > 0:
+                sq += _round_half_away(
+                    b * math.log(2.0 * (b * aa) / den) * _JS_SCALE
+                )
+        jsd = 0.5 * (
+            sp / _JS_SCALE / aa
+            + (sq / _JS_SCALE + (bb - sb) * math.log(2.0)) / bb
+        )
+        row = got[s]
+        assert row["n_tokens"] == aa
+        assert row["rest_tokens"] == bb
+        assert row["js_nats"] == _round6(jsd)
+        assert row["js_normalized"] == _round6(jsd / math.log(2.0))
+        # JS is bounded by ln 2 (normalized form in [0, 1])
+        assert -1e-9 <= row["js_normalized"] <= 1.0 + 1e-9
+
+
+def test_durbin_watson_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        timeseries_durbin_watson,
+    )
+
+    rows = (
+        read_table(spark, SF, "orders")
+        .select("o_orderpriority", "o_orderdate", "o_totalprice")
+        .collect()
+    )
+    monthly = collections.defaultdict(int)
+    for r in rows:
+        key = (
+            r["o_orderpriority"],
+            (r["o_orderdate"].year, r["o_orderdate"].month),
+        )
+        monthly[key] += _round_half_away(r["o_totalprice"] * 10000)
+    series = collections.defaultdict(list)
+    for (g, mon), v in sorted(monthly.items()):
+        series[g].append(v)
+
+    got = {r["priority"]: r for r in timeseries_durbin_watson(spark, SF).collect()}
+    assert set(got) == set(series)
+    for g, ys in series.items():
+        n = len(ys)
+        st = n * (n + 1) // 2
+        st2 = n * (n + 1) * (2 * n + 1) // 6
+        sy = sum(ys)
+        sty = sum((i + 1) * y for i, y in enumerate(ys))
+        b_s = float(n * sty - st * sy) / float(n * st2 - st * st)
+        a_s = (float(sy) - b_s * float(st)) / float(n)
+        e = [
+            _round_half_away(float(y) - (a_s + b_s * float(i)))
+            for i, y in enumerate(ys, start=1)
+        ]
+        q_e = sum(v * v for v in e)
+        q_d = sum((x - y) ** 2 for x, y in zip(e[1:], e))
+        dw = q_d / q_e
+        row = got[g]
+        assert row["n_months"] == n
+        assert row["durbin_watson"] == _round6(dw)
+        assert row["rho_implied"] == _round6(1.0 - dw / 2.0)
+        # DW lives in [0, 4]
+        assert 0.0 <= row["durbin_watson"] <= 4.0
+
+
+def test_hhi_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        agg_herfindahl_brand_hhi,
+    )
+
+    li = (
+        read_table(spark, SF, "lineitem")
+        .select("l_partkey", "l_shipdate", "l_extendedprice")
+        .collect()
+    )
+    brand = {
+        r["p_partkey"]: r["p_brand"]
+        for r in read_table(spark, SF, "part")
+        .select("p_partkey", "p_brand")
+        .collect()
+    }
+    cells = collections.defaultdict(int)
+    for r in li:
+        key = (r["l_shipdate"].year, brand[r["l_partkey"]])
+        cells[key] += _round_half_away(r["l_extendedprice"] * 10000)
+    by_year = collections.defaultdict(dict)
+    for (y, b), v in cells.items():
+        by_year[y][b] = v
+
+    got = {r["year"]: r for r in agg_herfindahl_brand_hhi(spark, SF).collect()}
+    assert set(got) == set(by_year)
+    for y, bs in by_year.items():
+        s = sum(bs.values())
+        q = sum(v * v for v in bs.values())
+        hhi = q / (float(s) * float(s))
+        row = got[y]
+        assert row["n_brands"] == len(bs)
+        assert row["hhi"] == _round6(hhi)
+        assert row["effective_brands"] == _round4(1.0 / hhi)
+        assert row["top_brand_share"] == _round6(max(bs.values()) / float(s))
+        # HHI is bounded below by the uniform 1/k and above by 1
+        assert 1.0 / len(bs) - 1e-9 <= row["hhi"] <= 1.0

@@ -8403,3 +8403,231 @@ ORACLE["agg_lorenz_curve_deciles"] = (
     "AS cum_revenue_share "
     "FROM t ORDER BY decile"
 )
+
+
+# --- Durbin-Watson autocorrelation-of-residuals diagnostic -----------------------------
+
+
+def timeseries_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Durbin-Watson statistic** (Durbin & Watson 1950) on the
+    residuals of the per-priority monthly OLS trend: DW =
+    Σ(e_t−e_{t−1})²/Σe_t² — the standard "did the linear fit leave
+    serial correlation behind" diagnostic that decides whether
+    `window_rolling_ols_slope`'s trend lines can be trusted or an
+    AR term (`timeseries_ar1_halflife`) is needed. DW ≈ 2(1−ρ̂₁); the
+    implied ρ̂ is emitted beside it.
+
+    Determinism: the OLS coefficients come from exact integer normal-
+    equation sums (the `timeseries_theta_forecast` device); each
+    residual y_t − a − b·t is the identical double in both engines and
+    quantizes to int64 (sub-unit absolute error on a 1e12-scale
+    series), so both quadratic forms are exact DECIMAL(38,0) ≡ HUGEINT
+    sums and DW is ONE division, `dround` 6.
+
+    Scale: one corpus-sized monthly rollup; one window exchange per
+    priority serves the index, the moment sums, the residual, and the
+    lag."""
+    from ..functions.numerics import _nearest_long_away
+
+    orders = read_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("month", "o_orderdate").alias("mon"),
+    ).agg(dsum_scaled("o_totalprice").alias("y"))
+    w_ord = Window.partitionBy("priority").orderBy("mon")
+    w_p = Window.partitionBy("priority")
+    t1 = m.select(
+        "priority",
+        "mon",
+        "y",
+        F.row_number().over(w_ord).cast("long").alias("t"),
+    )
+
+    def dd(c):
+        return c.cast("decimal(38,0)")
+
+    t2 = t1.select(
+        "priority",
+        "mon",
+        "y",
+        "t",
+        F.count(F.lit(1)).over(w_p).alias("n"),
+        F.sum("t").over(w_p).alias("st"),
+        F.sum(F.col("t") * F.col("t")).over(w_p).alias("st2"),
+        F.sum(dd(F.col("y"))).over(w_p).alias("sy"),
+        F.sum(dd(F.col("t")) * F.col("y")).over(w_p).alias("sty"),
+    )
+    num = dd(F.col("n")) * F.col("sty") - dd(F.col("st")) * F.col("sy")
+    den = dd(F.col("n")) * F.col("st2") - dd(F.col("st")) * F.col("st")
+    b_s = num.cast("double") / den.cast("double")
+    a_s = (
+        F.col("sy").cast("double") - b_s * F.col("st").cast("double")
+    ) / F.col("n").cast("double")
+    e_q = _nearest_long_away(
+        F.col("y").cast("double") - (a_s + b_s * F.col("t").cast("double"))
+    )
+    t3 = t2.select("priority", "mon", "n", e_q.alias("e"))
+    t4 = t3.select(
+        "priority",
+        "n",
+        "e",
+        F.lag("e").over(w_ord).alias("e_prev"),
+    )
+    d = F.col("e") - F.col("e_prev")
+    agg = t4.groupBy("priority").agg(
+        F.max("n").cast("long").alias("n_months"),
+        F.sum(dd(F.col("e")) * F.col("e")).alias("q_e"),
+        F.sum(
+            F.when(F.col("e_prev").isNotNull(), dd(d) * d).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        ).alias("q_d"),
+    )
+    dw = F.col("q_d").cast("double") / F.col("q_e").cast("double")
+    return (
+        agg.filter(F.col("q_e") > 0)
+        .select(
+            "priority",
+            "n_months",
+            dround(dw, 6).alias("durbin_watson"),
+            dround(F.lit(1.0) - dw / F.lit(2.0), 6).alias("rho_implied"),
+        )
+        .orderBy("priority")
+    )
+
+
+QUERIES["timeseries_durbin_watson"] = timeseries_durbin_watson
+
+ORACLE["timeseries_durbin_watson"] = (
+    "WITH m AS (SELECT o_orderpriority AS priority, "
+    "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon, "
+    "CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS BIGINT) "
+    "AS y FROM orders GROUP BY 1, 2), "
+    "t1 AS (SELECT priority, mon, y, "
+    "CAST(ROW_NUMBER() OVER (PARTITION BY priority ORDER BY mon) "
+    "AS BIGINT) AS t FROM m), "
+    "t2 AS (SELECT priority, mon, y, t, "
+    "CAST(COUNT(*) OVER w AS BIGINT) AS n, "
+    "CAST(SUM(t) OVER w AS BIGINT) AS st, "
+    "CAST(SUM(t * t) OVER w AS BIGINT) AS st2, "
+    "SUM(CAST(y AS HUGEINT)) OVER w AS sy, "
+    "SUM(CAST(t AS HUGEINT) * y) OVER w AS sty "
+    "FROM t1 WINDOW w AS (PARTITION BY priority)), "
+    "t3 AS (SELECT priority, mon, n, "
+    "CAST(ROUND(CAST(y AS DOUBLE) - ("
+    "(CAST(sy AS DOUBLE) - CAST(CAST(n AS HUGEINT) * sty "
+    "- CAST(st AS HUGEINT) * sy AS DOUBLE) "
+    "/ CAST(CAST(n AS HUGEINT) * st2 - CAST(st AS HUGEINT) * st "
+    "AS DOUBLE) * CAST(st AS DOUBLE)) / CAST(n AS DOUBLE) "
+    "+ CAST(CAST(n AS HUGEINT) * sty - CAST(st AS HUGEINT) * sy "
+    "AS DOUBLE) / CAST(CAST(n AS HUGEINT) * st2 "
+    "- CAST(st AS HUGEINT) * st AS DOUBLE) * CAST(t AS DOUBLE))) "
+    "AS BIGINT) AS e FROM t2), "
+    "t4 AS (SELECT priority, n, e, "
+    "LAG(e) OVER (PARTITION BY priority ORDER BY mon) AS e_prev "
+    "FROM t3), "
+    "a AS (SELECT priority, CAST(MAX(n) AS BIGINT) AS n_months, "
+    "SUM(CAST(e AS HUGEINT) * e) AS q_e, "
+    "SUM(CASE WHEN e_prev IS NOT NULL THEN "
+    "CAST(e - e_prev AS HUGEINT) * (e - e_prev) "
+    "ELSE CAST(0 AS HUGEINT) END) AS q_d FROM t4 GROUP BY 1) "
+    "SELECT priority, n_months, "
+    "ROUND(CAST(q_d AS DOUBLE) / CAST(q_e AS DOUBLE), 6) "
+    "AS durbin_watson, "
+    "ROUND(1.0 - CAST(q_d AS DOUBLE) / CAST(q_e AS DOUBLE) / 2.0, 6) "
+    "AS rho_implied "
+    "FROM a WHERE q_e > 0 ORDER BY priority"
+)
+
+
+# --- Herfindahl-Hirschman brand concentration ------------------------------------------
+
+
+def agg_herfindahl_brand_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Herfindahl-Hirschman index** of brand revenue concentration
+    per ship year — HHI = Σ share_b² (the antitrust-standard
+    concentration scalar; DOJ thresholds 0.15/0.25) with the effective
+    brand count 1/HHI (the Hill number the Simpson family uses) and
+    the top brand's share — the MARKET-structure view beside
+    `agg_gini_customer_revenue`'s customer-inequality view and
+    `abc_pareto_parts`' part classes.
+
+    Determinism: HHI clears to Σ rev_b² / (Σ rev_b)² — per-brand
+    squares exact in DECIMAL(38,0) ≡ HUGEINT, the denominator square
+    formed as a double PRODUCT of the same exact total (the
+    `agg_spearman_rank_corr` 128-bit posture); every exposed double is
+    one fixed-shape expression, `dround` 6.
+
+    Scale: one broadcast dim join (part), one map-side-combinable
+    (year, brand) rollup, then all algebra on the brand-count frame."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice"
+    )
+    part = read_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    cells = (
+        li.join(F.broadcast(part), "l_partkey")
+        .groupBy(
+            F.year("l_shipdate").cast("int").alias("year"),
+            F.col("p_brand").alias("brand"),
+        )
+        .agg(dsum_scaled("l_extendedprice").alias("rev_s"))
+    )
+    w_y = Window.partitionBy("year")
+
+    def dd(c):
+        return c.cast("decimal(38,0)")
+
+    t = cells.select(
+        "year",
+        "rev_s",
+        F.sum(dd(F.col("rev_s"))).over(w_y).alias("s_tot"),
+    )
+    agg = t.groupBy("year").agg(
+        F.count(F.lit(1)).cast("int").alias("n_brands"),
+        F.sum(dd(F.col("rev_s")) * F.col("rev_s")).alias("q"),
+        F.max("s_tot").alias("s_tot"),
+        F.max("rev_s").cast("long").alias("max_rev"),
+    )
+    s_d = F.col("s_tot").cast("double")
+    hhi = F.col("q").cast("double") / (s_d * s_d)
+    return (
+        agg.filter(F.col("s_tot") > 0)
+        .select(
+            "year",
+            "n_brands",
+            dround(hhi, 6).alias("hhi"),
+            dround(F.lit(1.0) / hhi, 4).alias("effective_brands"),
+            dround(F.col("max_rev").cast("double") / s_d, 6).alias(
+                "top_brand_share"
+            ),
+        )
+        .orderBy("year")
+    )
+
+
+QUERIES["agg_herfindahl_brand_hhi"] = agg_herfindahl_brand_hhi
+
+ORACLE["agg_herfindahl_brand_hhi"] = (
+    "WITH cells AS (SELECT CAST(year(l_shipdate) AS INT) AS year, "
+    "p_brand AS brand, "
+    "CAST(SUM(CAST(ROUND(l_extendedprice * 10000) AS BIGINT)) "
+    "AS BIGINT) AS rev_s "
+    "FROM lineitem JOIN part ON p_partkey = l_partkey GROUP BY 1, 2), "
+    "t AS (SELECT year, rev_s, "
+    "SUM(CAST(rev_s AS HUGEINT)) OVER (PARTITION BY year) AS s_tot "
+    "FROM cells), "
+    "a AS (SELECT year, CAST(COUNT(*) AS INT) AS n_brands, "
+    "SUM(CAST(rev_s AS HUGEINT) * rev_s) AS q, "
+    "MAX(s_tot) AS s_tot, CAST(MAX(rev_s) AS BIGINT) AS max_rev "
+    "FROM t GROUP BY 1) "
+    "SELECT year, n_brands, "
+    "ROUND(CAST(q AS DOUBLE) / (CAST(s_tot AS DOUBLE) "
+    "* CAST(s_tot AS DOUBLE)), 6) AS hhi, "
+    "ROUND(1.0 / (CAST(q AS DOUBLE) / (CAST(s_tot AS DOUBLE) "
+    "* CAST(s_tot AS DOUBLE))), 4) AS effective_brands, "
+    "ROUND(CAST(max_rev AS DOUBLE) / CAST(s_tot AS DOUBLE), 6) "
+    "AS top_brand_share "
+    "FROM a WHERE s_tot > 0 ORDER BY year"
+)

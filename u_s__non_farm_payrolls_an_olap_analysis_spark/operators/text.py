@@ -2245,3 +2245,131 @@ ORACLE["corpus_simpson_diversity"] = (
     "AS simpson_evenness "
     "FROM s WHERE n_tokens > 1 ORDER BY source"
 )
+
+
+# --- Leave-one-out Jensen-Shannon divergence per source -----------------------
+
+_JS_SCALE = 100_000_000  # per-type term quantization (nats x 1e8)
+
+
+def text_js_divergence_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """**Leave-one-out Jensen-Shannon divergence** per source — JS(P_src
+    ‖ P_rest) where P_rest is the corpus WITHOUT the source (Lin 1991)
+    — the symmetric, bounded (≤ ln 2) domain-distance completing the
+    divergence family: `text_kl_divergence_by_source` measures distance
+    from the blend (which CONTAINS the source, shrinking big sources'
+    distance mechanically); the leave-one-out JS is the honest
+    "how different is this source from everything else" that dedup
+    across corpora and mixture design want.
+
+    Determinism: with a = per-type source count, b = rest count
+    (global − a), A/B the side totals, both mixture ratios clear to
+    exact integers — 2aB/(aB+bA) and 2bA/(aB+bA) — so each per-type
+    term a·ln(·) / b·ln(·) is one double off exact ints, quantized to
+    scaled int64 (entropy-family device). Types ABSENT from the source
+    contribute the closed form (B − Σ_present b)·ln 2 on the rest
+    side, so the sparse (source, token) frame is sufficient — no dense
+    source×vocab expansion. JS is fixed-shape arithmetic off the exact
+    sums, `dround` 6.
+
+    Scale: identical physical shape to the KL sibling — one explode,
+    one (source, token) count, three windows over the vocab-sized
+    frame."""
+    from ..functions.numerics import dsum_scaled
+
+    docs = read_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_tok = Window.partitionBy("tok")
+    w_src = Window.partitionBy("source")
+    w_all = Window.partitionBy()
+    x = counts.select(
+        "source",
+        "c",
+        (F.sum("c").over(w_tok) - F.col("c")).alias("b"),
+        F.sum("c").over(w_src).alias("aa"),
+        (F.sum("c").over(w_all) - F.sum("c").over(w_src)).alias("bb"),
+    )
+
+    def dd(c):
+        return c.cast("decimal(38,0)")
+
+    aB = dd(F.col("c")) * F.col("bb")
+    bA = dd(F.col("b")) * F.col("aa")
+    den = (aB + bA).cast("double")
+    term_p = F.col("c").cast("double") * F.log(
+        F.lit(2.0) * aB.cast("double") / den
+    )
+    term_q = F.when(
+        F.col("b") > 0,
+        F.col("b").cast("double")
+        * F.log(F.lit(2.0) * bA.cast("double") / den),
+    ).otherwise(F.lit(0.0))
+    agg = x.filter(F.col("bb") > 0).groupBy("source").agg(
+        F.max("aa").cast("long").alias("n_tokens"),
+        F.max("bb").cast("long").alias("rest_tokens"),
+        F.sum("b").cast("long").alias("sb"),
+        dsum_scaled(term_p, _JS_SCALE).alias("sp"),
+        dsum_scaled(term_q, _JS_SCALE).alias("sq"),
+    )
+    a_d = F.col("n_tokens").cast("double")
+    b_d = F.col("rest_tokens").cast("double")
+    rem = (
+        F.col("rest_tokens") - F.col("sb")
+    ).cast("double") * F.log(F.lit(2.0))
+    jsd = F.lit(0.5) * (
+        F.col("sp").cast("double") / _JS_SCALE / a_d
+        + (F.col("sq").cast("double") / _JS_SCALE + rem) / b_d
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "rest_tokens",
+        dround(jsd, 6).alias("js_nats"),
+        dround(jsd / F.log(F.lit(2.0)), 6).alias("js_normalized"),
+    ).orderBy("source")
+
+
+QUERIES["text_js_divergence_by_source"] = text_js_divergence_by_source
+
+ORACLE["text_js_divergence_by_source"] = (
+    "WITH tk AS (SELECT source, u.tok FROM (SELECT source, "
+    "string_split(text, ' ') AS toks FROM documents), "
+    "UNNEST(toks) AS u(tok)), "
+    "cc AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c "
+    "FROM tk GROUP BY 1, 2), "
+    "x AS (SELECT source, c, "
+    "SUM(c) OVER (PARTITION BY tok) - c AS b, "
+    "SUM(c) OVER (PARTITION BY source) AS aa, "
+    "SUM(c) OVER () - SUM(c) OVER (PARTITION BY source) AS bb "
+    "FROM cc), "
+    "a AS (SELECT source, CAST(MAX(aa) AS BIGINT) AS n_tokens, "
+    "CAST(MAX(bb) AS BIGINT) AS rest_tokens, "
+    "CAST(SUM(b) AS BIGINT) AS sb, "
+    "CAST(SUM(CAST(ROUND(CAST(c AS DOUBLE) "
+    "* ln(2.0 * CAST(CAST(c AS HUGEINT) * bb AS DOUBLE) "
+    "/ CAST(CAST(c AS HUGEINT) * bb + CAST(b AS HUGEINT) * aa "
+    f"AS DOUBLE)) * {_JS_SCALE}) AS BIGINT)) AS BIGINT) AS sp, "
+    "CAST(SUM(CAST(ROUND(CASE WHEN b > 0 THEN CAST(b AS DOUBLE) "
+    "* ln(2.0 * CAST(CAST(b AS HUGEINT) * aa AS DOUBLE) "
+    "/ CAST(CAST(c AS HUGEINT) * bb + CAST(b AS HUGEINT) * aa "
+    f"AS DOUBLE)) ELSE 0.0 END * {_JS_SCALE}) AS BIGINT)) AS BIGINT) "
+    "AS sq FROM x WHERE bb > 0 GROUP BY 1) "
+    "SELECT source, n_tokens, rest_tokens, "
+    f"ROUND(0.5 * (CAST(sp AS DOUBLE) / {_JS_SCALE} "
+    "/ CAST(n_tokens AS DOUBLE) "
+    f"+ (CAST(sq AS DOUBLE) / {_JS_SCALE} "
+    "+ CAST(rest_tokens - sb AS DOUBLE) * ln(2.0)) "
+    "/ CAST(rest_tokens AS DOUBLE)), 6) AS js_nats, "
+    f"ROUND(0.5 * (CAST(sp AS DOUBLE) / {_JS_SCALE} "
+    "/ CAST(n_tokens AS DOUBLE) "
+    f"+ (CAST(sq AS DOUBLE) / {_JS_SCALE} "
+    "+ CAST(rest_tokens - sb AS DOUBLE) * ln(2.0)) "
+    "/ CAST(rest_tokens AS DOUBLE)) / ln(2.0), 6) AS js_normalized "
+    "FROM a ORDER BY source"
+)

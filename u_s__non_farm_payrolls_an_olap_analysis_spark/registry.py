@@ -315,6 +315,12 @@ _SAMPLE_PRIORITY = [
     "events_markov_stationary",
     # NEW in round 13 — Lorenz curve tabulated at customer deciles
     "agg_lorenz_curve_deciles",
+    # NEW in round 13 — leave-one-out Jensen-Shannon divergence
+    "text_js_divergence_by_source",
+    # NEW in round 13 — Durbin-Watson residual autocorrelation
+    "timeseries_durbin_watson",
+    # NEW in round 13 — Herfindahl brand concentration per ship year
+    "agg_herfindahl_brand_hhi",
     # latest driver row r6 — oldest surviving evidence, in r6 order
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
