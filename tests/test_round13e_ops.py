@@ -1255,3 +1255,135 @@ def test_hhi_matches_pure_python(spark):
         assert row["top_brand_share"] == _round6(max(bs.values()) / float(s))
         # HHI is bounded below by the uniform 1/k and above by 1
         assert 1.0 / len(bs) - 1e-9 <= row["hhi"] <= 1.0
+
+
+# --- wave 16 --------------------------------------------------------------------------
+
+
+def test_phash_dedup_matches_pure_python(spark):
+    import hashlib
+
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.multimodal import (
+        PHASH_STRIDE,
+        multimodal_phash_dedup,
+    )
+
+    docs = read_table(spark, SF, "documents").select("doc_id", "text").collect()
+    groups = collections.defaultdict(list)
+    for r in docs:
+        payload = r["text"].encode()
+        code = hashlib.md5(b"ph:" + payload[::PHASH_STRIDE]).hexdigest()[:16]
+        groups[code].append((r["doc_id"], len(payload)))
+
+    expect = {c: g for c, g in groups.items() if len(g) > 1}
+    got = {r["phash"]: r for r in multimodal_phash_dedup(spark, SF).collect()}
+    assert set(got) == set(expect)
+    for c, g in expect.items():
+        row = got[c]
+        assert row["n_docs"] == len(g)
+        assert row["min_doc_id"] == min(d for d, _ in g)
+        assert row["max_doc_id"] == max(d for d, _ in g)
+        assert row["min_bytes"] == min(b for _, b in g)
+        assert row["max_bytes"] == max(b for _, b in g)
+    # exact duplicates always collide under the strided fingerprint:
+    # every exact-dup text group implies at least one bucket (sf0.001
+    # happens to plant none — the sf0.01 parity fixture shows 16)
+    texts = collections.Counter(r["text"] for r in docs)
+    n_exact_dup_groups = sum(1 for t, c in texts.items() if c > 1)
+    assert len(expect) >= n_exact_dup_groups
+    assert all(row["n_docs"] >= 2 for row in got.values())
+
+
+def test_mann_kendall_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        timeseries_mann_kendall,
+    )
+
+    rows = (
+        read_table(spark, SF, "orders")
+        .select("o_orderpriority", "o_orderdate", "o_totalprice")
+        .collect()
+    )
+    monthly = collections.defaultdict(int)
+    for r in rows:
+        key = (
+            r["o_orderpriority"],
+            (r["o_orderdate"].year, r["o_orderdate"].month),
+        )
+        monthly[key] += _round_half_away(r["o_totalprice"] * 10000)
+    series = collections.defaultdict(list)
+    for (g, mon), v in sorted(monthly.items()):
+        series[g].append(v)
+
+    got = {r["priority"]: r for r in timeseries_mann_kendall(spark, SF).collect()}
+    assert set(got) == set(series)
+    for g, ys in series.items():
+        n = len(ys)
+        s = sum(
+            (1 if ys[j] > ys[i] else -1 if ys[j] < ys[i] else 0)
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        ties = collections.Counter(ys)
+        tie_sum = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+        var18 = n * (n - 1) * (2 * n + 5) - tie_sum
+        sd = math.sqrt(var18 / 18.0)
+        z = (s - 1.0) / sd if s > 0 else (s + 1.0) / sd if s < 0 else 0.0
+        row = got[g]
+        assert row["n_months"] == n
+        assert row["s_stat"] == s
+        assert row["var18"] == var18
+        assert row["kendall_tau_a"] == _round6(2.0 * s / (n * (n - 1.0)))
+        assert row["mk_z"] == _round6(z)
+        # tau is a normalized concordance: |tau| <= 1
+        assert abs(row["kendall_tau_a"]) <= 1.0
+
+
+def test_decision_stump_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        agg_decision_stump_gini,
+    )
+
+    rows = (
+        read_table(spark, SF, "orders")
+        .select("o_orderstatus", "o_orderpriority")
+        .collect()
+    )
+    cells = collections.Counter(
+        (r["o_orderstatus"], r["o_orderpriority"]) for r in rows
+    )
+    statuses = sorted({s for s, _ in cells})
+    prios = sorted({p for _, p in cells})
+    tot_s = {
+        s: sum(cells[(s, p)] for p in prios) for s in statuses
+    }
+    n = sum(tot_s.values())
+    qn = sum(v * v for v in tot_s.values())
+    gini_parent = (n * n - qn) / (n * n)
+
+    expect = {}
+    for p in prios:
+        left = {s: cells[(s, p)] for s in statuses}
+        l = sum(left.values())
+        ql = sum(v * v for v in left.values())
+        qr = sum((tot_s[s] - left[s]) ** 2 for s in statuses)
+        r_ = n - l
+        child = ((l * l - ql) / l + (r_ * r_ - qr) / r_) / n
+        expect[p] = (l, r_, child, gini_parent - child)
+
+    got = {r["split_priority"]: r for r in agg_decision_stump_gini(spark, SF).collect()}
+    assert set(got) == set(expect)
+    ranked = sorted(
+        expect.items(),
+        key=lambda kv: (-_round_half_away(kv[1][3] * 1e12), kv[0]),
+    )
+    for rank, (p, (l, r_, child, dec)) in enumerate(ranked, start=1):
+        row = got[p]
+        assert row["n_left"] == l
+        assert row["n_right"] == r_
+        assert row["gini_parent"] == _round6(gini_parent)
+        assert row["gini_weighted_children"] == _round6(child)
+        assert row["gini_decrease"] == _round6(dec)
+        assert row["rank"] == rank
+        # a split can never increase impurity
+        assert row["gini_decrease"] >= -1e-12

@@ -8631,3 +8631,279 @@ ORACLE["agg_herfindahl_brand_hhi"] = (
     "AS top_brand_share "
     "FROM a WHERE s_tot > 0 ORDER BY year"
 )
+
+
+# --- Mann-Kendall nonparametric trend test ----------------------------------------------
+
+
+def timeseries_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Mann-Kendall trend test** (Mann 1945; Kendall 1975 — the
+    hydrology-standard nonparametric monotone-trend test) per monthly
+    revenue series: S = Σ_{i<j} sgn(y_j − y_i), tie-corrected variance
+    Var = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)]/18, and the
+    continuity-corrected z — the distribution-free companion of
+    `agg_linear_trend`'s OLS slope (MK sees any monotone trend, not
+    just linear, and ignores outlier magnitude entirely); Kendall's
+    τ-a = 2S/(n(n−1)) is emitted beside it (the same concordance
+    algebra as `agg_kendall_tau`, here against TIME).
+
+    Determinism: pair generation strictly AFTER the monthly rollup
+    (the `agg_theil_sen_trend` posture — O(n²) in series length, not
+    row count; the tiny rollup is localCheckpoint-ed so the corpus
+    aggregate runs once, not once per join side); S, the tie sum and
+    18·Var are exact integers; z and τ are fixed-shape doubles off
+    exact ints, `dround` 6.
+
+    Scale: one corpus-sized monthly rollup, then all pair work on the
+    ~month-count frame."""
+    orders = read_table(spark, sf_dir, "orders")
+    m = (
+        orders.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.date_trunc("month", "o_orderdate").alias("mon"),
+        )
+        .agg(dsum_scaled("o_totalprice").alias("y"))
+        .localCheckpoint(eager=True)
+    )
+    a = m.select(
+        "priority", F.col("mon").alias("mi"), F.col("y").alias("yi")
+    )
+    b = m.select(
+        "priority", F.col("mon").alias("mj"), F.col("y").alias("yj")
+    )
+    pairs = a.join(b, "priority").filter(F.col("mi") < F.col("mj"))
+    sgn = F.when(F.col("yj") > F.col("yi"), 1).otherwise(
+        F.when(F.col("yj") < F.col("yi"), -1).otherwise(0)
+    )
+    s_f = pairs.groupBy("priority").agg(
+        F.sum(sgn).cast("long").alias("s")
+    )
+    nf = m.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    ties = (
+        m.groupBy("priority", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("priority")
+        .agg(
+            F.sum(
+                F.col("t")
+                * (F.col("t") - F.lit(1))
+                * (F.lit(2) * F.col("t") + F.lit(5))
+            )
+            .cast("long")
+            .alias("tie_sum")
+        )
+    )
+    j = s_f.join(nf, "priority").join(ties, "priority")
+    n = F.col("n")
+    var18 = (
+        n * (n - F.lit(1)) * (F.lit(2) * n + F.lit(5)) - F.col("tie_sum")
+    )
+    sd = F.sqrt(var18.cast("double") / F.lit(18.0))
+    s_d = F.col("s").cast("double")
+    z = F.when(F.col("s") > 0, (s_d - F.lit(1.0)) / sd).otherwise(
+        F.when(F.col("s") < 0, (s_d + F.lit(1.0)) / sd).otherwise(
+            F.lit(0.0)
+        )
+    )
+    tau = F.lit(2.0) * s_d / (
+        n.cast("double") * (n.cast("double") - F.lit(1.0))
+    )
+    return (
+        j.filter(var18 > 0)
+        .select(
+            "priority",
+            F.col("n").alias("n_months"),
+            F.col("s").alias("s_stat"),
+            var18.cast("long").alias("var18"),
+            dround(tau, 6).alias("kendall_tau_a"),
+            dround(z, 6).alias("mk_z"),
+        )
+        .orderBy("priority")
+    )
+
+
+QUERIES["timeseries_mann_kendall"] = timeseries_mann_kendall
+
+ORACLE["timeseries_mann_kendall"] = (
+    "WITH m AS (SELECT o_orderpriority AS priority, "
+    "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon, "
+    "CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS BIGINT) "
+    "AS y FROM orders GROUP BY 1, 2), "
+    "p AS (SELECT a.priority, "
+    "CAST(SUM(CASE WHEN b.y > a.y THEN 1 "
+    "WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s "
+    "FROM m a JOIN m b ON b.priority = a.priority AND a.mon < b.mon "
+    "GROUP BY 1), "
+    "nf AS (SELECT priority, CAST(COUNT(*) AS BIGINT) AS n FROM m "
+    "GROUP BY 1), "
+    "ties AS (SELECT priority, "
+    "CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_sum FROM "
+    "(SELECT priority, y, CAST(COUNT(*) AS BIGINT) AS t FROM m "
+    "GROUP BY 1, 2) GROUP BY 1), "
+    "j AS (SELECT p.priority, s, n, "
+    "n * (n - 1) * (2 * n + 5) - tie_sum AS var18 "
+    "FROM p JOIN nf USING (priority) JOIN ties USING (priority)) "
+    "SELECT priority, n AS n_months, s AS s_stat, "
+    "CAST(var18 AS BIGINT) AS var18, "
+    "ROUND(2.0 * CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) "
+    "* (CAST(n AS DOUBLE) - 1.0)), 6) AS kendall_tau_a, "
+    "ROUND(CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0) "
+    "/ sqrt(CAST(var18 AS DOUBLE) / 18.0) "
+    "WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0) "
+    "/ sqrt(CAST(var18 AS DOUBLE) / 18.0) ELSE 0.0 END, 6) AS mk_z "
+    "FROM j WHERE var18 > 0 ORDER BY priority"
+)
+
+
+# --- Decision-stump split evaluation by Gini impurity -----------------------------------
+
+STUMP_SCALE = 1_000_000_000_000.0  # impurity-decrease rank quantization
+
+
+def agg_decision_stump_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Decision-stump split search by Gini impurity** (CART —
+    Breiman et al. 1984, ch. 2): for every candidate one-vs-rest split
+    on priority, the weighted Gini impurity of the two children over
+    the order-status distribution and its decrease vs the parent — the
+    ML-primitive counterpart of `agg_chi_square_independence` (the
+    chi-square says the table is dependent; the stump says which
+    single split buys the most purity — feature-importance triage
+    implemented as three aggregates).
+
+    Determinism: the dense status×priority contingency builds from one
+    count aggregate + a cross join of the two tiny key sets (missing
+    cells must be EXPLICIT zeros — the right child's (tot−o)² term is
+    nonzero precisely where the left count is absent); every impurity
+    clears to exact-integer forms (n_ch² − Σc²)/n_ch; the best-split
+    rank orders by the decrease quantized to int64 with the split
+    value as tiebreak.
+
+    Scale: one map-side-combinable count over orders; everything after
+    is on the R×C frame."""
+    from ..functions.numerics import _nearest_long_away
+
+    orders = read_table(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        F.col("o_orderstatus").alias("s"),
+        F.col("o_orderpriority").alias("p"),
+    ).agg(F.count(F.lit(1)).alias("o")).localCheckpoint(eager=True)
+    statuses = cells.select("s").distinct()
+    prios = cells.select("p").distinct()
+    dense = (
+        statuses.crossJoin(prios)
+        .join(cells, ["s", "p"], "left")
+        .select(
+            "s", "p", F.coalesce(F.col("o"), F.lit(0)).alias("o")
+        )
+    )
+    w_s = Window.partitionBy("s")
+    t = dense.select(
+        "s",
+        "p",
+        "o",
+        F.sum("o").over(w_s).alias("tot_s"),
+    )
+
+    def dd(c):
+        return c.cast("decimal(38,0)")
+
+    per_p = t.groupBy("p").agg(
+        F.sum("o").cast("long").alias("l"),
+        F.sum(dd(F.col("o")) * F.col("o")).alias("ql"),
+        F.sum(F.col("tot_s")).cast("long").alias("nn"),
+        F.sum(
+            dd(F.col("tot_s") - F.col("o"))
+            * (F.col("tot_s") - F.col("o"))
+        ).alias("qr"),
+        F.sum(dd(F.col("tot_s")) * F.col("tot_s")).alias("qn"),
+    )
+    l_d = F.col("l").cast("double")
+    n_d = F.col("nn").cast("double")
+    r_d = n_d - l_d
+    gini_parent = (
+        n_d * n_d - F.col("qn").cast("double")
+    ) / (n_d * n_d)
+    child = (
+        (l_d * l_d - F.col("ql").cast("double")) / l_d
+        + (r_d * r_d - F.col("qr").cast("double")) / r_d
+    ) / n_d
+    dec = gini_parent - child
+    ranked = per_p.filter((F.col("l") > 0) & (F.col("l") < F.col("nn"))).select(
+        F.col("p").alias("split_priority"),
+        F.col("l").alias("n_left"),
+        (F.col("nn") - F.col("l")).alias("n_right"),
+        dround(gini_parent, 6).alias("gini_parent"),
+        dround(child, 6).alias("gini_weighted_children"),
+        dround(dec, 6).alias("gini_decrease"),
+        _nearest_long_away(dec * F.lit(STUMP_SCALE)).alias("dq"),
+    )
+    w_rank = Window.orderBy(F.col("dq").desc(), "split_priority")
+    return (
+        ranked.select(
+            "split_priority",
+            "n_left",
+            "n_right",
+            "gini_parent",
+            "gini_weighted_children",
+            "gini_decrease",
+            F.row_number().over(w_rank).cast("int").alias("rank"),
+        )
+        .orderBy("rank")
+    )
+
+
+QUERIES["agg_decision_stump_gini"] = agg_decision_stump_gini
+
+ORACLE["agg_decision_stump_gini"] = (
+    "WITH cells AS (SELECT o_orderstatus AS s, o_orderpriority AS p, "
+    "CAST(COUNT(*) AS BIGINT) AS o FROM orders GROUP BY 1, 2), "
+    "dense AS (SELECT ss.s, pp.p, COALESCE(c.o, 0) AS o "
+    "FROM (SELECT DISTINCT s FROM cells) ss "
+    "CROSS JOIN (SELECT DISTINCT p FROM cells) pp "
+    "LEFT JOIN cells c ON c.s = ss.s AND c.p = pp.p), "
+    "t AS (SELECT s, p, o, "
+    "SUM(o) OVER (PARTITION BY s) AS tot_s FROM dense), "
+    "pp2 AS (SELECT p, CAST(SUM(o) AS BIGINT) AS l, "
+    "SUM(CAST(o AS HUGEINT) * o) AS ql, "
+    "CAST(SUM(tot_s) AS BIGINT) AS nn, "
+    "SUM(CAST(tot_s - o AS HUGEINT) * (tot_s - o)) AS qr, "
+    "SUM(CAST(tot_s AS HUGEINT) * tot_s) AS qn FROM t GROUP BY 1), "
+    "r AS (SELECT p AS split_priority, l AS n_left, "
+    "nn - l AS n_right, "
+    "ROUND((CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) "
+    "- CAST(qn AS DOUBLE)) / (CAST(nn AS DOUBLE) "
+    "* CAST(nn AS DOUBLE)), 6) AS gini_parent, "
+    "ROUND(((CAST(l AS DOUBLE) * CAST(l AS DOUBLE) "
+    "- CAST(ql AS DOUBLE)) / CAST(l AS DOUBLE) "
+    "+ ((CAST(nn AS DOUBLE) - CAST(l AS DOUBLE)) "
+    "* (CAST(nn AS DOUBLE) - CAST(l AS DOUBLE)) "
+    "- CAST(qr AS DOUBLE)) / (CAST(nn AS DOUBLE) "
+    "- CAST(l AS DOUBLE))) / CAST(nn AS DOUBLE), 6) "
+    "AS gini_weighted_children, "
+    "ROUND((CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) "
+    "- CAST(qn AS DOUBLE)) / (CAST(nn AS DOUBLE) "
+    "* CAST(nn AS DOUBLE)) "
+    "- ((CAST(l AS DOUBLE) * CAST(l AS DOUBLE) "
+    "- CAST(ql AS DOUBLE)) / CAST(l AS DOUBLE) "
+    "+ ((CAST(nn AS DOUBLE) - CAST(l AS DOUBLE)) "
+    "* (CAST(nn AS DOUBLE) - CAST(l AS DOUBLE)) "
+    "- CAST(qr AS DOUBLE)) / (CAST(nn AS DOUBLE) "
+    "- CAST(l AS DOUBLE))) / CAST(nn AS DOUBLE), 6) AS gini_decrease, "
+    "CAST(ROUND(((CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) "
+    "- CAST(qn AS DOUBLE)) / (CAST(nn AS DOUBLE) "
+    "* CAST(nn AS DOUBLE)) "
+    "- ((CAST(l AS DOUBLE) * CAST(l AS DOUBLE) "
+    "- CAST(ql AS DOUBLE)) / CAST(l AS DOUBLE) "
+    "+ ((CAST(nn AS DOUBLE) - CAST(l AS DOUBLE)) "
+    "* (CAST(nn AS DOUBLE) - CAST(l AS DOUBLE)) "
+    "- CAST(qr AS DOUBLE)) / (CAST(nn AS DOUBLE) "
+    "- CAST(l AS DOUBLE))) / CAST(nn AS DOUBLE)) "
+    f"* {STUMP_SCALE:.1f}) AS BIGINT) AS dq "
+    "FROM pp2 WHERE l > 0 AND l < nn) "
+    "SELECT split_priority, n_left, n_right, gini_parent, "
+    "gini_weighted_children, gini_decrease, "
+    "CAST(ROW_NUMBER() OVER (ORDER BY dq DESC, split_priority) AS INT) "
+    "AS rank FROM r ORDER BY rank"
+)

@@ -279,3 +279,92 @@ ORACLE = {
         "CASE WHEN n = 0 THEN -1 ELSE fb END AS resized_first FROM s"
     ),
 }
+
+
+# --- Perceptual-hash dedup over the binary media column ---------------------
+
+PHASH_STRIDE = 16  # byte stride of the downsampling stage
+
+
+def _phash_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Fingerprint stage of a perceptual-hash dedup: downsample the
+    payload (every ``PHASH_STRIDE``-th byte — the stand-in for a real
+    pHash's resize+DCT+sign step, which needs PIL and is stubbed like
+    :func:`decode_media_real`), then hash the sample to a 64-bit code
+    (md5 prefix). Deterministic, Arrow-batched, one row out per row in
+    — the exact plumbing a real perceptual hash would ride."""
+    import hashlib
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "kind": pdf["kind"],
+                "byte_len": pdf["media"].apply(len).astype("int64"),
+                "phash": pdf["media"].apply(
+                    lambda b: hashlib.md5(
+                        b"ph:" + b[::PHASH_STRIDE]
+                    ).hexdigest()[:16]
+                ),
+            }
+        )
+
+
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **perceptual-hash near-dedup over the binary media
+    column**: downsample each payload, hash to a 64-bit code, bucket
+    by code, report multi-member buckets — the image/audio counterpart
+    of `dedup_exact` (exact-byte dedup catches only identical files; a
+    perceptual code collapses re-encodes of the same content — here
+    the DCT step is a documented deterministic stand-in, the
+    `decode_media_real` convention, so the distributed shape is fully
+    exercised and oracle-checked).
+
+    Determinism: the fingerprint is a pure function of the payload
+    bytes (md5 of the strided sample — the fixture's payloads are
+    ASCII text bytes, so the DuckDB twin states the same sample in
+    character space); group stats are exact integers.
+
+    Scale: one Arrow-batched ``mapInPandas`` pass (no shuffle), ONE
+    hash-keyed aggregate — the same one-hash-groupBy posture as
+    `dedup_exact`; no pairwise work."""
+    docs = read_table(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("media"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("image"))
+        .otherwise(F.lit("audio"))
+        .alias("kind"),
+    )
+    hashed = media.mapInPandas(
+        _phash_batches,
+        schema="doc_id long, kind string, byte_len long, phash string",
+    )
+    g = hashed.groupBy("phash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.min("byte_len").alias("min_bytes"),
+        F.max("byte_len").alias("max_bytes"),
+    )
+    return g.filter(F.col("n_docs") > 1).orderBy("phash")
+
+
+QUERIES["multimodal_phash_dedup"] = multimodal_phash_dedup
+
+ORACLE["multimodal_phash_dedup"] = (
+    "WITH h AS (SELECT doc_id, "
+    "CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, "
+    "substr(md5('ph:' || array_to_string(list_transform("
+    f"range(1, length(text) + 1, {PHASH_STRIDE}), "
+    "i -> substring(text, CAST(i AS INT), 1)), '')), 1, 16) AS phash "
+    "FROM documents) "
+    "SELECT phash, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(MIN(doc_id) AS BIGINT) AS min_doc_id, "
+    "CAST(MAX(doc_id) AS BIGINT) AS max_doc_id, "
+    "CAST(MIN(byte_len) AS BIGINT) AS min_bytes, "
+    "CAST(MAX(byte_len) AS BIGINT) AS max_bytes "
+    "FROM h GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY phash"
+)

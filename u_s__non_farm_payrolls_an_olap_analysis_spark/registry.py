@@ -321,6 +321,12 @@ _SAMPLE_PRIORITY = [
     "timeseries_durbin_watson",
     # NEW in round 13 — Herfindahl brand concentration per ship year
     "agg_herfindahl_brand_hhi",
+    # NEW in round 13 — perceptual-hash dedup over the media column
+    "multimodal_phash_dedup",
+    # NEW in round 13 — Mann-Kendall nonparametric trend test
+    "timeseries_mann_kendall",
+    # NEW in round 13 — decision-stump Gini split search
+    "agg_decision_stump_gini",
     # latest driver row r6 — oldest surviving evidence, in r6 order
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
