@@ -1387,3 +1387,201 @@ def test_decision_stump_matches_pure_python(spark):
         assert row["rank"] == rank
         # a split can never increase impurity
         assert row["gini_decrease"] >= -1e-12
+
+
+# --- wave 17 --------------------------------------------------------------------------
+
+
+def test_conversion_latency_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        events_conversion_latency_quantiles,
+    )
+
+    ev = (
+        read_table(spark, SF, "events")
+        .select("user_id", "ts", "event_type", "event_id")
+        .collect()
+    )
+    by_user = collections.defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    months = collections.defaultdict(list)
+    for u, evs in by_user.items():
+        evs.sort()
+        last_view = None
+        for ts, eid, et in evs:
+            if et == "purchase" and last_view is not None:
+                gap = int(
+                    (ts - last_view).total_seconds() * 1_000_000 + 0.5
+                )
+                months[(ts.year, ts.month)].append(gap)
+            if et == "view":
+                last_view = ts
+    got = {
+        (r["mon"].year, r["mon"].month): r
+        for r in events_conversion_latency_quantiles(spark, SF).collect()
+    }
+    assert set(got) == set(months)
+
+    def qcont(vals, f):
+        s = sorted(vals)
+        h = (len(s) - 1) * f
+        lo, hi = s[int(math.floor(h))], s[int(math.ceil(h))]
+        return lo + (hi - lo) * (h - math.floor(h))
+
+    H = 3_600_000_000.0
+    for m, gaps in months.items():
+        row = got[m]
+        assert row["n_conversions"] == len(gaps)
+        assert row["p50_hours"] == _round6(qcont(gaps, 0.5) / H)
+        assert row["p90_hours"] == _round6(qcont(gaps, 0.9) / H)
+        assert row["mean_hours"] == _round6(sum(gaps) / len(gaps) / H)
+        # quantile ordering
+        assert row["p50_hours"] <= row["p90_hours"] + 1e-9
+
+
+def test_price_indices_match_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        agg_price_index_laspeyres,
+    )
+
+    li = (
+        read_table(spark, SF, "lineitem")
+        .select("l_partkey", "l_shipdate", "l_extendedprice", "l_quantity")
+        .collect()
+    )
+    py = collections.defaultdict(lambda: [0, 0])
+    for r in li:
+        cell = py[(r["l_partkey"], r["l_shipdate"].year)]
+        cell[0] += _round_half_away(r["l_extendedprice"] * 10000)
+        cell[1] += int(r["l_quantity"])
+    byr = min(y for _, y in py)
+    base = {p: v for (p, y), v in py.items() if y == byr}
+    years = collections.defaultdict(lambda: [0, 0, 0, 0, 0])
+    for (p, y), (e, q) in py.items():
+        if y <= byr or p not in base or q <= 0:
+            continue
+        e0, q0 = base[p]
+        if q0 <= 0:
+            continue
+        acc = years[y]
+        acc[0] += 1
+        acc[1] += _round_half_away(e * q0 / q)
+        acc[2] += e0
+        acc[3] += e
+        acc[4] += _round_half_away(e0 * q / q0)
+
+    got = {r["year"]: r for r in agg_price_index_laspeyres(spark, SF).collect()}
+    assert set(got) == {
+        y for y, a in years.items() if a[2] > 0 and a[4] > 0
+    }
+    for y, (n, num_l, den_l, num_p, den_p) in years.items():
+        row = got[y]
+        l_idx = num_l / den_l
+        p_idx = num_p / den_p
+        assert row["n_parts_matched"] == n
+        assert row["laspeyres"] == _round6(l_idx)
+        assert row["paasche"] == _round6(p_idx)
+        assert row["fisher"] == _round6(math.sqrt(l_idx * p_idx))
+        # Fisher is the geometric mean: between L and P
+        lo, hi = sorted((row["laspeyres"], row["paasche"]))
+        assert lo - 1e-6 <= row["fisher"] <= hi + 1e-6
+
+
+def test_csv_roundtrip_matches_parquet(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.sources import (
+        source_csv_roundtrip,
+    )
+
+    rows = (
+        read_table(spark, SF, "orders")
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .collect()
+    )
+    per_year = collections.defaultdict(lambda: [0, set(), 0])
+    for r in rows:
+        cell = per_year[r["o_orderdate"].year]
+        cell[0] += 1
+        cell[1].add(r["o_orderkey"])
+        cell[2] += _round_half_away(r["o_totalprice"] * 10000)
+    got = {r["year"]: r for r in source_csv_roundtrip(spark, SF).collect()}
+    assert set(got) == set(per_year)
+    for y, (n, keys, s) in per_year.items():
+        row = got[y]
+        assert row["n_orders"] == n
+        assert row["n_keys"] == len(keys)
+        assert row["total_price"] == _round4(s / 10000.0)
+
+
+def test_ece_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.similarity import (
+        ECE_NBINS,
+        sim_eval_ece,
+        sim_eval_margin_reliability,
+    )
+
+    # derive the per-vector (top-1 cosine, correct?) stream from the
+    # margin-reliability table's underlying semantics replicated
+    # independently: nearest-centroid over label centroids
+    emb = (
+        read_table(spark, SF, "embeddings")
+        .select("vec_id", "embedding", "label")
+        .collect()
+    )
+    # centroid per label: scaled-int64 mean (micro-units) as the module
+    # defines it
+    sums = collections.defaultdict(lambda: None)
+    counts = collections.Counter()
+    for r in emb:
+        v = [_round_half_away(float(x) * 1e6) for x in r["embedding"]]
+        counts[r["label"]] += 1
+        if sums[r["label"]] is None:
+            sums[r["label"]] = v
+        else:
+            sums[r["label"]] = [a + b for a, b in zip(sums[r["label"]], v)]
+    cents = {
+        c: [s / counts[c] / 1e6 for s in ss] for c, ss in sums.items()
+    }
+
+    def cos6(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        da = math.sqrt(sum(x * x for x in a))
+        db = math.sqrt(sum(x * x for x in b))
+        return _round6(num / (da * db))
+
+    binw = 2_000_000 // ECE_NBINS
+    bins = collections.defaultdict(lambda: [0, 0, 0])
+    for r in emb:
+        e = [float(x) for x in r["embedding"]]
+        scored = sorted(
+            ((cos6(e, c), -cl) for cl, c in cents.items()), reverse=True
+        )
+        ci = _round_half_away(scored[0][0] * 1e6)
+        pred = -scored[0][1]
+        bn = min((ci + 1_000_000) // binw, ECE_NBINS - 1)
+        cell = bins[bn]
+        cell[0] += 1
+        cell[1] += 1 if pred == r["label"] else 0
+        cell[2] += ci + 1_000_000
+    n = sum(c[0] for c in bins.values())
+    ece_q = 0
+    mce_q = 0
+    ok_tot = s_tot = 0
+    for nb, okb, sb in bins.values():
+        gap = abs(okb - sb / 2e6)
+        ece_q += _round_half_away(gap * 1e6)
+        mce_q = max(mce_q, _round_half_away(gap / nb * 1e6))
+        ok_tot += okb
+        s_tot += sb
+
+    got = sim_eval_ece(spark, SF).collect()
+    assert len(got) == 1
+    row = got[0]
+    assert row["n_vectors"] == n
+    assert row["n_bins_nonempty"] == len(bins)
+    assert row["overall_accuracy"] == _round6(ok_tot / n)
+    assert row["avg_confidence"] == _round6(s_tot / 2e6 / n)
+    assert row["ece"] == _round6(ece_q / 1e6 / n)
+    assert row["mce"] == _round6(mce_q / 1e6)
+    # ECE is a weighted average of per-bin gaps: bounded by MCE
+    assert row["ece"] <= row["mce"] + 1e-9

@@ -8907,3 +8907,227 @@ ORACLE["agg_decision_stump_gini"] = (
     "CAST(ROW_NUMBER() OVER (ORDER BY dq DESC, split_priority) AS INT) "
     "AS rank FROM r ORDER BY rank"
 )
+
+
+# --- Conversion-latency quantiles (view -> purchase) ------------------------------------
+
+
+def events_conversion_latency_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """**View→purchase conversion latency, quantile profile per
+    month**: for every purchase, the gap to the SAME user's most
+    recent prior view (the CEP anchor device carried by one
+    ignore-nulls window), summarized as p50/p90/mean hours per
+    purchase month — the latency DISTRIBUTION view that
+    `events_survival_km` (which censors) and `events_pattern_match`
+    (which lists matches) both imply but don't tabulate; it is the
+    marketing dashboard's "time-to-convert" panel.
+
+    Determinism: gaps are exact epoch-microsecond int64 differences
+    (pure interval arithmetic — rule 6a); the quantiles are Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont`` on those exact ints (the
+    `agg_percentiles` equivalence); mean divides exact sums. All
+    exposed hour values are fixed-shape doubles, `dround` 6.
+
+    Scale: ONE exchange by user carries the anchor window; the
+    month rollup is map-side combinable."""
+    from ..functions.timeparts import epoch_micros_from_ntz
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    us = epoch_micros_from_ntz(F.col("ts"))
+    anchored = ev.select(
+        "ts",
+        "event_type",
+        us.alias("ts_us"),
+        F.last(
+            F.when(F.col("event_type") == "view", us), ignorenulls=True
+        )
+        .over(w)
+        .alias("view_us"),
+    )
+    gaps = anchored.filter(
+        (F.col("event_type") == "purchase") & F.col("view_us").isNotNull()
+    ).select(
+        F.date_trunc("month", "ts").alias("mon"),
+        (F.col("ts_us") - F.col("view_us")).alias("gap_us"),
+    )
+    h = F.lit(3_600_000_000.0)
+    g = gaps.groupBy("mon").agg(
+        F.count(F.lit(1)).cast("long").alias("n_conversions"),
+        F.percentile("gap_us", F.lit(0.5)).alias("p50_us"),
+        F.percentile("gap_us", F.lit(0.9)).alias("p90_us"),
+        F.sum("gap_us").cast("long").alias("s_us"),
+    )
+    return g.select(
+        "mon",
+        "n_conversions",
+        dround(F.col("p50_us") / h, 6).alias("p50_hours"),
+        dround(F.col("p90_us") / h, 6).alias("p90_hours"),
+        dround(
+            F.col("s_us").cast("double")
+            / F.col("n_conversions").cast("double")
+            / h,
+            6,
+        ).alias("mean_hours"),
+    ).orderBy("mon")
+
+
+QUERIES["events_conversion_latency_quantiles"] = (
+    events_conversion_latency_quantiles
+)
+
+ORACLE["events_conversion_latency_quantiles"] = (
+    "WITH a AS (SELECT ts, event_type, epoch_us(ts) AS ts_us, "
+    "LAST_VALUE(CASE WHEN event_type = 'view' THEN epoch_us(ts) END "
+    "IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS view_us "
+    "FROM events), "
+    "g AS (SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS mon, "
+    "CAST(ts_us - view_us AS BIGINT) AS gap_us FROM a "
+    "WHERE event_type = 'purchase' AND view_us IS NOT NULL), "
+    "q AS (SELECT mon, CAST(COUNT(*) AS BIGINT) AS n_conversions, "
+    "quantile_cont(gap_us, 0.5) AS p50_us, "
+    "quantile_cont(gap_us, 0.9) AS p90_us, "
+    "CAST(SUM(gap_us) AS BIGINT) AS s_us FROM g GROUP BY 1) "
+    "SELECT mon, n_conversions, "
+    "ROUND(p50_us / 3600000000.0, 6) AS p50_hours, "
+    "ROUND(p90_us / 3600000000.0, 6) AS p90_hours, "
+    "ROUND(CAST(s_us AS DOUBLE) / CAST(n_conversions AS DOUBLE) "
+    "/ 3600000000.0, 6) AS mean_hours "
+    "FROM q ORDER BY mon"
+)
+
+
+# --- Laspeyres / Paasche / Fisher price indices ------------------------------------------
+
+
+def agg_price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Laspeyres, Paasche and Fisher price indices** per ship year
+    against the first year as base (ILO CPI manual ch. 15): L_t =
+    Σp_t·q₀/Σp₀·q₀ (base-period basket at current prices), P_t =
+    Σp_t·q_t/Σp₀·q_t (current basket at base prices), Fisher = √(L·P)
+    — the macro-index family the reference's NFP domain sits beside
+    (a payroll dashboard quotes exactly this construction), computed
+    over parts present in both periods. Unit prices are per-part
+    revenue/quantity.
+
+    Determinism: per-(part, year) revenue (1e4-scaled) and quantity
+    are exact int64; each basket term E_t·Q₀/Q_t is one double off
+    three exact ints, quantized to scaled int64 per PART before the
+    exact per-year sum (the entropy-family device); the three indices
+    are fixed-shape expressions off the exact sums, `dround` 6.
+
+    Scale: one lineitem-sized (part, year) aggregate (map-side
+    combinable), a part-keyed co-partitioned join against the base
+    year, one per-year rollup."""
+    from ..functions.numerics import _nearest_long_away
+
+    li = read_table(spark, sf_dir, "lineitem")
+    py = li.groupBy(
+        F.col("l_partkey").alias("part"),
+        F.year("l_shipdate").cast("int").alias("yr"),
+    ).agg(
+        dsum_scaled("l_extendedprice").alias("e_s"),
+        F.sum("l_quantity").cast("long").alias("q"),
+    )
+    # base-period lookup as a per-part WINDOW over the single (part,
+    # year) aggregate — a base-subset self-join would re-execute the
+    # lineitem rollup per side (rule 5)
+    w_all = Window.partitionBy()
+    w_part = Window.partitionBy("part")
+    t = py.select(
+        "part",
+        "yr",
+        "e_s",
+        "q",
+        F.min("yr").over(w_all).alias("b"),
+    )
+    t2 = t.select(
+        "part",
+        "yr",
+        "e_s",
+        "q",
+        "b",
+        F.max(F.when(F.col("yr") == F.col("b"), F.col("e_s")))
+        .over(w_part)
+        .alias("e0"),
+        F.max(F.when(F.col("yr") == F.col("b"), F.col("q")))
+        .over(w_part)
+        .alias("q0"),
+    )
+    j = t2.filter(
+        (F.col("yr") > F.col("b"))
+        & F.col("q0").isNotNull()
+        & (F.col("q") > 0)
+        & (F.col("q0") > 0)
+    )
+    et = F.col("e_s").cast("double")
+    e0 = F.col("e0").cast("double")
+    qt = F.col("q").cast("double")
+    q0 = F.col("q0").cast("double")
+    lt = _nearest_long_away(et * q0 / qt)  # p_t * q0, scaled
+    pt = _nearest_long_away(e0 * qt / q0)  # p_0 * q_t, scaled
+    g = j.groupBy("yr").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum(lt).cast("long").alias("num_l"),
+        F.sum("e0").cast("long").alias("den_l"),
+        F.sum("e_s").cast("long").alias("num_p"),
+        F.sum(pt).cast("long").alias("den_p"),
+    )
+    l_idx = F.col("num_l").cast("double") / F.col("den_l").cast("double")
+    p_idx = F.col("num_p").cast("double") / F.col("den_p").cast("double")
+    return (
+        g.filter((F.col("den_l") > 0) & (F.col("den_p") > 0))
+        .select(
+            F.col("yr").alias("year"),
+            F.col("n_parts").alias("n_parts_matched"),
+            dround(l_idx, 6).alias("laspeyres"),
+            dround(p_idx, 6).alias("paasche"),
+            dround(F.sqrt(l_idx * p_idx), 6).alias("fisher"),
+        )
+        .orderBy("year")
+    )
+
+
+QUERIES["agg_price_index_laspeyres"] = agg_price_index_laspeyres
+
+ORACLE["agg_price_index_laspeyres"] = (
+    "WITH py AS (SELECT l_partkey AS part, "
+    "CAST(year(l_shipdate) AS INT) AS yr, "
+    "CAST(SUM(CAST(ROUND(l_extendedprice * 10000) AS BIGINT)) "
+    "AS BIGINT) AS e_s, "
+    "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q "
+    "FROM lineitem GROUP BY 1, 2), "
+    "t AS (SELECT part, yr, e_s, q, MIN(yr) OVER () AS b FROM py), "
+    "t2 AS (SELECT part, yr, e_s, q, b, "
+    "MAX(CASE WHEN yr = b THEN e_s END) OVER (PARTITION BY part) "
+    "AS e0, "
+    "MAX(CASE WHEN yr = b THEN q END) OVER (PARTITION BY part) "
+    "AS q0 FROM t), "
+    "j AS (SELECT yr, e_s, q, e0, q0 FROM t2 "
+    "WHERE yr > b AND q0 IS NOT NULL AND q > 0 AND q0 > 0), "
+    "g AS (SELECT yr, CAST(COUNT(*) AS BIGINT) AS n_parts, "
+    "CAST(SUM(CAST(ROUND(CAST(e_s AS DOUBLE) * CAST(q0 AS DOUBLE) "
+    "/ CAST(q AS DOUBLE)) AS BIGINT)) AS BIGINT) AS num_l, "
+    "CAST(SUM(e0) AS BIGINT) AS den_l, "
+    "CAST(SUM(e_s) AS BIGINT) AS num_p, "
+    "CAST(SUM(CAST(ROUND(CAST(e0 AS DOUBLE) * CAST(q AS DOUBLE) "
+    "/ CAST(q0 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS den_p "
+    "FROM j GROUP BY 1) "
+    "SELECT yr AS year, n_parts AS n_parts_matched, "
+    "ROUND(CAST(num_l AS DOUBLE) / CAST(den_l AS DOUBLE), 6) "
+    "AS laspeyres, "
+    "ROUND(CAST(num_p AS DOUBLE) / CAST(den_p AS DOUBLE), 6) "
+    "AS paasche, "
+    "ROUND(sqrt(CAST(num_l AS DOUBLE) / CAST(den_l AS DOUBLE) "
+    "* (CAST(num_p AS DOUBLE) / CAST(den_p AS DOUBLE))), 6) AS fisher "
+    "FROM g WHERE den_l > 0 AND den_p > 0 ORDER BY year"
+)

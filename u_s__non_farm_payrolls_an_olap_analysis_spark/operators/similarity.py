@@ -2870,3 +2870,144 @@ def _silhouette_oracle_sql() -> str:
 
 
 ORACLE["sim_eval_silhouette"] = _silhouette_oracle_sql()
+
+
+# --- Expected calibration error of the centroid classifier ----------------------------
+
+ECE_NBINS = 10
+_ECE_TERM_SCALE = 1_000_000.0
+
+
+def sim_eval_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Expected / maximum calibration error** (Naeini et al. AAAI'15;
+    Guo et al. ICML'17) of the nearest-centroid classifier, using the
+    affinely-rescaled top-1 cosine (cos+1)/2 as the confidence score —
+    the SCALAR summary over `sim_eval_margin_reliability`'s table:
+    ECE = Σ_b (n_b/N)·|acc_b − conf_b|, MCE = max_b |acc_b − conf_b|.
+    A score can rank perfectly (high AUC) and still be badly
+    calibrated — ECE is the number that says whether thresholding the
+    score AS a probability is safe.
+
+    Determinism: the 6-dp top-1 cosine is an exact 1e-6-unit integer,
+    so confidence binning is integer division ((ci+1e6)//(2e6/B)) and
+    each bin's |Σok − Σ(ci+1e6)/2e6| folds the weighting exactly —
+    one fixed-shape double per bin quantized to scaled int64, summed
+    exactly; MCE takes the max over per-bin quantized ints.
+
+    Scale: the scored stream + one per-vector rank + a ≤10-row bin
+    rollup."""
+    from ..functions.numerics import _nearest_long_away
+
+    scored = _centroid_scored(spark, sf_dir)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("cls")
+    )
+    top1 = (
+        scored.select(
+            "vec_id",
+            "label",
+            "cls",
+            dround(F.col("cos") * F.lit(1e6), 0).cast("long").alias("ci"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    binw = int(2_000_000 // ECE_NBINS)
+    binned = top1.select(
+        F.least(
+            F.floor((F.col("ci") + F.lit(1_000_000)) / F.lit(binw)),
+            F.lit(ECE_NBINS - 1),
+        )
+        .cast("int")
+        .alias("bin"),
+        (F.col("ci") + F.lit(1_000_000)).alias("cshift"),
+        F.when(F.col("cls") == F.col("label"), 1).otherwise(0).alias("ok"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        F.sum("ok").cast("long").alias("okb"),
+        F.sum("cshift").cast("long").alias("sb"),
+    )
+    gap = F.abs(
+        F.col("okb").cast("double")
+        - F.col("sb").cast("double") / F.lit(2_000_000.0)
+    )
+    per_bin2 = per_bin.select(
+        "nb",
+        "okb",
+        "sb",
+        _nearest_long_away(gap * F.lit(_ECE_TERM_SCALE)).alias("gq"),
+        _nearest_long_away(
+            gap
+            / F.col("nb").cast("double")
+            * F.lit(_ECE_TERM_SCALE)
+        ).alias("bq"),
+    )
+    agg = per_bin2.agg(
+        F.sum("nb").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("int").alias("n_bins_nonempty"),
+        F.sum("okb").cast("long").alias("ok_tot"),
+        F.sum("sb").cast("long").alias("s_tot"),
+        F.sum("gq").cast("long").alias("ece_q"),
+        F.max("bq").cast("long").alias("mce_q"),
+    )
+    n_d = F.col("n").cast("double")
+    return agg.filter(F.col("n") > 0).select(
+        F.col("n").alias("n_vectors"),
+        "n_bins_nonempty",
+        dround(F.col("ok_tot").cast("double") / n_d, 6).alias(
+            "overall_accuracy"
+        ),
+        dround(
+            F.col("s_tot").cast("double") / F.lit(2_000_000.0) / n_d, 6
+        ).alias("avg_confidence"),
+        dround(
+            F.col("ece_q").cast("double") / F.lit(_ECE_TERM_SCALE) / n_d,
+            6,
+        ).alias("ece"),
+        dround(
+            F.col("mce_q").cast("double") / F.lit(_ECE_TERM_SCALE), 6
+        ).alias("mce"),
+    )
+
+
+QUERIES["sim_eval_ece"] = sim_eval_ece
+
+ORACLE["sim_eval_ece"] = (
+    f"WITH {_CENTROID_SQL}, "
+    "t1 AS (SELECT vec_id, label, cls, "
+    "CAST(ROUND(cos * 1e6) AS BIGINT) AS ci FROM ("
+    "SELECT vec_id, label, cls, cos, "
+    "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cls) "
+    "AS rn FROM sc) WHERE rn = 1), "
+    "b AS (SELECT "
+    f"CAST(least((ci + 1000000) // {int(2_000_000 // ECE_NBINS)}, "
+    f"{ECE_NBINS - 1}) AS INT) AS bin, "
+    "ci + 1000000 AS cshift, "
+    "CASE WHEN cls = label THEN 1 ELSE 0 END AS ok FROM t1), "
+    "pb AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS nb, "
+    "CAST(SUM(ok) AS BIGINT) AS okb, "
+    "CAST(SUM(cshift) AS BIGINT) AS sb FROM b GROUP BY 1), "
+    "pb2 AS (SELECT nb, okb, sb, "
+    "CAST(ROUND(ABS(CAST(okb AS DOUBLE) "
+    f"- CAST(sb AS DOUBLE) / 2000000.0) * {_ECE_TERM_SCALE:.1f}) "
+    "AS BIGINT) AS gq, "
+    "CAST(ROUND(ABS(CAST(okb AS DOUBLE) "
+    "- CAST(sb AS DOUBLE) / 2000000.0) / CAST(nb AS DOUBLE) "
+    f"* {_ECE_TERM_SCALE:.1f}) AS BIGINT) AS bq FROM pb), "
+    "a AS (SELECT CAST(SUM(nb) AS BIGINT) AS n, "
+    "CAST(COUNT(*) AS INT) AS n_bins_nonempty, "
+    "CAST(SUM(okb) AS BIGINT) AS ok_tot, "
+    "CAST(SUM(sb) AS BIGINT) AS s_tot, "
+    "CAST(SUM(gq) AS BIGINT) AS ece_q, "
+    "CAST(MAX(bq) AS BIGINT) AS mce_q FROM pb2) "
+    "SELECT n AS n_vectors, n_bins_nonempty, "
+    "ROUND(CAST(ok_tot AS DOUBLE) / CAST(n AS DOUBLE), 6) "
+    "AS overall_accuracy, "
+    "ROUND(CAST(s_tot AS DOUBLE) / 2000000.0 / CAST(n AS DOUBLE), 6) "
+    "AS avg_confidence, "
+    f"ROUND(CAST(ece_q AS DOUBLE) / {_ECE_TERM_SCALE:.1f} "
+    "/ CAST(n AS DOUBLE), 6) AS ece, "
+    f"ROUND(CAST(mce_q AS DOUBLE) / {_ECE_TERM_SCALE:.1f}, 6) AS mce "
+    "FROM a WHERE n > 0"
+)

@@ -421,3 +421,57 @@ ORACLE["sink_python_datasource"] = (
     f"ROUND({_dsum_sql('o_totalprice')}, 4) AS total_payroll "
     "FROM orders GROUP BY 1, 2 ORDER BY 1, 2"
 )
+
+
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**CSV format round-trip**: write a 3-column orders projection as
+    headered CSV (the interchange format every BI export still speaks;
+    `etl.py`'s FRED pull is CSV-shaped at heart), read it back with an
+    EXPLICIT schema (no inference — the 100 TB discipline: schema
+    inference is a full extra pass), and aggregate the round-tripped
+    frame per year. The returned frame is the READ-BACK aggregate, so
+    the oracle check (same aggregate straight off the parquet) proves
+    write→parse fidelity end to end — doubles survive because Spark's
+    CSV writer emits the shortest round-trippable decimal and the
+    reader parses it to the identical IEEE value.
+
+    Completes the source-format family: parquet scans, the Python
+    DataSource API (`source_api_extract`), JSON sink round-trip
+    (`sink_python_datasource`), env-gated avro, and now CSV.
+
+    Scale: one projected write, one schema-pinned read, one map-side
+    combinable rollup — all format work, no extra shuffles."""
+    from ..functions.numerics import dsum
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("year"),
+        "o_totalprice",
+    )
+    path = _sink_dir()
+    orders.write.mode("overwrite").option("header", "true").csv(path)
+    back = (
+        spark.read.schema("o_orderkey long, year int, o_totalprice double")
+        .option("header", "true")
+        .csv(path)
+    )
+    return (
+        back.groupBy("year")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.countDistinct("o_orderkey").alias("n_keys"),
+            F.round(dsum("o_totalprice"), 4).alias("total_price"),
+        )
+        .orderBy("year")
+    )
+
+
+QUERIES["source_csv_roundtrip"] = source_csv_roundtrip
+
+ORACLE["source_csv_roundtrip"] = (
+    "SELECT CAST(year(o_orderdate) AS INT) AS year, "
+    "CAST(COUNT(*) AS BIGINT) AS n_orders, "
+    "CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys, "
+    f"ROUND({_dsum_sql('o_totalprice')}, 4) AS total_price "
+    "FROM orders GROUP BY 1 ORDER BY 1"
+)

@@ -327,6 +327,14 @@ _SAMPLE_PRIORITY = [
     "timeseries_mann_kendall",
     # NEW in round 13 — decision-stump Gini split search
     "agg_decision_stump_gini",
+    # NEW in round 13 — expected/maximum calibration error (ECE/MCE)
+    "sim_eval_ece",
+    # NEW in round 13 — view->purchase conversion latency quantiles
+    "events_conversion_latency_quantiles",
+    # NEW in round 13 — Laspeyres/Paasche/Fisher price indices
+    "agg_price_index_laspeyres",
+    # NEW in round 13 — CSV write->schema-pinned-read round-trip
+    "source_csv_roundtrip",
     # latest driver row r6 — oldest surviving evidence, in r6 order
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
