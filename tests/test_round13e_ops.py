@@ -1585,3 +1585,126 @@ def test_ece_matches_pure_python(spark):
     assert row["mce"] == _round6(mce_q / 1e6)
     # ECE is a weighted average of per-bin gaps: bounded by MCE
     assert row["ece"] <= row["mce"] + 1e-9
+
+
+# --- wave 18 --------------------------------------------------------------------------
+
+
+def test_odds_ratio_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        agg_odds_ratio_woolf,
+    )
+
+    rows = (
+        read_table(spark, SF, "orders")
+        .select("o_orderpriority", "o_orderstatus")
+        .collect()
+    )
+    a = b = c = d = 0
+    for r in rows:
+        e = r["o_orderpriority"] == "1-URGENT"
+        o = r["o_orderstatus"] == "F"
+        if e and o:
+            a += 1
+        elif e:
+            b += 1
+        elif o:
+            c += 1
+        else:
+            d += 1
+    or_ = a * d / (b * c)
+    se_or = math.sqrt(1 / a + 1 / b + 1 / c + 1 / d)
+    rr = (a / (a + b)) / (c / (c + d))
+    se_rr = math.sqrt(1 / a - 1 / (a + b) + 1 / c - 1 / (c + d))
+
+    got = agg_odds_ratio_woolf(spark, SF).collect()
+    assert len(got) == 1
+    row = got[0]
+    assert (row["a"], row["b"], row["c"], row["d"]) == (a, b, c, d)
+    assert row["odds_ratio"] == _round6(or_)
+    assert row["or_ci_lo"] == _round6(math.exp(math.log(or_) - 1.96 * se_or))
+    assert row["or_ci_hi"] == _round6(math.exp(math.log(or_) + 1.96 * se_or))
+    assert row["relative_risk"] == _round6(rr)
+    assert row["rr_ci_lo"] == _round6(math.exp(math.log(rr) - 1.96 * se_rr))
+    assert row["rr_ci_hi"] == _round6(math.exp(math.log(rr) + 1.96 * se_rr))
+    # OR is farther from 1 than RR when the outcome is common
+    assert row["or_ci_lo"] <= row["odds_ratio"] <= row["or_ci_hi"]
+
+
+def test_ipw_matches_pure_python(spark):
+    import hashlib
+
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        _IPW_W_C,
+        _IPW_W_T,
+        agg_ipw_treatment_effect,
+    )
+
+    rows = (
+        read_table(spark, SF, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .collect()
+    )
+    cells = collections.defaultdict(lambda: [0, 0])
+    for r in rows:
+        s = int(r["o_orderpriority"][0])
+        h = int(
+            hashlib.md5(f"ipw:{r['o_orderkey']}".encode()).hexdigest()[:8],
+            16,
+        ) % 10
+        treated = h < s
+        cell = cells[(s, treated)]
+        cell[0] += 1
+        cell[1] += _round_half_away(r["o_totalprice"] * 10000)
+    arms = collections.defaultdict(lambda: [0, 0, 0, 0])
+    for (s, treated), (n, sv) in cells.items():
+        w = _IPW_W_T[s] if treated else _IPW_W_C[s]
+        acc = arms[treated]
+        acc[0] += n
+        acc[1] += sv
+        acc[2] += w * sv
+        acc[3] += w * n
+
+    naive = {t: a[1] / (a[0] * 10000.0) for t, a in arms.items()}
+    hajek = {t: a[2] / (a[3] * 10000.0) for t, a in arms.items()}
+    got = {r["treated"]: r for r in agg_ipw_treatment_effect(spark, SF).collect()}
+    assert set(got) == {True, False}
+    for t, a in arms.items():
+        row = got[t]
+        assert row["n_arm"] == a[0]
+        assert row["naive_mean"] == _round4(naive[t])
+        assert row["ipw_mean"] == _round4(hajek[t])
+        assert row["naive_diff"] == _round4(naive[True] - naive[False])
+        assert row["ipw_ate"] == _round4(hajek[True] - hajek[False])
+    # the synthetic confounder pushes the naive estimate away from the
+    # IPW one (prices vary by priority, assignment rate does too)
+    assert got[True]["naive_diff"] != got[True]["ipw_ate"]
+
+
+def test_asof_dialect_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.joins import (
+        sql_asof_dialect_duckdb_native,
+    )
+
+    ev = (
+        read_table(spark, SF, "events")
+        .select("event_id", "user_id", "ts")
+        .collect()
+    )
+    orders = collections.defaultdict(list)
+    for r in (
+        read_table(spark, SF, "orders")
+        .select("o_custkey", "o_orderdate")
+        .collect()
+    ):
+        orders[r["o_custkey"]].append(r["o_orderdate"])
+    expect = {}
+    for r in ev:
+        prior = [t for t in orders.get(r["user_id"], []) if t <= r["ts"]]
+        if prior:
+            expect[r["event_id"]] = max(prior)
+
+    got = {r["event_id"]: r for r in sql_asof_dialect_duckdb_native(spark, SF).collect()}
+    assert set(got) == set(expect)
+    for eid, ts in expect.items():
+        assert got[eid]["last_order_ts"] == ts

@@ -9131,3 +9131,284 @@ ORACLE["agg_price_index_laspeyres"] = (
     "* (CAST(num_p AS DOUBLE) / CAST(den_p AS DOUBLE))), 6) AS fisher "
     "FROM g WHERE den_l > 0 AND den_p > 0 ORDER BY year"
 )
+
+
+# --- Odds ratio / relative risk with Woolf logit CI --------------------------------------
+
+
+def agg_odds_ratio_woolf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Odds ratio and relative risk of the 2×2 design** (Woolf 1955
+    logit CI; Katz et al. 1978 for the RR interval): exposure =
+    URGENT priority, outcome = order finished — OR = ad/bc with
+    CI = exp(ln OR ± 1.96·√(1/a+1/b+1/c+1/d)), RR = [a/(a+b)] /
+    [c/(c+d)] with its Katz interval. The EFFECT-DIRECTION view of the
+    association the chi-square/G-test only score for existence — the
+    epidemiology-standard table every incident review quotes.
+
+    Determinism: the four cells are exact integers from one
+    conditional aggregate; OR/RR and both intervals are fixed-shape
+    doubles off the exact cells (one ln, one √, one exp each side —
+    correctly-rounded IEEE singletons), `dround` 6. Zero cells filter
+    (Woolf is undefined there; the fixture has none).
+
+    Scale: one map-side-combinable aggregate over orders; scalar
+    algebra after."""
+    orders = read_table(spark, sf_dir, "orders")
+    exp_ = F.col("o_orderpriority") == "1-URGENT"
+    out = F.col("o_orderstatus") == "F"
+    cells = orders.agg(
+        F.sum(F.when(exp_ & out, 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(exp_ & ~out, 1).otherwise(0)).cast("long").alias("b"),
+        F.sum(F.when(~exp_ & out, 1).otherwise(0)).cast("long").alias("c"),
+        F.sum(F.when(~exp_ & ~out, 1).otherwise(0)).cast("long").alias("d"),
+    )
+    a = F.col("a").cast("double")
+    b = F.col("b").cast("double")
+    c = F.col("c").cast("double")
+    d = F.col("d").cast("double")
+    or_ = a * d / (b * c)
+    se_or = F.sqrt(
+        F.lit(1.0) / a + F.lit(1.0) / b + F.lit(1.0) / c + F.lit(1.0) / d
+    )
+    rr = (a / (a + b)) / (c / (c + d))
+    se_rr = F.sqrt(
+        F.lit(1.0) / a
+        - F.lit(1.0) / (a + b)
+        + F.lit(1.0) / c
+        - F.lit(1.0) / (c + d)
+    )
+    return cells.filter(
+        (F.col("a") > 0)
+        & (F.col("b") > 0)
+        & (F.col("c") > 0)
+        & (F.col("d") > 0)
+    ).select(
+        "a",
+        "b",
+        "c",
+        "d",
+        dround(or_, 6).alias("odds_ratio"),
+        dround(F.exp(F.log(or_) - F.lit(1.96) * se_or), 6).alias(
+            "or_ci_lo"
+        ),
+        dround(F.exp(F.log(or_) + F.lit(1.96) * se_or), 6).alias(
+            "or_ci_hi"
+        ),
+        dround(rr, 6).alias("relative_risk"),
+        dround(F.exp(F.log(rr) - F.lit(1.96) * se_rr), 6).alias(
+            "rr_ci_lo"
+        ),
+        dround(F.exp(F.log(rr) + F.lit(1.96) * se_rr), 6).alias(
+            "rr_ci_hi"
+        ),
+    )
+
+
+QUERIES["agg_odds_ratio_woolf"] = agg_odds_ratio_woolf
+
+ORACLE["agg_odds_ratio_woolf"] = (
+    "WITH cells AS (SELECT "
+    "CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' "
+    "AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS a, "
+    "CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' "
+    "AND NOT o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS b, "
+    "CAST(SUM(CASE WHEN NOT o_orderpriority = '1-URGENT' "
+    "AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS c, "
+    "CAST(SUM(CASE WHEN NOT o_orderpriority = '1-URGENT' "
+    "AND NOT o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS d "
+    "FROM orders) "
+    "SELECT a, b, c, d, "
+    "ROUND(CAST(a AS DOUBLE) * CAST(d AS DOUBLE) "
+    "/ (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)), 6) AS odds_ratio, "
+    "ROUND(exp(ln(CAST(a AS DOUBLE) * CAST(d AS DOUBLE) "
+    "/ (CAST(b AS DOUBLE) * CAST(c AS DOUBLE))) "
+    "- 1.96 * sqrt(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE) "
+    "+ 1.0 / CAST(c AS DOUBLE) + 1.0 / CAST(d AS DOUBLE))), 6) "
+    "AS or_ci_lo, "
+    "ROUND(exp(ln(CAST(a AS DOUBLE) * CAST(d AS DOUBLE) "
+    "/ (CAST(b AS DOUBLE) * CAST(c AS DOUBLE))) "
+    "+ 1.96 * sqrt(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE) "
+    "+ 1.0 / CAST(c AS DOUBLE) + 1.0 / CAST(d AS DOUBLE))), 6) "
+    "AS or_ci_hi, "
+    "ROUND((CAST(a AS DOUBLE) / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))) "
+    "/ (CAST(c AS DOUBLE) / (CAST(c AS DOUBLE) + CAST(d AS DOUBLE))), 6) "
+    "AS relative_risk, "
+    "ROUND(exp(ln((CAST(a AS DOUBLE) / (CAST(a AS DOUBLE) "
+    "+ CAST(b AS DOUBLE))) / (CAST(c AS DOUBLE) / (CAST(c AS DOUBLE) "
+    "+ CAST(d AS DOUBLE)))) - 1.96 * sqrt(1.0 / CAST(a AS DOUBLE) "
+    "- 1.0 / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)) "
+    "+ 1.0 / CAST(c AS DOUBLE) "
+    "- 1.0 / (CAST(c AS DOUBLE) + CAST(d AS DOUBLE)))), 6) AS rr_ci_lo, "
+    "ROUND(exp(ln((CAST(a AS DOUBLE) / (CAST(a AS DOUBLE) "
+    "+ CAST(b AS DOUBLE))) / (CAST(c AS DOUBLE) / (CAST(c AS DOUBLE) "
+    "+ CAST(d AS DOUBLE)))) + 1.96 * sqrt(1.0 / CAST(a AS DOUBLE) "
+    "- 1.0 / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)) "
+    "+ 1.0 / CAST(c AS DOUBLE) "
+    "- 1.0 / (CAST(c AS DOUBLE) + CAST(d AS DOUBLE)))), 6) AS rr_ci_hi "
+    "FROM cells WHERE a > 0 AND b > 0 AND c > 0 AND d > 0"
+)
+
+
+# --- Inverse-propensity-weighted treatment effect ----------------------------------------
+
+# exact integer IPW weights: p(treat | priority digit s) = s/10 via
+# md5 % 10 < s, so 1/p = 10/s scales by 6 to ints and 1/(1-p) =
+# 10/(10-s) scales by 252 — the constant factors cancel in the Hajek
+# ratios, leaving EXACT integer weighted sums in both engines
+_IPW_W_T = {s: 60 // s for s in (1, 2, 3, 4, 5)}  # 6 * 10/s
+_IPW_W_C = {s: 2520 // (10 - s) for s in (1, 2, 3, 4, 5)}  # 252 * 10/(10-s)
+
+
+def agg_ipw_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Inverse-propensity-weighted treatment effect** (Horvitz &
+    Thompson 1952; the Hájek-normalized form; Rosenbaum & Rubin 1983
+    for the propensity frame): a synthetic experiment whose assignment
+    probability DEPENDS on priority (p = s/10 for priority digit s,
+    assigned by portable md5 % 10 — deterministic, no RNG), so the
+    naive treated-vs-control mean difference is confounded by
+    priority; IPW reweights each (priority, arm) cell by 1/p or
+    1/(1−p) and recovers an unconfounded estimate. The
+    observational-causal member of the A/B family
+    (`agg_srm_assignment_check` validates a real experiment's
+    assignment; IPW is what you run when assignment wasn't uniform).
+
+    Determinism: assignment is a pure hash function; per-cell Σy and n
+    are exact 1e4-scaled int64 sums; the IPW weights clear to exact
+    integers (60/s and 2520/(10−s)) whose constant factors cancel in
+    the Hájek ratio, so BOTH weighted numerators/denominators are
+    exact integer sums and every estimate is a fixed-shape double off
+    exact ints, `dround` 4.
+
+    Scale: one map-side-combinable (priority, arm) aggregate; all
+    weighting on the 10-row cell frame."""
+    orders = read_table(spark, sf_dir, "orders")
+    s_dig = F.substring("o_orderpriority", 1, 1).cast("int")
+    hmod = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("ipw:"), F.col("o_orderkey").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    )
+    from ..functions.numerics import _nearest_long_away
+
+    cells = orders.select(
+        s_dig.alias("s"),
+        (hmod < s_dig).alias("treated"),
+        _nearest_long_away(F.col("o_totalprice") * 10000).alias("v"),
+    ).groupBy("s", "treated").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("sv"),
+    )
+    wt = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in _IPW_W_T.items() for x in kv]
+        ),
+        F.col("s"),
+    )
+    wc = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in _IPW_W_C.items() for x in kv]
+        ),
+        F.col("s"),
+    )
+    weighted = cells.select(
+        "treated",
+        "n",
+        "sv",
+        F.when(F.col("treated"), wt).otherwise(wc).alias("w"),
+    )
+
+    def dd(col):
+        return col.cast("decimal(38,0)")
+
+    agg = weighted.groupBy("treated").agg(
+        F.sum("n").cast("long").alias("n_arm"),
+        F.sum("sv").cast("long").alias("sv_arm"),
+        F.sum(dd(F.col("w")) * F.col("sv")).alias("wy"),
+        F.sum(dd(F.col("w")) * F.col("n")).alias("wn"),
+    )
+    w_all = Window.partitionBy()
+    naive = F.col("sv_arm").cast("double") / (
+        F.col("n_arm").cast("double") * F.lit(10_000.0)
+    )
+    hajek = F.col("wy").cast("double") / (
+        F.col("wn").cast("double") * F.lit(10_000.0)
+    )
+    t = agg.select(
+        "treated",
+        "n_arm",
+        dround(naive, 4).alias("naive_mean"),
+        dround(hajek, 4).alias("ipw_mean"),
+        F.sum(F.when(F.col("treated"), hajek).otherwise(-hajek))
+        .over(w_all)
+        .alias("ate_raw"),
+        F.sum(F.when(F.col("treated"), naive).otherwise(-naive))
+        .over(w_all)
+        .alias("naive_diff_raw"),
+    )
+    return t.select(
+        "treated",
+        "n_arm",
+        "naive_mean",
+        "ipw_mean",
+        dround(F.col("naive_diff_raw"), 4).alias("naive_diff"),
+        dround(F.col("ate_raw"), 4).alias("ipw_ate"),
+    ).orderBy("treated")
+
+
+QUERIES["agg_ipw_treatment_effect"] = agg_ipw_treatment_effect
+
+
+def _ipw_oracle_sql() -> str:
+    wt_case = " ".join(
+        f"WHEN s = {s} THEN {w}" for s, w in _IPW_W_T.items()
+    )
+    wc_case = " ".join(
+        f"WHEN s = {s} THEN {w}" for s, w in _IPW_W_C.items()
+    )
+    return (
+        "WITH b AS (SELECT "
+        "CAST(SUBSTRING(o_orderpriority, 1, 1) AS INT) AS s, "
+        "CAST(('0x' || substr(md5('ipw:' "
+        "|| CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 10 "
+        "< CAST(SUBSTRING(o_orderpriority, 1, 1) AS INT) AS treated, "
+        "CAST(ROUND(o_totalprice * 10000) AS BIGINT) AS v FROM orders), "
+        "cells AS (SELECT s, treated, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(v) AS BIGINT) AS sv FROM b GROUP BY 1, 2), "
+        "wgt AS (SELECT treated, n, sv, "
+        f"CASE WHEN treated THEN (CASE {wt_case} END) "
+        f"ELSE (CASE {wc_case} END) END AS w FROM cells), "
+        "a AS (SELECT treated, CAST(SUM(n) AS BIGINT) AS n_arm, "
+        "CAST(SUM(sv) AS BIGINT) AS sv_arm, "
+        "SUM(CAST(w AS HUGEINT) * sv) AS wy, "
+        "SUM(CAST(w AS HUGEINT) * n) AS wn FROM wgt GROUP BY 1), "
+        "t AS (SELECT treated, n_arm, "
+        "CAST(sv_arm AS DOUBLE) / (CAST(n_arm AS DOUBLE) * 10000.0) "
+        "AS naive_raw, "
+        "CAST(wy AS DOUBLE) / (CAST(wn AS DOUBLE) * 10000.0) "
+        "AS hajek_raw FROM a), "
+        "t2 AS (SELECT treated, n_arm, naive_raw, hajek_raw, "
+        "SUM(CASE WHEN treated THEN hajek_raw ELSE -hajek_raw END) "
+        "OVER () AS ate_raw, "
+        "SUM(CASE WHEN treated THEN naive_raw ELSE -naive_raw END) "
+        "OVER () AS naive_diff_raw FROM t) "
+        "SELECT treated, n_arm, "
+        "ROUND(naive_raw, 4) AS naive_mean, "
+        "ROUND(hajek_raw, 4) AS ipw_mean, "
+        "ROUND(naive_diff_raw, 4) AS naive_diff, "
+        "ROUND(ate_raw, 4) AS ipw_ate "
+        "FROM t2 ORDER BY treated"
+    )
+
+
+ORACLE["agg_ipw_treatment_effect"] = _ipw_oracle_sql()

@@ -540,3 +540,40 @@ ORACLE = {
         "FROM a FULL OUTER JOIN b ON ka = kb GROUP BY 1 ORDER BY 1"
     ),
 }
+
+
+def sql_asof_dialect_duckdb_native(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """**Cross-dialect as-of equivalence**: Spark's union-timeline
+    formulation of the backward as-of join (the `join_range_asof`
+    device — one shuffle, `last_value(ignoreNulls)` carries the most
+    recent prior order) hash-checked against DuckDB's NATIVE
+    ``ASOF JOIN`` physical operator — the strongest statement that the
+    window rewrite IS the as-of join, not an approximation of it
+    (kdb ``aj`` / pandas ``merge_asof`` semantics: strictly the
+    latest order at-or-before each event). Inner-flavored: events with
+    no prior order drop on both sides.
+
+    Scale: identical plan to `join_range_asof` (one exchange by user,
+    linear in |events| + |orders|) plus the NOT NULL filter."""
+    asof = join_range_asof(spark, sf_dir)
+    return (
+        asof.filter(F.col("last_order_ts").isNotNull())
+        .select("event_id", "user_id", "last_order_ts")
+        .orderBy("event_id")
+    )
+
+
+QUERIES["sql_asof_dialect_duckdb_native"] = sql_asof_dialect_duckdb_native
+
+# DuckDB's native ASOF JOIN: for each left row, the single right row
+# with the greatest o_orderdate <= e.ts per equality group. Ties on
+# o_orderdate collapse to the same MAX timestamp either way, so the
+# projected (event, last_order_ts) pair is deterministic.
+ORACLE["sql_asof_dialect_duckdb_native"] = (
+    "SELECT e.event_id, e.user_id, o.o_orderdate AS last_order_ts "
+    "FROM events e ASOF JOIN orders o "
+    "ON o.o_custkey = e.user_id AND e.ts >= o.o_orderdate "
+    "ORDER BY e.event_id"
+)

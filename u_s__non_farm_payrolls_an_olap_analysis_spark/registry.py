@@ -335,6 +335,12 @@ _SAMPLE_PRIORITY = [
     "agg_price_index_laspeyres",
     # NEW in round 13 — CSV write->schema-pinned-read round-trip
     "source_csv_roundtrip",
+    # NEW in round 13 — odds ratio / relative risk with Woolf/Katz CIs
+    "agg_odds_ratio_woolf",
+    # NEW in round 13 — Hajek IPW treatment effect vs confounded naive
+    "agg_ipw_treatment_effect",
+    # NEW in round 13 — union-timeline as-of vs DuckDB native ASOF JOIN
+    "sql_asof_dialect_duckdb_native",
     # latest driver row r6 — oldest surviving evidence, in r6 order
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
