@@ -1708,3 +1708,137 @@ def test_asof_dialect_matches_pure_python(spark):
     assert set(got) == set(expect)
     for eid, ts in expect.items():
         assert got[eid]["last_order_ts"] == ts
+
+
+# --- wave 19 --------------------------------------------------------------------------
+
+
+def test_wilson_ci_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        agg_wilson_score_ci,
+    )
+
+    rows = (
+        read_table(spark, SF, "orders")
+        .select("o_orderpriority", "o_orderstatus")
+        .collect()
+    )
+    cells = collections.defaultdict(lambda: [0, 0])
+    for r in rows:
+        cell = cells[r["o_orderpriority"]]
+        cell[0] += 1
+        if r["o_orderstatus"] == "F":
+            cell[1] += 1
+    got = {r["priority"]: r for r in agg_wilson_score_ci(spark, SF).collect()}
+    assert set(got) == set(cells)
+    z2 = 3.8416
+    for g, (n, s) in cells.items():
+        p = s / n
+        den = 1.0 + z2 / n
+        ctr = (p + z2 / (2.0 * n)) / den
+        half = (
+            1.96 * math.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n)) / den
+        )
+        row = got[g]
+        assert row["n_orders"] == n
+        assert row["n_finished"] == s
+        assert row["rate"] == _round6(p)
+        assert row["wilson_lo"] == _round6(ctr - half)
+        assert row["wilson_hi"] == _round6(ctr + half)
+        # Wilson stays inside [0, 1] by construction
+        assert 0.0 <= row["wilson_lo"] <= row["rate"] + 1e-9
+        assert row["rate"] - 1e-9 <= row["wilson_hi"] <= 1.0
+
+
+def test_mattr_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.text import (
+        MATTR_W,
+        text_mattr_diversity,
+    )
+
+    docs = read_table(spark, SF, "documents").select("doc_id", "text").collect()
+    got = {r["doc_id"]: r for r in text_mattr_diversity(spark, SF).collect()}
+    expect_ids = {r["doc_id"] for r in docs if len(r["text"].split(" ")) > 0}
+    assert set(got) == expect_ids
+    for r in docs:
+        toks = r["text"].split(" ")
+        n = len(toks)
+        if n == 0:
+            continue
+        if n >= MATTR_W:
+            dsum = sum(
+                len(set(toks[i : i + MATTR_W]))
+                for i in range(n - MATTR_W + 1)
+            )
+            denom = (n - MATTR_W + 1) * MATTR_W
+            short = 0
+        else:
+            dsum = len(set(toks))
+            denom = n
+            short = 1
+        row = got[r["doc_id"]]
+        assert row["n_tokens"] == n
+        assert row["short_doc"] == short
+        assert row["distinct_sum"] == dsum
+        assert row["mattr"] == _round6(dsum / denom)
+        # a TTR average lives in (0, 1]
+        assert 0.0 < row["mattr"] <= 1.0
+
+
+def test_personalized_pagerank_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.graph import (
+        CC_MIN_SUPPORT,
+        PR_DAMPING,
+        PR_ITERS,
+        PR_SCALE,
+        PPR_TOP_K,
+        graph_pagerank_personalized,
+    )
+
+    li = (
+        read_table(spark, SF, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    by_order = collections.defaultdict(list)
+    for r in li:
+        by_order[r["l_orderkey"]].append(r["l_partkey"])
+    # the edge builder counts ROW pairs (a part listed twice in one
+    # order pairs twice with every other part), not distinct-part pairs
+    sup = collections.Counter()
+    for parts in by_order.values():
+        for i, pi in enumerate(parts):
+            for pj in parts:
+                if pi < pj:
+                    sup[(pi, pj)] += 1
+    edges = []
+    for (a, b), s in sup.items():
+        if s >= CC_MIN_SUPPORT:
+            edges.append((a, b))
+            edges.append((b, a))
+    deg = collections.Counter(s for s, _ in edges)
+    nodes = sorted(deg)
+    seed = min(deg, key=lambda p: (-deg[p], p))
+    pr = {p: (1.0 if p == seed else 0.0) for p in nodes}
+    for _ in range(PR_ITERS):
+        raw = collections.defaultdict(int)
+        for s, t in edges:
+            raw[t] += _round_half_away(pr[s] / deg[s] * PR_SCALE)
+        pr = {
+            p: (
+                ((1.0 - PR_DAMPING) if p == seed else 0.0)
+                + PR_DAMPING * (raw.get(p, 0) / PR_SCALE)
+            )
+            for p in nodes
+        }
+    ranked = sorted(
+        ((_round6(v), -p) for p, v in pr.items()), reverse=True
+    )[:PPR_TOP_K]
+
+    got = graph_pagerank_personalized(spark, SF).collect()
+    assert len(got) == min(PPR_TOP_K, len(nodes))
+    for row, (v, negp) in zip(sorted(got, key=lambda r: r["pos"]), ranked):
+        assert row["part"] == -negp
+        assert row["ppr"] == v
+    # the seed soaks up the restart mass: it ranks first
+    assert got[0]["part"] == seed

@@ -9412,3 +9412,83 @@ def _ipw_oracle_sql() -> str:
 
 
 ORACLE["agg_ipw_treatment_effect"] = _ipw_oracle_sql()
+
+
+# --- Wilson score interval for per-priority finish rates ----------------------------------
+
+
+def agg_wilson_score_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Wilson score interval** (Wilson 1927) for each priority's
+    finish rate — center (p̂ + z²/2n)/(1 + z²/n), half-width
+    z·√(p̂(1−p̂)/n + z²/4n²)/(1 + z²/n) — the binomial interval that
+    stays inside [0,1] and behaves at extreme rates, which the Wald
+    interval `agg_two_proportion_ztest` implies does not (Brown, Cai
+    & DasGupta 2001 is the standard indictment). The per-group CI
+    table a dashboard should print under any rate.
+
+    Determinism: n and successes are exact integers from one
+    conditional aggregate; the interval is one fixed-shape double
+    expression per group off the exact ints (z = 1.96 shared
+    literal), `dround` 6.
+
+    Scale: one map-side-combinable aggregate; 5-row algebra."""
+    orders = read_table(spark, sf_dir, "orders")
+    g = orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("long")
+        .alias("s"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("s").cast("double") / n
+    # the same DECIMAL literal as the oracle text — IEEE(1.96)² rounds
+    # to a (possibly) different last bit than parse("3.8416")
+    z2 = F.lit(3.8416)
+    denom = F.lit(1.0) + z2 / n
+    center = (p + z2 / (F.lit(2.0) * n)) / denom
+    half = (
+        F.lit(1.96)
+        * F.sqrt(
+            p * (F.lit(1.0) - p) / n
+            + z2 / (F.lit(4.0) * n * n)
+        )
+        / denom
+    )
+    return (
+        g.filter(F.col("n") > 0)
+        .select(
+            "priority",
+            F.col("n").alias("n_orders"),
+            F.col("s").alias("n_finished"),
+            dround(p, 6).alias("rate"),
+            dround(center - half, 6).alias("wilson_lo"),
+            dround(center + half, 6).alias("wilson_hi"),
+        )
+        .orderBy("priority")
+    )
+
+
+QUERIES["agg_wilson_score_ci"] = agg_wilson_score_ci
+
+_WILSON_P = "(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+_WILSON_DEN = "(1.0 + 3.8416 / CAST(n AS DOUBLE))"
+_WILSON_CTR = (
+    f"(({_WILSON_P} + 3.8416 / (2.0 * CAST(n AS DOUBLE))) / {_WILSON_DEN})"
+)
+_WILSON_HALF = (
+    f"(1.96 * sqrt({_WILSON_P} * (1.0 - {_WILSON_P}) / CAST(n AS DOUBLE) "
+    "+ 3.8416 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) "
+    f"/ {_WILSON_DEN})"
+)
+
+ORACLE["agg_wilson_score_ci"] = (
+    "WITH g AS (SELECT o_orderpriority AS priority, "
+    "CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS s FROM orders GROUP BY 1) "
+    "SELECT priority, n AS n_orders, s AS n_finished, "
+    f"ROUND({_WILSON_P}, 6) AS rate, "
+    f"ROUND({_WILSON_CTR} - {_WILSON_HALF}, 6) AS wilson_lo, "
+    f"ROUND({_WILSON_CTR} + {_WILSON_HALF}, 6) AS wilson_hi "
+    "FROM g WHERE n > 0 ORDER BY priority"
+)

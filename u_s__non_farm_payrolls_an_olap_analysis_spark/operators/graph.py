@@ -1413,3 +1413,171 @@ def _hits_oracle_sql() -> str:
 
 
 ORACLE["graph_hits_scores"] = _hits_oracle_sql()
+
+
+# --- Personalized PageRank from the hub part ---------------------------------
+
+PPR_TOP_K = 50
+
+
+def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **personalized PageRank** (Jeh & Widom WWW 2003;
+    the random walk with restart behind "customers also bought"
+    relevance): ``PR_ITERS`` unrolled power iterations on the part
+    CO-PURCHASE graph where ALL teleport mass returns to one seed —
+    the highest-degree part (deterministic tie-break) — so the scores
+    rank every part by proximity to the seed's neighborhood rather
+    than by global centrality (`graph_pagerank_tokens` is the global
+    twin; `graph_hits_scores` the mutual-reinforcement one).
+
+    Determinism: the `graph_pagerank_tokens` device — per-target
+    contribution sums quantize to scaled int64 (round(pr/outdeg·1e9)),
+    so every iteration is exact integer aggregation and the final
+    ranks are bit-identical across engines; the seed argmax runs over
+    exact integer degrees with the part key as tiebreak.
+
+    Scale: the co-purchase edge list builds once (the bounded
+    per-order self-join of `graph_connected_components`, never
+    cross-join shaped) and is localCheckpoint-ed; each iteration is
+    one node-keyed join + one map-side-combinable sum — O(|E|)
+    shuffle; node frames are dim-sized.
+
+    vs reference: no analogue (no graph surface in `dashboard_nfp.py`).
+    """
+    from pyspark.sql.window import Window
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .groupBy(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= CC_MIN_SUPPORT)
+        .select("pa", "pb")
+    )
+    und = (
+        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    w_seed = Window.orderBy(F.col("outdeg").desc(), "src")
+    seed = (
+        deg.select("src", F.row_number().over(w_seed).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select(F.col("src").alias("part"), F.lit(1).alias("is_seed"))
+    )
+    nodes = (
+        und.select(F.col("src").alias("part"))
+        .distinct()
+        .join(F.broadcast(seed), "part", "left")
+        .select(
+            "part", F.coalesce(F.col("is_seed"), F.lit(0)).alias("is_seed")
+        )
+        .localCheckpoint(eager=True)
+    )
+    pr = nodes.select(
+        "part",
+        F.when(F.col("is_seed") == 1, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("pr"),
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            und.join(pr.withColumnRenamed("part", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("part"),
+                (F.col("pr") / F.col("outdeg")).alias("c"),
+            )
+        )
+        summed = contrib.groupBy("part").agg(
+            (
+                F.sum(dround(F.col("c") * PR_SCALE, 0).cast("long"))
+                .cast("double")
+                / PR_SCALE
+            ).alias("in_mass")
+        )
+        pr = (
+            nodes.join(summed, "part", "left")
+            .select(
+                "part",
+                (
+                    F.when(
+                        F.col("is_seed") == 1, F.lit(1.0 - PR_DAMPING)
+                    ).otherwise(F.lit(0.0))
+                    + PR_DAMPING * F.coalesce(F.col("in_mass"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    w = Window.orderBy(F.col("pr_r").desc(), "part")
+    return (
+        pr.select("part", dround(F.col("pr"), 6).alias("pr_r"))
+        .select(
+            "part",
+            F.col("pr_r").alias("ppr"),
+            F.row_number().over(w).cast("int").alias("pos"),
+        )
+        .filter(F.col("pos") <= PPR_TOP_K)
+        .orderBy("pos")
+    )
+
+
+QUERIES["graph_pagerank_personalized"] = graph_pagerank_personalized
+
+
+def _ppr_oracle_sql() -> str:
+    d = PR_DAMPING
+    parts = [
+        "pr_e AS MATERIALIZED (SELECT a.l_partkey AS pa, "
+        "b.l_partkey AS pb FROM lineitem a JOIN lineitem b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+        f"GROUP BY 1, 2 HAVING COUNT(*) >= {CC_MIN_SUPPORT})",
+        "und AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM pr_e "
+        "UNION ALL SELECT pb, pa FROM pr_e)",
+        "deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM und "
+        "GROUP BY 1)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS part FROM und)",
+        "seed AS (SELECT src AS part FROM deg "
+        "ORDER BY outdeg DESC, src LIMIT 1)",
+        "p0 AS (SELECT nodes.part, "
+        "CASE WHEN nodes.part = seed.part THEN 1.0 ELSE 0.0 END AS pr "
+        "FROM nodes, seed)",
+    ]
+    prev = "p0"
+    for i in range(1, PR_ITERS + 1):
+        parts.append(
+            f"m{i} AS MATERIALIZED (SELECT und.dst AS part, "
+            "CAST(SUM(CAST(ROUND(p.pr / deg.outdeg * "
+            f"{PR_SCALE}, 0) AS BIGINT)) AS DOUBLE) / {PR_SCALE} "
+            f"AS in_mass FROM und JOIN {prev} p ON p.part = und.src "
+            "JOIN deg ON deg.src = und.src GROUP BY 1)"
+        )
+        parts.append(
+            # the teleport literal is the PYTHON-computed 1.0-d repr so
+            # both engines hold the identical double (DuckDB evaluates
+            # bare decimal literals in DECIMAL space — round-10 verdict)
+            f"p{i} AS (SELECT nodes.part, "
+            f"(CASE WHEN nodes.part = seed.part THEN {1.0 - d!r} "
+            f"ELSE 0.0 END) + {d} * COALESCE(m{i}.in_mass, 0.0) AS pr "
+            f"FROM nodes LEFT JOIN m{i} ON m{i}.part = nodes.part, seed)"
+        )
+        prev = f"p{i}"
+    return (
+        "WITH " + ", ".join(parts)
+        + " SELECT part, ROUND(pr, 6) AS ppr, "
+        "CAST(ROW_NUMBER() OVER (ORDER BY ROUND(pr, 6) DESC, part) "
+        f"AS INT) AS pos FROM {prev} "
+        f"QUALIFY pos <= {PPR_TOP_K} ORDER BY pos"
+    )
+
+
+ORACLE["graph_pagerank_personalized"] = _ppr_oracle_sql()

@@ -2373,3 +2373,95 @@ ORACLE["text_js_divergence_by_source"] = (
     "/ CAST(rest_tokens AS DOUBLE)) / ln(2.0), 6) AS js_normalized "
     "FROM a ORDER BY source"
 )
+
+
+# --- Moving-average type-token ratio (MATTR) -----------------------------------
+
+MATTR_W = 50  # token window width
+
+
+def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**MATTR — moving-average type-token ratio** (Covington &
+    McFall 2010): average the TTR of every ``MATTR_W``-token sliding
+    window across the document — the length-ROBUST lexical-diversity
+    measure (`text_lexical_diversity`'s raw TTR shrinks mechanically
+    with length; Guiraud's R only half-corrects; MATTR is flat in
+    length by construction, which is why corpus-quality pipelines
+    prefer it). Documents shorter than the window fall back to plain
+    TTR (the standard convention), flagged in ``short_doc``.
+
+    Determinism: per-window distinct counts are exact integers
+    (identical whitespace tokenization both engines), their sum and
+    the window count are exact int64, and MATTR is ONE per-doc
+    division `dround`ed at 6 dp (rule 2). The window transform is
+    guarded by the length test on BOTH the flag and the expression
+    (rule 3 — Catalyst may evaluate projection expressions around a
+    filter).
+
+    Scale: pure per-row array work (window_count · W compares per doc,
+    bounded by the doc-length cap) — no shuffle before the ORDER BY;
+    the scan prunes to two columns."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    n_win = n_tok - F.lit(MATTR_W) + F.lit(1)
+    win_sum = F.when(
+        n_tok >= MATTR_W,
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), n_win),
+                lambda i: F.size(
+                    F.array_distinct(F.slice(toks, i, MATTR_W))
+                ).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    ).otherwise(F.size(F.array_distinct(toks)).cast("long"))
+    denom = F.when(
+        n_tok >= MATTR_W, (n_win * F.lit(MATTR_W)).cast("long")
+    ).otherwise(n_tok.cast("long"))
+    return (
+        docs.select(
+            "doc_id",
+            n_tok.cast("int").alias("n_tokens"),
+            (n_tok < MATTR_W).cast("int").alias("short_doc"),
+            win_sum.alias("distinct_sum"),
+            denom.alias("denom"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "short_doc",
+            "distinct_sum",
+            dround(
+                F.col("distinct_sum").cast("double")
+                / F.col("denom").cast("double"),
+                6,
+            ).alias("mattr"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["text_mattr_diversity"] = text_mattr_diversity
+
+ORACLE["text_mattr_diversity"] = (
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, "
+    "CAST(len(string_split(text, ' ')) AS INT) AS n_tokens "
+    "FROM documents), "
+    "x AS (SELECT doc_id, n_tokens, "
+    f"CAST(n_tokens < {MATTR_W} AS INT) AS short_doc, "
+    f"CASE WHEN n_tokens >= {MATTR_W} THEN "
+    "CAST(list_sum(list_transform(range(1, "
+    f"n_tokens - {MATTR_W} + 2), "
+    f"i -> len(list_distinct(toks[i : i + {MATTR_W} - 1])))) AS BIGINT) "
+    "ELSE CAST(len(list_distinct(toks)) AS BIGINT) END AS distinct_sum, "
+    f"CASE WHEN n_tokens >= {MATTR_W} THEN "
+    f"CAST((n_tokens - {MATTR_W} + 1) * {MATTR_W} AS BIGINT) "
+    "ELSE CAST(n_tokens AS BIGINT) END AS denom FROM t) "
+    "SELECT doc_id, n_tokens, short_doc, distinct_sum, "
+    "ROUND(CAST(distinct_sum AS DOUBLE) / CAST(denom AS DOUBLE), 6) "
+    "AS mattr FROM x WHERE n_tokens > 0 ORDER BY doc_id"
+)

@@ -341,6 +341,12 @@ _SAMPLE_PRIORITY = [
     "agg_ipw_treatment_effect",
     # NEW in round 13 — union-timeline as-of vs DuckDB native ASOF JOIN
     "sql_asof_dialect_duckdb_native",
+    # NEW in round 13 — Wilson score interval for finish rates
+    "agg_wilson_score_ci",
+    # NEW in round 13 — MATTR moving-average type-token ratio
+    "text_mattr_diversity",
+    # NEW in round 13 — personalized PageRank from the hub part
+    "graph_pagerank_personalized",
     # latest driver row r6 — oldest surviving evidence, in r6 order
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
