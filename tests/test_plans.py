@@ -935,3 +935,69 @@ def test_gumbel_single_scan_no_join(spark):
     plan = formatted_plan_for(df)
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "Join" not in plan
+
+
+def test_laspeyres_single_scan_window_base(spark):
+    # round-13 wave 17: the base-period lookup is a per-part window over
+    # ONE (part, year) aggregate — a base-subset self-join would scan
+    # lineitem twice (rule 5)
+    import re
+
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import (
+        analytics,
+    )
+
+    df = analytics.agg_price_index_laspeyres(spark, SF)
+    plan = formatted_plan_for(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_hhi_broadcasts_part_dim(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import (
+        analytics,
+    )
+
+    df = analytics.agg_herfindahl_brand_hhi(spark, SF)
+    kinds = join_kinds(df)
+    assert "BroadcastHashJoin" in kinds
+    assert "SortMergeJoin" not in kinds
+
+
+def test_mattr_prunes_to_two_columns(spark):
+    # the windowed-TTR transform is pure per-row array work off a
+    # 2-column scan — no shuffle before the output sort
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import (
+        text,
+    )
+
+    df = text.text_mattr_diversity(spark, SF)
+    schemas = read_schemas(df)
+    assert schemas and all("source" not in s for s in schemas)
+    assert exchange_count(df) <= 1  # only the output range exchange
+
+
+def test_wilson_single_scan_no_join(spark):
+    import re
+
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import (
+        analytics,
+    )
+
+    df = analytics.agg_wilson_score_ci(spark, SF)
+    plan = formatted_plan_for(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_ipw_single_scan(spark):
+    # assignment, cells and both Hajek ratios come from ONE orders scan
+    import re
+
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import (
+        analytics,
+    )
+
+    df = analytics.agg_ipw_treatment_effect(spark, SF)
+    plan = formatted_plan_for(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
