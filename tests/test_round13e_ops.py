@@ -1842,3 +1842,120 @@ def test_personalized_pagerank_matches_pure_python(spark):
         assert row["ppr"] == v
     # the seed soaks up the restart mass: it ranks first
     assert got[0]["part"] == seed
+
+
+# --- wave 20 --------------------------------------------------------------------------
+
+
+def test_dq_constraints_match_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        dq_constraint_violations,
+    )
+
+    orders = {
+        r["o_orderkey"]: r["o_orderdate"]
+        for r in read_table(spark, SF, "orders")
+        .select("o_orderkey", "o_orderdate")
+        .collect()
+    }
+    li = (
+        read_table(spark, SF, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_shipdate",
+            "l_extendedprice",
+            "l_discount",
+            "l_quantity",
+            "l_tax",
+        )
+        .collect()
+    )
+    n = 0
+    v = collections.Counter()
+    for r in li:
+        if r["l_orderkey"] not in orders:
+            continue
+        n += 1
+        if r["l_shipdate"] < orders[r["l_orderkey"]]:
+            v["ship_before_order"] += 1
+        if r["l_extendedprice"] <= 0:
+            v["non_positive_price"] += 1
+        if r["l_discount"] < 0.0 or r["l_discount"] > 0.1:
+            v["discount_out_of_range"] += 1
+        if r["l_quantity"] < 1.0 or r["l_quantity"] > 50.0:
+            v["quantity_out_of_range"] += 1
+        if r["l_tax"] < 0.0 or r["l_tax"] > 0.08:
+            v["tax_out_of_range"] += 1
+
+    got = {r["rule"]: r for r in dq_constraint_violations(spark, SF).collect()}
+    assert set(got) == {
+        "ship_before_order",
+        "non_positive_price",
+        "discount_out_of_range",
+        "quantity_out_of_range",
+        "tax_out_of_range",
+    }
+    for rule, row in got.items():
+        assert row["n_checked"] == n
+        assert row["n_violations"] == v[rule]
+        assert row["violation_rate"] == _round6(v[rule] / n)
+
+
+def test_new_vs_returning_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        events_new_vs_returning,
+    )
+
+    ev = read_table(spark, SF, "events").select("user_id", "ts").collect()
+    ud = {(r["user_id"], (r["ts"].year, r["ts"].month, r["ts"].day)) for r in ev}
+    first = {}
+    for u, d in ud:
+        if u not in first or d < first[u]:
+            first[u] = d
+    days = collections.defaultdict(lambda: [0, 0])
+    for u, d in ud:
+        cell = days[d]
+        cell[0] += 1
+        if first[u] == d:
+            cell[1] += 1
+
+    got = {
+        (r["day"].year, r["day"].month, r["day"].day): r
+        for r in events_new_vs_returning(spark, SF).collect()
+    }
+    assert set(got) == set(days)
+    total_new = 0
+    for d, (dau, new) in days.items():
+        row = got[d]
+        assert row["dau"] == dau
+        assert row["new_users"] == new
+        assert row["returning_users"] == dau - new
+        assert row["pct_new"] == _round6(new / dau)
+        total_new += new
+    # every user is new exactly once
+    assert total_new == len(first)
+
+
+def test_distinct_on_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.sql_api import (
+        sql_distinct_on_dialect,
+    )
+
+    rows = (
+        read_table(spark, SF, "orders")
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .collect()
+    )
+    best = {}
+    for r in rows:
+        k = r["o_custkey"]
+        cand = (r["o_orderdate"], r["o_orderkey"], r["o_totalprice"])
+        if k not in best or cand[:2] > best[k][:2]:
+            best[k] = cand
+    got = {r["custkey"]: r for r in sql_distinct_on_dialect(spark, SF).collect()}
+    assert set(got) == set(best)
+    for k, (ts, ok, price) in best.items():
+        row = got[k]
+        assert row["last_order_ts"] == ts
+        assert row["last_orderkey"] == ok
+        assert row["last_order_price"] == _round4(price)

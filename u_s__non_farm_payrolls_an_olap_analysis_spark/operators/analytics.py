@@ -9492,3 +9492,182 @@ ORACLE["agg_wilson_score_ci"] = (
     f"ROUND({_WILSON_CTR} + {_WILSON_HALF}, 6) AS wilson_hi "
     "FROM g WHERE n > 0 ORDER BY priority"
 )
+
+
+# --- Declarative data-quality constraint violations --------------------------------------
+
+
+def dq_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Declarative cross-field constraint checking** (the
+    Deequ/Great-Expectations shape: a RULE TABLE of named invariants,
+    each scored in one pass): five business rules over the
+    orders⋈lineitem join — ship-before-order, non-positive price,
+    discount out of [0, 0.1], quantity out of [1, 50], tax out of
+    [0, 0.08] — each emitting (checked, violations, rate). The
+    CROSS-FIELD member of the DQ family: `dq_checks` profiles single
+    columns, `dq_referential_integrity` keys, `dq_key_uniqueness`
+    candidate keys; real pipelines gate loads on exactly this rule
+    table.
+
+    Determinism: every rule is an exact integer conditional count off
+    ONE conditional aggregate (no per-rule scans); the unpivot is a
+    literal ``stack``; rates are single divisions, `dround` 6.
+
+    Scale: one co-partitioned fact-fact equi-join (orderkey), one
+    map-side-combinable aggregate, a 5-row unpivot."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_shipdate",
+        "l_extendedprice",
+        "l_discount",
+        "l_quantity",
+        "l_tax",
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    j = li.join(orders, "o_orderkey")
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("v_ship"),
+        F.sum(F.when(F.col("l_extendedprice") <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("v_price"),
+        F.sum(
+            F.when(
+                (F.col("l_discount") < 0.0) | (F.col("l_discount") > 0.1),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("v_disc"),
+        F.sum(
+            F.when(
+                (F.col("l_quantity") < 1.0) | (F.col("l_quantity") > 50.0),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("v_qty"),
+        F.sum(
+            F.when((F.col("l_tax") < 0.0) | (F.col("l_tax") > 0.08), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("v_tax"),
+    )
+    un = agg.select(
+        "n",
+        F.expr(
+            "stack(5, "
+            "'ship_before_order', v_ship, "
+            "'non_positive_price', v_price, "
+            "'discount_out_of_range', v_disc, "
+            "'quantity_out_of_range', v_qty, "
+            "'tax_out_of_range', v_tax) AS (rule, n_violations)"
+        ),
+    )
+    return un.select(
+        "rule",
+        F.col("n").alias("n_checked"),
+        "n_violations",
+        dround(
+            F.col("n_violations").cast("double") / F.col("n").cast("double"),
+            6,
+        ).alias("violation_rate"),
+    ).orderBy("rule")
+
+
+QUERIES["dq_constraint_violations"] = dq_constraint_violations
+
+ORACLE["dq_constraint_violations"] = (
+    "WITH j AS (SELECT l.*, o.o_orderdate FROM lineitem l "
+    "JOIN orders o ON o.o_orderkey = l.l_orderkey), "
+    "a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS v_ship, "
+    "CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS v_price, "
+    "CAST(SUM(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS v_disc, "
+    "CAST(SUM(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0 "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS v_qty, "
+    "CAST(SUM(CASE WHEN l_tax < 0.0 OR l_tax > 0.08 "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS v_tax FROM j), "
+    "u AS (SELECT 'ship_before_order' AS rule, n, v_ship "
+    "AS n_violations FROM a "
+    "UNION ALL SELECT 'non_positive_price', n, v_price FROM a "
+    "UNION ALL SELECT 'discount_out_of_range', n, v_disc FROM a "
+    "UNION ALL SELECT 'quantity_out_of_range', n, v_qty FROM a "
+    "UNION ALL SELECT 'tax_out_of_range', n, v_tax FROM a) "
+    "SELECT rule, n AS n_checked, n_violations, "
+    "ROUND(CAST(n_violations AS DOUBLE) / CAST(n AS DOUBLE), 6) "
+    "AS violation_rate "
+    "FROM u ORDER BY rule"
+)
+
+
+# --- Daily new vs returning active users --------------------------------------------------
+
+
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Daily new-vs-returning active users** — each day's DAU split
+    by whether the user's FIRST-ever event falls on that day: the
+    growth-accounting table every consumer dashboard opens with
+    (acquisition vs retention composition), the daily-grain sibling of
+    `events_dau_mau_stickiness` and the descriptive layer under
+    `agg_mcnemar_yearly_activity`'s churn test.
+
+    Determinism: the first-seen day is a per-user window MIN over the
+    distinct (user, day) frame (no join back to the corpus — rule 5);
+    all counts are exact integers; the share is one division,
+    `dround` 6.
+
+    Scale: one distinct aggregate, one user-keyed window over the
+    user×day frame, one day rollup."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    ud = ev.distinct()
+    w_u = Window.partitionBy("user_id")
+    t = ud.select(
+        "day",
+        (F.col("day") == F.min("day").over(w_u)).alias("is_new"),
+    )
+    g = t.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("dau"),
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0))
+        .cast("long")
+        .alias("new_users"),
+    )
+    return g.select(
+        "day",
+        "dau",
+        "new_users",
+        (F.col("dau") - F.col("new_users")).alias("returning_users"),
+        dround(
+            F.col("new_users").cast("double") / F.col("dau").cast("double"),
+            6,
+        ).alias("pct_new"),
+    ).orderBy("day")
+
+
+QUERIES["events_new_vs_returning"] = events_new_vs_returning
+
+ORACLE["events_new_vs_returning"] = (
+    "WITH ud AS (SELECT DISTINCT user_id, "
+    "CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events), "
+    "t AS (SELECT day, "
+    "day = MIN(day) OVER (PARTITION BY user_id) AS is_new FROM ud), "
+    "g AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau, "
+    "CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS new_users FROM t GROUP BY 1) "
+    "SELECT day, dau, new_users, dau - new_users AS returning_users, "
+    "ROUND(CAST(new_users AS DOUBLE) / CAST(dau AS DOUBLE), 6) "
+    "AS pct_new "
+    "FROM g ORDER BY day"
+)

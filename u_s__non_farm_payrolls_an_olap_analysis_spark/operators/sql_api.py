@@ -300,3 +300,53 @@ ORACLE["sql_qualify_topk_dialect"] = (
     "ORDER BY o_totalprice DESC, o_orderkey) <= 2 "
     "ORDER BY year, price DESC, o_orderkey"
 )
+
+
+def sql_distinct_on_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**DISTINCT ON dialect mapping** — "latest order per customer"
+    stated as DuckDB/Postgres ``DISTINCT ON (key) ... ORDER BY key,
+    ts DESC`` in the oracle and as the standard Spark rewrite (rank-1
+    row_number window under a total order) here: the value hash proves
+    the two resolutions pick the IDENTICAL representative row,
+    tiebreaks included — the `sql_qualify_topk_dialect` companion for
+    the other major vendor-specific top-1 idiom.
+
+    Determinism: the pick order (o_orderdate DESC, o_orderkey DESC) is
+    total (unique key tiebreak); money rounds 4 dp.
+
+    Scale: one exchange by customer, rank-1 filter — no global sort
+    before the output ORDER BY."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ..functions.numerics import dround
+    from ..io import read_table
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderdate").alias("last_order_ts"),
+            F.col("o_orderkey").alias("last_orderkey"),
+            dround("o_totalprice", 4).alias("last_order_price"),
+        )
+        .orderBy("custkey")
+    )
+
+
+QUERIES["sql_distinct_on_dialect"] = sql_distinct_on_dialect
+
+ORACLE["sql_distinct_on_dialect"] = (
+    "SELECT DISTINCT ON (o_custkey) o_custkey AS custkey, "
+    "o_orderdate AS last_order_ts, o_orderkey AS last_orderkey, "
+    "ROUND(o_totalprice, 4) AS last_order_price "
+    "FROM orders "
+    "ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC"
+)

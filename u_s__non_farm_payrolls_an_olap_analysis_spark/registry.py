@@ -347,6 +347,12 @@ _SAMPLE_PRIORITY = [
     "text_mattr_diversity",
     # NEW in round 13 — personalized PageRank from the hub part
     "graph_pagerank_personalized",
+    # NEW in round 13 — cross-field DQ constraint-violation rules
+    "dq_constraint_violations",
+    # NEW in round 13 — daily new-vs-returning DAU split
+    "events_new_vs_returning",
+    # NEW in round 13 — DISTINCT ON dialect mapping (rank-1 on Spark)
+    "sql_distinct_on_dialect",
     # latest driver row r6 — oldest surviving evidence, in r6 order
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
