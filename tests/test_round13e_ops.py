@@ -1959,3 +1959,112 @@ def test_distinct_on_matches_pure_python(spark):
         assert row["last_order_ts"] == ts
         assert row["last_orderkey"] == ok
         assert row["last_order_price"] == _round4(price)
+
+
+# --- wave 21 --------------------------------------------------------------------------
+
+
+def test_randomized_response_matches_pure_python(spark):
+    import hashlib
+
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.llm_prep import (
+        RR_KEEP_DEN,
+        privacy_randomized_response,
+    )
+
+    rows = (
+        read_table(spark, SF, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_orderstatus")
+        .collect()
+    )
+    cells = collections.defaultdict(lambda: [0, 0, 0])
+    for r in rows:
+        t = 1 if r["o_orderstatus"] == "F" else 0
+        h = int(
+            hashlib.md5(f"rr:{r['o_orderkey']}".encode()).hexdigest()[:8],
+            16,
+        )
+        rep = (1 - t) if h % RR_KEEP_DEN == 0 else t
+        cell = cells[r["o_orderpriority"]]
+        cell[0] += 1
+        cell[1] += t
+        cell[2] += rep
+
+    got = {r["priority"]: r for r in privacy_randomized_response(spark, SF).collect()}
+    assert set(got) == set(cells)
+    for g, (n, st, sr) in cells.items():
+        row = got[g]
+        p_true = st / n
+        p_obs = sr / n
+        est = (p_obs - 0.25) / 0.5
+        assert row["n_orders"] == n
+        assert row["true_rate"] == _round6(p_true)
+        assert row["reported_rate"] == _round6(p_obs)
+        assert row["debiased_estimate"] == _round6(est)
+        assert row["abs_error"] == _round6(abs(est - p_true))
+        # debiasing brings the estimate closer than the raw report
+        # (holds in expectation; assert the weaker bounded-error form)
+        assert row["abs_error"] < 0.5
+
+
+def test_bigram_entropy_rate_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.text import (
+        _BER_SCALE,
+        text_bigram_entropy_rate,
+    )
+
+    docs = read_table(spark, SF, "documents").select("source", "text").collect()
+    cells = collections.Counter()
+    for r in docs:
+        toks = r["text"].split(" ")
+        for p, q in zip(toks, toks[1:]):
+            cells[(r["source"], p, q)] += 1
+    by_src = collections.defaultdict(dict)
+    for (s, p, q), c in cells.items():
+        by_src[s][(p, q)] = c
+
+    got = {r["source"]: r for r in text_bigram_entropy_rate(spark, SF).collect()}
+    assert set(got) == set(by_src)
+    for s, cc in by_src.items():
+        n = sum(cc.values())
+        prev_tot = collections.Counter()
+        for (p, _), c in cc.items():
+            prev_tot[p] += c
+        sc = sum(
+            _round_half_away(c * math.log(c) * _BER_SCALE)
+            for c in cc.values()
+        )
+        sr = sum(
+            _round_half_away(r_ * math.log(r_) * _BER_SCALE)
+            for r_ in prev_tot.values()
+        )
+        h = (sr - sc) / _BER_SCALE / n
+        row = got[s]
+        assert row["n_bigrams"] == n
+        assert row["n_cells"] == len(cc)
+        assert row["cond_entropy_nats"] == _round6(h)
+        # conditioning never increases entropy: H(X|prev) <= ln(vocab)
+        assert row["cond_entropy_nats"] >= -1e-9
+
+
+def test_stream_daily_new_users_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.streaming.stateful import (
+        stream_daily_new_users,
+    )
+
+    ev = read_table(spark, SF, "events").select("user_id", "ts").collect()
+    first = {}
+    for r in ev:
+        u = r["user_id"]
+        if u not in first or r["ts"] < first[u]:
+            first[u] = r["ts"]
+    days = collections.Counter(
+        (t.year, t.month, t.day) for t in first.values()
+    )
+    got = {
+        (r["day"].year, r["day"].month, r["day"].day): r["new_users"]
+        for r in stream_daily_new_users(spark, SF).collect()
+    }
+    assert got == dict(days)
+    # every user appears exactly once across the whole output
+    assert sum(got.values()) == len(first)

@@ -2119,3 +2119,96 @@ def _bpe_oracle_sql() -> str:
 
 
 ORACLE["vocab_bpe_learn_merges"] = _bpe_oracle_sql()
+
+
+# --- Local differential privacy: randomized response -------------------------------------
+
+RR_KEEP_NUM, RR_KEEP_DEN = 3, 4  # keep probability p = 3/4
+
+
+def privacy_randomized_response(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """North-star — **randomized response** (Warner 1965; the local-DP
+    mechanism RAPPOR built on): each order reports its finished bit
+    TRUTHFULLY with probability p = 3/4 and FLIPPED otherwise (ε =
+    ln(p/(1−p)) = ln 3 local DP), and the aggregator debiases the
+    observed rate with π̂ = (p̂_obs − (1−p))/(2p−1). Completes the
+    privacy pack's spectrum: k-anonymity/l-diversity/t-closeness
+    (syntactic), `privacy_dp_noisy_counts` (central DP), and now LOCAL
+    DP — the regime where the collector never sees a true bit. The
+    true rate is emitted beside the estimate so the debiasing error is
+    measurable on the fixture (in production the true column does not
+    exist — that is the point).
+
+    Determinism: the "coin" is a portable salted md5 (% 4 == 0 flips —
+    exactly 1−p), so both engines flip the identical rows; all counts
+    are exact integers and the estimator is one fixed-shape expression
+    per group, `dround` 6.
+
+    Scale: one map-side-combinable conditional aggregate over orders;
+    5-row algebra."""
+    orders = read_table(spark, sf_dir, "orders")
+    flip = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("rr:"), F.col("o_orderkey").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % RR_KEEP_DEN
+        == 0
+    )
+    true_bit = (F.col("o_orderstatus") == "F").cast("int")
+    reported = F.when(flip, 1 - true_bit).otherwise(true_bit)
+    g = orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(true_bit).cast("long").alias("s_true"),
+        F.sum(reported).cast("long").alias("s_rep"),
+    )
+    n_d = F.col("n").cast("double")
+    p_obs = F.col("s_rep").cast("double") / n_d
+    p_true = F.col("s_true").cast("double") / n_d
+    est = (p_obs - F.lit(0.25)) / F.lit(0.5)
+    return (
+        g.filter(F.col("n") > 0)
+        .select(
+            "priority",
+            F.col("n").alias("n_orders"),
+            dround(p_true, 6).alias("true_rate"),
+            dround(p_obs, 6).alias("reported_rate"),
+            dround(est, 6).alias("debiased_estimate"),
+            dround(F.abs(est - p_true), 6).alias("abs_error"),
+        )
+        .orderBy("priority")
+    )
+
+
+QUERIES["privacy_randomized_response"] = privacy_randomized_response
+
+ORACLE["privacy_randomized_response"] = (
+    "WITH b AS (SELECT o_orderpriority AS priority, "
+    "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS t, "
+    "CAST(('0x' || substr(md5('rr:' || CAST(o_orderkey AS VARCHAR)), "
+    f"1, 8)) AS BIGINT) % {RR_KEEP_DEN} = 0 AS flip FROM orders), "
+    "g AS (SELECT priority, CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(t) AS BIGINT) AS s_true, "
+    "CAST(SUM(CASE WHEN flip THEN 1 - t ELSE t END) AS BIGINT) "
+    "AS s_rep FROM b GROUP BY 1) "
+    "SELECT priority, n AS n_orders, "
+    "ROUND(CAST(s_true AS DOUBLE) / CAST(n AS DOUBLE), 6) AS true_rate, "
+    "ROUND(CAST(s_rep AS DOUBLE) / CAST(n AS DOUBLE), 6) "
+    "AS reported_rate, "
+    "ROUND((CAST(s_rep AS DOUBLE) / CAST(n AS DOUBLE) - 0.25) / 0.5, 6) "
+    "AS debiased_estimate, "
+    "ROUND(ABS((CAST(s_rep AS DOUBLE) / CAST(n AS DOUBLE) - 0.25) / 0.5 "
+    "- CAST(s_true AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS abs_error "
+    "FROM g WHERE n > 0 ORDER BY priority"
+)

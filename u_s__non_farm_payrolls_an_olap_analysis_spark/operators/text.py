@@ -2465,3 +2465,118 @@ ORACLE["text_mattr_diversity"] = (
     "ROUND(CAST(distinct_sum AS DOUBLE) / CAST(denom AS DOUBLE), 6) "
     "AS mattr FROM x WHERE n_tokens > 0 ORDER BY doc_id"
 )
+
+
+# --- Bigram conditional entropy (entropy rate) per source ----------------------
+
+_BER_SCALE = 100_000_000
+
+
+def text_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Bigram conditional entropy H(next | prev)** per source —
+    the entropy RATE of each source's token stream under a first-order
+    Markov model (Shannon 1951's printed-English estimate is exactly
+    this construction): H = (Σ_prev n_p·ln n_p − Σ_pair n_pq·ln n_pq)/N
+    in the factored-exact form. Read against
+    `corpus_entropy_by_source`'s unigram H: the DROP from H(X) to
+    H(X|prev) is the source's sequential redundancy — template/
+    boilerplate sources collapse under conditioning long before their
+    unigram entropy looks suspicious (the `events_entropy_rate_markov`
+    device applied to text).
+
+    Determinism: both log sums quantize per TERM to scaled int64 (the
+    entropy-family device; the prev-marginal dedups with a
+    row_number == 1 guard inside the ONE aggregate over the bigram
+    frame); exposed doubles are fixed-shape off the exact sums,
+    `dround` 6.
+
+    Scale: one bigram explode → one (source, prev, next) count
+    aggregate (map-side combinable, sparse — bounded by token count,
+    never vocab²) → windows over the bigram-count frame."""
+    from ..functions.numerics import dsum_scaled
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("p"),
+                F.element_at(toks, i + 1).alias("q"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<p:string,q:string>>"))
+    cells = (
+        docs.select("source", F.explode(bigrams).alias("b"))
+        .select("source", "b.p", "b.q")
+        .groupBy("source", "p", "q")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_prev = Window.partitionBy("source", "p")
+    w_src = Window.partitionBy("source")
+    w_rn = Window.partitionBy("source", "p").orderBy("q")
+    x = cells.select(
+        "source",
+        "c",
+        F.sum("c").over(w_prev).alias("r"),
+        F.sum("c").over(w_src).alias("n"),
+        (F.row_number().over(w_rn) == 1).alias("first_of_prev"),
+    )
+    agg = x.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_bigrams"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        dsum_scaled(
+            F.col("c").cast("double") * F.log(F.col("c").cast("double")),
+            _BER_SCALE,
+        ).alias("sc"),
+        dsum_scaled(
+            F.when(
+                F.col("first_of_prev"),
+                F.col("r").cast("double")
+                * F.log(F.col("r").cast("double")),
+            ).otherwise(F.lit(0.0)),
+            _BER_SCALE,
+        ).alias("sr"),
+    )
+    h = (
+        F.col("sr").cast("double") - F.col("sc").cast("double")
+    ) / _BER_SCALE / F.col("n_bigrams").cast("double")
+    return (
+        agg.filter(F.col("n_bigrams") > 0)
+        .select(
+            "source",
+            "n_bigrams",
+            "n_cells",
+            dround(h, 6).alias("cond_entropy_nats"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["text_bigram_entropy_rate"] = text_bigram_entropy_rate
+
+ORACLE["text_bigram_entropy_rate"] = (
+    "WITH bg AS (SELECT source, toks[i] AS p, toks[i + 1] AS q FROM "
+    "(SELECT source, string_split(text, ' ') AS toks FROM documents), "
+    "UNNEST(CASE WHEN len(toks) >= 2 THEN range(1, len(toks)) "
+    "ELSE [] END) AS u(i)), "
+    "cells AS (SELECT source, p, q, CAST(COUNT(*) AS BIGINT) AS c "
+    "FROM bg GROUP BY 1, 2, 3), "
+    "x AS (SELECT source, c, "
+    "SUM(c) OVER (PARTITION BY source, p) AS r, "
+    "SUM(c) OVER (PARTITION BY source) AS n, "
+    "ROW_NUMBER() OVER (PARTITION BY source, p ORDER BY q) = 1 "
+    "AS first_of_prev FROM cells), "
+    "a AS (SELECT source, CAST(MAX(n) AS BIGINT) AS n_bigrams, "
+    "CAST(COUNT(*) AS BIGINT) AS n_cells, "
+    "CAST(SUM(CAST(ROUND(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) "
+    f"* {_BER_SCALE}) AS BIGINT)) AS BIGINT) AS sc, "
+    "CAST(SUM(CAST(ROUND(CASE WHEN first_of_prev THEN "
+    "CAST(r AS DOUBLE) * ln(CAST(r AS DOUBLE)) ELSE 0.0 END "
+    f"* {_BER_SCALE}) AS BIGINT)) AS BIGINT) AS sr FROM x GROUP BY 1) "
+    "SELECT source, n_bigrams, n_cells, "
+    f"ROUND((CAST(sr AS DOUBLE) - CAST(sc AS DOUBLE)) / {_BER_SCALE} "
+    "/ CAST(n_bigrams AS DOUBLE), 6) AS cond_entropy_nats "
+    "FROM a WHERE n_bigrams > 0 ORDER BY source"
+)

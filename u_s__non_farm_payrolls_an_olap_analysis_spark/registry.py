@@ -353,6 +353,12 @@ _SAMPLE_PRIORITY = [
     "events_new_vs_returning",
     # NEW in round 13 — DISTINCT ON dialect mapping (rank-1 on Spark)
     "sql_distinct_on_dialect",
+    # NEW in round 13 — randomized-response local DP + debiasing
+    "privacy_randomized_response",
+    # NEW in round 13 — bigram conditional entropy per source
+    "text_bigram_entropy_rate",
+    # NEW in round 13 — streaming first-seen daily new users (stateful)
+    "stream_daily_new_users",
     # latest driver row r6 — oldest surviving evidence, in r6 order
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",

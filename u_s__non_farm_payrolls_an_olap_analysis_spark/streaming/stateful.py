@@ -617,3 +617,92 @@ ORACLE["stream_interarrival_ewma"] = (
     "ROUND(e, 4) AS ewma_gap_us "
     "FROM rec ORDER BY user_id, ts, event_id"
 )
+
+
+# --- Streaming first-seen detection + daily new-user rollup ------------------
+
+_FS_OUTPUT_SCHEMA = "user_id long, first_us long"
+_FS_STATE_SCHEMA = "seen long"
+
+
+def _first_seen_update(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Exactly-once first-occurrence detection: one long of group
+    state; a user's first-ever event emits (user, ts) and every later
+    event is swallowed — the growth-accounting primitive ("new user")
+    as O(1) state, where the batch equivalent is a full MIN over the
+    user's history."""
+    seen = state.get[0] if state.exists else 0
+    out_u: list[int] = []
+    out_t: list[int] = []
+    for pdf in pdfs:
+        if seen == 0 and len(pdf):
+            pdf = pdf.sort_values(["ts_us", "event_id"])
+            out_u.append(int(key[0]))
+            out_t.append(int(pdf["ts_us"].iloc[0]))
+            seen = 1
+    state.update((int(seen),))
+    yield pd.DataFrame(
+        {
+            "user_id": pd.Series(out_u, dtype="int64"),
+            "first_us": pd.Series(out_t, dtype="int64"),
+        }
+    )
+
+
+def stream_daily_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star — **streaming daily new-user counts**: per-user
+    first-seen detection as O(1) group state (`applyInPandasWithState`
+    append mode — each user's first event emits the moment it
+    arrives), rolled up to new users per wall day. The STREAMING twin
+    of `events_new_vs_returning`'s new_users column, and the third
+    batch↔stream equivalence statement in the pack
+    (`stream_pattern_match`, `stream_interarrival_ewma`): the batch
+    window MIN over each user's full history becomes one long of
+    state.
+
+    Determinism: first-seen needs per-user time-ordered arrival across
+    micro-batches (the established stream contract — Kafka partitions
+    by user); timestamps ride as epoch-micro longs (rule 6) and
+    convert to NTZ walls after the drain; counts are exact integers.
+
+    Scale: state is ONE long per user (contrast the dedup operator's
+    per-key windows); the day rollup is a tiny batch aggregate over
+    the drained first-event stream."""
+    from pyspark.sql import functions as F
+
+    ev = _events_stream(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    )
+    firsts = ev.groupBy("user_id").applyInPandasWithState(
+        _first_seen_update,
+        outputStructType=_FS_OUTPUT_SCHEMA,
+        stateStructType=_FS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _drain_to_memory(firsts, spark, output_mode="append")
+    day = F.date_trunc("day", ntz_from_epoch_micros("first_us"))
+    return (
+        out.groupBy(day.alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("new_users"))
+        .orderBy("day")
+    )
+
+
+QUERIES["stream_daily_new_users"] = stream_daily_new_users
+
+# batch twin: new users per day = users whose first-ever event falls on
+# that day (the events_new_vs_returning new_users column, restated)
+ORACLE["stream_daily_new_users"] = (
+    "WITH f AS (SELECT user_id, MIN(ts) AS first_ts FROM events "
+    "GROUP BY 1) "
+    "SELECT CAST(date_trunc('day', first_ts) AS TIMESTAMP) AS day, "
+    "CAST(COUNT(*) AS BIGINT) AS new_users "
+    "FROM f GROUP BY 1 ORDER BY day"
+)
