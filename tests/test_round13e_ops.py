@@ -2068,3 +2068,126 @@ def test_stream_daily_new_users_matches_pure_python(spark):
     assert got == dict(days)
     # every user appears exactly once across the whole output
     assert sum(got.values()) == len(first)
+
+
+# --- wave 22 --------------------------------------------------------------------------
+
+
+def test_theil_atkinson_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        _THEIL_SCALE,
+        _THEIL_XL_SCALE,
+        agg_theil_atkinson_inequality,
+    )
+
+    rows = (
+        read_table(spark, SF, "orders")
+        .select("o_custkey", "o_totalprice")
+        .collect()
+    )
+    per_c = collections.defaultdict(int)
+    for r in rows:
+        per_c[r["o_custkey"]] += _round_half_away(r["o_totalprice"] * 10000)
+    xs = [x for x in per_c.values() if x > 0]
+    n = len(xs)
+    s = sum(xs)
+    sxlx = sum(
+        _round_half_away(x * math.log(x) * _THEIL_XL_SCALE) for x in xs
+    )
+    slx = sum(_round_half_away(math.log(x) * _THEIL_SCALE) for x in xs)
+    mean_ln = math.log(s / n)
+    theil_t = sxlx / _THEIL_XL_SCALE / s - mean_ln
+    theil_l = mean_ln - slx / _THEIL_SCALE / n
+
+    got = agg_theil_atkinson_inequality(spark, SF).collect()
+    assert len(got) == 1
+    row = got[0]
+    assert row["n_customers"] == n
+    assert row["theil_t"] == _round6(theil_t)
+    assert row["theil_l"] == _round6(theil_l)
+    assert row["atkinson_1"] == _round6(1.0 - math.exp(-theil_l))
+    # both indices are non-negative; Atkinson lives in [0, 1)
+    assert row["theil_t"] >= -1e-9 and row["theil_l"] >= -1e-9
+    assert 0.0 <= row["atkinson_1"] < 1.0
+
+
+def test_peer_zscore_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        window_peer_zscore,
+    )
+
+    rows = (
+        read_table(spark, SF, "orders")
+        .select("o_orderpriority", "o_orderdate", "o_totalprice")
+        .collect()
+    )
+    monthly = collections.defaultdict(int)
+    for r in rows:
+        key = (
+            (r["o_orderdate"].year, r["o_orderdate"].month),
+            r["o_orderpriority"],
+        )
+        monthly[key] += _round_half_away(r["o_totalprice"] * 10000)
+    by_mon = collections.defaultdict(dict)
+    for (mon, g), v in monthly.items():
+        by_mon[mon][g] = v
+
+    got = {
+        ((r["mon"].year, r["mon"].month), r["priority"]): r
+        for r in window_peer_zscore(spark, SF).collect()
+    }
+    expect_keys = set()
+    for mon, gs in by_mon.items():
+        vals = list(gs.values())
+        n = len(vals)
+        s = sum(vals)
+        q = sum(v * v for v in vals)
+        m2 = n * q - s * s
+        if m2 <= 0:
+            continue
+        zsum = 0.0
+        for g, x in gs.items():
+            expect_keys.add((mon, g))
+            z = (n * x - s) / math.sqrt(n * m2)
+            row = got[(mon, g)]
+            assert row["revenue"] == _round4(x / 10000.0)
+            assert row["peer_z"] == _round6(z)
+            zsum += z
+        # cross-sectional z-scores sum to zero within the month
+        assert abs(zsum) < 1e-9
+    assert set(got) == expect_keys
+
+
+def test_sessions_per_user_hist_matches_pure_python(spark):
+    import datetime
+
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        events_sessions_per_user_hist,
+    )
+
+    ev = read_table(spark, SF, "events").select("user_id", "ts").collect()
+    by_user = collections.defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append(r["ts"])
+    gap = datetime.timedelta(minutes=30)
+    k_per_user = {}
+    for u, tss in by_user.items():
+        tss.sort()
+        k = 0
+        last = None
+        for ts in tss:
+            if last is None or ts - last >= gap:
+                k += 1
+            last = ts
+        k_per_user[u] = k
+    hist = collections.Counter(k_per_user.values())
+    n_total = len(k_per_user)
+
+    got = {r["n_sessions"]: r for r in events_sessions_per_user_hist(spark, SF).collect()}
+    assert got.keys() == hist.keys()
+    for k, n_users in hist.items():
+        row = got[k]
+        assert row["n_users"] == n_users
+        assert row["share_of_users"] == _round6(n_users / n_total)
+    # histogram masses partition the user base
+    assert sum(r["n_users"] for r in got.values()) == n_total

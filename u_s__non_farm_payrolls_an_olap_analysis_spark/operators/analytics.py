@@ -9671,3 +9671,239 @@ ORACLE["events_new_vs_returning"] = (
     "AS pct_new "
     "FROM g ORDER BY day"
 )
+
+
+# --- Theil / Atkinson inequality indices ---------------------------------------------------
+
+_THEIL_SCALE = 100_000_000  # per-customer ln x terms (~23 -> 2.3e9/term)
+_THEIL_XL_SCALE = 10_000  # per-customer x*ln x terms (~3e11 -> 3e15/term)
+
+
+def agg_theil_atkinson_inequality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """**Theil T, Theil L (mean log deviation) and Atkinson(ε=1)**
+    over customer lifetime revenue (Theil 1967; Atkinson 1970) — the
+    DECOMPOSABLE inequality indices beside `agg_gini_customer_revenue`
+    (Gini is the familiar number but does not decompose across
+    subgroups; Theil does, which is why economists report both):
+    T = (Σx·ln x)/S − ln(S/N), L = ln(S/N) − (Σln x)/N,
+    Atkinson(1) = 1 − exp(−L) (one minus geometric/arithmetic mean).
+
+    Determinism: customer revenue is an exact 1e4-scaled int64 sum;
+    both log sums quantize per CUSTOMER to scaled int64 (the
+    entropy-family device — scale invariance of T and L means the 1e4
+    factor cancels algebraically, so the indices are computed directly
+    on the scaled ints); the indices are fixed-shape doubles off exact
+    sums, `dround` 6.
+
+    Scale: one customer rollup (map-side combinable), one dim-sized
+    aggregate."""
+    orders = read_table(spark, sf_dir, "orders")
+    per_c = orders.groupBy(F.col("o_custkey").alias("cust")).agg(
+        dsum_scaled("o_totalprice").alias("x")
+    )
+    x_d = F.col("x").cast("double")
+    from ..functions.numerics import _nearest_long_away
+
+    # both log sums quantize per row then accumulate in DECIMAL(38,0):
+    # x*ln x reaches ~3e11 per customer, so an int64 SUM of 1e8-scaled
+    # terms overflows — quantize at 1e4 and sum wide
+    agg = per_c.filter(F.col("x") > 0).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            _nearest_long_away(
+                x_d * F.log(x_d) * F.lit(float(_THEIL_XL_SCALE))
+            ).cast("decimal(38,0)")
+        ).alias("sxlx"),
+        F.sum(
+            _nearest_long_away(
+                F.log(x_d) * F.lit(float(_THEIL_SCALE))
+            ).cast("decimal(38,0)")
+        ).alias("slx"),
+    )
+    n_d = F.col("n").cast("double")
+    s_d = F.col("s").cast("double")
+    mean_ln = F.log(s_d / n_d)
+    theil_t = (
+        F.col("sxlx").cast("double") / _THEIL_XL_SCALE / s_d - mean_ln
+    )
+    theil_l = mean_ln - F.col("slx").cast("double") / _THEIL_SCALE / n_d
+    return agg.filter(F.col("n") > 0).select(
+        F.col("n").alias("n_customers"),
+        dround(theil_t, 6).alias("theil_t"),
+        dround(theil_l, 6).alias("theil_l"),
+        dround(F.lit(1.0) - F.exp(-theil_l), 6).alias("atkinson_1"),
+    )
+
+
+QUERIES["agg_theil_atkinson_inequality"] = agg_theil_atkinson_inequality
+
+ORACLE["agg_theil_atkinson_inequality"] = (
+    "WITH pc AS (SELECT o_custkey, "
+    "CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS BIGINT) "
+    "AS x FROM orders GROUP BY 1), "
+    "a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+    "SUM(CAST(x AS HUGEINT)) AS s, "
+    "SUM(CAST(CAST(ROUND(CAST(x AS DOUBLE) * ln(CAST(x AS DOUBLE)) "
+    f"* {_THEIL_XL_SCALE}) AS BIGINT) AS HUGEINT)) AS sxlx, "
+    "SUM(CAST(CAST(ROUND(ln(CAST(x AS DOUBLE)) "
+    f"* {_THEIL_SCALE}) AS BIGINT) AS HUGEINT)) AS slx "
+    "FROM pc WHERE x > 0) "
+    "SELECT n AS n_customers, "
+    f"ROUND(CAST(sxlx AS DOUBLE) / {_THEIL_XL_SCALE} / CAST(s AS DOUBLE) "
+    "- ln(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS theil_t, "
+    "ROUND(ln(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) "
+    f"- CAST(slx AS DOUBLE) / {_THEIL_SCALE} / CAST(n AS DOUBLE), 6) "
+    "AS theil_l, "
+    "ROUND(1.0 - exp(-(ln(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) "
+    f"- CAST(slx AS DOUBLE) / {_THEIL_SCALE} / CAST(n AS DOUBLE))), 6) "
+    "AS atkinson_1 "
+    "FROM a WHERE n > 0"
+)
+
+
+# --- Cross-sectional peer z-score per month -------------------------------------------------
+
+
+def window_peer_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Peer-group z-score**: each priority's monthly revenue
+    standardized against THAT MONTH's cross-priority distribution —
+    the benchmarking view dashboards use to ask "which segment is
+    unusually hot this month, net of the month itself" (the
+    cross-sectional transpose of `dq_anomaly_zscore`'s within-series
+    z; seasonality and macro shocks cancel because the peer mean
+    absorbs them).
+
+    Determinism: the monthly frame is exact 1e4-scaled int64; each
+    month's n·Σx² − (Σx)² moment is exact DECIMAL(38,0) ≡ HUGEINT, so
+    z = (n·x − Σx)/√(n·(n·Σx² − (Σx)²)) is one fixed-shape double per
+    row off exact ints (the denominators clear by n — no per-month
+    mean materializes), `dround` 6. Degenerate months (zero variance)
+    drop on the exact integer.
+
+    Scale: one corpus-sized monthly rollup; one window exchange by
+    month over the k-per-month frame."""
+    orders = read_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("month", "o_orderdate").alias("mon"),
+    ).agg(dsum_scaled("o_totalprice").alias("x"))
+    w_m = Window.partitionBy("mon")
+
+    def dd(c):
+        return c.cast("decimal(38,0)")
+
+    t = m.select(
+        "priority",
+        "mon",
+        "x",
+        F.count(F.lit(1)).over(w_m).alias("n"),
+        F.sum(dd(F.col("x"))).over(w_m).alias("s"),
+        F.sum(dd(F.col("x")) * F.col("x")).over(w_m).alias("q"),
+    )
+    m2 = dd(F.col("n")) * F.col("q") - F.col("s") * F.col("s")
+    dev = dd(F.col("n")) * F.col("x") - F.col("s")
+    z = dev.cast("double") / F.sqrt(
+        F.col("n").cast("double") * m2.cast("double")
+    )
+    return (
+        t.filter(m2 > 0)
+        .select(
+            "priority",
+            "mon",
+            F.round(F.col("x") / 10_000.0, 4).alias("revenue"),
+            dround(z, 6).alias("peer_z"),
+        )
+        .orderBy("priority", "mon")
+    )
+
+
+QUERIES["window_peer_zscore"] = window_peer_zscore
+
+ORACLE["window_peer_zscore"] = (
+    "WITH m AS (SELECT o_orderpriority AS priority, "
+    "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon, "
+    "CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS BIGINT) "
+    "AS x FROM orders GROUP BY 1, 2), "
+    "t AS (SELECT priority, mon, x, "
+    "CAST(COUNT(*) OVER w AS BIGINT) AS n, "
+    "SUM(CAST(x AS HUGEINT)) OVER w AS s, "
+    "SUM(CAST(x AS HUGEINT) * x) OVER w AS q "
+    "FROM m WINDOW w AS (PARTITION BY mon)) "
+    "SELECT priority, mon, "
+    "ROUND(CAST(x AS DOUBLE) / 10000.0, 4) AS revenue, "
+    "ROUND(CAST(CAST(n AS HUGEINT) * x - s AS DOUBLE) "
+    "/ sqrt(CAST(n AS DOUBLE) * CAST(CAST(n AS HUGEINT) * q - s * s "
+    "AS DOUBLE)), 6) AS peer_z "
+    "FROM t WHERE CAST(n AS HUGEINT) * q - s * s > 0 "
+    "ORDER BY priority, mon"
+)
+
+
+# --- Sessions-per-user distribution off the shared sessionization ---------------------------
+
+
+def events_sessions_per_user_hist(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """**Sessions-per-user distribution**: how many users had exactly
+    k sessions (30-minute gap sessionization) — the engagement-depth
+    histogram that separates one-shot visitors from habitual users
+    (the user-grain companion of `events_bounce_rate_daily`'s
+    session-grain view; its shape is what DAU/MAU's single stickiness
+    number compresses away).
+
+    Determinism: sessions come from the shared exact NTZ-interval gap
+    logic; all counts are exact integers; shares are single
+    divisions, `dround` 6.
+
+    Scale: one window exchange by user (the sessionize shape), one
+    per-user count, one ~max-k-row histogram rollup."""
+    from .custom_udf import _sessionize_events
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    s = _sessionize_events(ev)
+    per_u = s.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    w_all = Window.partitionBy()
+    g = per_u.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    t = g.select(
+        F.col("k").alias("n_sessions"),
+        "n_users",
+        F.sum("n_users").over(w_all).alias("n_total"),
+    )
+    return t.select(
+        "n_sessions",
+        "n_users",
+        dround(
+            F.col("n_users").cast("double") / F.col("n_total").cast("double"),
+            6,
+        ).alias("share_of_users"),
+    ).orderBy("n_sessions")
+
+
+QUERIES["events_sessions_per_user_hist"] = events_sessions_per_user_hist
+
+ORACLE["events_sessions_per_user_hist"] = (
+    "WITH e AS (SELECT user_id, ts, "
+    "CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+    "OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) "
+    ">= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM events), "
+    "s AS (SELECT user_id, SUM(new_s) OVER (PARTITION BY user_id "
+    "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM e), "
+    "pu AS (SELECT user_id, CAST(COUNT(DISTINCT sid) AS BIGINT) AS k "
+    "FROM s GROUP BY 1), "
+    "g AS (SELECT k AS n_sessions, CAST(COUNT(*) AS BIGINT) AS n_users "
+    "FROM pu GROUP BY 1), "
+    "t AS (SELECT n_sessions, n_users, SUM(n_users) OVER () AS n_total "
+    "FROM g) "
+    "SELECT n_sessions, n_users, "
+    "ROUND(CAST(n_users AS DOUBLE) / CAST(n_total AS DOUBLE), 6) "
+    "AS share_of_users "
+    "FROM t ORDER BY n_sessions"
+)

@@ -359,6 +359,12 @@ _SAMPLE_PRIORITY = [
     "text_bigram_entropy_rate",
     # NEW in round 13 — streaming first-seen daily new users (stateful)
     "stream_daily_new_users",
+    # NEW in round 13 — Theil T/L and Atkinson(1) inequality indices
+    "agg_theil_atkinson_inequality",
+    # NEW in round 13 — cross-sectional peer z-score per month
+    "window_peer_zscore",
+    # NEW in round 13 — sessions-per-user engagement histogram
+    "events_sessions_per_user_hist",
     # latest driver row r6 — oldest surviving evidence, in r6 order
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
