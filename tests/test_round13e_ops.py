@@ -2191,3 +2191,97 @@ def test_sessions_per_user_hist_matches_pure_python(spark):
         assert row["share_of_users"] == _round6(n_users / n_total)
     # histogram masses partition the user base
     assert sum(r["n_users"] for r in got.values()) == n_total
+
+
+# --- wave 23 --------------------------------------------------------------------------
+
+
+def _monthly_series(spark):
+    rows = (
+        read_table(spark, SF, "orders")
+        .select("o_orderpriority", "o_orderdate", "o_totalprice")
+        .collect()
+    )
+    monthly = collections.defaultdict(int)
+    for r in rows:
+        key = (
+            r["o_orderpriority"],
+            (r["o_orderdate"].year, r["o_orderdate"].month),
+        )
+        monthly[key] += _round_half_away(r["o_totalprice"] * 10000)
+    series = collections.defaultdict(list)
+    for (g, mon), v in sorted(monthly.items()):
+        series[g].append((mon, v))
+    return series
+
+
+def test_rolling_sharpe_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        RSR_W,
+        window_rolling_sharpe,
+    )
+
+    series = _monthly_series(spark)
+    got = {
+        (r["priority"], (r["mon"].year, r["mon"].month)): r
+        for r in window_rolling_sharpe(spark, SF).collect()
+    }
+    n_expect = 0
+    for g, pts in series.items():
+        diffs = [
+            (mon, v - pv)
+            for (mon, v), (_, pv) in zip(pts[1:], pts)
+        ]
+        for i, (mon, _) in enumerate(diffs):
+            window = [d for _, d in diffs[max(0, i - RSR_W + 1) : i + 1]]
+            w = len(window)
+            s1 = sum(window)
+            s2 = sum(d * d for d in window)
+            m2 = w * s2 - s1 * s1
+            if m2 <= 0 or w < 2:
+                continue
+            n_expect += 1
+            mean_d = s1 / w
+            sd_d = math.sqrt(m2) / w
+            row = got[(g, mon)]
+            assert row["mom_change"] == _round4(window[-1] / 10000.0)
+            assert row["rolling_mean_change"] == _round4(mean_d / 10000.0)
+            assert row["rolling_sd_change"] == _round4(sd_d / 10000.0)
+            assert row["stability_ratio"] == _round6(mean_d / sd_d)
+    assert len(got) == n_expect
+
+
+def test_seasonal_subseries_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        timeseries_seasonal_subseries,
+    )
+
+    series = _monthly_series(spark)
+    got = {
+        (r["priority"], r["monum"]): r
+        for r in timeseries_seasonal_subseries(spark, SF).collect()
+    }
+    expect_keys = set()
+    for g, pts in series.items():
+        by_m = collections.defaultdict(list)
+        for (y, m), v in pts:
+            by_m[m].append(v)
+        s_all = sum(v for _, v in pts)
+        n_all = len(pts)
+        grand = s_all / n_all / 10000.0
+        for m, vs in by_m.items():
+            expect_keys.add((g, m))
+            row = got[(g, m)]
+            sub = sum(vs) / len(vs) / 10000.0
+            assert row["n_years"] == len(vs)
+            assert row["subseries_mean"] == _round4(sub)
+            assert row["seasonal_deviation"] == _round4(sub - grand)
+            assert row["min_revenue"] == _round4(min(vs) / 10000.0)
+            assert row["max_revenue"] == _round4(max(vs) / 10000.0)
+            # the subseries mean lies inside its own min/max envelope
+            assert (
+                row["min_revenue"] - 1e-9
+                <= row["subseries_mean"]
+                <= row["max_revenue"] + 1e-9
+            )
+    assert set(got) == expect_keys

@@ -9907,3 +9907,191 @@ ORACLE["events_sessions_per_user_hist"] = (
     "AS share_of_users "
     "FROM t ORDER BY n_sessions"
 )
+
+
+# --- Rolling growth stability ("Sharpe") ratio ----------------------------------------------
+
+RSR_W = 6  # trailing window length (months)
+
+
+def window_rolling_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Rolling growth-stability ratio** — trailing 6-month mean of
+    the MoM revenue CHANGE divided by its trailing standard deviation
+    (the Sharpe-ratio construction applied to a revenue stream; Sharpe
+    1966): the "is growth steady or lumpy" panel beside
+    `window_bollinger_bands` (which bands the LEVEL; this scores the
+    DIFFERENCES — a segment can sit inside its bands while its growth
+    whipsaws).
+
+    Determinism: the MoM change is an exact int64 difference of
+    1e4-scaled sums; the rolling second moment is exact per frame
+    (w·Σd² − (Σd)², DECIMAL(38,0) ≡ HUGEINT over the SAME WindowSpec);
+    the ratio is one fixed-shape double per row, `dround` 6, with the
+    zero-variance frame filtered on the exact integer.
+
+    Scale: one corpus-sized monthly rollup; ONE window exchange per
+    priority serves the lag, both frame sums and the count."""
+    orders = read_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("month", "o_orderdate").alias("mon"),
+    ).agg(dsum_scaled("o_totalprice").alias("rev_s"))
+    w_ord = Window.partitionBy("priority").orderBy("mon")
+    d = m.select(
+        "priority",
+        "mon",
+        (F.col("rev_s") - F.lag("rev_s").over(w_ord)).alias("diff_s"),
+    ).filter(F.col("diff_s").isNotNull())
+    w6 = (
+        Window.partitionBy("priority")
+        .orderBy("mon")
+        .rowsBetween(-(RSR_W - 1), 0)
+    )
+
+    def dd(c):
+        return c.cast("decimal(38,0)")
+
+    framed = d.select(
+        "priority",
+        "mon",
+        "diff_s",
+        F.count(F.lit(1)).over(w6).alias("w"),
+        F.sum(dd(F.col("diff_s"))).over(w6).alias("s1"),
+        F.sum(dd(F.col("diff_s")) * F.col("diff_s")).over(w6).alias("s2"),
+    )
+    m2 = dd(F.col("w")) * F.col("s2") - F.col("s1") * F.col("s1")
+    w_d = F.col("w").cast("double")
+    mean_d = F.col("s1").cast("double") / w_d
+    sd_d = F.sqrt(m2.cast("double")) / w_d
+    return (
+        framed.filter((m2 > 0) & (F.col("w") >= 2))
+        .select(
+            "priority",
+            "mon",
+            F.round(F.col("diff_s") / 10_000.0, 4).alias("mom_change"),
+            dround(mean_d / 10_000.0, 4).alias("rolling_mean_change"),
+            dround(sd_d / 10_000.0, 4).alias("rolling_sd_change"),
+            dround(mean_d / sd_d, 6).alias("stability_ratio"),
+        )
+        .orderBy("priority", "mon")
+    )
+
+
+QUERIES["window_rolling_sharpe"] = window_rolling_sharpe
+
+ORACLE["window_rolling_sharpe"] = (
+    "WITH m AS (SELECT o_orderpriority AS priority, "
+    "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon, "
+    "CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS BIGINT) "
+    "AS rev_s FROM orders GROUP BY 1, 2), "
+    "d AS (SELECT priority, mon, "
+    "rev_s - LAG(rev_s) OVER (PARTITION BY priority ORDER BY mon) "
+    "AS diff_s FROM m), "
+    "f AS (SELECT priority, mon, diff_s, "
+    "CAST(COUNT(*) OVER w AS BIGINT) AS w, "
+    "SUM(CAST(diff_s AS HUGEINT)) OVER w AS s1, "
+    "SUM(CAST(diff_s AS HUGEINT) * diff_s) OVER w AS s2 "
+    "FROM d WHERE diff_s IS NOT NULL "
+    "WINDOW w AS (PARTITION BY priority ORDER BY mon "
+    f"ROWS BETWEEN {RSR_W - 1} PRECEDING AND CURRENT ROW)) "
+    "SELECT priority, mon, "
+    "ROUND(CAST(diff_s AS DOUBLE) / 10000.0, 4) AS mom_change, "
+    "ROUND(CAST(s1 AS DOUBLE) / CAST(w AS DOUBLE) / 10000.0, 4) "
+    "AS rolling_mean_change, "
+    "ROUND(sqrt(CAST(CAST(w AS HUGEINT) * s2 - s1 * s1 AS DOUBLE)) "
+    "/ CAST(w AS DOUBLE) / 10000.0, 4) AS rolling_sd_change, "
+    "ROUND((CAST(s1 AS DOUBLE) / CAST(w AS DOUBLE)) "
+    "/ (sqrt(CAST(CAST(w AS HUGEINT) * s2 - s1 * s1 AS DOUBLE)) "
+    "/ CAST(w AS DOUBLE)), 6) AS stability_ratio "
+    "FROM f WHERE CAST(w AS HUGEINT) * s2 - s1 * s1 > 0 AND w >= 2 "
+    "ORDER BY priority, mon"
+)
+
+
+# --- Seasonal subseries table (month-of-year profile) ----------------------------------------
+
+
+def timeseries_seasonal_subseries(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """**Seasonal subseries table** (the numbers behind Cleveland's
+    seasonal-subseries plot; FPP §2.4): for each priority × calendar
+    month, the mean revenue across years, its deviation from the
+    priority's overall monthly mean, and the min/max range across
+    years — the tabulated answer to the reference dashboard's "is
+    there a seasonal pattern?" panel that `timeseries_periodogram`
+    scores spectrally and `timeseries_classical_decompose` extracts
+    additively; this is the view an analyst actually reads.
+
+    Determinism: all sums are exact 1e4-scaled int64; the subseries
+    mean and the grand monthly mean are single divisions of exact
+    ints; the deviation is a fixed-shape difference of those two
+    quotients, `dround` 4.
+
+    Scale: one corpus-sized monthly rollup; one 12·k-row rollup with
+    a window for the grand mean."""
+    orders = read_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("month", "o_orderdate").alias("mon"),
+    ).agg(dsum_scaled("o_totalprice").alias("rev_s"))
+    g = m.groupBy(
+        "priority", F.month("mon").cast("int").alias("monum")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_years"),
+        F.sum("rev_s").cast("long").alias("s"),
+        F.min("rev_s").cast("long").alias("mn"),
+        F.max("rev_s").cast("long").alias("mx"),
+    )
+    w_p = Window.partitionBy("priority")
+    t = g.select(
+        "priority",
+        "monum",
+        "n_years",
+        "s",
+        "mn",
+        "mx",
+        F.sum("s").over(w_p).alias("s_all"),
+        F.sum("n_years").over(w_p).alias("n_all"),
+    )
+    sub_mean = F.col("s").cast("double") / F.col("n_years").cast(
+        "double"
+    ) / F.lit(10_000.0)
+    grand = F.col("s_all").cast("double") / F.col("n_all").cast(
+        "double"
+    ) / F.lit(10_000.0)
+    return t.select(
+        "priority",
+        "monum",
+        "n_years",
+        dround(sub_mean, 4).alias("subseries_mean"),
+        dround(sub_mean - grand, 4).alias("seasonal_deviation"),
+        F.round(F.col("mn") / 10_000.0, 4).alias("min_revenue"),
+        F.round(F.col("mx") / 10_000.0, 4).alias("max_revenue"),
+    ).orderBy("priority", "monum")
+
+
+QUERIES["timeseries_seasonal_subseries"] = timeseries_seasonal_subseries
+
+ORACLE["timeseries_seasonal_subseries"] = (
+    "WITH m AS (SELECT o_orderpriority AS priority, "
+    "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon, "
+    "CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS BIGINT) "
+    "AS rev_s FROM orders GROUP BY 1, 2), "
+    "g AS (SELECT priority, CAST(month(mon) AS INT) AS monum, "
+    "CAST(COUNT(*) AS BIGINT) AS n_years, "
+    "CAST(SUM(rev_s) AS BIGINT) AS s, "
+    "CAST(MIN(rev_s) AS BIGINT) AS mn, "
+    "CAST(MAX(rev_s) AS BIGINT) AS mx FROM m GROUP BY 1, 2), "
+    "t AS (SELECT *, SUM(s) OVER (PARTITION BY priority) AS s_all, "
+    "SUM(n_years) OVER (PARTITION BY priority) AS n_all FROM g) "
+    "SELECT priority, monum, n_years, "
+    "ROUND(CAST(s AS DOUBLE) / CAST(n_years AS DOUBLE) / 10000.0, 4) "
+    "AS subseries_mean, "
+    "ROUND(CAST(s AS DOUBLE) / CAST(n_years AS DOUBLE) / 10000.0 "
+    "- CAST(s_all AS DOUBLE) / CAST(n_all AS DOUBLE) / 10000.0, 4) "
+    "AS seasonal_deviation, "
+    "ROUND(CAST(mn AS DOUBLE) / 10000.0, 4) AS min_revenue, "
+    "ROUND(CAST(mx AS DOUBLE) / 10000.0, 4) AS max_revenue "
+    "FROM t ORDER BY priority, monum"
+)

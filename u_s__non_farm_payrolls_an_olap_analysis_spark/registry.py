@@ -365,6 +365,10 @@ _SAMPLE_PRIORITY = [
     "window_peer_zscore",
     # NEW in round 13 — sessions-per-user engagement histogram
     "events_sessions_per_user_hist",
+    # NEW in round 13 — trailing growth-stability (Sharpe-style) ratio
+    "window_rolling_sharpe",
+    # NEW in round 13 — seasonal subseries month-of-year profile
+    "timeseries_seasonal_subseries",
     # latest driver row r6 — oldest surviving evidence, in r6 order
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
