@@ -2285,3 +2285,71 @@ def test_seasonal_subseries_matches_pure_python(spark):
                 <= row["max_revenue"] + 1e-9
             )
     assert set(got) == expect_keys
+
+
+# --- wave 24 --------------------------------------------------------------------------
+
+
+def test_cv_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        agg_coefficient_of_variation,
+    )
+
+    by_g = _scaled_prices_by_group(spark)
+    got = {r["priority"]: r for r in agg_coefficient_of_variation(spark, SF).collect()}
+    assert set(got) == set(by_g)
+    for g, vals in by_g.items():
+        n = len(vals)
+        s = sum(vals)
+        q = sum(v * v for v in vals)
+        mean = s / n
+        sd = math.sqrt((n * q - s * s) / (n * (n - 1)))
+        row = got[g]
+        assert row["n_orders"] == n
+        assert row["mean_price"] == _round4(mean / 10000.0)
+        assert row["sd_price"] == _round4(sd / 10000.0)
+        assert row["cv"] == _round6(sd / mean)
+        assert row["snr"] == _round6(mean / sd)
+        # CV and SNR are reciprocal
+        assert abs(row["cv"] * row["snr"] - 1.0) < 1e-4
+
+
+def test_weekday_weekend_matches_pure_python(spark):
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators.analytics import (
+        events_weekday_weekend_split,
+    )
+
+    ev = (
+        read_table(spark, SF, "events")
+        .select("event_type", "ts", "value")
+        .collect()
+    )
+    cells = collections.defaultdict(lambda: [0, 0, 0, 0])
+    for r in ev:
+        # python weekday(): Monday=0 ... Sunday=6; weekend = Sat/Sun
+        wknd = r["ts"].weekday() >= 5
+        cell = cells[r["event_type"]]
+        v = _round_half_away(r["value"] * 10000)
+        cell[0] += 1
+        cell[3] += v
+        if wknd:
+            cell[1] += 1
+            cell[2] += v
+
+    expect = {
+        t: c for t, c in cells.items() if 0 < c[1] < c[0]
+    }
+    got = {r["event_type"]: r for r in events_weekday_weekend_split(spark, SF).collect()}
+    assert set(got) == set(expect)
+    for t, (n, nw, vw, va) in expect.items():
+        row = got[t]
+        assert row["n_events"] == n
+        assert row["n_weekend"] == nw
+        assert row["n_weekday"] == n - nw
+        assert row["weekend_share"] == _round6(nw / n)
+        assert row["weekend_mean_value"] == _round4(vw / 10000.0 / nw)
+        assert row["weekday_mean_value"] == _round4(
+            (va - vw) / 10000.0 / (n - nw)
+        )
+        # a 30-day fixture has roughly 2/7 weekend mass
+        assert 0.0 < row["weekend_share"] < 1.0

@@ -10095,3 +10095,163 @@ ORACLE["timeseries_seasonal_subseries"] = (
     "ROUND(CAST(mx AS DOUBLE) / 10000.0, 4) AS max_revenue "
     "FROM t ORDER BY priority, monum"
 )
+
+
+# --- Coefficient of variation per priority ----------------------------------------------------
+
+
+def agg_coefficient_of_variation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """**Coefficient of variation** (CV = s/x̄, plus its inverse, the
+    signal-to-noise ratio) of order value per priority — the
+    SCALE-FREE dispersion table that makes groups with different means
+    comparable (raw sds are not: a luxury segment's bigger sd may be
+    proportionally smaller), the normalized companion of
+    `agg_levene_brown_forsythe`'s dispersion test.
+
+    Determinism: per-group Σv and Σv² accumulate over the 1e4-scaled
+    integers (DECIMAL(38,0) ≡ HUGEINT squares); mean, sample sd, CV
+    and SNR are fixed-shape doubles off exact sums, `dround`ed (4 dp
+    money, 6 dp ratios).
+
+    Scale: one map-side-combinable aggregate; 5-row algebra."""
+    from ..functions.numerics import _nearest_long_away
+
+    orders = read_table(spark, sf_dir, "orders")
+    v = F.col("v").cast("decimal(18,0)")
+    g = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        _nearest_long_away(F.col("o_totalprice") * 10000).alias("v"),
+    ).groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(v).cast("decimal(38,0)").alias("s"),
+        F.sum(v * F.col("v")).alias("q"),
+    )
+    n_d = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / n_d
+    m2 = (
+        F.col("n").cast("decimal(38,0)") * F.col("q")
+        - F.col("s") * F.col("s")
+    )
+    sd = F.sqrt(m2.cast("double") / (n_d * (n_d - F.lit(1.0))))
+    return (
+        g.filter((F.col("n") > 1) & (m2 > 0))
+        .select(
+            "priority",
+            F.col("n").alias("n_orders"),
+            dround(mean / 10_000.0, 4).alias("mean_price"),
+            dround(sd / 10_000.0, 4).alias("sd_price"),
+            dround(sd / mean, 6).alias("cv"),
+            dround(mean / sd, 6).alias("snr"),
+        )
+        .orderBy("priority")
+    )
+
+
+QUERIES["agg_coefficient_of_variation"] = agg_coefficient_of_variation
+
+ORACLE["agg_coefficient_of_variation"] = (
+    "WITH g AS (SELECT o_orderpriority AS priority, "
+    "CAST(COUNT(*) AS BIGINT) AS n, "
+    "SUM(CAST(CAST(ROUND(o_totalprice * 10000) AS BIGINT) AS HUGEINT)) "
+    "AS s, "
+    "SUM(CAST(CAST(ROUND(o_totalprice * 10000) AS BIGINT) AS HUGEINT) "
+    "* CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS q "
+    "FROM orders GROUP BY 1) "
+    "SELECT priority, n AS n_orders, "
+    "ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0, 4) "
+    "AS mean_price, "
+    "ROUND(sqrt(CAST(CAST(n AS HUGEINT) * q - s * s AS DOUBLE) "
+    "/ (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) / 10000.0, 4) "
+    "AS sd_price, "
+    "ROUND(sqrt(CAST(CAST(n AS HUGEINT) * q - s * s AS DOUBLE) "
+    "/ (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) "
+    "/ (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS cv, "
+    "ROUND((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) "
+    "/ sqrt(CAST(CAST(n AS HUGEINT) * q - s * s AS DOUBLE) "
+    "/ (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))), 6) AS snr "
+    "FROM g WHERE n > 1 AND CAST(n AS HUGEINT) * q - s * s > 0 "
+    "ORDER BY priority"
+)
+
+
+# --- Weekday vs weekend activity split --------------------------------------------------------
+
+
+def events_weekday_weekend_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """**Weekday vs weekend split** of event activity and value per
+    event type — the calendar-rhythm KPI beside
+    `events_hourly_profile`'s diurnal view (consumer products are
+    weekend-heavy, B2B tools weekday-heavy; the ratio is the segment
+    fingerprint).
+
+    Determinism: day-of-week comes from the NTZ WALL clock (pure
+    calendar arithmetic, no session-timezone hop — rule 6a), stated as
+    Sunday=0 in both engines (Spark ``dayofweek`` is 1-based
+    Sunday=1 → shift by one; DuckDB ``dayofweek`` is already
+    Sunday=0); counts and 1e4-scaled value sums are exact; shares and
+    per-event means are fixed-shape divisions, `dround` 6/4.
+
+    Scale: one map-side-combinable conditional aggregate per event
+    type."""
+    ev = read_table(spark, sf_dir, "events")
+    wknd = (F.dayofweek("ts") - F.lit(1)).isin(0, 6)
+    g = ev.groupBy(F.col("event_type").alias("event_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(wknd, 1).otherwise(0)).cast("long").alias("n_wknd"),
+        dsum_scaled(F.when(wknd, F.col("value")).otherwise(F.lit(0.0)))
+        .alias("v_wknd"),
+        dsum_scaled("value").alias("v_all"),
+    )
+    return g.select(
+        "event_type",
+        "n_events",
+        F.col("n_wknd").alias("n_weekend"),
+        (F.col("n_events") - F.col("n_wknd")).alias("n_weekday"),
+        dround(
+            F.col("n_wknd").cast("double")
+            / F.col("n_events").cast("double"),
+            6,
+        ).alias("weekend_share"),
+        dround(
+            F.col("v_wknd").cast("double")
+            / 10_000.0
+            / F.col("n_wknd").cast("double"),
+            4,
+        ).alias("weekend_mean_value"),
+        dround(
+            (F.col("v_all") - F.col("v_wknd")).cast("double")
+            / 10_000.0
+            / (F.col("n_events") - F.col("n_wknd")).cast("double"),
+            4,
+        ).alias("weekday_mean_value"),
+    ).filter(
+        (F.col("n_weekend") > 0) & (F.col("n_weekday") > 0)
+    ).orderBy("event_type")
+
+
+QUERIES["events_weekday_weekend_split"] = events_weekday_weekend_split
+
+ORACLE["events_weekday_weekend_split"] = (
+    "WITH g AS (SELECT event_type, "
+    "CAST(COUNT(*) AS BIGINT) AS n_events, "
+    "CAST(SUM(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_wknd, "
+    "CAST(SUM(CAST(ROUND(CASE WHEN dayofweek(ts) IN (0, 6) "
+    "THEN value ELSE 0.0 END * 10000) AS BIGINT)) AS BIGINT) AS v_wknd, "
+    "CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT) "
+    "AS v_all FROM events GROUP BY 1) "
+    "SELECT event_type, n_events, n_wknd AS n_weekend, "
+    "n_events - n_wknd AS n_weekday, "
+    "ROUND(CAST(n_wknd AS DOUBLE) / CAST(n_events AS DOUBLE), 6) "
+    "AS weekend_share, "
+    "ROUND(CAST(v_wknd AS DOUBLE) / 10000.0 / CAST(n_wknd AS DOUBLE), "
+    "4) AS weekend_mean_value, "
+    "ROUND(CAST(v_all - v_wknd AS DOUBLE) / 10000.0 "
+    "/ CAST(n_events - n_wknd AS DOUBLE), 4) AS weekday_mean_value "
+    "FROM g WHERE n_wknd > 0 AND n_events - n_wknd > 0 "
+    "ORDER BY event_type"
+)

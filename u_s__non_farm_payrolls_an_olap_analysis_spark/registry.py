@@ -369,6 +369,10 @@ _SAMPLE_PRIORITY = [
     "window_rolling_sharpe",
     # NEW in round 13 — seasonal subseries month-of-year profile
     "timeseries_seasonal_subseries",
+    # NEW in round 13 — coefficient-of-variation dispersion table
+    "agg_coefficient_of_variation",
+    # NEW in round 13 — weekday vs weekend activity split per type
+    "events_weekday_weekend_split",
     # latest driver row r6 — oldest surviving evidence, in r6 order
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
