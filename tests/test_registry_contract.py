@@ -44,6 +44,60 @@ def test_sample_priority_subset_and_dedup():
     assert list(q)[: len(pri)] == pri
 
 
+def test_sample_window_freshness():
+    """Encodes CLAUDE.md rule 7 / VERDICT r13 item 7 permanently: the
+    driver verifies only the FIRST 50 registry keys per round, so keys
+    the driver has never hash-checked must lead `_SAMPLE_PRIORITY`, and
+    registry growth must stay below the verification rate.
+
+    Tolerances are sized so the test stays green when the driver writes
+    a fresh CORRECTNESS_r{N}.json at round end (one round of pruning
+    lag), but fails at the NEXT round's first no-Spark gate run if the
+    recorded keys were not pruned from the priority list.
+    """
+    import glob
+    import json
+    import pathlib
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    recorded: set[str] = set()
+    for f in glob.glob(str(repo / "CORRECTNESS_r*.json")):
+        try:
+            recorded |= set(json.load(open(f)))
+        except Exception:  # noqa: BLE001 - a malformed driver file is not ours
+            continue
+    q = list(registry.queries())
+    never = [k for k in q if k not in recorded]
+    pri = registry._SAMPLE_PRIORITY
+
+    # 1. Growth throttle: never-sampled backlog must shrink toward zero,
+    #    never exceed two driver windows.
+    assert len(never) <= 100, (
+        f"{len(never)} registry keys have no driver CORRECTNESS row; "
+        "stop adding queries until the sample debt clears (CLAUDE.md rule 7)"
+    )
+    # 2. Every never-sampled key must be in the priority list at all
+    #    (otherwise module merge order can starve it forever).
+    stranded = [k for k in never if k not in pri]
+    assert not stranded, f"never-sampled keys missing from _SAMPLE_PRIORITY: {stranded}"
+    # 3. Pruning lag bound: at most one round's worth (50) + slack of
+    #    already-recorded keys may linger in the priority list.
+    stale = [k for k in pri if k in recorded]
+    assert len(stale) <= 55, (
+        f"{len(stale)} recorded keys still in _SAMPLE_PRIORITY — prune them "
+        f"(first few: {stale[:5]})"
+    )
+    # 4. Never-sampled keys must not sit BEHIND stale recorded keys in
+    #    the first-50 window while never-sampled keys remain unsampled.
+    window = q[:50]
+    if len(never) >= 50:
+        blocked = [k for k in window if k in recorded]
+        assert not blocked, (
+            f"recorded keys occupy driver-sample slots while {len(never)} "
+            f"keys are never-sampled: {blocked[:5]}"
+        )
+
+
 def test_every_oracle_sql_executes_in_duckdb():
     """Cheap pytest-level twin of the parity script's DuckDB half: every
     oracle string must EXECUTE against the sf0.001 views (syntax errors,
