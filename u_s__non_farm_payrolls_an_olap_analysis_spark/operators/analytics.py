@@ -1719,13 +1719,32 @@ def _pattern_match_events(ev: DataFrame) -> DataFrame:
     — shared verbatim by the flat-scan operator above and the
     user-bucketed `layout.events_pattern_match_clustered` (layout is
     physical, never semantic: byte-identical output, one oracle)."""
+    # Encode event_type to a TINYINT before the exchange: the output
+    # carries no strings (only "is click / is view / is purchase"
+    # decisions survive), and the 10-100x profile shows the user_id
+    # shuffle+sort IS the query (~2.4 of 3.4 s at 100x) — dropping the
+    # variable-length string from every shuffled row narrows the
+    # UnsafeRow payload ~25% for free. Catalyst keeps this projection
+    # below the exchange (round-14, VERDICT r13 item 3).
+    ev = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "click", F.lit(0))
+        .when(F.col("event_type") == "view", F.lit(1))
+        .when(F.col("event_type") == "purchase", F.lit(2))
+        .otherwise(F.lit(3))
+        .cast("tinyint")
+        .alias("etype"),
+        "value",
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # project seq BEFORE the anchor frames reference it (rule 3)
     seqd = ev.select(
         "user_id",
         "ts",
         "event_id",
-        "event_type",
+        "etype",
         "value",
         F.row_number().over(w).alias("seq"),
     )
@@ -1739,32 +1758,47 @@ def _pattern_match_events(ev: DataFrame) -> DataFrame:
     wf = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    nc = F.when(F.col("event_type") != "click", F.col("seq"))
+    # ONE ignore-nulls `last` over a struct replaces the former
+    # max(seq) + last(type) + last(ts) trio: seq is monotone within the
+    # frame, so the max non-click seq IS the last non-click row's seq —
+    # one window-buffer function evaluation instead of three over the
+    # same ROWS frame (round-14, VERDICT r13 item 3).
+    nc_struct = F.last(
+        F.when(
+            F.col("etype") != 0,
+            F.struct(
+                F.col("seq").alias("seq"),
+                F.col("etype").alias("etype"),
+                F.col("ts").alias("ts"),
+            ),
+        ),
+        ignorenulls=True,
+    ).over(wf)
+    # alias the struct ONCE and split fields in a FOLLOWING select:
+    # three inline .getField calls each extract their own copy of the
+    # window expression (last(_w0)/last(_w1)/last(_w2) — verified in the
+    # optimized plan), while a single aliased column plans exactly one.
     anchored = seqd.select(
         "user_id",
         "ts",
         "event_id",
-        "event_type",
+        "etype",
         "value",
         "seq",
-        F.max(nc).over(wf).alias("nc_seq"),
-        F.last(
-            F.when(F.col("event_type") != "click", F.col("event_type")),
-            ignorenulls=True,
-        )
-        .over(wf)
-        .alias("nc_type"),
-        F.last(
-            F.when(F.col("event_type") != "click", F.col("ts")),
-            ignorenulls=True,
-        )
-        .over(wf)
-        .alias("nc_ts"),
+        nc_struct.alias("nc"),
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "etype",
+        "value",
+        "seq",
+        F.col("nc.seq").alias("nc_seq"),
+        F.col("nc.etype").alias("nc_type"),
+        F.col("nc.ts").alias("nc_ts"),
     )
     return (
-        anchored.filter(
-            (F.col("event_type") == "purchase") & (F.col("nc_type") == "view")
-        )
+        anchored.filter((F.col("etype") == 2) & (F.col("nc_type") == 1))
         .select(
             "user_id",
             F.col("nc_ts").alias("view_ts"),
