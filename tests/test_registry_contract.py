@@ -98,6 +98,86 @@ def test_sample_window_freshness():
         )
 
 
+def test_function_global_names_resolve():
+    """The round-12 NameError class, caught statically: an operator
+    appended to a module tail that uses a name (``dsum``/``dround``/...)
+    imported only INSIDE a sibling function raises NameError at plan
+    time — invisible to import, to AST import checks, and to the no-Spark
+    gate. ``symtable`` sees it: every name a function resolves GLOBALLY
+    must be defined at module level (import / def / assign, incl. inside
+    try/if blocks) or be a builtin. Zero false positives on the current
+    tree; self-tested against a synthetic sibling-local-import repro."""
+    import ast
+    import builtins
+    import pathlib
+    import symtable
+
+    allow = {
+        "__name__", "__file__", "__doc__", "__package__", "__spec__",
+        "__loader__", "__builtins__", "__annotations__",
+    }
+
+    def module_level_names(tree: ast.Module) -> set[str]:
+        names: set[str] = set()
+        for node in tree.body:
+            # conditional defs (try/except ImportError, if-gated) count
+            nodes = (
+                ast.walk(node)
+                if isinstance(node, (ast.If, ast.Try, ast.For, ast.While,
+                                     ast.With))
+                else [node]
+            )
+            for sub in nodes:
+                if isinstance(sub, ast.Import):
+                    for a in sub.names:
+                        names.add((a.asname or a.name).split(".")[0])
+                elif isinstance(sub, ast.ImportFrom):
+                    for a in sub.names:
+                        names.add(a.asname or a.name)
+                elif isinstance(sub, (ast.FunctionDef, ast.AsyncFunctionDef,
+                                      ast.ClassDef)):
+                    names.add(sub.name)
+                elif isinstance(sub, ast.Assign):
+                    for t in sub.targets:
+                        for n in ast.walk(t):
+                            if isinstance(n, ast.Name):
+                                names.add(n.id)
+                elif isinstance(sub, ast.AnnAssign) and isinstance(
+                    sub.target, ast.Name
+                ):
+                    names.add(sub.target.id)
+        return names
+
+    pkg = (
+        pathlib.Path(__file__).resolve().parents[1]
+        / "u_s__non_farm_payrolls_an_olap_analysis_spark"
+    )
+    problems: list[str] = []
+    for py in sorted(pkg.rglob("*.py")):
+        src = py.read_text()
+        tree = ast.parse(src)
+        defined = module_level_names(tree) | allow | set(dir(builtins))
+        table = symtable.symtable(src, str(py), "exec")
+
+        def walk(t, where: str) -> None:
+            if t.get_type() == "function":
+                for sym in t.get_symbols():
+                    if (
+                        sym.is_global()
+                        and not sym.is_assigned()
+                        and sym.get_name() not in defined
+                    ):
+                        problems.append(
+                            f"{py.name}:{where}: unresolved global "
+                            f"'{sym.get_name()}'"
+                        )
+            for child in t.get_children():
+                walk(child, f"{where}.{child.get_name()}")
+
+        walk(table, py.stem)
+    assert not problems, "\n".join(problems)
+
+
 def test_every_oracle_sql_executes_in_duckdb():
     """Cheap pytest-level twin of the parity script's DuckDB half: every
     oracle string must EXECUTE against the sf0.001 views (syntax errors,
