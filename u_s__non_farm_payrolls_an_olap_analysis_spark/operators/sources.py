@@ -475,3 +475,91 @@ ORACLE["source_csv_roundtrip"] = (
     f"ROUND({_dsum_sql('o_totalprice')}, 4) AS total_price "
     "FROM orders GROUP BY 1 ORDER BY 1"
 )
+
+
+_DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+_JDBC_REVISION = 777  # deterministic stand-in for a FRED data revision
+
+
+def sink_jdbc_roundtrip_derby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Live JDBC round-trip** — the literal ``df.write.jdbc`` connector
+    path of the reference's load stage (``etl.py:48-73``), exercised
+    end-to-end against a real embedded Derby database (the JDBC engine
+    Spark ships for its Hive metastore), not a simulation:
+
+    1. the first 48 months of the deterministic payroll series are
+       written through ``DataFrameWriter.jdbc`` (Spark issues the DDL +
+       batched INSERTs over the wire — the distributed form of the
+       reference's row-at-a-time psycopg2 loop);
+    2. a revision batch (months 37-72, values bumped like a FRED
+       restatement) is MERGED with ``INSERT ... ON CONFLICT DO UPDATE``
+       semantics: read-back → ``io.upsert_by_key`` (one shuffle,
+       last-writer-wins) → overwrite — the scalable upsert for JDBC
+       targets without MERGE support (SURVEY §1.4);
+    3. the returned frame is the READ-BACK final table, so the oracle
+       hash proves type + value fidelity through two JDBC writes and
+       two JDBC reads.
+
+    The read-back before the overwrite is eagerly materialized
+    (``localCheckpoint``) — Spark JDBC reads are lazy, and overwriting
+    the table a pending scan still points at would race the drop.
+
+    Scale posture: JDBC writes parallelize per partition (each task
+    holds one connection, ``batchsize`` rows per round trip); reads
+    parallelize with partitionColumn bounds. The 72-row fixture keeps
+    one partition; the path is the same one a warehouse-sized extract
+    uses. Derby is embedded (same JVM) so the round trip has no network
+    dependency in this sandbox; against PostgreSQL only the url/driver
+    options change.
+    """
+    months = fake_fred_payems()
+    snapshot = [(d.year, d.month, v) for d, v in months[:48]]
+    revisions = [
+        (d.year, d.month, v + _JDBC_REVISION) for d, v in months[36:]
+    ]
+    schema = "year int, month int, employment int"
+    db = _sink_dir() + "/derby_db"
+    url = f"jdbc:derby:{db};create=true"
+    opts = {"url": url, "driver": _DERBY_DRIVER, "dbtable": "nonfarm_payrolls"}
+
+    def _write(df: DataFrame) -> None:
+        w = df.write.format("jdbc").mode("overwrite")
+        for k, v in opts.items():
+            w = w.option(k, v)
+        w.save()
+
+    def _read() -> DataFrame:
+        r = spark.read.format("jdbc")
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load()
+
+    _write(spark.createDataFrame(snapshot, schema))
+    current = _read().localCheckpoint(eager=True)
+    merged = upsert_by_key(
+        current,
+        spark.createDataFrame(revisions, schema),
+        ["year", "month"],
+    ).localCheckpoint(eager=True)
+    _write(merged)
+    return _read().orderBy("year", "month")
+
+
+QUERIES["sink_jdbc_roundtrip_derby"] = sink_jdbc_roundtrip_derby
+
+# expected final table, computed by the same deterministic arithmetic the
+# operator feeds through the JDBC wire: months 1-36 original, 37-72 revised
+_JDBC_EXPECTED = [
+    (d.year, d.month, v)
+    for d, v in fake_fred_payems()[:36]
+] + [
+    (d.year, d.month, v + _JDBC_REVISION)
+    for d, v in fake_fred_payems()[36:]
+]
+
+ORACLE["sink_jdbc_roundtrip_derby"] = (
+    "SELECT CAST(year AS INT) AS year, CAST(month AS INT) AS month, "
+    "CAST(employment AS INT) AS employment FROM (VALUES "
+    + ", ".join(f"({y}, {m}, {v})" for y, m, v in _JDBC_EXPECTED)
+    + ") AS t(year, month, employment) ORDER BY year, month"
+)

@@ -195,6 +195,10 @@ _SAMPLE_PRIORITY = [
     "timeseries_seasonal_subseries",
     "agg_coefficient_of_variation",
     "events_weekday_weekend_split",
+    # NEW in round 14 — live embedded-Derby df.write.jdbc round-trip
+    # (appended BEHIND the 88-key backlog: new keys wait their turn
+    # while the never-sampled debt clears)
+    "sink_jdbc_roundtrip_derby",
 ]
 
 
