@@ -50,7 +50,10 @@ from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import layout
 rep, runs, base_dir = {rep}, {runs}, {base_dir!r}
 out_dir = os.path.join({repo!r}, ".bench_sf100x" if rep == 100
                        else f".bench_iso{{rep}}x")
-spark = get_spark(app_name="iso100x", shuffle_partitions=16,
+# posture matches bench._sfn_section's swept settings: 16 partitions
+# below 100x, 32 at 100x (measure_q8_sfn_sweep.py / BENCH sfn100)
+spark = get_spark(app_name="iso100x",
+                  shuffle_partitions=(32 if rep >= 100 else 16),
                   extra_conf={{"spark.sql.adaptive.enabled": "true"}})
 spark.sparkContext.setLogLevel("ERROR")
 t0 = time.time()
@@ -59,17 +62,22 @@ gen_sec = time.time() - t0
 table_rows = bench._table_rows(out_dir, ("orders", "lineitem", "events"))
 t0 = time.time()
 cache_tables(spark, out_dir,
-             tables=("orders", "lineitem", "customer", "nation"),
+             tables=("orders", "lineitem", "customer", "nation", "events"),
              max_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
 cache_sec = time.time() - t0
 t0 = time.time()
 layout._q8_bucketed_tables(spark, out_dir)
 bucket_prep_sec = time.time() - t0
+t0 = time.time()
+layout._events_user_bucketed_table(spark, out_dir)
+events_bucket_prep_sec = time.time() - t0
 
 qs = registry.queries()
 timed = {{}}
 spread = {{}}
-for key in ("tpch_q8_market_share", "tpch_q8_bucketed", "join_agg_pricing"):
+for key in ("tpch_q8_market_share", "tpch_q8_bucketed", "join_agg_pricing",
+            "events_pattern_match", "events_pattern_match_clustered",
+            "sessionize_batch", "sessionize_batch_clustered"):
     fn = qs[key]
     fn(spark, out_dir).toPandas()  # warm: caches, codegen, code paths
     times = []
@@ -86,6 +94,7 @@ print("SPARK_RESULT " + json.dumps({{
     "out_dir": out_dir, "rep": rep, "runs": runs,
     "gen_sec": round(gen_sec, 2), "cache_sec": round(cache_sec, 2),
     "bucket_prep_sec": round(bucket_prep_sec, 2),
+    "events_bucket_prep_sec": round(events_bucket_prep_sec, 2),
     "table_rows": table_rows, "spark": timed, "spark_spread": spread,
 }}), flush=True)
 """
@@ -115,7 +124,8 @@ for t in ("orders", "lineitem", "events"):
 oracles = registry.oracle_sql()
 timed = {{}}
 spread = {{}}
-for key in ("tpch_q8_market_share", "join_agg_pricing"):
+for key in ("tpch_q8_market_share", "join_agg_pricing",
+            "events_pattern_match", "sessionize_batch"):
     sql = oracles[key]
     con.execute(sql).fetchdf()  # warm the OS page cache + duckdb state
     times = []
@@ -197,6 +207,7 @@ def main() -> None:
         "gen_sec": spark_res["gen_sec"],
         "cache_sec": spark_res["cache_sec"],
         "bucket_prep_sec": spark_res["bucket_prep_sec"],
+        "events_bucket_prep_sec": spark_res["events_bucket_prep_sec"],
         "spark": spark_res["spark"],
         "spark_spread": spark_res["spark_spread"],
         "duckdb": duck_res["duckdb"],
@@ -208,6 +219,21 @@ def main() -> None:
             / duck_res["duckdb"]["join_agg_pricing"],
             3,
         ),
+        # round-14 plan-change keys (CEP anchor-frame collapse,
+        # sessionize boundary-row algebra); clustered twins share the
+        # flat oracle (layout is physical, never semantic)
+        "ratio_cep_flat": round(
+            spark_res["spark"]["events_pattern_match"]
+            / duck_res["duckdb"]["events_pattern_match"], 3),
+        "ratio_cep_clustered": round(
+            spark_res["spark"]["events_pattern_match_clustered"]
+            / duck_res["duckdb"]["events_pattern_match"], 3),
+        "ratio_sessionize_flat": round(
+            spark_res["spark"]["sessionize_batch"]
+            / duck_res["duckdb"]["sessionize_batch"], 3),
+        "ratio_sessionize_clustered": round(
+            spark_res["spark"]["sessionize_batch_clustered"]
+            / duck_res["duckdb"]["sessionize_batch"], 3),
         # recurring-query breakeven for the write-once bucketed layout:
         # how many q8 reruns amortize the bucket prep (None if the
         # bucketed variant isn't actually faster at this scale)
