@@ -592,12 +592,12 @@ def test_corpus_shuffle_single_exchange(spark):
 
 
 def test_sessionize_batch_single_exchange(spark):
-    # the round-10 headline events query: lag -> flag -> cumsum -> session
-    # agg must all ride ONE hash exchange by user (both window frames and
-    # the (user_id, sid) groupBy are satisfied by hashpartitioning on
-    # user_id — a second exchange would mean Catalyst stopped reusing the
-    # window's distribution for the aggregate), and the final stats must
-    # not introduce a global sort of the events table
+    # the round-10 headline events query, round-14 boundary-row form:
+    # everything must ride ONE hash exchange by user (the boundary-row
+    # lead() window reuses the full-row window's partitioning AND sort,
+    # so no re-exchange and no re-sort), with no global sort of the
+    # events table and — since the cumsum+groupBy form was replaced by
+    # boundary algebra — NO aggregate operator anywhere in the plan
     from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import (
         custom_udf,
     )
@@ -609,6 +609,9 @@ def test_sessionize_batch_single_exchange(spark):
     plan = formatted_plan(df)
     assert exchange_count(df) == 1, plan
     assert "rangepartitioning" not in plan.lower(), plan
+    assert "hashaggregate" not in plan.lower(), plan
+    # one data sort feeding both stacked Window operators
+    assert plan.lower().count("+- sort") <= 1, plan
 
 
 def test_arrow_map_stays_narrow_and_prunes(spark):
