@@ -668,9 +668,15 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     one fixed-shape double expression; values are scaled-int prices so
     tie sets are identical across engines.
 
-    Scale: one scan + one global rank window (the documented cost of
-    exact global ranks; at 100 TB a range-partitioned sort — Spark's
-    rank window already is one) + two exact aggregates."""
+    Scale: one parallel groupBy(v) tally, then the two-level distributed
+    prefix sum of `functions/ranks.py` for the exact doubled ranks —
+    round 14 retired the global rank WINDOW here (a single-task sort of
+    every row at any cluster size); every row-level rank quantity the
+    test needs is a per-distinct-value sum, so the whole statistic
+    collapses into ONE aggregate over the rank table (the former
+    separate tie pass and its crossJoin fold in too)."""
+    from ..functions.ranks import doubled_rank_by_value
+
     orders = read_table(spark, sf_dir, "orders")
     both = orders.filter(
         F.col("o_orderpriority").isin(MW_GROUP_A, MW_GROUP_B)
@@ -680,40 +686,21 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("v"),
     )
-    w_rank = Window.partitionBy().orderBy("v")
-    w_tie = Window.partitionBy("v")
-    ranked = both.select(
-        "is_a",
-        "v",
-        F.rank().over(w_rank).alias("minrank"),
-        F.count(F.lit(1)).over(w_tie).alias("t"),
-    )
-    agg = ranked.agg(
-        F.sum(
-            F.when(
-                F.col("is_a"),
-                F.lit(2) * F.col("minrank") + F.col("t") - F.lit(1),
-            )
-        ).alias("r1d"),
+    per_v = both.groupBy("v").agg(
+        F.count(F.lit(1)).alias("t"),
         F.sum(F.when(F.col("is_a"), F.lit(1)).otherwise(F.lit(0))).alias(
-            "n1"
-        ),
-        F.sum(F.when(~F.col("is_a"), F.lit(1)).otherwise(F.lit(0))).alias(
-            "n2"
+            "ca"
         ),
     )
-    # tie correction: one row per distinct value
-    ties = (
-        both.groupBy("v")
-        .agg(F.count(F.lit(1)).alias("t"))
-        .agg(
-            F.sum(
-                F.col("t").cast("decimal(38,0)")
-                * F.col("t")
-                * F.col("t")
-                - F.col("t")
-            ).alias("t3t")
-        )
+    ranked = doubled_rank_by_value(spark, per_v, "v", "t")
+    agg = ranked.agg(
+        F.sum(F.col("ca") * F.col("dr")).alias("r1d"),
+        F.sum("ca").alias("n1"),
+        F.sum(F.col("t") - F.col("ca")).alias("n2"),
+        F.sum(
+            F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
+            - F.col("t")
+        ).alias("t3t"),
     )
     n1, n2 = F.col("n1"), F.col("n2")
     n = n1 + n2
@@ -728,18 +715,14 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (n_d * (n_d - F.lit(1.0)))
         )
     )
-    return (
-        agg.crossJoin(F.broadcast(ties))
-        .select(
-            n1.cast("long").alias("n_urgent"),
-            n2.cast("long").alias("n_low"),
-            (u1d.cast("double") / F.lit(2.0)).alias("u_stat"),
-            dround(
-                (u1d - n1 * n2).cast("double")
-                / (F.lit(2.0) * F.sqrt(var)),
-                6,
-            ).alias("z_score"),
-        )
+    return agg.select(
+        n1.cast("long").alias("n_urgent"),
+        n2.cast("long").alias("n_low"),
+        (u1d.cast("double") / F.lit(2.0)).alias("u_stat"),
+        dround(
+            (u1d - n1 * n2).cast("double") / (F.lit(2.0) * F.sqrt(var)),
+            6,
+        ).alias("z_score"),
     )
 
 
@@ -879,8 +862,13 @@ def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines regardless), the cross-group sum exact, and the tie
     correction 1 − Σ(t³−t)/(n³−n) in DECIMAL(38,0) ≡ HUGEINT.
 
-    Scale: one scan + one global rank window + three exact aggregates
-    (the `agg_mann_whitney_u` posture, k groups in one pass)."""
+    Scale: one parallel groupBy(v, grp) tally, the `functions/ranks.py`
+    two-level prefix sum for exact doubled ranks (round 14 — the global
+    rank WINDOW this replaces was a single-task sort of every row), and
+    one v-keyed join of the (value, group) tallies against the rank
+    table; per-group rank sums are then Σ c(v,g)·dr(v)."""
+    from ..functions.ranks import doubled_rank_by_value
+
     orders = read_table(spark, sf_dir, "orders")
     base = orders.select(
         F.col("o_orderpriority").alias("grp"),
@@ -888,19 +876,16 @@ def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("v"),
     )
-    w_rank = Window.partitionBy().orderBy("v")
-    w_tie = Window.partitionBy("v")
-    ranked = base.select(
-        "grp",
-        "v",
-        (
-            F.lit(2) * F.rank().over(w_rank)
-            + F.count(F.lit(1)).over(w_tie)
-            - F.lit(1)
-        ).alias("dr"),
-    )
-    per_g = ranked.groupBy("grp").agg(
-        F.sum("dr").alias("rd"), F.count(F.lit(1)).alias("ni")
+    per_vg = base.groupBy("v", "grp").agg(F.count(F.lit(1)).alias("c"))
+    per_v = per_vg.groupBy("v").agg(F.sum("c").alias("t"))
+    ranked = doubled_rank_by_value(spark, per_v, "v", "t")
+    per_g = (
+        per_vg.join(ranked.select("v", "dr"), "v")
+        .groupBy("grp")
+        .agg(
+            F.sum(F.col("c") * F.col("dr")).alias("rd"),
+            F.sum("c").alias("ni"),
+        )
     )
     tot = per_g.agg(
         F.sum("ni").alias("n"), F.count(F.lit(1)).alias("k")
@@ -918,15 +903,12 @@ def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n", "k")
         .agg(dsum_scaled(term, KW_SCALE).alias("s_q"))
     )
-    ties = (
-        base.groupBy("v")
-        .agg(F.count(F.lit(1)).alias("t"))
-        .agg(
-            F.sum(
-                F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
-                - F.col("t")
-            ).alias("t3t")
-        )
+    # tie cubes off the rank table (it already carries t per value)
+    ties = ranked.agg(
+        F.sum(
+            F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
+            - F.col("t")
+        ).alias("t3t")
     )
     n_d = F.col("n").cast("double")
     h = (
@@ -996,9 +978,13 @@ def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax runs over exact int64 and D is ONE division, λ one
     fixed-shape expression (`dround` 6).
 
-    Scale: one map-side-combinable per-value count aggregate, one
-    global cumulative window over DISTINCT values (bounded by value
-    cardinality, not rows), one max aggregate."""
+    Scale: one map-side-combinable per-value count aggregate, the
+    `functions/ranks.py` two-level prefix sum for the cumulative group
+    counts (round 14 — prices are near-unique so "distinct values" is
+    row-scale, and the global cumulative window this replaces was a
+    single-task sort), one max aggregate."""
+    from ..functions.ranks import running_sums_by_value
+
     orders = read_table(spark, sf_dir, "orders")
     both = orders.filter(
         F.col("o_orderpriority").isin(MW_GROUP_A, MW_GROUP_B)
@@ -1016,9 +1002,8 @@ def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b"
         ),
     )
-    w = Window.partitionBy().orderBy("v")
-    cum = per_v.select(
-        F.sum("a").over(w).alias("c1"), F.sum("b").over(w).alias("c2")
+    cum = running_sums_by_value(spark, per_v, "v", ["a", "b"]).select(
+        F.col("run_a").alias("c1"), F.col("run_b").alias("c2")
     )
     tot = both.agg(
         F.sum(F.when(F.col("is_a"), F.lit(1)).otherwise(F.lit(0))).alias(
@@ -1103,7 +1088,16 @@ def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     one sqrt and one division, `dround` 6.
 
     Scale: one join (orders ⋈ per-order line counts — both keyed on
-    the order key), two global rank windows, one moment aggregate."""
+    the order key), then per-variable rank TABLES from the
+    `functions/ranks.py` two-level prefix sum joined back by value
+    (round 14 — this replaced two global rank windows, each a
+    single-task sort of every row; the product moment Σrx·ry needs
+    per-row ranks, so the rank tables join back: the price table by
+    its near-unique value in a parallel shuffle join, the line-count
+    table — a handful of distinct values — as a broadcast), and one
+    moment aggregate."""
+    from ..functions.ranks import doubled_rank_by_value
+
     orders = read_table(spark, sf_dir, "orders")
     li = read_table(spark, sf_dir, "lineitem")
     cnt = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
@@ -1115,22 +1109,19 @@ def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("vx"),
     ).join(cnt, "o_orderkey")
-    wx = Window.partitionBy().orderBy("vx")
-    tx = Window.partitionBy("vx")
-    wy = Window.partitionBy().orderBy("n_lines")
-    ty = Window.partitionBy("n_lines")
-    ranked = pairs.select(
-        (
-            F.lit(2) * F.rank().over(wx)
-            + F.count(F.lit(1)).over(tx)
-            - F.lit(1)
-        ).alias("rx"),
-        (
-            F.lit(2) * F.rank().over(wy)
-            + F.count(F.lit(1)).over(ty)
-            - F.lit(1)
-        ).alias("ry"),
-    )
+    rx_tab = doubled_rank_by_value(
+        spark,
+        pairs.groupBy("vx").agg(F.count(F.lit(1)).alias("t")),
+        "vx",
+        "t",
+    ).select("vx", F.col("dr").alias("rx"))
+    ry_tab = doubled_rank_by_value(
+        spark,
+        pairs.groupBy("n_lines").agg(F.count(F.lit(1)).alias("t")),
+        "n_lines",
+        "t",
+    ).select("n_lines", F.col("dr").alias("ry"))
+    ranked = pairs.join(rx_tab, "vx").join(F.broadcast(ry_tab), "n_lines")
 
     def d(c):
         return c.cast("decimal(38,0)")
@@ -2474,6 +2465,63 @@ ORACLE["agg_benjamini_hochberg"] = (
 # --- Exact 10%-trimmed mean per year ---------------------------------------------------
 
 
+def _year_ranked_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(year, o_totalprice, rn, n)`` with ``rn`` the EXACT per-year rank
+    of each order by ``(o_totalprice, o_orderkey)`` — computed without a
+    per-year window.
+
+    ``Window.partitionBy(year)`` over a fact table is the round-14 scale
+    smell this helper retires: 7 year-partitions means 7 single-task
+    sorts of the whole table (measured 2.4-2.7 s at 30x; at 100 TB one
+    year is one task — a job-killer). Instead, the two-level rank device
+    of ``functions/ranks.py``, on value buckets derived
+    DETERMINISTICALLY from the price itself (see that module's
+    docstring for why buckets must come from values, never from
+    ``spark_partition_id``/ReuseExchange — the physical-identity
+    variant is nondeterministic under AQE):
+
+    1. bucket every order by the affine map of its price — each
+       (year, bucket) partition holds a contiguous price range;
+    2. ``row_number`` within (year, bucket) ordered by
+       (price, orderkey) — ~7xN_BUCKETS parallel local sorts;
+    3. a TINY (year x bucket) count table → per-year exclusive bucket
+       offsets + per-year totals, broadcast back:
+       rn = in-bucket row_number + offset(year, bucket)."""
+    from ..functions.ranks import _with_value_bucket
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("int").alias("year"),
+        "o_totalprice",
+        "o_orderkey",
+    )
+    b = _with_value_bucket(orders, "o_totalprice")
+    counts = b.groupBy("year", "__bkt").agg(F.count(F.lit(1)).alias("c"))
+    w_prev = (
+        Window.partitionBy("year")
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_year = Window.partitionBy("year")
+    offsets = counts.select(
+        "year",
+        "__bkt",
+        F.coalesce(F.sum("c").over(w_prev), F.lit(0)).alias("off"),
+        F.sum("c").over(w_year).alias("n"),
+    )
+    w_local = Window.partitionBy("year", "__bkt").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return (
+        b.join(F.broadcast(offsets), ["year", "__bkt"])
+        .select(
+            "year",
+            "o_totalprice",
+            (F.row_number().over(w_local) + F.col("off")).alias("rn"),
+            "n",
+        )
+    )
+
+
 def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """**Exact trimmed mean** (10% per tail) of order value per year —
     the robust-location companion to `agg_percentiles` (median) and
@@ -2489,19 +2537,11 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean is emitted alongside so the outlier pull (mean − trimmed) is
     visible per year.
 
-    Scale: one exchange per year partition (rank window + conditional
-    aggregate share it)."""
-    orders = read_table(spark, sf_dir, "orders")
-    w_rank = Window.partitionBy(F.year("o_orderdate")).orderBy(
-        "o_totalprice", "o_orderkey"
-    )
-    w_n = Window.partitionBy(F.year("o_orderdate"))
-    r = orders.select(
-        F.year("o_orderdate").cast("int").alias("year"),
-        "o_totalprice",
-        F.row_number().over(w_rank).alias("rn"),
-        F.count(F.lit(1)).over(w_n).alias("n"),
-    )
+    Scale: exact fully-parallel ranks via `_year_ranked_orders` (range
+    repartition + slice sort + broadcast offset table — round 14; the
+    per-year window this replaces sorted each year in ONE task, 2.4 s
+    at 30x vs ~0.6 s now), then one map-combinable aggregate."""
+    r = _year_ranked_orders(spark, sf_dir)
     k = F.floor(F.col("n") / 10)
     kept = F.col("o_totalprice").isNotNull() & (F.col("rn") > k) & (
         F.col("rn") <= F.col("n") - k
@@ -3668,20 +3708,17 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     k·v₍k+1₎ + Σ_middle + k·v₍n−k₎ is exact integer arithmetic end to
     end; means are single divisions, 4-dp.
 
-    Scale: one exchange per year partition (rank window + conditional
-    aggregate share it) — the `agg_trimmed_mean` posture."""
+    Scale: exact fully-parallel ranks via `_year_ranked_orders` (range
+    repartition + slice sort + broadcast offset table — round 14; the
+    per-year window this replaces sorted each year in ONE task, 2.7 s
+    at 30x vs ~0.6 s now), then one map-combinable aggregate."""
     from ..functions.numerics import _nearest_long_away
 
-    orders = read_table(spark, sf_dir, "orders")
-    w_rank = Window.partitionBy(F.year("o_orderdate")).orderBy(
-        "o_totalprice", "o_orderkey"
-    )
-    w_n = Window.partitionBy(F.year("o_orderdate"))
-    r = orders.select(
-        F.year("o_orderdate").cast("int").alias("year"),
+    r = _year_ranked_orders(spark, sf_dir).select(
+        "year",
         _nearest_long_away(F.col("o_totalprice") * 10000).alias("v"),
-        F.row_number().over(w_rank).alias("rn"),
-        F.count(F.lit(1)).over(w_n).alias("n"),
+        "rn",
+        "n",
     )
     k = F.floor(F.col("n") / 10)
     mid = (F.col("rn") > k) & (F.col("rn") <= F.col("n") - k)
