@@ -852,48 +852,60 @@ def events_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
     (5·cum ≥ 4·total — no FP threshold), counting ranks strictly below
     the cutoff; event counts and cumulative sums are exact.
 
-    Scale: one count rollup to user grain, one global rank window (the
-    documented exact-rank cost), two tiny aggregates."""
+    Scale: one count rollup to user grain, then everything runs on the
+    DISTINCT-count block table (round 14 — the per-user global rank
+    window this replaces was a single-task sort of a user-cardinality
+    frame): within a block of users sharing count c, the j-th user
+    (user_id order) has cum = events_before + j·c, so the crossing
+    rank is pure integer arithmetic — j* = ⌈(4·total − 5·eb)/(5c)⌉,
+    k = users_before + j*, cum_k = eb + j*·c. The only window runs
+    over distinct per-user counts (bounded by the max events one user
+    has — hundreds, not user-cardinality)."""
     ev = read_table(spark, sf_dir, "events")
     per = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
-    w = Window.partitionBy().orderBy(F.col("c").desc(), "user_id")
-    wc = (
+    per_c = per.groupBy("c").agg(F.count(F.lit(1)).alias("u"))
+    w_desc = (
         Window.partitionBy()
-        .orderBy(F.col("c").desc(), "user_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .orderBy(F.col("c").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    ranked = per.select(
+    pc = per_c.select(
         "c",
-        F.row_number().over(w).alias("rn"),
-        F.sum("c").over(wc).alias("cum"),
+        "u",
+        (F.col("c") * F.col("u")).alias("s"),
+        F.coalesce(F.sum("u").over(w_desc), F.lit(0)).alias("ub"),
+        F.coalesce(
+            F.sum(F.col("c") * F.col("u")).over(w_desc), F.lit(0)
+        ).alias("eb"),
     )
-    tot = ranked.agg(
-        F.count(F.lit(1)).alias("n_users"),
-        F.max("cum").alias("total"),
+    tot = per_c.agg(
+        F.sum("u").alias("n_users"),
+        F.sum(F.col("c") * F.col("u")).alias("total"),
     )
-    j = ranked.crossJoin(F.broadcast(tot))
-    k_agg = j.agg(
+    jj = pc.crossJoin(F.broadcast(tot))
+    # the unique block where the cumulative crosses 80%: strictly below
+    # before it, at-or-above by its end
+    blk = jj.filter(
+        (F.lit(5) * F.col("eb") < F.lit(4) * F.col("total"))
+        & (
+            F.lit(5) * (F.col("eb") + F.col("s"))
+            >= F.lit(4) * F.col("total")
+        )
+    )
+    jstar = F.floor(
         (
-            F.sum(
-                F.when(
-                    F.lit(5) * F.col("cum") < F.lit(4) * F.col("total"),
-                    1,
-                ).otherwise(0)
-            )
-            + F.lit(1)
+            F.lit(4) * F.col("total")
+            - F.lit(5) * F.col("eb")
+            + F.lit(5) * F.col("c")
+            - F.lit(1)
         )
-        .cast("long")
-        .alias("k")
+        / (F.lit(5) * F.col("c"))
     )
-    at_k = (
-        j.crossJoin(F.broadcast(k_agg))
-        .filter(F.col("rn") == F.col("k"))
-        .select(
-            F.col("k"),
-            F.col("n_users").cast("long").alias("n_users"),
-            F.col("total").cast("long").alias("total_events"),
-            F.col("cum").alias("cum_k"),
-        )
+    at_k = blk.select(
+        (F.col("ub") + jstar).cast("long").alias("k"),
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("total").cast("long").alias("total_events"),
+        (F.col("eb") + jstar * F.col("c")).alias("cum_k"),
     )
     return at_k.select(
         F.col("n_users"),
