@@ -294,10 +294,12 @@ def test_tpch_q18_having_filters_before_join(spark):
     assert has_take_ordered(df)  # top-20 without a global sort
 
 
-def test_tpch_q21_decorrelates_to_semi_and_anti(spark):
-    # the correlated EXISTS / NOT EXISTS pair must appear as LeftSemi and
-    # LeftAnti hash/merge joins keyed on l_orderkey — not per-row
-    # subqueries, not a nested-loop stage
+def test_tpch_q21_decorrelates_to_aggregates(spark):
+    # round-14 shape: the correlated EXISTS / NOT EXISTS pair is an
+    # AGGREGATE decorrelation — sole-late-supplier and min!=max
+    # multi-supplier rollups joined on l_orderkey. No self-join of the
+    # fact table survives (the prior semi+anti pair exchanged lineitem
+    # three times), no per-row subqueries, no nested-loop stage
     from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import (
         tpch_analytics,
     )
@@ -307,11 +309,12 @@ def test_tpch_q21_decorrelates_to_semi_and_anti(spark):
 
     df = tpch_analytics.tpch_q21_suppliers_kept_waiting(spark, SF)
     plan = formatted_plan(df)
-    assert "LeftSemi" in plan
-    assert "LeftAnti" in plan
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan
     kinds = join_kinds(df)
     assert "CartesianProduct" not in kinds
     assert "BroadcastNestedLoopJoin" not in kinds
+    # lineitem scans feed aggregates, and the order-grain join is keyed
+    assert plan.count("HashAggregate") >= 2 or "ObjectHashAggregate" in plan
 
 
 def test_tpch_q4_semi_join_after_order_filter(spark):

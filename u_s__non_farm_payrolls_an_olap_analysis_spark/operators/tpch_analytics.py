@@ -297,12 +297,22 @@ def tpch_q21_suppliers_kept_waiting(
     the single-nation filter is dropped (fixture nations hold ~1 supplier
     each — it would degenerate the result).
 
-    Physical shape is the decorrelated one: the EXISTS becomes a LEFT SEMI
-    join of late lines against other-supplier lines of the same order, the
-    NOT EXISTS a LEFT ANTI join against other-supplier LATE lines — both
-    equi-keyed on l_orderkey with the supplier inequality as a residual
-    join predicate (asserted in tests/test_plans.py). No per-row subquery
-    re-execution, no cartesian stage."""
+    Physical shape (round 14 — the aggregate decorrelation; the prior
+    LEFT SEMI + LEFT ANTI pair exchanged the full lineitem table three
+    times, 5.9 s at 30x): a late line of supplier s in order k survives
+    both quantifiers iff s is the ONLY supplier with a late line in k
+    (NOT EXISTS) and k has ≥ 2 distinct suppliers overall (EXISTS). So:
+
+    - ``lo`` = late lines rolled up per (order, supplier) — one
+      fact-scale exchange of just the LATE lines;
+    - orders with exactly one late supplier come from re-aggregating
+      ``lo`` by order (tiny, already co-partitioned modulo one small
+      exchange), keeping that sole supplier's line count;
+    - "another supplier exists" is ``min(l_suppkey) ≠ max(l_suppkey)``
+      per order — a map-combinable min/max aggregate instead of a
+      count-distinct or a semi join with an inequality residual;
+    - numwait then sums the surviving per-(order, supplier) line
+      counts per supplier. No self-joins of the fact table remain."""
     li = read_table(spark, sf_dir, "lineitem")
     orders_f = read_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
@@ -311,28 +321,38 @@ def tpch_q21_suppliers_kept_waiting(
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
         "INTERVAL 90 DAYS"
     )
-    l1 = (
-        li.join(orders_f, li.l_orderkey == orders_f.o_orderkey)
+    lo = (
+        li.join(
+            F.broadcast(orders_f.select("o_orderkey", "o_orderdate")),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
         .filter(late)
-        .select("l_orderkey", "l_suppkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_late_lines"))
     )
-    l2 = li.select(
-        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    sole = (
+        lo.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_late_supp"),
+            F.max("l_suppkey").alias("sole_supp"),
+            F.max("n_late_lines").alias("c"),
+        )
+        .filter(F.col("n_late_supp") == 1)
+        .select("l_orderkey", F.col("sole_supp").alias("l_suppkey"), "c")
     )
-    l3 = l1.select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
-    waited = l1.join(
-        l2,
-        (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
-        "left_semi",
-    ).join(
-        l3,
-        (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")),
-        "left_anti",
+    multi_supp = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.min("l_suppkey").alias("mn"), F.max("l_suppkey").alias("mx")
+        )
+        .filter(F.col("mn") != F.col("mx"))
+        .select("l_orderkey")
     )
+    waited = sole.join(multi_supp, "l_orderkey")
     return (
         waited.join(F.broadcast(supp), waited.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("c").cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
