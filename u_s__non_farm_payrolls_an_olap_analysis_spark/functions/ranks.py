@@ -140,3 +140,41 @@ def doubled_rank_by_value(
             F.lit(2) * F.col(f"run_{count_col}") - F.col(count_col) + F.lit(1)
         ).alias("dr"),
     )
+
+
+def ranked_rows_by_value(
+    spark: SparkSession,
+    df: DataFrame,
+    value_col: str,
+    tiebreak_cols: list[str],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Append ``rn`` (exact 1-based rank by ``(value, *tiebreaks)``
+    within each group — global when ``group_cols`` is empty) and ``n``
+    (group row count) to every row, without a low-cardinality-partition
+    window: value-bucket the rows, ``row_number`` within
+    (group, bucket) — parallel local sorts — and add per-(group, bucket)
+    exclusive offsets from a tiny broadcast count table. The tiebreak
+    columns must make the sort key a total order within each group for
+    the rank to be deterministic."""
+    gcols = list(group_cols or [])
+    b = _with_value_bucket(df, value_col)
+    keys = [*gcols, "__bkt"]
+    counts = b.groupBy(*keys).agg(F.count(F.lit(1)).alias("__c"))
+    w_prev = (
+        (Window.partitionBy(*gcols) if gcols else Window.partitionBy())
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_grp = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+    offsets = counts.select(
+        *keys,
+        F.coalesce(F.sum("__c").over(w_prev), F.lit(0)).alias("__off"),
+        F.sum("__c").over(w_grp).alias("n"),
+    )
+    w_local = Window.partitionBy(*keys).orderBy(value_col, *tiebreak_cols)
+    return b.join(F.broadcast(offsets), keys).select(
+        *df.columns,
+        (F.row_number().over(w_local) + F.col("__off")).alias("rn"),
+        "n",
+    )

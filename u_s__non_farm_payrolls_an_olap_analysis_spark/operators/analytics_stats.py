@@ -1628,14 +1628,18 @@ def agg_gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one map-side-combinable rollup to customer grain, one global
     rank (range-partitioned sort — the documented cost of exact ranks),
     one moment aggregate."""
+    from ..functions.ranks import ranked_rows_by_value
+
     orders = read_table(spark, sf_dir, "orders")
     per = orders.groupBy("o_custkey").agg(
         dsum_scaled("o_totalprice").alias("x")
     )
-    w = Window.partitionBy().orderBy("x", "o_custkey")
-    ranked = per.select(
-        "x", F.row_number().over(w).alias("i")
-    )
+    # exact global rank without a single-task window (round 14): the
+    # value-bucket device of functions/ranks.py — customer cardinality
+    # grows with the data, so Window.partitionBy() here was a scale bug
+    ranked = ranked_rows_by_value(
+        spark, per, "x", ["o_custkey"]
+    ).select("x", F.col("rn").alias("i"))
 
     def d(c):
         return c.cast("decimal(38,0)")
@@ -2487,39 +2491,16 @@ def _year_ranked_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     3. a TINY (year x bucket) count table → per-year exclusive bucket
        offsets + per-year totals, broadcast back:
        rn = in-bucket row_number + offset(year, bucket)."""
-    from ..functions.ranks import _with_value_bucket
+    from ..functions.ranks import ranked_rows_by_value
 
     orders = read_table(spark, sf_dir, "orders").select(
         F.year("o_orderdate").cast("int").alias("year"),
         "o_totalprice",
         "o_orderkey",
     )
-    b = _with_value_bucket(orders, "o_totalprice")
-    counts = b.groupBy("year", "__bkt").agg(F.count(F.lit(1)).alias("c"))
-    w_prev = (
-        Window.partitionBy("year")
-        .orderBy("__bkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_year = Window.partitionBy("year")
-    offsets = counts.select(
-        "year",
-        "__bkt",
-        F.coalesce(F.sum("c").over(w_prev), F.lit(0)).alias("off"),
-        F.sum("c").over(w_year).alias("n"),
-    )
-    w_local = Window.partitionBy("year", "__bkt").orderBy(
-        "o_totalprice", "o_orderkey"
-    )
-    return (
-        b.join(F.broadcast(offsets), ["year", "__bkt"])
-        .select(
-            "year",
-            "o_totalprice",
-            (F.row_number().over(w_local) + F.col("off")).alias("rn"),
-            "n",
-        )
-    )
+    return ranked_rows_by_value(
+        spark, orders, "o_totalprice", ["o_orderkey"], ["year"]
+    ).select("year", "o_totalprice", "rn", "n")
 
 
 def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4226,16 +4207,17 @@ def agg_lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one customer rollup (map-side combinable), one rank
     window over the customer dimension, one 10-row cumulative
     window."""
+    from ..functions.ranks import ranked_rows_by_value
+
     orders = read_table(spark, sf_dir, "orders")
     per_c = orders.groupBy(F.col("o_custkey").alias("cust")).agg(
         dsum_scaled("o_totalprice").alias("rev_s")
     )
-    w_rank = Window.partitionBy().orderBy("rev_s", "cust")
-    w_n = Window.partitionBy()
-    r = per_c.select(
-        "rev_s",
-        F.row_number().over(w_rank).alias("rn"),
-        F.count(F.lit(1)).over(w_n).alias("n"),
+    # exact global rank + count without single-task windows (round 14:
+    # functions/ranks.py value-bucket device — customer cardinality
+    # grows with the data)
+    r = ranked_rows_by_value(spark, per_c, "rev_s", ["cust"]).select(
+        "rev_s", "rn", "n"
     )
     dec = F.ceil(F.lit(10) * F.col("rn") / F.col("n")).cast("int")
     g = r.groupBy(dec.alias("decile")).agg(
