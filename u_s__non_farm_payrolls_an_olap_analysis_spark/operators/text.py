@@ -398,27 +398,48 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram tiebreak, count ≥ ``PMI_MIN_COUNT``): ln() may differ from
     DuckDB's in the last ulp, so the float pmi is a reported metric
     (rounded 6 dp) and never decides which rows survive the LIMIT.
-    Shapes: two explode→count aggregates (map-side combined), the
-    unigram table re-joined twice via BROADCAST (a vocabulary is small
-    by construction), totals as 1-row broadcast scalars."""
+    Shapes (round 14): ONE corpus explode pass — unigrams and bigrams
+    ride the same exploded array as (kind, term) structs — into one
+    vocabulary-sized count table that is eagerly localCheckpoint-ed;
+    the five downstream consumers (uni, bi, both broadcast re-joins,
+    the totals scalars) all read the checkpoint instead of re-running
+    the corpus tokenize+explode per consumer (CLAUDE.md rule 5: Spark
+    shares no subtrees across broadcast/shuffle boundaries — the prior
+    shape re-executed the explode up to 5x, 4.0 s at 30x docs vs
+    ~1.3 s now). The unigram side stays BROADCAST-joined (a vocabulary
+    is small by construction), totals are 1-row broadcast scalars."""
     docs = read_table(spark, sf_dir, "documents")
     toks = _tokens()
-    uni = (
-        docs.select(F.explode(toks).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c_w"))
+    uni_arr = F.transform(
+        toks, lambda t: F.struct(F.lit(0).alias("k"), t.alias("term"))
     )
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+    # guard the index-building transform itself, not just a row filter
+    # (rule 3: sequence(1, 0) counts DOWN)
+    big_arr = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.lit(1).alias("k"),
+                F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ).alias("term"),
+            ),
         ),
+    ).otherwise(F.array().cast("array<struct<k:int,term:string>>"))
+    counts = (
+        docs.select(F.explode(F.concat(uni_arr, big_arr)).alias("e"))
+        .select(F.col("e.k").alias("k"), F.col("e.term").alias("term"))
+        .groupBy("k", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    uni = counts.filter(F.col("k") == 0).select(
+        F.col("term").alias("w"), F.col("c").alias("c_w")
     )
     bi = (
-        docs.filter(F.size(toks) >= 2)
-        .select(F.explode(bigrams).alias("bigram"))
-        .groupBy("bigram")
-        .agg(F.count(F.lit(1)).alias("c_ab"))
+        counts.filter(F.col("k") == 1)
+        .select(F.col("term").alias("bigram"), F.col("c").alias("c_ab"))
         .filter(F.col("c_ab") >= PMI_MIN_COUNT)
     )
     totals = uni.agg(F.sum("c_w").alias("u_total")).crossJoin(
@@ -1606,37 +1627,52 @@ def text_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tok_x, tok_y) total tiebreaker; min-count 5 is the standard
     sparse-pair guard (mirrored in the oracle).
 
-    Scale: two map-side-combinable count aggregates off one explode
-    each; the unigram table joins the bigram table token-keyed; top-k
-    is a TakeOrdered."""
+    Scale (round 14, the `text_pmi_collocations` device): ONE corpus
+    explode pass — unigrams ride as (0, tok, null) structs, bigram
+    pairs as (1, x, y) — into one vocabulary-sized count table, eagerly
+    localCheckpoint-ed; the six downstream consumers (uni, big, both
+    broadcast unigram re-joins, both 1-row totals — n_big is the sum of
+    UNFILTERED bigram counts, identical to the old per-doc size-1 sum)
+    read the checkpoint instead of re-running the corpus explode per
+    consumer. Top-k is a TakeOrdered."""
     docs = read_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    bigrams = F.when(
+    uni_arr = F.transform(
+        toks,
+        lambda t: F.struct(
+            F.lit(0).alias("k"),
+            t.alias("x"),
+            F.lit(None).cast("string").alias("y"),
+        ),
+    )
+    big_arr = F.when(
         F.size(toks) >= 2,
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - 1),
             lambda i: F.struct(
+                F.lit(1).alias("k"),
                 F.element_at(toks, i).alias("x"),
                 F.element_at(toks, i + 1).alias("y"),
             ),
         ),
-    ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
-    uni = (
-        docs.select(F.explode(toks).alias("tok"))
-        .groupBy("tok")
+    ).otherwise(F.array().cast("array<struct<k:int,x:string,y:string>>"))
+    counts = (
+        docs.select(F.explode(F.concat(uni_arr, big_arr)).alias("e"))
+        .select("e.k", "e.x", "e.y")
+        .groupBy("k", "x", "y")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    uni = counts.filter(F.col("k") == 0).select(
+        F.col("x").alias("tok"), F.col("c")
     )
     big = (
-        docs.select(F.explode(bigrams).alias("b"))
-        .select("b.x", "b.y")
-        .groupBy("x", "y")
-        .agg(F.count(F.lit(1)).alias("c_xy"))
+        counts.filter(F.col("k") == 1)
+        .select("x", "y", F.col("c").alias("c_xy"))
         .filter(F.col("c_xy") >= COLL_MIN_COUNT)
     )
     tot_u = uni.agg(F.sum("c").alias("n_uni"))
-    tot_b = docs.select(
-        F.greatest(F.size(toks) - 1, F.lit(0)).alias("nb")
-    ).agg(F.sum("nb").alias("n_big"))
+    tot_b = counts.filter(F.col("k") == 1).agg(F.sum("c").alias("n_big"))
     ux = uni.select(F.col("tok").alias("x"), F.col("c").alias("c_x"))
     uy = uni.select(F.col("tok").alias("y"), F.col("c").alias("c_y"))
     j = (
