@@ -93,7 +93,10 @@ def main() -> None:
     oracles = registry.oracle_sql()
     spark_sec: dict[str, float] = {}
     for key in keys:
-        fn = qs[key]
+        fn = qs.get(key)
+        if fn is None:
+            print(f"UNKNOWN KEY {key}", flush=True)
+            continue
         try:
             fn(spark, D).toPandas()  # warm
             times = []

@@ -721,57 +721,54 @@ def scd2_customer_priority_history(
 
     Scale: one exchange by customer (windows + the run rollup share
     it); output is bounded by change count, not order count."""
+    # Boundary-row algebra (round 14, the `_sessionize_events` device):
+    # the cumsum window + run groupBy forced a second full-partition
+    # WindowExec pass and a hash aggregate over every order. Instead,
+    # ONE WindowExec hosts three independent frames (row_number, lag,
+    # per-customer count), run-START rows are filtered (~change-bounded)
+    # and the later lead()/row_number frames run over only those — the
+    # filter preserves the window's partitioning AND (o_orderdate,
+    # o_orderkey) ordering, so no re-exchange and no re-sort. A run's
+    # valid_from is its start row's date (the run minimum by sort
+    # order), its size is the next start's row_number minus its own,
+    # and version is the start's index (one buffered window pass over
+    # the orders instead of two, and no fact-scale hash aggregate).
     orders = read_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    flagged = orders.select(
+    w_all = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    base = orders.select(
         "o_custkey",
         "o_orderdate",
         "o_orderkey",
         "o_orderpriority",
-        F.when(
-            F.lag("o_orderpriority").over(w).isNull()
-            | (F.lag("o_orderpriority").over(w) != F.col("o_orderpriority")),
-            1,
-        )
+        F.row_number().over(w).alias("rn"),
+        F.lag("o_orderpriority").over(w).alias("prev_pri"),
+        F.count(F.lit(1)).over(w_all).alias("total"),
+    )
+    starts = base.filter(
+        F.col("prev_pri").isNull()
+        | (F.col("prev_pri") != F.col("o_orderpriority"))
+    )
+    return starts.select(
+        F.col("o_custkey").alias("custkey"),
+        F.row_number().over(w).cast("int").alias("version"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.coalesce(
+            F.lead("o_orderdate").over(w),
+            F.lit(SCD2_FAR_FUTURE).cast("timestamp"),
+        ).alias("valid_to"),
+        (
+            F.coalesce(F.lead("rn").over(w), F.col("total") + F.lit(1))
+            - F.col("rn")
+        ).cast("long").alias("n_orders"),
+        F.when(F.lead("rn").over(w).isNull(), 1)
         .otherwise(0)
-        .alias("chg"),
-    )
-    runs = flagged.select(
-        "o_custkey",
-        "o_orderdate",
-        "o_orderkey",
-        "o_orderpriority",
-        F.sum("chg")
-        .over(
-            Window.partitionBy("o_custkey")
-            .orderBy("o_orderdate", "o_orderkey")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        .alias("run_id"),
-    )
-    hist = runs.groupBy("o_custkey", "run_id", "o_orderpriority").agg(
-        F.min("o_orderdate").alias("valid_from"),
-        F.count(F.lit(1)).alias("n_orders"),
-    )
-    w_next = Window.partitionBy("o_custkey").orderBy("run_id")
-    return (
-        hist.select(
-            F.col("o_custkey").alias("custkey"),
-            F.col("run_id").cast("int").alias("version"),
-            F.col("o_orderpriority").alias("priority"),
-            "valid_from",
-            F.coalesce(
-                F.lead("valid_from").over(w_next),
-                F.lit(SCD2_FAR_FUTURE).cast("timestamp"),
-            ).alias("valid_to"),
-            F.col("n_orders").cast("long").alias("n_orders"),
-            F.when(F.lead("valid_from").over(w_next).isNull(), 1)
-            .otherwise(0)
-            .cast("int")
-            .alias("is_current"),
-        )
-        .orderBy("custkey", "version")
-    )
+        .cast("int")
+        .alias("is_current"),
+    ).orderBy("custkey", "version")
 
 
 QUERIES["scd2_customer_priority_history"] = scd2_customer_priority_history
@@ -849,6 +846,17 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_shipdate", "l_extendedprice"
     )
     o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # size-gated broadcasts (the q8 gate, io.table_bytes): the 2-column
+    # orders projection and the change-bounded history both derive from
+    # the orders table, so one gate covers both. Below the gate the
+    # whole query runs with ZERO fact-table shuffles (scan + two
+    # broadcast probes + partial agg — round 14: 8.0 -> ~1.3 s at 30x);
+    # past it the joins degrade to the shuffled forms AQE manages.
+    from ..io import table_bytes
+
+    if table_bytes(sf_dir, "orders") <= 256 << 20:
+        o = F.broadcast(o)
+        hist = F.broadcast(hist)
     fact = li.join(o, li.l_orderkey == o.o_orderkey).select(
         "o_custkey", "l_shipdate", "l_extendedprice"
     )
