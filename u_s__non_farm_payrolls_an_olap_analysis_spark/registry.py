@@ -97,66 +97,15 @@ _MODULES = [
 # has no driver row anywhere, so it outranks keys with historical
 # evidence). Prune the r13-recorded keys next round.
 _SAMPLE_PRIORITY = [
-    # Round-14 rotation (VERDICT r13 item 1): the 50 keys recorded in
-    # CORRECTNESS_r13.json are pruned, as is the r6-evidence TPC-H tail
-    # (all have green driver rows; they fall back to module merge order).
-    # What remains is EXACTLY the 88 registry keys with no driver
-    # CORRECTNESS row in ANY round r1-r13 (reproducible:
-    # set(registry.queries()) - union of CORRECTNESS_r*.json keys),
-    # in their prior relative order. The driver samples the first 50;
-    # the trailing 38 roll into the round-15 window after pruning the
-    # r14-recorded keys. Guarded by
-    # tests/test_registry_contract.py::test_sample_window_freshness.
-    "timeseries_ljung_box",
-    "embedding_pca_power_iteration",
-    "sim_eval_cluster_purity",
-    "events_survival_km",
-    "agg_mann_whitney_u",
-    "dedup_eval_minhash_lsh",
-    "agg_chi_square_independence",
-    "agg_halfsample_ci",
-    "window_bollinger_bands",
-    "text_lexical_diversity",
-    "rollup_cohort_ltv",
-    "agg_mutual_information",
-    "timeseries_ar1_halflife",
-    "dq_key_uniqueness",
-    "window_rolling_ols_slope",
-    "text_readability",
-    "graph_bfs_hops",
-    "text_sentiment_lexicon",
-    "scd2_point_in_time_join",
-    "agg_price_elasticity",
-    "sim_search_cascade_rerank",
-    "agg_benjamini_hochberg",
-    "agg_trimmed_mean",
-    "corpus_heaps_law_fit",
-    "timeseries_seasonal_strength",
-    "agg_hurst_rs",
-    "sim_eval_ndcg",
-    "dq_outlier_iqr_fences",
-    "text_kl_divergence_by_source",
-    "events_entropy_rate_markov",
-    "agg_cohens_d_effect_size",
-    "text_burstiness_fano",
-    "agg_kruskal_wallis",
-    "graph_degree_assortativity",
-    "agg_ks_two_sample",
-    "agg_spearman_rank_corr",
-    "agg_levene_brown_forsythe",
-    "agg_mood_median_test",
-    "agg_grubbs_outlier",
-    "corpus_simpson_diversity",
-    "sim_eval_average_precision",
-    "timeseries_holt_damped",
-    "agg_delta_method_ratio_ci",
-    "graph_hits_scores",
-    "agg_cochran_armitage_trend",
-    "timeseries_kpss_stat",
-    "agg_gtest_independence",
-    "agg_winsorized_mean",
-    "sim_eval_silhouette",
-    "window_ytd_vs_prior_year",
+    # Round-15 rotation (VERDICT r14 item 1): the 50 keys recorded in
+    # CORRECTNESS_r14.json are pruned (all green; they fall back to
+    # module merge order). What remains is EXACTLY the 39 registry keys
+    # with no driver CORRECTNESS row in ANY round r1-r14 (reproducible:
+    # set(registry.queries()) - union of CORRECTNESS_r*.json keys), in
+    # their prior relative order. All 39 fit the driver's 50-key window,
+    # so after round 15 every registry key has a driver row; up to 11
+    # NEW keys may append behind them this round and still be sampled.
+    # Guarded by tests/test_registry_contract.py::test_sample_window_freshness.
     "agg_srm_assignment_check",
     "stream_interarrival_ewma",
     "agg_extreme_value_gumbel",
