@@ -366,3 +366,32 @@ def test_knn_classify_fixture_shape(spark):
     assert len(rows) == 10  # one prediction per query vector
     assert all(1 <= r["votes"] <= 5 for r in rows)
     assert all(r["correct"] in (0, 1) for r in rows)
+
+
+def test_ann_recall_evals_beat_chance(spark):
+    """Round 15: the measured-recall twins of the compressed-code ANN
+    searches (VERDICT r14 item 7). With 490 candidates and k=5, a random
+    ranking's expected recall@5 is 5/490 ~= 0.0102; the sign-bit Hamming
+    codes (64 bits) and PQ-ADC codes (4x3 bits, deterministic stand-in
+    codebook) must clear it by a wide margin for the compression to mean
+    anything. Measured at sf0.01: hamming ~0.24 (~24x chance), pq ~0.08
+    (~8x chance)."""
+    from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import (
+        similarity as sim,
+    )
+
+    n_cand = 500 - sim.N_QUERIES
+    chance = sim.TOP_K / n_cand
+    for fn, floor_mult in (
+        (sim.sim_eval_recall_hamming, 10.0),
+        # 12-bit PQ codes sit lower (sf0.001 fixture: mean 0.04 ~= 3.9x
+        # chance; sf0.01: 0.08 ~= 7.8x) — floor at 2.5x so the test pins
+        # "clearly better than random" without riding the fixture edge
+        (sim.sim_eval_recall_pq_adc, 2.5),
+    ):
+        rows = fn(spark, SF).collect()
+        assert len(rows) == sim.N_QUERIES
+        assert all(0.0 <= r["recall_at_k"] <= 1.0 for r in rows)
+        assert all(0 <= r["n_hits"] <= sim.TOP_K for r in rows)
+        mean = sum(r["recall_at_k"] for r in rows) / len(rows)
+        assert mean >= floor_mult * chance, (fn.__name__, mean, chance)

@@ -60,7 +60,16 @@ def _with_value_bucket(
         F.max(value_col).cast("double").alias("__vmax"),
     )
     v = F.col(value_col).cast("double")
-    width = F.col("__vmax") - F.col("__vmin") + F.lit(1.0)
+    # Slack scales WITH the range (not a flat +1, which would collapse a
+    # fractional range << 1 into bucket 0 and degenerate the device back
+    # to a single-task sort): width = span * (1 + 1/NB) keeps v = vmax
+    # strictly below n_buckets while losing < one bucket of resolution.
+    # span == 0 (all rows one value) falls back to a unit width — every
+    # row lands in bucket 0, which is exact for a single distinct value.
+    span = F.col("__vmax") - F.col("__vmin")
+    width = F.when(
+        span > 0, span * F.lit(1.0 + 1.0 / float(n_buckets))
+    ).otherwise(F.lit(1.0))
     bkt = F.least(
         F.greatest(
             F.floor((v - F.col("__vmin")) * F.lit(float(n_buckets)) / width),

@@ -717,6 +717,7 @@ from . import analytics_stats as _fam_stats  # noqa: E402
 from . import analytics_timeseries as _fam_timeseries  # noqa: E402
 from . import analytics_windows as _fam_windows  # noqa: E402
 
+_FAM_NAME_OWNER: dict[str, str] = {}
 for _fam in (_fam_stats, _fam_timeseries, _fam_events, _fam_windows):
     _dup = set(QUERIES) & set(_fam.QUERIES)
     if _dup:
@@ -726,7 +727,20 @@ for _fam in (_fam_stats, _fam_timeseries, _fam_events, _fam_windows):
     for _k, _v in vars(_fam).items():
         # re-export everything (incl. _helpers and CONSTANTS) so existing
         # `from .analytics import X` sites keep resolving; setdefault so
-        # this module's own names win on collision
-        if not _k.startswith("__") and _k not in ("QUERIES", "ORACLE"):
-            globals().setdefault(_k, _v)
-del _fam, _k, _v, _dup
+        # this module's own names win on collision. Cross-FAMILY
+        # collisions with differing objects raise (mirrors the
+        # duplicate-QUERIES-key guard): otherwise `from .analytics
+        # import X` would silently resolve to whichever family merges
+        # first. Imported-module / identical objects (shared F, Window,
+        # numerics helpers) are fine.
+        if _k.startswith("__") or _k in ("QUERIES", "ORACLE"):
+            continue
+        if _k in _FAM_NAME_OWNER and globals().get(_k) is not _v:
+            raise ValueError(
+                f"analytics family name collision: {_k!r} defined with "
+                f"different objects in {_FAM_NAME_OWNER[_k]} and "
+                f"{_fam.__name__}"
+            )
+        _FAM_NAME_OWNER.setdefault(_k, _fam.__name__)
+        globals().setdefault(_k, _v)
+del _fam, _k, _v, _dup, _FAM_NAME_OWNER

@@ -3011,3 +3011,148 @@ ORACLE["sim_eval_ece"] = (
     f"ROUND(CAST(mce_q AS DOUBLE) / {_ECE_TERM_SCALE:.1f}, 6) AS mce "
     "FROM a WHERE n > 0"
 )
+
+
+# --- ANN measured-recall harness (round 15) ----------------------------------
+# VERDICT r14 item 7: sim_search_pq_adc and sim_search_hamming_binary were
+# the last ANN variants without a measured-quality twin. These two keys
+# score each compressed-code search's top-k against the exact-cosine truth
+# set over the SAME len>=64 corpus — the `dedup_eval_minhash_lsh` pattern
+# applied to the vector family. Both the ANN ranking and the truth ranking
+# are fully deterministic here, so recall itself is hash-checked
+# cross-engine (not just asserted in a unit test).
+
+
+def _exact_cosine_topk_64(emb: DataFrame) -> DataFrame:
+    """Exact cosine top-k truth set restricted to len>=64 vectors — the
+    same corpus the PQ and Hamming searches operate on (their filter is
+    part of the operator contract; the truth side must match it or
+    recall would be measured against neighbors the ANN never saw)."""
+    e = emb.filter(F.size("embedding") >= 64)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+    )
+    scored = c.join(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        dround(cosine(F.col("qe"), F.col("ce")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+
+
+def _ann_recall_vs_exact(ann: DataFrame, truth: DataFrame) -> DataFrame:
+    """recall@k per query: |ANN top-k ∩ exact top-k| / k. LEFT join from
+    the ANN rows onto the truth pairs (both sides are exactly k rows per
+    query, so the denominator is the constant k); one broadcast-size
+    join — both inputs are n_queries x k rows."""
+    hits = ann.select("query_id", "neighbor_id").join(
+        truth.withColumn("hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hits")
+        )
+        .select(
+            "query_id",
+            "n_hits",
+            dround(
+                F.col("n_hits").cast("double") / F.lit(float(TOP_K)), 6
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def sim_eval_recall_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star ANN eval — **measured recall@k of the sign-bit Hamming
+    search** (`sim_search_hamming_binary`) against the exact-cosine truth
+    set. Sign quantization keeps the hyperplane-LSH collision geometry
+    (E[hamming] ∝ angle), so recall@5 is the number a deployment tunes
+    word count against; this key pins it cross-engine instead of leaving
+    the compressed search's quality un-measured. Fixture reading: mean
+    recall@5 ≈ 0.24 at sf0.01 vs a 5/490 ≈ 0.01 chance level (~24x) —
+    asserted above chance in tests/test_dedup_similarity.py."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return _ann_recall_vs_exact(
+        sim_search_hamming_binary(spark, sf_dir),
+        _exact_cosine_topk_64(emb),
+    )
+
+
+def sim_eval_recall_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star ANN eval — **measured recall@k of the PQ-ADC search**
+    (`sim_search_pq_adc`, 64 floats → 4 codes) against the exact-cosine
+    truth set — the codebook-quality number (Jégou PAMI'11 reports
+    exactly this curve) for the 64x-compression trade. With the
+    deterministic 8-entry stand-in codebook (12 bits/vector) the fixture
+    reads mean recall@5 ≈ 0.08 at sf0.01 (~8x the 0.01 chance level;
+    a trained codebook raises it, the harness measures whatever codebook
+    is plugged in) — asserted above chance in
+    tests/test_dedup_similarity.py."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return _ann_recall_vs_exact(
+        sim_search_pq_adc(spark, sf_dir),
+        _exact_cosine_topk_64(emb),
+    )
+
+
+QUERIES["sim_eval_recall_hamming"] = sim_eval_recall_hamming
+QUERIES["sim_eval_recall_pq_adc"] = sim_eval_recall_pq_adc
+
+_TRUTH64_SQL = (
+    "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
+    f"FROM embeddings WHERE vec_id < {N_QUERIES} "
+    "AND len(embedding) >= 64), "
+    "c AS (SELECT vec_id AS neighbor_id, embedding AS ce "
+    f"FROM embeddings WHERE vec_id >= {N_QUERIES} "
+    "AND len(embedding) >= 64), "
+    f"s AS (SELECT query_id, neighbor_id, ROUND({_COS_QC}, 6) AS cosine "
+    "FROM q CROSS JOIN c), "
+    "r AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER ("
+    "PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank "
+    "FROM s) "
+    f"SELECT query_id, neighbor_id FROM r WHERE rank <= {TOP_K}"
+)
+
+
+def _ann_recall_oracle(ann_sql: str) -> str:
+    """Compose the recall@k oracle from the ANN key's own oracle SQL and
+    the exact-cosine truth SQL as derived tables (each keeps its own WITH
+    chain). Arithmetic mirrors `_ann_recall_vs_exact` exactly: LEFT join,
+    CASE-counted hits, CAST-to-DOUBLE division, ROUND 6."""
+    return (
+        "SELECT ann.query_id, "
+        "CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_hits, "
+        "ROUND(CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 "
+        "ELSE 0 END) AS DOUBLE) / "
+        f"{float(TOP_K)!r}, 6) AS recall_at_k "
+        f"FROM ({ann_sql}) ann "
+        f"LEFT JOIN ({_TRUTH64_SQL}) t "
+        "ON t.query_id = ann.query_id "
+        "AND t.neighbor_id = ann.neighbor_id "
+        "GROUP BY ann.query_id ORDER BY ann.query_id"
+    )
+
+
+ORACLE["sim_eval_recall_hamming"] = _ann_recall_oracle(
+    ORACLE["sim_search_hamming_binary"]
+)
+ORACLE["sim_eval_recall_pq_adc"] = _ann_recall_oracle(
+    ORACLE["sim_search_pq_adc"]
+)

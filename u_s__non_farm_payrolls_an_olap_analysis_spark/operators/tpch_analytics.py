@@ -312,7 +312,14 @@ def tpch_q21_suppliers_kept_waiting(
       per order — a map-combinable min/max aggregate instead of a
       count-distinct or a semi join with an inequality residual;
     - numwait then sums the surviving per-(order, supplier) line
-      counts per supplier. No self-joins of the fact table remain."""
+      counts per supplier. No self-joins of the fact table remain.
+
+    The status-F orders projection is roughly HALF of orders (a
+    fact-derived relation, not a dim), so its broadcast is size-gated on
+    ``io.table_bytes`` exactly like q8/scd2 — an unconditional hint would
+    bypass AQE demotion and the broadcast size limit and OOM the driver
+    at large SF. Past the gate it degrades to a plain equi-join and AQE
+    picks the physical strategy."""
     li = read_table(spark, sf_dir, "lineitem")
     orders_f = read_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
@@ -321,9 +328,12 @@ def tpch_q21_suppliers_kept_waiting(
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
         "INTERVAL 90 DAYS"
     )
+    of_keys = orders_f.select("o_orderkey", "o_orderdate")
+    if table_bytes(sf_dir, "orders") <= 256 << 20:
+        of_keys = F.broadcast(of_keys)
     lo = (
         li.join(
-            F.broadcast(orders_f.select("o_orderkey", "o_orderdate")),
+            of_keys,
             li.l_orderkey == F.col("o_orderkey"),
         )
         .filter(late)

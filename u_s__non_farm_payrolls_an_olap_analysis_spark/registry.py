@@ -148,6 +148,11 @@ _SAMPLE_PRIORITY = [
     # (appended BEHIND the 88-key backlog: new keys wait their turn
     # while the never-sampled debt clears)
     "sink_jdbc_roundtrip_derby",
+    # NEW in round 15 — ANN measured-recall harness (VERDICT r14 item 7):
+    # appended BEHIND the backlog; with 39 backlog keys ahead they still
+    # land inside the 50-key window this round.
+    "sim_eval_recall_hamming",
+    "sim_eval_recall_pq_adc",
 ]
 
 
