@@ -1251,11 +1251,20 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     HUGEINT and the whole iteration is bit-stable at any partition
     count. Top-k per side under a (score desc, node id) total order.
 
-    Scale: the edge list builds once (orderkey equi-join, distinct)
-    and is localCheckpoint-ed; each half-step is one node-keyed join +
-    one map-side-combinable sum — O(|E|) shuffle per step, the
-    `graph_pagerank_tokens` posture — and each node-sized score frame
-    localCheckpoints to cut the unrolled lineage (CLAUDE.md rule 5).
+    Scale: the edge list builds once (SHUFFLE_HASH orderkey equi-join +
+    distinct — no 18M-row sorts) and is localCheckpoint-ed; each RAW
+    half-step frame localCheckpoints to cut the unrolled lineage
+    (CLAUDE.md rule 5 — the totals agg and the normalize both reference
+    it, so an uncheckpointed unroll would double the plan per level);
+    the half-step joins BROADCAST the node-sized score frame under the
+    `io.table_bytes` gate (zero edge shuffles per half-step), degrading
+    to the node-keyed shuffle join past it. Round-15 sweep: 10.5 s →
+    6.0 s at 30x facts (6.3x DuckDB — serial half-step stage latency
+    over the fixture's SATURATED ~600k-edge graph dominates there) and
+    **1.27x at 100x** where the edge build is the data term — the
+    floor-valley shape, with `graph_connected_components` showing the
+    inverse at both points (DuckDB's recursive CTE interrupted at
+    300-900 s vs Spark 7.8/19.1 s). Numbers: SCALE.md round 15.
 
     vs reference: no analogue (no graph surface in `dashboard_nfp.py`).
     """
@@ -1270,8 +1279,13 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("o_orderkey"),
         F.col("l_partkey").alias("part"),
     )
+    # edge build: explicit SHUFFLE_HASH with the 2-column orders
+    # projection as build side — no 18M + 4.5M row sorts (the default
+    # SMJ measured 3.5 s vs 2.4 s at 30x; same pattern as q8's gated
+    # degrade, and per-partition builds stay bounded because the build
+    # side is the reduced key projection)
     edges = (
-        orders.join(li, "o_orderkey")
+        li.join(orders.hint("SHUFFLE_HASH"), "o_orderkey")
         .select(F.col("o_custkey").alias("cust"), "part")
         .distinct()
         .localCheckpoint(eager=True)
@@ -1288,43 +1302,59 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     def dd(c):
         return c.cast("decimal(38,0)")
 
+    from ..io import table_bytes
+
+    # node-sized score frames broadcast into the edge probe under the
+    # size gate (zero edge shuffles per half-step); past the gate the
+    # join degrades to the node-keyed shuffle — O(|E|) exchange per
+    # half-step, the `graph_pagerank_tokens` posture
+    small = table_bytes(sf_dir, "orders") <= 256 << 20
+
+    def side(df):
+        return F.broadcast(df) if small else df
+
     a = None
     for _i in range(HITS_ITERS):
+        # checkpoint the RAW half-step frame, not the normalized one:
+        # the totals agg and the normalize select BOTH reference it, and
+        # without the cut the whole edges-join-agg subtree executes
+        # twice per half-step (the unroll doubles per level, CLAUDE.md
+        # rule 5). A window-normalized single-chain form with one final
+        # checkpoint was tried in round 15 and measured WORSE (7.2 s vs
+        # 6.4 s at 30x): each mid-plan broadcast build re-executes the
+        # chain above it, while eager checkpoints pin each half-step.
+        # The residual 30x gap vs DuckDB is serial stage latency over a
+        # SATURATED graph (fixture replicas share cust/part keys, so the
+        # edge list is ~600k at every rep) — see SCALE.md round 15.
         a_raw = (
-            edges.join(h, "cust")
+            edges.join(side(h), "cust")
             .groupBy("part")
             .agg(F.sum(dd(F.col("q"))).alias("raw"))
+            .localCheckpoint(eager=True)
         )
         a_tot = a_raw.agg(F.sum("raw").alias("t"))
-        a = (
-            a_raw.crossJoin(F.broadcast(a_tot))
-            .select(
-                "part",
-                _nearest_long_away(
-                    F.col("raw").cast("double")
-                    / F.col("t").cast("double")
-                    * F.lit(HITS_SCALE)
-                ).alias("q"),
-            )
-            .localCheckpoint(eager=True)
+        a = a_raw.crossJoin(F.broadcast(a_tot)).select(
+            "part",
+            _nearest_long_away(
+                F.col("raw").cast("double")
+                / F.col("t").cast("double")
+                * F.lit(HITS_SCALE)
+            ).alias("q"),
         )
         h_raw = (
-            edges.join(a, "part")
+            edges.join(side(a), "part")
             .groupBy("cust")
             .agg(F.sum(dd(F.col("q"))).alias("raw"))
+            .localCheckpoint(eager=True)
         )
         h_tot = h_raw.agg(F.sum("raw").alias("t"))
-        h = (
-            h_raw.crossJoin(F.broadcast(h_tot))
-            .select(
-                "cust",
-                _nearest_long_away(
-                    F.col("raw").cast("double")
-                    / F.col("t").cast("double")
-                    * F.lit(HITS_SCALE)
-                ).alias("q"),
-            )
-            .localCheckpoint(eager=True)
+        h = h_raw.crossJoin(F.broadcast(h_tot)).select(
+            "cust",
+            _nearest_long_away(
+                F.col("raw").cast("double")
+                / F.col("t").cast("double")
+                * F.lit(HITS_SCALE)
+            ).alias("q"),
         )
     wa = Window.orderBy(F.col("q").desc(), "part")
     wh = Window.orderBy(F.col("q").desc(), "cust")
