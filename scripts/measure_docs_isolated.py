@@ -48,7 +48,13 @@ out_dir = os.path.join({repo!r}, f".bench_docs{{rep}}x")
 spark = get_spark(app_name="iso_docs",
                   shuffle_partitions=(32 if rep >= 100 else 16),
                   extra_conf={{"spark.sql.adaptive.enabled":
-                               ("true" if rep >= 100 else "false")}})
+                               ("true" if rep >= 100 else "false"),
+                               # match the bench session: constraint-
+                               # propagation inference is NOT plan-time-
+                               # only on explode-heavy plans (A/B: 13.0
+                               # vs 9.6 s on ngram@30x — SCALE.md r15)
+                               "spark.sql.constraintPropagation.enabled":
+                               "false"}})
 spark.sparkContext.setLogLevel("ERROR")
 t0 = time.time()
 bench._ensure_docs_rep(spark, base_dir, out_dir, n_rep=rep)
