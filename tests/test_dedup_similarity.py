@@ -388,6 +388,13 @@ def test_ann_recall_evals_beat_chance(spark):
         # chance; sf0.01: 0.08 ~= 7.8x) — floor at 2.5x so the test pins
         # "clearly better than random" without riding the fixture edge
         (sim.sim_eval_recall_pq_adc, 2.5),
+        # IVF (16 lists / 4 probes, stand-in codebook): partition-pruning
+        # loss only — fixture mean 0.46 (sf0.001) / 0.30 (sf0.01)
+        (sim.sim_eval_recall_ivf, 10.0),
+        # symmetric int8 keeps ~7 significant bits/dim: fixture mean 0.98
+        # at both sfs — the top rung of the measured quantization ladder
+        # (int8 0.98 >> hamming 0.24 >> pq 0.08); floor in absolute terms
+        (sim.sim_eval_recall_int8, 0.9 / (sim.TOP_K / (500 - sim.N_QUERIES))),
     ):
         rows = fn(spark, SF).collect()
         assert len(rows) == sim.N_QUERIES

@@ -3130,11 +3130,12 @@ _TRUTH64_SQL = (
 )
 
 
-def _ann_recall_oracle(ann_sql: str) -> str:
+def _ann_recall_oracle(ann_sql: str, truth_sql: str | None = None) -> str:
     """Compose the recall@k oracle from the ANN key's own oracle SQL and
-    the exact-cosine truth SQL as derived tables (each keeps its own WITH
+    an exact-cosine truth SQL as derived tables (each keeps its own WITH
     chain). Arithmetic mirrors `_ann_recall_vs_exact` exactly: LEFT join,
     CASE-counted hits, CAST-to-DOUBLE division, ROUND 6."""
+    t_sql = _TRUTH64_SQL if truth_sql is None else truth_sql
     return (
         "SELECT ann.query_id, "
         "CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) "
@@ -3143,7 +3144,7 @@ def _ann_recall_oracle(ann_sql: str) -> str:
         "ELSE 0 END) AS DOUBLE) / "
         f"{float(TOP_K)!r}, 6) AS recall_at_k "
         f"FROM ({ann_sql}) ann "
-        f"LEFT JOIN ({_TRUTH64_SQL}) t "
+        f"LEFT JOIN ({t_sql}) t "
         "ON t.query_id = ann.query_id "
         "AND t.neighbor_id = ann.neighbor_id "
         "GROUP BY ann.query_id ORDER BY ann.query_id"
@@ -3155,4 +3156,47 @@ ORACLE["sim_eval_recall_hamming"] = _ann_recall_oracle(
 )
 ORACLE["sim_eval_recall_pq_adc"] = _ann_recall_oracle(
     ORACLE["sim_search_pq_adc"]
+)
+
+
+def sim_eval_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star ANN eval — **measured recall@k of the IVF probe
+    search** (`sim_search_ann_ivf`, 16 lists / 4 probes) against the
+    plain exact-cosine truth set (IVF filters nothing, so the truth is
+    the unfiltered ranking). Completes the measured-recall family over
+    every ANN variant: this key scores the PARTITION-PRUNING recall loss
+    (a true neighbor whose list the query never probes), where the PQ
+    and Hamming twins score QUANTIZATION loss."""
+    return _ann_recall_vs_exact(
+        sim_search_ann_ivf(spark, sf_dir),
+        sim_search_cosine(spark, sf_dir).select("query_id", "neighbor_id"),
+    )
+
+
+def sim_eval_recall_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star ANN eval — **measured recall@k of the symmetric-int8
+    MIPS search** (`sim_search_int8_mips`) against the exact-cosine
+    truth. int8 keeps ~7 significant bits per dim, so its recall sits
+    near 1.0 — the measured anchor for the quantization ladder
+    (int8 ≫ 64-bit sign ≫ 12-bit PQ) the docstrings assert."""
+    return _ann_recall_vs_exact(
+        sim_search_int8_mips(spark, sf_dir),
+        sim_search_cosine(spark, sf_dir).select("query_id", "neighbor_id"),
+    )
+
+
+QUERIES["sim_eval_recall_ivf"] = sim_eval_recall_ivf
+QUERIES["sim_eval_recall_int8"] = sim_eval_recall_int8
+
+_TRUTH_PLAIN_SQL = (
+    "SELECT query_id, neighbor_id FROM ("
+    + ORACLE["sim_search_cosine"]
+    + ") cx"
+)
+
+ORACLE["sim_eval_recall_ivf"] = _ann_recall_oracle(
+    ORACLE["sim_search_ann_ivf"], _TRUTH_PLAIN_SQL
+)
+ORACLE["sim_eval_recall_int8"] = _ann_recall_oracle(
+    ORACLE["sim_search_int8_mips"], _TRUTH_PLAIN_SQL
 )

@@ -153,6 +153,8 @@ _SAMPLE_PRIORITY = [
     # land inside the 50-key window this round.
     "sim_eval_recall_hamming",
     "sim_eval_recall_pq_adc",
+    "sim_eval_recall_ivf",
+    "sim_eval_recall_int8",
 ]
 
 
