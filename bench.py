@@ -545,24 +545,28 @@ def _sfn_section(
     # (exchanges + the result stage); the data term is what remains after
     # subtracting it. Reported so the arithmetic is checkable in the JSON:
     # cep_data_ratio = (cep_sec - noop_floor * n_stages) / duck_cep_sec.
-    spark.range(1).toPandas()
-    noop_times = []
-    for _ in range(SCALE_RUNS):
-        t = time.time()
+    cep_floor = None
+    if "events_pattern_match" in SFN_QUERIES:  # absent in test minis
         spark.range(1).toPandas()
-        noop_times.append(time.time() - t)
-    section_floor = round(statistics.median(noop_times), 4)
-    cep_plan = (
-        qs[SFN_QUERIES["events_pattern_match"]](spark, out_dir)
-        ._jdf.queryExecution().executedPlan().toString()
-    )
-    cep_n_exchanges = cep_plan.count("Exchange")
-    cep_floor = {
-        "noop_floor_sec": section_floor,
-        "n_exchanges": cep_n_exchanges,
-        "n_stages": cep_n_exchanges + 1,
-        "floor_est_sec": round(section_floor * (cep_n_exchanges + 1), 4),
-    }
+        noop_times = []
+        for _ in range(SCALE_RUNS):
+            t = time.time()
+            spark.range(1).toPandas()
+            noop_times.append(time.time() - t)
+        section_floor = round(statistics.median(noop_times), 4)
+        cep_plan = (
+            qs[SFN_QUERIES["events_pattern_match"]](spark, out_dir)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        cep_n_exchanges = cep_plan.count("Exchange")
+        cep_floor = {
+            "noop_floor_sec": section_floor,
+            "n_exchanges": cep_n_exchanges,
+            "n_stages": cep_n_exchanges + 1,
+            "floor_est_sec": round(
+                section_floor * (cep_n_exchanges + 1), 4
+            ),
+        }
 
     # DuckDB timed AFTER all Spark runs, in a fresh subprocess — no
     # in-process contention with the live JVM (see _DUCK_TIMER_CHILD);
@@ -647,37 +651,41 @@ def _sfn_section(
         },
         "spark_slope_vs_sf1": slopes,
         "ideal_slope": round(rep / SF1_REP, 2),
-        "cep_floor_decomposition": {
-            **cep_floor,
-            "cep_sec": spark_sec.get("events_pattern_match"),
-            "duck_cep_sec": duck_sec.get("events_pattern_match"),
-            "cep_data_sec": (
-                round(
-                    max(
-                        0.0,
-                        spark_sec["events_pattern_match"]
-                        - cep_floor["floor_est_sec"],
-                    ),
-                    4,
-                )
-                if spark_sec.get("events_pattern_match")
-                else None
-            ),
-            "cep_data_ratio": (
-                round(
-                    max(
-                        0.0,
-                        spark_sec["events_pattern_match"]
-                        - cep_floor["floor_est_sec"],
+        "cep_floor_decomposition": (
+            {
+                **cep_floor,
+                "cep_sec": spark_sec.get("events_pattern_match"),
+                "duck_cep_sec": duck_sec.get("events_pattern_match"),
+                "cep_data_sec": (
+                    round(
+                        max(
+                            0.0,
+                            spark_sec["events_pattern_match"]
+                            - cep_floor["floor_est_sec"],
+                        ),
+                        4,
                     )
-                    / duck_sec["events_pattern_match"],
-                    2,
-                )
-                if spark_sec.get("events_pattern_match")
-                and duck_sec.get("events_pattern_match")
-                else None
-            ),
-        },
+                    if spark_sec.get("events_pattern_match")
+                    else None
+                ),
+                "cep_data_ratio": (
+                    round(
+                        max(
+                            0.0,
+                            spark_sec["events_pattern_match"]
+                            - cep_floor["floor_est_sec"],
+                        )
+                        / duck_sec["events_pattern_match"],
+                        2,
+                    )
+                    if spark_sec.get("events_pattern_match")
+                    and duck_sec.get("events_pattern_match")
+                    else None
+                ),
+            }
+            if cep_floor is not None
+            else None
+        ),
     }
 
     if include_docs:
