@@ -5302,3 +5302,430 @@ ORACLE["agg_coefficient_of_variation"] = (
     "FROM g WHERE n > 1 AND CAST(n AS HUGEINT) * q - s * s > 0 "
     "ORDER BY priority"
 )
+
+
+# --- Resampling inference family (round 15) ---------------------------------
+# Bootstrap / permutation / jackknife — the nonparametric-inference tier
+# every A/B platform ships beside the closed-form tests above. All three
+# are RNG-free: resample draws come from salted portable md5 (the
+# `agg_srm_assignment_check` / `agg_halfsample_ci` device), so every
+# draw is a pure function of the row key and replicate id — identical on
+# any cluster layout and bit-reproducible in DuckDB.
+
+BOOT_B = 48  # bootstrap replicates (one explode, map-side-combinable)
+PERM_P = 64  # permutation replicates
+
+# Poisson(1) CDF at 0..5 (exact to 10 dp; both engines compare the SAME
+# md5-uniform against the SAME constants): the Poisson bootstrap
+# (Chamandy et al., "Estimating Uncertainty for Massive Data Streams",
+# Google 2012) replaces multinomial resampling — which needs global
+# coordination — with per-row independent Poisson(1) weights, the
+# standard distributed-bootstrap device.
+_POIS_CUM = (
+    0.3678794412,
+    0.7357588823,
+    0.9196986029,
+    0.9810118431,
+    0.9963401532,
+    0.9994058152,
+)
+
+
+def _md5_uniform(prefix: str, rep_col, key_col) -> "F.Column":
+    """Uniform in [0, 1) from the first 8 hex chars of a salted md5 —
+    pure function of (prefix, replicate id, row key), portable."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(prefix),
+                        rep_col.cast("string"),
+                        F.lit(":"),
+                        key_col.cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+
+
+def _md5_uniform_sql(prefix: str, rep_expr: str, key_expr: str) -> str:
+    return (
+        "CAST(('0x' || substr(md5('" + prefix + "' || "
+        f"CAST({rep_expr} AS VARCHAR) || ':' || "
+        f"CAST({key_expr} AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0"
+    )
+
+
+def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Poisson-bootstrap percentile CI** for the mean order price:
+    ``BOOT_B`` replicates, each weighting every row by an independent
+    Poisson(1) count drawn from the portable md5 uniform via the exact
+    CDF constants above; the 2.5/97.5 percentiles of the replicate
+    means are the interval (Efron's percentile method on the
+    distributed Poisson bootstrap).
+
+    Determinism: weights are integer CASE cuts of a portable uniform;
+    replicate sums are exact (scaled-int64 values, wide DECIMAL(38,0)
+    accumulators ≡ HUGEINT — Σw·v reaches ~2.7e18 at 1000x); each
+    replicate mean rounds via `dround` 6 before the percentile, and
+    Spark ``percentile`` ≡ DuckDB ``quantile_cont`` (same linear
+    interpolation) on the identical 48 doubles.
+
+    Scale: ONE pass over the exploded (row x replicate) stream with a
+    map-side-combinable conditional sum — the Poisson trick exists
+    precisely so the bootstrap needs no global resampling state; rows
+    drawing weight 0 (~37%) are filtered before the shuffle. The
+    replicate frame is BOOT_B rows.
+
+    vs reference: no analogue — the dashboard reports raw means
+    (`dashboard_nfp.py:85-96`) with no uncertainty."""
+    from ..functions.numerics import _nearest_long_away
+
+    orders = read_table(spark, sf_dir, "orders")
+    v = _nearest_long_away(F.col("o_totalprice") * 10000)
+    full = orders.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(v.cast("decimal(38,0)")).alias("s_full"),
+    )
+    rows = orders.select(
+        F.col("o_orderkey").alias("ok"), v.alias("v")
+    ).select(
+        "ok",
+        "v",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+    )
+    u = _md5_uniform("boot:", F.col("b"), F.col("ok"))
+    w = F.when(u < _POIS_CUM[0], F.lit(0))
+    for k in range(1, 6):
+        w = w.when(u < _POIS_CUM[k], F.lit(k))
+    w = w.otherwise(F.lit(6))
+    reps = (
+        rows.select("b", "v", w.alias("w"))
+        .filter(F.col("w") > 0)
+        .groupBy("b")
+        .agg(
+            F.sum((F.col("w") * F.col("v")).cast("decimal(38,0)")).alias(
+                "swv"
+            ),
+            F.sum("w").cast("long").alias("sw"),
+        )
+        .select(
+            dround(
+                F.col("swv").cast("double")
+                / F.col("sw").cast("double")
+                / 10000.0,
+                6,
+            ).alias("mean_b")
+        )
+    )
+    ci = reps.agg(
+        F.count(F.lit(1)).cast("int").alias("n_resamples"),
+        F.percentile("mean_b", F.lit(0.025)).alias("lo"),
+        F.percentile("mean_b", F.lit(0.975)).alias("hi"),
+    )
+    return full.crossJoin(F.broadcast(ci)).select(
+        "n_orders",
+        dround(
+            F.col("s_full").cast("double")
+            / 10000.0
+            / F.col("n_orders").cast("double"),
+            4,
+        ).alias("mean_price"),
+        dround(F.col("lo"), 4).alias("boot_lo95"),
+        dround(F.col("hi"), 4).alias("boot_hi95"),
+        "n_resamples",
+    )
+
+
+QUERIES["agg_bootstrap_ci"] = agg_bootstrap_ci
+
+_BOOT_W_SQL = (
+    "CASE WHEN u < 0.3678794412 THEN 0 WHEN u < 0.7357588823 THEN 1 "
+    "WHEN u < 0.9196986029 THEN 2 WHEN u < 0.9810118431 THEN 3 "
+    "WHEN u < 0.9963401532 THEN 4 WHEN u < 0.9994058152 THEN 5 "
+    "ELSE 6 END"
+)
+
+ORACLE["agg_bootstrap_ci"] = (
+    "WITH full_s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_orders, "
+    "SUM(CAST(CAST(ROUND(o_totalprice * 10000) AS BIGINT) AS HUGEINT)) "
+    "AS s_full FROM orders), "
+    f"r AS (SELECT CAST(range AS INT) AS b FROM range({BOOT_B})), "
+    "e AS (SELECT b, CAST(ROUND(o_totalprice * 10000) AS BIGINT) AS v, "
+    + _md5_uniform_sql("boot:", "b", "o_orderkey")
+    + " AS u FROM orders, r), "
+    f"wv AS (SELECT b, v, {_BOOT_W_SQL} AS w FROM e), "
+    "m AS (SELECT b, ROUND(CAST(SUM(CAST(w * v AS HUGEINT)) AS DOUBLE) "
+    "/ CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE) / 10000.0, 6) AS mean_b "
+    "FROM wv WHERE w > 0 GROUP BY b), "
+    "ci AS (SELECT CAST(COUNT(*) AS INT) AS n_resamples, "
+    "quantile_cont(mean_b, 0.025) AS lo, "
+    "quantile_cont(mean_b, 0.975) AS hi FROM m) "
+    "SELECT n_orders, "
+    "ROUND(CAST(s_full AS DOUBLE) / 10000.0 / CAST(n_orders AS DOUBLE), "
+    "4) AS mean_price, "
+    "ROUND(lo, 4) AS boot_lo95, ROUND(hi, 4) AS boot_hi95, n_resamples "
+    "FROM full_s, ci"
+)
+
+
+def agg_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Random-relabel permutation test** for the mean-price difference
+    between URGENT (`o_orderpriority = '1-URGENT'`) and all other
+    orders: ``PERM_P`` replicates re-assign every row to a pseudo-URGENT
+    arm with probability n_urgent/n via the portable md5 uniform, and
+    the p-value is the add-one-smoothed exceedance fraction
+    ``(1 + #{|diff_p| ≥ |diff_obs|}) / (P + 1)`` (Phipson & Smyth 2010
+    — the unbiased convention). Random RE-LABELING (Bernoulli with the
+    observed arm rate) rather than an exact permutation of labels: an
+    exact permutation needs a global shuffle of the label vector, while
+    relabeling is per-row independent — the distributed form, and the
+    two are asymptotically equivalent.
+
+    Determinism: assignment is a pure md5 function of (replicate, row);
+    per-replicate arm sums are exact wide-decimal integer sums; each
+    diff rounds via `dround` 6 BEFORE the exceedance comparison, so the
+    count compares identical doubles in both engines. Replicates where
+    either pseudo-arm is empty are dropped by the same filter on both
+    sides (with ~150k rows and q≈0.2 this never fires in practice).
+
+    Scale: one base conditional aggregate + ONE exploded
+    (row x replicate) pass with a map-side-combinable conditional sum;
+    the replicate frame is PERM_P rows."""
+    from ..functions.numerics import _nearest_long_away
+
+    orders = read_table(spark, sf_dir, "orders")
+    v = _nearest_long_away(F.col("o_totalprice") * 10000)
+    is_u = F.col("o_orderpriority") == "1-URGENT"
+    base = orders.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(is_u, 1).otherwise(0)).cast("long").alias("n_u"),
+        F.sum(F.when(is_u, v).otherwise(0).cast("decimal(38,0)")).alias(
+            "s_u"
+        ),
+        F.sum(F.when(~is_u, v).otherwise(0).cast("decimal(38,0)")).alias(
+            "s_o"
+        ),
+    ).select(
+        "n",
+        "n_u",
+        dround(
+            F.col("s_u").cast("double")
+            / F.col("n_u").cast("double")
+            / 10000.0
+            - F.col("s_o").cast("double")
+            / (F.col("n") - F.col("n_u")).cast("double")
+            / 10000.0,
+            6,
+        ).alias("diff_obs"),
+        (F.col("n_u").cast("double") / F.col("n").cast("double")).alias(
+            "q"
+        ),
+    )
+    rows = orders.select(
+        F.col("o_orderkey").alias("ok"), v.alias("v")
+    ).select(
+        "ok",
+        "v",
+        F.explode(F.sequence(F.lit(0), F.lit(PERM_P - 1))).alias("p"),
+    )
+    u = _md5_uniform("perm:", F.col("p"), F.col("ok"))
+    flagged = rows.crossJoin(F.broadcast(base.select("q"))).select(
+        "p", "v", (u < F.col("q")).alias("fa")
+    )
+    reps = (
+        flagged.groupBy("p")
+        .agg(
+            F.sum(F.when(F.col("fa"), 1).otherwise(0))
+            .cast("long")
+            .alias("na"),
+            F.sum(
+                F.when(F.col("fa"), F.col("v"))
+                .otherwise(0)
+                .cast("decimal(38,0)")
+            ).alias("sa"),
+            F.sum(
+                F.when(~F.col("fa"), F.col("v"))
+                .otherwise(0)
+                .cast("decimal(38,0)")
+            ).alias("sb"),
+            F.count(F.lit(1)).cast("long").alias("np"),
+        )
+        .filter((F.col("na") > 0) & (F.col("na") < F.col("np")))
+        .select(
+            dround(
+                F.col("sa").cast("double")
+                / F.col("na").cast("double")
+                / 10000.0
+                - F.col("sb").cast("double")
+                / (F.col("np") - F.col("na")).cast("double")
+                / 10000.0,
+                6,
+            ).alias("diff_p")
+        )
+    )
+    exceed = reps.crossJoin(F.broadcast(base.select("diff_obs"))).agg(
+        F.count(F.lit(1)).cast("int").alias("n_perms"),
+        F.sum(
+            F.when(
+                F.abs(F.col("diff_p")) >= F.abs(F.col("diff_obs")), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_exceed"),
+    )
+    return base.crossJoin(F.broadcast(exceed)).select(
+        "n",
+        F.col("n_u").alias("n_urgent"),
+        dround(F.col("diff_obs"), 4).alias("diff_obs"),
+        "n_perms",
+        "n_exceed",
+        dround(
+            (F.lit(1) + F.col("n_exceed")).cast("double")
+            / (F.lit(1) + F.col("n_perms")).cast("double"),
+            6,
+        ).alias("p_value"),
+    )
+
+
+QUERIES["agg_permutation_test"] = agg_permutation_test
+
+ORACLE["agg_permutation_test"] = (
+    "WITH base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_u, "
+    "SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN "
+    "CAST(CAST(ROUND(o_totalprice * 10000) AS BIGINT) AS HUGEINT) "
+    "ELSE 0 END) AS s_u, "
+    "SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 0 ELSE "
+    "CAST(CAST(ROUND(o_totalprice * 10000) AS BIGINT) AS HUGEINT) "
+    "END) AS s_o FROM orders), "
+    "ob AS (SELECT n, n_u, "
+    "ROUND(CAST(s_u AS DOUBLE) / CAST(n_u AS DOUBLE) / 10000.0 "
+    "- CAST(s_o AS DOUBLE) / CAST(n - n_u AS DOUBLE) / 10000.0, 6) "
+    "AS diff_obs, "
+    "CAST(n_u AS DOUBLE) / CAST(n AS DOUBLE) AS q FROM base), "
+    f"r AS (SELECT CAST(range AS INT) AS p FROM range({PERM_P})), "
+    "e AS (SELECT p, CAST(ROUND(o_totalprice * 10000) AS BIGINT) AS v, "
+    + _md5_uniform_sql("perm:", "p", "o_orderkey")
+    + " < (SELECT q FROM ob) AS fa FROM orders, r), "
+    "g AS (SELECT p, "
+    "CAST(SUM(CASE WHEN fa THEN 1 ELSE 0 END) AS BIGINT) AS na, "
+    "SUM(CASE WHEN fa THEN CAST(v AS HUGEINT) ELSE 0 END) AS sa, "
+    "SUM(CASE WHEN fa THEN 0 ELSE CAST(v AS HUGEINT) END) AS sb, "
+    "CAST(COUNT(*) AS BIGINT) AS np FROM e GROUP BY p), "
+    "d AS (SELECT ROUND(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) "
+    "/ 10000.0 - CAST(sb AS DOUBLE) / CAST(np - na AS DOUBLE) "
+    "/ 10000.0, 6) AS diff_p FROM g WHERE na > 0 AND na < np), "
+    "x AS (SELECT CAST(COUNT(*) AS INT) AS n_perms, "
+    "CAST(SUM(CASE WHEN ABS(diff_p) >= "
+    "(SELECT ABS(diff_obs) FROM ob) THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_exceed FROM d) "
+    "SELECT n, n_u AS n_urgent, ROUND(diff_obs, 4) AS diff_obs, "
+    "n_perms, n_exceed, "
+    "ROUND(CAST(1 + n_exceed AS DOUBLE) "
+    "/ CAST(1 + n_perms AS DOUBLE), 6) AS p_value FROM ob, x"
+)
+
+
+def agg_jackknife_ratio_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Delete-1 jackknife standard error of the ratio estimator**
+    R = Σ(extendedprice)/Σ(quantity) over lineitem — the classic
+    survey-statistics device (Quenouille/Tukey) for a NONLINEAR
+    statistic whose variance has no exact closed form. The jackknife is
+    embarrassingly distributable for ratios: each leave-one-out
+    replicate ``R_(i) = (Sy − y_i)/(Sx − x_i)`` is a pure function of
+    the row and the two broadcast totals, so the n replicates need no
+    resampling pass — one totals aggregate, then one row-parallel pass.
+
+    Determinism: totals are exact scaled-int sums in DECIMAL(38,0) ≡
+    HUGEINT; each R_(i) is the identical double division in both
+    engines and quantizes per-term to round(R_(i)·1e9) int64
+    (~1.5e12 — far inside range); Σt and Σt² accumulate in
+    DECIMAL(38,0) (Σt² ~1e32 at 100x, inside 38 digits). (Σt)² would
+    overflow exact space at scale, so the mean-square term is computed
+    in DOUBLE from the exact sums — the same IEEE expression both
+    sides. var_jack = (n−1)/n · Σ(R_(i) − R̄_J)².
+
+    Scale: two passes over the fact table (totals, then the broadcast-
+    totals row pass), both map-side-combinable; no shuffle carries more
+    than the aggregate partials."""
+    from ..functions.numerics import _nearest_long_away
+
+    li = read_table(spark, sf_dir, "lineitem")
+    vy = _nearest_long_away(F.col("l_extendedprice") * 10000)
+    vx = _nearest_long_away(F.col("l_quantity") * 10000)
+    tot = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(vy.cast("decimal(38,0)")).alias("sy"),
+        F.sum(vx.cast("decimal(38,0)")).alias("sx"),
+    )
+    t = _nearest_long_away(
+        (F.col("sy") - F.col("vy")).cast("double")
+        / (F.col("sx") - F.col("vx")).cast("double")
+        * 1e9
+    )
+    acc = (
+        li.select(vy.alias("vy"), vx.alias("vx"))
+        .crossJoin(F.broadcast(tot))
+        .select(t.alias("t"))
+        .agg(
+            F.sum(F.col("t").cast("decimal(38,0)")).alias("st"),
+            F.sum(
+                (F.col("t").cast("decimal(38,0)") * F.col("t")).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("st2"),
+        )
+    )
+    rbar = F.col("st").cast("double") / 1e9 / F.col("n").cast("double")
+    ss = (
+        F.col("st2").cast("double") / 1e18
+        - F.col("n").cast("double") * rbar * rbar
+    )
+    var_jack = (
+        (F.col("n") - 1).cast("double") / F.col("n").cast("double") * ss
+    )
+    return tot.crossJoin(F.broadcast(acc)).select(
+        "n",
+        dround(
+            F.col("sy").cast("double") / F.col("sx").cast("double"), 6
+        ).alias("ratio_price_per_qty"),
+        dround(F.sqrt(F.greatest(var_jack, F.lit(0.0))), 6).alias(
+            "jackknife_se"
+        ),
+    )
+
+
+QUERIES["agg_jackknife_ratio_variance"] = agg_jackknife_ratio_variance
+
+ORACLE["agg_jackknife_ratio_variance"] = (
+    "WITH tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+    "SUM(CAST(CAST(ROUND(l_extendedprice * 10000) AS BIGINT) "
+    "AS HUGEINT)) AS sy, "
+    "SUM(CAST(CAST(ROUND(l_quantity * 10000) AS BIGINT) AS HUGEINT)) "
+    "AS sx FROM lineitem), "
+    "rowp AS (SELECT CAST(ROUND(CAST(sy - CAST(ROUND(l_extendedprice "
+    "* 10000) AS BIGINT) AS DOUBLE) / CAST(sx - CAST(ROUND(l_quantity "
+    "* 10000) AS BIGINT) AS DOUBLE) * 1000000000.0) AS BIGINT) AS t "
+    "FROM lineitem, tot), "
+    "acc AS (SELECT SUM(CAST(t AS HUGEINT)) AS st, "
+    "SUM(CAST(t AS HUGEINT) * CAST(t AS HUGEINT)) AS st2 FROM rowp) "
+    "SELECT n, "
+    "ROUND(CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE), 6) "
+    "AS ratio_price_per_qty, "
+    "ROUND(sqrt(GREATEST(CAST(n - 1 AS DOUBLE) / CAST(n AS DOUBLE) * "
+    "(CAST(st2 AS DOUBLE) / 1e18 - CAST(n AS DOUBLE) * "
+    "(CAST(st AS DOUBLE) / 1e9 / CAST(n AS DOUBLE)) * "
+    "(CAST(st AS DOUBLE) / 1e9 / CAST(n AS DOUBLE))), 0.0)), 6) "
+    "AS jackknife_se FROM tot, acc"
+)

@@ -796,3 +796,106 @@ ORACLE["window_rolling_sharpe"] = (
     "FROM f WHERE CAST(w AS HUGEINT) * s2 - s1 * s1 > 0 AND w >= 2 "
     "ORDER BY priority, mon"
 )
+
+
+def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Rolling 30-day Pearson correlation** between daily order count
+    and daily revenue, per order priority — the co-movement diagnostic
+    (does volume drive revenue, and does the coupling drift?) beside
+    `window_rolling_ols_slope`'s univariate trend fit.
+
+    Determinism: the five rolling sums (Σx, Σy, Σxy, Σx², Σy²) are
+    EXACT — counts and scaled-int64 revenue, with the products
+    accumulated in DECIMAL(38,0) ≡ HUGEINT (x·y reaches ~9e18 and y²
+    ~6e26 at the 1000x extrapolation); the correlation assembles in
+    DOUBLE from the exact sums with `F.try_divide` (zero-variance
+    windows → NULL, filtered by the SAME predicate both engines) and
+    rounds per-row via `dround` 6 (the per-row-ratio rule). Only full
+    30-day windows emit.
+
+    Scale: one daily pre-aggregate (map-side combinable), then ONE
+    window exchange+sort on the ~(priority x day) frame — calendar-
+    bounded, the `window_bollinger_bands` posture; all five frame
+    aggregates share the WindowSpec → a single WindowExec."""
+    from ..functions.numerics import _nearest_long_away
+
+    orders = read_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("day", F.col("o_orderdate")).alias("day"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.sum(
+            _nearest_long_away(F.col("o_totalprice") * 10000)
+        ).cast("long").alias("y"),
+    )
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("day")
+        .rowsBetween(-29, Window.currentRow)
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    rolled = daily.select(
+        "priority",
+        "day",
+        F.count(F.lit(1)).over(w).cast("long").alias("nw"),
+        F.sum("x").over(w).cast("long").alias("sx"),
+        F.sum(dec(F.col("y"))).over(w).alias("sy"),
+        F.sum(dec(F.col("x") * F.col("y"))).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("long").alias("sx2"),
+        F.sum(dec(dec(F.col("y")) * F.col("y"))).over(w).alias("sy2"),
+    ).filter(F.col("nw") == 30)
+    nd = F.col("nw").cast("double")
+    cov = nd * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    vx = nd * F.col("sx2").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    vy = nd * F.col("sy2").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    corr = F.try_divide(cov, F.sqrt(vx) * F.sqrt(vy))
+    return (
+        rolled.select(
+            "priority",
+            "day",
+            F.col("sx").alias("orders_30d"),
+            dround(corr, 6).alias("corr_30d"),
+        )
+        .filter(F.col("corr_30d").isNotNull())
+        .orderBy("priority", "day")
+    )
+
+
+QUERIES["window_rolling_corr"] = window_rolling_corr
+
+ORACLE["window_rolling_corr"] = (
+    "WITH daily AS (SELECT o_orderpriority AS priority, "
+    "CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day, "
+    "CAST(COUNT(*) AS BIGINT) AS x, "
+    "CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS BIGINT) "
+    "AS y FROM orders GROUP BY 1, 2), "
+    "rolled AS (SELECT priority, day, "
+    "CAST(COUNT(*) OVER w AS BIGINT) AS nw, "
+    "CAST(SUM(x) OVER w AS BIGINT) AS sx, "
+    "SUM(CAST(y AS HUGEINT)) OVER w AS sy, "
+    "SUM(CAST(x * y AS HUGEINT)) OVER w AS sxy, "
+    "CAST(SUM(x * x) OVER w AS BIGINT) AS sx2, "
+    "SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) OVER w AS sy2 "
+    "FROM daily WINDOW w AS (PARTITION BY priority ORDER BY day "
+    "ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)), "
+    "c AS (SELECT priority, day, sx AS orders_30d, "
+    "ROUND((CAST(nw AS DOUBLE) * CAST(sxy AS DOUBLE) "
+    "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (sqrt(CAST(nw AS "
+    "DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS "
+    "DOUBLE)) * sqrt(CAST(nw AS DOUBLE) * CAST(sy2 AS DOUBLE) "
+    "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr_30d "
+    "FROM rolled WHERE nw = 30 "
+    "AND CAST(nw AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) "
+    "* CAST(sx AS DOUBLE) > 0 "
+    "AND CAST(nw AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) "
+    "* CAST(sy AS DOUBLE) > 0) "
+    "SELECT priority, day, orders_30d, corr_30d FROM c "
+    "WHERE corr_30d IS NOT NULL ORDER BY priority, day"
+)

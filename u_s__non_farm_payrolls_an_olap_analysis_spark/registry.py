@@ -155,6 +155,13 @@ _SAMPLE_PRIORITY = [
     "sim_eval_recall_pq_adc",
     "sim_eval_recall_ivf",
     "sim_eval_recall_int8",
+    # NEW in round 15 — resampling-inference family (Poisson bootstrap /
+    # random-relabel permutation / delete-1 jackknife) + rolling corr;
+    # 39 backlog + 8 new = 47 ≤ the 50-key window, all sampled this round
+    "agg_bootstrap_ci",
+    "agg_permutation_test",
+    "agg_jackknife_ratio_variance",
+    "window_rolling_corr",
 ]
 
 
