@@ -5729,3 +5729,209 @@ ORACLE["agg_jackknife_ratio_variance"] = (
     "(CAST(st AS DOUBLE) / 1e9 / CAST(n AS DOUBLE))), 0.0)), 6) "
     "AS jackknife_se FROM tot, acc"
 )
+
+
+def agg_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**CUPED variance reduction** (Deng, Xu, Kohavi & Walker, WSDM'13
+    — Controlled-experiment Using Pre-Experiment Data): regress each
+    customer's 1997 spend (the experiment-period metric y) on their
+    1996 spend (the pre-period covariate x), θ = cov(x,y)/var(x), and
+    report the variance-reduction factor corr(x,y)² — the number that
+    tells an experimentation platform how much smaller its confidence
+    intervals get by adjusting the metric with pre-period behavior.
+
+    Determinism: per-customer year sums are exact scaled ints; the five
+    global moments (n, Σx, Σy, Σxy, Σx², Σy²) accumulate in
+    DECIMAL(38,0) ≡ HUGEINT with per-term wide products (x·y ~1e20);
+    the covariance algebra then runs in DOUBLE from the exact sums —
+    the identical IEEE expression both engines (exact cross-term space
+    would need 76 digits).
+
+    Scale: one groupBy(customer) shuffle, then a map-side-combinable
+    global aggregate; customers absent from both years are excluded by
+    construction (same rule both engines)."""
+    from ..functions.numerics import _nearest_long_away
+
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    v = _nearest_long_away(F.col("o_totalprice") * 10000)
+    yr = F.year("o_orderdate")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.when(yr == 1996, v).otherwise(0)).cast("long").alias("x"),
+        F.sum(F.when(yr == 1997, v).otherwise(0)).cast("long").alias("y"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    mom = per_cust.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum((dec("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((dec("x") * F.col("x")).cast("decimal(38,0)")).alias("sx2"),
+        F.sum((dec("y") * F.col("y")).cast("decimal(38,0)")).alias("sy2"),
+    )
+    nd = F.col("n").cast("double")
+    cov_n = nd * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    varx_n = nd * F.col("sx2").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    vary_n = nd * F.col("sy2").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    return mom.select(
+        "n",
+        dround(F.try_divide(cov_n, varx_n), 6).alias("theta"),
+        dround(
+            F.try_divide(cov_n * cov_n, varx_n * vary_n), 6
+        ).alias("var_reduction"),
+    )
+
+
+QUERIES["agg_cuped_adjustment"] = agg_cuped_adjustment
+
+ORACLE["agg_cuped_adjustment"] = (
+    "WITH pc AS (SELECT o_custkey, "
+    "CAST(SUM(CASE WHEN year(o_orderdate) = 1996 THEN "
+    "CAST(ROUND(o_totalprice * 10000) AS BIGINT) ELSE 0 END) AS BIGINT) "
+    "AS x, "
+    "CAST(SUM(CASE WHEN year(o_orderdate) = 1997 THEN "
+    "CAST(ROUND(o_totalprice * 10000) AS BIGINT) ELSE 0 END) AS BIGINT) "
+    "AS y FROM orders "
+    "WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+    "AND o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1), "
+    "mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+    "SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy, "
+    "SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy, "
+    "SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sx2, "
+    "SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS sy2 FROM pc) "
+    "SELECT n, "
+    "ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+    "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) "
+    "* CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), "
+    "6) AS theta, "
+    "ROUND(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+    "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) * (CAST(n AS DOUBLE) "
+    "* CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))"
+    " / ((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) "
+    "* CAST(sx AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) "
+    "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS var_reduction "
+    "FROM mom"
+)
+
+
+TUKEY_Q_CRIT = 3.858  # studentized range q(0.05, k=5, df=inf)
+
+
+def agg_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Tukey-Kramer HSD post-hoc pairwise comparisons** across the
+    five order priorities (Tukey 1949; the step after
+    `agg_oneway_anova` rejects — WHICH groups differ): for every pair,
+    ``q = |m_a − m_b| / sqrt(s²_pooled/2 · (1/n_a + 1/n_b))`` against
+    the studentized-range critical value q(0.05, k=5, df=∞) = 3.858
+    (fixed constant, df is millions here).
+
+    Determinism: per-group n/Σv/Σv² are exact (wide per-term squares);
+    the pooled variance and every q assemble in DOUBLE from the exact
+    sums; pairs come from a self-join of the 5-row group frame with a
+    total (group_a < group_b) order.
+
+    Scale: ONE map-side-combinable aggregate over orders; everything
+    after runs on a ≤5-row frame."""
+    from ..functions.numerics import _nearest_long_away
+
+    orders = read_table(spark, sf_dir, "orders")
+    v = _nearest_long_away(F.col("o_totalprice") * 10000)
+    g = orders.groupBy(
+        F.col("o_orderpriority").alias("grp")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum(v.cast("decimal(38,0)")).alias("sg"),
+        F.sum(
+            (v.cast("decimal(38,0)") * v).cast("decimal(38,0)")
+        ).alias("qg"),
+    )
+    # pooled within-group variance: Σ_g (Q_g − S_g²/n_g) / (N − k),
+    # assembled in double from the exact per-group sums
+    comp = g.select(
+        "grp",
+        "ng",
+        (F.col("sg").cast("double") / F.col("ng").cast("double"))
+        .alias("mean_s"),
+        (
+            F.col("qg").cast("double")
+            - F.col("sg").cast("double")
+            * F.col("sg").cast("double")
+            / F.col("ng").cast("double")
+        ).alias("ssw"),
+    )
+    tot = comp.agg(
+        F.sum("ng").cast("long").alias("n_tot"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("ssw").alias("ssw_tot"),
+    )
+    s2 = F.col("ssw_tot") / (F.col("n_tot") - F.col("k")).cast("double")
+    a = comp.select(
+        F.col("grp").alias("group_a"),
+        F.col("ng").alias("na"),
+        F.col("mean_s").alias("ma"),
+    )
+    b = comp.select(
+        F.col("grp").alias("group_b"),
+        F.col("ng").alias("nb"),
+        F.col("mean_s").alias("mb"),
+    )
+    pairs = a.join(b, F.col("group_a") < F.col("group_b")).crossJoin(
+        F.broadcast(tot)
+    )
+    se = F.sqrt(
+        s2
+        / 2.0
+        * (
+            1.0 / F.col("na").cast("double")
+            + 1.0 / F.col("nb").cast("double")
+        )
+    )
+    qstat = F.abs(F.col("ma") - F.col("mb")) / se
+    return pairs.select(
+        "group_a",
+        "group_b",
+        dround((F.col("ma") - F.col("mb")) / 10000.0, 4).alias(
+            "mean_diff"
+        ),
+        dround(qstat, 6).alias("q_stat"),
+        (qstat > F.lit(TUKEY_Q_CRIT)).cast("int").alias("significant"),
+    ).orderBy("group_a", "group_b")
+
+
+QUERIES["agg_tukey_hsd"] = agg_tukey_hsd
+
+ORACLE["agg_tukey_hsd"] = (
+    "WITH g AS (SELECT o_orderpriority AS grp, "
+    "CAST(COUNT(*) AS BIGINT) AS ng, "
+    "SUM(CAST(CAST(ROUND(o_totalprice * 10000) AS BIGINT) AS HUGEINT)) "
+    "AS sg, "
+    "SUM(CAST(CAST(ROUND(o_totalprice * 10000) AS BIGINT) AS HUGEINT) "
+    "* CAST(CAST(ROUND(o_totalprice * 10000) AS BIGINT) AS HUGEINT)) "
+    "AS qg FROM orders GROUP BY 1), "
+    "comp AS (SELECT grp, ng, "
+    "CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) AS mean_s, "
+    "CAST(qg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) "
+    "/ CAST(ng AS DOUBLE) AS ssw FROM g), "
+    "tot AS (SELECT CAST(SUM(ng) AS BIGINT) AS n_tot, "
+    "CAST(COUNT(*) AS BIGINT) AS k, SUM(ssw) AS ssw_tot FROM comp) "
+    "SELECT a.grp AS group_a, b.grp AS group_b, "
+    "ROUND((a.mean_s - b.mean_s) / 10000.0, 4) AS mean_diff, "
+    "ROUND(ABS(a.mean_s - b.mean_s) / sqrt(tot.ssw_tot "
+    "/ CAST(tot.n_tot - tot.k AS DOUBLE) / 2.0 "
+    "* (1.0 / CAST(a.ng AS DOUBLE) + 1.0 / CAST(b.ng AS DOUBLE))), 6) "
+    "AS q_stat, "
+    "CAST(ABS(a.mean_s - b.mean_s) / sqrt(tot.ssw_tot "
+    "/ CAST(tot.n_tot - tot.k AS DOUBLE) / 2.0 "
+    "* (1.0 / CAST(a.ng AS DOUBLE) + 1.0 / CAST(b.ng AS DOUBLE))) "
+    "> 3.858 AS INT) AS significant "
+    "FROM comp a JOIN comp b ON a.grp < b.grp, tot "
+    "ORDER BY group_a, group_b"
+)

@@ -1987,3 +1987,143 @@ ORACLE["timeseries_seasonal_subseries"] = (
     "ROUND(CAST(mx AS DOUBLE) / 10000.0, 4) AS max_revenue "
     "FROM t ORDER BY priority, monum"
 )
+
+
+def timeseries_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Page-Hinkley drift detection** per monthly revenue series
+    (Page 1954 §5; the standard concept-drift monitor in streaming-ML
+    references, e.g. Gama et al. 2014 §3.2): ``PH_T = Σ_{t≤T} (x_t −
+    x̄_t − δ)`` against the RUNNING mean ``x̄_t``, alarming when
+    ``PH_T − min_{t≤T} PH_t > λ``. Unlike `timeseries_cusum_changepoints`
+    (whose reset-at-zero clamp forces a grouped-map recurrence), PH has
+    NO recurrence: running mean, cumulative sum and running minimum are
+    all plain window frames — the whole detector is one exchange+sort
+    with four frame aggregates on the same WindowSpec.
+
+    δ = μ/64, λ = μ/4 — exact power-of-two scalings of the 4-dp series
+    mean, the `timeseries_cusum_changepoints` convention (deterministic,
+    no sigma estimate).
+
+    Determinism: revenue sums are exact scaled ints; ``x̄_t = S_t/t``
+    is the identical double division; each deviation term quantizes to
+    round(term·1e4) int64 BEFORE the cumulative sum, so PH and its
+    running min are exact integer prefix aggregates (no float
+    accumulation order anywhere).
+
+    Scale: one monthly rollup (map-side combinable), then one
+    priority-partitioned window over the calendar-bounded frame."""
+    from ..functions.numerics import _nearest_long_away
+
+    orders = read_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("month", "o_orderdate").alias("mon"),
+    ).agg(
+        F.sum(_nearest_long_away(F.col("o_totalprice") * 10000))
+        .cast("long")
+        .alias("rev_s")
+    )
+    mu = monthly.groupBy("priority").agg(
+        dround(
+            F.sum("rev_s").cast("double")
+            / 10000.0
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("mu")
+    )
+    w_cum = (
+        Window.partitionBy("priority")
+        .orderBy("mon")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = monthly.join(F.broadcast(mu), "priority").select(
+        "priority",
+        "mon",
+        "rev_s",
+        "mu",
+        F.sum("rev_s").over(w_cum).cast("long").alias("s_cum"),
+        F.count(F.lit(1)).over(w_cum).cast("long").alias("i"),
+    )
+    term_q = _nearest_long_away(
+        (
+            F.col("rev_s").cast("double") / 10000.0
+            - F.col("s_cum").cast("double")
+            / 10000.0
+            / F.col("i").cast("double")
+            - F.col("mu") / 64.0
+        )
+        * 10000.0
+    )
+    staged = pre.select(
+        "priority", "mon", "rev_s", "mu", term_q.alias("tq")
+    )
+    cum = staged.select(
+        "priority",
+        "mon",
+        "rev_s",
+        "mu",
+        F.sum("tq").over(w_cum).cast("long").alias("ph_q"),
+    )
+    ranked = cum.select(
+        "priority",
+        "mon",
+        "rev_s",
+        "mu",
+        "ph_q",
+        F.min("ph_q").over(w_cum).cast("long").alias("ph_min_q"),
+    )
+    return ranked.select(
+        "priority",
+        "mon",
+        dround(F.col("rev_s").cast("double") / 10000.0, 4).alias(
+            "revenue"
+        ),
+        dround(F.col("ph_q").cast("double") / 10000.0, 4).alias("ph"),
+        dround(F.col("ph_min_q").cast("double") / 10000.0, 4).alias(
+            "ph_min"
+        ),
+        (
+            (F.col("ph_q") - F.col("ph_min_q")).cast("double") / 10000.0
+            > F.col("mu") / 4.0
+        )
+        .cast("int")
+        .alias("alarm"),
+    ).orderBy("priority", "mon")
+
+
+QUERIES["timeseries_page_hinkley"] = timeseries_page_hinkley
+
+ORACLE["timeseries_page_hinkley"] = (
+    "WITH m AS (SELECT o_orderpriority AS priority, "
+    "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon, "
+    "CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS BIGINT) "
+    "AS rev_s FROM orders GROUP BY 1, 2), "
+    "st AS (SELECT priority, "
+    "ROUND(CAST(SUM(rev_s) AS DOUBLE) / 10000.0 / COUNT(*), 4) AS mu "
+    "FROM m GROUP BY 1), "
+    "pre AS (SELECT m.priority, m.mon, m.rev_s, st.mu, "
+    "CAST(SUM(m.rev_s) OVER w AS BIGINT) AS s_cum, "
+    "CAST(COUNT(*) OVER w AS BIGINT) AS i "
+    "FROM m JOIN st ON m.priority = st.priority "
+    "WINDOW w AS (PARTITION BY m.priority ORDER BY m.mon "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), "
+    "stg AS (SELECT priority, mon, rev_s, mu, "
+    "CAST(ROUND((CAST(rev_s AS DOUBLE) / 10000.0 "
+    "- CAST(s_cum AS DOUBLE) / 10000.0 / CAST(i AS DOUBLE) "
+    "- mu / 64.0) * 10000.0) AS BIGINT) AS tq FROM pre), "
+    "cum AS (SELECT priority, mon, rev_s, mu, "
+    "CAST(SUM(tq) OVER w AS BIGINT) AS ph_q FROM stg "
+    "WINDOW w AS (PARTITION BY priority ORDER BY mon "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), "
+    "rk AS (SELECT priority, mon, rev_s, mu, ph_q, "
+    "CAST(MIN(ph_q) OVER w AS BIGINT) AS ph_min_q FROM cum "
+    "WINDOW w AS (PARTITION BY priority ORDER BY mon "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
+    "SELECT priority, mon, "
+    "ROUND(CAST(rev_s AS DOUBLE) / 10000.0, 4) AS revenue, "
+    "ROUND(CAST(ph_q AS DOUBLE) / 10000.0, 4) AS ph, "
+    "ROUND(CAST(ph_min_q AS DOUBLE) / 10000.0, 4) AS ph_min, "
+    "CAST(CAST(ph_q - ph_min_q AS DOUBLE) / 10000.0 > mu / 4.0 "
+    "AS INT) AS alarm "
+    "FROM rk ORDER BY priority, mon"
+)

@@ -162,6 +162,11 @@ _SAMPLE_PRIORITY = [
     "agg_permutation_test",
     "agg_jackknife_ratio_variance",
     "window_rolling_corr",
+    # NEW in round 15 (batch 3) — drift detection / experimentation:
+    # 39 backlog + 11 new = EXACTLY the 50-key driver window
+    "timeseries_page_hinkley",
+    "agg_cuped_adjustment",
+    "agg_tukey_hsd",
 ]
 
 
