@@ -5664,11 +5664,15 @@ def agg_jackknife_ratio_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     vy = _nearest_long_away(F.col("l_extendedprice") * 10000)
     vx = _nearest_long_away(F.col("l_quantity") * 10000)
+    # eager-checkpoint the 1-row totals: they are referenced by BOTH the
+    # row pass and the final select, and each uncheckpointed reference
+    # re-executes the fact aggregate (plan audit round 15: 3 lineitem
+    # scans → 2)
     tot = li.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(vy.cast("decimal(38,0)")).alias("sy"),
         F.sum(vx.cast("decimal(38,0)")).alias("sx"),
-    )
+    ).localCheckpoint(eager=True)
     t = _nearest_long_away(
         (F.col("sy") - F.col("vy")).cast("double")
         / (F.col("sx") - F.col("vx")).cast("double")
@@ -5854,7 +5858,10 @@ def agg_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qg"),
     )
     # pooled within-group variance: Σ_g (Q_g − S_g²/n_g) / (N − k),
-    # assembled in double from the exact per-group sums
+    # assembled in double from the exact per-group sums. The 5-row
+    # group frame is referenced THREE times (totals + both join sides)
+    # — eager-checkpoint it or each reference re-runs the orders scan
+    # (plan audit round 15).
     comp = g.select(
         "grp",
         "ng",
@@ -5866,7 +5873,7 @@ def agg_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.col("sg").cast("double")
             / F.col("ng").cast("double")
         ).alias("ssw"),
-    )
+    ).localCheckpoint(eager=True)
     tot = comp.agg(
         F.sum("ng").cast("long").alias("n_tot"),
         F.count(F.lit(1)).cast("long").alias("k"),

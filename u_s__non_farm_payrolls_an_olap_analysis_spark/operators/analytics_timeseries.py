@@ -2023,24 +2023,32 @@ def timeseries_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rev_s")
     )
-    mu = monthly.groupBy("priority").agg(
-        dround(
-            F.sum("rev_s").cast("double")
-            / 10000.0
-            / F.count(F.lit(1)).cast("double"),
-            4,
-        ).alias("mu")
-    )
+    # the full-series mean comes from a whole-partition frame over the
+    # SAME (priority, mon-ordered) window exchange the cumulative
+    # frames use — a separate groupBy + join would re-execute the
+    # monthly rollup (double reference, plan audit round 15)
     w_cum = (
         Window.partitionBy("priority")
         .orderBy("mon")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    pre = monthly.join(F.broadcast(mu), "priority").select(
+    w_all = (
+        Window.partitionBy("priority")
+        .orderBy("mon")
+        .rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    pre = monthly.select(
         "priority",
         "mon",
         "rev_s",
-        "mu",
+        dround(
+            F.sum("rev_s").over(w_all).cast("double")
+            / 10000.0
+            / F.count(F.lit(1)).over(w_all).cast("double"),
+            4,
+        ).alias("mu"),
         F.sum("rev_s").over(w_cum).cast("long").alias("s_cum"),
         F.count(F.lit(1)).over(w_cum).cast("long").alias("i"),
     )
