@@ -87,6 +87,7 @@ def running_sums_by_value(
     per_value: DataFrame,
     value_col: str,
     sum_cols: list[str],
+    checkpoint_input: bool = True,
 ) -> DataFrame:
     """Append inclusive running sums in ``value_col``-ascending order.
 
@@ -96,7 +97,19 @@ def running_sums_by_value(
     row's value. All other columns pass through. Fully parallel: no
     global window over the data, no single-task sort, no physical-
     partition-identity dependence (see module docstring).
+
+    The input is eagerly localCheckpoint-ed (round 15): the device
+    references it THREE times — the min/max bounds aggregate, the
+    per-bucket totals aggregate, and the final probe — and without a
+    lineage cut the caller's whole upstream (typically a fact scan +
+    shuffle + aggregate) executes once PER REFERENCE (CLAUDE.md
+    rule 5; measured: agg_ks_two_sample re-ran its orders histogram
+    3x). One row per distinct value, so the materialization is the
+    histogram itself. Pass ``checkpoint_input=False`` when the caller
+    already checkpointed it (it would materialize twice).
     """
+    if checkpoint_input:
+        per_value = per_value.localCheckpoint(eager=True)
     b = _with_value_bucket(per_value, value_col)
     # per-bucket totals: ≤ N_BUCKETS rows — the driver-size prefix level
     bucket_tot = b.groupBy("__bkt").agg(
@@ -157,6 +170,7 @@ def ranked_rows_by_value(
     value_col: str,
     tiebreak_cols: list[str],
     group_cols: list[str] | None = None,
+    checkpoint_input: bool = True,
 ) -> DataFrame:
     """Append ``rn`` (exact 1-based rank by ``(value, *tiebreaks)``
     within each group — global when ``group_cols`` is empty) and ``n``
@@ -165,8 +179,16 @@ def ranked_rows_by_value(
     (group, bucket) — parallel local sorts — and add per-(group, bucket)
     exclusive offsets from a tiny broadcast count table. The tiebreak
     columns must make the sort key a total order within each group for
-    the rank to be deterministic."""
+    the rank to be deterministic.
+
+    ``checkpoint_input`` (round 15): the device references ``df`` three
+    times (bounds, counts, probe) — the default eager checkpoint cuts
+    an aggregated input's upstream to one execution (rule 5). Pass
+    False when ``df`` is a RAW cached fact scan: re-scanning a columnar
+    cache twice is cheaper than materializing a row copy of it."""
     gcols = list(group_cols or [])
+    if checkpoint_input:
+        df = df.localCheckpoint(eager=True)
     b = _with_value_bucket(df, value_col)
     keys = [*gcols, "__bkt"]
     counts = b.groupBy(*keys).agg(F.count(F.lit(1)).alias("__c"))

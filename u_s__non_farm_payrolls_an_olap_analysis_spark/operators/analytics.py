@@ -369,10 +369,15 @@ def dq_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤1e8 so the squares stay inside int64 at scale 1), the 1-row stats
     broadcast back via cross join, and a pure-projection z computed from
     bitwise-identical doubles in both engines."""
+    # round 15: the tiny monthly frame feeds the mean, the variance
+    # pass AND the final z projection — eager checkpoint or each
+    # reference re-runs the orders aggregate (rule 5; measured 3 fact
+    # scans)
     m = (
         read_table(spark, sf_dir, "orders")
         .groupBy(month_start("o_orderdate").alias("ms"))
         .agg(F.round(dsum("o_totalprice"), 4).alias("total"))
+        .localCheckpoint(eager=True)
     )
     stats0 = m.agg(
         (F.sum(F.round(F.col("total") * 100).cast("long")) / 100.0 / F.count(F.lit(1))).alias("mu"),

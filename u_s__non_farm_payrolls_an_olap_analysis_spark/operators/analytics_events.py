@@ -1168,9 +1168,11 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ev.select(
         F.lag("event_type").over(w).alias("prev_type"), "event_type"
     ).filter(F.col("prev_type").isNotNull())
+    # round 15: cells feeds states AND cells_in — checkpoint it or the
+    # corpus lag-window pass runs once per reference (rule 5)
     cells = pairs.groupBy("prev_type", "event_type").agg(
         F.count(F.lit(1)).alias("n")
-    )
+    ).localCheckpoint(eager=True)
     states = cells.select(
         F.col("prev_type").alias("state")
     ).distinct().localCheckpoint(eager=True)
@@ -1197,6 +1199,10 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("piq"),
     )
     for _i in range(MKV_ITERS):
+        # checkpoint the RAW k-row frame: the totals agg and the
+        # normalize BOTH reference it, so an uncheckpointed unroll
+        # doubles the plan per iteration (round 15 — the
+        # graph_hits_scores a_raw fix, rule 5)
         raw = (
             p.join(pi, p["prev_type"] == pi["state"])
             .groupBy(F.col("event_type").alias("state"))
@@ -1205,6 +1211,7 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("piq").cast("decimal(38,0)") * F.col("pq")
                 ).alias("raw")
             )
+            .localCheckpoint(eager=True)
         )
         tot = raw.agg(F.sum("raw").alias("t"))
         pi = raw.crossJoin(F.broadcast(tot)).select(

@@ -994,6 +994,9 @@ def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("v"),
     )
+    # round 15: checkpoint the histogram HERE (it feeds both the prefix
+    # device and the group totals below — rule 5), and tell the device
+    # not to re-checkpoint it
     per_v = both.groupBy("v").agg(
         F.sum(F.when(F.col("is_a"), F.lit(1)).otherwise(F.lit(0))).alias(
             "a"
@@ -1001,17 +1004,18 @@ def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~F.col("is_a"), F.lit(1)).otherwise(F.lit(0))).alias(
             "b"
         ),
-    )
-    cum = running_sums_by_value(spark, per_v, "v", ["a", "b"]).select(
+    ).localCheckpoint(eager=True)
+    cum = running_sums_by_value(
+        spark, per_v, "v", ["a", "b"], checkpoint_input=False
+    ).select(
         F.col("run_a").alias("c1"), F.col("run_b").alias("c2")
     )
-    tot = both.agg(
-        F.sum(F.when(F.col("is_a"), F.lit(1)).otherwise(F.lit(0))).alias(
-            "n1"
-        ),
-        F.sum(F.when(~F.col("is_a"), F.lit(1)).otherwise(F.lit(0))).alias(
-            "n2"
-        ),
+    # round 15: group totals from the per-value histogram (sums of the
+    # per-value counts ≡ group counts, exact integers) — the separate
+    # aggregate over `both` re-scanned orders a second time (rule 5)
+    tot = per_v.agg(
+        F.sum("a").cast("long").alias("n1"),
+        F.sum("b").cast("long").alias("n2"),
     )
     stat = (
         cum.crossJoin(F.broadcast(tot))
@@ -1103,12 +1107,20 @@ def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
         F.count(F.lit(1)).alias("n_lines")
     )
-    pairs = orders.select(
-        "o_orderkey",
-        dround(F.col("o_totalprice") * F.lit(10_000.0), 0)
-        .cast("long")
-        .alias("vx"),
-    ).join(cnt, "o_orderkey")
+    # round 15: pairs (an orders ⋈ lineitem-agg join) feeds BOTH value
+    # histograms and the rank join-back — eager checkpoint cuts the
+    # fact join to one execution instead of three (rule 5; measured
+    # 3.8 s → the join ran once per reference)
+    pairs = (
+        orders.select(
+            "o_orderkey",
+            dround(F.col("o_totalprice") * F.lit(10_000.0), 0)
+            .cast("long")
+            .alias("vx"),
+        )
+        .join(cnt, "o_orderkey")
+        .localCheckpoint(eager=True)
+    )
     rx_tab = doubled_rank_by_value(
         spark,
         pairs.groupBy("vx").agg(F.count(F.lit(1)).alias("t")),
@@ -1323,11 +1335,14 @@ def agg_oneway_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     def d(c):
         return c.cast("decimal(38,0)")
 
+    # round 15: the 5-row group frame feeds the totals AND the
+    # between-term join — eager checkpoint or each reference re-runs
+    # the orders aggregate (rule 5; the agg_tukey_hsd precedent)
     per = orders.groupBy(F.col("o_orderpriority").alias("p")).agg(
         F.count(F.lit(1)).alias("nh"),
         F.sum(v).alias("sh"),
         F.sum(d(v) * v).alias("qh"),
-    )
+    ).localCheckpoint(eager=True)
     tot = per.agg(
         F.sum("nh").cast("long").alias("n"),
         F.count(F.lit(1)).cast("long").alias("k"),
@@ -2499,7 +2514,14 @@ def _year_ranked_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
     )
     return ranked_rows_by_value(
-        spark, orders, "o_totalprice", ["o_orderkey"], ["year"]
+        spark,
+        orders,
+        "o_totalprice",
+        ["o_orderkey"],
+        ["year"],
+        # raw cached fact input: re-scanning the columnar cache beats
+        # materializing a row copy of it (see ranked_rows_by_value)
+        checkpoint_input=False,
     ).select("year", "o_totalprice", "rn", "n")
 
 

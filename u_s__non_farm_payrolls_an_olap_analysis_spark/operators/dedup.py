@@ -577,9 +577,11 @@ def embedding_lsh_pairs(
        pass, pure codegen — see :func:`_rhp_bits`);
     2. band the bits ``bands x rows`` → one (band, band_sig) row per band
        per vector;
-    3. candidates = self EQUI-join on (band, band_sig) — never an
-       all-pairs theta join; bucket sizes are ~n/2^rows per band, so the
-       candidate stage is O(sum of bucket² per band), not O(n²);
+    3. candidates = posting-list pair explode from the (band, band_sig)
+       buckets (round 15 — one groupBy instead of a signature-subtree
+       self-join); never an all-pairs theta join; bucket sizes are
+       ~n/2^rows per band, so the candidate stage is O(sum of bucket²
+       per band), not O(n²);
     4. verify candidates with the exact one-dot-product cosine
        (:func:`cosine_from_norms`) on the ROUNDED value.
 
@@ -609,17 +611,31 @@ def embedding_lsh_pairs(
             )
         ).alias("bb"),
     ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.band_sig").alias("band_sig"))
-    ca, cb = sigs.alias("ca"), sigs.alias("cb")
+    # posting-list pair generation from the band buckets (round 15;
+    # CLAUDE.md rule 5 corollary a): the previous (band, band_sig)
+    # self-join consumed the 96-plane signature subtree TWICE and
+    # shuffled it twice. One groupBy materializes each bucket once —
+    # the projection runs ONCE per vector — and the i<j pairs explode
+    # from the sorted id list (ids are unique within a bucket, so
+    # strict i<j reproduces the join's vec_a < vec_b pair set exactly).
+    # Two-level posexplode, NOT the flatten device of the shingle
+    # postings: a demo-geometry bucket holds ~n/2^rows ids, so a
+    # flattened combination array would put O(bucket²) structs in ONE
+    # row; posexplode + slice keeps every generated array O(bucket).
+    buckets = sigs.groupBy("band", "band_sig").agg(
+        F.sort_array(F.collect_list("vec_id")).alias("vs")
+    )
+    ex = buckets.select(
+        "vs", F.posexplode(F.col("vs")).alias("i", "vec_a")
+    )
     cands = (
-        ca.join(
-            cb,
-            (F.col("ca.band") == F.col("cb.band"))
-            & (F.col("ca.band_sig") == F.col("cb.band_sig"))
-            & (F.col("ca.vec_id") < F.col("cb.vec_id")),
-        )
-        .select(
-            F.col("ca.vec_id").alias("vec_a"),
-            F.col("cb.vec_id").alias("vec_b"),
+        ex.select(
+            "vec_a",
+            F.explode(
+                F.slice(
+                    F.col("vs"), F.col("i") + F.lit(2), F.size(F.col("vs"))
+                )
+            ).alias("vec_b"),
         )
         .distinct()
     )
@@ -1052,7 +1068,10 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.unionByName(planted)
     cent = _train_kmeans_codebook_exact(corpus, IVF_K, KMEANS_ITERS)
-    assigned = assign_to_codebook(corpus, cent)
+    # round 15: the within-cluster a ⋈ b self-join consumes `assigned`
+    # (training + argmax assignment) TWICE — eager checkpoint cuts the
+    # whole pipeline above it to one execution (rule 5 corollary a)
+    assigned = assign_to_codebook(corpus, cent).localCheckpoint(eager=True)
     a = assigned.select(
         F.col("neighbor_id").alias("keep_vec"), F.col("ce").alias("ae"), "list_id"
     )
@@ -1289,9 +1308,14 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # round 15: g (the positional-gram explode — the heavy projection)
+    # feeds the incidence index, the semi-join probe AND the per-doc
+    # totals — eager checkpoint or the gram transform executes once per
+    # reference (rule 5; measured 3 corpus passes). The materialization
+    # is O(positions), the same bound the paper's suffix array pays.
     g = _spread_if_narrow(docs).select(
         "doc_id", F.posexplode(gram_arr).alias("pos", "gram")
-    )
+    ).localCheckpoint(eager=True)
     dup = (
         g.select("gram", "doc_id")
         .distinct()

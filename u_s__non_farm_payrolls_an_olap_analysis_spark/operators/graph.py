@@ -70,14 +70,25 @@ def graph_pagerank_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.numerics import dround
 
-    edges = _token_edges(spark, sf_dir)
+    # round 15: edges feeds the node union (twice), deg, and every
+    # iteration's contribution join; nodes feeds n, pr0 and every
+    # teleport update; deg and the 1-row n are re-joined per iteration
+    # — eager checkpoints cut the corpus bigram explode+distinct to ONE
+    # execution instead of one per reference (CLAUDE.md rule 5; the
+    # 3-iteration unrolled plan re-ran it ~10x).
+    edges = _token_edges(spark, sf_dir).localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("token"))
         .unionByName(edges.select(F.col("dst").alias("token")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    n = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    n = nodes.agg(F.count(F.lit(1)).alias("n_nodes")).localCheckpoint(
+        eager=True
+    )
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).alias("outdeg")
+    ).localCheckpoint(eager=True)
 
     pr = nodes.crossJoin(F.broadcast(n)).select(
         "token", (F.lit(1.0) / F.col("n_nodes")).alias("pr")
@@ -187,6 +198,11 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
+    # round 15: und / rnk / oriented each feed multiple consumers
+    # (deg's union reads und twice; rnk feeds both edge endpoints and
+    # the final join; the wedge stage and the closing join both read
+    # oriented) — eager checkpoints cut the corpus explode+distinct to
+    # exactly one execution (CLAUDE.md rule 5).
     directed = _token_edges(spark, sf_dir)
     und = (
         directed.filter(F.col("src") != F.col("dst"))
@@ -195,6 +211,7 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("src", "dst").alias("b"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         und.select(F.col("a").alias("token"))
@@ -207,34 +224,47 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number()
         .over(Window.partitionBy().orderBy("deg", "token"))
         .alias("rnk"),
-    )
+    ).localCheckpoint(eager=True)
     ra = rnk.select(F.col("token").alias("a"), F.col("rnk").alias("rnk_a"))
     rb = rnk.select(F.col("token").alias("b"), F.col("rnk").alias("rnk_b"))
     ranked = und.join(F.broadcast(ra), "a").join(F.broadcast(rb), "b")
     oriented = ranked.select(
         F.least("rnk_a", "rnk_b").alias("u"),
         F.greatest("rnk_a", "rnk_b").alias("v"),
+    ).localCheckpoint(eager=True)
+    # wedge generation by posting list per out-node (round 15; was an
+    # x ⋈ y self-join consuming the oriented subtree twice): oriented
+    # pairs are distinct, so the sorted out-list per u has unique
+    # values and strict i<j reproduces x.v < y.v exactly. Two-level
+    # posexplode keeps generated arrays O(outdeg) — orientation bounds
+    # outdeg by O(√|E|), but outdeg² structs in one row is still the
+    # wedge count; never build it as a single flattened array.
+    wposting = oriented.groupBy("u").agg(
+        F.sort_array(F.collect_list("v")).alias("vs")
     )
-    x, y, z = oriented.alias("x"), oriented.alias("y"), oriented.alias("z")
-    tri = (
-        x.join(
-            y,
-            (F.col("x.u") == F.col("y.u")) & (F.col("x.v") < F.col("y.v")),
-        )
-        .join(
-            z,
-            (F.col("z.u") == F.col("x.v")) & (F.col("z.v") == F.col("y.v")),
-        )
-        .select(
-            F.col("x.u").alias("c1"),
-            F.col("x.v").alias("c2"),
-            F.col("y.v").alias("c3"),
-        )
+    wex = wposting.select(
+        "u", "vs", F.posexplode(F.col("vs")).alias("i", "v1")
     )
-    corners = (
-        tri.select(F.col("c1").alias("rnk"))
-        .unionByName(tri.select(F.col("c2").alias("rnk")))
-        .unionByName(tri.select(F.col("c3").alias("rnk")))
+    wedges = wex.select(
+        "u",
+        "v1",
+        F.explode(
+            F.slice(F.col("vs"), F.col("i") + F.lit(2), F.size(F.col("vs")))
+        ).alias("v2"),
+    )
+    tri = wedges.join(
+        oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2")),
+        ["v1", "v2"],
+    ).select(
+        F.col("u").alias("c1"),
+        F.col("v1").alias("c2"),
+        F.col("v2").alias("c3"),
+    )
+    # one explode, not a 3-branch union — a UNION executes its child
+    # once PER BRANCH (rule 5 corollary b), i.e. the whole wedge join
+    # would run three times
+    corners = tri.select(
+        F.explode(F.array("c1", "c2", "c3")).alias("rnk")
     )
     return (
         corners.groupBy("rnk")
@@ -306,9 +336,26 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    nbr = und.select(
-        F.col("a").alias("token"), F.col("b").alias("nb")
-    ).unionByName(und.select(F.col("b").alias("token"), F.col("a").alias("nb")))
+    # round 15: ONE explode builds both edge directions (a 2-branch
+    # union executes the corpus explode+distinct once per branch —
+    # rule 5 corollary b), and the checkpoint pins nbr for the label
+    # init plus every round's vote join (it was re-derived per round).
+    nbr = (
+        und.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("a").alias("token"), F.col("b").alias("nb")
+                    ),
+                    F.struct(
+                        F.col("b").alias("token"), F.col("a").alias("nb")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.token", "e.nb")
+        .localCheckpoint(eager=True)
+    )
     lbl = nbr.select("token").distinct().select(
         "token", F.col("token").alias("label")
     )
@@ -376,6 +423,72 @@ CC_MIN_SUPPORT = 2  # pair must co-occur in >= 2 orders (sparsifies the graph)
 CC_MAX_ROUNDS = 50
 
 
+def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supported co-purchase part pairs ``(pa, pb)`` with pa < pb — the
+    shared edge generator of the CC / k-core / assortativity / BFS /
+    personalized-PageRank family.
+
+    Posting-list pair generation (round 15; CLAUDE.md rule 5
+    corollary a — the round-12 dedup lesson applied to the basket
+    graph): group lineitem by order key, sort each basket's part list,
+    explode the i<j combinations — ONE lineitem scan and ONE exchange
+    instead of the previous self-join's two scans + two exchanges + a
+    sort-merge join. Multiplicity is the self-join's EXACTLY: the
+    basket keeps duplicate (order, part) lines (``collect_list``, not
+    ``collect_set`` — the fixtures hold 55-65 duplicate (ok, pk) groups
+    per SF), every index pair i<j with differing values contributes one
+    pair, so a part on two lines pairs twice with each neighbour
+    (cnt_p x cnt_q per order = the join's row count), and sorting makes
+    ps[i] <= ps[j], so (pa, pb) = (ps[i], ps[j]) directly; the ``!=``
+    filter drops the equal-part pairs the strict ``a.pk < b.pk`` join
+    condition excluded. Per-order fan-out stays bounded by basket size
+    (~7), so candidate volume is O(|orders| * k^2), never cross-join
+    shaped; the support HAVING prunes before any graph work."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    baskets = li.groupBy("ok").agg(
+        F.sort_array(F.collect_list("pk")).alias("ps")
+    )
+    ps = F.col("ps")
+    combos = F.flatten(
+        F.transform(
+            ps,
+            lambda x, i: F.filter(
+                F.transform(
+                    F.slice(ps, i + F.lit(2), F.size(ps)),
+                    lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+                ),
+                lambda s: s["pa"] != s["pb"],
+            ),
+        )
+    )
+    return (
+        baskets.select(F.explode(combos).alias("e"))
+        .select("e.pa", "e.pb")
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= CC_MIN_SUPPORT)
+        .select("pa", "pb")
+    )
+
+
+def _symmetrize(
+    pairs: DataFrame, a: str, b: str, out_a: str, out_b: str
+) -> DataFrame:
+    """Both directions of an undirected pair list in ONE pass — a
+    2-branch union executes the pair generator once per branch
+    (CLAUDE.md rule 5 corollary b)."""
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(a).alias(out_a), F.col(b).alias(out_b)),
+                F.struct(F.col(b).alias(out_a), F.col(a).alias(out_b)),
+            )
+        ).alias("e")
+    ).select(f"e.{out_a}", f"e.{out_b}")
+
+
 def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star — **connected components** of the part CO-PURCHASE
     graph (nodes = parts, edge iff two parts appear in the same order in
@@ -408,10 +521,11 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``CC_MAX_ROUNDS`` raises instead of returning labels that disagree
     with the oracle's transitive closure.
 
-    Scale: pair generation is a lineitem self-join on the ORDER key —
-    per-order fan-out is bounded by basket size (~7), so candidate
-    volume is O(|orders| * k²), never cross-join shaped; the support
-    HAVING prunes before any graph work. Late rounds concentrate each
+    Scale: pair generation is the posting-list explode of
+    `_copurchase_pairs` (round 15 — one lineitem scan, one exchange;
+    per-order fan-out bounded by basket size ~7, so candidate volume
+    is O(|orders| * k²), never cross-join shaped); the support HAVING
+    prunes before any graph work. Late rounds concentrate each
     component's min label into one hot join key — AQE skew-split
     handles it (the giant-component skew every min-label CC has;
     large-star/small-star splits it algorithmically if needed).
@@ -421,26 +535,10 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     within the repo it generalizes ``dedup_clusters``' doc-pair
     components to a derived relational edge list.
     """
-    li = read_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    )
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.ok") == F.col("b.ok"))
-            & (F.col("a.pk") < F.col("b.pk")),
-        )
-        .groupBy(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
-        .agg(F.count(F.lit(1)).alias("sup"))
-        .filter(F.col("sup") >= CC_MIN_SUPPORT)
-        .select("pa", "pb")
-    )
-    edges = (
-        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-        .unionByName(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
-        .cache()
-    )
+    # posting-list pair generation — one lineitem scan, one exchange
+    # (round 15; was a two-scan self-join, see _copurchase_pairs)
+    pairs = _copurchase_pairs(spark, sf_dir)
+    edges = _symmetrize(pairs, "pa", "pb", "src", "dst").cache()
     labels = (
         edges.select(F.col("src").alias("part"))
         .distinct()
@@ -550,6 +648,9 @@ def graph_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vs reference: no analogue (the reference has no graph surface).
     """
+    # round 15: und feeds both nbr directions AND the final anti-join —
+    # checkpoint it so the corpus explode+distinct runs once, and build
+    # nbr with ONE explode instead of a 2-branch union (rule 5 + b).
     directed = _token_edges(spark, sf_dir)
     und = (
         directed.filter(F.col("src") != F.col("dst"))
@@ -558,10 +659,16 @@ def graph_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("src", "dst").alias("b"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    nbr = und.select(F.col("a").alias("z"), F.col("b").alias("x")).unionByName(
-        und.select(F.col("b").alias("z"), F.col("a").alias("x"))
-    )
+    nbr = und.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("z"), F.col("b").alias("x")),
+                F.struct(F.col("b").alias("z"), F.col("a").alias("x")),
+            )
+        ).alias("e")
+    ).select("e.z", "e.x")
     from ..functions.numerics import dround
 
     posting = (
@@ -664,8 +771,8 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: each surviving part with its residual degree — exact
     integers only.
 
-    Scale: pair generation is the CC operator's bounded per-order
-    self-join (never cross-join shaped); each peel round is one
+    Scale: pair generation is the shared posting-list explode
+    (`_copurchase_pairs`, never cross-join shaped); each peel round is one
     map-side-combinable degree aggregate + two BROADCAST semi-joins of
     the kept-node set (vocabulary-sized, shrinking monotonically); the
     edge list is **localCheckpoint-ed every round** — the round
@@ -676,19 +783,10 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vs reference: no analogue (no graph surface in `dashboard_nfp.py`).
     """
-    li = read_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    )
-    a, b = li.alias("a"), li.alias("b")
+    # posting-list pair generation — one lineitem scan, one exchange
+    # (round 15; was a two-scan self-join, see _copurchase_pairs)
     edges = (
-        a.join(
-            b,
-            (F.col("a.ok") == F.col("b.ok"))
-            & (F.col("a.pk") < F.col("b.pk")),
-        )
-        .groupBy(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
-        .agg(F.count(F.lit(1)).alias("sup"))
-        .filter(F.col("sup") >= CC_MIN_SUPPORT)
+        _copurchase_pairs(spark, sf_dir)
         .select(F.col("pa").alias("na"), F.col("pb").alias("nb"))
         .localCheckpoint(eager=True)  # corpus-sized work done exactly once
     )
@@ -778,28 +876,18 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     division, `dround`ed at 6 dp. Degenerate regular graphs (zero
     denominator) drop on the exact integer predicate in both engines.
 
-    Scale: the pair generation is the CC operator's bounded per-order
-    self-join; degrees are one aggregate broadcast onto the edge list;
+    Scale: the pair generation is the shared posting-list explode
+    (`_copurchase_pairs`); degrees are one aggregate broadcast onto the edge list;
     the moments are one map-side-combinable aggregate. No floats until
     the final division."""
-    li = read_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    # posting-list pair generation — one lineitem scan, one exchange
+    # (round 15; was a two-scan self-join, see _copurchase_pairs)
+    und = _copurchase_pairs(spark, sf_dir)
+    # one-pass symmetrize + checkpoint: directed feeds the degree agg
+    # AND the endpoint-annotated edge list (round 15, rule 5)
+    directed = _symmetrize(und, "pa", "pb", "u", "w").localCheckpoint(
+        eager=True
     )
-    a, b = li.alias("a"), li.alias("b")
-    und = (
-        a.join(
-            b,
-            (F.col("a.ok") == F.col("b.ok"))
-            & (F.col("a.pk") < F.col("b.pk")),
-        )
-        .groupBy(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
-        .agg(F.count(F.lit(1)).alias("sup"))
-        .filter(F.col("sup") >= CC_MIN_SUPPORT)
-        .select("pa", "pb")
-    )
-    directed = und.select(
-        F.col("pa").alias("u"), F.col("pb").alias("w")
-    ).unionByName(und.select(F.col("pb").alias("u"), F.col("pa").alias("w")))
     deg = directed.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("d")
     )
@@ -880,6 +968,11 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     node-keyed."""
     from pyspark.sql.window import Window
 
+    # round 15: same plan surgery as graph_triangle_counts — eager
+    # checkpoints on the multi-consumer frames (und / rnk / oriented),
+    # posting-list wedge generation instead of the x ⋈ y self-join,
+    # and a single corner explode instead of the 3-branch union
+    # (rule 5 and corollaries a/b).
     directed = _token_edges(spark, sf_dir)
     und = (
         directed.filter(F.col("src") != F.col("dst"))
@@ -888,6 +981,7 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("src", "dst").alias("b"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         und.select(F.col("a").alias("token"))
@@ -901,34 +995,37 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number()
         .over(Window.partitionBy().orderBy("degree", "token"))
         .alias("rnk"),
-    )
+    ).localCheckpoint(eager=True)
     ra = rnk.select(F.col("token").alias("a"), F.col("rnk").alias("rnk_a"))
     rb = rnk.select(F.col("token").alias("b"), F.col("rnk").alias("rnk_b"))
     ranked = und.join(F.broadcast(ra), "a").join(F.broadcast(rb), "b")
     oriented = ranked.select(
         F.least("rnk_a", "rnk_b").alias("u"),
         F.greatest("rnk_a", "rnk_b").alias("v"),
+    ).localCheckpoint(eager=True)
+    wposting = oriented.groupBy("u").agg(
+        F.sort_array(F.collect_list("v")).alias("vs")
     )
-    x, y, z = oriented.alias("x"), oriented.alias("y"), oriented.alias("z")
-    tri = (
-        x.join(
-            y,
-            (F.col("x.u") == F.col("y.u")) & (F.col("x.v") < F.col("y.v")),
-        )
-        .join(
-            z,
-            (F.col("z.u") == F.col("x.v")) & (F.col("z.v") == F.col("y.v")),
-        )
-        .select(
-            F.col("x.u").alias("c1"),
-            F.col("x.v").alias("c2"),
-            F.col("y.v").alias("c3"),
-        )
+    wex = wposting.select(
+        "u", "vs", F.posexplode(F.col("vs")).alias("i", "v1")
     )
-    corners = (
-        tri.select(F.col("c1").alias("rnk"))
-        .unionByName(tri.select(F.col("c2").alias("rnk")))
-        .unionByName(tri.select(F.col("c3").alias("rnk")))
+    wedges = wex.select(
+        "u",
+        "v1",
+        F.explode(
+            F.slice(F.col("vs"), F.col("i") + F.lit(2), F.size(F.col("vs")))
+        ).alias("v2"),
+    )
+    tri = wedges.join(
+        oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2")),
+        ["v1", "v2"],
+    ).select(
+        F.col("u").alias("c1"),
+        F.col("v1").alias("c2"),
+        F.col("v2").alias("c3"),
+    )
+    corners = tri.select(
+        F.explode(F.array("c1", "c2", "c3")).alias("rnk")
     )
     tcount = corners.groupBy("rnk").agg(
         F.count(F.lit(1)).alias("n_triangles")
@@ -1010,6 +1107,10 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     int — no global sort.
 
     vs reference: no analogue (the reference has no graph surface)."""
+    # round 15: und feeds both nbr directions and the final anti-join;
+    # deg feeds BOTH endpoint joins — checkpoints cut the corpus
+    # explode+distinct to one execution, and nbr builds with ONE
+    # explode instead of a 2-branch union (rule 5 + corollary b).
     directed = _token_edges(spark, sf_dir)
     und = (
         directed.filter(F.col("src") != F.col("dst"))
@@ -1018,12 +1119,20 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
             F.greatest("src", "dst").alias("b"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    nbr = und.select(F.col("a").alias("z"), F.col("b").alias("x")).unionByName(
-        und.select(F.col("b").alias("z"), F.col("a").alias("x"))
-    )
-    deg = nbr.groupBy(F.col("z").alias("token")).agg(
-        F.count(F.lit(1)).alias("deg")
+    nbr = und.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("z"), F.col("b").alias("x")),
+                F.struct(F.col("b").alias("z"), F.col("a").alias("x")),
+            )
+        ).alias("e")
+    ).select("e.z", "e.x")
+    deg = (
+        nbr.groupBy(F.col("z").alias("token"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
     )
     posting = (
         nbr.groupBy("z")
@@ -1150,21 +1259,9 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     every round would be O(V) per round); the anti-join keys on
     integer part keys. AQE handles the late-round hub skew.
     """
-    li = read_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    )
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.ok") == F.col("b.ok"))
-            & (F.col("a.pk") < F.col("b.pk")),
-        )
-        .groupBy(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
-        .agg(F.count(F.lit(1)).alias("sup"))
-        .filter(F.col("sup") >= CC_MIN_SUPPORT)
-        .select("pa", "pb")
-    )
+    # posting-list pair generation — one lineitem scan, one exchange
+    # (round 15; was a two-scan self-join, see _copurchase_pairs)
+    pairs = _copurchase_pairs(spark, sf_dir)
     edges = (
         pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
         .unionByName(
@@ -1466,9 +1563,9 @@ def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks are bit-identical across engines; the seed argmax runs over
     exact integer degrees with the part key as tiebreak.
 
-    Scale: the co-purchase edge list builds once (the bounded
-    per-order self-join of `graph_connected_components`, never
-    cross-join shaped) and is localCheckpoint-ed; each iteration is
+    Scale: the co-purchase edge list builds once (the shared
+    posting-list explode `_copurchase_pairs`, never cross-join
+    shaped) and is localCheckpoint-ed; each iteration is
     one node-keyed join + one map-side-combinable sum — O(|E|)
     shuffle; node frames are dim-sized.
 
@@ -1476,29 +1573,19 @@ def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    li = read_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    # posting-list pair generation — one lineitem scan, one exchange
+    # (round 15; was a two-scan self-join, see _copurchase_pairs)
+    pairs = _copurchase_pairs(spark, sf_dir)
+    und = _symmetrize(pairs, "pa", "pb", "src", "dst").localCheckpoint(
+        eager=True
     )
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.ok") == F.col("b.ok"))
-            & (F.col("a.pk") < F.col("b.pk")),
-        )
-        .groupBy(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
-        .agg(F.count(F.lit(1)).alias("sup"))
-        .filter(F.col("sup") >= CC_MIN_SUPPORT)
-        .select("pa", "pb")
-    )
-    und = (
-        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
-        )
+    # deg is re-joined by EVERY power iteration (and feeds the seed
+    # argmax) — checkpoint it once (round 15, rule 5)
+    deg = (
+        und.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
         .localCheckpoint(eager=True)
     )
-    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     w_seed = Window.orderBy(F.col("outdeg").desc(), "src")
     seed = (
         deg.select("src", F.row_number().over(w_seed).alias("rn"))

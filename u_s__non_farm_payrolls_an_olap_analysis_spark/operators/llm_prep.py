@@ -184,11 +184,14 @@ def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quality_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star — repetition/boilerplate signals per document (the
     Gopher-rules family): duplicate-trigram fraction, top-bigram mass
-    fraction, and a composite repetitive flag. Built from one n-gram
-    explode per signal with map-side-combined aggregates; the groupBy
-    keys are (doc_id[, gram]) so partial aggregation collapses nearly
-    everything before the shuffle. Docs shorter than 3 tokens are
-    excluded (no trigram signal exists for them)."""
+    fraction, and a composite repetitive flag. Every signal is a
+    per-document property of the gram arrays, so the whole operator is
+    ONE scan → project with array algebra (sizes, array_distinct, and
+    a longest-run aggregate over the sorted bigram array for the top
+    bigram count) — no explode, no shuffle, no join (round 15; the
+    explode+aggregate form re-executed the tokenize/ngram projection
+    once per signal branch). Docs shorter than 3 tokens are excluded
+    (no trigram signal exists for them)."""
     docs = read_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     # guard EVERY transform with a when(), not just the row filter:
@@ -219,24 +222,48 @@ def quality_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(empty)
         .alias("trigrams"),
     )
-    tri = base.select("doc_id", F.explode("trigrams").alias("g")).groupBy(
-        "doc_id"
-    ).agg(
-        F.count(F.lit(1)).alias("n_tri"),
-        F.countDistinct("g").alias("n_tri_distinct"),
+    # Single-pass array algebra (round 15): every signal is a per-DOC
+    # property of the gram arrays, so the two explodes + three hash
+    # aggregates + join of the original form (which also re-executed
+    # the tokenize/ngram projection once per branch — rule 5) collapse
+    # into pure projections: n_tri = size, n_tri_distinct =
+    # size(array_distinct), n_big = size, and the top bigram count =
+    # the longest run in the SORTED bigram array (an exact integer via
+    # one array aggregate — equal grams are adjacent after sort, so
+    # max run length == max per-gram count). No shuffle at all: the
+    # operator is now scan → project, embarrassingly parallel at any
+    # scale. Values are bit-identical to the aggregate form (same
+    # integers, same divisions).
+    sorted_b = F.sort_array(F.col("bigrams"))
+    run_next = lambda acc, x: F.when(  # noqa: E731
+        x.eqNullSafe(acc["prev"]), acc["run"] + 1
+    ).otherwise(F.lit(1).cast("long"))
+    run_state = F.aggregate(
+        sorted_b,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run_next(acc, x).alias("run"),
+            F.greatest(acc["best"], run_next(acc, x)).alias("best"),
+        ),
     )
-    big_counts = (
-        base.select("doc_id", F.explode("bigrams").alias("g"))
-        .groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    big = big_counts.groupBy("doc_id").agg(
-        F.sum("c").alias("n_big"), F.max("c").alias("top_big")
+    sig = base.select(
+        "doc_id",
+        F.size("trigrams").cast("long").alias("n_tri"),
+        F.size(F.array_distinct("trigrams")).cast("long").alias(
+            "n_tri_distinct"
+        ),
+        F.size("bigrams").cast("long").alias("n_big"),
+        run_state["best"].alias("top_big"),
     )
     dup_tri = 1.0 - F.col("n_tri_distinct") / F.col("n_tri")
     top_big_frac = F.col("top_big") / F.col("n_big")
     return (
-        tri.join(big, "doc_id")
+        sig
         .select(
             "doc_id",
             dround(dup_tri, 6).alias("dup_trigram_frac"),

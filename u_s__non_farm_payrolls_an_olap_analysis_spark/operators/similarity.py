@@ -186,6 +186,11 @@ def _train_kmeans_codebook(cand: DataFrame, k: int, iters: int) -> DataFrame:
                     lambda s: s["m"],
                 ).alias("cent_e")
             )
+            # round 15: checkpoint each generation's k-row codebook —
+            # the next iteration BROADCASTS it, and a mid-plan broadcast
+            # build re-executes the whole chain above it (the
+            # graph_hits_scores finding; rule 5)
+            .localCheckpoint(eager=True)
         )
     return cent
 
@@ -269,6 +274,11 @@ def _train_kmeans_codebook_exact(
                     lambda s: s["m"],
                 ).alias("cent_e")
             )
+            # round 15: checkpoint each generation's k-row codebook —
+            # the next iteration BROADCASTS it, and a mid-plan broadcast
+            # build re-executes the whole chain above it (the
+            # graph_hits_scores finding; rule 5)
+            .localCheckpoint(eager=True)
         )
     return cent
 

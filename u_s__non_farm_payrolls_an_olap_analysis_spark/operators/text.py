@@ -684,7 +684,14 @@ def text_langid_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.col("t").substr(i, F.lit(3)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    tok = docs.select("doc_id", "lang", F.explode(tris).alias("tri"))
+    # round 15: the char-trigram explode feeds BOTH the language
+    # profiles and the per-doc profiles — eager checkpoint or the
+    # heaviest projection in the operator runs twice (rule 5); the
+    # materialization is O(chars), the bound both downstream shuffles
+    # already pay
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tris).alias("tri")
+    ).localCheckpoint(eager=True)
 
     w_lang = Window.partitionBy("lang").orderBy(
         F.col("cnt").desc(), "tri"
