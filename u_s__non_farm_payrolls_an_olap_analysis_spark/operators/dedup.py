@@ -758,11 +758,25 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _jaccard_pairs(
         read_table(spark, sf_dir, "documents")
     ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    # round 15: both edge directions in ONE explode — the 2-branch
+    # union executed the whole Jaccard pair pipeline once per branch
+    # on cache materialization (rule 5 corollary b)
     edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("src"),
+                        F.col("doc_b").alias("dst"),
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("src"),
+                        F.col("doc_a").alias("dst"),
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         .cache()
     )
     global LAST_CLUSTER_ROUNDS
