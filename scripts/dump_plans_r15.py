@@ -6,9 +6,13 @@ Usage:
     python scripts/dump_plans_r15.py <suffix> <out_dir> [keys...]
 
 Run from the tree whose plans you want (a worktree checked out at the
-pre-change commit for "before", the live tree for "after"). Plan-only:
-builds each DataFrame and stringifies its physical plan — no data is
-executed, so this is safe to run alongside a timing session.
+pre-change commit for "before", the live tree for "after"). Mostly
+plan-only, BUT NOT side-effect-free: operators that call
+``localCheckpoint(eager=True)`` at DataFrame-construction time (and
+iterative operators, which run their whole driver loop) execute
+corpus-scale Spark jobs during the dump — so plan dumps must NOT run
+concurrently with any timing session (CLAUDE.md rule 6b: concurrent
+sessions inflate spreads 3-5x).
 """
 from __future__ import annotations
 

@@ -114,8 +114,13 @@ def main() -> None:
     }
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
+    # explicit None check: a legitimate 0.0 median (sub-ms key after
+    # round(...,3)) must not rank as slowest (r15 ADVICE)
     ranked = sorted(
-        ((v.get("median_sec") or 999.0, k) for k, v in results.items()),
+        (
+            (v["median_sec"] if v.get("median_sec") is not None else 999.0, k)
+            for k, v in results.items()
+        ),
         reverse=True,
     )
     print(f"\nfloor={floor}s; slowest 40 of {len(results)}:")

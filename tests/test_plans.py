@@ -728,10 +728,12 @@ def test_pattern_match_clustered_zero_exchange_zero_presort(spark):
 
 
 def test_pattern_match_single_user_exchange(spark):
-    """The last-non-click-anchor pattern windows must ride ONE hash
-    exchange by user (row_number + the three anchor frames share the
-    partition+sort); the only other exchange is the final presentation
-    sort. No joins at all."""
+    """Round 16 (VERDICT r15 item 1): the flat CEP stack must ride ONE
+    RANGE exchange by user — range partitioning satisfies the window's
+    clustering AND leaves the filtered matches already in the declared
+    output order, so the final orderBy plans NO second exchange and NO
+    extra sort (the range-sampling pass that re-executed the whole
+    window stack is gone with it). One sort total, no joins."""
     from u_s__non_farm_payrolls_an_olap_analysis_spark.operators import (
         analytics,
     )
@@ -741,8 +743,10 @@ def test_pattern_match_single_user_exchange(spark):
 
     df = analytics.events_pattern_match(spark, SF)
     plan = formatted_plan(df)
-    assert plan.lower().count("hashpartitioning") <= 1, plan
-    assert exchange_count(df) <= 2  # user window + presentation sort
+    assert plan.lower().count("hashpartitioning") == 0, plan
+    assert plan.lower().count("rangepartitioning") == 1, plan
+    assert exchange_count(df) == 1, plan  # the user-range window exchange
+    assert plan.count("Sort [") <= 1, plan  # window sort only; orderBy elided
     assert "Join" not in join_kinds(df)
 
 

@@ -28,6 +28,14 @@ by a run-to-run diff at sf0.1; sf0.01 masked it). An affine map of the
 value is a pure function: both consumers always agree, under any
 planner, with no reuse assumption. Skewed values can unbalance buckets
 (perf, bounded by NB), but correctness is unconditional.
+
+NOTE for new call sites (r15 ADVICE): ``running_sums_by_value`` eagerly
+``localCheckpoint``s its input BY DEFAULT (``checkpoint_input=True``) —
+it materializes a row copy of ``per_value`` at DataFrame-BUILD time.
+That is right for the usual input (a small per-distinct-value histogram
+referenced three times by the device) and wrong for a raw fact-scale
+frame: pass ``checkpoint_input=False`` and pre-aggregate (or checkpoint
+the smallest keyed aggregate yourself) before calling.
 """
 
 from __future__ import annotations

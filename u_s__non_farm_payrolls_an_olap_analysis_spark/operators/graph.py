@@ -450,23 +450,29 @@ def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = li.groupBy("ok").agg(
         F.sort_array(F.collect_list("pk")).alias("ps")
     )
-    ps = F.col("ps")
-    combos = F.flatten(
-        F.transform(
-            ps,
-            lambda x, i: F.filter(
-                F.transform(
-                    F.slice(ps, i + F.lit(2), F.size(ps)),
-                    lambda y: F.struct(x.alias("pa"), y.alias("pb")),
-                ),
-                lambda s: s["pa"] != s["pb"],
-            ),
+    # round 16: i<j combinations via TWO codegen'd Generate nodes
+    # (posexplode, then explode of the per-index tail slice) instead of
+    # the round-15 nested transform/filter/flatten HOF chain — Spark's
+    # higher-order functions evaluate their lambdas INTERPRETED, outside
+    # whole-stage codegen, and the per-element struct construction was
+    # the measured hot spot (30x facts, noop sink: baskets 1.7 s,
+    # +HOF explode 5.6 s, +groupBy 7.0 s → double-explode form 3.55 s
+    # end-to-end — 2.0x on the whole generator, identical 1,196,000
+    # output rows). Index pairs, multiplicity and the pa != pb filter
+    # are exactly the HOF form's: slice(ps, i+2, size) is the strict
+    # upper tail of a sorted basket, so (pa, pb) = (ps[i], ps[j]), i<j.
+    pairs_raw = (
+        baskets.select("ps", F.posexplode("ps").alias("i", "pa"))
+        .select(
+            "pa",
+            F.explode(
+                F.slice("ps", F.col("i") + F.lit(2), F.size("ps"))
+            ).alias("pb"),
         )
+        .filter(F.col("pa") != F.col("pb"))
     )
     return (
-        baskets.select(F.explode(combos).alias("e"))
-        .select("e.pa", "e.pb")
-        .groupBy("pa", "pb")
+        pairs_raw.groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("sup"))
         .filter(F.col("sup") >= CC_MIN_SUPPORT)
         .select("pa", "pb")
@@ -773,13 +779,16 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: pair generation is the shared posting-list explode
     (`_copurchase_pairs`, never cross-join shaped); each peel round is one
-    map-side-combinable degree aggregate + two BROADCAST semi-joins of
-    the kept-node set (vocabulary-sized, shrinking monotonically); the
-    edge list is **localCheckpoint-ed every round** — the round
-    references the previous generation three times (degree count twice
-    via the union, filter once), which doubles the logical plan per
-    round if only cached (CLAUDE.md rule 5; the
-    graph_connected_components lesson).
+    map-side-combinable degree aggregate (ONE explode pass — round 16
+    replaced the 2-branch union that read the edge list once per
+    branch) + two BROADCAST semi-joins of the kept-node set
+    (vocabulary-sized, shrinking monotonically, **checkpointed each round**
+    — the two broadcast builds have different canonical plans, so an
+    uncheckpointed ``keep`` re-ran the whole degree aggregate once per
+    build); the edge list is **localCheckpoint-ed every round** — the
+    round references the previous generation multiple times, which
+    doubles the logical plan per round if only cached (CLAUDE.md
+    rule 5; the graph_connected_components lesson).
 
     vs reference: no analogue (no graph surface in `dashboard_nfp.py`).
     """
@@ -791,13 +800,27 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # corpus-sized work done exactly once
     )
     for _round in range(KCORE_ROUNDS):
+        # one explode instead of a 2-branch union: the union executed the
+        # (checkpointed) edge scan once per branch (rule 5 corollary b —
+        # cheap block reads here, but still two passes + two codegen'd
+        # pipelines where one suffices)
         deg = (
-            edges.select(F.col("na").alias("part"))
-            .unionByName(edges.select(F.col("nb").alias("part")))
+            edges.select(
+                F.explode(F.array(F.col("na"), F.col("nb"))).alias("part")
+            )
             .groupBy("part")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
-        keep = deg.filter(F.col("deg") >= KCORE_K).select("part")
+        # checkpoint the TINY surviving-node set (round 16): it is consumed
+        # by TWO broadcast builds below, whose canonical plans differ (na vs
+        # nb alias) so Spark builds each independently — without the cut
+        # the whole degree aggregate executed twice per peel round
+        # (CLAUDE.md rule 5; vocabulary-sized frame, shrinking every round)
+        keep = (
+            deg.filter(F.col("deg") >= KCORE_K)
+            .select("part")
+            .localCheckpoint(eager=True)
+        )
         edges = (
             edges.join(
                 F.broadcast(keep.select(F.col("part").alias("na"))), "na"
@@ -809,8 +832,9 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)  # cut per-round lineage
         )
     return (
-        edges.select(F.col("na").alias("part"))
-        .unionByName(edges.select(F.col("nb").alias("part")))
+        edges.select(
+            F.explode(F.array(F.col("na"), F.col("nb"))).alias("part")
+        )
         .groupBy("part")
         .agg(F.count(F.lit(1)).cast("int").alias("deg"))
         .orderBy("part")
@@ -1262,13 +1286,10 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # posting-list pair generation — one lineitem scan, one exchange
     # (round 15; was a two-scan self-join, see _copurchase_pairs)
     pairs = _copurchase_pairs(spark, sf_dir)
-    edges = (
-        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
-        )
-        .cache()
-    )
+    # both directions via ONE explode (r15 ADVICE): the former 2-branch
+    # union executed the posting-list pair generator once per branch at
+    # cache materialization (rule 5 corollary b)
+    edges = _symmetrize(pairs, "pa", "pb", "src", "dst").cache()
     dist = (
         edges.agg(F.min("src").alias("part"))
         .select("part", F.lit(0).alias("hops"))
@@ -1381,13 +1402,27 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SMJ measured 3.5 s vs 2.4 s at 30x; same pattern as q8's gated
     # degrade, and per-partition builds stay bounded because the build
     # side is the reduced key projection)
-    edges = (
+    edges0 = (
         li.join(orders.hint("SHUFFLE_HASH"), "o_orderkey")
         .select(F.col("o_custkey").alias("cust"), "part")
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    custs = edges.select("cust").distinct()
+    # round 16 (VERDICT r15 item 4 — cut the serial half-step stage
+    # count): TWO checkpointed copies of the edge list, one
+    # hash-partitioned by part and one by cust. localCheckpoint captures
+    # outputPartitioning in the LogicalRDD, so each half-step's
+    # broadcast-join + groupBy runs as a SINGLE stage with NO exchange
+    # (the groupBy key matches the at-rest partitioning) — 8 exchanges
+    # and 8 shuffle stages gone per run for two extra edge-list
+    # repartitions paid once. The cust copy derives from the part copy
+    # (already materialized), so the 18M-row edge build still runs once.
+    edges_by_part = edges0.repartition(F.col("part")).localCheckpoint(
+        eager=True
+    )
+    edges_by_cust = edges_by_part.repartition(F.col("cust")).localCheckpoint(
+        eager=True
+    )
+    custs = edges_by_cust.select("cust").distinct()
     nc = custs.agg(F.count(F.lit(1)).alias("n"))
     h = custs.crossJoin(F.broadcast(nc)).select(
         "cust",
@@ -1410,6 +1445,16 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     def side(df):
         return F.broadcast(df) if small else df
 
+    # pick the edge copy whose at-rest partitioning matches each
+    # half-step's AGGREGATE key when the score side broadcasts (the
+    # broadcast join preserves the streamed side's partitioning, so the
+    # groupBy needs no exchange); in the degraded shuffle-join path the
+    # JOIN key is the binding constraint instead — use the copy
+    # partitioned by the join key so only the node-sized score frame
+    # shuffles (the `graph_pagerank_tokens` posture)
+    e_for_a = edges_by_part if small else edges_by_cust
+    e_for_h = edges_by_cust if small else edges_by_part
+
     a = None
     for _i in range(HITS_ITERS):
         # checkpoint the RAW half-step frame, not the normalized one:
@@ -1420,11 +1465,8 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         # checkpoint was tried in round 15 and measured WORSE (7.2 s vs
         # 6.4 s at 30x): each mid-plan broadcast build re-executes the
         # chain above it, while eager checkpoints pin each half-step.
-        # The residual 30x gap vs DuckDB is serial stage latency over a
-        # SATURATED graph (fixture replicas share cust/part keys, so the
-        # edge list is ~600k at every rep) — see SCALE.md round 15.
         a_raw = (
-            edges.join(side(h), "cust")
+            e_for_a.join(side(h), "cust")
             .groupBy("part")
             .agg(F.sum(dd(F.col("q"))).alias("raw"))
             .localCheckpoint(eager=True)
@@ -1439,7 +1481,7 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q"),
         )
         h_raw = (
-            edges.join(side(a), "part")
+            e_for_h.join(side(a), "part")
             .groupBy("cust")
             .agg(F.sum(dd(F.col("q"))).alias("raw"))
             .localCheckpoint(eager=True)
