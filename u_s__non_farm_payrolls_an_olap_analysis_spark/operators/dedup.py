@@ -38,6 +38,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.numerics import dround
+from ..functions.pairgen import posting_pairs
 from ..functions.vectors import cosine_from_norms, cosine_sql, l2_norm
 from ..io import read_table
 
@@ -206,21 +207,9 @@ def _pair_counts(docs: DataFrame) -> DataFrame:
     posting = sh.groupBy("shingle").agg(
         F.sort_array(F.collect_list("doc_id")).alias("ds")
     )
-    pairs = posting.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ds"),
-                    lambda x, i: F.transform(
-                        F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
-                        lambda y: F.struct(
-                            x.alias("doc_a"), y.alias("doc_b")
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.*")
+    # codegen'd Generate-chain pairgen (round 16) — identical i<j
+    # multiset, no interpreted HOF lambdas (see functions/pairgen.py)
+    pairs = posting_pairs(posting, "ds", "doc_a", "doc_b")
     inter = pairs.groupBy("doc_a", "doc_b").agg(
         F.count(F.lit(1)).alias("n_inter")
     )
@@ -291,24 +280,7 @@ def _minhash_pairs(docs: DataFrame) -> DataFrame:
         F.sort_array(F.collect_list("doc_id")).alias("ds")
     )
     cands = (
-        posting.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("ds"),
-                        lambda x, i: F.transform(
-                            F.slice(
-                                F.col("ds"), i + 2, F.size(F.col("ds"))
-                            ),
-                            lambda y: F.struct(
-                                x.alias("doc_a"), y.alias("doc_b")
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.*")
+        posting_pairs(posting, "ds", "doc_a", "doc_b")
         .distinct()
     )
     # verify ONLY the candidate pairs, and consume `cands` exactly once —
@@ -468,27 +440,13 @@ def _simhash_pairs(docs: DataFrame) -> DataFrame:
         )
     )
     cands = (
-        posting.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("ds"),
-                        lambda x, i: F.transform(
-                            F.slice(
-                                F.col("ds"), i + 2, F.size(F.col("ds"))
-                            ),
-                            lambda y: F.struct(
-                                x["doc_id"].alias("doc_a"),
-                                y["doc_id"].alias("doc_b"),
-                                x["simhash"].alias("sh_a"),
-                                y["simhash"].alias("sh_b"),
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
+        posting_pairs(posting, "ds", "xa", "yb")
+        .select(
+            F.col("xa.doc_id").alias("doc_a"),
+            F.col("yb.doc_id").alias("doc_b"),
+            F.col("xa.simhash").alias("sh_a"),
+            F.col("yb.simhash").alias("sh_b"),
         )
-        .select("p.*")
         .distinct()
     )
     return (
@@ -1522,27 +1480,7 @@ def _prefix_candidates(docs: DataFrame, threshold_pct: int) -> DataFrame:
     posting = prefix.groupBy("shingle").agg(
         F.sort_array(F.collect_list("doc_id")).alias("ds")
     )
-    return (
-        posting.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("ds"),
-                        lambda x, i: F.transform(
-                            F.slice(
-                                F.col("ds"), i + 2, F.size(F.col("ds"))
-                            ),
-                            lambda y: F.struct(
-                                x.alias("doc_a"), y.alias("doc_b")
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.*")
-        .distinct()
-    )
+    return posting_pairs(posting, "ds", "doc_a", "doc_b").distinct()
 
 
 def _prefix_rows(docs: DataFrame, threshold_pct: int) -> DataFrame:
@@ -1603,29 +1541,15 @@ def _ppjoin_candidates(docs: DataFrame, threshold_pct: int) -> DataFrame:
         ).alias("ds")
     )
     pairs = (
-        posting.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("ds"),
-                        lambda x, i: F.transform(
-                            F.slice(
-                                F.col("ds"), i + 2, F.size(F.col("ds"))
-                            ),
-                            lambda y: F.struct(
-                                x["doc_id"].alias("doc_a"),
-                                x["rnk"].alias("rnk_a"),
-                                x["n"].alias("n_a"),
-                                y["doc_id"].alias("doc_b"),
-                                y["rnk"].alias("rnk_b"),
-                                y["n"].alias("n_b"),
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
+        posting_pairs(posting, "ds", "xa", "yb")
+        .select(
+            F.col("xa.doc_id").alias("doc_a"),
+            F.col("xa.rnk").alias("rnk_a"),
+            F.col("xa.n").alias("n_a"),
+            F.col("yb.doc_id").alias("doc_b"),
+            F.col("yb.rnk").alias("rnk_b"),
+            F.col("yb.n").alias("n_b"),
         )
-        .select("p.*")
         .groupBy("doc_a", "doc_b")
         .agg(
             F.max(
@@ -1811,25 +1735,7 @@ def dedup_eval_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting = bands.groupBy("band", "bsig").agg(
         F.sort_array(F.collect_list("doc_id")).alias("ds")
     )
-    cands = (
-        posting.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("ds"),
-                        lambda x, i: F.transform(
-                            F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
-                            lambda y: F.struct(
-                                x.alias("doc_a"), y.alias("doc_b")
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.*")
-        .distinct()
-    )
+    cands = posting_pairs(posting, "ds", "doc_a", "doc_b").distinct()
     truth = _jaccard_pairs(docs).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
     ).select("doc_a", "doc_b")
@@ -1972,21 +1878,9 @@ def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.size("ids") >= 2) & (F.size("ids") <= LEV_MAX_BLOCK)
         )
     )
-    pairs = posting.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ids"),
-                    lambda x, i: F.transform(
-                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                        lambda y: F.struct(
-                            x.alias("doc_a"), y.alias("doc_b")
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.doc_a", "p.doc_b")
+    pairs = posting_pairs(posting, "ids", "doc_a", "doc_b").select(
+        "doc_a", "doc_b"
+    )
     ta = base.select(
         F.col("doc_id").alias("doc_a"),
         F.col("nt").alias("ta"),

@@ -461,15 +461,10 @@ def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # output rows). Index pairs, multiplicity and the pa != pb filter
     # are exactly the HOF form's: slice(ps, i+2, size) is the strict
     # upper tail of a sorted basket, so (pa, pb) = (ps[i], ps[j]), i<j.
-    pairs_raw = (
-        baskets.select("ps", F.posexplode("ps").alias("i", "pa"))
-        .select(
-            "pa",
-            F.explode(
-                F.slice("ps", F.col("i") + F.lit(2), F.size("ps"))
-            ).alias("pb"),
-        )
-        .filter(F.col("pa") != F.col("pb"))
+    from ..functions.pairgen import posting_pairs
+
+    pairs_raw = posting_pairs(baskets, "ps", "pa", "pb").filter(
+        F.col("pa") != F.col("pb")
     )
     return (
         pairs_raw.groupBy("pa", "pb")
@@ -686,22 +681,13 @@ def graph_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("xs"),
         )
     )
-    pairs = posting.select(
-        "w",
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("xs"),
-                    lambda x, i: F.transform(
-                        F.slice(F.col("xs"), i + 2, F.size(F.col("xs"))),
-                        lambda y: F.struct(
-                            x.alias("token_a"), y.alias("token_b")
-                        ),
-                    ),
-                )
-            )
-        ).alias("p"),
-    ).select("p.token_a", "p.token_b", "w")
+    # codegen'd Generate-chain pairgen (round 16) — identical i<j
+    # multiset, no interpreted HOF lambdas (see functions/pairgen.py)
+    from ..functions.pairgen import posting_pairs
+
+    pairs = posting_pairs(
+        posting, "xs", "token_a", "token_b", pass_cols=("w",)
+    ).select("token_a", "token_b", "w")
     scored = pairs.groupBy("token_a", "token_b").agg(
         F.sum("w").alias("sw")
     )
@@ -1163,21 +1149,13 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.sort_array(F.collect_list("x")).alias("xs"))
         .filter((F.size("xs") >= 2) & (F.size("xs") <= RA_MAX_DEG))
     )
-    pairs = posting.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("xs"),
-                    lambda x, i: F.transform(
-                        F.slice(F.col("xs"), i + 2, F.size(F.col("xs"))),
-                        lambda y: F.struct(
-                            x.alias("token_a"), y.alias("token_b")
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.token_a", "p.token_b")
+    # codegen'd Generate-chain pairgen (round 16) — identical i<j
+    # multiset, no interpreted HOF lambdas (see functions/pairgen.py)
+    from ..functions.pairgen import posting_pairs
+
+    pairs = posting_pairs(posting, "xs", "token_a", "token_b").select(
+        "token_a", "token_b"
+    )
     cn = pairs.groupBy("token_a", "token_b").agg(
         F.count(F.lit(1)).alias("cn")
     )
