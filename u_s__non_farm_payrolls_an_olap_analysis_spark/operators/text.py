@@ -232,17 +232,25 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials; the hot path is one scan + one shuffle on the bigram key."""
     docs = read_table(spark, sf_dir, "documents")
     toks = _tokens()
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-        ),
-    )
+    n = F.size(toks)
+    # native adjacent-pair structs (round 16, the functions/pairgen.py
+    # finding: HOF lambdas evaluate interpreted) — group by the struct
+    # (bijective with the joined string for space-split tokens), then
+    # rebuild the exposed string on the vocabulary-sized aggregate
+    # BEFORE the order-by, so tie-break semantics are untouched
+    bigrams = F.when(
+        n >= 2,
+        F.slice(F.arrays_zip(toks, F.slice(toks, 2, n - 1)), 1, n - 1),
+    ).cast("array<struct<p:string,q:string>>")
     return (
-        docs.filter(F.size(toks) >= 2)
-        .select(F.explode(bigrams).alias("bigram"))
-        .groupBy("bigram")
+        docs.filter(n >= 2)
+        .select(F.explode(bigrams).alias("b"))
+        .groupBy("b")
         .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.concat_ws(" ", F.col("b.p"), F.col("b.q")).alias("bigram"),
+            "n",
+        )
         .orderBy(F.col("n").desc(), "bigram")
         .limit(20)
     )
@@ -820,21 +828,58 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _tokens()
     n = F.size(toks)
     n_grams = n - WINNOW_K + 1
-    gram = lambda i: F.concat_ws(" ", F.slice(toks, i, WINNOW_K))  # noqa: E731
-    sk = lambda i: F.concat(  # noqa: E731
-        F.substring(F.md5(F.concat(F.lit("wn:"), gram(i))), 1, 15),
-        F.lpad((F.lit(_WINNOW_POS_MAX) - i).cast("string"), 7, "0"),
-    )
-    keys = F.when(
+    # round 16 (the functions/pairgen.py finding): build the k-gram
+    # STRUCT array with native arrays_zip/slice and compute the md5
+    # sort key AFTER the explode as a plain codegen'd projection — the
+    # former transform(sequence, sk) lambda evaluated the whole
+    # md5+concat chain interpreted, once per gram position
+    gram_structs = F.when(
         n >= WINNOW_K,
-        F.transform(F.sequence(F.lit(1), n_grams), sk),
-    ).otherwise(F.array().cast("array<string>"))
+        F.slice(
+            F.arrays_zip(
+                toks,
+                *[
+                    F.slice(toks, k + 1, n - k)
+                    for k in range(1, WINNOW_K)
+                ],
+            ),
+            1,
+            n_grams,
+        ),
+    ).cast(
+        "array<struct<"
+        + ",".join(f"t{k}:string" for k in range(WINNOW_K))
+        + ">>"
+    )
+    g = F.col("g")
+    sk_col = F.concat(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("wn:"),
+                    F.concat_ws(
+                        " ", *[g[f"t{k}"] for k in range(WINNOW_K)]
+                    ),
+                )
+            ),
+            1,
+            15,
+        ),
+        F.lpad(
+            (F.lit(_WINNOW_POS_MAX) - (F.col("pos0") + 1)).cast("string"),
+            7,
+            "0",
+        ),
+    )
     rows = docs.select(
         "doc_id",
         n_grams.alias("n_grams"),
-        F.posexplode(keys).alias("pos0", "sk"),
+        F.posexplode(gram_structs).alias("pos0", "g"),
     ).select(
-        "doc_id", "n_grams", (F.col("pos0") + 1).alias("pos"), "sk"
+        "doc_id",
+        "n_grams",
+        (F.col("pos0") + 1).alias("pos"),
+        sk_col.alias("sk"),
     )
     win = (
         Window.partitionBy("doc_id")
@@ -2548,16 +2593,18 @@ def text_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
+    # native adjacent-pair structs (round 16): arrays_zip of the token
+    # array with its own 1-shifted slice — the former transform(
+    # sequence, element_at) lambda evaluated interpreted, outside
+    # codegen (the functions/pairgen.py finding); identical structs
     bigrams = F.when(
         F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("p"),
-                F.element_at(toks, i + 1).alias("q"),
-            ),
+        F.slice(
+            F.arrays_zip(toks, F.slice(toks, 2, F.size(toks) - 1)),
+            1,
+            F.size(toks) - 1,
         ),
-    ).otherwise(F.array().cast("array<struct<p:string,q:string>>"))
+    ).cast("array<struct<p:string,q:string>>")
     cells = (
         docs.select("source", F.explode(bigrams).alias("b"))
         .select("source", "b.p", "b.q")
